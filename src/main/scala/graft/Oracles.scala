@@ -1,0 +1,247 @@
+package graft
+
+/** DuckDB oracle SQL, one entry per SQL-expressible `queries` key.
+  *
+  * Cross-engine alignment rules (see SURVEY.md §5):
+  *  - aliases identical to the Spark output column names;
+  *  - `round(_, 4)` on every computed double;
+  *  - epoch seconds (`epoch(date_trunc('second', ts))::bigint`) for
+  *    event timestamps — parquet holds ns, Spark truncates to µs;
+  *  - explicit `::int` casts where DuckDB widens to BIGINT but Spark
+  *    emits INT (year/month/row_number/…);
+  *  - deterministic ORDER BY with full tiebreak.
+  */
+object Oracles {
+
+  val relational: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice), 4) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_topk_window" ->
+      """SELECT * FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey)::int AS rk
+        |  FROM orders)
+        |WHERE rk <= 3
+        |ORDER BY o_orderpriority, rk""".stripMargin,
+
+    "q3_join_agg" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_items
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q4_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q5_multijoin" ->
+      """SELECT r_name, p_type,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY r_name, p_type
+        |ORDER BY r_name, p_type""".stripMargin,
+
+    "q6_filter_agg" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q7_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q8_outer_join" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q9_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q10_having" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 4) AS sum_total
+        |FROM orders
+        |GROUP BY o_custkey
+        |HAVING count(*) >= 15
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q11_case_agg" ->
+      """SELECT round(
+        |  sum(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) * 100.0 /
+        |  sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'""".stripMargin,
+
+    "q12_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(DISTINCT (l_partkey, l_suppkey)) AS n_ps
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q13_union" ->
+      """SELECT kind, count(*) AS n_nations FROM (
+        |  SELECT DISTINCT * FROM (
+        |    SELECT c_nationkey::int AS nk, 'customer' AS kind FROM customer
+        |    UNION ALL
+        |    SELECT s_nationkey::int AS nk, 'supplier' AS kind FROM supplier))
+        |GROUP BY kind
+        |ORDER BY kind""".stripMargin,
+
+    "q14_scalar_subquery" ->
+      """SELECT p_partkey, p_brand, round(p_retailprice, 4) AS p_retailprice
+        |FROM part
+        |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q15_in_subquery" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 4) AS sum_total
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "q16_window_running" ->
+      """SELECT user_id, event_id, rn::int AS rn, round(value, 4) AS value,
+        |  round(running_value, 4) AS running_value,
+        |  round(prev_value, 4) AS prev_value,
+        |  round(next_value, 4) AS next_value
+        |FROM (
+        |  SELECT user_id, event_id, value,
+        |    epoch(date_trunc('second', ts))::bigint AS ep,
+        |    row_number() OVER w AS rn,
+        |    sum(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS running_value,
+        |    lag(value, 1, 0.0) OVER w AS prev_value,
+        |    lead(value, 1, 0.0) OVER w AS next_value
+        |  FROM events WHERE user_id < 20
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY
+        |               epoch(date_trunc('second', ts))::bigint, event_id))
+        |ORDER BY user_id, rn""".stripMargin,
+
+    "q17_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice, 4) AS l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 100""".stripMargin,
+
+    "q18_string_funcs" ->
+      """SELECT c_custkey,
+        |  upper(c_name) AS name_upper,
+        |  substring(c_name, 1, 9) AS name_prefix,
+        |  length(c_name)::int AS name_len,
+        |  concat_ws('/', c_mktsegment, c_name) AS seg_name,
+        |  regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+        |  regexp_replace(c_mktsegment, '[AEIOU]', '_', 'g') AS seg_masked
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q19_date_funcs" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate)::int AS o_year,
+        |  month(o_orderdate)::int AS o_month,
+        |  dayofmonth(o_orderdate)::int AS o_day,
+        |  quarter(o_orderdate)::int AS o_quarter,
+        |  epoch(date_trunc('month', o_orderdate))::bigint AS month_start_ep,
+        |  date_diff('day', DATE '1995-01-01', o_orderdate::date)::int
+        |    AS days_since_epoch_start
+        |FROM orders WHERE o_orderkey < 500
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q20_json" ->
+      """SELECT CAST(regexp_extract(props, '"k":\s*([0-9]+)', 1) AS int) AS k,
+        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM events
+        |GROUP BY k
+        |ORDER BY k""".stripMargin,
+
+    "asof_join" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, date_trunc('microsecond', ts) AS ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |s AS (
+        |  SELECT user_id, date_trunc('microsecond', ts) AS ts
+        |  FROM events WHERE event_type = 'signup')
+        |SELECT p.event_id, p.user_id,
+        |  epoch(date_trunc('second', p.ts))::bigint AS p_sec,
+        |  epoch(date_trunc('second', s.ts))::bigint AS signup_sec
+        |FROM p ASOF LEFT JOIN s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "events_sessionize" ->
+      """SELECT user_id, session_id::bigint AS session_id, count(*) AS n_events,
+        |  min(ep) AS session_start, max(ep) AS session_end,
+        |  round(sum(value), 4) AS session_value
+        |FROM (
+        |  SELECT user_id, event_id, value, ep,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ep, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM (
+        |    SELECT user_id, event_id, value, ep,
+        |      CASE WHEN prev_ep IS NULL OR ep - prev_ep > 1800
+        |           THEN 1 ELSE 0 END AS new_session
+        |    FROM (
+        |      SELECT user_id, event_id, value,
+        |        epoch(date_trunc('second', ts))::bigint AS ep,
+        |        lag(epoch(date_trunc('second', ts))::bigint, 1)
+        |          OVER (PARTITION BY user_id
+        |                ORDER BY epoch(date_trunc('second', ts))::bigint,
+        |                         event_id) AS prev_ep
+        |      FROM events)))
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin
+  )
+}

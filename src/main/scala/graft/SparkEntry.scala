@@ -1,13 +1,45 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{AsOfJoin, Relational, Sessionize}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+
+  type Q = (SparkSession, String) => DataFrame
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q3JoinAgg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, Q] = Map[String, Q](
+    "q1_agg"             -> Relational.q1Agg,
+    "q2_topk_window"     -> Relational.q2TopkWindow,
+    "q3_join_agg"        -> Relational.q3JoinAgg,
+    "q4_semi_join"       -> Relational.q4SemiJoin,
+    "q5_multijoin"       -> Relational.q5MultiJoin,
+    "q6_filter_agg"      -> Relational.q6FilterAgg,
+    "q7_anti_join"       -> Relational.q7AntiJoin,
+    "q8_outer_join"      -> Relational.q8OuterJoin,
+    "q9_rollup"          -> Relational.q9Rollup,
+    "q10_having"         -> Relational.q10Having,
+    "q11_case_agg"       -> Relational.q11CaseAgg,
+    "q12_distinct"       -> Relational.q12Distinct,
+    "q13_union"          -> Relational.q13Union,
+    "q14_scalar_subquery"-> Relational.q14ScalarSubquery,
+    "q15_in_subquery"    -> Relational.q15InSubquery,
+    "q16_window_running" -> Relational.q16WindowRunning,
+    "q17_sort_limit"     -> Relational.q17SortLimit,
+    "q18_string_funcs"   -> Relational.q18StringFuncs,
+    "q19_date_funcs"     -> Relational.q19DateFuncs,
+    "q20_json"           -> Relational.q20Json,
+    "asof_join"          -> (AsOfJoin.purchasesAsOfSignup(_, _)),
+    "events_sessionize"  -> (Sessionize.sessions(_, _))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Oracles.relational
 }

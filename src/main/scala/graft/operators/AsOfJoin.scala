@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-time as-of join: for each left row, the most recent right row
+  * with `right.ts <= left.ts` for the same key.
+  *
+  * Spark has no AS OF join operator; rather than a custom `SparkPlan`
+  * we express it as a union + ordered window (`last(_, ignoreNulls)`
+  * over rows-unbounded-preceding). That is ONE shuffle on the key and
+  * a per-partition sort — the same cost profile as a sort-merge as-of
+  * join — and it stays inside Catalyst (codegen window, AQE sizing).
+  * A naive inequality-join (`l.key = r.key AND r.ts <= l.ts` + max)
+  * would explode to O(|L|·|R|) per key at 100 TB; this stays
+  * O((|L|+|R|) log) per key.
+  */
+object AsOfJoin {
+
+  /** Purchases as-of joined to the user's latest prior signup. */
+  def purchasesAsOfSignup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+              lit(null).cast("timestamp").as("s_ts"), lit(1).as("is_left"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(lit(null).cast("long").as("event_id"), col("user_id"),
+              col("ts"), col("ts").as("s_ts"), lit(0).as("is_left"))
+
+    // Right rows sort before left rows at equal ts so ties count as
+    // "prior" (matches ASOF ... ON left.ts >= right.ts semantics).
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    signups.unionByName(purchases)
+      .withColumn("asof_ts", last(col("s_ts"), ignoreNulls = true).over(w))
+      .filter(col("is_left") === 1)
+      .select(col("event_id"), col("user_id"),
+              unix_timestamp(col("ts")).as("p_sec"),
+              unix_timestamp(col("asof_ts")).as("signup_sec"))
+      .orderBy(col("event_id"))
+  }
+}

@@ -1,0 +1,297 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The relational query surface — what a JobX user computes with
+  * map/combine/reduce handler chains, declared as Catalyst logical
+  * plans instead so the optimizer owns pushdown, join strategy and
+  * partial aggregation.
+  *
+  * Conventions shared with the DuckDB oracles (see
+  * [[graft.Oracles]]): double aggregates are `round(_, 4)` to erase
+  * FP-associativity noise between engines; event timestamps are
+  * reduced to epoch seconds (`unix_timestamp`) because parquet stores
+  * them at ns and Spark/DuckDB truncate differently; every output has
+  * a deterministic total order.
+  *
+  * Scale notes are per-query; dims (`region nation supplier part`)
+  * are broadcast explicitly, fact-fact joins shuffle on their keys.
+  */
+object Relational {
+
+  private def ts(s: String): Column = lit(s).cast("timestamp")
+
+  /** TPC-H Q1 shape: scan → filter → groupBy → multi-agg. One shuffle
+    * on the (tiny) group key; partial aggregation map-side. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    li.filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Top-3 orders per priority via row_number window (rank-k pattern).
+    * Window shuffle partitions by o_orderpriority only — at scale use
+    * a two-phase topK (partial per-partition limit) which AQE+window
+    * group limit pushdown already performs in Spark 4. */
+  def q2TopkWindow(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .orderBy(col("o_orderpriority"), col("rk"))
+  }
+
+  /** Flagship: customer ⋈ orders ⋈ lineitem revenue by nation.
+    * `nation` broadcast; customer⋈orders and orders⋈lineitem shuffle
+    * on their join keys; AQE coalesces post-shuffle partitions. */
+  def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(t.orders, col("c_custkey") === col("o_custkey"))
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+              col("o_orderdate") <  ts("1997-01-01 00:00:00"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+             .as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** EXISTS — left-semi join (no row multiplication, no dedup). */
+  def q4SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val big = t.orders.filter(col("o_totalprice") > 450000)
+    t.customer
+      .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** 6-table star join: revenue by region. All dims broadcast — the
+    * only shuffle is lineitem's aggregation. */
+  def q5MultiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+              col("l_shipdate") <  ts("1998-01-01 00:00:00"))
+      .groupBy(col("r_name"), col("p_type"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+             .as("revenue"),
+           round(sum(col("l_quantity")), 4).as("sum_qty"))
+      .orderBy(col("r_name"), col("p_type"))
+  }
+
+  /** Tight scan+filter+global agg (TPC-H Q6 shape): predicate fully
+    * pushed to parquet, no shuffle beyond the final single-row agg. */
+  def q6FilterAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    li.filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+              col("l_shipdate") <  ts("1997-01-01 00:00:00") &&
+              col("l_discount").between(0.03, 0.07) &&
+              col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4)
+             .as("revenue"),
+           count(lit(1)).as("n_rows"))
+  }
+
+  /** NOT EXISTS — left-anti join; customers with no orders. */
+  def q7AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** TPC-H Q13 shape: left outer join preserving customers with zero
+    * orders, per-customer count, then distribution over counts. */
+  def q8OuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** GROUP BY ROLLUP — hierarchical subtotals in one pass. */
+  def q9Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 4).as("sum_qty"),
+           count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+               col("l_linestatus").asc_nulls_first)
+  }
+
+  /** HAVING — post-aggregation filter stays after the shuffle. */
+  def q10Having(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+    o.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum(col("o_totalprice")), 4).as("sum_total"))
+      .filter(col("n_orders") >= 15)
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Conditional aggregation (TPC-H Q14 shape): promo revenue share. */
+  def q11CaseAgg(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+              col("l_shipdate") <  ts("1997-01-01 00:00:00"))
+      .agg(round(
+        sum(when(col("p_type") === "PROMO",
+              col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .otherwise(lit(0.0))) * 100.0 /
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("promo_share"))
+  }
+
+  /** Multi-column DISTINCT + count-distinct per group. */
+  def q12Distinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+           countDistinct(col("l_suppkey")).as("n_supps"),
+           countDistinct(col("l_partkey"), col("l_suppkey")).as("n_ps"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** UNION of conformed schemas + dedup + count by origin kind. */
+  def q13Union(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val c = t.customer.select(col("c_nationkey").cast("int").as("nk"),
+                              lit("customer").as("kind"))
+    val s = t.supplier.select(col("s_nationkey").cast("int").as("nk"),
+                              lit("supplier").as("kind"))
+    c.unionByName(s).distinct()
+      .groupBy(col("kind")).agg(count(lit(1)).as("n_nations"))
+      .orderBy(col("kind"))
+  }
+
+  /** Scalar subquery: parts priced above the global average. The
+    * average is a 1-row broadcast, not a driver collect. */
+  def q14ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir).part
+    val avgPrice = p.agg(avg(col("p_retailprice")).as("ap"))
+    p.join(broadcast(avgPrice))
+      .filter(col("p_retailprice") > col("ap"))
+      .select(col("p_partkey"), col("p_brand"),
+              round(col("p_retailprice"), 4).as("p_retailprice"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** IN (subquery) — semi-join on a filtered dim. */
+  def q15InSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val building = t.customer.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    t.orders
+      .join(building, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+           round(sum(col("o_totalprice")), 4).as("sum_total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Running sum / lag / lead per key — one window shuffle on
+    * user_id, all three functions share the same frame sort. */
+  def q16WindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), col("event_id"),
+              unix_timestamp(col("ts")).as("ep"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ep"), col("event_id"))
+    ev.withColumn("rn", row_number().over(w))
+      .withColumn("running_value",
+        round(sum(col("value")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4))
+      .withColumn("prev_value", round(lag(col("value"), 1, 0.0).over(w), 4))
+      .withColumn("next_value", round(lead(col("value"), 1, 0.0).over(w), 4))
+      .select(col("user_id"), col("event_id"), col("rn"),
+              round(col("value"), 4).as("value"),
+              col("running_value"), col("prev_value"), col("next_value"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  /** Global ORDER BY + LIMIT → TakeOrderedAndProject (no full sort of
+    * the table, a per-partition top-k then a driver-side merge). */
+  def q17SortLimit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    li.select(col("l_orderkey"), col("l_linenumber"),
+              round(col("l_extendedprice"), 4).as("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+               col("l_linenumber"))
+      .limit(100)
+  }
+
+  /** String function family — all codegen'd builtins, no UDFs. */
+  def q18StringFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir).customer
+    c.select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_upper"),
+        substring(col("c_name"), 1, 9).as("name_prefix"),
+        length(col("c_name")).as("name_len"),
+        concat_ws("/", col("c_mktsegment"), col("c_name")).as("seg_name"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("name_digits"),
+        regexp_replace(col("c_mktsegment"), "[AEIOU]", "_").as("seg_masked"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Date/time function family over orders. */
+  def q19DateFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders.filter(col("o_orderkey") < 500)
+    o.select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        dayofmonth(col("o_orderdate")).as("o_day"),
+        quarter(col("o_orderdate")).as("o_quarter"),
+        unix_timestamp(date_trunc("month", col("o_orderdate")))
+          .as("month_start_ep"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .as("days_since_epoch_start"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** JSON extraction from the events.props payload column. */
+  def q20Json(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    ev.select(get_json_object(col("props"), "$.k").cast("int").as("k"),
+              col("value"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(col("k"))
+  }
+}
