@@ -201,7 +201,7 @@ object Oracles {
         |ORDER BY o_orderkey""".stripMargin,
 
     "q20_json" ->
-      """SELECT CAST(regexp_extract(props, '"k":\s*([0-9]+)', 1) AS int) AS k,
+      """SELECT CAST(props->>'$.k' AS int) AS k,
         |  count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM events
         |GROUP BY k

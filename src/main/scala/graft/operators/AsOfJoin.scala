@@ -20,12 +20,15 @@ import graft.Tables
   */
 object AsOfJoin {
 
-  /** Purchases as-of joined to the user's latest prior signup. */
+  /** Purchases as-of joined to the user's latest prior signup.
+    * `ts` arrives as epoch-nanos long (see [[graft.Tables.events]]);
+    * the merge orders on the raw nanos and only the output columns are
+    * reduced to epoch seconds. */
   def purchasesAsOfSignup(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir).events
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"),
-              lit(null).cast("timestamp").as("s_ts"), lit(1).as("is_left"))
+              lit(null).cast("long").as("s_ts"), lit(1).as("is_left"))
     val signups = ev.filter(col("event_type") === "signup")
       .select(lit(null).cast("long").as("event_id"), col("user_id"),
               col("ts"), col("ts").as("s_ts"), lit(0).as("is_left"))
@@ -40,8 +43,8 @@ object AsOfJoin {
       .withColumn("asof_ts", last(col("s_ts"), ignoreNulls = true).over(w))
       .filter(col("is_left") === 1)
       .select(col("event_id"), col("user_id"),
-              unix_timestamp(col("ts")).as("p_sec"),
-              unix_timestamp(col("asof_ts")).as("signup_sec"))
+              Tables.tsNsToSec("ts").as("p_sec"),
+              Tables.tsNsToSec("asof_ts").as("signup_sec"))
       .orderBy(col("event_id"))
   }
 }

@@ -228,7 +228,7 @@ object Relational {
     val ev = Tables(spark, dir).events
       .filter(col("user_id") < 20)
       .select(col("user_id"), col("event_id"),
-              unix_timestamp(col("ts")).as("ep"), col("value"))
+              Tables.tsNsToSec("ts").as("ep"), col("value"))
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ep"), col("event_id"))
     ev.withColumn("rn", row_number().over(w))

@@ -21,7 +21,7 @@ object Sessionize {
   def sessions(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir).events
       .select(col("user_id"), col("event_id"),
-              unix_timestamp(col("ts")).as("ep"), col("value"))
+              Tables.tsNsToSec("ts").as("ep"), col("value"))
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ep"), col("event_id"))
     val flagged = ev

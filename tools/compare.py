@@ -1,0 +1,55 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 tools/compare.py /tmp/verify_r2 /root/testdata/sf0.01
+
+Reads <outDir>/<name>/ parquet (Spark result) and <outDir>/oracle_sql.json,
+runs each oracle in DuckDB against the sf tables, and compares rowcount,
+schema (column names, sorted) and a value hash (columns sorted by name,
+rows sorted, floats rounded via repr).
+"""
+import sys, json, glob, hashlib
+import duckdb
+import pandas as pd
+
+def canon(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)]
+    rows = sorted(
+        tuple("NULL" if pd.isna(v) else (f"{v:.6g}" if isinstance(v, float) else str(v))
+              for v in row)
+        for row in df.itertuples(index=False, name=None))
+    return hashlib.md5(repr(rows).encode()).hexdigest()
+
+def main(out_dir, sf_dir):
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    con = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    fails = 0
+    for name in sorted(oracles):
+        try:
+            spark_df = pd.concat(
+                [pd.read_parquet(p) for p in glob.glob(f"{out_dir}/{name}/*.parquet")],
+                ignore_index=True)
+            ora_df = con.execute(oracles[name]).fetchdf()
+            rows_ok = len(spark_df) == len(ora_df)
+            schema_ok = sorted(spark_df.columns) == sorted(ora_df.columns)
+            hash_ok = schema_ok and canon(spark_df) == canon(ora_df)
+            status = "OK" if (rows_ok and schema_ok and hash_ok) else "FAIL"
+            if status == "FAIL":
+                fails += 1
+                print(f"{name}: {status} rows={len(spark_df)}/{len(ora_df)} "
+                      f"schema={schema_ok} hash={hash_ok}")
+                if not schema_ok:
+                    print(f"  spark cols: {sorted(spark_df.columns)}")
+                    print(f"  oracle cols: {sorted(ora_df.columns)}")
+            else:
+                print(f"{name}: OK ({len(spark_df)} rows)")
+        except Exception as e:
+            fails += 1
+            print(f"{name}: ERROR {e}")
+    print(f"\n{'ALL GREEN' if fails == 0 else f'{fails} FAILURES'}")
+    return 1 if fails else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
