@@ -244,4 +244,43 @@ object Oracles {
         |GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin
   )
+
+  /** SURVEY §2A — the MapReduce-engine pipelines. */
+  val mr: Map[String, String] = Map(
+    "mr_wordcount" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(string_split_regex(text, '\s+')) AS word
+        |  FROM documents) t
+        |WHERE word <> ''
+        |GROUP BY word
+        |ORDER BY word""".stripMargin,
+
+    "mr_sum" ->
+      """SELECT user_id, round(sum(value), 4) AS sum_value
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "mr_multiply" ->
+      """SELECT l_orderkey, round(product(1 + l_discount), 4) AS prod_disc
+        |FROM lineitem
+        |GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin,
+
+    "mr_noop" ->
+      """SELECT l_orderkey,
+        |  string_agg(l_linenumber::varchar, ',' ORDER BY l_linenumber)
+        |    AS linenumbers
+        |FROM lineitem
+        |WHERE l_orderkey < 100
+        |GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin,
+
+    "mr_chain" ->
+      """SELECT o_orderkey AS k,
+        |  CAST(round(o_totalprice * 100) AS bigint) AS cents
+        |FROM orders
+        |WHERE o_orderkey < 200
+        |ORDER BY k""".stripMargin
+  )
 }

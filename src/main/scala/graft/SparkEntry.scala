@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.mr.MrQueries
 import graft.operators.{AsOfJoin, Relational, Sessionize}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -36,10 +37,16 @@ object SparkEntry {
     "q19_date_funcs"     -> Relational.q19DateFuncs,
     "q20_json"           -> Relational.q20Json,
     "asof_join"          -> (AsOfJoin.purchasesAsOfSignup(_, _)),
-    "events_sessionize"  -> (Sessionize.sessions(_, _))
+    "events_sessionize"  -> (Sessionize.sessions(_, _)),
+    // §2A — MapReduce engine pipelines
+    "mr_wordcount"       -> MrQueries.mrWordcount,
+    "mr_sum"             -> MrQueries.mrSum,
+    "mr_multiply"        -> MrQueries.mrMultiply,
+    "mr_noop"            -> MrQueries.mrNoop,
+    "mr_chain"           -> MrQueries.mrChain
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Oracles.relational
+  def oracleSql: Map[String, String] = Oracles.relational ++ Oracles.mr
 }

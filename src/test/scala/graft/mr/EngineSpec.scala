@@ -1,0 +1,122 @@
+package graft.mr
+
+import org.scalacheck.Prop.forAll
+
+import graft.SparkSuite
+
+class EngineSpec extends SparkSuite {
+
+  private def sc = spark // force session init before implicits
+
+  test("wordcount step: map/combine/reduce over a tiny dataset") {
+    val s = sc; import s.implicits._
+    val docs = Seq("a b b", "b c", "").toDS()
+    val step = Step[String, String, Long, (String, Long)](
+      "wc",
+      mapper = (_, t) => t.split("\\s+").iterator.filter(_.nonEmpty).map(_ -> 1L),
+      reducer = (_, k, vs) => Iterator((k, vs.sum)),
+      combiner = Some(_ + _))
+    val out = Engine.run(docs, step).collect().toMap
+    assert(out === Map("a" -> 1L, "b" -> 3L, "c" -> 1L))
+  }
+
+  test("combiner path runs as a partial (map-side) aggregate") {
+    val s = sc; import s.implicits._
+    val ds = Seq((1L, 2.0), (1L, 3.0), (2L, 5.0)).toDS()
+    val step = Step[(Long, Double), Long, Double, (Long, Double)](
+      "sum",
+      mapper = (_, kv) => Iterator(kv),
+      reducer = (_, k, vs) => Iterator((k, vs.sum)),
+      combiner = Some(_ + _))
+    val out = Engine.run(ds, step)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("partial"),
+      s"expected a partial aggregate in the physical plan:\n$plan")
+    assert(out.collect().toMap === Map(1L -> 5.0, 2L -> 5.0))
+  }
+
+  test("no-combiner reducer sees the full grouped value list") {
+    val s = sc; import s.implicits._
+    val ds = Seq((1L, 3), (1L, 1), (2L, 9)).toDS()
+    val step = Step[(Long, Int), Long, Int, (Long, String)](
+      "noop",
+      mapper = (_, kv) => Iterator(kv),
+      reducer = (_, k, vs) => Iterator((k, vs.sorted.mkString(","))))
+    val out = Engine.run(ds, step).collect().toMap
+    assert(out === Map(1L -> "1,3", 2L -> "9"))
+  }
+
+  test("session KV reaches mapper and reducer on executors") {
+    val s = sc; import s.implicits._
+    val ds = Seq(1L, 2L, 3L).toDS()
+    val step = Step[Long, Long, Long, (Long, Long)](
+      "scaled",
+      mapper = (ctx, v) => {
+        val m = ctx.sessionGet("multiplier").get.toLong
+        Iterator((v % 2, v * m))
+      },
+      reducer = (ctx, k, vs) => {
+        val o = ctx.sessionGet("offset").get.toLong
+        Iterator((k, vs.sum + o))
+      },
+      combiner = Some(_ + _))
+    val out = Engine.run(ds, step,
+      session = Map("multiplier" -> "10", "offset" -> "1")).collect().toMap
+    assert(out === Map(0L -> 21L, 1L -> 41L))
+  }
+
+  test("chained MapSteps add no shuffle: exactly one exchange in plan") {
+    val s = sc; import s.implicits._
+    val ds = Seq((1L, 100L), (2L, 17L)).toDS()
+    val split = MapStep[(Long, Long), Long, Long]("split",
+      (_, kv) => { val (k, v) = kv; val h = v / 2; Iterator((k, h), (k, v - h)) })
+    val gather = Step[(Long, Long), Long, Long, (Long, Long)]("gather",
+      mapper = (_, kv) => Iterator(kv),
+      reducer = (_, k, vs) => Iterator((k, vs.sum)),
+      combiner = Some(_ + _))
+    val wf = Workflow.start[(Long, Long)]("chain")
+      .andThenMap(split).andThenMap(split).andThen(gather)
+    val out = wf.run(ds)
+    val plan = out.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected exactly 1 shuffle:\n$plan")
+    assert(out.collect().toMap === Map(1L -> 100L, 2L -> 17L))
+  }
+
+  test("property: gather(scatter(x)) == x for any non-negative cents") {
+    val s = sc; import s.implicits._
+    val prop = forAll { (xs0: List[Long]) =>
+      val xs = xs0.take(20).map(v => math.abs(v % 1000000L))
+      xs.isEmpty || {
+        val ds = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDS()
+        val split = MapStep[(Long, Long), Long, Long]("split",
+          (_, kv) => { val (k, v) = kv; val h = v / 2
+            Iterator((k, h), (k, v - h)) })
+        val scatter = MapStep[(Long, Long), Long, Long]("scatter",
+          (_, kv) => { val (k, v) = kv; val q = v / 4
+            Iterator((k, q), (k, q), (k, q), (k, v - 3 * q)) })
+        val gather = Step[(Long, Long), Long, Long, (Long, Long)]("gather",
+          mapper = (_, kv) => Iterator(kv),
+          reducer = (_, k, vs) => Iterator((k, vs.sum)),
+          combiner = Some(_ + _))
+        val out = Workflow.start[(Long, Long)]("chain")
+          .andThenMap(split).andThenMap(scatter).andThen(gather)
+          .run(ds).collect().toMap
+        out === xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toMap
+      }
+    }
+    val params = org.scalacheck.Test.Parameters.default
+      .withMinSuccessfulTests(10)
+    val res = org.scalacheck.Test.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("fanOut routes records to named branches") {
+    val s = sc; import s.implicits._
+    val mapped = Seq(("a", (1L, 10L)), ("b", (2L, 20L)), ("a", (3L, 30L)))
+      .toDS()
+    val branches = Engine.fanOut(mapped, Seq("a", "b"))
+    assert(branches("a").collect().toSet === Set((1L, 10L), (3L, 30L)))
+    assert(branches("b").collect().toSet === Set((2L, 20L)))
+  }
+}
