@@ -283,4 +283,73 @@ object Oracles {
         |WHERE o_orderkey < 200
         |ORDER BY k""".stripMargin
   )
+
+  /** SURVEY §2E — text analysis. Expression trees mirror
+    * graft.functions.TextFunctions op-for-op so doubles agree
+    * bit-for-bit before rounding. */
+  val text: Map[String, String] = Map(
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split_regex(text, '\s+'),
+        |                  w -> w <> ''))::int AS n_ws_tokens,
+        |  len(regexp_extract_all(text,
+        |      '[a-z]+|[0-9]+|[^a-z0-9\s]'))::int AS n_bpe_tokens,
+        |  round(length(text) /
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |                    w -> w <> '')), 4) AS chars_per_token
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id, n_tok::int AS n_tokens,
+        |  round(stop_ratio, 4) AS stopword_ratio,
+        |  round(punct_ratio, 4) AS punct_ratio,
+        |  round(0.5 * least(1.0, n_tok / 200.0)
+        |      + 0.3 * (1.0 - stop_ratio)
+        |      + 0.2 * (1.0 - punct_ratio), 4) AS quality
+        |FROM (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |                    w -> w <> '')) AS n_tok,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |        w -> w IN ('the','a','is','of')))
+        |      / len(list_filter(string_split_regex(text, '\s+'),
+        |                        w -> w <> '')) AS stop_ratio,
+        |    len(regexp_extract_all(text, '[^a-z0-9\s]'))
+        |      / length(text) AS punct_ratio
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      """SELECT doc_id, s_en::int AS s_en, s_de::int AS s_de,
+        |  s_es::int AS s_es, s_fr::int AS s_fr,
+        |  pred_lang, lang AS true_lang,
+        |  (pred_lang = lang) AS is_match
+        |FROM (
+        |  SELECT *,
+        |    CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |         WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |         WHEN s_es >= s_fr THEN 'es'
+        |         ELSE 'fr' END AS pred_lang
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      len(list_filter(string_split_regex(text, '\s+'),
+        |          w -> w IN ('the','a','is','of'))) AS s_en,
+        |      len(list_filter(string_split_regex(text, '\s+'),
+        |          w -> w IN ('der','die','und'))) AS s_de,
+        |      len(list_filter(string_split_regex(text, '\s+'),
+        |          w -> w IN ('el','los','y'))) AS s_es,
+        |      len(list_filter(string_split_regex(text, '\s+'),
+        |          w -> w IN ('le','les','et'))) AS s_fr
+        |    FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_transform(string_split(text, ''), c -> ascii(c)::bigint),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
+  )
 }

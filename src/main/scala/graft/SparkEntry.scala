@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.functions.TextQueries
 import graft.mr.MrQueries
 import graft.operators.{AsOfJoin, Relational, Sessionize}
 
@@ -43,10 +44,16 @@ object SparkEntry {
     "mr_sum"             -> MrQueries.mrSum,
     "mr_multiply"        -> MrQueries.mrMultiply,
     "mr_noop"            -> MrQueries.mrNoop,
-    "mr_chain"           -> MrQueries.mrChain
+    "mr_chain"           -> MrQueries.mrChain,
+    // §2E — text analysis
+    "text_tokens"        -> TextQueries.textTokens,
+    "text_quality"       -> TextQueries.textQuality,
+    "text_langid"        -> TextQueries.textLangid,
+    "text_fingerprint"   -> TextQueries.textFingerprint
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Oracles.relational ++ Oracles.mr
+  def oracleSql: Map[String, String] =
+    Oracles.relational ++ Oracles.mr ++ Oracles.text
 }

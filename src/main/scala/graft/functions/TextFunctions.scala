@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2E — text-analysis column functions for the documents
+  * pipeline. Everything here is built from codegen'd Catalyst builtins
+  * and higher-order functions (no UDFs): at 100 TB these run inside
+  * whole-stage codegen on the scan projection, shuffle nothing, and
+  * push `doc_id`/`lang` pruning straight to parquet.
+  *
+  * Cross-engine note: each function has a DuckDB twin in
+  * [[graft.Oracles.text]] built from the *same* expression tree
+  * (same operation order), so doubles agree bit-for-bit before the
+  * final `round(_, 4)`.
+  */
+object TextFunctions {
+
+  /** Non-empty whitespace-separated tokens. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), w => length(w) > 0)
+
+  def wsTokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish segmentation: letter runs, digit runs, single other
+    * non-space chars — the classic pre-tokenizer regex shape. */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpePattern))
+
+  /** Tokens found in `words` (e.g. a stopword list). */
+  def tokenCountIn(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), w => w.isInCollection(words)))
+
+  val EnStopwords = Seq("the", "a", "is", "of")
+
+  /** Characters outside [a-z0-9 whitespace]. */
+  def punctCount(text: Column): Column =
+    regexp_count(text, lit("[^a-z0-9\\s]"))
+
+  /** Composite quality score in [0,1]: favors long docs with low
+    * stopword and punctuation mass. Mirrors the oracle expression
+    * order exactly — do not reassociate. */
+  def qualityScore(nTok: Column, stopRatio: Column, punctRatio: Column): Column =
+    lit(0.5) * least(lit(1.0), nTok / lit(200.0)) +
+      lit(0.3) * (lit(1.0) - stopRatio) +
+      lit(0.2) * (lit(1.0) - punctRatio)
+
+  /** Marker-word vocabularies for the language-ID heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "of"),
+    "de" -> Seq("der", "die", "und"),
+    "es" -> Seq("el", "los", "y"),
+    "fr" -> Seq("le", "les", "et"))
+
+  /** Rolling polynomial hash over the document's characters:
+    * h_0 = 0; h_i = (h_{i-1} * 31 + ascii(c_i)) mod 1e9+7.
+    * One `aggregate` higher-order fold — stays in codegen, no UDF.
+    * (Reference computes handler-side digests in Python; here the
+    * fold is a Catalyst expression evaluated at the scan.) */
+  val FpMod = 1000000007L
+  def polyFingerprint(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), c => ascii(c)),
+      lit(0L),
+      (acc, x) => (acc * 31 + x) % FpMod)
+}

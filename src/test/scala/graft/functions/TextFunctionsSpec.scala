@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+
+import graft.SparkSuite
+import graft.functions.{TextFunctions => T}
+
+class TextFunctionsSpec extends SparkSuite {
+
+  private def fpRef(s: String): Long =
+    s.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % T.FpMod)
+
+  test("token counts on known strings") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "the quick brown fox"), (2L, "a  b"), (3L, "x"))
+      .toDF("id", "text")
+      .select(col("id"), T.wsTokenCount(col("text")).as("ws"),
+        T.bpeTokenCount(col("text")).as("bpe"))
+    val rows = df.collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(rows(1L) === ((4, 4)))
+    assert(rows(2L) === ((2, 2))) // double space must not create a token
+    assert(rows(3L) === ((1, 1)))
+  }
+
+  test("bpe counting splits digit runs and punctuation") {
+    val s = spark; import s.implicits._
+    val df = Seq("abc123, def!").toDF("text")
+      .select(T.bpeTokenCount(col("text")).as("n"))
+    // abc | 123 | , | def | ! → 5
+    assert(df.head().getInt(0) === 5)
+  }
+
+  test("property: polyFingerprint matches the reference fold") {
+    val s = spark; import s.implicits._
+    val gen = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+    val prop = Prop.forAll(gen) { str =>
+      val got = Seq(str).toDF("text")
+        .select(T.polyFingerprint(col("text"))).head().getLong(0)
+      got == fpRef(str)
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("fingerprint discriminates: permuted text hashes differently") {
+    val s = spark; import s.implicits._
+    val df = Seq("ab cd", "cd ab").toDF("text")
+      .select(T.polyFingerprint(col("text")).as("fp"))
+    val Array(f1, f2) = df.collect().map(_.getLong(0))
+    assert(f1 !== f2)
+  }
+
+  test("langid picks en on the synthetic corpus, tiebreaks kick in") {
+    val out = TextQueries.textLangid(spark, sfDir)
+    val preds = out.select("pred_lang").distinct().collect().map(_.getString(0))
+    // synthetic vocab is analytics-English; every doc contains 'the'/'a'
+    assert(preds.toSet === Set("en"))
+  }
+
+  test("quality score stays in [0,1]") {
+    val out = TextQueries.textQuality(spark, sfDir)
+    val bad = out.filter(col("quality") < 0 || col("quality") > 1).count()
+    assert(bad === 0)
+  }
+}
