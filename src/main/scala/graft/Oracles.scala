@@ -352,4 +352,60 @@ object Oracles {
         |FROM documents
         |ORDER BY doc_id""".stripMargin
   )
+
+  /** SURVEY §2C — dedup (SQL-expressible subset; minhash/simhash are
+    * rows-only + property-tested). */
+  val dedup: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc,
+        |  count(*) AS n_dups
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY text_hash""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                          FOR i IN range(1, len(w) - 1)])) AS s
+        |  FROM toks WHERE len(w) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, round(jac, 4) AS jac FROM (
+        |  SELECT doc_a, doc_b,
+        |    c::double / (sa.n + sb.n - c) AS jac
+        |  FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b)
+        |WHERE jac >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_embed_cosine" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce(
+        |      list_transform(list_zip(v, v), s -> s[1] * s[2]),
+        |      (x, y) -> x + y)) AS nrm
+        |  FROM e),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.nrm AS na, b.nrm AS nb,
+        |    list_reduce(
+        |      list_transform(list_zip(a.v, b.v), s -> s[1] * s[2]),
+        |      (x, y) -> x + y) AS dot
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(dot / (na * nb), 4) AS cos
+        |FROM pairs
+        |WHERE dot / (na * nb) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin
+  )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.TextQueries
 import graft.mr.MrQueries
-import graft.operators.{AsOfJoin, Relational, Sessionize}
+import graft.operators.{AsOfJoin, Dedup, Relational, Sessionize}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -49,11 +49,17 @@ object SparkEntry {
     "text_tokens"        -> TextQueries.textTokens,
     "text_quality"       -> TextQueries.textQuality,
     "text_langid"        -> TextQueries.textLangid,
-    "text_fingerprint"   -> TextQueries.textFingerprint
+    "text_fingerprint"   -> TextQueries.textFingerprint,
+    // §2C — deduplication
+    "dedup_exact"         -> Dedup.dedupExact,
+    "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccard,
+    "dedup_minhash_lsh"   -> Dedup.dedupMinhashLsh,
+    "dedup_simhash"       -> Dedup.dedupSimhash,
+    "dedup_embed_cosine"  -> Dedup.dedupEmbedCosine
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Oracles.relational ++ Oracles.mr ++ Oracles.text
+    Oracles.relational ++ Oracles.mr ++ Oracles.text ++ Oracles.dedup
 }

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shingling, MinHash and SimHash column builders (SURVEY §2C).
+  * Everything is per-row HOF/builtin work evaluated at the scan; the
+  * only shuffles in the dedup pipelines are the bucket joins on
+  * band/chunk keys.
+  */
+object HashFunctions {
+
+  /** Non-empty whitespace tokens (same convention as TextFunctions). */
+  def tokens(text: Column): Column = TextFunctions.tokens(text)
+
+  /** Distinct word n-gram shingles, e.g. n=3:
+    * "a b c d" → ["a b c", "b c d"]. Callers must filter docs with
+    * fewer than n tokens (Spark's `sequence` would run backwards). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+  }
+
+  /** MinHash parameters: universal hashing h_j(x) = (a_j*x + b_j) mod p
+    * over a 31-bit prime field; shingle → field via xxhash64 mod p.
+    * Products stay < 2^62, so ANSI overflow checking never trips. */
+  val MinHashPrime = 2147483647L // 2^31 - 1
+
+  def minhashCoeffs(nPerm: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nPerm)(
+      (1L + rng.nextInt(Int.MaxValue - 1).toLong,
+        rng.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** 64-perm MinHash signature as array<long>. One xxhash64 per
+    * shingle (shared across perms), then 64 cheap affine maps. */
+  def minhashSignature(shingles: Column, coeffs: Seq[(Long, Long)]): Column = {
+    val shHashes = transform(shingles, s => pmod(xxhash64(s), lit(MinHashPrime)))
+    array(coeffs.map { case (a, b) =>
+      array_min(transform(shHashes, h =>
+        pmod(h * lit(a) + lit(b), lit(MinHashPrime))))
+    }: _*)
+  }
+
+  /** Banded LSH keys: split the signature into `nBands` rows-per-band
+    * groups, hash each group to one bucket key. Docs sharing any
+    * (band_idx, key) are candidates. */
+  def lshBandKeys(sig: Column, nBands: Int, rowsPerBand: Int): Column =
+    array((0 until nBands).map { band =>
+      xxhash64(
+        (lit(band) +:
+          (0 until rowsPerBand).map(r =>
+            element_at(sig, band * rowsPerBand + r + 1))): _*)
+    }: _*)
+
+  /** Estimated Jaccard from two signatures: matching positions / n. */
+  def sigSimilarity(sigA: Column, sigB: Column): Column =
+    size(filter(zip_with(sigA, sigB, _ === _), b => b)) /
+      lit(64.0)
+
+  /** 64-bit SimHash of a document's tokens (native codegen expr). */
+  def simhash(text: Column): Column =
+    SimHash64(transform(tokens(text), t => xxhash64(t)))
+
+  /** Split a 64-bit simhash into 4 16-bit chunk keys — pigeonhole:
+    * hamming(a,b) <= 3 guarantees at least one equal chunk. */
+  def simhashChunks(sh: Column): Column =
+    array((0 until 4).map(c =>
+      shiftright(sh, c * 16).bitwiseAND(lit(0xFFFFL))): _*)
+}

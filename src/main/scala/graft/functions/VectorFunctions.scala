@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns, built from
+  * codegen'd higher-order functions.
+  *
+  * Determinism contract: every fold is a strict left-to-right
+  * `aggregate` with a 0.0 seed, and the DuckDB oracles use the same
+  * `list_reduce` order — IEEE doubles then agree bit-for-bit, so a
+  * `cos >= τ` filter selects the same pairs in both engines even when
+  * a pair sits near τ. Do not "optimize" into reassociated sums.
+  */
+object VectorFunctions {
+
+  /** array<float> → array<double> (all math in double). */
+  def toDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Sequential dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  /** L2 norm. */
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine similarity given precomputed norms (keeps the op order
+    * identical to the oracle: dot / (na * nb)). */
+  def cosineWithNorms(dotAb: Column, na: Column, nb: Column): Column =
+    dotAb / (na * nb)
+
+  /** Random-hyperplane signature: bit j = sign(v · r_j), packed into
+    * `nBits/16` 16-bit bucket keys (banded LSH). Hyperplanes come from
+    * a deterministic seed so signatures are stable across runs. Each
+    * 16-bit band key doubles as a bucket id: vectors agreeing on any
+    * band are candidates. */
+  def hyperplaneBands(v: Column, planes: Seq[Seq[Double]], bandBits: Int): Column = {
+    require(planes.nonEmpty && planes.size % bandBits == 0)
+    val bits: Seq[Column] = planes.map { p =>
+      val pc = array(p.map(lit): _*)
+      when(dot(v, pc) >= 0, 1L).otherwise(0L)
+    }
+    val bands = bits.grouped(bandBits).toSeq.map { group =>
+      group.zipWithIndex.map { case (b, i) => b * (1L << i) }
+        .reduce(_ + _)
+    }
+    array(bands: _*)
+  }
+
+  /** Deterministic pseudo-random hyperplanes (Gaussian via
+    * scala.util.Random with a fixed seed). */
+  def randomPlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+}

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.functions.{HashFunctions => H, SimHash64}
+
+class DedupSpec extends SparkSuite {
+
+  /** Exact word-trigram Jaccard, driver-side reference. */
+  private def jaccard(a: String, b: String): Double = {
+    def sh(t: String) =
+      t.split("\\s+").filter(_.nonEmpty).sliding(3).map(_.mkString(" ")).toSet
+    val (sa, sb) = (sh(a), sh(b))
+    if (sa.isEmpty && sb.isEmpty) 0.0
+    else sa.intersect(sb).size.toDouble / sa.union(sb).size
+  }
+
+  /** Synthetic corpus with planted near-dups: doc 2i+1 is doc 2i with
+    * one token swapped (J ~ 0.9+); unrelated docs share ~nothing. */
+  private def corpus(n: Int): Seq[(Long, String)] = {
+    val rng = new scala.util.Random(7)
+    val vocab = ('a' to 'z').map(_.toString)
+    (0 until n).flatMap { i =>
+      val base = Seq.fill(40)(vocab(rng.nextInt(vocab.size)) + i.toString)
+      val mutated = base.updated(20, "mut" + i)
+      Seq((2L * i, base.mkString(" ")), (2L * i + 1, mutated.mkString(" ")))
+    }
+  }
+
+  test("minhash LSH finds every planted near-dup pair (J >= 0.8)") {
+    val s = spark; import s.implicits._
+    val docs = corpus(15).toDF("doc_id", "text")
+    val coeffs = H.minhashCoeffs(64)
+    val sigs = docs.select(col("doc_id"),
+      H.minhashSignature(H.wordShingles(col("text"), 3), coeffs).as("sig"))
+    val bands = sigs.select(col("doc_id"), col("sig"),
+      posexplode(H.lshBandKeys(col("sig"), 16, 4)).as(Seq("band", "key")))
+    val cands = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val trueDups = for {
+      a <- texts.keys; b <- texts.keys
+      if a < b && jaccard(texts(a), texts(b)) >= 0.8
+    } yield (a, b)
+    assert(trueDups.nonEmpty, "corpus must contain planted near-dups")
+    val missed = trueDups.toSet -- cands
+    assert(missed.isEmpty, s"LSH missed true near-dup pairs: $missed")
+  }
+
+  test("minhash est_j approximates exact Jaccard within 0.15") {
+    val s = spark; import s.implicits._
+    val docs = corpus(10).toDF("doc_id", "text")
+    val coeffs = H.minhashCoeffs(64)
+    val sigs = docs.select(col("doc_id"), col("text"),
+      H.minhashSignature(H.wordShingles(col("text"), 3), coeffs).as("sig"))
+    val pairs = sigs.as("a").join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.text"), col("b.text"),
+        H.sigSimilarity(col("a.sig"), col("b.sig")).as("est"))
+      .collect()
+    pairs.foreach { r =>
+      val exact = jaccard(r.getString(0), r.getString(1))
+      val est = r.getDouble(2)
+      assert(math.abs(est - exact) <= 0.15,
+        s"est=$est exact=$exact diverge")
+    }
+  }
+
+  test("simhash: identical docs → hamming 0; near-dups close; random far") {
+    val s = spark; import s.implicits._
+    val docs = corpus(10).toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"), H.simhash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // planted pairs (2i, 2i+1) differ by 1 of 40 tokens
+    val nearHams = (0 until 10).map(i => ham(sh(2L * i), sh(2L * i + 1)))
+    val farHams = for (i <- 0 until 9) yield ham(sh(2L * i), sh(2L * i + 2))
+    assert(nearHams.max < farHams.min,
+      s"near $nearHams should be closer than far $farHams")
+  }
+
+  test("simhash codegen expression agrees with a reference implementation") {
+    val s = spark; import s.implicits._
+    def refSimhash(hashes: Seq[Long]): Long = {
+      val counts = Array.fill(64)(0)
+      hashes.foreach { h =>
+        (0 until 64).foreach { j =>
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1 }
+      }
+      (0 until 64).foldLeft(0L)((acc, j) =>
+        if (counts(j) > 0) acc | (1L << j) else acc)
+    }
+    val df = Seq("the quick brown fox", "pack my box", "a").toDF("text")
+    val rows = df.select(
+        transform(H.tokens(col("text")), t => xxhash64(t)).as("hashes"),
+        SimHash64(transform(H.tokens(col("text")), t => xxhash64(t))).as("sh"))
+      .collect()
+    rows.foreach { r =>
+      val hashes = r.getSeq[Long](0)
+      assert(r.getLong(1) === refSimhash(hashes))
+    }
+  }
+
+  test("dedup queries run against testdata; planted dups found") {
+    val ngram = Dedup.dedupNgramJaccard(spark, sfDir)
+    assert(ngram.count() > 0, "sf0.001 should contain planted near-dups")
+    val lsh = Dedup.dedupMinhashLsh(spark, sfDir)
+    val lshPairs = lsh.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ngramPairs = ngram.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // banded LSH at est_j>=0.5 must recover the J>=0.9 planted pairs
+    assert(ngramPairs.subsetOf(lshPairs),
+      s"LSH missed: ${ngramPairs -- lshPairs}")
+  }
+}
