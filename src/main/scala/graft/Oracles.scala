@@ -408,4 +408,33 @@ object Oracles {
         |WHERE dot / (na * nb) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin
   )
+
+  /** SURVEY §2D — similarity search (ann_lsh is rows-only +
+    * recall-property-tested). */
+  val similarity: Map[String, String] = Map(
+    "ann_bruteforce" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce(
+        |      list_transform(list_zip(v, v), s -> s[1] * s[2]),
+        |      (x, y) -> x + y)) AS nrm
+        |  FROM e),
+        |q AS (SELECT * FROM n WHERE vec_id < 10),
+        |pairs AS (
+        |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |    list_reduce(
+        |      list_transform(list_zip(q.v, n.v), s -> s[1] * s[2]),
+        |      (x, y) -> x + y) / (q.nrm * n.nrm) AS cos
+        |  FROM q JOIN n ON q.vec_id <> n.vec_id)
+        |SELECT q_id, n_id, rk::int AS rk, round(cos, 4) AS cos FROM (
+        |  SELECT q_id, n_id, cos,
+        |    row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY cos DESC, n_id) AS rk
+        |  FROM pairs)
+        |WHERE rk <= 5
+        |ORDER BY q_id, rk""".stripMargin
+  )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.TextQueries
 import graft.mr.MrQueries
-import graft.operators.{AsOfJoin, Dedup, Relational, Sessionize}
+import graft.operators.{AsOfJoin, Dedup, Relational, Sessionize, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -55,11 +55,15 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccard,
     "dedup_minhash_lsh"   -> Dedup.dedupMinhashLsh,
     "dedup_simhash"       -> Dedup.dedupSimhash,
-    "dedup_embed_cosine"  -> Dedup.dedupEmbedCosine
+    "dedup_embed_cosine"  -> Dedup.dedupEmbedCosine,
+    // §2D — similarity search
+    "ann_bruteforce"      -> Similarity.annBruteforce,
+    "ann_lsh"             -> Similarity.annLsh
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Oracles.relational ++ Oracles.mr ++ Oracles.text ++ Oracles.dedup
+    Oracles.relational ++ Oracles.mr ++ Oracles.text ++ Oracles.dedup ++
+      Oracles.similarity
 }

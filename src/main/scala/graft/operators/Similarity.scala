@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{VectorFunctions => V}
+
+/** SURVEY §2D — similarity search over the `embeddings` table.
+  *
+  * Scale design: top-k selection is a typed [[TopKByScore]]
+  * `Aggregator`, so Spark runs it as a partial aggregate — every
+  * partition reduces its pair scores to a k-row heap *before* the
+  * shuffle, and the exchange carries `n_queries × k` rows per
+  * partition instead of `n_queries × n_vectors` total. A window
+  * row_number() over q_id would shuffle every pair to one partition
+  * per query — exactly the skew this avoids at 100 TB.
+  */
+object Similarity {
+
+  /** One scored candidate pair. */
+  final case class Scored(q_id: Long, n_id: Long, cos: Double)
+
+  /** Keeps the k best (cos desc, n_id asc) candidates per key.
+    * Associative + commutative merge → safe as a partial aggregate. */
+  final class TopKByScore(k: Int)
+      extends Aggregator[Scored, Seq[(Double, Long)], Seq[(Double, Long)]] {
+    private val ord: Ordering[(Double, Long)] =
+      Ordering.by { case (cos, id) => (-cos, id) }
+    def zero: Seq[(Double, Long)] = Vector.empty
+    def reduce(acc: Seq[(Double, Long)], s: Scored): Seq[(Double, Long)] =
+      ((s.cos, s.n_id) +: acc).sorted(ord).take(k)
+    def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      (a ++ b).sorted(ord).take(k)
+    def finish(acc: Seq[(Double, Long)]): Seq[(Double, Long)] = acc.sorted(ord)
+    def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+      ExpressionEncoder[Seq[(Double, Long)]]()
+    def outputEncoder: Encoder[Seq[(Double, Long)]] =
+      ExpressionEncoder[Seq[(Double, Long)]]()
+  }
+
+  /** Vectors with norms; queries = vec_id < 10 (deterministic set). */
+  private def vectors(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).embeddings
+      .select(col("vec_id"), V.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", V.norm(col("v")))
+
+  private def topK(spark: SparkSession, pairs: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    pairs.as[Scored]
+      .groupByKey(_.q_id)
+      .agg(new TopKByScore(k).toColumn.name("topk"))
+      .flatMap { case (qId, hits) =>
+        hits.zipWithIndex.map { case ((cos, nId), i) =>
+          (qId, nId, i + 1, cos)
+        }
+      }
+      .toDF("q_id", "n_id", "rk", "cos")
+      .select(col("q_id"), col("n_id"), col("rk"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** D1: exact brute-force top-5 cosine neighbors for the query set.
+    * The (small) query side is broadcast; scores are computed map-side
+    * over the full scan; the only shuffle is the k-row partial-agg
+    * exchange. Deterministic tiebreak: (cos desc, n_id asc), with cos
+    * bit-identical to the DuckDB oracle (sequential folds). */
+  def annBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    val e = vectors(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val pairs = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        V.cosineWithNorms(V.dot(col("qv"), col("v")),
+          col("qnrm"), col("nrm")).as("cos"))
+    topK(spark, pairs, k = 5)
+  }
+
+  /** D2: hyperplane-LSH bucketed top-5 — the 100 TB path. 64
+    * deterministic Gaussian hyperplanes → sign bits, banded into
+    * 16 × 4-bit bucket keys; candidates are vectors sharing any band
+    * bucket with a query, then exact cosine re-rank. At test scale
+    * 4-bit bands keep recall high (P(candidate) = 1-(1-p⁴)¹⁶); at
+    * billions of vectors widen bands (e.g. 4 × 16-bit) so buckets
+    * stay small — the join is an equi-join on (band, key) either way,
+    * and AQE splits hot buckets. Rows-only oracle; recall vs
+    * brute-force is property-tested in SimilaritySpec. */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val planes = V.randomPlanes(nPlanes = 64, dim = 64)
+    val e = vectors(spark, dir)
+      .withColumn("bands", V.hyperplaneBands(col("v"), planes, bandBits = 4))
+    val banded = e.select(col("vec_id"),
+      posexplode(col("bands")).as(Seq("band", "key")))
+    val qBands = banded.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("band").as("qband"),
+        col("key").as("qkey"))
+    // candidate ids: any shared (band, key); dedup before the rerank
+    // so each pair's cosine is computed once.
+    val candIds = banded.join(broadcast(qBands),
+        col("band") === col("qband") && col("key") === col("qkey") &&
+          col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"))
+      .distinct()
+    val qVecs = vectors(spark, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val pairs = candIds
+      .join(vectors(spark, dir), col("n_id") === col("vec_id"))
+      .join(broadcast(qVecs), "q_id")
+      .select(col("q_id"), col("n_id"),
+        V.cosineWithNorms(V.dot(col("qv"), col("v")),
+          col("qnrm"), col("nrm")).as("cos"))
+    topK(spark, pairs, k = 5)
+  }
+}

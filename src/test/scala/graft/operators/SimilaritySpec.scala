@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class SimilaritySpec extends SparkSuite {
+
+  test("brute-force top-k: partial-agg plan, exact results vs naive") {
+    val out = Similarity.annBruteforce(spark, sfDir)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("partial"),
+      s"top-k aggregator should run as a partial aggregate:\n$plan")
+
+    // Naive driver-side recompute at sf0.001 (50 vectors).
+    val vecs = graft.Tables(spark, sfDir).embeddings
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      (0 until a.length).foreach { i =>
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = (for (q <- vecs.keys if q < 10) yield {
+      val hits = vecs.keys.filter(_ != q).toSeq
+        .map(n => (n, cos(vecs(q), vecs(n))))
+        .sortBy { case (n, c) => (-c, n) }.take(5).map(_._1)
+      q -> hits
+    }).toMap
+    val got = out.collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq }
+    assert(got === expected)
+  }
+
+  test("LSH recall@5 vs brute force is high on real embeddings") {
+    val bf = Similarity.annBruteforce(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.annLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & lsh).size.toDouble / bf.size
+    assert(recall >= 0.6, s"LSH recall@5 too low: $recall (hits=${(bf & lsh).size}/${bf.size})")
+  }
+
+  test("LSH returns at most k rows per query with valid ranks") {
+    val lsh = Similarity.annLsh(spark, sfDir)
+    val byQ = lsh.groupBy(col("q_id")).agg(count(lit(1)).as("n"),
+      max(col("rk")).as("maxrk")).collect()
+    byQ.foreach { r =>
+      assert(r.getLong(1) <= 5)
+      assert(r.getInt(2) <= 5)
+    }
+  }
+}
