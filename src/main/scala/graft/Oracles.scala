@@ -437,4 +437,25 @@ object Oracles {
         |WHERE rk <= 5
         |ORDER BY q_id, rk""".stripMargin
   )
+
+  /** SURVEY §2F — multimodal binary plumbing (mm_decode is rows-only:
+    * its decoder is a stub by design). */
+  val multimodal: Map[String, String] = Map(
+    "mm_meta" ->
+      """SELECT doc_id,
+        |  octet_length(text::blob)::int AS n_bytes,
+        |  substring(hex(text::blob), 1, 8) AS magic_hex,
+        |  md5(text) AS checksum
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "mm_framesample" ->
+      """SELECT doc_id, ((i - 1) // 64)::int AS frame_idx,
+        |  substring(h, ((i - 1) * 2 + 1)::int, 32) AS frame_hex
+        |FROM (
+        |  SELECT doc_id, hex(text::blob) AS h,
+        |    unnest(range(1, octet_length(text::blob) + 1, 64)) AS i
+        |  FROM documents)
+        |ORDER BY doc_id, frame_idx""".stripMargin
+  )
 }

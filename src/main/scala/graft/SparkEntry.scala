@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.TextQueries
 import graft.mr.MrQueries
+import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, Dedup, Relational, Sessionize, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -58,12 +59,16 @@ object SparkEntry {
     "dedup_embed_cosine"  -> Dedup.dedupEmbedCosine,
     // §2D — similarity search
     "ann_bruteforce"      -> Similarity.annBruteforce,
-    "ann_lsh"             -> Similarity.annLsh
+    "ann_lsh"             -> Similarity.annLsh,
+    // §2F — multimodal binary plumbing
+    "mm_meta"             -> Multimodal.mmMeta,
+    "mm_decode"           -> Multimodal.mmDecode,
+    "mm_framesample"      -> Multimodal.mmFramesample
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Oracles.relational ++ Oracles.mr ++ Oracles.text ++ Oracles.dedup ++
-      Oracles.similarity
+      Oracles.similarity ++ Oracles.multimodal
 }
