@@ -458,4 +458,45 @@ object Oracles {
         |  FROM documents)
         |ORDER BY doc_id, frame_idx""".stripMargin
   )
+
+  /** SURVEY §2G — streaming jobs, verified through their batch form
+    * (same transform; stream path is ScalaTest-driven). */
+  val streaming: Map[String, String] = Map(
+    "stream_window_agg" ->
+      """SELECT win_start, event_type, count(*) AS n_events,
+        |  round(sum(value), 4) AS sum_value
+        |FROM (
+        |  SELECT ((epoch(date_trunc('second', ts))::bigint // 3600) * 3600)
+        |           AS win_start,
+        |         event_type, value
+        |  FROM events)
+        |GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin,
+
+    // Identical sessions to events_sessionize — the stateful path must
+    // reproduce the window-function batch form exactly.
+    "stream_sessionize" ->
+      """SELECT user_id, session_id::bigint AS session_id, count(*) AS n_events,
+        |  min(ep) AS session_start, max(ep) AS session_end,
+        |  round(sum(value), 4) AS session_value
+        |FROM (
+        |  SELECT user_id, event_id, value, ep,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ep, event_id
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_id
+        |  FROM (
+        |    SELECT *,
+        |      CASE WHEN prev_ep IS NULL OR ep - prev_ep > 1800
+        |           THEN 1 ELSE 0 END AS new_session
+        |    FROM (
+        |      SELECT user_id, event_id, value,
+        |        epoch(date_trunc('second', ts))::bigint AS ep,
+        |        lag(epoch(date_trunc('second', ts))::bigint, 1)
+        |          OVER (PARTITION BY user_id
+        |                ORDER BY epoch(date_trunc('second', ts))::bigint,
+        |                         event_id) AS prev_ep
+        |      FROM events)))
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin
+  )
 }

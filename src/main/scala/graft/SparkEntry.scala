@@ -6,6 +6,7 @@ import graft.functions.TextQueries
 import graft.mr.MrQueries
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, Dedup, Relational, Sessionize, Similarity}
+import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -63,12 +64,15 @@ object SparkEntry {
     // §2F — multimodal binary plumbing
     "mm_meta"             -> Multimodal.mmMeta,
     "mm_decode"           -> Multimodal.mmDecode,
-    "mm_framesample"      -> Multimodal.mmFramesample
+    "mm_framesample"      -> Multimodal.mmFramesample,
+    // §2G — streaming (batch-equivalent entries; stream path in specs)
+    "stream_window_agg"   -> Streams.streamWindowAgg,
+    "stream_sessionize"   -> Streams.streamSessionize
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Oracles.relational ++ Oracles.mr ++ Oracles.text ++ Oracles.dedup ++
-      Oracles.similarity ++ Oracles.multimodal
+      Oracles.similarity ++ Oracles.multimodal ++ Oracles.streaming
 }

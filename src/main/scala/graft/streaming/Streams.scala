@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.Tables
+
+/** SURVEY §2G — Structured Streaming jobs. Each job is ONE transform
+  * shared verbatim between the batch entry (oracle-checked by the
+  * driver) and the streaming path (ScalaTest drives it through a
+  * MemoryStream + memory sink): the logical plan is the product, the
+  * execution mode is a deployment detail — the JobX equivalent is
+  * async job submission with streamed results
+  * (reference: dev/post_map_flat_async.py, mr/result_writers/inline.py).
+  */
+object Streams {
+
+  final case class Ev(user_id: Long, event_id: Long, ep: Long, value: Double)
+  final case class Session(user_id: Long, session_id: Long, n_events: Long,
+      session_start: Long, session_end: Long, session_value: Double)
+
+  /** Per-key open-session state (public: the streaming state encoder
+    * generates accessor calls at runtime and cannot see a private
+    * class). */
+  final case class SessAcc(sessionId: Long, start: Long,
+      lastEp: Long, nEvents: Long, sumValue: Double)
+
+  /** G1 transform: 1-hour tumbling window × event_type counts/sums.
+    * Works on any (ts: long ns, event_type, value) frame, batch or
+    * stream; the streaming caller adds `withWatermark` before the
+    * groupBy so late data is bounded and state can be evicted. */
+  def windowAggTransform(events: DataFrame): DataFrame =
+    events
+      .withColumn("ep_ts", (col("ts") / lit(1000000000L)).cast("long")
+        .cast("timestamp"))
+      .groupBy(window(col("ep_ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** G1 batch entry (driver-verified against the DuckDB oracle). */
+  def streamWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    windowAggTransform(Tables(spark, dir).events)
+      .orderBy(col("win_start"), col("event_type"))
+
+  /** Gap-based sessionizer for flatMapGroupsWithState.
+    *
+    * `emitOpen=true` (batch): the group's full history arrives in one
+    * call, so the trailing open session is final — emit it; output is
+    * complete and matches the window-function batch oracle.
+    * `emitOpen=false` (streaming append): the trailing session stays
+    * in [[GroupState]] until more events or a timeout close it —
+    * emitting it early would violate append semantics.
+    *
+    * Scale: state per key is ONE open-session accumulator (5 fields),
+    * not the event history; a 1e9-user stream holds 1e9 tiny state
+    * rows, evicted by watermark timeout. */
+  def sessionizeFn(emitOpen: Boolean)(
+      userId: Long, evs: Iterator[Ev], state: GroupState[SessAcc]): Iterator[Session] = {
+    val sorted = evs.toIndexedSeq.sortBy(e => (e.ep, e.event_id))
+    var acc = state.getOption.orNull
+    val out = Seq.newBuilder[Session]
+    sorted.foreach { e =>
+      if (acc == null)
+        acc = SessAcc(1L, e.ep, e.ep, 1L, e.value)
+      else if (e.ep - acc.lastEp > Gap) {
+        out += Session(userId, acc.sessionId, acc.nEvents, acc.start, acc.lastEp, acc.sumValue)
+        acc = SessAcc(acc.sessionId + 1, e.ep, e.ep, 1L, e.value)
+      } else
+        acc = acc.copy(lastEp = e.ep, nEvents = acc.nEvents + 1,
+          sumValue = acc.sumValue + e.value)
+    }
+    if (acc != null) {
+      if (emitOpen) {
+        out += Session(userId, acc.sessionId, acc.nEvents, acc.start, acc.lastEp, acc.sumValue)
+        state.remove()
+      } else state.update(acc)
+    }
+    out.result().iterator
+  }
+
+  val Gap = 1800L
+
+  /** Shared stateful sessionize over a typed event stream. */
+  def sessionizeStateful(events: Dataset[Ev], emitOpen: Boolean): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        sessionizeFn(emitOpen))
+  }
+
+  /** G2 batch entry: the same flatMapGroupsWithState path, batch mode
+    * (full history per group, open sessions emitted) — output is
+    * byte-identical to the window-function batch form
+    * ([[graft.operators.Sessionize]]), so it shares that SQL oracle. */
+  def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evs = Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"),
+        Tables.tsNsToSec("ts").as("ep"), col("value"))
+      .as[Ev]
+    sessionizeStateful(evs, emitOpen = true)
+      .toDF()
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("session_start"), col("session_end"),
+        round(col("session_value"), 4).as("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+}

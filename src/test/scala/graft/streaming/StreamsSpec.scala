@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.streaming.Streams.Ev
+
+class StreamsSpec extends SparkSuite {
+
+  test("windowed agg through a real stream equals the batch plan") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+
+    // events with ts in nanos, two 1-hour windows plus a late straggler
+    val base = 1704067200L // 2024-01-01 00:00:00 UTC
+    def ev(id: Long, sec: Long, typ: String, v: Double) =
+      (id, (base + sec) * 1000000000L, typ, v)
+    val data = Seq(
+      ev(1, 10, "click", 1.0), ev(2, 100, "click", 2.0),
+      ev(3, 200, "view", 3.0), ev(4, 3700, "click", 4.0),
+      ev(5, 3800, "view", 5.0))
+    val batchDf = data.toDF("event_id", "ts", "event_type", "value")
+    val expected = Streams.windowAggTransform(batchDf)
+      .orderBy("win_start", "event_type").collect().toSeq
+
+    val stream = MemoryStream[(Long, Long, String, Double)]
+    val streamed = Streams.windowAggTransform(
+      stream.toDF().toDF("event_id", "ts", "event_type", "value")
+        .withColumn("ep_wm", (col("ts") / lit(1000000000L)).cast("long")
+          .cast("timestamp"))
+        .withWatermark("ep_wm", "10 minutes"))
+    val query = streamed.writeStream.format("memory")
+      .queryName("win_agg").outputMode("complete").start()
+    try {
+      stream.addData(data.take(3))
+      query.processAllAvailable()
+      stream.addData(data.drop(3))
+      query.processAllAvailable()
+      val got = s.table("win_agg")
+        .orderBy("win_start", "event_type").collect().toSeq
+      assert(got === expected)
+    } finally query.stop()
+  }
+
+  test("stateful sessionize in batch mode equals the window-function form") {
+    val stateful = Streams.streamSessionize(spark, sfDir).collect().toSeq
+    val windowed = graft.operators.Sessionize.sessions(spark, sfDir)
+      .collect().toSeq
+    assert(stateful === windowed)
+  }
+
+  test("stateful sessionize through a real stream emits closed sessions") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    val stream = MemoryStream[Ev]
+    val sessions = Streams.sessionizeStateful(stream.toDS(), emitOpen = false)
+    val query = sessions.writeStream.format("memory")
+      .queryName("sess").outputMode("append").start()
+    try {
+      // user 1: two events 10s apart (one session), then a 2h gap
+      stream.addData(Ev(1, 1, 1000, 1.0), Ev(1, 2, 1010, 2.0))
+      query.processAllAvailable()
+      assert(s.table("sess").count() === 0, "open session must not emit")
+      // the gap event closes session 1; session 2 stays open in state
+      stream.addData(Ev(1, 3, 1000 + 7200, 5.0))
+      query.processAllAvailable()
+      val closed = s.table("sess").as[Streams.Session].collect()
+      assert(closed.toSeq === Seq(
+        Streams.Session(1, 1, 2, 1000, 1010, 3.0)))
+    } finally query.stop()
+  }
+
+  test("state survives across triggers (session continues, then closes)") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    val stream = MemoryStream[Ev]
+    val sessions = Streams.sessionizeStateful(stream.toDS(), emitOpen = false)
+    val query = sessions.writeStream.format("memory")
+      .queryName("sess2").outputMode("append").start()
+    try {
+      stream.addData(Ev(7, 1, 5000, 1.0))
+      query.processAllAvailable()
+      stream.addData(Ev(7, 2, 5100, 1.0)) // continues session across trigger
+      query.processAllAvailable()
+      stream.addData(Ev(7, 3, 5100 + 3600, 9.0)) // closes it
+      query.processAllAvailable()
+      val closed = s.table("sess2").as[Streams.Session].collect()
+      assert(closed.toSeq === Seq(
+        Streams.Session(7, 1, 2, 5000, 5100, 2.0)))
+    } finally query.stop()
+  }
+}
