@@ -1,0 +1,75 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** SURVEY §2H — sources and sinks. The reference streams job results
+  * through pluggable result writers (reference:
+  * mr/result_writers/file.py, http.py, email.py); Spark-side the
+  * equivalent surface is the DataFrameWriter/Reader format registry,
+  * so this module is a thin, typed veneer that fixes the round-trip
+  * conventions (headers, explicit schemas — never inference on read)
+  * plus the two layouts that matter at 100 TB:
+  *
+  *  - `writePartitioned`: hive-style `partitionBy` directory layout —
+  *    partition pruning turns a full scan into a directory lookup
+  *    when queries filter on the partition column.
+  *  - `writeBucketed`: `bucketBy` table layout — two tables bucketed
+  *    on the same key join with ZERO exchanges (verified in
+  *    SinksSpec by plan inspection); at 100 TB this is the difference
+  *    between an all-to-all shuffle of the fact table and a local
+  *    zip of co-located buckets.
+  */
+object Sinks {
+
+  sealed abstract class Format(val name: String)
+  case object Csv extends Format("csv")
+  case object Json extends Format("json")
+  case object Orc extends Format("orc")
+  case object Parquet extends Format("parquet")
+
+  /** Write `df` to `path`. CSV gets a header so files are
+    * self-describing; readers still supply the schema explicitly. */
+  def write(df: DataFrame, path: String, format: Format): Unit = {
+    val w = df.write.mode("overwrite")
+    (format match {
+      case Csv => w.option("header", "true")
+      case _ => w
+    }).format(format.name).save(path)
+  }
+
+  /** Read with an explicit schema — type inference on read is banned:
+    * it costs an extra pass and silently drifts (int vs long, dates). */
+  def read(spark: SparkSession, path: String, format: Format,
+      schema: StructType): DataFrame = {
+    val r = spark.read.schema(schema)
+    (format match {
+      case Csv => r.option("header", "true")
+      case _ => r
+    }).format(format.name).load(path)
+  }
+
+  /** Hive-style partitioned layout: one directory per value of
+    * `partCols`. Keep partition columns low-cardinality (status,
+    * date) — a high-cardinality partitionBy creates millions of tiny
+    * files. */
+  def writePartitioned(df: DataFrame, path: String, format: Format,
+      partCols: Seq[String]): Unit = {
+    val w = df.write.mode("overwrite").partitionBy(partCols: _*)
+    (format match {
+      case Csv => w.option("header", "true")
+      case _ => w
+    }).format(format.name).save(path)
+  }
+
+  /** Bucketed managed table: `nBuckets` hash buckets on `bucketCol`,
+    * sorted within buckets. Joins/aggregations on the bucket column
+    * reuse the layout instead of shuffling. */
+  def writeBucketed(df: DataFrame, table: String, nBuckets: Int,
+      bucketCol: String): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+}
