@@ -36,13 +36,12 @@ object HashFunctions {
   }
 
   /** 64-perm MinHash signature as array<long>. One xxhash64 per
-    * shingle (shared across perms), then 64 cheap affine maps. */
+    * shingle (shared across perms), then the fused perms × shingles
+    * min loop as a native codegen expression ([[MinHashSig]] — the
+    * HOF formulation ran interpreted and was ~200× slower). */
   def minhashSignature(shingles: Column, coeffs: Seq[(Long, Long)]): Column = {
     val shHashes = transform(shingles, s => pmod(xxhash64(s), lit(MinHashPrime)))
-    array(coeffs.map { case (a, b) =>
-      array_min(transform(shHashes, h =>
-        pmod(h * lit(a) + lit(b), lit(MinHashPrime))))
-    }: _*)
+    MinHashSig(shHashes, coeffs, MinHashPrime)
   }
 
   /** Banded LSH keys: split the signature into `nBands` rows-per-band

@@ -17,9 +17,10 @@ object VectorFunctions {
   /** array<float> → array<double> (all math in double). */
   def toDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Sequential dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+  /** Sequential dot product of two double arrays — a native codegen
+    * expression with the exact op order of the HOF/list_reduce
+    * formulation (see [[DotProductD]]). */
+  def dot(a: Column, b: Column): Column = DotProductD(a, b)
 
   /** L2 norm. */
   def norm(v: Column): Column = sqrt(dot(v, v))

@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** The native codegen expressions must be drop-in bit-identical
+  * replacements for the HOF formulations they optimize (the DuckDB
+  * oracles mirror the HOF op order). */
+class NativeExprSpec extends SparkSuite {
+
+  test("MinHashSig equals the HOF formulation exactly") {
+    val s = spark; import s.implicits._
+    val rng = new scala.util.Random(3)
+    val docs = Seq.fill(50)(
+      Seq.fill(1 + rng.nextInt(40))("s" + rng.nextInt(500))).toDF("shingles")
+    val coeffs = HashFunctions.minhashCoeffs(64)
+    val p = HashFunctions.MinHashPrime
+    val shHashes = transform(col("shingles"),
+      x => pmod(xxhash64(x), lit(p)))
+    val hof = array(coeffs.map { case (a, b) =>
+      array_min(transform(shHashes, h => pmod(h * lit(a) + lit(b), lit(p))))
+    }: _*)
+    val rows = docs.select(
+      MinHashSig(shHashes, coeffs, p).as("native"), hof.as("hof")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+  }
+
+  test("DotProductD is bit-identical to aggregate(zip_with(*), 0d, +)") {
+    val s = spark; import s.implicits._
+    val rng = new scala.util.Random(5)
+    val vecs = Seq.fill(100)((
+      Seq.fill(64)(rng.nextGaussian()),
+      Seq.fill(64)(rng.nextGaussian()))).toDF("a", "b")
+    val hof = aggregate(zip_with(col("a"), col("b"), _ * _), lit(0.0), _ + _)
+    val rows = vecs.select(
+      DotProductD(col("a"), col("b")).as("native"), hof.as("hof")).collect()
+    rows.foreach { r =>
+      // bitwise equality, not approximate: the tau filters depend on it
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("native expressions survive both codegen and interpreted eval") {
+    val s = spark; import s.implicits._
+    // interpreted path: force eval through a literal-driven projection
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+    assert(df.select(DotProductD(col("a"), col("b"))).head().getDouble(0)
+      === 32.0)
+    val sig = df.select(MinHashSig(
+      array(lit(7L), lit(11L)), Seq((3L, 1L), (5L, 2L)),
+      HashFunctions.MinHashPrime)).head().getSeq[Long](0)
+    assert(sig === Seq(22L, 37L)) // min(3*7+1, 3*11+1)=22; min(5*7+2, 5*11+2)=37
+  }
+}
