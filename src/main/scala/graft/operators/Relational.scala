@@ -198,7 +198,13 @@ object Relational {
   }
 
   /** Scalar subquery: parts priced above the global average. The
-    * average is a 1-row broadcast, not a driver collect. */
+    * average is a 1-row broadcast, not a driver collect.
+    *
+    * Deliberate trade-off: `part` is scanned twice (once for the avg,
+    * once for the filter). A cache would pin the table in executor
+    * memory (wrong at 100 TB); a window `avg() over ()` would funnel
+    * every row through one partition. Two pruned column scans are the
+    * cheapest correct plan. */
   def q14ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables(spark, dir).part
     val avgPrice = p.agg(avg(col("p_retailprice")).as("ap"))
