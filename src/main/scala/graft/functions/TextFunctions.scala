@@ -54,14 +54,11 @@ object TextFunctions {
     "fr" -> Seq("le", "les", "et"))
 
   /** Rolling polynomial hash over the document's characters:
-    * h_0 = 0; h_i = (h_{i-1} * 31 + ascii(c_i)) mod 1e9+7.
-    * One `aggregate` higher-order fold — stays in codegen, no UDF.
-    * (Reference computes handler-side digests in Python; here the
-    * fold is a Catalyst expression evaluated at the scan.) */
+    * h_0 = 0; h_i = (h_{i-1} * 31 + ascii(c_i)) mod 1e9+7, as a
+    * native codegen expression ([[PolyHash]] — the HOF fold ran
+    * interpreted). The DuckDB list_reduce oracle matches exactly on
+    * ASCII text. (Reference computes handler-side digests in Python;
+    * here the fold runs inside the scan's generated code.) */
   val FpMod = 1000000007L
-  def polyFingerprint(text: Column): Column =
-    aggregate(
-      transform(split(text, ""), c => ascii(c)),
-      lit(0L),
-      (acc, x) => (acc * 31 + x) % FpMod)
+  def polyFingerprint(text: Column): Column = PolyHash(text, 31L, FpMod)
 }

@@ -10,11 +10,29 @@ import org.apache.spark.sql.{Dataset, Encoder}
   * inside handlers is deliberately not offered: at 1000 executors a
   * mutable cross-phase KV is a coordination bottleneck, so job-wide
   * constants ride a broadcast and per-key state belongs in the data.
+  *
+  * `scratch` is the FS scope (reference: mr/fs/, used by
+  * dev/resources/handlers/map/test/random_yield_grouped.py): a
+  * task-local temp directory on the executor's disk, created lazily
+  * on first use and deleted when the task completes — handlers get
+  * real scratch-file IO without any shared filesystem.
   */
 final class Ctx private[mr] (bc: Broadcast[Map[String, String]])
     extends Serializable {
   def sessionGet(key: String): Option[String] = bc.value.get(key)
   def session: Map[String, String] = bc.value
+
+  @transient lazy val scratch: java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scratch-")
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit] { _ =>
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
+        }
+        rm(dir.toFile)
+      })
+    dir
+  }
 }
 
 /** One JobX step = (map handler, optional combine handler, reduce

@@ -44,6 +44,20 @@ class NativeExprSpec extends SparkSuite {
     }
   }
 
+  test("PolyHash equals the HOF fold on random ascii strings") {
+    val s = spark; import s.implicits._
+    val rng = new scala.util.Random(11)
+    val strs = Seq.fill(60)(
+      Seq.fill(1 + rng.nextInt(200))((32 + rng.nextInt(95)).toChar).mkString)
+    val df = strs.toDF("t")
+    val hof = aggregate(transform(split(col("t"), ""), c => ascii(c)),
+      lit(0L), (acc, x) => (acc * 31 + x) % TextFunctions.FpMod)
+    val rows = df.select(
+      PolyHash(col("t"), 31L, TextFunctions.FpMod).as("native"),
+      hof.as("hof")).collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("native expressions survive both codegen and interpreted eval") {
     val s = spark; import s.implicits._
     // interpreted path: force eval through a literal-driven projection

@@ -111,6 +111,22 @@ class EngineSpec extends SparkSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("FS scope: handlers get task-local scratch-file IO") {
+    val s = sc; import s.implicits._
+    val ds = Seq(1L, 2L, 3L).toDS()
+    val step = Step[Long, Long, String, (Long, String)](
+      "scratch",
+      mapper = (ctx, v) => {
+        // write then read back through the task-local scratch dir
+        val f = ctx.scratch.resolve(s"work-$v.txt")
+        java.nio.file.Files.writeString(f, s"payload-$v")
+        Iterator((v, java.nio.file.Files.readString(f)))
+      },
+      reducer = (_, k, vs) => Iterator((k, vs.sorted.mkString("|"))))
+    val out = Engine.run(ds, step).collect().toMap
+    assert(out === Map(1L -> "payload-1", 2L -> "payload-2", 3L -> "payload-3"))
+  }
+
   test("fanOut routes records to named branches") {
     val s = sc; import s.implicits._
     val mapped = Seq(("a", (1L, 10L)), ("b", (2L, 20L)), ("a", (3L, 30L)))
