@@ -91,6 +91,42 @@ object Streams {
         sessionizeFn(emitOpen))
   }
 
+  /** Event-typed record for the watermarked streaming form. */
+  final case class EvT(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, value: Double)
+
+  /** Streaming sessionize with EventTimeTimeout: closed sessions emit
+    * immediately (gap exceeded by a newer event); the OPEN session is
+    * flushed when the event-time watermark passes `lastEp + gap` — no
+    * session is held forever, state is evicted on flush. This is the
+    * production shape: `sessionizeStateful(emitOpen=false)` is its
+    * timeout-free core, the batch entry its oracle. */
+  def sessionizeEventTime(events: Dataset[EvT],
+      watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, evs: Iterator[EvT], state: GroupState[SessAcc]) =>
+          if (state.hasTimedOut) {
+            val acc = state.get
+            state.remove()
+            Iterator(Session(userId, acc.sessionId, acc.nEvents,
+              acc.start, acc.lastEp, acc.sumValue))
+          } else {
+            val asEv = evs.map(e =>
+              Ev(e.user_id, e.event_id, e.ts.getTime / 1000, e.value))
+            val out = sessionizeFn(emitOpen = false)(userId, asEv, state)
+            // arm the flush: open session dies when the watermark
+            // passes its gap horizon
+            state.getOption.foreach(acc =>
+              state.setTimeoutTimestamp((acc.lastEp + Gap) * 1000))
+            out
+          }
+      }
+  }
+
   /** G2 batch entry: the same flatMapGroupsWithState path, batch mode
     * (full history per group, open sessions emitted) — output is
     * byte-identical to the window-function batch form

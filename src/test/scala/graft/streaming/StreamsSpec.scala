@@ -71,6 +71,35 @@ class StreamsSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("event-time timeout flushes the open session once the watermark passes") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val base = 1704067200L
+    val stream = MemoryStream[Streams.EvT]
+    val sessions = Streams.sessionizeEventTime(stream.toDS())
+    val query = sessions.writeStream.format("memory")
+      .queryName("sessT").outputMode("append").start()
+    try {
+      stream.addData(
+        Streams.EvT(1, 1, ts(base), 1.0),
+        Streams.EvT(1, 2, ts(base + 10), 2.0))
+      query.processAllAvailable()
+      assert(s.table("sessT").count() === 0, "session still open")
+      // a far-future event on ANOTHER user advances the watermark past
+      // user 1's gap horizon; the timeout fires on the following batch
+      stream.addData(Streams.EvT(2, 3, ts(base + 7200), 9.0))
+      query.processAllAvailable()
+      stream.addData(Streams.EvT(2, 4, ts(base + 7201), 1.0))
+      query.processAllAvailable()
+      val flushed = s.table("sessT").as[Streams.Session].collect()
+        .filter(_.user_id == 1L)
+      assert(flushed.toSeq === Seq(
+        Streams.Session(1, 1, 2, base, base + 10, 3.0)),
+        s"open session should flush on watermark, got ${flushed.toSeq}")
+    } finally query.stop()
+  }
+
   test("state survives across triggers (session continues, then closes)") {
     val s = spark; import s.implicits._
     implicit val sq = s.sqlContext
