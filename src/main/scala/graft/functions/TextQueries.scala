@@ -9,6 +9,12 @@ import graft.functions.{TextFunctions => T}
 /** SURVEY §2E query entries over the `documents` table. */
 object TextQueries {
 
+  // Shadows functions.round: DuckDB-exact binary rounding so oracle
+  // hashes cannot flake on decimal half boundaries (see OracleMath).
+  private def round(c: org.apache.spark.sql.Column, scale: Int):
+      org.apache.spark.sql.Column =
+    graft.functions.OracleMath.roundDuck(c, scale)
+
   /** E1: token counting — whitespace tokens vs BPE-ish regex tokens. */
   def textTokens(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir).documents

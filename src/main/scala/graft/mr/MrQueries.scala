@@ -12,6 +12,12 @@ import graft.Tables
   */
 object MrQueries {
 
+  // Shadows functions.round: DuckDB-exact binary rounding so oracle
+  // hashes cannot flake on decimal half boundaries (see OracleMath).
+  private def round(c: org.apache.spark.sql.Column, scale: Int):
+      org.apache.spark.sql.Column =
+    graft.functions.OracleMath.roundDuck(c, scale)
+
   /** A1: canonical wordcount — map(tokenize → (word,1)) / combine(+) /
     * reduce(sum) over documents.text. The combiner makes the shuffle
     * carry one partial count per (partition, word), not one record per
@@ -91,7 +97,7 @@ object MrQueries {
     val o = Tables(spark, dir).orders
       .filter(col("o_orderkey") < 200)
       .select(col("o_orderkey"),
-        round(col("o_totalprice") * 100).cast("long"))
+        round(col("o_totalprice") * 100, 0).cast("long"))
       .as[(Long, Long)]
 
     val split = MapStep[(Long, Long), Long, Long]("split",

@@ -21,6 +21,12 @@ import graft.Tables
   */
 object Multimodal {
 
+  // Shadows functions.round: DuckDB-exact binary rounding so oracle
+  // hashes cannot flake on decimal half boundaries (see OracleMath).
+  private def round(c: org.apache.spark.sql.Column, scale: Int):
+      org.apache.spark.sql.Column =
+    graft.functions.OracleMath.roundDuck(c, scale)
+
   final case class MmBlob(doc_id: Long, content: Array[Byte])
   final case class Decoded(doc_id: Long, width: Int, height: Int,
       channels: Int, mean_byte: Double, ok: Boolean)

@@ -19,6 +19,12 @@ import graft.functions.{HashFunctions => H, VectorFunctions => V}
   */
 object Dedup {
 
+  // Shadows functions.round: DuckDB-exact binary rounding so oracle
+  // hashes cannot flake on decimal half boundaries (see OracleMath).
+  private def round(c: org.apache.spark.sql.Column, scale: Int):
+      org.apache.spark.sql.Column =
+    graft.functions.OracleMath.roundDuck(c, scale)
+
   /** C1: exact duplicate groups by md5(text); canonical representative
     * = min(doc_id). One shuffle on the hash. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame = {

@@ -23,6 +23,12 @@ import graft.Tables
   */
 object Relational {
 
+  // Shadows functions.round: DuckDB-exact binary rounding so oracle
+  // hashes cannot flake on decimal half boundaries (see OracleMath).
+  private def round(c: org.apache.spark.sql.Column, scale: Int):
+      org.apache.spark.sql.Column =
+    graft.functions.OracleMath.roundDuck(c, scale)
+
   private def ts(s: String): Column = lit(s).cast("timestamp")
 
   /** TPC-H Q1 shape: scan → filter → groupBy → multi-agg. One shuffle

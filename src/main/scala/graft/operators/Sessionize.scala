@@ -13,6 +13,12 @@ import graft.Tables
   */
 object Sessionize {
 
+  // Shadows functions.round: DuckDB-exact binary rounding so oracle
+  // hashes cannot flake on decimal half boundaries (see OracleMath).
+  private def round(c: org.apache.spark.sql.Column, scale: Int):
+      org.apache.spark.sql.Column =
+    graft.functions.OracleMath.roundDuck(c, scale)
+
   val GapSeconds = 1800L
 
   /** Sessions per user with a 30-minute inactivity gap. Timestamps are

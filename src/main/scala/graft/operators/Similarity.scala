@@ -20,6 +20,12 @@ import graft.functions.{VectorFunctions => V}
   */
 object Similarity {
 
+  // Shadows functions.round: DuckDB-exact binary rounding so oracle
+  // hashes cannot flake on decimal half boundaries (see OracleMath).
+  private def round(c: org.apache.spark.sql.Column, scale: Int):
+      org.apache.spark.sql.Column =
+    graft.functions.OracleMath.roundDuck(c, scale)
+
   /** One scored candidate pair. */
   final case class Scored(q_id: Long, n_id: Long, cos: Double)
 

@@ -16,6 +16,12 @@ import graft.Tables
   */
 object Streams {
 
+  // Shadows functions.round: DuckDB-exact binary rounding so oracle
+  // hashes cannot flake on decimal half boundaries (see OracleMath).
+  private def round(c: org.apache.spark.sql.Column, scale: Int):
+      org.apache.spark.sql.Column =
+    graft.functions.OracleMath.roundDuck(c, scale)
+
   final case class Ev(user_id: Long, event_id: Long, ep: Long, value: Double)
   final case class Session(user_id: Long, session_id: Long, n_events: Long,
       session_start: Long, session_end: Long, session_value: Double)
