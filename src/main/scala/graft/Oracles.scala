@@ -207,6 +207,33 @@ object Oracles {
         |GROUP BY k
         |ORDER BY k""".stripMargin,
 
+    "q21_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag ASC NULLS FIRST,
+        |         l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q22_pivot" ->
+      """SELECT user_id,
+        |  round(sum(value) FILTER (event_type = 'click'), 4) AS click,
+        |  round(sum(value) FILTER (event_type = 'view'), 4) AS view,
+        |  round(sum(value) FILTER (event_type = 'purchase'), 4) AS purchase
+        |FROM events
+        |WHERE user_id < 50
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q23_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
     "asof_join" ->
       """WITH p AS (
         |  SELECT event_id, user_id, date_trunc('microsecond', ts) AS ts

@@ -39,6 +39,9 @@ object SparkEntry {
     "q18_string_funcs"   -> Relational.q18StringFuncs,
     "q19_date_funcs"     -> Relational.q19DateFuncs,
     "q20_json"           -> Relational.q20Json,
+    "q21_grouping_sets"  -> Relational.q21GroupingSets,
+    "q22_pivot"          -> Relational.q22Pivot,
+    "q23_percentiles"    -> Relational.q23Percentiles,
     "asof_join"          -> (AsOfJoin.purchasesAsOfSignup(_, _)),
     "events_sessionize"  -> (Sessionize.sessions(_, _)),
     // §2A — MapReduce engine pipelines

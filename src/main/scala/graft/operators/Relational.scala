@@ -296,6 +296,45 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** GROUPING SETS that neither rollup nor cube expresses: two
+    * independent single-column groupings in one pass (one shuffle,
+    * Expand feeds both sets). */
+  def q21GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    li.groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 4).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
+
+  /** Pivot: per-user value sums spread over fixed event_type columns.
+    * The pivot list is explicit — at scale an implicit pivot triggers
+    * a distinct-values job first and can explode the schema. */
+  def q22Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events.filter(col("user_id") < 50)
+    ev.groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase"))
+      .agg(round(sum(col("value")), 4))
+      .orderBy(col("user_id"))
+  }
+
+  /** Exact interpolated percentiles per group (Spark `percentile` =
+    * DuckDB `quantile_cont`: linear interpolation at rank q·(n−1)).
+    * Exact percentile sorts per group — at 100 TB prefer
+    * approx_percentile unless exactness is contractual. */
+  def q23Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** JSON extraction from the events.props payload column. */
   def q20Json(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir).events
