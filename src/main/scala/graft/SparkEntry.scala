@@ -64,6 +64,7 @@ object SparkEntry {
     // §2D — similarity search
     "ann_bruteforce"      -> Similarity.annBruteforce,
     "ann_lsh"             -> Similarity.annLsh,
+    "ann_ivf"             -> ((s, d) => Similarity.annIvf(s, d)),
     // §2F — multimodal binary plumbing
     "mm_meta"             -> Multimodal.mmMeta,
     "mm_decode"           -> Multimodal.mmDecode,

@@ -85,6 +85,54 @@ object Similarity {
     topK(spark, pairs, k = 5)
   }
 
+  /** D2b: IVF (inverted-file) top-5 — the other standard ANN family.
+    * Coarse quantizer: `nLists` deterministic centroids (the vectors
+    * with the smallest xxhash64(vec_id) — a seeded sample; a
+    * production build would k-means-refine them, the list structure
+    * is identical). Every vector is assigned to its best-cosine list
+    * (one scan, centroids broadcast as literals); a query probes its
+    * `nProbe` best lists and reranks exactly. The candidate join is
+    * an equi-join on list_id — at 1e9 vectors each list is a
+    * partition-pruned slice, and nProbe/nLists is the recall/cost
+    * dial. Rows-only oracle; recall vs brute force in SimilaritySpec.
+    */
+  def annIvf(spark: SparkSession, dir: String,
+      nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val e = vectors(spark, dir)
+    // 16 centroid vectors: tiny, deterministic; this collect is the
+    // "train the quantizer" step, not data-plane work.
+    val centroids: Array[Seq[Double]] = e
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy(col("h")).limit(nLists)
+      .select(col("v")).collect().map(_.getSeq[Double](0))
+    def centCol(c: Seq[Double]) = array(c.map(lit): _*)
+    val dots = array(centroids.map(c => V.dot(col("v"), centCol(c))): _*)
+
+    val assigned = e.withColumn("dots", dots)
+      .withColumn("list_id", expr("array_position(dots, array_max(dots))"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("list_id"))
+
+    // queries probe their nProbe best lists
+    val qLists = e.filter(col("vec_id") < 10)
+      .withColumn("dots", dots)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"),
+        explode(slice(reverse(array_sort(
+          zip_with(col("dots"),
+            sequence(lit(1), lit(nLists)).cast("array<double>"),
+            (d, i) => struct(d.as("d"), i.as("i"))))), 1, nProbe))
+          .as("probe"))
+      .select(col("q_id"), col("qv"), col("qnrm"),
+        col("probe.i").cast("long").as("list_id"))
+
+    val pairs = assigned.join(broadcast(qLists), Seq("list_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        V.cosineWithNorms(V.dot(col("qv"), col("v")),
+          col("qnrm"), col("nrm")).as("cos"))
+    topK(spark, pairs, k = 5)
+  }
+
   /** D2: hyperplane-LSH bucketed top-5 — the 100 TB path. 64
     * deterministic Gaussian hyperplanes → sign bits, banded into
     * 16 × 4-bit bucket keys; candidates are vectors sharing any band

@@ -44,6 +44,24 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.6, s"LSH recall@5 too low: $recall (hits=${(bf & lsh).size}/${bf.size})")
   }
 
+  test("IVF recall@5 vs brute force with nProbe=4 of 16 lists") {
+    val bf = Similarity.annBruteforce(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.annIvf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    // unclustered synthetic vectors are IVF's worst case; still far
+    // above the 10% a random 4-of-16-lists probe would give
+    assert(recall >= 0.4, s"IVF recall@5 too low: $recall")
+  }
+
+  test("IVF probing all lists equals brute force exactly") {
+    val bf = Similarity.annBruteforce(spark, sfDir).collect().toSeq
+    val full = Similarity.annIvf(spark, sfDir, nLists = 16, nProbe = 16)
+      .collect().toSeq
+    assert(full === bf)
+  }
+
   test("LSH returns at most k rows per query with valid ranks") {
     val lsh = Similarity.annLsh(spark, sfDir)
     val byQ = lsh.groupBy(col("q_id")).agg(count(lit(1)).as("n"),
