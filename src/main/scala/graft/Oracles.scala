@@ -140,7 +140,7 @@ object Oracles {
     "q14_scalar_subquery" ->
       """SELECT p_partkey, p_brand, round(p_retailprice, 4) AS p_retailprice
         |FROM part
-        |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+        |WHERE p_retailprice > (SELECT round(avg(p_retailprice), 4) FROM part)
         |ORDER BY p_partkey""".stripMargin,
 
     "q15_in_subquery" ->
@@ -236,10 +236,10 @@ object Oracles {
 
     "asof_join" ->
       """WITH p AS (
-        |  SELECT event_id, user_id, date_trunc('microsecond', ts) AS ts
+        |  SELECT event_id, user_id, ts
         |  FROM events WHERE event_type = 'purchase'),
         |s AS (
-        |  SELECT user_id, date_trunc('microsecond', ts) AS ts
+        |  SELECT user_id, ts
         |  FROM events WHERE event_type = 'signup')
         |SELECT p.event_id, p.user_id,
         |  epoch(date_trunc('second', p.ts))::bigint AS p_sec,

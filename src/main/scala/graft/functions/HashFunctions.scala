@@ -55,10 +55,12 @@ object HashFunctions {
             element_at(sig, band * rowsPerBand + r + 1))): _*)
     }: _*)
 
-  /** Estimated Jaccard from two signatures: matching positions / n. */
+  /** Estimated Jaccard from two signatures: matching positions / n.
+    * The denominator is the actual signature length, not a hardcoded
+    * perm count — callers may size signatures differently. */
   def sigSimilarity(sigA: Column, sigB: Column): Column =
     size(filter(zip_with(sigA, sigB, _ === _), b => b)) /
-      lit(64.0)
+      size(sigA).cast("double")
 
   /** 64-bit SimHash of a document's tokens (native codegen expr). */
   def simhash(text: Column): Column =

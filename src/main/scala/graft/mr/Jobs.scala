@@ -19,7 +19,8 @@ import org.apache.spark.sql.SparkSession
 object Jobs {
 
   final case class JobHandle(name: String, groupId: String,
-      result: Future[Try[Unit]])
+      result: Future[Try[Unit]],
+      private[mr] val cancelled: java.util.concurrent.atomic.AtomicBoolean)
 
   private implicit val ec: ExecutionContext = ExecutionContext.global
 
@@ -28,18 +29,29 @@ object Jobs {
     * worker thread (Spark job groups are thread-local). */
   def submitAsync(spark: SparkSession, name: String)(action: => Unit): JobHandle = {
     val group = s"graft-job-$name-${UUID.randomUUID().toString.take(8)}"
+    val cancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
     val fut = Future {
-      spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
-      try Try(action)
-      finally spark.sparkContext.clearJobGroup()
+      // cancel() may land before this thread even starts — the group
+      // would not exist yet and cancelJobGroup would be a silent
+      // no-op, so the flag is checked here too.
+      if (cancelled.get()) Try(throw new InterruptedException(
+        s"job $name cancelled before start"))
+      else {
+        spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+        try Try(action)
+        finally spark.sparkContext.clearJobGroup()
+      }
     }
-    JobHandle(name, group, fut)
+    JobHandle(name, group, fut, cancelled)
   }
 
-  /** Cancel every Spark job launched under the handle's group. The
+  /** Cancel every Spark job launched under the handle's group (and
+    * mark the handle so a not-yet-started action never runs). The
     * handle's future then completes with a failed Try. */
-  def cancel(spark: SparkSession, handle: JobHandle): Unit =
+  def cancel(spark: SparkSession, handle: JobHandle): Unit = {
+    handle.cancelled.set(true)
     spark.sparkContext.cancelJobGroup(handle.groupId)
+  }
 
   /** Block for the job's outcome. */
   def await(handle: JobHandle, atMost: Duration = Duration.Inf): Try[Unit] =

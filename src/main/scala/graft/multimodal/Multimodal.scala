@@ -84,7 +84,10 @@ object Multimodal {
     * pure column algebra (sequence + dynamic substr + hex), no UDF:
     * frame extraction stays inside whole-stage codegen. */
   def mmFramesample(spark: SparkSession, dir: String): DataFrame = {
-    val b = blobs(spark, dir)
+    // Spark's sequence(1, 0) throws (illegal when start > stop with a
+    // positive step) where DuckDB's range(1, 1, 64) is just empty —
+    // drop empty blobs up front; the oracle drops them via unnest.
+    val b = blobs(spark, dir).filter(length(col("content")) > 0)
     b.select(col("doc_id"),
         posexplode(
           transform(

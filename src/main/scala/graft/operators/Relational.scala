@@ -213,7 +213,12 @@ object Relational {
     * cheapest correct plan. */
   def q14ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables(spark, dir).part
-    val avgPrice = p.agg(avg(col("p_retailprice")).as("ap"))
+    // The threshold comes from a reassociated parallel fold — round it
+    // to 4dp (DuckDB-exact) before comparing, per the CLAUDE.md rule
+    // that FP folds feeding a filter must not be used raw: a part
+    // priced within the engines' avg discrepancy of the mean would
+    // otherwise flip the row count.
+    val avgPrice = p.agg(round(avg(col("p_retailprice")), 4).as("ap"))
     p.join(broadcast(avgPrice))
       .filter(col("p_retailprice") > col("ap"))
       .select(col("p_partkey"), col("p_brand"),

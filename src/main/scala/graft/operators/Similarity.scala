@@ -144,10 +144,13 @@ object Similarity {
     * brute-force is property-tested in SimilaritySpec. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val planes = V.randomPlanes(nPlanes = 64, dim = 64)
-    val e = vectors(spark, dir)
+    // One vectors() definition feeds banding, the query side and the
+    // rerank join (at production scale, persist this — Catalyst does
+    // not dedup separate scan subtrees).
+    val base = vectors(spark, dir)
+    val banded = base
       .withColumn("bands", V.hyperplaneBands(col("v"), planes, bandBits = 4))
-    val banded = e.select(col("vec_id"),
-      posexplode(col("bands")).as(Seq("band", "key")))
+      .select(col("vec_id"), posexplode(col("bands")).as(Seq("band", "key")))
     val qBands = banded.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("band").as("qband"),
         col("key").as("qkey"))
@@ -158,11 +161,11 @@ object Similarity {
           col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"))
       .distinct()
-    val qVecs = vectors(spark, dir).filter(col("vec_id") < 10)
+    val qVecs = base.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qnrm"))
     val pairs = candIds
-      .join(vectors(spark, dir), col("n_id") === col("vec_id"))
+      .join(base, col("n_id") === col("vec_id"))
       .join(broadcast(qVecs), "q_id")
       .select(col("q_id"), col("n_id"),
         V.cosineWithNorms(V.dot(col("qv"), col("v")),

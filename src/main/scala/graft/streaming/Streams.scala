@@ -38,8 +38,7 @@ object Streams {
     * groupBy so late data is bounded and state can be evicted. */
   def windowAggTransform(events: DataFrame): DataFrame =
     events
-      .withColumn("ep_ts", (col("ts") / lit(1000000000L)).cast("long")
-        .cast("timestamp"))
+      .withColumn("ep_ts", Tables.tsNsToSec("ts").cast("timestamp"))
       .groupBy(window(col("ep_ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 4).as("sum_value"))
@@ -75,7 +74,16 @@ object Streams {
         out += Session(userId, acc.sessionId, acc.nEvents, acc.start, acc.lastEp, acc.sumValue)
         acc = SessAcc(acc.sessionId + 1, e.ep, e.ep, 1L, e.value)
       } else
-        acc = acc.copy(lastEp = e.ep, nEvents = acc.nEvents + 1,
+        // A late-but-in-watermark event (earlier batch already moved
+        // lastEp forward) must not regress the session bounds or the
+        // timeout horizon: clamp with min/max. Late events are folded
+        // into the currently-open session — exact re-splitting would
+        // require buffering the event history, which this operator
+        // deliberately does not keep.
+        acc = acc.copy(
+          start = math.min(acc.start, e.ep),
+          lastEp = math.max(acc.lastEp, e.ep),
+          nEvents = acc.nEvents + 1,
           sumValue = acc.sumValue + e.value)
     }
     if (acc != null) {
@@ -131,6 +139,13 @@ object Streams {
             out
           }
       }
+      // Per-user ordinal session ids cannot survive a timeout flush
+      // (state is removed, the counter with it), which would make ids
+      // collide across flushes. In the timeout variant session
+      // identity is (user_id, session_start) — unique and stable
+      // without unbounded tombstone state.
+      .map(s => s.copy(session_id = s.session_start))(
+        org.apache.spark.sql.Encoders.product[Session])
   }
 
   /** G2 batch entry: the same flatMapGroupsWithState path, batch mode
