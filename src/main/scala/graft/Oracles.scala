@@ -390,16 +390,22 @@ object Oracles {
         |GROUP BY 1
         |ORDER BY text_hash""".stripMargin,
 
+    // Same document-frequency cut as Dedup.NgramDfMax: shingles in
+    // more than 50 docs leave the index AND the Jaccard universe.
     "dedup_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id,
         |    list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS w
         |  FROM documents),
-        |sh AS (
+        |sh0 AS (
         |  SELECT doc_id,
         |    unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
         |                          FOR i IN range(1, len(w) - 1)])) AS s
         |  FROM toks WHERE len(w) >= 3),
+        |sh AS (
+        |  SELECT doc_id, s FROM (
+        |    SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh0)
+        |  WHERE df <= 50),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c

@@ -15,13 +15,23 @@ object HashFunctions {
 
   /** Distinct word n-gram shingles, e.g. n=3:
     * "a b c d" → ["a b c", "b c d"]. Callers must filter docs with
-    * fewer than n tokens (Spark's `sequence` would run backwards). */
+    * fewer than n tokens (Spark's `sequence` would run backwards).
+    *
+    * HOF reference formulation — query code uses the fused native
+    * [[ShingleHashes]] instead (each `transform`/`array_distinct`
+    * pass here is CodegenFallback, interpreted per row; ShingleSpec
+    * proves hash-level bit-equality between the two). */
   def wordShingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
     array_distinct(
       transform(sequence(lit(1), size(toks) - (n - 1)), i =>
         concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
   }
+
+  /** Distinct word-n-gram xxhash64 keys, fused native loop
+    * (tokenize + shingle + hash + distinct in one codegen pass).
+    * Empty array for docs with fewer than n tokens. */
+  def shingleHashes(text: Column, n: Int): Column = ShingleHashes(text, n)
 
   /** MinHash parameters: universal hashing h_j(x) = (a_j*x + b_j) mod p
     * over a 31-bit prime field; shingle → field via xxhash64 mod p.
@@ -44,6 +54,15 @@ object HashFunctions {
     MinHashSig(shHashes, coeffs, MinHashPrime)
   }
 
+  /** MinHash signature straight from text: [[ShingleHashes]] (native
+    * tokenize+shingle+hash+pmod) feeding [[MinHashSig]] — the whole
+    * text→signature path is two generated loops, no interpreted HOFs.
+    * Bit-identical to `minhashSignature(wordShingles(text, n), _)`. */
+  def minhashSignatureNative(text: Column, n: Int,
+      coeffs: Seq[(Long, Long)]): Column =
+    MinHashSig(ShingleHashes.modded(text, n, MinHashPrime), coeffs,
+      MinHashPrime)
+
   /** Banded LSH keys: split the signature into `nBands` rows-per-band
     * groups, hash each group to one bucket key. Docs sharing any
     * (band_idx, key) are candidates. */
@@ -62,9 +81,12 @@ object HashFunctions {
     size(filter(zip_with(sigA, sigB, _ === _), b => b)) /
       size(sigA).cast("double")
 
-  /** 64-bit SimHash of a document's tokens (native codegen expr). */
+  /** 64-bit SimHash of a document's tokens (native codegen expr).
+    * Token hashing is [[ShingleHashes]] with n=1, non-distinct —
+    * bit-identical to `transform(tokens(text), xxhash64)` but one
+    * generated loop instead of an interpreted HOF pass. */
   def simhash(text: Column): Column =
-    SimHash64(transform(tokens(text), t => xxhash64(t)))
+    SimHash64(ShingleHashes.tokenHashes(text))
 
   /** Split a 64-bit simhash into 4 16-bit chunk keys — pigeonhole:
     * hamming(a,b) <= 3 guarantees at least one equal chunk. */

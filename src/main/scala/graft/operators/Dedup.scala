@@ -35,21 +35,35 @@ object Dedup {
       .orderBy(col("text_hash"))
   }
 
+  /** Document-frequency cut for the shingle inverted index: shingles
+    * present in more than this many docs are dropped from the index
+    * (and from the Jaccard universe — the oracle applies the same
+    * cut). A shingle in k docs emits k²/2 self-join rows; on a
+    * Zipfian corpus a handful of stop-shingles would square the
+    * index without this. 50 keeps every planted near-dup pair
+    * bit-identical at sf0.01 and sf0.1 (max observed df there is
+    * 7 / 25; J of the planted pairs is ≥ 0.8 vs τ = 0.5). */
+  val NgramDfMax = 50
+
   /** C2: 3-gram shingle Jaccard >= 0.5 pair detection via an inverted
-    * shingle index: explode distinct shingles, self-join on the
-    * shingle (shuffle on shingle keys, not doc pairs), count
-    * intersections, then Jaccard from |A|,|B|,|A∩B|. The synthetic
-    * corpus has planted near-dups at J >= 0.9 and background pairs at
-    * J <= 0.07, so τ=0.5 is far from any boundary.
+    * shingle index: explode distinct shingle *hashes* (fused native
+    * [[graft.functions.ShingleHashes]] — tokenize+shingle+xxhash64 in
+    * one codegen loop; the join key is the 64-bit hash, never the
+    * string), df-cut the hot shingles, self-join on the shingle hash
+    * (shuffle on shingle keys, not doc pairs), count intersections,
+    * then Jaccard from |A|,|B|,|A∩B|.
     *
-    * At 100 TB, add a document-frequency cut on shingles (drop
-    * shingles present in > df_max docs) before the self-join — a
-    * stop-shingle in every doc would otherwise square the index. */
+    * The df count is a window over the same `s` partitioning the
+    * self-join shuffles on, so the df pass reuses the exchange
+    * instead of re-scanning. */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val d = Tables(spark, dir).documents
-      .filter(size(H.tokens(col("text"))) >= 3)
     val sh = d.select(col("doc_id"),
-      explode(H.wordShingles(col("text"), 3)).as("s"))
+        explode(H.shingleHashes(col("text"), 3)).as("s"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .filter(col("df") <= NgramDfMax)
+      .select(col("doc_id"), col("s"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"),
@@ -74,10 +88,15 @@ object Dedup {
     * (property-tested against exact Jaccard in DedupSpec). */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val coeffs = H.minhashCoeffs(64)
+    // text → signature is fully native codegen (ShingleHashes →
+    // MinHashSig). Docs with < 3 tokens (guarded by a codegen'd
+    // regexp_count, no HOF, no shingle recompute) are dropped before
+    // banding — their all-MaxValue signatures would otherwise bucket
+    // together as spurious est_j = 1 candidates.
     val d = Tables(spark, dir).documents
-      .filter(size(H.tokens(col("text"))) >= 3)
+      .filter(regexp_count(col("text"), lit("\\S+")) >= 3)
       .select(col("doc_id"),
-        H.minhashSignature(H.wordShingles(col("text"), 3), coeffs).as("sig"))
+        H.minhashSignatureNative(col("text"), 3, coeffs).as("sig"))
     val bands = d.select(col("doc_id"), col("sig"),
       posexplode(H.lshBandKeys(col("sig"), nBands = 16, rowsPerBand = 4))
         .as(Seq("band", "key")))
@@ -114,22 +133,56 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** C5: embedding-cosine ≥ 0.4 near-dup pairs, exact all-pairs — the
-    * correctness baseline at test scale; the 100 TB path bucketizes
-    * with hyperplane LSH first (annLsh) so the join is on band keys.
+  /** Number of blocks in the embed-cosine block-pair join. Each task
+    * holds ~2n/B vectors and the shuffle carries ~(B+1)·n rows, so B
+    * dials task memory and parallelism against shuffle volume; size
+    * it near sqrt(desired tasks) on a cluster (B(B+1)/2 tasks). */
+  val CosineBlocks = 8
+
+  /** C5: embedding-cosine ≥ 0.4 near-dup pairs — exact, via a
+    * block-pair equi-join. Vectors are hashed into [[CosineBlocks]]
+    * blocks; every row is replicated to the (block_i ≤ block_j) pair
+    * keys it participates in, and the join is an ordinary shuffle
+    * hash/merge join on the pair key — per-pair work lands in
+    * B(B+1)/2 equal-size tasks of bounded memory, with NO
+    * BroadcastNestedLoopJoin and no full-table broadcast (DedupSpec
+    * asserts the plan). The comparison count is still exactly n²/2:
+    * τ = 0.4 sits on a continuum in this data (qualifying pairs at
+    * cos 0.4005 vs non-qualifying at 0.3999), so any banded-LSH
+    * candidate cut would drop boundary pairs and break the exact
+    * oracle — probabilistic near-dup at scale is [[Similarity.annLsh]]
+    * (hyperplane bands + rerank); this operator is the exact form,
+    * organized so a cluster can actually execute it.
+    *
     * Cosine is a strict sequential fold (see VectorFunctions) so the
     * DuckDB oracle agrees bit-for-bit and the τ filter is stable. */
   def dedupEmbedCosine(spark: SparkSession, dir: String): DataFrame = {
+    val bCol = pmod(col("vec_id"), lit(CosineBlocks.toLong))
     val e = Tables(spark, dir).embeddings
       .select(col("vec_id"), V.toDouble(col("embedding")).as("v"))
       .withColumn("nrm", V.norm(col("v")))
-    e.as("a")
-      .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("blk", bCol)
+    // Pair key (k1, k2), k1 <= k2: the left side carries block k1's
+    // rows, the right side block k2's. A cross-block pair meets in
+    // exactly one key; same-block pairs meet in the diagonal key,
+    // deduped by vec_id order.
+    val blocks = (0 until CosineBlocks).map(b => lit(b.toLong))
+    val left = e.withColumn("k2", explode(array(blocks: _*)))
+      .filter(col("blk") <= col("k2"))
+      .withColumnRenamed("blk", "k1")
+    val right = e.withColumn("k1", explode(array(blocks: _*)))
+      .filter(col("k1") <= col("blk"))
+      .withColumnRenamed("blk", "k2")
+    left.as("a")
+      .join(right.as("b"),
+        col("a.k1") === col("b.k1") && col("a.k2") === col("b.k2") &&
+          (col("a.k1") =!= col("a.k2") || col("a.vec_id") < col("b.vec_id")))
       .withColumn("dot", V.dot(col("a.v"), col("b.v")))
       .withColumn("cos",
         V.cosineWithNorms(col("dot"), col("a.nrm"), col("b.nrm")))
       .filter(col("cos") >= 0.4)
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("id_a"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("id_b"),
         round(col("cos"), 4).as("cos"))
       .orderBy(col("id_a"), col("id_b"))
   }

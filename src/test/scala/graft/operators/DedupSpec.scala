@@ -106,6 +106,60 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("embed cosine: block-pair equi-join plan, result == naive all-pairs") {
+    import graft.Tables
+    import graft.functions.{VectorFunctions => V}
+    val df = Dedup.dedupEmbedCosine(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"),
+      s"block-pair join must not degrade to a nested-loop cartesian:\n$plan")
+    // naive O(n²) cartesian reference — correctness baseline only
+    val e = Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), V.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", V.norm(col("v")))
+    val naive = e.as("a")
+      .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", V.cosineWithNorms(V.dot(col("a.v"), col("b.v")),
+        col("a.nrm"), col("b.nrm")))
+      .filter(col("cos") >= 0.4)
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = df.select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === naive)
+  }
+
+  test("ngram df-cut drops stop-shingle pairs but keeps planted near-dups") {
+    val s = spark; import s.implicits._
+    def body(i: Int): Seq[String] = {
+      val r = new scala.util.Random(1000 + i)
+      val vocab = ('a' to 'z').map(_.toString)
+      Seq.fill(40)(vocab(r.nextInt(vocab.size)) + "x" + i.toString)
+    }
+    // 60 docs dominated by a shared 20-token stop phrase (every stop
+    // shingle has df = 60 > NgramDfMax = 50): without the cut each
+    // unrelated pair has J ≈ 0.83 and the output would hold ~1770
+    // pairs; with the cut their intersection is empty. Docs 100/101
+    // are planted near-dups through unique bodies (no stop tokens).
+    val stop = (1 to 20).map(k => "stopword" + k)
+    val stopRich = (0 until 60).map { i =>
+      (i.toLong, (stop ++ Seq("uniq" + i, "tail" + i)).mkString(" "))
+    }
+    val planted = Seq(
+      (100L, body(100).mkString(" ")),
+      (101L, body(100).updated(10, "mutated").mkString(" ")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-dfcut").toString
+    (stopRich ++ planted).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.dedupNgramJaccard(spark, dir)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((100L, 101L)),
+      s"expected only the planted pair to survive the df cut, got " +
+        s"${pairs.size} pairs: ${pairs.take(5)}")
+  }
+
   test("dedup queries run against testdata; planted dups found") {
     val ngram = Dedup.dedupNgramJaccard(spark, sfDir)
     assert(ngram.count() > 0, "sf0.001 should contain planted near-dups")
