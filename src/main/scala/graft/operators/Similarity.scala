@@ -145,9 +145,13 @@ object Similarity {
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val planes = V.randomPlanes(nPlanes = 64, dim = 64)
     // One vectors() definition feeds banding, the query side and the
-    // rerank join (at production scale, persist this — Catalyst does
-    // not dedup separate scan subtrees).
+    // rerank join. Catalyst does not dedup separate scan subtrees, so
+    // persist the projected+normed base: one parquet scan populates
+    // the cache, the three consumers read InMemoryTableScan
+    // (SimilaritySpec asserts the plan). CacheManager dedups repeated
+    // calls by canonicalized plan, so this does not accumulate.
     val base = vectors(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = base
       .withColumn("bands", V.hyperplaneBands(col("v"), planes, bandBits = 4))
       .select(col("vec_id"), posexplode(col("bands")).as(Seq("band", "key")))

@@ -30,6 +30,19 @@ class ScanSpec extends SparkSuite {
       assert(!readSchema.contains(c), s"$c should be pruned:\n$readSchema")
   }
 
+  test("q2 runs a partial WindowGroupLimit before the window exchange") {
+    // q2's rank<=3 relies on Spark 4's RewriteWindowGroupLimit: each
+    // map task keeps only its per-group top-3 before shuffling to the
+    // 5-value o_orderpriority partitioning. Without it, 5 tasks sort
+    // the whole table — silent optimizer dependency, so lock it in.
+    val plan = scanString(Relational.q2TopkWindow(spark, sfDir))
+    assert(plan.contains("WindowGroupLimit"),
+      s"WindowGroupLimit rewrite did not fire:\n$plan")
+    val partialIdx = plan.indexOf("WindowGroupLimit")
+    assert(plan.lastIndexOf("WindowGroupLimit") != partialIdx,
+      s"expected both partial and final WindowGroupLimit:\n$plan")
+  }
+
   test("text queries read only doc_id and text, not the whole table") {
     val plan = scanString(
       graft.functions.TextQueries.textFingerprint(spark, sfDir))

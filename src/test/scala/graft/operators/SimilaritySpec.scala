@@ -62,6 +62,23 @@ class SimilaritySpec extends SparkSuite {
     assert(full === bf)
   }
 
+  test("LSH base is persisted: consumers read the cache, not parquet") {
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    // inspect the optimized logical plan — the physical plan hides
+    // subtrees inside AQE query stages, the logical one does not.
+    val plan = Similarity.annLsh(spark, sfDir).queryExecution.optimizedPlan
+    val parquetReads = plan.collect { case r: LogicalRelation => r }
+    val cacheReads = plan.collect { case c: InMemoryRelation => c }
+    // banding, query side and rerank all read the persisted base; the
+    // one real parquet scan lives inside the cached relation and runs
+    // once to populate it.
+    assert(parquetReads.isEmpty,
+      s"direct parquet reads should be replaced by cache reads:\n$plan")
+    assert(cacheReads.size >= 3,
+      s"expected >=3 cached base reads, got ${cacheReads.size}:\n$plan")
+  }
+
   test("LSH returns at most k rows per query with valid ranks") {
     val lsh = Similarity.annLsh(spark, sfDir)
     val byQ = lsh.groupBy(col("q_id")).agg(count(lit(1)).as("n"),
