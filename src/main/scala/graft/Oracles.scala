@@ -471,9 +471,65 @@ object Oracles {
         |ORDER BY q_id, rk""".stripMargin
   )
 
-  /** SURVEY §2F — multimodal binary plumbing (mm_decode is rows-only:
-    * its decoder is a stub by design). */
+  /** SURVEY §2F — multimodal binary plumbing. mm_decode's oracle does
+    * the same PNG/BMP header parse as Multimodal.decodeHeader with
+    * blob substring + hex→int casts: big-endian IHDR fields for PNG,
+    * little-endian BITMAPINFOHEADER for BMP (signed width/height),
+    * NULL dimensions + ok=false for unknown magic. The corpus is
+    * printable ASCII, so both engines take the unknown branch on
+    * every row — the png/bmp arms are exercised by MultimodalSpec's
+    * synthesized headers (exact-rows, Spark side). mean_byte is an
+    * exact integer byte sum over the blob divided once — identical
+    * to the ascii() fold on this ASCII corpus. */
   val multimodal: Map[String, String] = Map(
+    // Byte offsets become hex-string offsets (1-based byte o → hex
+    // char 2(o-1)+1): PNG magic 89504E470D0A1A0A at 1, IHDR at 25,
+    // BE width/height/depth at 33/41/49; BMP 424D at 1, reserved
+    // zeros at 13, LE width/height/bpp byte pairs reassembled from
+    // 37/45/57.
+    "mm_decode" ->
+      """SELECT doc_id,
+        |  CASE WHEN is_png THEN 'png' WHEN is_bmp THEN 'bmp'
+        |       ELSE 'unknown' END AS format,
+        |  CASE WHEN is_png THEN ('0x' || substring(h, 33, 8))::bigint::int
+        |       WHEN is_bmp THEN (CASE WHEN w_le >= 2147483648
+        |         THEN w_le - 4294967296 ELSE w_le END)::int
+        |  END AS width,
+        |  CASE WHEN is_png THEN ('0x' || substring(h, 41, 8))::bigint::int
+        |       WHEN is_bmp THEN (CASE WHEN h_le >= 2147483648
+        |         THEN h_le - 4294967296 ELSE h_le END)::int
+        |  END AS height,
+        |  CASE WHEN is_png THEN ('0x' || substring(h, 49, 2))::int
+        |       WHEN is_bmp THEN ('0x' || substring(h, 59, 2)
+        |         || substring(h, 57, 2))::int
+        |  END AS bit_depth,
+        |  round(bytesum / (length(h) / 2), 4) AS mean_byte,
+        |  (is_png OR is_bmp) AS ok
+        |FROM (
+        |  SELECT doc_id, h, is_png,
+        |    (length(h) >= 60 AND substring(h, 1, 4) = '424D'
+        |      AND substring(h, 13, 8) = '00000000'
+        |      AND NOT is_png) AS is_bmp,
+        |    -- little-endian uint32 at byte offsets 18 / 22 (0-based)
+        |    CASE WHEN length(h) >= 60 THEN
+        |      ('0x' || substring(h, 43, 2) || substring(h, 41, 2)
+        |        || substring(h, 39, 2) || substring(h, 37, 2))::bigint
+        |    END AS w_le,
+        |    CASE WHEN length(h) >= 60 THEN
+        |      ('0x' || substring(h, 51, 2) || substring(h, 49, 2)
+        |        || substring(h, 47, 2) || substring(h, 45, 2))::bigint
+        |    END AS h_le,
+        |    bytesum
+        |  FROM (
+        |    SELECT doc_id, hex(text::blob) AS h,
+        |      (octet_length(text::blob) >= 26
+        |        AND substring(hex(text::blob), 1, 16) = '89504E470D0A1A0A'
+        |        AND substring(hex(text::blob), 25, 8) = '49484452') AS is_png,
+        |      list_reduce(
+        |        list_transform(string_split(text, ''), c -> ascii(c)::bigint),
+        |        (a, b) -> a + b)::double AS bytesum
+        |    FROM documents))
+        |ORDER BY doc_id""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id,
         |  octet_length(text::blob)::int AS n_bytes,

@@ -42,6 +42,11 @@ object SparkEntry {
     "q21_grouping_sets"  -> Relational.q21GroupingSets,
     "q22_pivot"          -> Relational.q22Pivot,
     "q23_percentiles"    -> Relational.q23Percentiles,
+    // sketch-based scale paths of q12/q23 — rows-only gate, error
+    // bounds asserted in ApproxSpec (sketches aren't cross-engine
+    // reproducible, so no SQL oracle by design)
+    "q23_approx_percentiles" -> Relational.q23ApproxPercentiles,
+    "q12_approx_distinct"    -> Relational.q12ApproxDistinct,
     "asof_join"          -> (AsOfJoin.purchasesAsOfSignup(_, _)),
     "events_sessionize"  -> (Sessionize.sessions(_, _)),
     // §2A — MapReduce engine pipelines

@@ -8,10 +8,12 @@ import graft.Tables
 /** SURVEY §2F — multimodal columns: image/audio/video payloads ride as
   * opaque `binary` columns with typed metadata beside them. The test
   * corpus has no real media, so the blob is derived
-  * (`cast(text as binary)`) and the *decode* step is a clearly-marked
-  * deterministic stub — but everything Spark-side is real: the binary
-  * schema, the per-partition batch shape, the typed output rows, and
-  * the fact that only metadata (not blobs) crosses any shuffle.
+  * (`cast(text as binary)`); the decode step parses real PNG/BMP
+  * container headers from the bytes (dimensions need no codec — only
+  * pixel decoding would, and that is explicitly out of scope in this
+  * container). Everything Spark-side is real: the binary schema, the
+  * per-partition batch shape, the typed output rows, and the fact
+  * that only metadata (not blobs) crosses any shuffle.
   *
   * Scale notes: blobs never enter a join/groupBy key; metadata
   * extraction is per-row scan work; decode runs `mapPartitions` so a
@@ -28,25 +30,53 @@ object Multimodal {
     graft.functions.OracleMath.roundDuck(c, scale)
 
   final case class MmBlob(doc_id: Long, content: Array[Byte])
-  final case class Decoded(doc_id: Long, width: Int, height: Int,
-      channels: Int, mean_byte: Double, ok: Boolean)
+  final case class Decoded(doc_id: Long, format: String,
+      width: Option[Int], height: Option[Int], bit_depth: Option[Int],
+      mean_byte: Double, ok: Boolean)
 
-  /** The decode stub. A production build swaps this for a real codec
-    * (e.g. javax.imageio / ffmpeg via JNI) initialized once per
-    * partition; the container has no media libraries, so this fake
-    * derives deterministic "dimensions" from header bytes. STUB —
-    * the values are fabricated; the batch contract is the product. */
-  private[multimodal] def decodeStub(b: MmBlob): Decoded = {
-    val bytes = b.content
-    if (bytes.isEmpty) Decoded(b.doc_id, 0, 0, 0, 0.0, ok = false)
-    else {
-      val w = 1 + (bytes(0) & 0x3F)
-      val h = 1 + (bytes(math.min(1, bytes.length - 1)) & 0x3F)
-      val c = 1 + (bytes(math.min(2, bytes.length - 1)) & 0x03)
-      var sum = 0L
-      bytes.foreach(x => sum += (x & 0xFF))
-      Decoded(b.doc_id, w, h, c, sum.toDouble / bytes.length, ok = true)
-    }
+  private def beU32(a: Array[Byte], off: Int): Int =
+    ((a(off) & 0xFF) << 24) | ((a(off + 1) & 0xFF) << 16) |
+      ((a(off + 2) & 0xFF) << 8) | (a(off + 3) & 0xFF)
+  private def leS32(a: Array[Byte], off: Int): Int =
+    ((a(off + 3) & 0xFF) << 24) | ((a(off + 2) & 0xFF) << 16) |
+      ((a(off + 1) & 0xFF) << 8) | (a(off) & 0xFF)
+  private def leU16(a: Array[Byte], off: Int): Int =
+    ((a(off + 1) & 0xFF) << 8) | (a(off) & 0xFF)
+
+  private val PngMagic =
+    Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  /** Real container-header decode — no codec library needed for the
+    * dimensions: PNG holds them big-endian in the IHDR chunk (magic at
+    * 0, width/height/bit-depth at offsets 16/20/24); BMP little-endian
+    * in BITMAPINFOHEADER (`BM` at 0, reserved zeros at 6–9,
+    * width/height/bpp at 18/22/28). Unknown magic → ok=false with
+    * null dimensions — pixel decoding (which WOULD need a codec)
+    * stays out of scope; `mean_byte` summarizes the payload instead.
+    * The DuckDB oracle performs the same parse on the blob with
+    * substring/hex, so mm_decode is hash-gated end to end. */
+  private[multimodal] def decodeHeader(b: MmBlob): Decoded = {
+    val a = b.content
+    val mean =
+      if (a.isEmpty) 0.0
+      else {
+        var sum = 0L // exact integer sum — matches the oracle's fold
+        a.foreach(x => sum += (x & 0xFF))
+        sum.toDouble / a.length
+      }
+    val isPng = a.length >= 26 &&
+      (0 until 8).forall(i => a(i) == PngMagic(i)) &&
+      a(12) == 'I' && a(13) == 'H' && a(14) == 'D' && a(15) == 'R'
+    val isBmp = !isPng && a.length >= 30 &&
+      a(0) == 'B' && a(1) == 'M' &&
+      (6 until 10).forall(a(_) == 0)
+    if (isPng)
+      Decoded(b.doc_id, "png", Some(beU32(a, 16)), Some(beU32(a, 20)),
+        Some(a(24) & 0xFF), mean, ok = true)
+    else if (isBmp)
+      Decoded(b.doc_id, "bmp", Some(leS32(a, 18)), Some(leS32(a, 22)),
+        Some(leU16(a, 28)), mean, ok = true)
+    else Decoded(b.doc_id, "unknown", None, None, None, mean, ok = false)
   }
 
   /** Blob view of documents: (doc_id, content binary). */
@@ -64,19 +94,21 @@ object Multimodal {
         md5(col("content")).as("checksum"))
       .orderBy(col("doc_id"))
 
-  /** F2: decode / feature-extract via `mapPartitions` — the batch
-    * shape a real codec needs (init once per partition, stream the
-    * blobs through). Output is a typed Dataset[Decoded]. */
+  /** F2: header decode / feature-extract via `mapPartitions` — the
+    * batch shape a *pixel* codec needs (init once per partition,
+    * stream the blobs through); the header parse itself is real
+    * ([[decodeHeader]]). Output is a typed Dataset[Decoded]. */
   def mmDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ds: Dataset[MmBlob] = blobs(spark, dir).as[MmBlob]
     ds.mapPartitions { it =>
-        // real codec handle would be created HERE, once per partition
-        it.map(decodeStub)
+        // a pixel-codec handle would be created HERE, once per partition
+        it.map(decodeHeader)
       }
       .toDF()
-      .select(col("doc_id"), col("width"), col("height"), col("channels"),
-        round(col("mean_byte"), 4).as("mean_byte"), col("ok"))
+      .select(col("doc_id"), col("format"), col("width"), col("height"),
+        col("bit_depth"), round(col("mean_byte"), 4).as("mean_byte"),
+        col("ok"))
       .orderBy(col("doc_id"))
   }
 

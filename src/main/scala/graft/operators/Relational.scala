@@ -340,6 +340,46 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Sketch-based variant of q23 — the 100 TB path made real code.
+    * `approx_percentile` (KLL-style quantile sketch) is a true
+    * partial aggregate: each partition folds its values into a
+    * fixed-size sketch and the exchange carries sketches, not sorted
+    * value vectors — no hot group can exceed executor memory, unlike
+    * the exact form. accuracy=10000 bounds rank error at 1/10000.
+    * Rows-only gate (sketches are not bit-reproducible across
+    * engines); RelationalSpec asserts the error bound vs exact. */
+  def q23ApproxPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("approx_percentile(l_extendedprice, 0.25, 10000)"), 4)
+          .as("p25"),
+        round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 4)
+          .as("p50"),
+        round(expr("approx_percentile(l_extendedprice, 0.75, 10000)"), 4)
+          .as("p75"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Sketch-based variant of q12 — HyperLogLog++ count-distinct.
+    * The exact form Expands ×3 then shuffles every distinct value;
+    * this one shuffles three constant-size HLL sketches per group and
+    * merges them — at 100 TB the difference between a data-volume
+    * shuffle and a metadata one. rsd=0.01 → ~1% standard error
+    * (RelationalSpec asserts a 5% ceiling vs exact). Rows-only gate.
+    */
+  def q12ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("n_parts"),
+        approx_count_distinct(col("l_suppkey"), rsd = 0.01).as("n_supps"),
+        approx_count_distinct(
+          concat_ws(" ", col("l_partkey"), col("l_suppkey")),
+          rsd = 0.01).as("n_ps"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** JSON extraction from the events.props payload column. */
   def q20Json(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir).events

@@ -31,6 +31,46 @@ class JobsSpec extends SparkSuite {
     assert(res.isFailure, "cancelled job must not report success")
   }
 
+  test("submitJob delivers results through a SinkWriter on completion") {
+    import graft.sources.Sinks
+    val root = Files.createTempDirectory("graft-delivery").toString
+    val handle = Jobs.submitJob(spark, "wc_delivered",
+      MrQueries.mrWordcount(spark, sfDir), Jobs.SinkWriter(root, Sinks.Parquet))
+    assert(Jobs.await(handle, 120.seconds).isSuccess)
+    val delivered = spark.read.parquet(s"$root/wc_delivered")
+    assert(delivered.count() > 0, "delivered result must hold the rows")
+    assert(delivered.columns.toSet === Set("word", "n"))
+  }
+
+  test("onComplete fires with the outcome; failures surface the error") {
+    val p = scala.concurrent.Promise[scala.util.Try[Unit]]()
+    val handle = Jobs.submitJob(spark, "will_fail",
+      graft.Tables(spark, sfDir).documents
+        .selectExpr("raise_error('delivery boom')"),
+      Jobs.CallbackWriter((_, df) => { df.collect(); () }))
+    handle.onComplete(p.success(_))
+    val outcome = scala.concurrent.Await.result(p.future, 120.seconds)
+    assert(outcome.isFailure, "failed delivery must not report success")
+    assert(Jobs.await(handle, 1.second).isFailure)
+  }
+
+  test("completed handles are reaped; running ones are retained") {
+    val done = Jobs.submitAsync(spark, "quick") { () }
+    assert(Jobs.await(done, 60.seconds).isSuccess)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val running = Jobs.submitAsync(spark, "held") { gate.await() }
+    Thread.sleep(100)
+    Jobs.reap()
+    assert(Jobs.active.exists(_.groupId == running.groupId),
+      "running handle must survive the reap")
+    assert(!Jobs.active.exists(_.groupId == done.groupId),
+      "completed handle must be reaped")
+    gate.countDown()
+    assert(Jobs.await(running, 60.seconds).isSuccess)
+    Jobs.reap()
+    assert(!Jobs.active.exists(_.groupId == running.groupId))
+  }
+
   test("two async jobs run concurrently under separate groups") {
     val outA = Files.createTempDirectory("graft-jobA").toString + "/a"
     val outB = Files.createTempDirectory("graft-jobB").toString + "/b"

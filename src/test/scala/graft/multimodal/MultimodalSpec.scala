@@ -11,26 +11,81 @@ class MultimodalSpec extends SparkSuite {
     val out = Multimodal.mmDecode(spark, sfDir)
     assert(out.schema === StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
-      StructField("width", IntegerType, nullable = false),
-      StructField("height", IntegerType, nullable = false),
-      StructField("channels", IntegerType, nullable = false),
+      StructField("format", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("bit_depth", IntegerType, nullable = true),
       StructField("mean_byte", DoubleType, nullable = true),
       StructField("ok", BooleanType, nullable = false))))
   }
 
-  test("decode is deterministic and covers every doc") {
+  test("decode is deterministic; text blobs fall back to unknown/ok=false") {
     val a = Multimodal.mmDecode(spark, sfDir).collect()
     val b = Multimodal.mmDecode(spark, sfDir).collect()
     assert(a.sameElements(b))
     val nDocs = graft.Tables(spark, sfDir).documents.count()
     assert(a.length.toLong === nDocs)
-    assert(a.forall(_.getBoolean(5)), "all non-empty blobs decode ok")
     a.foreach { r =>
-      assert(r.getInt(1) >= 1 && r.getInt(1) <= 64)   // width
-      assert(r.getInt(3) >= 1 && r.getInt(3) <= 4)    // channels
-      assert(r.getDouble(4) > 0 && r.getDouble(4) < 256)
+      assert(r.getString(1) === "unknown") // ASCII text is never an image
+      assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+      assert(!r.getBoolean(6))
+      assert(r.getDouble(5) > 0 && r.getDouble(5) < 256)
     }
   }
+
+  /** Minimal valid PNG signature + IHDR prefix with the given
+    * geometry — a real header, byte for byte. */
+  private def pngHeader(w: Int, h: Int, depth: Int): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(32)
+    buf.put(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte))
+    buf.putInt(13)                       // IHDR chunk length
+    buf.put("IHDR".getBytes("US-ASCII")) // offsets 12..15
+    buf.putInt(w).putInt(h)              // big-endian at 16 / 20
+    buf.put(depth.toByte)                // bit depth at 24
+    buf.put(6.toByte)                    // color type RGBA
+    buf.array()
+  }
+
+  /** BITMAPFILEHEADER + start of BITMAPINFOHEADER with the given
+    * geometry (little-endian, reserved zeros). */
+  private def bmpHeader(w: Int, h: Int, bpp: Int): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(32)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(32)          // file size
+    buf.putInt(0)           // reserved zeros at 6..9
+    buf.putInt(54)          // pixel offset
+    buf.putInt(40)          // info header size
+    buf.putInt(w).putInt(h) // little-endian at 18 / 22
+    buf.putShort(1)         // planes
+    buf.putShort(bpp.toShort) // bpp at 28
+    buf.array()
+  }
+
+  test("real PNG/BMP headers parse to exact dimensions; junk stays unknown") {
+    val cases = Seq(
+      Multimodal.MmBlob(1L, pngHeader(640, 480, 8)),
+      Multimodal.MmBlob(2L, bmpHeader(1920, 1080, 24)),
+      Multimodal.MmBlob(3L, bmpHeader(16, -32, 32)), // top-down BMP
+      Multimodal.MmBlob(4L, "BMlooks like a bitmap but is text!".getBytes),
+      Multimodal.MmBlob(5L, Array.emptyByteArray),
+      Multimodal.MmBlob(6L, pngHeader(1, 1, 16).take(20))) // truncated
+    val got = cases.map(Multimodal.decodeHeader)
+    assert(got(0) === Multimodal.Decoded(1L, "png",
+      Some(640), Some(480), Some(8), meanOf(cases(0).content), ok = true))
+    assert(got(1) === Multimodal.Decoded(2L, "bmp",
+      Some(1920), Some(1080), Some(24), meanOf(cases(1).content), ok = true))
+    assert(got(2).height === Some(-32), "signed little-endian height")
+    assert(got(3).format === "unknown" && !got(3).ok,
+      "reserved bytes must be zero for BMP — text cannot fake it")
+    assert(got(4) === Multimodal.Decoded(5L, "unknown",
+      None, None, None, 0.0, ok = false))
+    assert(got(5).format === "unknown" && !got(5).ok, "truncated header")
+  }
+
+  private def meanOf(a: Array[Byte]): Double =
+    if (a.isEmpty) 0.0 else a.map(_ & 0xFF).map(_.toLong).sum.toDouble / a.length
 
   test("decode preserves partitioning (no shuffle before map)") {
     val ds = Multimodal.blobs(spark, sfDir)
