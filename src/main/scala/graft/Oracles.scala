@@ -420,6 +420,55 @@ object Oracles {
         |WHERE jac >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // Connected components over the same pair graph as
+    // dedup_ngram_jaccard (identical CTE prefix incl. the df<=50
+    // cut): DuckDB's recursive CTE computes every label reachable
+    // from each node; min per node = the component representative —
+    // the closed form of Spark's min-label-propagation fixpoint.
+    "dedup_components" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS w
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                          FOR i IN range(1, len(w) - 1)])) AS s
+        |  FROM toks WHERE len(w) >= 3),
+        |sh AS (
+        |  SELECT doc_id, s FROM (
+        |    SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh0)
+        |  WHERE df <= 50),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT doc_a, doc_b, c::double / (sa.n + sb.n - c) AS jac
+        |    FROM inter
+        |    JOIN sizes sa ON sa.doc_id = doc_a
+        |    JOIN sizes sb ON sb.doc_id = doc_b)
+        |  WHERE jac >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT DISTINCT src AS node, src AS lbl FROM edges
+        |  UNION
+        |  SELECT e.dst AS node, r.lbl AS lbl
+        |  FROM reach r JOIN edges e ON e.src = r.node),
+        |comp AS (SELECT node AS doc_id, min(lbl) AS rep_doc
+        |         FROM reach GROUP BY node)
+        |SELECT c.doc_id, c.rep_doc, s.n_members
+        |FROM comp c
+        |JOIN (SELECT rep_doc, count(*) AS n_members
+        |      FROM comp GROUP BY rep_doc) s
+        |  ON c.rep_doc = s.rep_doc
+        |ORDER BY c.doc_id""".stripMargin,
+
     "dedup_embed_cosine" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
@@ -561,6 +610,15 @@ object Oracles {
         |  FROM events)
         |GROUP BY win_start, event_type
         |ORDER BY win_start, event_type""".stripMargin,
+
+    // First-document-per-content-hash (the retained docs after online
+    // exact dedup); streaming path equals this when doc_id-ordered
+    // (StreamsSpec drives it through a MemoryStream).
+    "stream_dedup" ->
+      """SELECT min(doc_id) AS doc_id, md5(text) AS text_hash
+        |FROM documents
+        |GROUP BY md5(text)
+        |ORDER BY doc_id""".stripMargin,
 
     // Identical sessions to events_sessionize — the stateful path must
     // reproduce the window-function batch form exactly.

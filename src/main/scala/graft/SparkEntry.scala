@@ -66,6 +66,7 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> Dedup.dedupMinhashLsh,
     "dedup_simhash"       -> Dedup.dedupSimhash,
     "dedup_embed_cosine"  -> Dedup.dedupEmbedCosine,
+    "dedup_components"    -> Dedup.dedupComponents,
     // §2D — similarity search
     "ann_bruteforce"      -> Similarity.annBruteforce,
     "ann_lsh"             -> Similarity.annLsh,
@@ -76,7 +77,8 @@ object SparkEntry {
     "mm_framesample"      -> Multimodal.mmFramesample,
     // §2G — streaming (batch-equivalent entries; stream path in specs)
     "stream_window_agg"   -> Streams.streamWindowAgg,
-    "stream_sessionize"   -> Streams.streamSessionize
+    "stream_sessionize"   -> Streams.streamSessionize,
+    "stream_dedup"        -> Streams.streamDedup
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

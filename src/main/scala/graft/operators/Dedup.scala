@@ -133,6 +133,63 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** C6: near-dup *clusters* from the C2 pair graph — connected
+    * components by iterative min-label propagation, the step a real
+    * dedup pipeline runs after pair detection ("keep one
+    * representative per duplicate cluster"). Each round every node
+    * takes the min label among itself and its neighbors; convergence
+    * is O(component diameter) rounds (dup clusters are shallow — the
+    * cap is a guard, not a tuning knob). Every round is a plain
+    * shuffle join + groupBy on node ids, so the iteration distributes
+    * like any other query; at billions of edges the same loop body
+    * with the large-star/small-star transforms (Kiveris et al.,
+    * "Connected Components in MapReduce", SoCC'14) bounds the round
+    * count for high-diameter graphs. The driver-side loop only
+    * checks a converged flag per round (one count — no data is
+    * collected). Output: (doc_id, rep_doc = min doc_id in component,
+    * n_members). DuckDB oracle: recursive CTE over the same pairs. */
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupNgramJaccard(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+      .persist()
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .persist()
+    var converged = false
+    var iter = 0
+    val maxIter = 20
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels, col("dst") === col("node"))
+        .groupBy(col("src"))
+        .agg(min(col("lbl")).as("nbr_lbl"))
+      val next = labels
+        .join(nbrMin, col("node") === col("src"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .persist()
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.lbl") =!= col("o.lbl"))
+        .isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
+    val out = labels.join(sizes, "lbl")
+      .select(col("node").as("doc_id"), col("lbl").as("rep_doc"),
+        col("n_members"))
+      .orderBy(col("doc_id"))
+    pairs.unpersist()
+    edges.unpersist()
+    out
+  }
+
   /** Number of blocks in the embed-cosine block-pair join. Each task
     * holds ~2n/B vectors and the shuffle carries ~(B+1)·n rows, so B
     * dials task memory and parallelism against shuffle volume; size

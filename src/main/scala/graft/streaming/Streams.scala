@@ -148,6 +148,58 @@ object Streams {
         org.apache.spark.sql.Encoders.product[Session])
   }
 
+  /** One incoming document for the streaming dedup. */
+  final case class Doc(doc_id: Long, text_hash: String)
+  /** Per-hash dedup state: the retained representative. */
+  final case class SeenRep(doc_id: Long)
+
+  /** G3 dedup core: keep the first document per content hash.
+    * Batch semantics ("first" = min doc_id overall) and streaming
+    * semantics ("first" = min doc_id not yet emitted, per arrival
+    * order) coincide when the stream is doc_id-ordered — the spec
+    * drives exactly that and asserts equality with the batch form.
+    *
+    * Scale: state per key is ONE long (the representative id), never
+    * document content — a 1e10-doc corpus holds hash→id pairs, which
+    * is the minimum any online exact-dedup can store. State here
+    * never expires by design (a duplicate may arrive years later);
+    * bounding it is a retention decision — `NoTimeout` swapped for
+    * `ProcessingTimeTimeout` + a TTL gives "dedup within N days". */
+  def dedupFn(hash: String, docs: Iterator[Doc],
+      state: GroupState[SeenRep]): Iterator[Doc] =
+    if (state.exists) {
+      docs.foreach(_ => ()) // duplicates of an already-kept doc: drop
+      Iterator.empty
+    } else {
+      val rep = docs.minBy(_.doc_id)
+      state.update(SeenRep(rep.doc_id))
+      Iterator(Doc(rep.doc_id, hash))
+    }
+
+  /** Shared stateful dedup over a typed doc stream (batch or
+    * streaming — one transform, two execution modes, like G1/G2). */
+  def dedupStateful(docs: Dataset[Doc]): Dataset[Doc] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.text_hash)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        dedupFn)
+  }
+
+  /** G3 batch entry: first-per-content-hash over `documents`
+    * (md5(text), the dedup_exact convention) — in batch mode every
+    * group arrives in one call, so output = min doc_id per hash,
+    * which is the SQL oracle. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), md5(col("text")).as("text_hash"))
+      .as[Doc]
+    dedupStateful(docs)
+      .toDF()
+      .select(col("doc_id"), col("text_hash"))
+      .orderBy(col("doc_id"))
+  }
+
   /** G2 batch entry: the same flatMapGroupsWithState path, batch mode
     * (full history per group, open sessions emitted) — output is
     * byte-identical to the window-function batch form

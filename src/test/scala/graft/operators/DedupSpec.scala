@@ -160,6 +160,61 @@ class DedupSpec extends SparkSuite {
         s"${pairs.size} pairs: ${pairs.take(5)}")
   }
 
+  test("components equal a driver-side union-find over the pair graph") {
+    val pairs = Dedup.dedupNgramJaccard(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // reference union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(d => d -> find(d)).toMap
+    val expSizes = expected.values.groupBy(identity).map { case (r, v) => r -> v.size }
+
+    val got = Dedup.dedupComponents(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSet === expected.keySet)
+    got.foreach { case (doc, rep, n) =>
+      assert(rep === expected(doc), s"doc $doc: rep $rep")
+      assert(n === expSizes(rep).toLong, s"component $rep size")
+    }
+  }
+
+  test("components are transitive: a~b~c chains into one cluster") {
+    val s = spark; import s.implicits._
+    val base = {
+      val r = new scala.util.Random(5)
+      val vocab = ('a' to 'z').map(_.toString)
+      Vector.fill(40)(vocab(r.nextInt(vocab.size)) + "q")
+    }
+    def swapBlock(t: Vector[String], at: Int, tag: String): Vector[String] =
+      (0 until 8).foldLeft(t)((acc, k) => acc.updated(at + k, s"sw$tag$k"))
+    // doc1 ~ doc0 and doc2 ~ doc1 (J ≈ 0.58 each), but doc2 !~ doc0
+    // (J ≈ 0.31 < τ) — only transitivity links 0 and 2.
+    val docs = Seq(
+      (0L, base.mkString(" ")),
+      (1L, swapBlock(base, 0, "a").mkString(" ")),
+      (2L, swapBlock(swapBlock(base, 0, "a"), 20, "b").mkString(" ")),
+      (3L, Vector.tabulate(40)(i => "unrelated" + i).mkString(" ")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc").toString
+    docs.toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairSet = Dedup.dedupNgramJaccard(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet === Set((0L, 1L), (1L, 2L)),
+      s"corpus must form exactly the 0-1-2 chain, got $pairSet")
+    val comps = Dedup.dedupComponents(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(comps === Set((0L, 0L, 3L), (1L, 0L, 3L), (2L, 0L, 3L)))
+  }
+
   test("dedup queries run against testdata; planted dups found") {
     val ngram = Dedup.dedupNgramJaccard(spark, sfDir)
     assert(ngram.count() > 0, "sf0.001 should contain planted near-dups")

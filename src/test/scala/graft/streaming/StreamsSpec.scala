@@ -102,6 +102,49 @@ class StreamsSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("streaming dedup equals batch dedup on a doc_id-ordered stream") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    val expected = Streams.streamDedup(spark, sfDir).collect().toSeq
+    val docs = graft.Tables(spark, sfDir).documents
+      .select(col("doc_id"), md5(col("text")).as("text_hash"))
+      .as[Streams.Doc].orderBy("doc_id").collect()
+    val stream = MemoryStream[Streams.Doc]
+    val query = Streams.dedupStateful(stream.toDS())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      docs.grouped(math.max(1, docs.length / 3)).foreach { batch =>
+        stream.addData(batch.toSeq)
+        query.processAllAvailable()
+      }
+      val got = s.table("dedup").as[Streams.Doc]
+        .collect().sortBy(_.doc_id).toSeq
+      assert(got === expected.map(r =>
+        Streams.Doc(r.getLong(0), r.getString(1))))
+    } finally query.stop()
+  }
+
+  test("streaming dedup suppresses duplicates arriving in later batches") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    val stream = MemoryStream[Streams.Doc]
+    val query = Streams.dedupStateful(stream.toDS())
+      .writeStream.format("memory").queryName("dedup2")
+      .outputMode("append").start()
+    try {
+      stream.addData(Streams.Doc(1, "h1"), Streams.Doc(2, "h2"),
+        Streams.Doc(3, "h1")) // within-batch dup: min wins
+      query.processAllAvailable()
+      stream.addData(Streams.Doc(4, "h1"), Streams.Doc(5, "h3"))
+      query.processAllAvailable()
+      val got = s.table("dedup2").as[Streams.Doc]
+        .collect().sortBy(_.doc_id).toSeq
+      assert(got === Seq(Streams.Doc(1, "h1"), Streams.Doc(2, "h2"),
+        Streams.Doc(5, "h3")))
+    } finally query.stop()
+  }
+
   test("state survives across triggers (session continues, then closes)") {
     val s = spark; import s.implicits._
     implicit val sq = s.sqlContext
