@@ -14,8 +14,11 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** array<float> → array<double> (all math in double). */
-  def toDouble(v: Column): Column = transform(v, _.cast("double"))
+  /** array<float> → array<double> (all math in double). A direct
+    * array cast — Catalyst's Cast is codegen'd element-wise widening,
+    * bit-identical to `transform(_.cast("double"))` but without the
+    * interpreted HOF pass that transform costs per row. */
+  def toDouble(v: Column): Column = v.cast("array<double>")
 
   /** Sequential dot product of two double arrays — a native codegen
     * expression with the exact op order of the HOF/list_reduce

@@ -56,7 +56,11 @@ object Dedup {
     * The df count is a window over the same `s` partitioning the
     * self-join shuffles on, so the df pass reuses the exchange
     * instead of re-scanning. */
-  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  /** Unordered, unrounded (doc_a, doc_b, jac) pairs with jac >= 0.5 —
+    * the shared core of C2 and C6. C2 adds the oracle shape (rounding
+    * + deterministic sort) on top; C6 caches this directly so the
+    * cached frame has no dangling orderBy exchange. */
+  private def ngramPairs(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = Tables(spark, dir).documents
     val sh = d.select(col("doc_id"),
@@ -76,9 +80,13 @@ object Dedup {
       .withColumn("jac",
         col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c")))
       .filter(col("jac") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+  }
+
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramPairs(spark, dir)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   /** C3: MinHash(64) + banded LSH (16 bands × 4 rows): candidate pairs
     * are docs sharing any band bucket; est_jaccard = matching
@@ -149,7 +157,7 @@ object Dedup {
     * collected). Output: (doc_id, rep_doc = min doc_id in component,
     * n_members). DuckDB oracle: recursive CTE over the same pairs. */
   def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = dedupNgramJaccard(spark, dir)
+    val pairs = ngramPairs(spark, dir)
       .select(col("doc_a"), col("doc_b"))
       .persist()
     val edges = pairs
@@ -162,6 +170,15 @@ object Dedup {
     var converged = false
     var iter = 0
     val maxIter = 20
+    // Convergence probe: labels only ever decrease, so the fixpoint
+    // is reached exactly when sum(lbl) stops falling — one cheap
+    // global aggregate per round instead of a change-detection join.
+    // The full-scan agg also matters for a second reason: it
+    // materializes EVERY partition of `next` into the cache (a
+    // take(1)-style probe leaves partitions uncached, and once the
+    // previous labels are unpersisted their recompute chains the
+    // whole lineage back through the pair pipeline, once per round).
+    var lblSum = Option.empty[Long]
     while (!converged && iter < maxIter) {
       val nbrMin = edges
         .join(labels, col("dst") === col("node"))
@@ -172,10 +189,9 @@ object Dedup {
         .select(col("node"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
         .persist()
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.lbl") =!= col("o.lbl"))
-        .isEmpty
+      val s = next.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
+      converged = lblSum.contains(s)
+      lblSum = Some(s)
       labels.unpersist()
       labels = next
       iter += 1
