@@ -8,15 +8,17 @@ import graft.functions.{HashFunctions => H, VectorFunctions => V}
 
 /** SURVEY §2C — deduplication over `documents` / `embeddings`.
   *
-  * Scale design (100 TB): nothing here is O(n²) on the full corpus.
-  * Candidate generation always goes through an equi-join on a derived
-  * key — md5 (exact), shared shingle (inverted index), LSH band
-  * bucket (minhash), 16-bit chunk (simhash pigeonhole) — which Spark
-  * executes as an ordinary shuffle join; AQE splits skewed buckets.
-  * Only `dedupEmbedCosine` does exact all-pairs, as the correctness
-  * baseline for the LSH path (see
-  * [[graft.operators.Similarity.annLsh]] for the scale variant).
-  */
+  * Scale design (100 TB): candidate generation always goes through an
+  * equi-join on a derived key — md5 (exact), shared shingle hash with
+  * a document-frequency cut (inverted index), LSH band bucket
+  * (minhash), 16-bit chunk (simhash pigeonhole), block-pair key
+  * (embed cosine) — which Spark executes as an ordinary shuffle join;
+  * AQE splits skewed buckets. `dedupEmbedCosine` is the one
+  * inherently O(n²)-comparison operator (exact τ at a continuum
+  * threshold admits no complete cut on dense vectors); its block-pair
+  * join bounds task memory and avoids any broadcast, and
+  * [[graft.operators.Similarity.annLsh]] is the approximate scale
+  * path. `dedupComponents` turns the pair graph into clusters. */
 object Dedup {
 
   // Shadows functions.round: DuckDB-exact binary rounding so oracle
@@ -45,9 +47,10 @@ object Dedup {
     * 7 / 25; J of the planted pairs is ≥ 0.8 vs τ = 0.5). */
   val NgramDfMax = 50
 
-  /** C2: 3-gram shingle Jaccard >= 0.5 pair detection via an inverted
-    * shingle index: explode distinct shingle *hashes* (fused native
-    * [[graft.functions.ShingleHashes]] — tokenize+shingle+xxhash64 in
+  /** Shared core of C2/C6: unordered, unrounded (doc_a, doc_b, jac)
+    * pairs with jac >= 0.5, via an inverted shingle index — explode
+    * distinct shingle *hashes* (fused native
+    * [[graft.functions.ShingleHashes]]: tokenize+shingle+xxhash64 in
     * one codegen loop; the join key is the 64-bit hash, never the
     * string), df-cut the hot shingles, self-join on the shingle hash
     * (shuffle on shingle keys, not doc pairs), count intersections,
@@ -55,11 +58,9 @@ object Dedup {
     *
     * The df count is a window over the same `s` partitioning the
     * self-join shuffles on, so the df pass reuses the exchange
-    * instead of re-scanning. */
-  /** Unordered, unrounded (doc_a, doc_b, jac) pairs with jac >= 0.5 —
-    * the shared core of C2 and C6. C2 adds the oracle shape (rounding
-    * + deterministic sort) on top; C6 caches this directly so the
-    * cached frame has no dangling orderBy exchange. */
+    * instead of re-scanning. C2 adds the oracle shape (rounding +
+    * deterministic sort) on top; C6 caches this frame directly so the
+    * cache carries no dangling orderBy exchange. */
   private def ngramPairs(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = Tables(spark, dir).documents
@@ -83,6 +84,8 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jac"))
   }
 
+  /** C2: 3-gram shingle Jaccard >= 0.5 pair detection (see
+    * [[ngramPairs]] for the index structure and df cut). */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     ngramPairs(spark, dir)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
