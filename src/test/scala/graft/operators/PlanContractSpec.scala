@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSuite
+
+/** Blanket physical-plan contract over EVERY SparkEntry query: no
+  * plan may contain a CartesianProduct or BroadcastNestedLoopJoin —
+  * the two shapes that mean "this operator would not survive a 100×
+  * scale-up". Any future operator that slips into a non-equi join
+  * fails here by name, not in a production plan review. */
+class PlanContractSpec extends SparkSuite {
+
+  // BroadcastNestedLoopJoin is scale-safe ONLY when its broadcast
+  // side is bounded by construction; each entry here names why:
+  //  - ann_bruteforce: the broadcast side is the k-query set (10
+  //    rows); scoring all n×q pairs IS the operator's definition,
+  //    and the O(n·q) loop is the documented exact baseline.
+  //  - q14_scalar_subquery: the broadcast side is a 1-row global
+  //    aggregate — a broadcast scalar, O(n) total.
+  private val boundedBroadcastOk = Set("ann_bruteforce", "q14_scalar_subquery")
+
+  test("no query plans a cartesian or unbounded nested-loop join") {
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, q) =>
+        val plan = q(spark, sfDir).queryExecution.executedPlan.toString
+        val bad =
+          (if (plan.contains("CartesianProduct")) Seq("CartesianProduct")
+           else Seq.empty) ++
+          (if (plan.contains("BroadcastNestedLoop") &&
+               !boundedBroadcastOk(name)) Seq("BroadcastNestedLoop")
+           else Seq.empty)
+        bad.map(b => s"$name: $b")
+    }
+    assert(offenders.isEmpty,
+      s"scale-hostile join shapes found:\n${offenders.mkString("\n")}")
+  }
+
+  test("star-join dims are broadcast, not shuffled (q3, q5)") {
+    for (name <- Seq("q3_join_agg", "q5_multijoin")) {
+      val plan = graft.SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name should broadcast its dimension tables:\n$plan")
+    }
+  }
+}
