@@ -491,6 +491,75 @@ object Oracles {
         |ORDER BY id_a, id_b""".stripMargin
   )
 
+  /** SURVEY §2I — the composed curation pipeline: E2 quality filter →
+    * exact dedup (min doc_id per md5) → near-dup component
+    * non-representatives dropped (C2 pairs + C6 components over the
+    * filtered corpus — note the df cut counts within that corpus,
+    * matching Curate.curateCorpus exactly). */
+  val curate: Map[String, String] = Map(
+    "curate_corpus" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |                    w -> w <> '')) AS n_tok,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |        w -> w IN ('the','a','is','of')))
+        |      / len(list_filter(string_split_regex(text, '\s+'),
+        |                        w -> w <> '')) AS stop_ratio,
+        |    len(regexp_extract_all(text, '[^a-z0-9\s]'))
+        |      / length(text) AS punct_ratio
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, text, n_tok,
+        |    0.5 * least(1.0, n_tok / 200.0) + 0.3 * (1.0 - stop_ratio)
+        |      + 0.2 * (1.0 - punct_ratio) AS quality
+        |  FROM base),
+        |q AS (SELECT * FROM scored WHERE quality >= 0.5),
+        |ex AS (
+        |  SELECT doc_id, text, n_tok, quality FROM (
+        |    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+        |    FROM q)
+        |  WHERE doc_id = rep),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS w
+        |  FROM ex),
+        |sh0 AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                          FOR i IN range(1, len(w) - 1)])) AS s
+        |  FROM toks WHERE len(w) >= 3),
+        |sh AS (
+        |  SELECT doc_id, s FROM (
+        |    SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh0)
+        |  WHERE df <= 50),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT doc_a, doc_b, c::double / (sa.n + sb.n - c) AS jac
+        |    FROM inter
+        |    JOIN sizes sa ON sa.doc_id = doc_a
+        |    JOIN sizes sb ON sb.doc_id = doc_b)
+        |  WHERE jac >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT DISTINCT src AS node, src AS lbl FROM edges
+        |  UNION
+        |  SELECT e.dst AS node, r.lbl AS lbl
+        |  FROM reach r JOIN edges e ON e.src = r.node),
+        |comp AS (SELECT node, min(lbl) AS rep_doc FROM reach GROUP BY node)
+        |SELECT doc_id, n_tok::int AS n_tokens, round(quality, 4) AS quality
+        |FROM ex
+        |WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> rep_doc)
+        |ORDER BY doc_id""".stripMargin)
+
   /** SURVEY §2D — similarity search (ann_lsh is rows-only +
     * recall-property-tested). */
   val similarity: Map[String, String] = Map(

@@ -67,6 +67,8 @@ object SparkEntry {
     "dedup_simhash"       -> Dedup.dedupSimhash,
     "dedup_embed_cosine"  -> Dedup.dedupEmbedCosine,
     "dedup_components"    -> Dedup.dedupComponents,
+    // §2I — composed curation pipeline
+    "curate_corpus"       -> (graft.operators.Curate.curateCorpus(_, _)),
     // §2D — similarity search
     "ann_bruteforce"      -> Similarity.annBruteforce,
     "ann_lsh"             -> Similarity.annLsh,
@@ -85,5 +87,6 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Oracles.relational ++ Oracles.mr ++ Oracles.text ++ Oracles.dedup ++
-      Oracles.similarity ++ Oracles.multimodal ++ Oracles.streaming
+      Oracles.similarity ++ Oracles.multimodal ++ Oracles.streaming ++
+      Oracles.curate
 }

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{TextFunctions => T}
+
+/** End-to-end corpus curation — the composed pipeline this library's
+  * operators exist for, as ONE query: quality-score every document
+  * (E2's exact expression), drop low-quality docs, drop exact
+  * duplicates (keep the min doc_id per md5), then drop near-dup
+  * cluster non-representatives (C2's shingle pair graph + C6's
+  * connected components, computed over the already-filtered corpus).
+  * What survives is the training set a data pipeline would feed
+  * downstream.
+  *
+  * Scale shape: the quality filter and md5 window are per-row scan
+  * work plus one hash-partitioned window; the near-dup stage inherits
+  * C2/C6's inverted-index + label-propagation structure. Each stage
+  * shrinks the data the next one sees — the same reason production
+  * curation pipelines run in this order.
+  */
+object Curate {
+
+  // Shadows functions.round: DuckDB-exact binary rounding so oracle
+  // hashes cannot flake on decimal half boundaries (see OracleMath).
+  private def round(c: org.apache.spark.sql.Column, scale: Int):
+      org.apache.spark.sql.Column =
+    graft.functions.OracleMath.roundDuck(c, scale)
+
+  /** Minimum composite quality (unrounded — identical expression tree
+    * on both engines, so the boundary is exact). */
+  val MinQuality = 0.5
+
+  def curateCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = T.wsTokenCount(col("text"))
+    val stopRatio = T.tokenCountIn(col("text"), T.EnStopwords) / nTok
+    val punctRatio = T.punctCount(col("text")) / length(col("text"))
+    val scored = Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"), nTok.as("n_tokens"),
+        T.qualityScore(nTok, stopRatio, punctRatio).as("quality"))
+      .filter(col("quality") >= MinQuality)
+    // exact dedup: keep the min doc_id per content hash
+    val exact = scored
+      .withColumn("rep",
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .filter(col("doc_id") === col("rep"))
+      .drop("rep")
+    // near-dup dedup on the surviving set: drop every doc whose
+    // component representative is another doc
+    val pairs = Dedup.ngramPairsOf(exact.select(col("doc_id"), col("text")))
+      .select(col("doc_a"), col("doc_b"))
+      .persist()
+    val dupIds = Dedup.componentLabels(pairs)
+      .filter(col("node") =!= col("lbl"))
+      .select(col("node").as("dup_id"))
+    val out = exact
+      .join(dupIds, col("doc_id") === col("dup_id"), "left_anti")
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("quality"), 4).as("quality"))
+      .orderBy(col("doc_id"))
+    pairs.unpersist()
+    out
+  }
+}

@@ -61,9 +61,14 @@ object Dedup {
     * instead of re-scanning. C2 adds the oracle shape (rounding +
     * deterministic sort) on top; C6 caches this frame directly so the
     * cache carries no dangling orderBy exchange. */
-  private def ngramPairs(spark: SparkSession, dir: String): DataFrame = {
+  private def ngramPairs(spark: SparkSession, dir: String): DataFrame =
+    ngramPairsOf(Tables(spark, dir).documents)
+
+  /** Same pair pipeline over any (doc_id, text) frame — lets composed
+    * pipelines (see [[Curate]]) run near-dup detection on an already
+    * filtered corpus; the df cut then counts within that corpus. */
+  private[operators] def ngramPairsOf(d: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = Tables(spark, dir).documents
     val sh = d.select(col("doc_id"),
         explode(H.shingleHashes(col("text"), 3)).as("s"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
@@ -163,6 +168,22 @@ object Dedup {
     val pairs = ngramPairs(spark, dir)
       .select(col("doc_a"), col("doc_b"))
       .persist()
+    val labels = componentLabels(pairs)
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
+    val out = labels.join(sizes, "lbl")
+      .select(col("node").as("doc_id"), col("lbl").as("rep_doc"),
+        col("n_members"))
+      .orderBy(col("doc_id"))
+    pairs.unpersist()
+    out
+  }
+
+  /** Min-label propagation over a (doc_a, doc_b) pair frame → one
+    * (node, lbl) row per node, lbl = min doc_id reachable. The loop
+    * body is plain shuffle joins; the returned frame is fully
+    * materialized in the cache (see the probe note below). Callers
+    * should persist `pairs` first — every round references it. */
+  private[operators] def componentLabels(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
@@ -199,14 +220,8 @@ object Dedup {
       labels = next
       iter += 1
     }
-    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
-    val out = labels.join(sizes, "lbl")
-      .select(col("node").as("doc_id"), col("lbl").as("rep_doc"),
-        col("n_members"))
-      .orderBy(col("doc_id"))
-    pairs.unpersist()
     edges.unpersist()
-    out
+    labels
   }
 
   /** Number of blocks in the embed-cosine block-pair join. Each task
