@@ -42,12 +42,15 @@ object Curate {
       .select(col("doc_id"), col("text"), nTok.as("n_tokens"),
         T.qualityScore(nTok, stopRatio, punctRatio).as("quality"))
       .filter(col("quality") >= MinQuality)
-    // exact dedup: keep the min doc_id per content hash
+    // exact dedup: keep the min doc_id per content hash. Persisted —
+    // the frame feeds both the pair pipeline and the final anti-join,
+    // and Catalyst does not dedup the two scan+window subtrees.
     val exact = scored
       .withColumn("rep",
         min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
       .filter(col("doc_id") === col("rep"))
       .drop("rep")
+      .persist()
     // near-dup dedup on the surviving set: drop every doc whose
     // component representative is another doc
     val pairs = Dedup.ngramPairsOf(exact.select(col("doc_id"), col("text")))
