@@ -603,11 +603,14 @@ object Oracles {
     // Byte offsets become hex-string offsets (1-based byte o → hex
     // char 2(o-1)+1): PNG magic 89504E470D0A1A0A at 1, IHDR at 25,
     // BE width/height/depth at 33/41/49; BMP 424D at 1, reserved
-    // zeros at 13, LE width/height/bpp byte pairs reassembled from
-    // 37/45/57.
+    // zeros at 13, LE width/height/bpp byte pairs from 37/45/57;
+    // WAV RIFF/WAVE/fmt at 1/17/25, NUL-guarded LE fmt-size at 33,
+    // LE channels/rate/bits at 45/49/69; MP4 ftyp at 9 with a
+    // NUL-guarded BE box size at 1.
     "mm_decode" ->
       """SELECT doc_id,
         |  CASE WHEN is_png THEN 'png' WHEN is_bmp THEN 'bmp'
+        |       WHEN is_wav THEN 'wav' WHEN is_mp4 THEN 'mp4'
         |       ELSE 'unknown' END AS format,
         |  CASE WHEN is_png THEN ('0x' || substring(h, 33, 8))::bigint::int
         |       WHEN is_bmp THEN (CASE WHEN w_le >= 2147483648
@@ -620,33 +623,58 @@ object Oracles {
         |  CASE WHEN is_png THEN ('0x' || substring(h, 49, 2))::int
         |       WHEN is_bmp THEN ('0x' || substring(h, 59, 2)
         |         || substring(h, 57, 2))::int
+        |       WHEN is_wav THEN ('0x' || substring(h, 71, 2)
+        |         || substring(h, 69, 2))::int
         |  END AS bit_depth,
+        |  CASE WHEN is_wav THEN ('0x' || substring(h, 47, 2)
+        |         || substring(h, 45, 2))::int
+        |  END AS channels,
+        |  CASE WHEN is_wav THEN ('0x' || substring(h, 55, 2)
+        |         || substring(h, 53, 2) || substring(h, 51, 2)
+        |         || substring(h, 49, 2))::bigint::int
+        |  END AS sample_rate,
         |  round(bytesum / (length(h) / 2), 4) AS mean_byte,
-        |  (is_png OR is_bmp) AS ok
+        |  (is_png OR is_bmp OR is_wav OR is_mp4) AS ok
         |FROM (
-        |  SELECT doc_id, h, is_png,
-        |    (length(h) >= 60 AND substring(h, 1, 4) = '424D'
-        |      AND substring(h, 13, 8) = '00000000'
-        |      AND NOT is_png) AS is_bmp,
-        |    -- little-endian uint32 at byte offsets 18 / 22 (0-based)
-        |    CASE WHEN length(h) >= 60 THEN
-        |      ('0x' || substring(h, 43, 2) || substring(h, 41, 2)
-        |        || substring(h, 39, 2) || substring(h, 37, 2))::bigint
-        |    END AS w_le,
-        |    CASE WHEN length(h) >= 60 THEN
-        |      ('0x' || substring(h, 51, 2) || substring(h, 49, 2)
-        |        || substring(h, 47, 2) || substring(h, 45, 2))::bigint
-        |    END AS h_le,
-        |    bytesum
+        |  SELECT doc_id, h, is_png, is_bmp, is_wav,
+        |    (length(h) >= 24 AND substring(h, 9, 8) = '66747970'
+        |      AND (CASE WHEN length(h) >= 24
+        |           THEN ('0x' || substring(h, 1, 8))::bigint
+        |           ELSE -1 END) BETWEEN 12 AND 64
+        |      AND NOT (is_png OR is_bmp OR is_wav)) AS is_mp4,
+        |    w_le, h_le, bytesum
         |  FROM (
-        |    SELECT doc_id, hex(text::blob) AS h,
-        |      (octet_length(text::blob) >= 26
-        |        AND substring(hex(text::blob), 1, 16) = '89504E470D0A1A0A'
-        |        AND substring(hex(text::blob), 25, 8) = '49484452') AS is_png,
-        |      list_reduce(
-        |        list_transform(string_split(text, ''), c -> ascii(c)::bigint),
-        |        (a, b) -> a + b)::double AS bytesum
-        |    FROM documents))
+        |    SELECT doc_id, h, is_png,
+        |      (length(h) >= 60 AND substring(h, 1, 4) = '424D'
+        |        AND substring(h, 13, 8) = '00000000'
+        |        AND NOT is_png) AS is_bmp,
+        |      (length(h) >= 72 AND substring(h, 1, 8) = '52494646'
+        |        AND substring(h, 17, 8) = '57415645'
+        |        AND substring(h, 25, 8) = '666D7420'
+        |        AND (CASE WHEN length(h) >= 72
+        |             THEN ('0x' || substring(h, 39, 2) || substring(h, 37, 2)
+        |               || substring(h, 35, 2) || substring(h, 33, 2))::bigint
+        |             ELSE -1 END) IN (16, 18, 40)
+        |        AND NOT is_png) AS is_wav,
+        |      -- little-endian uint32 at byte offsets 18 / 22 (0-based)
+        |      CASE WHEN length(h) >= 60 THEN
+        |        ('0x' || substring(h, 43, 2) || substring(h, 41, 2)
+        |          || substring(h, 39, 2) || substring(h, 37, 2))::bigint
+        |      END AS w_le,
+        |      CASE WHEN length(h) >= 60 THEN
+        |        ('0x' || substring(h, 51, 2) || substring(h, 49, 2)
+        |          || substring(h, 47, 2) || substring(h, 45, 2))::bigint
+        |      END AS h_le,
+        |      bytesum
+        |    FROM (
+        |      SELECT doc_id, hex(text::blob) AS h,
+        |        (octet_length(text::blob) >= 26
+        |          AND substring(hex(text::blob), 1, 16) = '89504E470D0A1A0A'
+        |          AND substring(hex(text::blob), 25, 8) = '49484452') AS is_png,
+        |        list_reduce(
+        |          list_transform(string_split(text, ''), c -> ascii(c)::bigint),
+        |          (a, b) -> a + b)::double AS bytesum
+        |      FROM documents)))
         |ORDER BY doc_id""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id,

@@ -32,6 +32,7 @@ object Multimodal {
   final case class MmBlob(doc_id: Long, content: Array[Byte])
   final case class Decoded(doc_id: Long, format: String,
       width: Option[Int], height: Option[Int], bit_depth: Option[Int],
+      channels: Option[Int], sample_rate: Option[Int],
       mean_byte: Double, ok: Boolean)
 
   private def beU32(a: Array[Byte], off: Int): Int =
@@ -46,15 +47,24 @@ object Multimodal {
   private val PngMagic =
     Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
 
-  /** Real container-header decode — no codec library needed for the
-    * dimensions: PNG holds them big-endian in the IHDR chunk (magic at
-    * 0, width/height/bit-depth at offsets 16/20/24); BMP little-endian
-    * in BITMAPINFOHEADER (`BM` at 0, reserved zeros at 6–9,
-    * width/height/bpp at 18/22/28). Unknown magic → ok=false with
-    * null dimensions — pixel decoding (which WOULD need a codec)
-    * stays out of scope; `mean_byte` summarizes the payload instead.
-    * The DuckDB oracle performs the same parse on the blob with
-    * substring/hex, so mm_decode is hash-gated end to end. */
+  /** Real container-header decode across the three modalities — no
+    * codec library needed for container metadata:
+    *  - PNG: big-endian IHDR (magic at 0, width/height/bit-depth at
+    *    16/20/24);
+    *  - BMP: little-endian BITMAPINFOHEADER (`BM` at 0, reserved
+    *    zeros at 6–9, width/height/bpp at 18/22/28);
+    *  - WAV: RIFF/WAVE/`fmt ` chunk (channels/sample-rate/bits at
+    *    22/24/34, little-endian); the fmt-chunk size (16/18/40) is
+    *    part of detection — its NUL high bytes mean ASCII text can
+    *    never false-match;
+    *  - MP4: `ftyp` box at 4 with a sane big-endian box size at 0
+    *    (again NUL-guarded); A/V metadata lives deep in `moov`, so
+    *    mp4 rows carry detection only.
+    * Unknown magic → ok=false with null fields — pixel/sample
+    * decoding (which WOULD need a codec) stays out of scope;
+    * `mean_byte` summarizes the payload instead. The DuckDB oracle
+    * performs the same parse in hex-string space, so mm_decode is
+    * hash-gated end to end. */
   private[multimodal] def decodeHeader(b: MmBlob): Decoded = {
     val a = b.content
     val mean =
@@ -64,19 +74,33 @@ object Multimodal {
         a.foreach(x => sum += (x & 0xFF))
         sum.toDouble / a.length
       }
+    def ascii(off: Int, s: String): Boolean =
+      s.indices.forall(i => a(off + i) == s.charAt(i).toByte)
     val isPng = a.length >= 26 &&
-      (0 until 8).forall(i => a(i) == PngMagic(i)) &&
-      a(12) == 'I' && a(13) == 'H' && a(14) == 'D' && a(15) == 'R'
+      (0 until 8).forall(i => a(i) == PngMagic(i)) && ascii(12, "IHDR")
     val isBmp = !isPng && a.length >= 30 &&
-      a(0) == 'B' && a(1) == 'M' &&
-      (6 until 10).forall(a(_) == 0)
+      ascii(0, "BM") && (6 until 10).forall(a(_) == 0)
+    val isWav = !isPng && !isBmp && a.length >= 36 &&
+      ascii(0, "RIFF") && ascii(8, "WAVE") && ascii(12, "fmt ") &&
+      Set(16, 18, 40).contains(leS32(a, 16))
+    val isMp4 = !isPng && !isBmp && !isWav && a.length >= 12 && {
+      val box = beU32(a, 0)
+      ascii(4, "ftyp") && box >= 12 && box <= 64
+    }
     if (isPng)
       Decoded(b.doc_id, "png", Some(beU32(a, 16)), Some(beU32(a, 20)),
-        Some(a(24) & 0xFF), mean, ok = true)
+        Some(a(24) & 0xFF), None, None, mean, ok = true)
     else if (isBmp)
       Decoded(b.doc_id, "bmp", Some(leS32(a, 18)), Some(leS32(a, 22)),
-        Some(leU16(a, 28)), mean, ok = true)
-    else Decoded(b.doc_id, "unknown", None, None, None, mean, ok = false)
+        Some(leU16(a, 28)), None, None, mean, ok = true)
+    else if (isWav)
+      Decoded(b.doc_id, "wav", None, None, Some(leU16(a, 34)),
+        Some(leU16(a, 22)), Some(leS32(a, 24)), mean, ok = true)
+    else if (isMp4)
+      Decoded(b.doc_id, "mp4", None, None, None, None, None, mean,
+        ok = true)
+    else Decoded(b.doc_id, "unknown", None, None, None, None, None,
+      mean, ok = false)
   }
 
   /** Blob view of documents: (doc_id, content binary). */
@@ -107,8 +131,8 @@ object Multimodal {
       }
       .toDF()
       .select(col("doc_id"), col("format"), col("width"), col("height"),
-        col("bit_depth"), round(col("mean_byte"), 4).as("mean_byte"),
-        col("ok"))
+        col("bit_depth"), col("channels"), col("sample_rate"),
+        round(col("mean_byte"), 4).as("mean_byte"), col("ok"))
       .orderBy(col("doc_id"))
   }
 

@@ -15,6 +15,8 @@ class MultimodalSpec extends SparkSuite {
       StructField("width", IntegerType, nullable = true),
       StructField("height", IntegerType, nullable = true),
       StructField("bit_depth", IntegerType, nullable = true),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
       StructField("mean_byte", DoubleType, nullable = true),
       StructField("ok", BooleanType, nullable = false))))
   }
@@ -26,10 +28,10 @@ class MultimodalSpec extends SparkSuite {
     val nDocs = graft.Tables(spark, sfDir).documents.count()
     assert(a.length.toLong === nDocs)
     a.foreach { r =>
-      assert(r.getString(1) === "unknown") // ASCII text is never an image
-      assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
-      assert(!r.getBoolean(6))
-      assert(r.getDouble(5) > 0 && r.getDouble(5) < 256)
+      assert(r.getString(1) === "unknown") // ASCII text is never media
+      (2 to 6).foreach(i => assert(r.isNullAt(i)))
+      assert(!r.getBoolean(8))
+      assert(r.getDouble(7) > 0 && r.getDouble(7) < 256)
     }
   }
 
@@ -63,25 +65,63 @@ class MultimodalSpec extends SparkSuite {
     buf.array()
   }
 
-  test("real PNG/BMP headers parse to exact dimensions; junk stays unknown") {
+  /** RIFF/WAVE header with a 16-byte PCM fmt chunk. */
+  private def wavHeader(channels: Int, rate: Int, bits: Int): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16) // PCM fmt size
+    buf.putShort(1)                                  // PCM
+    buf.putShort(channels.toShort).putInt(rate)
+    buf.putInt(rate * channels * bits / 8)           // byte rate
+    buf.putShort((channels * bits / 8).toShort)      // block align
+    buf.putShort(bits.toShort)                       // bits @34
+    buf.array()
+  }
+
+  /** MP4 ftyp box (size 16: brand + one compatible brand). */
+  private def mp4Header(brand: String): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(16)
+    buf.putInt(16)
+    buf.put("ftyp".getBytes("US-ASCII"))
+    buf.put(brand.getBytes("US-ASCII")) // 4 bytes
+    buf.putInt(0)                        // minor version
+    buf.array()
+  }
+
+  test("real media headers parse to exact fields; junk stays unknown") {
     val cases = Seq(
       Multimodal.MmBlob(1L, pngHeader(640, 480, 8)),
       Multimodal.MmBlob(2L, bmpHeader(1920, 1080, 24)),
       Multimodal.MmBlob(3L, bmpHeader(16, -32, 32)), // top-down BMP
       Multimodal.MmBlob(4L, "BMlooks like a bitmap but is text!".getBytes),
       Multimodal.MmBlob(5L, Array.emptyByteArray),
-      Multimodal.MmBlob(6L, pngHeader(1, 1, 16).take(20))) // truncated
+      Multimodal.MmBlob(6L, pngHeader(1, 1, 16).take(20)), // truncated
+      Multimodal.MmBlob(7L, wavHeader(2, 44100, 16)),
+      Multimodal.MmBlob(8L, mp4Header("isom")),
+      Multimodal.MmBlob(9L, "RIFFxxxxWAVEfmt looks like audio text"
+        .getBytes)) // fmt size from ASCII bytes is never 16/18/40
     val got = cases.map(Multimodal.decodeHeader)
     assert(got(0) === Multimodal.Decoded(1L, "png",
-      Some(640), Some(480), Some(8), meanOf(cases(0).content), ok = true))
+      Some(640), Some(480), Some(8), None, None,
+      meanOf(cases(0).content), ok = true))
     assert(got(1) === Multimodal.Decoded(2L, "bmp",
-      Some(1920), Some(1080), Some(24), meanOf(cases(1).content), ok = true))
+      Some(1920), Some(1080), Some(24), None, None,
+      meanOf(cases(1).content), ok = true))
     assert(got(2).height === Some(-32), "signed little-endian height")
     assert(got(3).format === "unknown" && !got(3).ok,
       "reserved bytes must be zero for BMP — text cannot fake it")
     assert(got(4) === Multimodal.Decoded(5L, "unknown",
-      None, None, None, 0.0, ok = false))
+      None, None, None, None, None, 0.0, ok = false))
     assert(got(5).format === "unknown" && !got(5).ok, "truncated header")
+    assert(got(6) === Multimodal.Decoded(7L, "wav",
+      None, None, Some(16), Some(2), Some(44100),
+      meanOf(cases(6).content), ok = true))
+    assert(got(7) === Multimodal.Decoded(8L, "mp4",
+      None, None, None, None, None, meanOf(cases(7).content), ok = true))
+    assert(got(8).format === "unknown" && !got(8).ok,
+      "NUL-guarded fmt size must reject RIFF-looking text")
   }
 
   private def meanOf(a: Array[Byte]): Double =
