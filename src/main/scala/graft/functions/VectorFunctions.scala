@@ -34,11 +34,21 @@ object VectorFunctions {
     dotAb / (na * nb)
 
   /** Random-hyperplane signature: bit j = sign(v · r_j), packed into
-    * `nBits/16` 16-bit bucket keys (banded LSH). Hyperplanes come from
-    * a deterministic seed so signatures are stable across runs. Each
-    * 16-bit band key doubles as a bucket id: vectors agreeing on any
-    * band are candidates. */
+    * per-band bucket keys (banded LSH). Hyperplanes come from a
+    * deterministic seed so signatures are stable across runs. Each
+    * band key doubles as a bucket id: vectors agreeing on any band
+    * are candidates. One fused native loop over the flattened plane
+    * matrix ([[HyperplaneSig]]) — bit-identical to the composed
+    * per-plane-dot form below (VectorSpec proves it). */
   def hyperplaneBands(v: Column, planes: Seq[Seq[Double]], bandBits: Int): Column = {
+    require(planes.nonEmpty && planes.size % bandBits == 0)
+    HyperplaneSig(v, planes, bandBits)
+  }
+
+  /** Composed-Column reference formulation of [[hyperplaneBands]] —
+    * nPlanes independent DotProductD nodes + a packing tree; kept for
+    * the bit-equality spec. */
+  def hyperplaneBandsRef(v: Column, planes: Seq[Seq[Double]], bandBits: Int): Column = {
     require(planes.nonEmpty && planes.size % bandBits == 0)
     val bits: Seq[Column] = planes.map { p =>
       val pc = array(p.map(lit): _*)

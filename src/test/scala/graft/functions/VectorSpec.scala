@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.functions.{VectorFunctions => V}
+
+/** Bit-equality of the fused [[HyperplaneSig]] expression with the
+  * composed per-plane-dot reference it replaced. */
+class VectorSpec extends SparkSuite {
+
+  test("fused hyperplane signature equals the composed reference, bit for bit") {
+    val s = spark; import s.implicits._
+    val planes = V.randomPlanes(nPlanes = 64, dim = 8, seed = 3L)
+    val rng = new scala.util.Random(4)
+    val vecs = Seq.fill(50)(Seq.fill(8)(rng.nextGaussian()))
+    val rows = vecs.toDF("v").select(
+        V.hyperplaneBands(col("v"), planes, bandBits = 4).as("fused"),
+        V.hyperplaneBandsRef(col("v"), planes, bandBits = 4).as("ref"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+  }
+
+  test("fused signature on real embeddings equals the reference") {
+    val planes = V.randomPlanes(nPlanes = 64, dim = 64)
+    val e = graft.Tables(spark, sfDir).embeddings
+      .select(V.toDouble(col("embedding")).as("v"))
+    val rows = e.select(
+        V.hyperplaneBands(col("v"), planes, bandBits = 4).as("fused"),
+        V.hyperplaneBandsRef(col("v"), planes, bandBits = 4).as("ref"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+  }
+
+  test("interpreted (eval) and codegen paths agree") {
+    val s = spark; import s.implicits._
+    val planes = V.randomPlanes(nPlanes = 16, dim = 4, seed = 9L)
+    val vecs = Seq.fill(20)(Seq.fill(4)(new scala.util.Random(8).nextGaussian()))
+    val df = vecs.toDF("v")
+    val byCodegen = df
+      .select(V.hyperplaneBands(col("v"), planes, 4).as("k")).collect()
+    try {
+      s.conf.set("spark.sql.codegen.wholeStage", "false")
+      s.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val byEval = df
+        .select(V.hyperplaneBands(col("v"), planes, 4).as("k")).collect()
+      byCodegen.zip(byEval).foreach { case (a, b) =>
+        assert(a.getSeq[Long](0) === b.getSeq[Long](0))
+      }
+    } finally {
+      s.conf.set("spark.sql.codegen.wholeStage", "true")
+      s.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    }
+  }
+}
