@@ -76,8 +76,14 @@ object HashFunctions {
 
   /** Estimated Jaccard from two signatures: matching positions / n.
     * The denominator is the actual signature length, not a hardcoded
-    * perm count — callers may size signatures differently. */
+    * perm count — callers may size signatures differently. Matching
+    * is one native loop ([[SigMatchCount]]); the HOF reference lives
+    * in [[sigSimilarityRef]] for the bit-equality spec. */
   def sigSimilarity(sigA: Column, sigB: Column): Column =
+    SigMatchCount(sigA, sigB) / size(sigA).cast("double")
+
+  /** Interpreted HOF reference formulation of [[sigSimilarity]]. */
+  def sigSimilarityRef(sigA: Column, sigB: Column): Column =
     size(filter(zip_with(sigA, sigB, _ === _), b => b)) /
       size(sigA).cast("double")
 

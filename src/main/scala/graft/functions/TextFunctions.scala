@@ -16,11 +16,22 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Non-empty whitespace-separated tokens. */
+  /** Non-empty whitespace-separated tokens. (Materializing the token
+    * array costs an interpreted `filter` HOF pass — count-only
+    * callers use [[wsTokenCount]]/[[tokenCountIn]], which stay in
+    * codegen via regexp_count.) */
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), w => length(w) > 0)
 
-  def wsTokenCount(text: Column): Column = size(tokens(text))
+  /** Count of non-empty whitespace tokens = count of maximal
+    * non-space runs — `regexp_count` is a codegen'd builtin, equal to
+    * `size(tokens(text))` for every string (TextFunctionsSpec proves
+    * it on randomized input). */
+  def wsTokenCount(text: Column): Column =
+    regexp_count(text, lit("\\S+"))
+
+  /** HOF reference formulation of [[wsTokenCount]] (spec only). */
+  def wsTokenCountRef(text: Column): Column = size(tokens(text))
 
   /** BPE-ish segmentation: letter runs, digit runs, single other
     * non-space chars — the classic pre-tokenizer regex shape. */
@@ -28,8 +39,22 @@ object TextFunctions {
   def bpeTokenCount(text: Column): Column =
     regexp_count(text, lit(BpePattern))
 
-  /** Tokens found in `words` (e.g. a stopword list). */
-  def tokenCountIn(text: Column, words: Seq[String]): Column =
+  /** Tokens found in `words` (e.g. a stopword list). One codegen'd
+    * regexp_count pass: pad the text with spaces, then count
+    * `\s(word1|word2|…)(?=\s)` — the consumed leading space plus the
+    * zero-width trailing lookahead select exactly the whitespace
+    * tokens equal to a listed word (consecutive hits share the
+    * boundary space via the lookahead). Equal to the
+    * filter-isInCollection HOF form on every string
+    * (TextFunctionsSpec, randomized). */
+  def tokenCountIn(text: Column, words: Seq[String]): Column = {
+    val alt = words.map(java.util.regex.Pattern.quote).mkString("|")
+    regexp_count(concat(lit(" "), text, lit(" ")),
+      lit(s"\\s(?:$alt)(?=\\s)"))
+  }
+
+  /** HOF reference formulation of [[tokenCountIn]] (spec only). */
+  def tokenCountInRef(text: Column, words: Seq[String]): Column =
     size(filter(tokens(text), w => w.isInCollection(words)))
 
   val EnStopwords = Seq("the", "a", "is", "of")

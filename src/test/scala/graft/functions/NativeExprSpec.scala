@@ -58,6 +58,27 @@ class NativeExprSpec extends SparkSuite {
     rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("SigMatchCount equals the zip_with/filter HOF, incl. length skew") {
+    val s = spark; import s.implicits._
+    val rng = new scala.util.Random(17)
+    val sigs = Seq.fill(60) {
+      val n = 1 + rng.nextInt(64)
+      val a = Seq.fill(n)(rng.nextLong(1000))
+      // force real matches at random positions
+      val b = a.zipWithIndex.map { case (v, i) =>
+        if (rng.nextBoolean()) v else v + 1 + rng.nextInt(5)
+      }
+      (a, if (rng.nextInt(5) == 0) b.take(n / 2 + 1) else b)
+    }.toDF("a", "b")
+    val rows = sigs.select(
+      HashFunctions.sigSimilarity(col("a"), col("b")).as("native"),
+      HashFunctions.sigSimilarityRef(col("a"), col("b")).as("hof")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
   test("native expressions survive both codegen and interpreted eval") {
     val s = spark; import s.implicits._
     // interpreted path: force eval through a literal-driven projection

@@ -52,6 +52,27 @@ class TextFunctionsSpec extends SparkSuite {
     assert(f1 !== f2)
   }
 
+  test("regexp token counts equal the HOF forms on adversarial strings") {
+    val s = spark; import s.implicits._
+    val rng = new scala.util.Random(23)
+    val pieces = Seq("the", "a", "is", "of", "theo", "xa", "b", "", " ",
+      "  ", "\t", "\n", "of.", ".a", "a")
+    val texts = Seq("", " ", "a", " a ", "a a a", "the the", "of of of",
+      "x\tthe\ny") ++
+      Seq.fill(80)(Seq.fill(1 + rng.nextInt(12))(
+        pieces(rng.nextInt(pieces.size))).mkString(" "))
+    val rows = texts.toDF("t").select(
+        T.wsTokenCount(col("t")).as("ws"),
+        T.wsTokenCountRef(col("t")).as("wsRef"),
+        T.tokenCountIn(col("t"), T.EnStopwords).as("in"),
+        T.tokenCountInRef(col("t"), T.EnStopwords).as("inRef"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getInt(0) === r.getInt(1), "wsTokenCount diverged")
+      assert(r.getInt(2) === r.getInt(3), "tokenCountIn diverged")
+    }
+  }
+
   test("langid picks en on the synthetic corpus, tiebreaks kick in") {
     val out = TextQueries.textLangid(spark, sfDir)
     val preds = out.select("pred_lang").distinct().collect().map(_.getString(0))
