@@ -137,19 +137,14 @@ object Multimodal {
   }
 
   /** F3: every-4th 16-byte block ("frame") sampled from the blob —
-    * pure column algebra (sequence + dynamic substr + hex), no UDF:
-    * frame extraction stays inside whole-stage codegen. */
-  def mmFramesample(spark: SparkSession, dir: String): DataFrame = {
-    // Spark's sequence(1, 0) throws (illegal when start > stop with a
-    // positive step) where DuckDB's range(1, 1, 64) is just empty —
-    // drop empty blobs up front; the oracle drops them via unnest.
-    val b = blobs(spark, dir).filter(length(col("content")) > 0)
-    b.select(col("doc_id"),
-        posexplode(
-          transform(
-            sequence(lit(1), length(col("content")), lit(64)),
-            p => hex(col("content").substr(p, lit(16)))))
+    * one native loop ([[graft.functions.FrameHex]]; the
+    * sequence+transform HOF form ran its lambda interpreted per
+    * frame, which matters once blobs are real media, not 1 KB text).
+    * Empty blobs yield an empty frame array and drop at the explode,
+    * matching the oracle's unnest. */
+  def mmFramesample(spark: SparkSession, dir: String): DataFrame =
+    blobs(spark, dir).select(col("doc_id"),
+        posexplode(graft.functions.FrameHex(col("content"), 64, 16))
           .as(Seq("frame_idx", "frame_hex")))
       .orderBy(col("doc_id"), col("frame_idx"))
-  }
 }

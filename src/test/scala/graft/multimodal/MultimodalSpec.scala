@@ -154,6 +154,23 @@ class MultimodalSpec extends SparkSuite {
     assert(lens.max === 32)
   }
 
+  test("FrameHex equals the sequence+transform HOF form, bit for bit") {
+    val s = spark; import s.implicits._
+    val rng = new scala.util.Random(31)
+    val blobs = Seq.fill(40)(
+      Array.fill(1 + rng.nextInt(300))(rng.nextInt(256).toByte)) :+
+      Array.emptyByteArray
+    val df = blobs.map(Tuple1(_)).toDF("content")
+    val rows = df
+      .select(graft.functions.FrameHex(col("content"), 64, 16).as("native"),
+        when(length(col("content")) > 0,
+          transform(sequence(lit(1), length(col("content")), lit(64)),
+            p => hex(col("content").substr(p, lit(16)))))
+          .otherwise(array()).as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+  }
+
   test("blobs round-trip: binary content decodes back to the text") {
     val s = spark; import s.implicits._
     val row = Multimodal.blobs(spark, sfDir).as[Multimodal.MmBlob].head()
