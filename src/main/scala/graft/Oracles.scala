@@ -380,6 +380,54 @@ object Oracles {
         |ORDER BY doc_id""".stripMargin
   )
 
+  /** Shared inverted-shingle-index CTE chain over `src` (must expose
+    * doc_id, text), ending in `pairs_j(doc_a, doc_b, jac)` with
+    * jac >= 0.5 — the SQL twin of Dedup.ngramPairsOf, used verbatim
+    * by the three queries built on the pair graph so the df cut
+    * (Dedup.NgramDfMax — single source of truth) and Jaccard algebra
+    * can never drift apart between them. */
+  private def ngramPairCtes(src: String): String =
+    raw"""toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS w
+         |  FROM $src),
+         |sh0 AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                          FOR i IN range(1, len(w) - 1)])) AS s
+         |  FROM toks WHERE len(w) >= 3),
+         |sh AS (
+         |  SELECT doc_id, s FROM (
+         |    SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh0)
+         |  WHERE df <= ${graft.operators.Dedup.NgramDfMax}),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs_j AS (
+         |  SELECT doc_a, doc_b, jac FROM (
+         |    SELECT doc_a, doc_b, c::double / (sa.n + sb.n - c) AS jac
+         |    FROM inter
+         |    JOIN sizes sa ON sa.doc_id = doc_a
+         |    JOIN sizes sb ON sb.doc_id = doc_b)
+         |  WHERE jac >= 0.5)""".stripMargin
+
+  /** Connected components over `pairs_j`: recursive closure, min
+    * reachable label per node — the closed form of Spark's
+    * min-label-propagation fixpoint (Dedup.componentLabels). */
+  private val componentCtes: String =
+    """edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs_j
+      |  UNION ALL
+      |  SELECT doc_b, doc_a FROM pairs_j),
+      |reach AS (
+      |  SELECT DISTINCT src AS node, src AS lbl FROM edges
+      |  UNION
+      |  SELECT e.dst AS node, r.lbl AS lbl
+      |  FROM reach r JOIN edges e ON e.src = r.node),
+      |comp AS (SELECT node, min(lbl) AS rep_doc FROM reach GROUP BY node)""".stripMargin
+
   /** SURVEY §2C — dedup (SQL-expressible subset; minhash/simhash are
     * rows-only + property-tested). */
   val dedup: Map[String, String] = Map(
@@ -390,84 +438,21 @@ object Oracles {
         |GROUP BY 1
         |ORDER BY text_hash""".stripMargin,
 
-    // Same document-frequency cut as Dedup.NgramDfMax: shingles in
-    // more than 50 docs leave the index AND the Jaccard universe.
     "dedup_ngram_jaccard" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS w
-        |  FROM documents),
-        |sh0 AS (
-        |  SELECT doc_id,
-        |    unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-        |                          FOR i IN range(1, len(w) - 1)])) AS s
-        |  FROM toks WHERE len(w) >= 3),
-        |sh AS (
-        |  SELECT doc_id, s FROM (
-        |    SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh0)
-        |  WHERE df <= 50),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, round(jac, 4) AS jac FROM (
-        |  SELECT doc_a, doc_b,
-        |    c::double / (sa.n + sb.n - c) AS jac
-        |  FROM inter
-        |  JOIN sizes sa ON sa.doc_id = doc_a
-        |  JOIN sizes sb ON sb.doc_id = doc_b)
-        |WHERE jac >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH ${ngramPairCtes("documents")}
+         |SELECT doc_a, doc_b, round(jac, 4) AS jac
+         |FROM pairs_j
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
-    // Connected components over the same pair graph as
-    // dedup_ngram_jaccard (identical CTE prefix incl. the df<=50
-    // cut): DuckDB's recursive CTE computes every label reachable
-    // from each node; min per node = the component representative —
-    // the closed form of Spark's min-label-propagation fixpoint.
     "dedup_components" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS w
-        |  FROM documents),
-        |sh0 AS (
-        |  SELECT doc_id,
-        |    unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-        |                          FOR i IN range(1, len(w) - 1)])) AS s
-        |  FROM toks WHERE len(w) >= 3),
-        |sh AS (
-        |  SELECT doc_id, s FROM (
-        |    SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh0)
-        |  WHERE df <= 50),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT doc_a, doc_b FROM (
-        |    SELECT doc_a, doc_b, c::double / (sa.n + sb.n - c) AS jac
-        |    FROM inter
-        |    JOIN sizes sa ON sa.doc_id = doc_a
-        |    JOIN sizes sb ON sb.doc_id = doc_b)
-        |  WHERE jac >= 0.5),
-        |edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION ALL
-        |  SELECT doc_b, doc_a FROM pairs),
-        |reach AS (
-        |  SELECT DISTINCT src AS node, src AS lbl FROM edges
-        |  UNION
-        |  SELECT e.dst AS node, r.lbl AS lbl
-        |  FROM reach r JOIN edges e ON e.src = r.node),
-        |comp AS (SELECT node AS doc_id, min(lbl) AS rep_doc
-        |         FROM reach GROUP BY node)
-        |SELECT c.doc_id, c.rep_doc, s.n_members
-        |FROM comp c
-        |JOIN (SELECT rep_doc, count(*) AS n_members
-        |      FROM comp GROUP BY rep_doc) s
-        |  ON c.rep_doc = s.rep_doc
-        |ORDER BY c.doc_id""".stripMargin,
+      s"""WITH RECURSIVE ${ngramPairCtes("documents")},
+         |$componentCtes
+         |SELECT c.node AS doc_id, c.rep_doc, s.n_members
+         |FROM comp c
+         |JOIN (SELECT rep_doc, count(*) AS n_members
+         |      FROM comp GROUP BY rep_doc) s
+         |  ON c.rep_doc = s.rep_doc
+         |ORDER BY doc_id""".stripMargin,
 
     "dedup_embed_cosine" ->
       """WITH e AS (
@@ -498,7 +483,7 @@ object Oracles {
     * matching Curate.curateCorpus exactly). */
   val curate: Map[String, String] = Map(
     "curate_corpus" ->
-      """WITH RECURSIVE base AS (
+      ("""WITH RECURSIVE base AS (
         |  SELECT doc_id, text,
         |    len(list_filter(string_split_regex(text, '\s+'),
         |                    w -> w <> '')) AS n_tok,
@@ -520,45 +505,12 @@ object Oracles {
         |    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS rep
         |    FROM q)
         |  WHERE doc_id = rep),
-        |toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS w
-        |  FROM ex),
-        |sh0 AS (
-        |  SELECT doc_id,
-        |    unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-        |                          FOR i IN range(1, len(w) - 1)])) AS s
-        |  FROM toks WHERE len(w) >= 3),
-        |sh AS (
-        |  SELECT doc_id, s FROM (
-        |    SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh0)
-        |  WHERE df <= 50),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT doc_a, doc_b FROM (
-        |    SELECT doc_a, doc_b, c::double / (sa.n + sb.n - c) AS jac
-        |    FROM inter
-        |    JOIN sizes sa ON sa.doc_id = doc_a
-        |    JOIN sizes sb ON sb.doc_id = doc_b)
-        |  WHERE jac >= 0.5),
-        |edges AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION ALL
-        |  SELECT doc_b, doc_a FROM pairs),
-        |reach AS (
-        |  SELECT DISTINCT src AS node, src AS lbl FROM edges
-        |  UNION
-        |  SELECT e.dst AS node, r.lbl AS lbl
-        |  FROM reach r JOIN edges e ON e.src = r.node),
-        |comp AS (SELECT node, min(lbl) AS rep_doc FROM reach GROUP BY node)
-        |SELECT doc_id, n_tok::int AS n_tokens, round(quality, 4) AS quality
+        |""".stripMargin
+        + ngramPairCtes("ex") + ",\n" + componentCtes + "\n" +
+      """SELECT doc_id, n_tok::int AS n_tokens, round(quality, 4) AS quality
         |FROM ex
         |WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> rep_doc)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin))
 
   /** SURVEY §2D — similarity search (ann_lsh is rows-only +
     * recall-property-tested). */

@@ -65,6 +65,28 @@ class ShingleSpec extends SparkSuite {
     rows.foreach(r => assert(r.getSeq[Long](0).isEmpty))
   }
 
+  test("property: native equals HOF on random whitespace-riddled strings") {
+    import org.scalacheck.{Gen, Prop}
+    val s = spark; import s.implicits._
+    val token = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+    val sep = Gen.oneOf(" ", "  ", "\t", "\n", " \t ")
+    val textGen = for {
+      n <- Gen.choose(3, 30)
+      toks <- Gen.listOfN(n, token)
+      seps <- Gen.listOfN(n + 1, sep)
+    } yield seps.head + toks.zip(seps.tail).map { case (t, x) => t + x }.mkString
+    val prop = Prop.forAll(textGen) { text =>
+      val r = Seq(text).toDF("text").select(
+        transform(H.wordShingles(col("text"), 3), sh => xxhash64(sh)).as("hof"),
+        H.shingleHashes(col("text"), 3).as("native")).head()
+      r.getSeq[Long](0) == r.getSeq[Long](1)
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("interpreted (eval) and codegen paths agree") {
     val s = spark; import s.implicits._
     val df = texts.toDF("text")
