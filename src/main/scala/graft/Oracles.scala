@@ -585,7 +585,8 @@ object Oracles {
         |         || substring(h, 53, 2) || substring(h, 51, 2)
         |         || substring(h, 49, 2))::bigint::int
         |  END AS sample_rate,
-        |  round(bytesum / (length(h) / 2), 4) AS mean_byte,
+        |  round(CASE WHEN length(h) = 0 THEN 0.0
+        |        ELSE bytesum / (length(h) / 2) END, 4) AS mean_byte,
         |  (is_png OR is_bmp OR is_wav OR is_mp4) AS ok
         |FROM (
         |  SELECT doc_id, h, is_png, is_bmp, is_wav,
@@ -623,9 +624,10 @@ object Oracles {
         |        (octet_length(text::blob) >= 26
         |          AND substring(hex(text::blob), 1, 16) = '89504E470D0A1A0A'
         |          AND substring(hex(text::blob), 25, 8) = '49484452') AS is_png,
-        |        list_reduce(
+        |        CASE WHEN length(text) = 0 THEN 0.0
+        |        ELSE list_reduce(
         |          list_transform(string_split(text, ''), c -> ascii(c)::bigint),
-        |          (a, b) -> a + b)::double AS bytesum
+        |          (a, b) -> a + b)::double END AS bytesum
         |      FROM documents)))
         |ORDER BY doc_id""".stripMargin,
     "mm_meta" ->

@@ -48,6 +48,12 @@ object TextFunctions {
     * filter-isInCollection HOF form on every string
     * (TextFunctionsSpec, randomized). */
   def tokenCountIn(text: Column, words: Seq[String]): Column = {
+    // an empty list or an empty/whitespace-bearing word would turn the
+    // alternation into a pattern that matches whitespace runs — a
+    // silent divergence from the token-membership semantics
+    require(words.nonEmpty &&
+      words.forall(w => w.nonEmpty && !w.exists(_.isWhitespace)),
+      s"tokenCountIn needs non-empty, whitespace-free words: $words")
     val alt = words.map(java.util.regex.Pattern.quote).mkString("|")
     regexp_count(concat(lit(" "), text, lit(" ")),
       lit(s"\\s(?:$alt)(?=\\s)"))

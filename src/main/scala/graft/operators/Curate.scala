@@ -44,7 +44,11 @@ object Curate {
       .filter(col("quality") >= MinQuality)
     // exact dedup: keep the min doc_id per content hash. Persisted —
     // the frame feeds both the pair pipeline and the final anti-join,
-    // and Catalyst does not dedup the two scan+window subtrees.
+    // and Catalyst does not dedup the two scan+window subtrees. Like
+    // annLsh's base cache, there is deliberately no unpersist: the
+    // entry is a small doc-projection, CacheManager dedups repeated
+    // calls by canonicalized plan (one entry, not one per call), and
+    // eviction is safe — the lineage recomputes.
     val exact = scored
       .withColumn("rep",
         min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))

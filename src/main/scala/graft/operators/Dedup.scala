@@ -220,6 +220,14 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // A silent non-converged return would emit labels that are not the
+    // component min — wrong output that still looks plausible. Fail
+    // loudly instead; a corpus whose duplicate chains exceed maxIter
+    // hops needs the cap raised (or the large-star/small-star form),
+    // not a quietly wrong answer.
+    if (!converged) throw new IllegalStateException(
+      s"component labels did not converge within $maxIter rounds — " +
+        "component diameter exceeds the cap")
     edges.unpersist()
     labels
   }

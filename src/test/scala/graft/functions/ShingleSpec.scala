@@ -92,7 +92,8 @@ class ShingleSpec extends SparkSuite {
     val df = texts.toDF("text")
     val byCodegen = df
       .select(H.shingleHashes(col("text"), 3).as("h")).collect()
-    val prev = s.conf.get("spark.sql.codegen.wholeStage")
+    val prevWs = s.conf.get("spark.sql.codegen.wholeStage")
+    val prevFm = s.conf.get("spark.sql.codegen.factoryMode")
     try {
       s.conf.set("spark.sql.codegen.wholeStage", "false")
       s.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
@@ -102,8 +103,10 @@ class ShingleSpec extends SparkSuite {
         assert(a.getSeq[Long](0) === b.getSeq[Long](0))
       }
     } finally {
-      s.conf.set("spark.sql.codegen.wholeStage", prev)
-      s.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      // restore the SAVED values — the session is shared across every
+      // suite in the JVM, and a hardcoded non-default mode would leak
+      s.conf.set("spark.sql.codegen.wholeStage", prevWs)
+      s.conf.set("spark.sql.codegen.factoryMode", prevFm)
     }
   }
 }

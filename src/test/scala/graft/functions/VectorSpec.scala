@@ -36,10 +36,13 @@ class VectorSpec extends SparkSuite {
   test("interpreted (eval) and codegen paths agree") {
     val s = spark; import s.implicits._
     val planes = V.randomPlanes(nPlanes = 16, dim = 4, seed = 9L)
-    val vecs = Seq.fill(20)(Seq.fill(4)(new scala.util.Random(8).nextGaussian()))
+    val rng = new scala.util.Random(8) // ONE rng: distinct vectors
+    val vecs = Seq.fill(20)(Seq.fill(4)(rng.nextGaussian()))
     val df = vecs.toDF("v")
     val byCodegen = df
       .select(V.hyperplaneBands(col("v"), planes, 4).as("k")).collect()
+    val prevWs = s.conf.get("spark.sql.codegen.wholeStage")
+    val prevFm = s.conf.get("spark.sql.codegen.factoryMode")
     try {
       s.conf.set("spark.sql.codegen.wholeStage", "false")
       s.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
@@ -49,8 +52,9 @@ class VectorSpec extends SparkSuite {
         assert(a.getSeq[Long](0) === b.getSeq[Long](0))
       }
     } finally {
-      s.conf.set("spark.sql.codegen.wholeStage", "true")
-      s.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      // restore the SAVED values — the session is shared across suites
+      s.conf.set("spark.sql.codegen.wholeStage", prevWs)
+      s.conf.set("spark.sql.codegen.factoryMode", prevFm)
     }
   }
 }

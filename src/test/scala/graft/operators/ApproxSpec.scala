@@ -24,7 +24,7 @@ class ApproxSpec extends SparkSuite {
     }
   }
 
-  test("approx count-distinct within 5% of exact (rsd = 1%)") {
+  test("approx count-distinct within 5% of exact (rsd = 2%)") {
     val exact = Relational.q12Distinct(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
       .toMap
