@@ -150,20 +150,18 @@ object Dedup {
   }
 
   /** C6: near-dup *clusters* from the C2 pair graph — connected
-    * components by iterative min-label propagation, the step a real
-    * dedup pipeline runs after pair detection ("keep one
-    * representative per duplicate cluster"). Each round every node
-    * takes the min label among itself and its neighbors; convergence
-    * is O(component diameter) rounds (dup clusters are shallow — the
-    * cap is a guard, not a tuning knob). Every round is a plain
-    * shuffle join + groupBy on node ids, so the iteration distributes
-    * like any other query; at billions of edges the same loop body
-    * with the large-star/small-star transforms (Kiveris et al.,
-    * "Connected Components in MapReduce", SoCC'14) bounds the round
-    * count for high-diameter graphs. The driver-side loop only
-    * checks a converged flag per round (one count — no data is
-    * collected). Output: (doc_id, rep_doc = min doc_id in component,
-    * n_members). DuckDB oracle: recursive CTE over the same pairs. */
+    * components by alternating large-star/small-star edge rewrites
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14), the step a real dedup pipeline runs after pair
+    * detection ("keep one representative per duplicate cluster").
+    * Convergence is O(log diameter) rounds — a 10⁶-hop pathological
+    * duplicate chain converges in ~20 rounds, where plain min-label
+    * propagation would need 10⁶. Every round is a plain shuffle
+    * join + groupBy on node ids, so the iteration distributes like
+    * any other query. The driver-side loop only checks a convergence
+    * probe per round (one aggregate — no data is collected). Output:
+    * (doc_id, rep_doc = min doc_id in component, n_members). DuckDB
+    * oracle: recursive CTE over the same pairs. */
   def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
     val pairs = ngramPairs(spark, dir)
       .select(col("doc_a"), col("doc_b"))
@@ -178,58 +176,137 @@ object Dedup {
     out
   }
 
-  /** Min-label propagation over a (doc_a, doc_b) pair frame → one
-    * (node, lbl) row per node, lbl = min doc_id reachable. The loop
-    * body is plain shuffle joins; the returned frame is fully
-    * materialized in the cache (see the probe note below). Callers
-    * should persist `pairs` first — every round references it. */
-  private[operators] def componentLabels(pairs: DataFrame): DataFrame = {
-    val edges = pairs
-      .union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst")
-      .persist()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node"))
-      .persist()
+  /** Connected-component labels over a (doc_a, doc_b) pair frame →
+    * one (node, lbl) row per node, lbl = min doc_id reachable.
+    * Callers should persist `pairs` first — the node set and initial
+    * edge set both scan it. */
+  private[operators] def componentLabels(pairs: DataFrame): DataFrame =
+    componentLabelsWithRounds(pairs)._1
+
+  /** Large-star/small-star alternation (Kiveris et al., SoCC'14,
+    * Alg. 2 "Two-Phase"), returning (labels, rounds) so specs can
+    * assert the O(log d) round bound. Edges are rewritten in place:
+    *  - large-star: every node's neighbors larger than itself are
+    *    re-attached to the min of its closed neighborhood —
+    *    `(v, m(u)) for v ∈ Γ(u), v > u` — halving chain lengths;
+    *  - small-star: every node's smaller neighbors (plus itself) are
+    *    re-attached to its min smaller neighbor — merging the local
+    *    minima large-star leaves behind.
+    * Both emit exactly one edge per input edge (plus one per node for
+    * small-star, cancelled by the dropped self-loop), so the edge set
+    * never grows; the fixpoint is a forest of stars centered at each
+    * component's min node, from which labels are read directly.
+    *
+    * Convergence probe: every emission rewrites an endpoint to a
+    * value ≤ the old one, so sum(u + v) over the (distinct) edge set
+    * is non-increasing, and it is strictly decreasing unless the
+    * phase was a no-op (equality forces every emission to equal its
+    * source edge and dedup to merge nothing). A round where neither
+    * phase moved the sum is therefore exactly the fixpoint. The sum
+    * is taken in decimal(38,0) — at 10¹⁰ edges × 10⁹-scale ids a long
+    * would overflow.
+    *
+    * Each phase's output is eagerly checkpointed, which both
+    * materializes every partition before the previous round is freed
+    * (the take(1)-probe recompute trap — see CLAUDE.md) and truncates
+    * the logical plan: each star phase references its input 2–3
+    * times, so without truncation the lineage grows ~4^rounds and
+    * plan analysis dies long before the data does (hit in DedupSpec's
+    * 200-hop chain at round ~7; plain persist does NOT truncate
+    * lineage for analysis). Reliable `checkpoint` is used when the
+    * session has a checkpoint dir (the cluster configuration —
+    * survives executor loss); `localCheckpoint` otherwise. Old round
+    * RDDs are freed explicitly on every exit, success or failure. */
+  private[operators] def componentLabelsWithRounds(
+      pairs: DataFrame): (DataFrame, Int) = {
+    val reliable =
+      pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    // Checkpointed round frames are tracked so ANY exit — success,
+    // the non-convergence throw, or a failure mid-round — frees their
+    // cached RDD blocks (repeated failing calls must not accumulate).
+    val live = scala.collection.mutable.Set.empty[DataFrame]
+    def snap(df: DataFrame): DataFrame = {
+      val out = if (reliable) df.checkpoint() else df.localCheckpoint()
+      live += out
+      out
+    }
+    def free(df: DataFrame): Unit = {
+      live -= df
+      df.queryExecution.logical.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(blocking = false))
+      // (no match → the ContextCleaner reclaims it once unreferenced)
+    }
+    // Canonical greater→lesser orientation; both star phases preserve
+    // it (every emission (v, m) has m strictly below v after the
+    // self-loop filter).
+    var edges = snap(pairs
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .distinct())
+    val nodes = snap(pairs.select(col("doc_a").as("node"))
+      .union(pairs.select(col("doc_b")))
+      .distinct())
+    def probe(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("u").cast("decimal(38,0)") + col("v")),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")))
+        .head().getDecimal(0)
     var converged = false
     var iter = 0
-    val maxIter = 20
-    // Convergence probe: labels only ever decrease, so the fixpoint
-    // is reached exactly when sum(lbl) stops falling — one cheap
-    // global aggregate per round instead of a change-detection join.
-    // The full-scan agg also matters for a second reason: it
-    // materializes EVERY partition of `next` into the cache (a
-    // take(1)-style probe leaves partitions uncached, and once the
-    // previous labels are unpersisted their recompute chains the
-    // whole lineage back through the pair pipeline, once per round).
-    var lblSum = Option.empty[Long]
-    while (!converged && iter < maxIter) {
-      val nbrMin = edges
-        .join(labels, col("dst") === col("node"))
-        .groupBy(col("src"))
-        .agg(min(col("lbl")).as("nbr_lbl"))
-      val next = labels
-        .join(nbrMin, col("node") === col("src"), "left")
+    val maxIter = 30 // O(log d): 30 rounds covers any physical graph
+    try {
+      var sumPrev = probe(edges)
+      while (!converged && iter < maxIter) {
+        // large-star over the symmetric neighborhood view
+        val sym = edges.union(edges.select(col("v"), col("u")))
+          .toDF("u", "v")
+        val mins = sym.groupBy(col("u"))
+          .agg(min(col("v")).as("mn"))
+          .select(col("u").as("c"), least(col("mn"), col("u")).as("m"))
+        val large = snap(sym.filter(col("v") > col("u"))
+          .join(mins, col("u") === col("c"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .filter(col("u") =!= col("v"))
+          .distinct())
+        val sumLarge = probe(large)
+        free(edges)
+        edges = large
+        // small-star: edges are already greater→lesser oriented, so
+        // each node's smaller neighborhood is exactly its `v` rows
+        val mins2 = edges.groupBy(col("u")).agg(min(col("v")).as("m"))
+        val small = snap(edges.join(mins2, "u")
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(mins2.select(col("u"), col("m")))
+          .filter(col("u") =!= col("v"))
+          .distinct())
+        val sumSmall = probe(small)
+        free(edges)
+        edges = small
+        converged = sumLarge.compareTo(sumPrev) == 0 &&
+          sumSmall.compareTo(sumLarge) == 0
+        sumPrev = sumSmall
+        iter += 1
+      }
+      // A silent non-converged return would emit labels that are not
+      // the component min — wrong output that still looks plausible.
+      // Fail loudly instead (unreachable for graphs of diameter
+      // < 2^maxIter; the guard survives as a defect detector).
+      if (!converged) throw new IllegalStateException(
+        s"component labels did not converge within $maxIter star rounds")
+      // Fixpoint = stars: every non-center node appears exactly once
+      // as `u` with its component min as `v`; centers (and any node
+      // whose edges all collapsed) label themselves.
+      val leaf = edges.select(col("u").as("node"), col("v").as("lbl"))
+      val labels = nodes.join(leaf, Seq("node"), "left")
         .select(col("node"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+          coalesce(col("lbl"), col("node")).as("lbl"))
         .persist()
-      val s = next.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
-      converged = lblSum.contains(s)
-      lblSum = Some(s)
-      labels.unpersist()
-      labels = next
-      iter += 1
+      labels.count() // materialize before freeing edges/nodes below
+      (labels, iter)
+    } finally {
+      live.toSeq.foreach(free)
     }
-    // A silent non-converged return would emit labels that are not the
-    // component min — wrong output that still looks plausible. Fail
-    // loudly instead; a corpus whose duplicate chains exceed maxIter
-    // hops needs the cap raised (or the large-star/small-star form),
-    // not a quietly wrong answer.
-    if (!converged) throw new IllegalStateException(
-      s"component labels did not converge within $maxIter rounds — " +
-        "component diameter exceeds the cap")
-    edges.unpersist()
-    labels
   }
 
   /** Number of blocks in the embed-cosine block-pair join. Each task

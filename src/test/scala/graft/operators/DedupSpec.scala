@@ -215,6 +215,46 @@ class DedupSpec extends SparkSuite {
     assert(comps === Set((0L, 0L, 3L), (1L, 0L, 3L), (2L, 0L, 3L)))
   }
 
+  test("componentLabels: 200-hop chain converges in O(log d) star rounds") {
+    val s = spark; import s.implicits._
+    val n = 200
+    val pairs = (0 until n).map(i => (i.toLong, i + 1L))
+      .toDF("doc_a", "doc_b").persist()
+    val (labels, rounds) = Dedup.componentLabelsWithRounds(pairs)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    labels.unpersist(); pairs.unpersist()
+    assert(got.length === n + 1)
+    assert(got.forall(_._2 == 0L),
+      s"every chain node must label to 0: ${got.filter(_._2 != 0L).take(5)}")
+    // plain min-label propagation needs d = 200 rounds here; the
+    // large-star/small-star alternation must be logarithmic
+    assert(rounds <= 12,
+      s"$rounds star rounds for a $n-hop chain is not O(log d)")
+  }
+
+  test("componentLabels: random graph (dups, self-loops, any orientation)" +
+      " matches union-find") {
+    val s = spark; import s.implicits._
+    val rng = new scala.util.Random(11)
+    val raw = Seq.fill(250)(
+      (rng.nextInt(300).toLong, rng.nextInt(300).toLong))
+    val pairs = raw.toDF("doc_a", "doc_b").persist()
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    raw.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(d => d -> find(d)).toMap
+    val (labels, _) = Dedup.componentLabelsWithRounds(pairs)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    labels.unpersist(); pairs.unpersist()
+    assert(got === expected)
+  }
+
   test("dedup queries run against testdata; planted dups found") {
     val ngram = Dedup.dedupNgramJaccard(spark, sfDir)
     assert(ngram.count() > 0, "sf0.001 should contain planted near-dups")
