@@ -7,11 +7,27 @@ import org.apache.spark.sql.SparkSession
   * Each query is materialized through the `noop` sink — every output
   * column is computed and serialized, so Catalyst can't dead-code-
   * eliminate projections the way it can under `count()` (which prunes
-  * unused columns and elides unlimited global sorts). A failed query
-  * is recorded with value -1 and listed in `"failed"`; its
-  * time-to-crash is excluded from the total.
+  * unused columns and elides unlimited global sorts).
+  *
+  * Each query is timed `Runs` times back-to-back and the MEDIAN is
+  * reported — one-shot numbers on this box swing 2–8× on identical
+  * plans (nine phantom "regressions" in round 3, every one of which
+  * vanished on re-run), so a single sample cannot feed a 2× gate.
+  * All samples are kept in `"runs"` so the spread stays visible; the
+  * first sample also carries the per-query codegen-compile cost,
+  * which the median correctly pushes out of the headline signal. A
+  * query that fails is recorded with value -1 and listed in
+  * `"failed"`; its time-to-crash is excluded from the total and it
+  * is not re-run.
   */
 object Bench {
+  private val Runs = 3
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s(s.length / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -35,22 +51,34 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
-        }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      def once(): (Double, Boolean) = {
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val first = once()
+      val samples =
+        if (first._2) first +: Seq.fill(Runs - 1)(once()) else Seq(first)
+      (name, samples.map(_._1), samples.forall(_._2))
     }
+    def fmt(v: Double): String = f"$v%.3f"
     val qs = results
-      .map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1.0) }
+      .map { case (k, v, ok) =>
+        "\"" + k + "\":" + (if (ok) fmt(median(v)) else "-1.0") }
+      .mkString("{", ",", "}")
+    val runs = results
+      .map { case (k, v, _) =>
+        "\"" + k + "\":" + v.map(fmt).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, true) => median(v) }.sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median_of_$Runs","queries":$qs,"runs":$runs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -328,24 +328,13 @@ object Oracles {
         |ORDER BY doc_id""".stripMargin,
 
     "text_quality" ->
-      """SELECT doc_id, n_tok::int AS n_tokens,
+      ("WITH " + qualityBaseCte("documents") + "\n" +
+      s"""SELECT doc_id, n_tok::int AS n_tokens,
         |  round(stop_ratio, 4) AS stopword_ratio,
         |  round(punct_ratio, 4) AS punct_ratio,
-        |  round(0.5 * least(1.0, n_tok / 200.0)
-        |      + 0.3 * (1.0 - stop_ratio)
-        |      + 0.2 * (1.0 - punct_ratio), 4) AS quality
-        |FROM (
-        |  SELECT doc_id,
-        |    len(list_filter(string_split_regex(text, '\s+'),
-        |                    w -> w <> '')) AS n_tok,
-        |    len(list_filter(string_split_regex(text, '\s+'),
-        |        w -> w IN ('the','a','is','of')))
-        |      / len(list_filter(string_split_regex(text, '\s+'),
-        |                        w -> w <> '')) AS stop_ratio,
-        |    len(regexp_extract_all(text, '[^a-z0-9\s]'))
-        |      / length(text) AS punct_ratio
-        |  FROM documents)
-        |ORDER BY doc_id""".stripMargin,
+        |  round($qualityExpr, 4) AS quality
+        |FROM q_base
+        |ORDER BY doc_id""".stripMargin),
 
     "text_langid" ->
       """SELECT doc_id, s_en::int AS s_en, s_de::int AS s_de,
@@ -386,6 +375,32 @@ object Oracles {
     * by the three queries built on the pair graph so the df cut
     * (Dedup.NgramDfMax — single source of truth) and Jaccard algebra
     * can never drift apart between them. */
+  /** E2's quality inputs as one CTE over `src` — single-sourced so
+    * the text_quality and curate_corpus oracles can never drift apart
+    * (they previously re-inlined the same formula twice). Mirrors
+    * graft.functions.TextFunctions op-for-op. */
+  private def qualityBaseCte(src: String): String =
+    raw"""q_base AS (
+         |  SELECT doc_id, text,
+         |    len(list_filter(string_split_regex(text, '\s+'),
+         |                    w -> w <> '')) AS n_tok,
+         |    len(list_filter(string_split_regex(text, '\s+'),
+         |        w -> w IN ('the','a','is','of')))
+         |      / len(list_filter(string_split_regex(text, '\s+'),
+         |                        w -> w <> '')) AS stop_ratio,
+         |    len(regexp_extract_all(text, '[^a-z0-9\s]'))
+         |      / length(text) AS punct_ratio
+         |  FROM $src)""".stripMargin
+
+  /** The E2 composite score over [[qualityBaseCte]]'s columns —
+    * TextFunctions.qualityScore's expression tree, verbatim.
+    * (`def`, not `val`: the maps interpolating this are object vals
+    * declared earlier in the file — a val here would still be null
+    * when they initialize.) */
+  private def qualityExpr: String =
+    "0.5 * least(1.0, n_tok / 200.0) + 0.3 * (1.0 - stop_ratio)" +
+      " + 0.2 * (1.0 - punct_ratio)"
+
   private def ngramPairCtes(src: String): String =
     raw"""toks AS (
          |  SELECT doc_id,
@@ -482,25 +497,19 @@ object Oracles {
     * filtered corpus — note the df cut counts within that corpus,
     * matching Curate.curateCorpus exactly). */
   val curate: Map[String, String] = Map(
+    // quality CTE + score expression are the same single-sourced
+    // fragments text_quality uses; the threshold is interpolated from
+    // Curate.MinQuality — none of the three can silently drift from
+    // the Spark side.
     "curate_corpus" ->
-      ("""WITH RECURSIVE base AS (
-        |  SELECT doc_id, text,
-        |    len(list_filter(string_split_regex(text, '\s+'),
-        |                    w -> w <> '')) AS n_tok,
-        |    len(list_filter(string_split_regex(text, '\s+'),
-        |        w -> w IN ('the','a','is','of')))
-        |      / len(list_filter(string_split_regex(text, '\s+'),
-        |                        w -> w <> '')) AS stop_ratio,
-        |    len(regexp_extract_all(text, '[^a-z0-9\s]'))
-        |      / length(text) AS punct_ratio
-        |  FROM documents),
-        |scored AS (
-        |  SELECT doc_id, text, n_tok,
-        |    0.5 * least(1.0, n_tok / 200.0) + 0.3 * (1.0 - stop_ratio)
-        |      + 0.2 * (1.0 - punct_ratio) AS quality
-        |  FROM base),
-        |q AS (SELECT * FROM scored WHERE quality >= 0.5),
-        |ex AS (
+      ("WITH RECURSIVE " + qualityBaseCte("documents") + ",\n" +
+      s"""scored AS (
+        |  SELECT doc_id, text, n_tok, $qualityExpr AS quality
+        |  FROM q_base),
+        |q AS (SELECT * FROM scored
+        |      WHERE quality >= ${graft.operators.Curate.MinQuality}),""".stripMargin
+        + "\n" +
+      """ex AS (
         |  SELECT doc_id, text, n_tok, quality FROM (
         |    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS rep
         |    FROM q)
@@ -549,8 +558,12 @@ object Oracles {
     * printable ASCII, so both engines take the unknown branch on
     * every row — the png/bmp arms are exercised by MultimodalSpec's
     * synthesized headers (exact-rows, Spark side). mean_byte is an
-    * exact integer byte sum over the blob divided once — identical
-    * to the ascii() fold on this ASCII corpus. */
+    * exact integer byte sum over the blob divided once, folded from
+    * the blob's 2-char hex pairs — actual UTF-8 bytes via
+    * `encode(text)` (Spark's `cast(text as binary)`), NOT ascii()
+    * codepoints, so a non-ASCII corpus cannot silently diverge the
+    * gate (and `::blob`, which hard-errors on non-ASCII, is avoided
+    * throughout). */
   val multimodal: Map[String, String] = Map(
     // Byte offsets become hex-string offsets (1-based byte o → hex
     // char 2(o-1)+1): PNG magic 89504E470D0A1A0A at 1, IHDR at 25,
@@ -620,20 +633,26 @@ object Oracles {
         |      END AS h_le,
         |      bytesum
         |    FROM (
-        |      SELECT doc_id, hex(text::blob) AS h,
-        |        (octet_length(text::blob) >= 26
-        |          AND substring(hex(text::blob), 1, 16) = '89504E470D0A1A0A'
-        |          AND substring(hex(text::blob), 25, 8) = '49484452') AS is_png,
-        |        CASE WHEN length(text) = 0 THEN 0.0
+        |      SELECT doc_id, hex(encode(text)) AS h,
+        |        (octet_length(encode(text)) >= 26
+        |          AND substring(hex(encode(text)), 1, 16) = '89504E470D0A1A0A'
+        |          AND substring(hex(encode(text)), 25, 8) = '49484452') AS is_png,
+        |        -- fold the blob's actual bytes (2-char hex pairs), NOT
+        |        -- ascii() codepoints: the two only agree while the
+        |        -- corpus is pure ASCII; one multi-byte character
+        |        -- would silently diverge the mean_byte hash gate
+        |        CASE WHEN octet_length(encode(text)) = 0 THEN 0.0
         |        ELSE list_reduce(
-        |          list_transform(string_split(text, ''), c -> ascii(c)::bigint),
+        |          list_transform(range(octet_length(encode(text))::int),
+        |            i -> ('0x' || substring(hex(encode(text)),
+        |                                    (i * 2 + 1)::int, 2))::bigint),
         |          (a, b) -> a + b)::double END AS bytesum
         |      FROM documents)))
         |ORDER BY doc_id""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id,
-        |  octet_length(text::blob)::int AS n_bytes,
-        |  substring(hex(text::blob), 1, 8) AS magic_hex,
+        |  octet_length(encode(text))::int AS n_bytes,
+        |  substring(hex(encode(text)), 1, 8) AS magic_hex,
         |  md5(text) AS checksum
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
@@ -642,8 +661,8 @@ object Oracles {
       """SELECT doc_id, ((i - 1) // 64)::int AS frame_idx,
         |  substring(h, ((i - 1) * 2 + 1)::int, 32) AS frame_hex
         |FROM (
-        |  SELECT doc_id, hex(text::blob) AS h,
-        |    unnest(range(1, octet_length(text::blob) + 1, 64)) AS i
+        |  SELECT doc_id, hex(encode(text)) AS h,
+        |    unnest(range(1, octet_length(encode(text)) + 1, 64)) AS i
         |  FROM documents)
         |ORDER BY doc_id, frame_idx""".stripMargin
   )

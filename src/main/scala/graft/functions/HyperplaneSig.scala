@@ -43,7 +43,12 @@ case class HyperplaneSig(child: Expression, planes: Array[Double],
         acc += v.getDouble(i) * planes(p * dim + i)
         i += 1
       }
-      if (acc >= 0)
+      // !(acc < 0), not (acc >= 0): a NaN dot (e.g. Inf * 0 in the
+      // fold) must take bit 1 the same way the composed-Column
+      // reference does (Spark SQL orders NaN above every double);
+      // Java's primitive >= would silently flip it to 0 and the two
+      // forms would band NaN vectors differently.
+      if (!(acc < 0))
         keys(p / bandBits) |= 1L << (p % bandBits)
       p += 1
     }
@@ -67,7 +72,7 @@ case class HyperplaneSig(child: Expression, planes: Array[Double],
          |  for (int $i = 0; $i < $n; $i++) {
          |    $acc += $v.getDouble($i) * $pl[$p * $dim + $i];
          |  }
-         |  if ($acc >= 0) {
+         |  if (!($acc < 0)) { // NaN -> bit 1, matching Spark SQL NaN order
          |    $keys[$p / $bandBits] |= 1L << ($p % $bandBits);
          |  }
          |}

@@ -31,11 +31,21 @@ object Handlers {
 
   private val library = new ConcurrentHashMap[String, HandlerDef]()
 
+  /** All writes share one lock so [[sync]]'s put-then-delete pass is
+    * atomic with respect to concurrent [[register]]/[[delete]] calls:
+    * without it, a registration landing between sync's two loops
+    * could be clobbered or deleted even though its version is newer,
+    * breaking register()'s monotonic-version guarantee. Reads
+    * ([[resolve]]/[[run]]/[[list]]) stay lock-free on the concurrent
+    * map — a resolve during a sync sees either the old or the new
+    * definition, never a torn state. */
+  private val writeLock = new Object
+
   /** Register a definition. Accepted iff the name is new or the
     * version is strictly newer than the registered one (stale
     * re-registrations lose — registration order across threads then
     * cannot matter). Returns whether it was accepted. */
-  def register(hd: HandlerDef): Boolean = {
+  def register(hd: HandlerDef): Boolean = writeLock.synchronized {
     val merged = library.merge(hd.name, hd,
       (old, neu) => if (neu.version > old.version) neu else old)
     merged eq hd
@@ -53,7 +63,9 @@ object Handlers {
         s"no handler registered under '$name'")
     }
 
-  def delete(name: String): Boolean = library.remove(name) != null
+  def delete(name: String): Boolean = writeLock.synchronized {
+    library.remove(name) != null
+  }
 
   /** (name, version) of every registered handler, name-sorted. */
   def list: Seq[(String, Long)] =
@@ -65,8 +77,13 @@ object Handlers {
     * created, same-name-different-version definitions are replaced
     * (the source is authoritative, unlike [[register]]'s monotonic
     * guard), and definitions absent from the source are deleted.
-    * Returns the applied delta, as the reference logs it. */
-  def sync(source: Seq[HandlerDef]): SyncDelta = {
+    * Atomic with respect to concurrent register/delete (see
+    * [[writeLock]]). Returns the applied delta, as the reference
+    * logs it. NOTE: the source's closure always wins — a same-version
+    * put with a *different* closure still replaces the registered one
+    * but is counted as unchanged in the delta (closures admit no
+    * logical equality to report it by; keep versions honest). */
+  def sync(source: Seq[HandlerDef]): SyncDelta = writeLock.synchronized {
     require(source.map(_.name).distinct.size == source.size,
       "duplicate handler names in source")
     val byName = source.map(hd => hd.name -> hd).toMap
@@ -77,7 +94,7 @@ object Handlers {
       Option(library.put(name, hd)) match {
         case None => created += 1
         case Some(old) if old.version != hd.version => updated += 1
-        case _ => () // same version: unchanged
+        case _ => () // same version: unchanged (closure still replaced)
       }
     }
     library.keySet().asScala.toSeq.foreach { name =>

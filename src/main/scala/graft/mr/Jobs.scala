@@ -1,13 +1,14 @@
 package graft.mr
 
 import java.util.UUID
-import java.util.concurrent.ConcurrentHashMap
-import java.util.concurrent.atomic.AtomicBoolean
+import java.util.concurrent.{ConcurrentHashMap, Executors, ThreadFactory}
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger, AtomicLong}
 
 import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration.Duration
 import scala.util.Try
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.sources.Sinks
@@ -29,12 +30,43 @@ import graft.sources.Sinks
   * computation, and failure surfaces through the handle's `Try` and
   * any [[JobHandle.onComplete]] callbacks.
   *
+  * Progress introspection: the reference exposes per-request
+  * invocation-tree state for polling (reference: mr/views/request.py,
+  * mr/models/kv/trees/ — a client GETs the request id and watches
+  * map/reduce steps tick over). [[JobHandle.progress]] is that
+  * surface re-expressed over Spark's own scheduler events: a shared
+  * [[SparkListener]] attributes every job/stage/task start and finish
+  * to the submitting job group, so a poller sees live task counts
+  * for exactly its job, not the whole cluster.
+  *
   * Handle lifecycle: completed handles are reaped from the registry
   * (reference: mr/request_cleanup.py:18 prunes finished-request
   * state) — a driver submitting jobs for months never accumulates
   * them. A reap runs on every submit; `reap()` is also explicit.
+  *
+  * Threading: job actions block on Spark (collect/save), so they run
+  * on a dedicated unbounded cached pool of named daemon threads —
+  * NOT `ExecutionContext.global`, whose fork-join pool is sized for
+  * CPU-bound work and can be starved by N long-blocking actions
+  * (starving everything else that shares it, including callbacks).
   */
 object Jobs {
+
+  /** Point-in-time view of a running job's scheduler progress.
+    * `tasksDone` is monotone non-decreasing for the handle's
+    * lifetime; `tasksTotal` grows as the action launches further
+    * Spark jobs (a multi-stage action is many jobs), so
+    * `fraction` may step back when new work is discovered —
+    * poll `tasksDone` for a strictly monotone signal. `fraction`
+    * is pinned to 1.0 once the handle completes (success OR
+    * failure — it reports "finished", not "succeeded"). */
+  final case class Progress(jobsStarted: Int, jobsEnded: Int,
+      tasksTotal: Long, tasksDone: Long, completed: Boolean) {
+    def fraction: Double =
+      if (completed) 1.0
+      else if (tasksTotal <= 0L) 0.0
+      else math.min(0.99, tasksDone.toDouble / tasksTotal)
+  }
 
   final case class JobHandle(name: String, groupId: String,
       result: Future[Try[Unit]],
@@ -46,6 +78,18 @@ object Jobs {
       result.foreach(cb)(Jobs.ec)
 
     def isCompleted: Boolean = result.isCompleted
+
+    /** Live scheduler progress for this job's group (the
+      * reference's request-polling surface). */
+    def progress: Progress = {
+      val c = Option(groupProgress.get(groupId))
+      Progress(
+        jobsStarted = c.map(_.jobsStarted.get()).getOrElse(0),
+        jobsEnded = c.map(_.jobsEnded.get()).getOrElse(0),
+        tasksTotal = c.map(_.tasksTotal.get()).getOrElse(0L),
+        tasksDone = c.map(_.tasksDone.get()).getOrElse(0L),
+        completed = isCompleted)
+    }
   }
 
   /** Where a finished job's results go — the reference's
@@ -72,16 +116,81 @@ object Jobs {
     def deliver(jobName: String, df: DataFrame): Unit = f(jobName, df)
   }
 
-  private implicit val ec: ExecutionContext = ExecutionContext.global
+  /** Unbounded cached pool of named daemon threads: each submitted
+    * job parks one thread on its blocking Spark action, however many
+    * are in flight; idle threads die after 60 s (Executors default),
+    * so a quiet driver holds zero. */
+  private val pool = Executors.newCachedThreadPool(new ThreadFactory {
+    private val n = new AtomicInteger(0)
+    def newThread(r: Runnable): Thread = {
+      val t = new Thread(r, s"graft-job-${n.incrementAndGet()}")
+      t.setDaemon(true)
+      t
+    }
+  })
+  private implicit val ec: ExecutionContext =
+    ExecutionContext.fromExecutorService(pool)
 
   /** Live registry — bounded by construction: every submit reaps
     * completed entries first. Keyed by groupId (unique per submit). */
   private val registry = new ConcurrentHashMap[String, JobHandle]()
 
-  /** Drop completed handles from the registry; returns live count. */
+  /** Per-group scheduler counters, fed by [[groupListener]]. */
+  private final class GroupCounters {
+    val jobsStarted = new AtomicInteger(0)
+    val jobsEnded = new AtomicInteger(0)
+    val tasksTotal = new AtomicLong(0L)
+    val tasksDone = new AtomicLong(0L)
+  }
+  private val groupProgress = new ConcurrentHashMap[String, GroupCounters]()
+  private val stageToGroup = new ConcurrentHashMap[Int, String]()
+  private val jobToStages = new ConcurrentHashMap[Int, Seq[Int]]()
+
+  /** One listener per SparkContext (keyed by applicationId),
+    * installed lazily on first submit. Only groups in
+    * [[groupProgress]] — i.e. groups this object created — are
+    * tracked; foreign jobs are ignored. */
+  private val listenerInstalled = ConcurrentHashMap.newKeySet[String]()
+  private object groupListener extends SparkListener {
+    override def onJobStart(js: SparkListenerJobStart): Unit = {
+      val group = Option(js.properties)
+        .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+      group.flatMap(g => Option(groupProgress.get(g))).foreach { c =>
+        c.jobsStarted.incrementAndGet()
+        c.tasksTotal.addAndGet(js.stageInfos.map(_.numTasks.toLong).sum)
+        val g = group.get
+        jobToStages.put(js.jobId, js.stageInfos.map(_.stageId))
+        js.stageInfos.foreach(si => stageToGroup.put(si.stageId, g))
+      }
+    }
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+      Option(stageToGroup.get(te.stageId))
+        .flatMap(g => Option(groupProgress.get(g)))
+        .foreach(_.tasksDone.incrementAndGet())
+    override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+      Option(jobToStages.remove(je.jobId)).foreach { stages =>
+        stages.headOption
+          .flatMap(s => Option(stageToGroup.get(s)))
+          .flatMap(g => Option(groupProgress.get(g)))
+          .foreach(_.jobsEnded.incrementAndGet())
+        stages.foreach(stageToGroup.remove(_))
+      }
+    }
+  }
+  private def installListener(spark: SparkSession): Unit = {
+    val appId = spark.sparkContext.applicationId
+    if (listenerInstalled.add(appId))
+      spark.sparkContext.addSparkListener(groupListener)
+  }
+
+  /** Drop completed handles (and their progress counters) from the
+    * registry; returns live count. */
   def reap(): Int = {
     registry.forEach { (gid, h) =>
-      if (h.isCompleted) registry.remove(gid)
+      if (h.isCompleted) {
+        registry.remove(gid)
+        groupProgress.remove(gid)
+      }
     }
     registry.size()
   }
@@ -97,7 +206,9 @@ object Jobs {
     * worker thread (Spark job groups are thread-local). */
   def submitAsync(spark: SparkSession, name: String)(action: => Unit): JobHandle = {
     reap()
+    installListener(spark)
     val group = s"graft-job-$name-${UUID.randomUUID().toString.take(8)}"
+    groupProgress.put(group, new GroupCounters)
     val cancelled = new AtomicBoolean(false)
     val fut = Future {
       // cancel() may land before this thread even starts — the group

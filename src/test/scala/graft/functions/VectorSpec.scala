@@ -33,6 +33,34 @@ class VectorSpec extends SparkSuite {
     rows.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
   }
 
+  test("NaN/Inf vectors band identically in fused and composed forms") {
+    // A NaN dot (NaN coordinate, or Inf + -Inf cancelling) must take
+    // bit 1 in both forms: Spark SQL orders NaN above every double,
+    // so the composed `when(dot >= 0, ...)` sets the bit, and the
+    // fused loop's `!(acc < 0)` matches it (a primitive `acc >= 0`
+    // would not).
+    val s = spark; import s.implicits._
+    val planes = V.randomPlanes(nPlanes = 16, dim = 4, seed = 5L)
+    val inf = Double.PositiveInfinity
+    val vecs: Seq[Seq[Double]] = Seq(
+      Seq(Double.NaN, 1.0, 2.0, 3.0),
+      Seq(inf, 1.0, 2.0, 3.0),
+      Seq(-inf, 1.0, 2.0, 3.0),
+      Seq(inf, -inf, 1.0, 2.0),
+      Seq(-inf, inf, -inf, inf))
+    val rows = vecs.toDF("v").select(
+        V.hyperplaneBands(col("v"), planes, bandBits = 4).as("fused"),
+        V.hyperplaneBandsRef(col("v"), planes, bandBits = 4).as("ref"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+    // and the all-NaN signature is all bits set in every band
+    val allNan = Seq(Seq(Double.NaN, Double.NaN, Double.NaN, Double.NaN))
+      .toDF("v")
+      .select(V.hyperplaneBands(col("v"), planes, bandBits = 4).as("k"))
+      .head().getSeq[Long](0)
+    assert(allNan.forall(_ == 15L), s"NaN dots must set every bit: $allNan")
+  }
+
   test("interpreted (eval) and codegen paths agree") {
     val s = spark; import s.implicits._
     val planes = V.randomPlanes(nPlanes = 16, dim = 4, seed = 9L)

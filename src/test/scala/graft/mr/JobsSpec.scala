@@ -71,6 +71,72 @@ class JobsSpec extends SparkSuite {
     assert(!Jobs.active.exists(_.groupId == running.groupId))
   }
 
+  test("progress: tasksDone grows monotonically; completed == 1.0") {
+    val out = Files.createTempDirectory("graft-prog").toString + "/p"
+    val handle = Jobs.submitAsync(spark, "progress_probe") {
+      // several stages so progress has distinct points to tick through
+      graft.Tables(spark, sfDir).events
+        .groupBy("user_id").count()
+        .orderBy("user_id")
+        .write.mode("overwrite").parquet(out)
+    }
+    var lastDone = -1L
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (!handle.isCompleted) {
+      val p = handle.progress
+      assert(p.tasksDone >= lastDone,
+        s"tasksDone went backwards: $lastDone -> ${p.tasksDone}")
+      assert(p.fraction >= 0.0 && p.fraction <= 1.0)
+      lastDone = p.tasksDone
+      seen += p.tasksDone
+      Thread.sleep(20)
+    }
+    assert(Jobs.await(handle, 120.seconds).isSuccess)
+    val fin = handle.progress
+    assert(fin.fraction === 1.0, s"completed handle must report 1.0: $fin")
+    assert(fin.tasksDone > 0L, s"scheduler counters never ticked: $fin")
+    assert(fin.jobsStarted > 0 && fin.jobsEnded === fin.jobsStarted, fin.toString)
+  }
+
+  test("progress counters attribute tasks to the right group") {
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val idle = Jobs.submitAsync(spark, "idle_group") { gate.await() }
+    val out = Files.createTempDirectory("graft-attr").toString + "/a"
+    val busy = Jobs.submitAsync(spark, "busy_group") {
+      MrQueries.mrSum(spark, sfDir).write.mode("overwrite").parquet(out)
+    }
+    assert(Jobs.await(busy, 120.seconds).isSuccess)
+    assert(busy.progress.tasksDone > 0L)
+    assert(idle.progress.tasksDone === 0L,
+      "a group that launched no Spark jobs must show zero tasks")
+    gate.countDown()
+    assert(Jobs.await(idle, 60.seconds).isSuccess)
+  }
+
+  test("more concurrent blocking jobs than cores all complete") {
+    // ExecutionContext.global would starve here: every action parks
+    // its thread on a latch, and the fork-join pool's parallelism is
+    // the core count. The dedicated cached pool grows instead.
+    val n = Runtime.getRuntime.availableProcessors() * 2 + 8
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val started = new java.util.concurrent.atomic.AtomicInteger(0)
+    val handles = (1 to n).map { i =>
+      Jobs.submitAsync(spark, s"blocker_$i") {
+        started.incrementAndGet()
+        gate.await()
+      }
+    }
+    // every job must reach its blocking point — i.e. hold a live
+    // thread — simultaneously
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (started.get() < n && System.nanoTime() < deadline)
+      Thread.sleep(20)
+    assert(started.get() === n,
+      s"only ${started.get()}/$n blocking jobs got a thread")
+    gate.countDown()
+    handles.foreach(h => assert(Jobs.await(h, 60.seconds).isSuccess))
+  }
+
   test("two async jobs run concurrently under separate groups") {
     val outA = Files.createTempDirectory("graft-jobA").toString + "/a"
     val outB = Files.createTempDirectory("graft-jobB").toString + "/b"
