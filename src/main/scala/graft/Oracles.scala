@@ -573,34 +573,16 @@ object Oracles {
     // LE channels/rate/bits at 45/49/69; MP4 ftyp at 9 with a
     // NUL-guarded BE box size at 1.
     "mm_decode" ->
-      """SELECT doc_id,
-        |  CASE WHEN is_png THEN 'png' WHEN is_bmp THEN 'bmp'
-        |       WHEN is_wav THEN 'wav' WHEN is_mp4 THEN 'mp4'
-        |       ELSE 'unknown' END AS format,
-        |  CASE WHEN is_png THEN ('0x' || substring(h, 33, 8))::bigint::int
-        |       WHEN is_bmp THEN (CASE WHEN w_le >= 2147483648
-        |         THEN w_le - 4294967296 ELSE w_le END)::int
-        |  END AS width,
-        |  CASE WHEN is_png THEN ('0x' || substring(h, 41, 8))::bigint::int
-        |       WHEN is_bmp THEN (CASE WHEN h_le >= 2147483648
-        |         THEN h_le - 4294967296 ELSE h_le END)::int
-        |  END AS height,
-        |  CASE WHEN is_png THEN ('0x' || substring(h, 49, 2))::int
-        |       WHEN is_bmp THEN ('0x' || substring(h, 59, 2)
-        |         || substring(h, 57, 2))::int
-        |       WHEN is_wav THEN ('0x' || substring(h, 71, 2)
-        |         || substring(h, 69, 2))::int
-        |  END AS bit_depth,
-        |  CASE WHEN is_wav THEN ('0x' || substring(h, 47, 2)
-        |         || substring(h, 45, 2))::int
-        |  END AS channels,
-        |  CASE WHEN is_wav THEN ('0x' || substring(h, 55, 2)
-        |         || substring(h, 53, 2) || substring(h, 51, 2)
-        |         || substring(h, 49, 2))::bigint::int
-        |  END AS sample_rate,
-        |  round(CASE WHEN length(h) = 0 THEN 0.0
-        |        ELSE bytesum / (length(h) / 2) END, 4) AS mean_byte,
-        |  (is_png OR is_bmp OR is_wav OR is_mp4) AS ok
+      // The mp4 arm walks the real box grammar in hex-string space
+      // (recursive CTEs: top-level boxes to `moov`, children to
+      // `mvhd`, v0/v1 layouts) with the same validity guards as
+      // Multimodal.mvhdInfo (header fits, size >= 8, body fits). No
+      // corpus row is mp4, so the walk was validated against the
+      // same synthesized-blob cases MultimodalSpec uses (exact
+      // v0/v1/bare-ftyp/truncated-moov agreement with the Scala
+      // parser).
+      """WITH RECURSIVE parsed AS (
+        |SELECT doc_id, h, is_png, is_bmp, is_wav, is_mp4, w_le, h_le, bytesum
         |FROM (
         |  SELECT doc_id, h, is_png, is_bmp, is_wav,
         |    (length(h) >= 24 AND substring(h, 9, 8) = '66747970'
@@ -647,8 +629,100 @@ object Oracles {
         |            i -> ('0x' || substring(hex(encode(text)),
         |                                    (i * 2 + 1)::int, 2))::bigint),
         |          (a, b) -> a + b)::double END AS bytesum
-        |      FROM documents)))
-        |ORDER BY doc_id""".stripMargin,
+        |      FROM documents)))),
+        |walk AS (
+        |  SELECT doc_id, h, 0::bigint AS pos,
+        |    ('0x' || substring(h, 1, 8))::bigint AS size,
+        |    substring(h, 9, 8) AS btype
+        |  FROM parsed
+        |  WHERE is_mp4
+        |    AND length(h) >= 16
+        |    AND ('0x' || substring(h, 1, 8))::bigint >= 8
+        |    AND ('0x' || substring(h, 1, 8))::bigint * 2 <= length(h)
+        |  UNION ALL
+        |  SELECT doc_id, h, pos + size,
+        |    ('0x' || substring(h, ((pos + size) * 2 + 1)::int, 8))::bigint,
+        |    substring(h, ((pos + size) * 2 + 9)::int, 8)
+        |  FROM walk
+        |  WHERE btype <> '6D6F6F76'
+        |    AND (pos + size + 8) * 2 <= length(h)
+        |    AND ('0x' || substring(h, ((pos + size) * 2 + 1)::int, 8))::bigint >= 8
+        |    AND (pos + size
+        |      + ('0x' || substring(h, ((pos + size) * 2 + 1)::int, 8))::bigint) * 2
+        |      <= length(h)),
+        |moov AS (
+        |  SELECT doc_id, h, pos, size FROM walk WHERE btype = '6D6F6F76'),
+        |mwalk AS (
+        |  SELECT doc_id, h, pos + size AS lim, pos + 8 AS cpos,
+        |    ('0x' || substring(h, ((pos + 8) * 2 + 1)::int, 8))::bigint AS csize,
+        |    substring(h, ((pos + 8) * 2 + 9)::int, 8) AS ctype
+        |  FROM moov
+        |  WHERE pos + 16 <= pos + size
+        |    AND ('0x' || substring(h, ((pos + 8) * 2 + 1)::int, 8))::bigint >= 8
+        |    AND pos + 8 + ('0x' || substring(h, ((pos + 8) * 2 + 1)::int, 8))::bigint
+        |        <= pos + size
+        |  UNION ALL
+        |  SELECT doc_id, h, lim, cpos + csize,
+        |    ('0x' || substring(h, ((cpos + csize) * 2 + 1)::int, 8))::bigint,
+        |    substring(h, ((cpos + csize) * 2 + 9)::int, 8)
+        |  FROM mwalk
+        |  WHERE ctype <> '6D766864'
+        |    AND cpos + csize + 8 <= lim
+        |    AND ('0x' || substring(h, ((cpos + csize) * 2 + 1)::int, 8))::bigint >= 8
+        |    AND cpos + csize
+        |      + ('0x' || substring(h, ((cpos + csize) * 2 + 1)::int, 8))::bigint
+        |      <= lim),
+        |mvhd AS (
+        |  SELECT doc_id, ts::int AS mv_timescale,
+        |    CASE WHEN ts > 0 THEN dur::double / ts END AS mv_duration_s
+        |  FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN ver = 1
+        |           THEN ('0x' || substring(h, (cpos * 2 + 57)::int, 8))::bigint
+        |           ELSE ('0x' || substring(h, (cpos * 2 + 41)::int, 8))::bigint
+        |      END AS ts,
+        |      CASE WHEN ver = 1
+        |           THEN ('0x' || substring(h, (cpos * 2 + 65)::int, 16))::bigint
+        |           ELSE ('0x' || substring(h, (cpos * 2 + 49)::int, 8))::bigint
+        |      END AS dur
+        |    FROM (
+        |      SELECT doc_id, h, cpos, csize,
+        |        ('0x' || substring(h, (cpos * 2 + 17)::int, 2))::int AS ver
+        |      FROM mwalk WHERE ctype = '6D766864')
+        |    WHERE (ver = 0 AND csize >= 28) OR (ver = 1 AND csize >= 40)))
+        |SELECT parsed.doc_id,
+        |  CASE WHEN is_png THEN 'png' WHEN is_bmp THEN 'bmp'
+        |       WHEN is_wav THEN 'wav' WHEN is_mp4 THEN 'mp4'
+        |       ELSE 'unknown' END AS format,
+        |  CASE WHEN is_png THEN ('0x' || substring(h, 33, 8))::bigint::int
+        |       WHEN is_bmp THEN (CASE WHEN w_le >= 2147483648
+        |         THEN w_le - 4294967296 ELSE w_le END)::int
+        |  END AS width,
+        |  CASE WHEN is_png THEN ('0x' || substring(h, 41, 8))::bigint::int
+        |       WHEN is_bmp THEN (CASE WHEN h_le >= 2147483648
+        |         THEN h_le - 4294967296 ELSE h_le END)::int
+        |  END AS height,
+        |  CASE WHEN is_png THEN ('0x' || substring(h, 49, 2))::int
+        |       WHEN is_bmp THEN ('0x' || substring(h, 59, 2)
+        |         || substring(h, 57, 2))::int
+        |       WHEN is_wav THEN ('0x' || substring(h, 71, 2)
+        |         || substring(h, 69, 2))::int
+        |  END AS bit_depth,
+        |  CASE WHEN is_wav THEN ('0x' || substring(h, 47, 2)
+        |         || substring(h, 45, 2))::int
+        |  END AS channels,
+        |  CASE WHEN is_wav THEN ('0x' || substring(h, 55, 2)
+        |         || substring(h, 53, 2) || substring(h, 51, 2)
+        |         || substring(h, 49, 2))::bigint::int
+        |  END AS sample_rate,
+        |  mv_timescale AS timescale,
+        |  round(mv_duration_s, 4) AS duration_s,
+        |  round(CASE WHEN length(h) = 0 THEN 0.0
+        |        ELSE bytesum / (length(h) / 2) END, 4) AS mean_byte,
+        |  (is_png OR is_bmp OR is_wav OR is_mp4) AS ok
+        |FROM parsed LEFT JOIN mvhd ON parsed.doc_id = mvhd.doc_id
+        |ORDER BY parsed.doc_id""".stripMargin,
+
     "mm_meta" ->
       """SELECT doc_id,
         |  octet_length(encode(text))::int AS n_bytes,

@@ -33,11 +33,15 @@ object Multimodal {
   final case class Decoded(doc_id: Long, format: String,
       width: Option[Int], height: Option[Int], bit_depth: Option[Int],
       channels: Option[Int], sample_rate: Option[Int],
+      timescale: Option[Int], duration_s: Option[Double],
       mean_byte: Double, ok: Boolean)
 
   private def beU32(a: Array[Byte], off: Int): Int =
     ((a(off) & 0xFF) << 24) | ((a(off + 1) & 0xFF) << 16) |
       ((a(off + 2) & 0xFF) << 8) | (a(off + 3) & 0xFF)
+  private def beU64(a: Array[Byte], off: Int): Long =
+    ((beU32(a, off).toLong & 0xFFFFFFFFL) << 32) |
+      (beU32(a, off + 4).toLong & 0xFFFFFFFFL)
   private def leS32(a: Array[Byte], off: Int): Int =
     ((a(off + 3) & 0xFF) << 24) | ((a(off + 2) & 0xFF) << 16) |
       ((a(off + 1) & 0xFF) << 8) | (a(off) & 0xFF)
@@ -46,6 +50,38 @@ object Multimodal {
 
   private val PngMagic =
     Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  /** MP4 A/V metadata: walk the top-level box sequence to `moov`,
+    * then its children to `mvhd`, and read (timescale, duration
+    * ticks) — version 0 (32-bit fields) and version 1 (64-bit
+    * creation/modification/duration) layouts both handled. Every box
+    * is validated before use (header fits, size ≥ 8, body fits), so
+    * truncated or corrupt streams degrade to None instead of reading
+    * garbage offsets. ISO/IEC 14496-12 box grammar; same byte-offset
+    * idiom as the other container parses. */
+  private[multimodal] def mvhdInfo(a: Array[Byte]): Option[(Int, Long)] = {
+    def boxes(from: Int, until: Int): Iterator[(Int, String, Int)] =
+      Iterator.unfold(from) { off =>
+        if (off + 8 > until) None
+        else {
+          val size = beU32(a, off)
+          if (size < 8 || off + size > until) None
+          else Some(((off, new String(a, off + 4, 4, "US-ASCII"), size),
+            off + size))
+        }
+      }
+    for {
+      (moff, _, msize) <- boxes(0, a.length).find(_._2 == "moov")
+      (coff, _, csize) <- boxes(moff + 8, moff + msize).find(_._2 == "mvhd")
+      v = a(coff + 8) & 0xFF
+      info <-
+        if (v == 0 && csize >= 28)
+          Some((beU32(a, coff + 20), beU32(a, coff + 24).toLong & 0xFFFFFFFFL))
+        else if (v == 1 && csize >= 40)
+          Some((beU32(a, coff + 28), beU64(a, coff + 32)))
+        else None
+    } yield info
+  }
 
   /** Real container-header decode across the three modalities — no
     * codec library needed for container metadata:
@@ -58,8 +94,10 @@ object Multimodal {
     *    part of detection — its NUL high bytes mean ASCII text can
     *    never false-match;
     *  - MP4: `ftyp` box at 4 with a sane big-endian box size at 0
-    *    (again NUL-guarded); A/V metadata lives deep in `moov`, so
-    *    mp4 rows carry detection only.
+    *    (again NUL-guarded); A/V metadata comes from walking the
+    *    top-level boxes to `moov`/`mvhd` ([[mvhdInfo]]) — timescale
+    *    and duration_s when present, detection-only otherwise
+    *    (fragmented/streaming files keep null duration).
     * Unknown magic → ok=false with null fields — pixel/sample
     * decoding (which WOULD need a codec) stays out of scope;
     * `mean_byte` summarizes the payload instead. The DuckDB oracle
@@ -89,18 +127,24 @@ object Multimodal {
     }
     if (isPng)
       Decoded(b.doc_id, "png", Some(beU32(a, 16)), Some(beU32(a, 20)),
-        Some(a(24) & 0xFF), None, None, mean, ok = true)
+        Some(a(24) & 0xFF), None, None, None, None, mean, ok = true)
     else if (isBmp)
       Decoded(b.doc_id, "bmp", Some(leS32(a, 18)), Some(leS32(a, 22)),
-        Some(leU16(a, 28)), None, None, mean, ok = true)
+        Some(leU16(a, 28)), None, None, None, None, mean, ok = true)
     else if (isWav)
       Decoded(b.doc_id, "wav", None, None, Some(leU16(a, 34)),
-        Some(leU16(a, 22)), Some(leS32(a, 24)), mean, ok = true)
-    else if (isMp4)
-      Decoded(b.doc_id, "mp4", None, None, None, None, None, mean,
+        Some(leU16(a, 22)), Some(leS32(a, 24)), None, None, mean,
         ok = true)
-    else Decoded(b.doc_id, "unknown", None, None, None, None, None,
-      mean, ok = false)
+    else if (isMp4) {
+      val mv = mvhdInfo(a)
+      Decoded(b.doc_id, "mp4", None, None, None, None, None,
+        timescale = mv.map(_._1),
+        duration_s = mv.collect {
+          case (ts, dur) if ts > 0 => dur.toDouble / ts
+        },
+        mean, ok = true)
+    } else Decoded(b.doc_id, "unknown", None, None, None, None, None,
+      None, None, mean, ok = false)
   }
 
   /** Blob view of documents: (doc_id, content binary). */
@@ -132,6 +176,7 @@ object Multimodal {
       .toDF()
       .select(col("doc_id"), col("format"), col("width"), col("height"),
         col("bit_depth"), col("channels"), col("sample_rate"),
+        col("timescale"), round(col("duration_s"), 4).as("duration_s"),
         round(col("mean_byte"), 4).as("mean_byte"), col("ok"))
       .orderBy(col("doc_id"))
   }

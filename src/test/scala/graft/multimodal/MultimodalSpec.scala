@@ -17,6 +17,8 @@ class MultimodalSpec extends SparkSuite {
       StructField("bit_depth", IntegerType, nullable = true),
       StructField("channels", IntegerType, nullable = true),
       StructField("sample_rate", IntegerType, nullable = true),
+      StructField("timescale", IntegerType, nullable = true),
+      StructField("duration_s", DoubleType, nullable = true),
       StructField("mean_byte", DoubleType, nullable = true),
       StructField("ok", BooleanType, nullable = false))))
   }
@@ -29,9 +31,9 @@ class MultimodalSpec extends SparkSuite {
     assert(a.length.toLong === nDocs)
     a.foreach { r =>
       assert(r.getString(1) === "unknown") // ASCII text is never media
-      (2 to 6).foreach(i => assert(r.isNullAt(i)))
-      assert(!r.getBoolean(8))
-      assert(r.getDouble(7) > 0 && r.getDouble(7) < 256)
+      (2 to 8).foreach(i => assert(r.isNullAt(i)))
+      assert(!r.getBoolean(10))
+      assert(r.getDouble(9) > 0 && r.getDouble(9) < 256)
     }
   }
 
@@ -104,28 +106,84 @@ class MultimodalSpec extends SparkSuite {
         .getBytes)) // fmt size from ASCII bytes is never 16/18/40
     val got = cases.map(Multimodal.decodeHeader)
     assert(got(0) === Multimodal.Decoded(1L, "png",
-      Some(640), Some(480), Some(8), None, None,
+      Some(640), Some(480), Some(8), None, None, None, None,
       meanOf(cases(0).content), ok = true))
     assert(got(1) === Multimodal.Decoded(2L, "bmp",
-      Some(1920), Some(1080), Some(24), None, None,
+      Some(1920), Some(1080), Some(24), None, None, None, None,
       meanOf(cases(1).content), ok = true))
     assert(got(2).height === Some(-32), "signed little-endian height")
     assert(got(3).format === "unknown" && !got(3).ok,
       "reserved bytes must be zero for BMP — text cannot fake it")
     assert(got(4) === Multimodal.Decoded(5L, "unknown",
-      None, None, None, None, None, 0.0, ok = false))
+      None, None, None, None, None, None, None, 0.0, ok = false))
     assert(got(5).format === "unknown" && !got(5).ok, "truncated header")
     assert(got(6) === Multimodal.Decoded(7L, "wav",
-      None, None, Some(16), Some(2), Some(44100),
+      None, None, Some(16), Some(2), Some(44100), None, None,
       meanOf(cases(6).content), ok = true))
     assert(got(7) === Multimodal.Decoded(8L, "mp4",
-      None, None, None, None, None, meanOf(cases(7).content), ok = true))
+      None, None, None, None, None, None, None,
+      meanOf(cases(7).content), ok = true))
     assert(got(8).format === "unknown" && !got(8).ok,
       "NUL-guarded fmt size must reject RIFF-looking text")
   }
 
   private def meanOf(a: Array[Byte]): Double =
     if (a.isEmpty) 0.0 else a.map(_ & 0xFF).map(_.toLong).sum.toDouble / a.length
+
+  /** ISO box with the given 4-char type and payload. */
+  private def box(tp: String, payload: Array[Byte]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+    b.putInt(8 + payload.length)
+    b.put(tp.getBytes("US-ASCII"))
+    b.put(payload)
+    b.array()
+  }
+
+  /** ftyp + a top-level `free` box + moov(free, mvhd) — real box
+    * grammar with distractor boxes at both levels, so the parse must
+    * actually walk, not assume fixed offsets. */
+  private def mp4WithMoov(timescale: Int, duration: Long,
+      v1: Boolean): Array[Byte] = {
+    val mvhd =
+      if (v1) {
+        val p = java.nio.ByteBuffer.allocate(32)
+        p.put(1.toByte).put(Array[Byte](0, 0, 0)) // version 1 + flags
+        p.putLong(11L).putLong(22L)               // creation, modification
+        p.putInt(timescale).putLong(duration)
+        box("mvhd", p.array())
+      } else {
+        val p = java.nio.ByteBuffer.allocate(20)
+        p.put(0.toByte).put(Array[Byte](0, 0, 0))
+        p.putInt(11).putInt(22)
+        p.putInt(timescale).putInt(duration.toInt)
+        box("mvhd", p.array())
+      }
+    val free = box("free", Array[Byte](1, 2, 3, 4))
+    mp4Header("isom") ++ free ++ box("moov", free ++ mvhd)
+  }
+
+  test("mp4 moov/mvhd walk yields timescale and duration (v0 and v1)") {
+    val v0 = Multimodal.decodeHeader(
+      Multimodal.MmBlob(10L, mp4WithMoov(600, 3000L, v1 = false)))
+    assert(v0.format === "mp4" && v0.ok)
+    assert(v0.timescale === Some(600) && v0.duration_s === Some(5.0))
+    val v1 = Multimodal.decodeHeader(
+      Multimodal.MmBlob(11L, mp4WithMoov(90000, 90000L * 7 + 45000,
+        v1 = true)))
+    assert(v1.timescale === Some(90000) && v1.duration_s === Some(7.5))
+    // ftyp-only (fragmented/streaming): detection without duration
+    val bare = Multimodal.decodeHeader(
+      Multimodal.MmBlob(12L, mp4Header("isom")))
+    assert(bare.format === "mp4" && bare.ok)
+    assert(bare.timescale === None && bare.duration_s === None)
+    // truncated moov (size exceeds blob): walk must bail, not read
+    // garbage offsets
+    val trunc = Multimodal.decodeHeader(
+      Multimodal.MmBlob(13L, mp4WithMoov(600, 3000L, v1 = false)
+        .dropRight(6)))
+    assert(trunc.format === "mp4" && trunc.ok)
+    assert(trunc.timescale === None && trunc.duration_s === None)
+  }
 
   test("decode preserves partitioning (no shuffle before map)") {
     val ds = Multimodal.blobs(spark, sfDir)
