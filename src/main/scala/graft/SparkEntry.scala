@@ -80,7 +80,8 @@ object SparkEntry {
     // §2G — streaming (batch-equivalent entries; stream path in specs)
     "stream_window_agg"   -> Streams.streamWindowAgg,
     "stream_sessionize"   -> Streams.streamSessionize,
-    "stream_dedup"        -> Streams.streamDedup
+    "stream_dedup"        -> Streams.streamDedup,
+    "stream_neardup"      -> Streams.streamNeardup
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.Tables
+import graft.functions.{HashFunctions => H}
 
 /** SURVEY §2G — Structured Streaming jobs. Each job is ONE transform
   * shared verbatim between the batch entry (oracle-checked by the
@@ -198,6 +199,102 @@ object Streams {
       .toDF()
       .select(col("doc_id"), col("text_hash"))
       .orderBy(col("doc_id"))
+  }
+
+  /** One simhash-chunked doc row for the near-dup stream: each doc
+    * appears once per 16-bit chunk (idx 0..3, key = chunk value) —
+    * the same pigeonhole blocking as the batch C4 join
+    * ([[graft.operators.Dedup.dedupSimhash]]). */
+  final case class ChunkedDoc(idx: Int, key: Int, doc_id: Long, sh: Long)
+  /** A (doc_id, simhash) retained in a bucket's state. */
+  final case class ShDoc(doc_id: Long, sh: Long)
+  /** Per-bucket dedup state: every doc seen in this chunk bucket. */
+  final case class ShBucket(docs: List[ShDoc])
+  /** An emitted near-duplicate pair (doc_a < doc_b). */
+  final case class NearDup(doc_a: Long, doc_b: Long, hamming: Int)
+
+  val SimhashMaxHamming = 3
+
+  private def chunkAt(sh: Long, i: Int): Int =
+    ((sh >>> (i * 16)) & 0xFFFFL).toInt
+
+  /** Smallest chunk index on which the two simhashes agree, -1 if
+    * none. hamming <= 3 over 4 chunks guarantees >= 0 (pigeonhole). */
+  private[streaming] def firstEqualChunk(a: Long, b: Long): Int = {
+    var i = 0
+    while (i < 4) {
+      if (chunkAt(a, i) == chunkAt(b, i)) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** G4 near-dup core for one (idx, key) chunk bucket. Every new doc
+    * is compared against the bucket's stored (doc_id, simhash) list
+    * (and earlier arrivals in the same batch); a hamming-≤3 pair is
+    * emitted from exactly ONE of the buckets both docs share — the
+    * one whose idx is [[firstEqualChunk]] of the pair — so no
+    * cross-group `distinct` is needed to get the batch join's
+    * deduplicated pair set. Input is assumed exact-deduped upstream
+    * ([[dedupFn]] is the preceding stage); re-sending a doc_id would
+    * re-emit its pairs. */
+  def neardupFn(bucket: (Int, Int), docs: Iterator[ChunkedDoc],
+      state: GroupState[ShBucket]): Iterator[NearDup] = {
+    val incoming = docs.toVector.sortBy(_.doc_id)
+    val out = Vector.newBuilder[NearDup]
+    var have = state.getOption.map(_.docs).getOrElse(Nil)
+    incoming.foreach { d =>
+      have.foreach { o =>
+        val h = java.lang.Long.bitCount(o.sh ^ d.sh)
+        if (o.doc_id != d.doc_id && h <= SimhashMaxHamming &&
+            firstEqualChunk(o.sh, d.sh) == bucket._1) {
+          out += (if (o.doc_id < d.doc_id) NearDup(o.doc_id, d.doc_id, h)
+                  else NearDup(d.doc_id, o.doc_id, h))
+        }
+      }
+      have = ShDoc(d.doc_id, d.sh) :: have
+    }
+    state.update(ShBucket(have))
+    out.result().iterator
+  }
+
+  /** Shared stateful near-dup over a chunked doc stream (batch or
+    * streaming — one transform, two execution modes, like G1–G3).
+    *
+    * Scale: state per bucket is the bucket's (doc_id, simhash) list —
+    * 16 bytes per doc per bucket, 4 buckets per doc = 64 bytes/doc
+    * total, never document content. Per-bucket compare cost is the
+    * bucket's occupancy; 2^16 keys per chunk index spread a uniform
+    * corpus 262 144 ways. Like [[dedupFn]], state never expires by
+    * design (a near-dup may arrive much later); bounding it is a
+    * retention decision — swap `NoTimeout` for
+    * `ProcessingTimeTimeout` + a TTL for "near-dup within N days". */
+  def neardupStateful(docs: Dataset[ChunkedDoc]): Dataset[NearDup] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(d => (d.idx, d.key))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        neardupFn)
+  }
+
+  /** G4 batch entry: simhash hamming-≤3 near-dup pairs over
+    * `documents`, computed through the streaming state machine. In
+    * batch mode each bucket's full history arrives in one call, so
+    * the output is exactly [[graft.operators.Dedup.dedupSimhash]]'s
+    * pair set (StreamsSpec asserts set equality) — rows-only `[R]`
+    * entry like C4 (simhash is not cross-engine reproducible). */
+  def streamNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val chunked = Tables(spark, dir).documents
+      .select(col("doc_id"), H.simhash(col("text")).as("sh"))
+      .select(col("doc_id"), col("sh"),
+        posexplode(H.simhashChunks(col("sh"))).as(Seq("idx", "key")))
+      .select(col("idx").cast("int").as("idx"),
+        col("key").cast("int").as("key"), col("doc_id"), col("sh"))
+      .as[ChunkedDoc]
+    neardupStateful(chunked)
+      .toDF()
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** G2 batch entry: the same flatMapGroupsWithState path, batch mode

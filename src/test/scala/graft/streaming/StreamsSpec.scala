@@ -145,6 +145,71 @@ class StreamsSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("batch stream_neardup equals dedupSimhash's pair set") {
+    val got = Streams.streamNeardup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val batch = graft.operators.Dedup.dedupSimhash(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === batch,
+      "streaming state machine must reproduce the C4 join exactly")
+  }
+
+  test("streaming neardup equals batch across multiple batches") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    val expected = Streams.streamNeardup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val chunked = graft.Tables(spark, sfDir).documents
+      .select(col("doc_id"),
+        graft.functions.HashFunctions.simhash(col("text")).as("sh"))
+      .select(col("doc_id"), col("sh"),
+        posexplode(graft.functions.HashFunctions.simhashChunks(col("sh")))
+          .as(Seq("idx", "key")))
+      .select(col("idx").cast("int").as("idx"),
+        col("key").cast("int").as("key"), col("doc_id"), col("sh"))
+      .as[Streams.ChunkedDoc].collect().sortBy(_.doc_id)
+    val stream = MemoryStream[Streams.ChunkedDoc]
+    val query = Streams.neardupStateful(stream.toDS())
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    try {
+      // split on doc_id so a doc's 4 chunk rows stay in one batch but
+      // a pair's two docs usually land in different batches
+      chunked.grouped(math.max(4, chunked.length / 3)).foreach { batch =>
+        stream.addData(batch.toSeq)
+        query.processAllAvailable()
+      }
+      val got = s.table("neardup").as[Streams.NearDup]
+        .collect().map(p => (p.doc_a, p.doc_b, p.hamming)).toSet
+      assert(got === expected)
+    } finally query.stop()
+  }
+
+  test("cross-batch near-dup pair is emitted exactly once") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    def rows(id: Long, sh: Long): Seq[Streams.ChunkedDoc] =
+      (0 until 4).map(i => Streams.ChunkedDoc(i,
+        ((sh >>> (i * 16)) & 0xFFFFL).toInt, id, sh))
+    val stream = MemoryStream[Streams.ChunkedDoc]
+    val query = Streams.neardupStateful(stream.toDS())
+      .writeStream.format("memory").queryName("neardup1x")
+      .outputMode("append").start()
+    try {
+      // sh 0L vs 1L: hamming 1, equal chunks at idx 1,2,3 (three
+      // shared buckets); sh 0L vs 0L on a third doc: all four shared
+      stream.addData(rows(10L, 0L))
+      query.processAllAvailable()
+      stream.addData(rows(20L, 1L) ++ rows(30L, 0L))
+      query.processAllAvailable()
+      val got = s.table("neardup1x").as[Streams.NearDup]
+        .collect().toSeq.sortBy(p => (p.doc_a, p.doc_b))
+      assert(got === Seq(Streams.NearDup(10L, 20L, 1),
+        Streams.NearDup(10L, 30L, 0), Streams.NearDup(20L, 30L, 1)),
+        s"each pair exactly once despite multiple shared buckets: $got")
+    } finally query.stop()
+  }
+
   test("state survives across triggers (session continues, then closes)") {
     val s = spark; import s.implicits._
     implicit val sq = s.sqlContext
