@@ -1,0 +1,146 @@
+package graft.mr
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.{ConcurrentHashMap, Executors, ThreadFactory}
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Thin REST veneer over [[Jobs]] — the reference's HTTP front door
+  * re-expressed (reference: mr/app/main.py boots the Flask app;
+  * mr/views/job.py:33 `POST /job/<workflow>/<job>` submits;
+  * mr/views/request.py lets a client poll its request id and watch
+  * steps tick over; mr/request_cleanup.py prunes finished-request
+  * state). The data plane stays 100 % Spark: a POST only *launches* a
+  * registered query (DataFrame → sink through [[Jobs.submitJob]]),
+  * polling reads the SparkListener-backed [[Jobs.Progress]] counters,
+  * and results land in the sink — no row ever crosses HTTP. Built on
+  * the JDK's `com.sun.net.httpserver` — zero added dependencies.
+  *
+  * Routes (`{name}` = a key of the `jobs` map; `{id}` = the
+  * `request_id` a POST returned):
+  *  - `POST /job/{name}` → 202 `{"request_id":"…"}`; 404 unknown name
+  *  - `GET /request/{id}` → 200 `{"name":…,"jobs_started":…,
+  *    "jobs_ended":…,"tasks_total":…,"tasks_done":…,"fraction":…,
+  *    "completed":…,"succeeded":true|false|null}`; 404 unknown id
+  *  - `DELETE /request/{id}` → 200 `{"cancelled":"…"}`; 404 unknown
+  *  - `POST /reap` → 200 `{"live":N}` — drop completed request state
+  *
+  * Lifecycle: completed requests stay pollable until an explicit
+  * `/reap` (the reference equivalently keeps request trees until
+  * request_cleanup runs) — a long-lived server should reap on its
+  * own cadence. `stop()` shuts the listener down; in-flight Spark
+  * jobs keep running under [[Jobs]] and remain cancellable there.
+  */
+final class HttpApi private (spark: SparkSession, dataDir: String,
+    sinkRoot: String, jobs: Map[String, (SparkSession, String) => DataFrame],
+    server: HttpServer) {
+
+  /** Request-id → handle; unlike [[Jobs]]' own registry this keeps
+    * completed handles pollable until [[reap]]. */
+  private val requests = new ConcurrentHashMap[String, Jobs.JobHandle]()
+
+  /** Bound port (useful with `port = 0` = ephemeral). */
+  def port: Int = server.getAddress.getPort
+
+  def stop(): Unit = server.stop(0)
+
+  /** Drop completed request state; returns live count
+    * (reference: mr/request_cleanup.py:18). */
+  def reap(): Int = {
+    requests.forEach { (id, h) =>
+      if (h.isCompleted) requests.remove(id)
+    }
+    requests.size()
+  }
+
+  private def json(ex: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    try ex.getResponseBody.write(bytes)
+    finally ex.close()
+  }
+
+  private def notFound(ex: HttpExchange, what: String): Unit =
+    json(ex, 404, s"""{"error":"unknown $what"}""")
+
+  private def progressJson(h: Jobs.JobHandle): String = {
+    val p = h.progress
+    // completed-but-outcome-pending is a real window (future callbacks
+    // run after the action returns): succeeded is null until known
+    val succeeded = h.result.value match {
+      case Some(scala.util.Success(t)) => t.isSuccess.toString
+      case Some(scala.util.Failure(_)) => "false"
+      case None => "null"
+    }
+    s"""{"name":"${h.name}","jobs_started":${p.jobsStarted}""" +
+      s""","jobs_ended":${p.jobsEnded},"tasks_total":${p.tasksTotal}""" +
+      s""","tasks_done":${p.tasksDone},"fraction":${p.fraction}""" +
+      s""","completed":${p.completed},"succeeded":$succeeded}"""
+  }
+
+  private def route(ex: HttpExchange): Unit = {
+    val method = ex.getRequestMethod
+    val path = ex.getRequestURI.getPath
+    (method, path.split("/").toList.filter(_.nonEmpty)) match {
+      case ("POST", "job" :: name :: Nil) =>
+        jobs.get(name) match {
+          case None => notFound(ex, "job")
+          case Some(q) =>
+            val handle = Jobs.submitJob(spark, name, q(spark, dataDir),
+              Jobs.SinkWriter(sinkRoot))
+            requests.put(handle.groupId, handle)
+            json(ex, 202, s"""{"request_id":"${handle.groupId}"}""")
+        }
+      case ("GET", "request" :: id :: Nil) =>
+        Option(requests.get(id)) match {
+          case None => notFound(ex, "request")
+          case Some(h) => json(ex, 200, progressJson(h))
+        }
+      case ("DELETE", "request" :: id :: Nil) =>
+        Option(requests.get(id)) match {
+          case None => notFound(ex, "request")
+          case Some(h) =>
+            Jobs.cancel(spark, h)
+            json(ex, 200, s"""{"cancelled":"$id"}""")
+        }
+      case ("POST", "reap" :: Nil) =>
+        json(ex, 200, s"""{"live":${reap()}}""")
+      case _ => notFound(ex, "route")
+    }
+  }
+}
+
+object HttpApi {
+
+  /** Start the server. `jobs` is the submittable query surface (e.g.
+    * [[graft.SparkEntry.queries]]); `dataDir` is the parquet root the
+    * queries read; results land under `sinkRoot/<jobName>`. Handlers
+    * run on a cached daemon pool — submission itself never blocks (a
+    * POST returns as soon as the action thread is launched). */
+  def start(spark: SparkSession, dataDir: String, sinkRoot: String,
+      jobs: Map[String, (SparkSession, String) => DataFrame],
+      port: Int = 0): HttpApi = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.setExecutor(Executors.newCachedThreadPool(new ThreadFactory {
+      private val n = new AtomicInteger(0)
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"graft-http-${n.incrementAndGet()}")
+        t.setDaemon(true)
+        t
+      }
+    }))
+    val api = new HttpApi(spark, dataDir, sinkRoot, jobs, server)
+    server.createContext("/", (ex: HttpExchange) =>
+      try api.route(ex)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          api.json(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+      })
+    server.start()
+    api
+  }
+}

@@ -1,0 +1,102 @@
+package graft.mr
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import graft.SparkSuite
+
+class HttpApiSpec extends SparkSuite {
+
+  private val client = HttpClient.newHttpClient()
+
+  private def send(method: String, url: String): (Int, String) = {
+    val req = HttpRequest.newBuilder(URI.create(url))
+      .method(method, HttpRequest.BodyPublishers.noBody()).build()
+    val res = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (res.statusCode(), res.body())
+  }
+
+  private def field(body: String, name: String): String = {
+    val m = s""""$name":("[^"]*"|[^,}]*)""".r.findFirstMatchIn(body)
+    m.map(_.group(1).stripPrefix("\"").stripSuffix("\"")).getOrElse(
+      fail(s"no field $name in $body"))
+  }
+
+  private def withApi(f: (String, String) => Unit): Unit = {
+    val sinkRoot = Files.createTempDirectory("graft-http").toString
+    val api = HttpApi.start(spark, sfDir, sinkRoot, Map(
+      "wordcount" -> (MrQueries.mrWordcount _),
+      "runaway" -> ((s: org.apache.spark.sql.SparkSession, _: String) =>
+        s.range(Long.MaxValue).selectExpr("sum(id * id)"))))
+    try f(s"http://127.0.0.1:${api.port}", sinkRoot)
+    finally api.stop()
+  }
+
+  test("POST submits, GET polls to completion, results land in the sink") {
+    withApi { (base, sinkRoot) =>
+      val (code, body) = send("POST", s"$base/job/wordcount")
+      assert(code === 202, body)
+      val id = field(body, "request_id")
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      var last = ""
+      while ({
+        val (c, b) = send("GET", s"$base/request/$id")
+        assert(c === 200, b)
+        last = b
+        field(b, "succeeded") == "null" && System.nanoTime() < deadline
+      }) Thread.sleep(100)
+      assert(field(last, "succeeded") === "true", last)
+      assert(field(last, "fraction") === "1.0", last)
+      assert(field(last, "tasks_done").toLong > 0, last)
+      assert(spark.read.parquet(s"$sinkRoot/wordcount").count() > 0,
+        "delivered results must be readable from the sink")
+    }
+  }
+
+  test("unknown job name, request id, and route are 404") {
+    withApi { (base, _) =>
+      assert(send("POST", s"$base/job/nope")._1 === 404)
+      assert(send("GET", s"$base/request/nope")._1 === 404)
+      assert(send("DELETE", s"$base/request/nope")._1 === 404)
+      assert(send("GET", s"$base/whatever")._1 === 404)
+    }
+  }
+
+  test("DELETE cancels an in-flight request") {
+    withApi { (base, _) =>
+      val (code, body) = send("POST", s"$base/job/runaway")
+      assert(code === 202, body)
+      val id = field(body, "request_id")
+      Thread.sleep(1500) // let the job actually start
+      assert(send("DELETE", s"$base/request/$id")._1 === 200)
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      var last = ""
+      while ({
+        val (_, b) = send("GET", s"$base/request/$id")
+        last = b
+        field(b, "completed") == "false" && System.nanoTime() < deadline
+      }) Thread.sleep(100)
+      assert(field(last, "succeeded") === "false",
+        s"cancelled job must not report success: $last")
+    }
+  }
+
+  test("reap drops completed requests but keeps them pollable before") {
+    withApi { (base, _) =>
+      val (_, body) = send("POST", s"$base/job/wordcount")
+      val id = field(body, "request_id")
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while ({
+        val (_, b) = send("GET", s"$base/request/$id")
+        field(b, "succeeded") == "null" && System.nanoTime() < deadline
+      }) Thread.sleep(100)
+      // still pollable after completion…
+      assert(send("GET", s"$base/request/$id")._1 === 200)
+      // …until an explicit reap
+      val (rc, rb) = send("POST", s"$base/reap")
+      assert(rc === 200 && field(rb, "live") === "0", rb)
+      assert(send("GET", s"$base/request/$id")._1 === 404)
+    }
+  }
+}
