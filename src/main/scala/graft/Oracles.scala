@@ -366,7 +366,38 @@ object Oracles {
         |    list_transform(string_split(text, ''), c -> ascii(c)::bigint),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
         |FROM documents
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // E5: rational-idf tf-idf (no ln — see TextQueries.textTfidf: IEEE
+    // + * / are correctly rounded, so the hash gate is exact). The
+    // division operands are BIGINT on both sides; DuckDB's `/` (like
+    // Spark's) promotes to double division.
+    "text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'),
+        |                       w -> w <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |ntok AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY 1),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.term, t.tf, f.df,
+        |    (t.tf / n.n_tok) * ((nd.n_docs + 1) / (f.df + 1)) AS tfidf
+        |  FROM tf t
+        |  JOIN ntok n USING (doc_id)
+        |  JOIN dfreq f USING (term)
+        |  CROSS JOIN nd),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, df, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY tfidf DESC, term ASC) AS rk
+        |  FROM scored)
+        |SELECT doc_id, rk::int AS rk, term, tf, df,
+        |  round(tfidf, 6) AS tfidf
+        |FROM ranked WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin
   )
 
   /** Shared inverted-shingle-index CTE chain over `src` (must expose
@@ -488,7 +519,27 @@ object Oracles {
         |SELECT id_a, id_b, round(dot / (na * nb), 4) AS cos
         |FROM pairs
         |WHERE dot / (na * nb) >= 0.4
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Stratified rebalance sample: keep iff first 16 md5 bits (as
+    // 4-char lowercase hex — fixed-width hex compare IS the numeric
+    // compare) sort below the per-lang threshold. Seed + thresholds
+    // are single-sourced from graft.operators.Sampling so Spark and
+    // oracle cannot drift.
+    "sample_stratified" -> {
+      val cases = graft.operators.Sampling.LangThresholds
+        .map { case (lang, thr, _) => s"WHEN '$lang' THEN '$thr'" }
+        .mkString(" ")
+      s"""WITH s AS (
+         |  SELECT doc_id, lang,
+         |    substr(md5('${graft.operators.Sampling.Seed}'
+         |               || doc_id::varchar), 1, 4) AS bucket,
+         |    CASE lang $cases ELSE '0000' END AS thr
+         |  FROM documents)
+         |SELECT doc_id, lang, bucket, thr
+         |FROM s WHERE bucket < thr
+         |ORDER BY doc_id""".stripMargin
+    }
   )
 
   /** SURVEY §2I — the composed curation pipeline: E2 quality filter →

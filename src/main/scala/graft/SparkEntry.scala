@@ -60,6 +60,7 @@ object SparkEntry {
     "text_quality"       -> TextQueries.textQuality,
     "text_langid"        -> TextQueries.textLangid,
     "text_fingerprint"   -> TextQueries.textFingerprint,
+    "text_tfidf"         -> TextQueries.textTfidf,
     // §2C — deduplication
     "dedup_exact"         -> Dedup.dedupExact,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccard,
@@ -67,6 +68,7 @@ object SparkEntry {
     "dedup_simhash"       -> Dedup.dedupSimhash,
     "dedup_embed_cosine"  -> Dedup.dedupEmbedCosine,
     "dedup_components"    -> Dedup.dedupComponents,
+    "sample_stratified"   -> (graft.operators.Sampling.sampleStratified(_, _)),
     // §2I — composed curation pipeline
     "curate_corpus"       -> (graft.operators.Curate.curateCorpus(_, _)),
     // §2D — similarity search

@@ -70,4 +70,47 @@ object TextQueries {
     d.select(col("doc_id"), T.polyFingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
   }
+
+  /** E5: per-document top-3 keywords by TF-IDF over the whole corpus.
+    *
+    * Word-count-shaped and fully shuffle-parallel: explode tokens map
+    * side, partial-agg `(doc_id, term)` counts, a `term`-keyed join for
+    * document frequency, and a 1-row broadcast for the corpus size. The
+    * top-3-per-doc window is rank-limited, so Spark plans a
+    * WindowGroupLimit (each partition keeps ≤3 rows per doc before the
+    * sort) rather than ranking every (doc, term) pair globally.
+    *
+    * The idf factor is the *rational* form `(N + 1) / (df + 1)` — no
+    * `ln`. IEEE `+ * /` are correctly rounded and therefore
+    * bit-identical across engines, while `ln`'s last ulp is
+    * library-dependent; the rational form keeps the DuckDB oracle an
+    * exact hash gate instead of a tolerance check. Monotone in the
+    * classic idf, so top-k ranking is unchanged.
+    */
+  def textTfidf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(spark, dir).documents
+    // explode(split) + relational length-filter stays in codegen; a
+    // filter() HOF here would drop the whole explode to interpreted.
+    val toks = d.select(col("doc_id"),
+        explode(split(col("text"), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val nTok = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(nTok, "doc_id")
+      .join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        (col("tf") / col("n_tok")) * ((col("n_docs") + 1) / (col("df") + 1)))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
+        round(col("tfidf"), 6).as("tfidf"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
 }
