@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** SURVEY §2C/E adjunct — deterministic stratified sampling for corpus
+  * rebalancing (the "sample sources/languages at different rates" step
+  * of a training-data pipeline).
+  *
+  * Design for 100 TB: the sample is RATE-based, not exact-k. Each row's
+  * fate is a pure function of its own key — keep iff the first 4 hex
+  * chars of md5(seed || doc_id) sort below the stratum's threshold —
+  * so the query is a single scan + filter with NO shuffle, no window,
+  * no per-stratum sort, and it composes with predicate pushdown. An
+  * exact-k variant needs a per-stratum sort (or a two-pass quantile of
+  * the hash); at billions of rows per stratum the rate form is the
+  * right primitive, and k's deviation is O(√n) binomial noise.
+  *
+  * Determinism/oracle: md5 of the UTF-8 bytes is identical in Spark and
+  * DuckDB, and fixed-width lowercase-hex string comparison is numeric
+  * comparison — so the selected set is bit-reproducible cross-engine
+  * (full hash gate), re-runnable, and stable under repartitioning.
+  * Changing [[Seed]] draws an independent sample.
+  */
+object Sampling {
+
+  /** Salt so resampling is a config change, not a code change. */
+  val Seed = "graft-sample-42:"
+
+  /** Per-language keep-rate as a 4-hex-digit threshold t: P(keep) =
+    * parseInt(t,16) / 65536. Upsample rare languages, downsample en —
+    * the canonical rebalance. */
+  val LangThresholds: Seq[(String, String, Double)] = Seq(
+    // (lang, hex threshold, nominal rate)
+    ("en", "1999", 0.1000), // 0x1999 = 6553  / 65536
+    ("de", "8000", 0.5000),
+    ("es", "8000", 0.5000),
+    ("fr", "e666", 0.9000)) // 0xe666 = 58982 / 65536
+
+  /** u ∈ [0,1) proxy: first 16 bits of md5(seed || key), as hex text.
+    * Comparing this 4-char lowercase-hex string with `<` IS the
+    * numeric compare — no hex→int parse needed (DuckDB lacks a
+    * portable one), no doubles anywhere. */
+  def hashBucket(key: Column): Column =
+    substring(md5(concat(lit(Seed), key.cast("string")).cast("binary")), 1, 4)
+
+  private def thresholdCol: Column =
+    LangThresholds.foldLeft(lit("0000")) { case (acc, (lang, thr, _)) =>
+      when(col("lang") === lang, lit(thr)).otherwise(acc)
+    }
+
+  /** Query entry: the sampled documents with their bucket + threshold
+    * (audit columns), deterministic order. */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    d.select(col("doc_id"), col("lang"),
+        hashBucket(col("doc_id")).as("bucket"),
+        thresholdCol.as("thr"))
+      .filter(col("bucket") < col("thr"))
+      .orderBy(col("doc_id"))
+  }
+}

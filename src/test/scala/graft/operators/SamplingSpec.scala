@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** `sample_stratified` — rate correctness, determinism, and the
+  * no-shuffle data-plane contract. */
+class SamplingSpec extends SparkSuite {
+
+  test("per-stratum sample rates land near nominal") {
+    val d = graft.Tables(spark, sfDir).documents
+    val totals = d.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = Sampling.sampleStratified(spark, sfDir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Sampling.LangThresholds.foreach { case (lang, _, rate) =>
+      val n = totals.getOrElse(lang, 0L)
+      if (n > 0) {
+        val got = sampled.getOrElse(lang, 0L).toDouble / n
+        // binomial: sd = sqrt(p(1-p)/n); allow 4 sd + small-n slack
+        val tol = 4 * math.sqrt(rate * (1 - rate) / n) + 0.02
+        assert(math.abs(got - rate) <= tol,
+          s"$lang: got $got want $rate ±$tol (n=$n)")
+      }
+    }
+  }
+
+  test("sample is deterministic and independent of partitioning") {
+    val a = Sampling.sampleStratified(spark, sfDir)
+      .collect().map(_.getLong(0)).toSeq
+    val d = graft.Tables(spark, sfDir).documents.repartition(13)
+    val b = d.select(col("doc_id"), col("lang"),
+        Sampling.hashBucket(col("doc_id")).as("bucket"))
+      .filter(col("bucket") <
+        Sampling.LangThresholds.foldLeft(lit("0000")) {
+          case (acc, (lang, thr, _)) =>
+            when(col("lang") === lang, lit(thr)).otherwise(acc)
+        })
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(a == b)
+  }
+
+  test("data plane is scan+filter: no window, no agg, only the output sort") {
+    val plan = Sampling.sampleStratified(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected Window:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"unexpected aggregate:\n$plan")
+    // the single rangepartitioning Exchange of the presentation
+    // orderBy is the only allowed shuffle
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"expected ≤1 Exchange, got $exchanges:\n$plan")
+    assert(!plan.contains("hashpartitioning"),
+      s"unexpected hash shuffle:\n$plan")
+  }
+}
