@@ -16,7 +16,10 @@ class PlanContractSpec extends SparkSuite {
   //    and the O(n·q) loop is the documented exact baseline.
   //  - q14_scalar_subquery: the broadcast side is a 1-row global
   //    aggregate — a broadcast scalar, O(n) total.
-  private val boundedBroadcastOk = Set("ann_bruteforce", "q14_scalar_subquery")
+  //  - text_tfidf: same shape as q14 — the corpus-size N is a 1-row
+  //    count() aggregate crossJoin-broadcast into the scorer.
+  private val boundedBroadcastOk =
+    Set("ann_bruteforce", "q14_scalar_subquery", "text_tfidf")
 
   test("no query plans a cartesian or unbounded nested-loop join") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
