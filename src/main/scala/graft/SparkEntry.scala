@@ -75,6 +75,7 @@ object SparkEntry {
     "ann_bruteforce"      -> Similarity.annBruteforce,
     "ann_lsh"             -> Similarity.annLsh,
     "ann_ivf"             -> ((s, d) => Similarity.annIvf(s, d)),
+    "embed_cluster"       -> (graft.operators.Cluster.embedCluster(_, _)),
     // §2F — multimodal binary plumbing
     "mm_meta"             -> Multimodal.mmMeta,
     "mm_decode"           -> Multimodal.mmDecode,
