@@ -269,7 +269,59 @@ object Oracles {
         |                         event_id) AS prev_ep
         |      FROM events)))
         |GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    // Ordered funnel: each stage's min-ts is strictly after the
+    // previous stage's — all integer epoch-second math, exact hash.
+    "events_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    epoch(date_trunc('second', ts))::bigint AS ep
+        |  FROM events),
+        |base AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ep END) AS t1
+        |  FROM ev GROUP BY 1),
+        |t2 AS (
+        |  SELECT e.user_id, min(e.ep) AS t2
+        |  FROM ev e JOIN base b ON b.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ep > b.t1
+        |  GROUP BY 1),
+        |t3 AS (
+        |  SELECT e.user_id, min(e.ep) AS t3
+        |  FROM ev e JOIN t2 ON t2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ep > t2.t2
+        |  GROUP BY 1)
+        |SELECT b.user_id, b.t1, t2.t2, t3.t3,
+        |  (CASE WHEN t3.t3 IS NOT NULL THEN 3
+        |        WHEN t2.t2 IS NOT NULL THEN 2
+        |        WHEN b.t1 IS NOT NULL THEN 1
+        |        ELSE 0 END)::int AS stage
+        |FROM base b
+        |LEFT JOIN t2 ON t2.user_id = b.user_id
+        |LEFT JOIN t3 ON t3.user_id = b.user_id
+        |ORDER BY b.user_id""".stripMargin,
+
+    // Weekly cohort retention; `//` = DuckDB integral division,
+    // mirroring Spark's `div` (Funnel.WeekSeconds single-sourced).
+    "events_retention" -> {
+      val wk = graft.operators.Funnel.WeekSeconds
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type,
+         |    epoch(date_trunc('second', ts))::bigint AS ep
+         |  FROM events),
+         |cohort AS (
+         |  SELECT user_id, min(ep) // $wk AS cohort_week
+         |  FROM ev WHERE event_type = 'signup' GROUP BY 1),
+         |act AS (
+         |  SELECT DISTINCT e.user_id, c.cohort_week,
+         |    (e.ep // $wk) - c.cohort_week AS week_offset
+         |  FROM ev e JOIN cohort c ON c.user_id = e.user_id
+         |  WHERE (e.ep // $wk) - c.cohort_week >= 0)
+         |SELECT cohort_week, week_offset, count(*) AS n_users
+         |FROM act GROUP BY 1, 2
+         |ORDER BY cohort_week, week_offset""".stripMargin
+    }
   )
 
   /** SURVEY §2A — the MapReduce-engine pipelines. */

@@ -49,6 +49,8 @@ object SparkEntry {
     "q12_approx_distinct"    -> Relational.q12ApproxDistinct,
     "asof_join"          -> (AsOfJoin.purchasesAsOfSignup(_, _)),
     "events_sessionize"  -> (Sessionize.sessions(_, _)),
+    "events_funnel"      -> (graft.operators.Funnel.eventsFunnel(_, _)),
+    "events_retention"   -> (graft.operators.Funnel.eventsRetention(_, _)),
     // §2A — MapReduce engine pipelines
     "mr_wordcount"       -> MrQueries.mrWordcount,
     "mr_sum"             -> MrQueries.mrSum,

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSuite
+
+/** `events_funnel` / `events_retention` — strict-ordering semantics on
+  * a hand fixture plus structural invariants at sf0.001. */
+class FunnelSpec extends SparkSuite {
+
+  test("funnel requires strict stage ordering (hand fixture)") {
+    val s = spark; import s.implicits._
+    val ev = Seq(
+      // u1: full ordered funnel
+      (1L, "view", 100L), (1L, "click", 200L), (1L, "purchase", 300L),
+      // u2: click BEFORE first view — must not count; no later click
+      (2L, "click", 50L), (2L, "view", 100L),
+      // u3: purchase before click — stage stops at 2
+      (3L, "view", 10L), (3L, "purchase", 15L), (3L, "click", 20L),
+      // u4: no view at all — stage 0 even with click+purchase
+      (4L, "click", 10L), (4L, "purchase", 20L),
+      // u5: same-second click (ep == t1) must NOT count (strict >)
+      (5L, "view", 100L), (5L, "click", 100L)
+    ).toDF("user_id", "event_type", "ep")
+    val out = Funnel.funnelOf(ev).collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getInt(4)))
+      .toMap
+    assert(out(1L) == ((Some(100L), Some(200L), Some(300L), 3)))
+    assert(out(2L) == ((Some(100L), None, None, 1)))
+    assert(out(3L)._4 == 2)
+    assert(out(4L) == ((None, None, None, 0)))
+    assert(out(5L) == ((Some(100L), None, None, 1)))
+  }
+
+  test("funnel stage counts are monotone non-increasing at sf0.001") {
+    val rows = Funnel.eventsFunnel(spark, sfDir).collect()
+    val reached = (1 to 3).map(k => rows.count(_.getInt(4) >= k))
+    assert(reached(0) >= reached(1) && reached(1) >= reached(2),
+      s"funnel not monotone: $reached")
+    rows.foreach { r =>
+      val (t1, t2, t3) = (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))
+      if (t2.isDefined) {
+        assert(t1.isDefined &&
+          t1.get.asInstanceOf[Long] < t2.get.asInstanceOf[Long])
+      }
+      if (t3.isDefined) {
+        assert(t2.isDefined &&
+          t2.get.asInstanceOf[Long] < t3.get.asInstanceOf[Long])
+      }
+    }
+  }
+
+  test("retention: cohorts exist, offsets non-negative, week-0 populated") {
+    val rows = Funnel.eventsRetention(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 >= 0), "negative week_offset leaked")
+    val byCohort = rows.groupBy(_._1)
+    byCohort.foreach { case (cw, rs) =>
+      // the signup event itself lands at offset 0
+      assert(rs.exists(_._2 == 0L), s"cohort $cw missing week-0 row")
+      val w0 = rs.find(_._2 == 0L).get._3
+      assert(rs.forall(_._3 <= w0),
+        s"cohort $cw: some offset exceeds week-0 user count")
+    }
+  }
+}
