@@ -484,7 +484,11 @@ object Oracles {
     "0.5 * least(1.0, n_tok / 200.0) + 0.3 * (1.0 - stop_ratio)" +
       " + 0.2 * (1.0 - punct_ratio)"
 
-  private def ngramPairCtes(src: String): String =
+  /** The df-cut inverted-shingle-index prefix (toks→sh0→sh) over
+    * `src` — shared by the symmetric pair chain below AND the
+    * asymmetric decontaminate oracle, so the shingle definition and
+    * df cut are single-sourced. */
+  private def shingleCtes(src: String): String =
     raw"""toks AS (
          |  SELECT doc_id,
          |    list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS w
@@ -497,8 +501,11 @@ object Oracles {
          |sh AS (
          |  SELECT doc_id, s FROM (
          |    SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh0)
-         |  WHERE df <= ${graft.operators.Dedup.NgramDfMax}),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |  WHERE df <= ${graft.operators.Dedup.NgramDfMax})""".stripMargin
+
+  private def ngramPairCtes(src: String): String =
+    shingleCtes(src) + ",\n" +
+    raw"""sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
          |inter AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -591,6 +598,30 @@ object Oracles {
          |SELECT doc_id, lang, bucket, thr
          |FROM s WHERE bucket < thr
          |ORDER BY doc_id""".stripMargin
+    },
+
+    // Asymmetric containment |A∩B|/|A| over the SAME df-cut shingle
+    // space as the pair chain (shingleCtes single-sources both);
+    // τ and the eval slice come from Decontaminate so Spark and
+    // oracle cannot drift.
+    "decontaminate" -> {
+      val ev = graft.operators.Decontaminate.EvalSource
+      val tau = graft.operators.Decontaminate.Tau
+      s"""WITH ${shingleCtes("documents")},
+         |srcs AS (SELECT doc_id, source FROM documents),
+         |inter AS (
+         |  SELECT a.doc_id AS eval_doc, b.doc_id AS train_doc,
+         |    count(*) AS c
+         |  FROM sh a
+         |  JOIN srcs sa ON sa.doc_id = a.doc_id AND sa.source = '$ev'
+         |  JOIN sh b ON b.s = a.s
+         |  JOIN srcs sb ON sb.doc_id = b.doc_id AND sb.source <> '$ev'
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+         |SELECT eval_doc, train_doc, round(c::double / n, 4) AS contain
+         |FROM inter JOIN sizes ON sizes.doc_id = eval_doc
+         |WHERE c::double / n >= $tau
+         |ORDER BY eval_doc, train_doc""".stripMargin
     }
   )
 

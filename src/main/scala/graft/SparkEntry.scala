@@ -71,6 +71,7 @@ object SparkEntry {
     "dedup_embed_cosine"  -> Dedup.dedupEmbedCosine,
     "dedup_components"    -> Dedup.dedupComponents,
     "sample_stratified"   -> (graft.operators.Sampling.sampleStratified(_, _)),
+    "decontaminate"       -> (graft.operators.Decontaminate.decontaminate(_, _)),
     // §2I — composed curation pipeline
     "curate_corpus"       -> (graft.operators.Curate.curateCorpus(_, _)),
     // §2D — similarity search

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{HashFunctions => H}
+
+/** SURVEY §2C adjunct — train/eval contamination detection, the
+  * benchmark-hygiene step of an LLM training pipeline: find training
+  * documents that contain (≥ [[Tau]] of) an eval document's 3-gram
+  * shingle set.
+  *
+  * Same inverted shingle-hash index as [[Dedup.ngramPairsOf]] (native
+  * codegen ShingleHashes, 64-bit keys, corpus-wide df ≤
+  * [[Dedup.NgramDfMax]] cut bounding hot posting lists), but the join
+  * is eval×train (asymmetric) and the score is CONTAINMENT
+  * |A∩B| / |A| with A = the eval doc's cut shingle set — an eval
+  * passage quoted inside a much larger training doc still scores ~1
+  * where symmetric Jaccard would vanish. At 100 TB the eval side is
+  * tiny (benchmarks), so the shingle equi-join is effectively a
+  * broadcast-shaped probe of the training index.
+  */
+object Decontaminate {
+
+  // Shadows functions.round: DuckDB-exact binary rounding (OracleMath).
+  private def round(c: org.apache.spark.sql.Column, scale: Int):
+      org.apache.spark.sql.Column =
+    graft.functions.OracleMath.roundDuck(c, scale)
+
+  /** Containment threshold: fraction of the eval doc's shingles that
+    * must appear in the training doc. */
+  val Tau = 0.5
+
+  /** The held-out "benchmark" slice of the corpus. */
+  val EvalSource = "src0"
+
+  /** Query entry: (eval_doc, train_doc, contain) pairs with
+    * containment ≥ Tau. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminateOf(Tables(spark, dir).documents)
+
+  /** Core over any (doc_id, source, text) frame. */
+  private[operators] def decontaminateOf(d: DataFrame): DataFrame = {
+    // df cut counts over the WHOLE corpus (eval + train), mirroring
+    // the oracle: a shingle hot in train is cut from eval's set too,
+    // keeping |A| consistent between numerator and denominator.
+    val sh = d.select(col("doc_id"), col("source"),
+        explode(H.shingleHashes(col("text"), 3)).as("s"))
+      .withColumn("df",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
+      .filter(col("df") <= Dedup.NgramDfMax)
+      .select(col("doc_id"), col("source"), col("s"))
+    val evalSh = sh.filter(col("source") === EvalSource)
+    val trainSh = sh.filter(col("source") =!= EvalSource)
+    val nEval = evalSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = evalSh.as("a")
+      .join(trainSh.as("b"), col("a.s") === col("b.s"))
+      .groupBy(col("a.doc_id").as("eval_doc"),
+               col("b.doc_id").as("train_doc"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(nEval, col("eval_doc") === nEval("doc_id"))
+      .withColumn("contain", col("c").cast("double") / col("n"))
+      .filter(col("contain") >= Tau)
+      .select(col("eval_doc"), col("train_doc"),
+        round(col("contain"), 4).as("contain"))
+      .orderBy(col("eval_doc"), col("train_doc"))
+  }
+}
