@@ -273,34 +273,9 @@ object Oracles {
 
     // Ordered funnel: each stage's min-ts is strictly after the
     // previous stage's — all integer epoch-second math, exact hash.
-    "events_funnel" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_type,
-        |    epoch(date_trunc('second', ts))::bigint AS ep
-        |  FROM events),
-        |base AS (
-        |  SELECT user_id,
-        |    min(CASE WHEN event_type = 'view' THEN ep END) AS t1
-        |  FROM ev GROUP BY 1),
-        |t2 AS (
-        |  SELECT e.user_id, min(e.ep) AS t2
-        |  FROM ev e JOIN base b ON b.user_id = e.user_id
-        |  WHERE e.event_type = 'click' AND e.ep > b.t1
-        |  GROUP BY 1),
-        |t3 AS (
-        |  SELECT e.user_id, min(e.ep) AS t3
-        |  FROM ev e JOIN t2 ON t2.user_id = e.user_id
-        |  WHERE e.event_type = 'purchase' AND e.ep > t2.t2
-        |  GROUP BY 1)
-        |SELECT b.user_id, b.t1, t2.t2, t3.t3,
-        |  (CASE WHEN t3.t3 IS NOT NULL THEN 3
-        |        WHEN t2.t2 IS NOT NULL THEN 2
-        |        WHEN b.t1 IS NOT NULL THEN 1
-        |        ELSE 0 END)::int AS stage
-        |FROM base b
-        |LEFT JOIN t2 ON t2.user_id = b.user_id
-        |LEFT JOIN t3 ON t3.user_id = b.user_id
-        |ORDER BY b.user_id""".stripMargin,
+    // (funnelSql is shared with the G5 stream_funnel entry: the
+    // stateful streaming path must reproduce this exactly in batch.)
+    "events_funnel" -> funnelSql,
 
     // Weekly cohort retention; `//` = DuckDB integral division,
     // mirroring Spark's `div` (Funnel.WeekSeconds single-sourced).
@@ -877,7 +852,43 @@ object Oracles {
 
   /** SURVEY §2G — streaming jobs, verified through their batch form
     * (same transform; stream path is ScalaTest-driven). */
+  /** The ordered-funnel SQL — shared verbatim by `events_funnel`
+    * (B-section aggregate-join form) and `stream_funnel` (G5 stateful
+    * form, batch mode): one semantics, two execution strategies.
+    * (`def`, not `val`: consumed by object vals declared earlier.) */
+  private def funnelSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type,
+      |    epoch(date_trunc('second', ts))::bigint AS ep
+      |  FROM events),
+      |base AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN ep END) AS t1
+      |  FROM ev GROUP BY 1),
+      |t2 AS (
+      |  SELECT e.user_id, min(e.ep) AS t2
+      |  FROM ev e JOIN base b ON b.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.ep > b.t1
+      |  GROUP BY 1),
+      |t3 AS (
+      |  SELECT e.user_id, min(e.ep) AS t3
+      |  FROM ev e JOIN t2 ON t2.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ep > t2.t2
+      |  GROUP BY 1)
+      |SELECT b.user_id, b.t1, t2.t2, t3.t3,
+      |  (CASE WHEN t3.t3 IS NOT NULL THEN 3
+      |        WHEN t2.t2 IS NOT NULL THEN 2
+      |        WHEN b.t1 IS NOT NULL THEN 1
+      |        ELSE 0 END)::int AS stage
+      |FROM base b
+      |LEFT JOIN t2 ON t2.user_id = b.user_id
+      |LEFT JOIN t3 ON t3.user_id = b.user_id
+      |ORDER BY b.user_id""".stripMargin
+
   val streaming: Map[String, String] = Map(
+    // The stateful funnel's batch mode must equal the B-section
+    // aggregate-join funnel — same shared SQL.
+    "stream_funnel" -> funnelSql,
     "stream_window_agg" ->
       """SELECT win_start, event_type, count(*) AS n_events,
         |  round(sum(value), 4) AS sum_value

@@ -87,7 +87,8 @@ object SparkEntry {
     "stream_window_agg"   -> Streams.streamWindowAgg,
     "stream_sessionize"   -> Streams.streamSessionize,
     "stream_dedup"        -> Streams.streamDedup,
-    "stream_neardup"      -> Streams.streamNeardup
+    "stream_neardup"      -> Streams.streamNeardup,
+    "stream_funnel"       -> Streams.streamFunnel
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -297,6 +297,87 @@ object Streams {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** A funnel event (G5). */
+  final case class FEv(user_id: Long, event_type: String, ep: Long)
+  /** Per-user funnel state: first view / first click strictly after /
+    * first purchase strictly after; -1 = not reached. Three longs per
+    * user — never the event history. (Public: the streaming state
+    * encoder's generated code cannot see a private class.) */
+  final case class FunnelSt(t1: Long, t2: Long, t3: Long)
+  /** A funnel snapshot row (same shape as the B-section
+    * `events_funnel` batch query). */
+  final case class FunnelRow(user_id: Long, t1: Option[Long],
+      t2: Option[Long], t3: Option[Long], stage: Int)
+
+  private def stageOf(s: FunnelSt): Int =
+    if (s.t3 >= 0) 3 else if (s.t2 >= 0) 2 else if (s.t1 >= 0) 1 else 0
+
+  /** G5 funnel core for one user. Events are folded in ep order; each
+    * stage timestamp is set at most once (first view; first click
+    * strictly after t1; first purchase strictly after t2), so the
+    * state machine is monotone and a snapshot is emitted only when
+    * the user is first seen or their stage advances — the LAST
+    * emitted snapshot per user is their current funnel row.
+    *
+    * Exactness contract: equal to the batch funnel when each user's
+    * events arrive in event-time order ACROSS batches (within a batch
+    * any order is fine — the fold sorts). A late out-of-order view
+    * cannot retroactively lower t1; that trade (3 longs of state vs
+    * buffering the full per-user history) is the same one
+    * [[sessionizeFn]] documents for late events. */
+  def funnelFn(userId: Long, evs: Iterator[FEv],
+      state: GroupState[FunnelSt]): Iterator[FunnelRow] = {
+    val sorted = evs.toIndexedSeq.sortBy(_.ep)
+    val first = !state.exists
+    var s = state.getOption.getOrElse(FunnelSt(-1L, -1L, -1L))
+    val before = stageOf(s)
+    sorted.foreach { e =>
+      e.event_type match {
+        case "view" if s.t1 < 0 => s = s.copy(t1 = e.ep)
+        case "click" if s.t1 >= 0 && e.ep > s.t1 && s.t2 < 0 =>
+          s = s.copy(t2 = e.ep)
+        case "purchase" if s.t2 >= 0 && e.ep > s.t2 && s.t3 < 0 =>
+          s = s.copy(t3 = e.ep)
+        case _ => ()
+      }
+    }
+    state.update(s)
+    val after = stageOf(s)
+    if (first || after > before) {
+      def opt(v: Long) = if (v >= 0) Some(v) else None
+      Iterator(FunnelRow(userId, opt(s.t1), opt(s.t2), opt(s.t3), after))
+    } else Iterator.empty
+  }
+
+  /** Shared stateful funnel over a typed event stream (batch or
+    * streaming — one transform, two execution modes, like G1–G4).
+    * State is 3 longs/user, forever by design (a funnel may complete
+    * months after the first view); bound it with a TTL by swapping
+    * `NoTimeout` for `ProcessingTimeTimeout` as in [[dedupFn]]. */
+  def funnelStateful(evs: Dataset[FEv]): Dataset[FunnelRow] = {
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        funnelFn)
+  }
+
+  /** G5 batch entry: the stateful funnel in batch mode — each user's
+    * full history arrives in one call, so the output equals the
+    * B-section `events_funnel` aggregate-join form and shares its SQL
+    * oracle (StreamsSpec additionally drives the MemoryStream path
+    * and asserts last-snapshot-per-user equality). */
+  def streamFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evs = Tables(spark, dir).events
+      .select(col("user_id"), col("event_type"),
+        Tables.tsNsToSec("ts").as("ep"))
+      .as[FEv]
+    funnelStateful(evs)
+      .toDF()
+      .select(col("user_id"), col("t1"), col("t2"), col("t3"), col("stage"))
+      .orderBy(col("user_id"))
+  }
+
   /** G2 batch entry: the same flatMapGroupsWithState path, batch mode
     * (full history per group, open sessions emitted) — output is
     * byte-identical to the window-function batch form

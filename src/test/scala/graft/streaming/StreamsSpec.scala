@@ -229,4 +229,51 @@ class StreamsSpec extends SparkSuite {
         Streams.Session(7, 1, 2, 5000, 5100, 2.0)))
     } finally query.stop()
   }
+
+  test("batch stream_funnel equals the aggregate-join events_funnel") {
+    val got = Streams.streamFunnel(spark, sfDir).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3)), r.getInt(4))).toSeq
+    val batch = graft.operators.Funnel.eventsFunnel(spark, sfDir).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3)), r.getInt(4))).toSeq
+    assert(got === batch,
+      "stateful funnel (batch mode) must equal the join form")
+  }
+
+  test("streaming funnel: last snapshot per user equals batch on an ep-ordered stream") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    val expected = Streams.streamFunnel(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getInt(4)))
+      .toMap
+    val evs = graft.Tables(spark, sfDir).events
+      .select(col("user_id"), col("event_type"),
+        graft.Tables.tsNsToSec("ts").as("ep"))
+      .as[Streams.FEv].collect().sortBy(_.ep)
+    val stream = MemoryStream[Streams.FEv]
+    val query = Streams.funnelStateful(stream.toDS())
+      .writeStream.format("memory").queryName("funnel1")
+      .outputMode("append").start()
+    try {
+      evs.grouped(math.max(1, evs.length / 4)).foreach { batch =>
+        stream.addData(batch.toSeq)
+        query.processAllAvailable()
+      }
+      val snaps = s.table("funnel1").as[Streams.FunnelRow].collect()
+      // per user: stages strictly increase across snapshots (emit only
+      // on advance), and the last snapshot equals the batch row
+      snaps.groupBy(_.user_id).foreach { case (u, ss) =>
+        val stages = ss.map(_.stage)
+        assert(stages.distinct.length == stages.length,
+          s"user $u emitted duplicate stages: ${stages.toSeq}")
+        val last = ss.maxBy(_.stage)
+        assert(expected(u) === ((last.t1, last.t2, last.t3, last.stage)),
+          s"user $u: stream ${last} != batch ${expected(u)}")
+      }
+      assert(snaps.map(_.user_id).distinct.length == expected.size,
+        "every batch user must have at least one snapshot")
+    } finally query.stop()
+  }
 }
