@@ -29,21 +29,33 @@ object Funnel {
       .select(col("user_id"), col("event_type"),
         Tables.tsNsToSec("ts").as("ep")))
 
-  /** Core funnel over an (user_id, event_type, ep) frame. */
+  /** Core funnel over an (user_id, event_type, ep) frame.
+    *
+    * Shape: ONE hash exchange on user_id, then three chained
+    * whole-partition `min` windows (t2's predicate reads the
+    * partition-constant t1, t3's reads t2) and a final groupBy that
+    * reuses the same partitioning — Catalyst plans scan → Exchange →
+    * Sort → 3×Window → Aggregate with no further shuffle. The naive
+    * aggregate-join formulation (t1-agg ⋈ click-agg ⋈ purchase-agg)
+    * reads clean but Catalyst does NOT dedup repeated DataFrame
+    * subtrees, so it re-scanned events six times and re-computed the
+    * t1 aggregate three times (measured; FunnelSpec pins the 2-
+    * exchange bound so it cannot regress). */
   def funnelOf(ev: DataFrame): DataFrame = {
-    val base = ev.groupBy("user_id")
-      .agg(min(when(col("event_type") === "view", col("ep"))).as("t1"))
-    val t2 = ev.filter(col("event_type") === "click")
-      .join(base, "user_id")
-      .filter(col("ep") > col("t1"))
-      .groupBy("user_id").agg(min(col("ep")).as("t2"))
-    val t3 = ev.filter(col("event_type") === "purchase")
-      .join(t2, "user_id")
-      .filter(col("ep") > col("t2"))
-      .groupBy("user_id").agg(min(col("ep")).as("t3"))
-    base
-      .join(t2, Seq("user_id"), "left")
-      .join(t3, Seq("user_id"), "left")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+    val staged = ev
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("ep"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("ep") > col("t1"),
+          col("ep"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ep") > col("t2"),
+          col("ep"))).over(w))
+    staged.groupBy("user_id")
+      .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"),
+        min(col("t3")).as("t3"))
       .select(col("user_id"), col("t1"), col("t2"), col("t3"),
         when(col("t3").isNotNull, 3)
           .when(col("t2").isNotNull, 2)
@@ -61,13 +73,22 @@ object Funnel {
       .select(col("user_id"), col("event_type"),
         Tables.tsNsToSec("ts").as("ep")))
 
-  /** Core retention over an (user_id, event_type, ep) frame. */
+  /** Core retention over an (user_id, event_type, ep) frame.
+    *
+    * Shape: like [[funnelOf]], the user's signup epoch is a
+    * whole-partition window `min` instead of a separate aggregate
+    * joined back — one scan of events, one user_id exchange (the
+    * window), then the distinct/count aggregates (the first reuses
+    * the user_id partitioning; the tiny (cohort, offset) re-shuffle
+    * is over the already-collapsed distinct set). */
   def retentionOf(ev: DataFrame): DataFrame = {
-    val cohort = ev.filter(col("event_type") === "signup")
-      .groupBy("user_id").agg(min(col("ep")).as("sep"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+    ev
+      .withColumn("sep",
+        min(when(col("event_type") === "signup", col("ep"))).over(w))
+      .filter(col("sep").isNotNull)
       .withColumn("cohort_week", expr(s"sep div $WeekSeconds"))
-      .select("user_id", "cohort_week")
-    ev.join(cohort, "user_id")
       .withColumn("week_offset",
         expr(s"ep div $WeekSeconds") - col("cohort_week"))
       .filter(col("week_offset") >= 0)

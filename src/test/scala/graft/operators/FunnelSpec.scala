@@ -49,6 +49,23 @@ class FunnelSpec extends SparkSuite {
     }
   }
 
+  test("funnel scans events once and shuffles once (plus output sort)") {
+    val plan = Funnel.eventsFunnel(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 events scan, got $scans:\n$plan")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$plan")
+    // the naive agg-join form planned 6 scans / 4 hash exchanges
+  }
+
+  test("retention scans events once") {
+    val plan = Funnel.eventsRetention(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 events scan, got $scans:\n$plan")
+  }
+
   test("retention: cohorts exist, offsets non-negative, week-0 populated") {
     val rows = Funnel.eventsRetention(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
