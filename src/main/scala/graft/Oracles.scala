@@ -461,22 +461,47 @@ object Oracles {
 
   /** The df-cut inverted-shingle-index prefix (toks→sh0→sh) over
     * `src` — shared by the symmetric pair chain below AND the
-    * asymmetric decontaminate oracle, so the shingle definition and
-    * df cut are single-sourced. */
-  private def shingleCtes(src: String): String =
-    raw"""toks AS (
+    * asymmetric decontaminate chain, so the shingle definition and
+    * df cut are single-sourced. `sfx` renames the CTEs so two chains
+    * can coexist in one composed query (see curate_train). */
+  private def shingleCtes(src: String, sfx: String = ""): String =
+    raw"""toks$sfx AS (
          |  SELECT doc_id,
          |    list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS w
          |  FROM $src),
-         |sh0 AS (
+         |sh0$sfx AS (
          |  SELECT doc_id,
          |    unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
          |                          FOR i IN range(1, len(w) - 1)])) AS s
-         |  FROM toks WHERE len(w) >= 3),
-         |sh AS (
+         |  FROM toks$sfx WHERE len(w) >= 3),
+         |sh$sfx AS (
          |  SELECT doc_id, s FROM (
-         |    SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh0)
+         |    SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh0$sfx)
          |  WHERE df <= ${graft.operators.Dedup.NgramDfMax})""".stripMargin
+
+  /** The full decontamination chain over `src`, ending in
+    * `contam$sfx(eval_doc, train_doc, contain)` with contain ≥ τ —
+    * shared verbatim by the standalone `decontaminate` entry and the
+    * composed `curate_train` oracle. */
+  private def decontamCtes(src: String, sfx: String = ""): String = {
+    val ev = graft.operators.Decontaminate.EvalSource
+    val tau = graft.operators.Decontaminate.Tau
+    shingleCtes(src, sfx) + ",\n" +
+    s"""srcs$sfx AS (SELECT doc_id, source FROM $src),
+       |inter$sfx AS (
+       |  SELECT a.doc_id AS eval_doc, b.doc_id AS train_doc,
+       |    count(*) AS c
+       |  FROM sh$sfx a
+       |  JOIN srcs$sfx sa ON sa.doc_id = a.doc_id AND sa.source = '$ev'
+       |  JOIN sh$sfx b ON b.s = a.s
+       |  JOIN srcs$sfx sb ON sb.doc_id = b.doc_id AND sb.source <> '$ev'
+       |  GROUP BY 1, 2),
+       |sizes$sfx AS (SELECT doc_id, count(*) AS n FROM sh$sfx GROUP BY 1),
+       |contam$sfx AS (
+       |  SELECT eval_doc, train_doc, c::double / n AS contain
+       |  FROM inter$sfx JOIN sizes$sfx ON sizes$sfx.doc_id = eval_doc
+       |  WHERE c::double / n >= $tau)""".stripMargin
+  }
 
   private def ngramPairCtes(src: String): String =
     shingleCtes(src) + ",\n" +
@@ -578,26 +603,13 @@ object Oracles {
     // Asymmetric containment |A∩B|/|A| over the SAME df-cut shingle
     // space as the pair chain (shingleCtes single-sources both);
     // τ and the eval slice come from Decontaminate so Spark and
-    // oracle cannot drift.
-    "decontaminate" -> {
-      val ev = graft.operators.Decontaminate.EvalSource
-      val tau = graft.operators.Decontaminate.Tau
-      s"""WITH ${shingleCtes("documents")},
-         |srcs AS (SELECT doc_id, source FROM documents),
-         |inter AS (
-         |  SELECT a.doc_id AS eval_doc, b.doc_id AS train_doc,
-         |    count(*) AS c
-         |  FROM sh a
-         |  JOIN srcs sa ON sa.doc_id = a.doc_id AND sa.source = '$ev'
-         |  JOIN sh b ON b.s = a.s
-         |  JOIN srcs sb ON sb.doc_id = b.doc_id AND sb.source <> '$ev'
-         |  GROUP BY 1, 2),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
-         |SELECT eval_doc, train_doc, round(c::double / n, 4) AS contain
-         |FROM inter JOIN sizes ON sizes.doc_id = eval_doc
-         |WHERE c::double / n >= $tau
+    // oracle cannot drift. decontamCtes is shared verbatim with the
+    // composed curate_train oracle.
+    "decontaminate" ->
+      s"""WITH ${decontamCtes("documents")}
+         |SELECT eval_doc, train_doc, round(contain, 4) AS contain
+         |FROM contam
          |ORDER BY eval_doc, train_doc""".stripMargin
-    }
   )
 
   /** SURVEY §2I — the composed curation pipeline: E2 quality filter →
@@ -628,7 +640,43 @@ object Oracles {
       """SELECT doc_id, n_tok::int AS n_tokens, round(quality, 4) AS quality
         |FROM ex
         |WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> rep_doc)
-        |ORDER BY doc_id""".stripMargin))
+        |ORDER BY doc_id""".stripMargin),
+
+    // §2I capstone: the same survivors chain, then (4) drop the eval
+    // slice and decontamCtes-flagged docs (chain shared verbatim with
+    // the standalone entry, suffixed _d to coexist), and (5) the
+    // Sampling hash-threshold filter (seed + thresholds interpolated
+    // from the same constants the Spark side reads).
+    "curate_train" -> {
+      val evalSrc = graft.operators.Decontaminate.EvalSource
+      val sampleCases = graft.operators.Sampling.LangThresholds
+        .map { case (lang, thr, _) => s"WHEN '$lang' THEN '$thr'" }
+        .mkString(" ")
+      ("WITH RECURSIVE " + qualityBaseCte("documents") + ",\n" +
+      s"""scored AS (
+        |  SELECT doc_id, text, n_tok, $qualityExpr AS quality
+        |  FROM q_base),
+        |q AS (SELECT * FROM scored
+        |      WHERE quality >= ${graft.operators.Curate.MinQuality}),""".stripMargin
+        + "\n" +
+      """ex AS (
+        |  SELECT doc_id, text, n_tok, quality FROM (
+        |    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+        |    FROM q)
+        |  WHERE doc_id = rep),
+        |""".stripMargin
+        + ngramPairCtes("ex") + ",\n" + componentCtes + ",\n"
+        + decontamCtes("documents", "_d") + "\n" +
+      s"""SELECT ex.doc_id, d.lang, round(ex.quality, 4) AS quality
+        |FROM ex JOIN documents d ON d.doc_id = ex.doc_id
+        |WHERE ex.doc_id NOT IN (SELECT node FROM comp WHERE node <> rep_doc)
+        |  AND d.source <> '$evalSrc'
+        |  AND ex.doc_id NOT IN (SELECT train_doc FROM contam_d)
+        |  AND substr(md5('${graft.operators.Sampling.Seed}'
+        |             || ex.doc_id::varchar), 1, 4)
+        |      < CASE d.lang $sampleCases ELSE '0000' END
+        |ORDER BY ex.doc_id""".stripMargin)
+    })
 
   /** SURVEY §2D — similarity search (ann_lsh is rows-only +
     * recall-property-tested). */

@@ -74,6 +74,7 @@ object SparkEntry {
     "decontaminate"       -> (graft.operators.Decontaminate.decontaminate(_, _)),
     // §2I — composed curation pipeline
     "curate_corpus"       -> (graft.operators.Curate.curateCorpus(_, _)),
+    "curate_train"        -> (graft.operators.Curate.curateTrain(_, _)),
     // §2D — similarity search
     "ann_bruteforce"      -> Similarity.annBruteforce,
     "ann_lsh"             -> Similarity.annLsh,

@@ -34,12 +34,18 @@ object Curate {
     * on both engines, so the boundary is exact). */
   val MinQuality = 0.5
 
-  def curateCorpus(spark: SparkSession, dir: String): DataFrame = {
+  /** Stages 1–3 (quality floor → exact dedup → near-dup component
+    * non-representatives dropped), returning the surviving docs with
+    * full metadata — shared by [[curateCorpus]] and [[curateTrain]].
+    * Both callers produce the SAME canonicalized sub-plan, so the
+    * persisted `exact` frame is one CacheManager entry, not two. */
+  private def survivors(spark: SparkSession, dir: String): DataFrame = {
     val nTok = T.wsTokenCount(col("text"))
     val stopRatio = T.tokenCountIn(col("text"), T.EnStopwords) / nTok
     val punctRatio = T.punctCount(col("text")) / length(col("text"))
     val scored = Tables(spark, dir).documents
-      .select(col("doc_id"), col("text"), nTok.as("n_tokens"),
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        nTok.as("n_tokens"),
         T.qualityScore(nTok, stopRatio, punctRatio).as("quality"))
       .filter(col("quality") >= MinQuality)
     // exact dedup: keep the min doc_id per content hash. Persisted —
@@ -65,10 +71,33 @@ object Curate {
       .select(col("node").as("dup_id"))
     val out = exact
       .join(dupIds, col("doc_id") === col("dup_id"), "left_anti")
+    pairs.unpersist()
+    out
+  }
+
+  def curateCorpus(spark: SparkSession, dir: String): DataFrame =
+    survivors(spark, dir)
       .select(col("doc_id"), col("n_tokens"),
         round(col("quality"), 4).as("quality"))
       .orderBy(col("doc_id"))
-    pairs.unpersist()
-    out
+
+  /** §2I capstone — the full TRAINING-set builder: [[survivors]]
+    * (quality → exact dedup → near-dup drop), then
+    *   4. drop the eval slice itself and every surviving doc the
+    *      standalone [[Decontaminate]] pass flags as contaminated
+    *      (≥ τ containment of an eval doc), and
+    *   5. apply [[Sampling]]'s deterministic per-language rebalance
+    *      (pure per-row hash-threshold filter — composes for free).
+    * Five operators, one query, one fully-composed DuckDB oracle. */
+  def curateTrain(spark: SparkSession, dir: String): DataFrame = {
+    val contaminated = Decontaminate.decontaminate(spark, dir)
+      .select(col("train_doc")).distinct()
+    survivors(spark, dir)
+      .filter(col("source") =!= Decontaminate.EvalSource)
+      .join(contaminated, col("doc_id") === col("train_doc"), "left_anti")
+      .filter(Sampling.keepFilter)
+      .select(col("doc_id"), col("lang"),
+        round(col("quality"), 4).as("quality"))
+      .orderBy(col("doc_id"))
   }
 }

@@ -46,10 +46,15 @@ object Sampling {
   def hashBucket(key: Column): Column =
     substring(md5(concat(lit(Seed), key.cast("string")).cast("binary")), 1, 4)
 
-  private def thresholdCol: Column =
+  /** The per-row threshold for the current `lang` column value. */
+  def langThresholdCol: Column =
     LangThresholds.foldLeft(lit("0000")) { case (acc, (lang, thr, _)) =>
       when(col("lang") === lang, lit(thr)).otherwise(acc)
     }
+
+  /** The keep-predicate on any frame with (doc_id, lang) — pure
+    * per-row, composable into other pipelines (see Curate). */
+  def keepFilter: Column = hashBucket(col("doc_id")) < langThresholdCol
 
   /** Query entry: the sampled documents with their bucket + threshold
     * (audit columns), deterministic order. */
@@ -57,7 +62,7 @@ object Sampling {
     val d = Tables(spark, dir).documents
     d.select(col("doc_id"), col("lang"),
         hashBucket(col("doc_id")).as("bucket"),
-        thresholdCol.as("thr"))
+        langThresholdCol.as("thr"))
       .filter(col("bucket") < col("thr"))
       .orderBy(col("doc_id"))
   }

@@ -43,4 +43,43 @@ class CurateSpec extends SparkSuite {
     assert(curated.subsetOf(all))
     assert(curated.size < all.size, "testdata plants dups; some must drop")
   }
+
+  test("curate_train: subset of curated, eval-free, decontaminated, sampled") {
+    val train = Curate.curateTrain(spark, sfDir).collect()
+    assert(train.nonEmpty, "train set must not be empty at sf0.001")
+    val trainIds = train.map(_.getLong(0)).toSet
+    val curatedIds = Curate.curateCorpus(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(trainIds.subsetOf(curatedIds),
+      "stage 4/5 only remove docs from the curated survivors")
+
+    val docs = graft.Tables(spark, sfDir).documents
+      .select("doc_id", "lang", "source").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    // no eval-source doc in the training set
+    trainIds.foreach { id =>
+      assert(docs(id)._2 != Decontaminate.EvalSource,
+        s"eval doc $id leaked into the train set")
+    }
+    // no doc flagged by the standalone decontamination pass
+    val contaminated = Decontaminate.decontaminate(spark, sfDir)
+      .select("train_doc").collect().map(_.getLong(0)).toSet
+    assert(trainIds.intersect(contaminated).isEmpty,
+      "contaminated docs must be dropped")
+    // every kept doc passes the sampling predicate; every curated
+    // non-eval non-contaminated doc that passes it is kept
+    val thr = Sampling.LangThresholds.map(t => t._1 -> t._2).toMap
+    def kept(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest((Sampling.Seed + id.toString).getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.substring(0, 4)
+      hex < thr.getOrElse(docs(id)._1, "0000")
+    }
+    val expected = curatedIds
+      .filter(id => docs(id)._2 != Decontaminate.EvalSource)
+      .filterNot(contaminated)
+      .filter(kept)
+    assert(trainIds === expected,
+      "train set must be exactly the sampled decontaminated survivors")
+  }
 }
