@@ -277,6 +277,28 @@ object Oracles {
     // stateful streaming path must reproduce this exactly in batch.)
     "events_funnel" -> funnelSql,
 
+    // First-order Markov transitions between consecutive event types
+    // per user; p = n/n_from is a BIGINT/BIGINT double division
+    // (correctly rounded IEEE → exact hash).
+    "events_pathing" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch(date_trunc('second', ts))::bigint AS ep
+        |  FROM events),
+        |trans AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |                              ORDER BY ep, event_id) AS to_type
+        |  FROM ev),
+        |cnt AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM trans WHERE to_type IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(n / sum(n) OVER (PARTITION BY from_type), 4) AS p
+        |FROM cnt
+        |ORDER BY from_type, to_type""".stripMargin,
+
     // Weekly cohort retention; `//` = DuckDB integral division,
     // mirroring Spark's `div` (Funnel.WeekSeconds single-sourced).
     "events_retention" -> {

@@ -51,6 +51,7 @@ object SparkEntry {
     "events_sessionize"  -> (Sessionize.sessions(_, _)),
     "events_funnel"      -> (graft.operators.Funnel.eventsFunnel(_, _)),
     "events_retention"   -> (graft.operators.Funnel.eventsRetention(_, _)),
+    "events_pathing"     -> (graft.operators.Funnel.eventsPathing(_, _)),
     // §2A — MapReduce engine pipelines
     "mr_wordcount"       -> MrQueries.mrWordcount,
     "mr_sum"             -> MrQueries.mrSum,

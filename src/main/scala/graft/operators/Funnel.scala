@@ -5,9 +5,9 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 
-/** SURVEY §2B adjunct — ordered funnel + cohort retention over
-  * `events`, the two staple product-analytics operators a JobX-style
-  * analytics user runs daily.
+/** SURVEY §2B adjunct — ordered funnel, cohort retention, and event
+  * pathing over `events`: the staple product-analytics operators a
+  * JobX-style analytics user runs daily.
   *
   * Both are chains of user_id-keyed aggregates/joins: one shuffle
   * establishes the user_id partitioning and every subsequent
@@ -18,6 +18,12 @@ import graft.Tables
   * is a full hash match.
   */
 object Funnel {
+
+  // Shadows functions.round: DuckDB-exact binary rounding so oracle
+  // hashes cannot flake on decimal half boundaries (see OracleMath).
+  private def round(c: org.apache.spark.sql.Column, scale: Int):
+      org.apache.spark.sql.Column =
+    graft.functions.OracleMath.roundDuck(c, scale)
 
   val WeekSeconds = 604800L
 
@@ -62,6 +68,35 @@ object Funnel {
           .when(col("t1").isNotNull, 1)
           .otherwise(0).as("stage"))
       .orderBy(col("user_id"))
+  }
+
+  /** Event pathing: first-order Markov transition counts between
+    * consecutive event types per user (ordered by (ep, event_id)),
+    * with the row-conditional transition probability. One scan + one
+    * user_id exchange (the lead window), then a tiny (from, to) agg;
+    * `p` is a long/long division (correctly-rounded IEEE, so the
+    * oracle hash is exact — same argument as text_tfidf). */
+  def eventsPathing(spark: SparkSession, dir: String): DataFrame =
+    pathingOf(Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        Tables.tsNsToSec("ts").as("ep")))
+
+  /** Core pathing over an (user_id, event_id, event_type, ep) frame. */
+  def pathingOf(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ep"), col("event_id"))
+    val trans = ev
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wf = Window.partitionBy("from_type")
+    trans
+      .withColumn("n_from", sum(col("n")).over(wf))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n") / col("n_from"), 4).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
   }
 
   /** Weekly cohort retention: cohort = integral week of the user's

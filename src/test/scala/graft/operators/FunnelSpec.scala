@@ -66,6 +66,35 @@ class FunnelSpec extends SparkSuite {
     assert(scans == 1, s"expected 1 events scan, got $scans:\n$plan")
   }
 
+  test("pathing orders by (ep, event_id) and counts transitions (fixture)") {
+    val s = spark; import s.implicits._
+    // u1: a@1 -> b@2 -> c@2 (tie broken by event_id: 20 < 21)
+    // u2: b@5 -> a@6
+    val ev = Seq(
+      (1L, 10L, "a", 1L), (1L, 20L, "b", 2L), (1L, 21L, "c", 2L),
+      (2L, 30L, "b", 5L), (2L, 31L, "a", 6L)
+    ).toDF("user_id", "event_id", "event_type", "ep")
+    val out = Funnel.pathingOf(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(("a", "b")) == ((1L, 1.0)))
+    assert(out(("b", "c")) == ((1L, 0.5)))
+    assert(out(("b", "a")) == ((1L, 0.5)))
+    assert(out.size == 3, s"unexpected transitions: $out")
+  }
+
+  test("pathing probabilities sum to 1 per from_type at sf0.001") {
+    val rows = Funnel.eventsPathing(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (from, rs) =>
+      val total = rs.map(_.getDouble(3)).sum
+      assert(math.abs(total - 1.0) < 1e-3,
+        s"$from: probabilities sum to $total")
+      val ns = rs.map(_.getLong(2))
+      assert(ns.forall(_ > 0))
+    }
+  }
+
   test("retention: cohorts exist, offsets non-negative, week-0 populated") {
     val rows = Funnel.eventsRetention(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
