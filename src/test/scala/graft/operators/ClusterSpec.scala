@@ -83,6 +83,20 @@ class ClusterSpec extends SparkSuite {
       s"cost after 5 iters ($c5) should not exceed cost after 1 ($c1)")
   }
 
+  test("centroid update is a partial aggregate (k buffers per partition cross the exchange)") {
+    val s = spark; import s.implicits._
+    val ds = Seq(
+      Cluster.Assigned(1L, 0, Seq(1.0, 2.0)),
+      Cluster.Assigned(2L, 1, Seq(3.0, 4.0)),
+      Cluster.Assigned(3L, 0, Seq(5.0, 6.0))).toDS()
+    val plan = ds.groupByKey(_.cluster)
+      .agg(new Cluster.SumVec(2).toColumn.name("sumn"))
+      .queryExecution.executedPlan.toString
+    val aggs = "ObjectHashAggregate".r.findAllIn(plan).length
+    assert(aggs >= 2,
+      s"expected partial+final ObjectHashAggregate, got $aggs:\n$plan")
+  }
+
   test("multiple clusters are populated") {
     val ks = Cluster.embedCluster(spark, sfDir)
       .select("cluster").distinct().count()
