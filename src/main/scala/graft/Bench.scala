@@ -66,7 +66,10 @@ object Bench {
         if (first._2) first +: Seq.fill(Runs - 1)(once()) else Seq(first)
       (name, samples.map(_._1), samples.forall(_._2))
     }
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator honors the default locale, and
+    // a comma decimal separator (de_DE etc.) would corrupt the JSON.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results
       .map { case (k, v, ok) =>
         "\"" + k + "\":" + (if (ok) fmt(median(v)) else "-1.0") }

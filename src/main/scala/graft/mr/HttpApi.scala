@@ -2,8 +2,7 @@ package graft.mr
 
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
-import java.util.concurrent.{ConcurrentHashMap, Executors, ThreadFactory}
-import java.util.concurrent.atomic.AtomicInteger
+import java.util.concurrent.{ConcurrentHashMap, Executors}
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -125,14 +124,8 @@ object HttpApi {
       jobs: Map[String, (SparkSession, String) => DataFrame],
       port: Int = 0): HttpApi = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-    server.setExecutor(Executors.newCachedThreadPool(new ThreadFactory {
-      private val n = new AtomicInteger(0)
-      def newThread(r: Runnable): Thread = {
-        val t = new Thread(r, s"graft-http-${n.incrementAndGet()}")
-        t.setDaemon(true)
-        t
-      }
-    }))
+    server.setExecutor(Executors.newCachedThreadPool(
+      Jobs.namedDaemonFactory("graft-http")))
     val api = new HttpApi(spark, dataDir, sinkRoot, jobs, server)
     server.createContext("/", (ex: HttpExchange) =>
       try api.route(ex)

@@ -72,6 +72,13 @@ object Jobs {
       result: Future[Try[Unit]],
       private[mr] val cancelled: AtomicBoolean) {
 
+    /** Final counters, captured when reap() retires this handle's
+      * groupProgress entry — a poller holding the handle (e.g.
+      * HttpApi until an explicit /reap) keeps seeing the completed
+      * job's numbers instead of zeros. */
+    private[mr] val retired =
+      new java.util.concurrent.atomic.AtomicReference[GroupCounters](null)
+
     /** Run `cb` when the job finishes (delivery included), with its
       * outcome. Registering after completion fires immediately. */
     def onComplete(cb: Try[Unit] => Unit): Unit =
@@ -83,6 +90,7 @@ object Jobs {
       * reference's request-polling surface). */
     def progress: Progress = {
       val c = Option(groupProgress.get(groupId))
+        .orElse(Option(retired.get()))
       Progress(
         jobsStarted = c.map(_.jobsStarted.get()).getOrElse(0),
         jobsEnded = c.map(_.jobsEnded.get()).getOrElse(0),
@@ -116,18 +124,24 @@ object Jobs {
     def deliver(jobName: String, df: DataFrame): Unit = f(jobName, df)
   }
 
+  /** Named daemon-thread factory — shared with [[HttpApi]]'s server
+    * pool so thread policy lives in one place. */
+  private[mr] def namedDaemonFactory(prefix: String): ThreadFactory =
+    new ThreadFactory {
+      private val n = new AtomicInteger(0)
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"$prefix-${n.incrementAndGet()}")
+        t.setDaemon(true)
+        t
+      }
+    }
+
   /** Unbounded cached pool of named daemon threads: each submitted
     * job parks one thread on its blocking Spark action, however many
     * are in flight; idle threads die after 60 s (Executors default),
     * so a quiet driver holds zero. */
-  private val pool = Executors.newCachedThreadPool(new ThreadFactory {
-    private val n = new AtomicInteger(0)
-    def newThread(r: Runnable): Thread = {
-      val t = new Thread(r, s"graft-job-${n.incrementAndGet()}")
-      t.setDaemon(true)
-      t
-    }
-  })
+  private val pool =
+    Executors.newCachedThreadPool(namedDaemonFactory("graft-job"))
   private implicit val ec: ExecutionContext =
     ExecutionContext.fromExecutorService(pool)
 
@@ -136,7 +150,7 @@ object Jobs {
   private val registry = new ConcurrentHashMap[String, JobHandle]()
 
   /** Per-group scheduler counters, fed by [[groupListener]]. */
-  private final class GroupCounters {
+  private[mr] final class GroupCounters {
     val jobsStarted = new AtomicInteger(0)
     val jobsEnded = new AtomicInteger(0)
     val tasksTotal = new AtomicLong(0L)
@@ -144,7 +158,8 @@ object Jobs {
   }
   private val groupProgress = new ConcurrentHashMap[String, GroupCounters]()
   private val stageToGroup = new ConcurrentHashMap[Int, String]()
-  private val jobToStages = new ConcurrentHashMap[Int, Seq[Int]]()
+  private val jobToStages = new ConcurrentHashMap[Int, Seq[(Int, Long)]]()
+  private val submittedStages = ConcurrentHashMap.newKeySet[Int]()
 
   /** One listener per SparkContext (keyed by applicationId),
     * installed lazily on first submit. Only groups in
@@ -159,21 +174,42 @@ object Jobs {
         c.jobsStarted.incrementAndGet()
         c.tasksTotal.addAndGet(js.stageInfos.map(_.numTasks.toLong).sum)
         val g = group.get
-        jobToStages.put(js.jobId, js.stageInfos.map(_.stageId))
+        jobToStages.put(js.jobId,
+          js.stageInfos.map(si => si.stageId -> si.numTasks.toLong))
         js.stageInfos.foreach(si => stageToGroup.put(si.stageId, g))
       }
     }
+    override def onStageSubmitted(
+        ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
+      if (stageToGroup.containsKey(ss.stageInfo.stageId))
+        submittedStages.add(ss.stageInfo.stageId)
+      ()
+    }
+    // Only successful attempts count: a failed/killed/speculative
+    // attempt would push tasksDone past tasksTotal.
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
-      Option(stageToGroup.get(te.stageId))
-        .flatMap(g => Option(groupProgress.get(g)))
-        .foreach(_.tasksDone.incrementAndGet())
+      if (te.reason == org.apache.spark.Success)
+        Option(stageToGroup.get(te.stageId))
+          .flatMap(g => Option(groupProgress.get(g)))
+          .foreach(_.tasksDone.incrementAndGet())
     override def onJobEnd(je: SparkListenerJobEnd): Unit = {
       Option(jobToStages.remove(je.jobId)).foreach { stages =>
-        stages.headOption
-          .flatMap(s => Option(stageToGroup.get(s)))
+        val counters = stages.headOption
+          .flatMap { case (s, _) => Option(stageToGroup.get(s)) }
           .flatMap(g => Option(groupProgress.get(g)))
-          .foreach(_.jobsEnded.incrementAndGet())
-        stages.foreach(stageToGroup.remove(_))
+        counters.foreach(_.jobsEnded.incrementAndGet())
+        // stages Spark skipped (cached/reused) never ran their tasks;
+        // remove them from the total so fraction can reach its target
+        counters.foreach { c =>
+          val skipped = stages
+            .collect { case (s, n) if !submittedStages.contains(s) => n }
+            .sum
+          if (skipped > 0) c.tasksTotal.addAndGet(-skipped)
+          ()
+        }
+        stages.foreach { case (s, _) =>
+          stageToGroup.remove(s); submittedStages.remove(s); ()
+        }
       }
     }
   }
@@ -189,7 +225,10 @@ object Jobs {
     registry.forEach { (gid, h) =>
       if (h.isCompleted) {
         registry.remove(gid)
-        groupProgress.remove(gid)
+        // hand the counters to the handle before dropping the map
+        // entry: anyone still holding the handle (HttpApi polls
+        // until an explicit /reap) reads the final numbers, not 0s
+        Option(groupProgress.remove(gid)).foreach(h.retired.compareAndSet(null, _))
       }
     }
     registry.size()

@@ -73,6 +73,10 @@ object Multimodal {
     for {
       (moff, _, msize) <- boxes(0, a.length).find(_._2 == "moov")
       (coff, _, csize) <- boxes(moff + 8, moff + msize).find(_._2 == "mvhd")
+      // a size-8 "mvhd" ending flush with the blob has no version
+      // byte — guard before reading or a truncated file would throw
+      // instead of degrading to None
+      if csize >= 9
       v = a(coff + 8) & 0xFF
       info <-
         if (v == 0 && csize >= 28)

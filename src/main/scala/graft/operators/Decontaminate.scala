@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{HashFunctions => H}
 
 /** SURVEY §2C adjunct — train/eval contamination detection, the
   * benchmark-hygiene step of an LLM training pipeline: find training
@@ -45,13 +44,8 @@ object Decontaminate {
     // df cut counts over the WHOLE corpus (eval + train), mirroring
     // the oracle: a shingle hot in train is cut from eval's set too,
     // keeping |A| consistent between numerator and denominator.
-    val sh = d.select(col("doc_id"), col("source"),
-        explode(H.shingleHashes(col("text"), 3)).as("s"))
-      .withColumn("df",
-        count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
-      .filter(col("df") <= Dedup.NgramDfMax)
-      .select(col("doc_id"), col("source"), col("s"))
+    // Shared index with the C2/C6 pair chain (Dedup.shingleIndexOf).
+    val sh = Dedup.shingleIndexOf(d, carry = Seq("source"))
     val evalSh = sh.filter(col("source") === EvalSource)
     val trainSh = sh.filter(col("source") =!= EvalSource)
     val nEval = evalSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))

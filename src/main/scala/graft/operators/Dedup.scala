@@ -67,13 +67,23 @@ object Dedup {
   /** Same pair pipeline over any (doc_id, text) frame — lets composed
     * pipelines (see [[Curate]]) run near-dup detection on an already
     * filtered corpus; the df cut then counts within that corpus. */
-  private[operators] def ngramPairsOf(d: DataFrame): DataFrame = {
+  /** The df-cut inverted shingle-hash index over any (doc_id, text)
+    * frame: (doc_id, [carry...], s). Single Spark-side source for the
+    * C2/C6 pair chain AND [[Decontaminate]] — the mirror of the
+    * oracle-side shared `shingleCtes`, so the shingle definition and
+    * df cut cannot drift between consumers on either side. */
+  private[operators] def shingleIndexOf(d: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = d.select(col("doc_id"),
-        explode(H.shingleHashes(col("text"), 3)).as("s"))
+    d.select(col("doc_id") +: carry.map(col) :+
+        explode(H.shingleHashes(col("text"), 3)).as("s"): _*)
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
       .filter(col("df") <= NgramDfMax)
-      .select(col("doc_id"), col("s"))
+      .select(col("doc_id") +: carry.map(col) :+ col("s"): _*)
+  }
+
+  private[operators] def ngramPairsOf(d: DataFrame): DataFrame = {
+    val sh = shingleIndexOf(d)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"),
@@ -230,11 +240,29 @@ object Dedup {
       live += out
       out
     }
-    def free(df: DataFrame): Unit = {
+    // deleteFiles: reliable checkpoints write files the ContextCleaner
+    // does NOT delete by default (cleanCheckpoints=false) — a
+    // long-lived driver would leak one dir per round. Mid-loop rounds
+    // are dead once replaced, so their files go eagerly; the finally
+    // block must NOT delete files on the success path — the returned
+    // labels frame's lineage reads the final edges/nodes checkpoints
+    // if its cache is ever evicted.
+    def free(df: DataFrame, deleteFiles: Boolean): Unit = {
       live -= df
       df.queryExecution.logical.collectFirst {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-      }.foreach(_.unpersist(blocking = false))
+      }.foreach { rdd =>
+        rdd.unpersist(blocking = false)
+        if (deleteFiles) rdd.getCheckpointFile.foreach { p =>
+          try {
+            val path = new org.apache.hadoop.fs.Path(p)
+            path.getFileSystem(
+              pairs.sparkSession.sparkContext.hadoopConfiguration)
+              .delete(path, true)
+            ()
+          } catch { case _: Throwable => () } // best-effort cleanup
+        }
+      }
       // (no match → the ContextCleaner reclaims it once unreferenced)
     }
     // Canonical greater→lesser orientation; both star phases preserve
@@ -253,6 +281,7 @@ object Dedup {
           lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")))
         .head().getDecimal(0)
     var converged = false
+    var succeeded = false
     var iter = 0
     val maxIter = 30 // O(log d): 30 rounds covers any physical graph
     try {
@@ -270,7 +299,7 @@ object Dedup {
           .filter(col("u") =!= col("v"))
           .distinct())
         val sumLarge = probe(large)
-        free(edges)
+        free(edges, deleteFiles = true) // dead round: nothing reads it
         edges = large
         // small-star: edges are already greater→lesser oriented, so
         // each node's smaller neighborhood is exactly its `v` rows
@@ -281,7 +310,7 @@ object Dedup {
           .filter(col("u") =!= col("v"))
           .distinct())
         val sumSmall = probe(small)
-        free(edges)
+        free(edges, deleteFiles = true) // dead round: nothing reads it
         edges = small
         converged = sumLarge.compareTo(sumPrev) == 0 &&
           sumSmall.compareTo(sumLarge) == 0
@@ -303,9 +332,15 @@ object Dedup {
           coalesce(col("lbl"), col("node")).as("lbl"))
         .persist()
       labels.count() // materialize before freeing edges/nodes below
+      succeeded = true
       (labels, iter)
     } finally {
-      live.toSeq.foreach(free)
+      // On success the final edges/nodes checkpoints stay on disk:
+      // the returned labels frame's lineage reads them if its cache
+      // is evicted (ContextCleaner reclaims the files once the RDDs
+      // are unreferenced). On failure nothing references them — files
+      // go now, so repeated failing calls cannot leak disk.
+      live.toSeq.foreach(free(_, deleteFiles = !succeeded))
     }
   }
 

@@ -98,6 +98,24 @@ class JobsSpec extends SparkSuite {
     assert(fin.jobsStarted > 0 && fin.jobsEnded === fin.jobsStarted, fin.toString)
   }
 
+  test("a reaped handle keeps its final progress counters") {
+    val out = Files.createTempDirectory("graft-reapprog").toString + "/p"
+    val handle = Jobs.submitAsync(spark, "reap_probe") {
+      graft.Tables(spark, sfDir).events.groupBy("user_id").count()
+        .write.mode("overwrite").parquet(out)
+    }
+    assert(Jobs.await(handle, 120.seconds).isSuccess)
+    val before = handle.progress
+    assert(before.tasksDone > 0L)
+    Jobs.reap() // retires the groupProgress entry
+    val after = handle.progress
+    assert(after.tasksDone === before.tasksDone &&
+      after.tasksTotal === before.tasksTotal &&
+      after.jobsStarted === before.jobsStarted,
+      s"counters must survive the reap: $before -> $after")
+    assert(after.fraction === 1.0)
+  }
+
   test("progress counters attribute tasks to the right group") {
     val gate = new java.util.concurrent.CountDownLatch(1)
     val idle = Jobs.submitAsync(spark, "idle_group") { gate.await() }

@@ -183,6 +183,12 @@ class MultimodalSpec extends SparkSuite {
         .dropRight(6)))
     assert(trunc.format === "mp4" && trunc.ok)
     assert(trunc.timescale === None && trunc.duration_s === None)
+    // a size-8 mvhd ending flush with the blob has no version byte:
+    // must degrade to None, not throw (regression: AIOOBE)
+    val size8 = mp4Header("isom") ++ box("moov", box("mvhd", Array.emptyByteArray))
+    val flush = Multimodal.decodeHeader(Multimodal.MmBlob(14L, size8))
+    assert(flush.format === "mp4" && flush.ok)
+    assert(flush.timescale === None && flush.duration_s === None)
   }
 
   test("decode preserves partitioning (no shuffle before map)") {
