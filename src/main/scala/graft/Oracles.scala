@@ -301,25 +301,32 @@ object Oracles {
 
     // Weekly cohort retention; `//` = DuckDB integral division,
     // mirroring Spark's `div` (Funnel.WeekSeconds single-sourced).
-    "events_retention" -> {
-      val wk = graft.operators.Funnel.WeekSeconds
-      s"""WITH ev AS (
-         |  SELECT user_id, event_type,
-         |    epoch(date_trunc('second', ts))::bigint AS ep
-         |  FROM events),
-         |cohort AS (
-         |  SELECT user_id, min(ep) // $wk AS cohort_week
-         |  FROM ev WHERE event_type = 'signup' GROUP BY 1),
-         |act AS (
-         |  SELECT DISTINCT e.user_id, c.cohort_week,
-         |    (e.ep // $wk) - c.cohort_week AS week_offset
-         |  FROM ev e JOIN cohort c ON c.user_id = e.user_id
-         |  WHERE (e.ep // $wk) - c.cohort_week >= 0)
-         |SELECT cohort_week, week_offset, count(*) AS n_users
-         |FROM act GROUP BY 1, 2
-         |ORDER BY cohort_week, week_offset""".stripMargin
-    }
+    // retentionSql is shared with the G6 stream_retention entry.
+    "events_retention" -> retentionSql
   )
+
+  /** The cohort-retention SQL — shared verbatim by `events_retention`
+    * (window form) and `stream_retention` (G6 stateful form, batch
+    * mode): one semantics, two execution strategies. (`def`, not
+    * `val`: consumed by object vals declared earlier.) */
+  private def retentionSql: String = {
+    val wk = graft.operators.Funnel.WeekSeconds
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type,
+       |    epoch(date_trunc('second', ts))::bigint AS ep
+       |  FROM events),
+       |cohort AS (
+       |  SELECT user_id, min(ep) // $wk AS cohort_week
+       |  FROM ev WHERE event_type = 'signup' GROUP BY 1),
+       |act AS (
+       |  SELECT DISTINCT e.user_id, c.cohort_week,
+       |    (e.ep // $wk) - c.cohort_week AS week_offset
+       |  FROM ev e JOIN cohort c ON c.user_id = e.user_id
+       |  WHERE (e.ep // $wk) - c.cohort_week >= 0)
+       |SELECT cohort_week, week_offset, count(*) AS n_users
+       |FROM act GROUP BY 1, 2
+       |ORDER BY cohort_week, week_offset""".stripMargin
+  }
 
   /** SURVEY §2A — the MapReduce-engine pipelines. */
   val mr: Map[String, String] = Map(
@@ -959,6 +966,10 @@ object Oracles {
     // The stateful funnel's batch mode must equal the B-section
     // aggregate-join funnel — same shared SQL.
     "stream_funnel" -> funnelSql,
+
+    // Likewise: the stateful first-activity stream aggregated in
+    // batch mode must equal the B-section retention window form.
+    "stream_retention" -> retentionSql,
     "stream_window_agg" ->
       """SELECT win_start, event_type, count(*) AS n_events,
         |  round(sum(value), 4) AS sum_value

@@ -90,7 +90,8 @@ object SparkEntry {
     "stream_sessionize"   -> Streams.streamSessionize,
     "stream_dedup"        -> Streams.streamDedup,
     "stream_neardup"      -> Streams.streamNeardup,
-    "stream_funnel"       -> Streams.streamFunnel
+    "stream_funnel"       -> Streams.streamFunnel,
+    "stream_retention"    -> Streams.streamRetention
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

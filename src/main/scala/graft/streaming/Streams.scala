@@ -378,6 +378,68 @@ object Streams {
       .orderBy(col("user_id"))
   }
 
+  /** Per-user retention state: cohort week (-1 until the first
+    * signup is seen) + the week offsets already emitted. (Public:
+    * streaming state encoder requirement, as above.) */
+  final case class RetState(cohortWeek: Long, emitted: Set[Long])
+  /** A first-activity event: user was active in cohort_week+offset. */
+  final case class RetHit(user_id: Long, cohort_week: Long, week_offset: Long)
+
+  /** G6 retention core for one user. Folds events in ep order: the
+    * first signup fixes the cohort week; every event at offset ≥ 0
+    * emits (user, cohort, offset) the FIRST time that offset is
+    * seen. Pre-signup activity is dropped (offset < 0 by
+    * definition once the cohort is known; unknowable before — the
+    * in-order contract of [[funnelFn]] applies across batches).
+    * State is the cohort long + the emitted-offset set (≤ one entry
+    * per active week — bounded by corpus age in weeks; a bitmask
+    * packs the first 64). */
+  def retentionFn(userId: Long, evs: Iterator[FEv],
+      state: GroupState[RetState]): Iterator[RetHit] = {
+    val wk = graft.operators.Funnel.WeekSeconds
+    val sorted = evs.toIndexedSeq.sortBy(_.ep)
+    var s = state.getOption.getOrElse(RetState(-1L, Set.empty))
+    val out = Seq.newBuilder[RetHit]
+    sorted.foreach { e =>
+      if (s.cohortWeek < 0 && e.event_type == "signup")
+        s = s.copy(cohortWeek = e.ep / wk)
+      if (s.cohortWeek >= 0) {
+        val off = e.ep / wk - s.cohortWeek
+        if (off >= 0 && !s.emitted.contains(off)) {
+          out += RetHit(userId, s.cohortWeek, off)
+          s = s.copy(emitted = s.emitted + off)
+        }
+      }
+    }
+    state.update(s)
+    out.result().iterator
+  }
+
+  /** Shared stateful first-activity stream (batch or streaming). */
+  def retentionStateful(evs: Dataset[FEv]): Dataset[RetHit] = {
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        retentionFn)
+  }
+
+  /** G6 batch entry: aggregate the stateful first-activity emissions
+    * into the cohort table — in batch mode each user's full history
+    * arrives in one call, so this equals the B-section
+    * `events_retention` window form and shares its SQL oracle. */
+  def streamRetention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evs = Tables(spark, dir).events
+      .select(col("user_id"), col("event_type"),
+        Tables.tsNsToSec("ts").as("ep"))
+      .as[FEv]
+    retentionStateful(evs)
+      .toDF()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   /** G2 batch entry: the same flatMapGroupsWithState path, batch mode
     * (full history per group, open sessions emitted) — output is
     * byte-identical to the window-function batch form

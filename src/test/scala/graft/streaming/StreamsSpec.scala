@@ -276,4 +276,42 @@ class StreamsSpec extends SparkSuite {
         "every batch user must have at least one snapshot")
     } finally query.stop()
   }
+
+  test("batch stream_retention equals the window-form events_retention") {
+    val got = Streams.streamRetention(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = graft.operators.Funnel.eventsRetention(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === batch,
+      "stateful first-activity aggregation must equal the window form")
+  }
+
+  test("streaming retention emits each (user, offset) exactly once across batches") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    val expected = Streams.streamRetention(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val evs = graft.Tables(spark, sfDir).events
+      .select(col("user_id"), col("event_type"),
+        graft.Tables.tsNsToSec("ts").as("ep"))
+      .as[Streams.FEv].collect().sortBy(_.ep)
+    val stream = MemoryStream[Streams.FEv]
+    val query = Streams.retentionStateful(stream.toDS())
+      .writeStream.format("memory").queryName("ret1")
+      .outputMode("append").start()
+    try {
+      evs.grouped(math.max(1, evs.length / 4)).foreach { batch =>
+        stream.addData(batch.toSeq)
+        query.processAllAvailable()
+      }
+      val hits = s.table("ret1").as[Streams.RetHit].collect()
+      val dups = hits.groupBy(h => (h.user_id, h.week_offset))
+        .filter(_._2.length > 1)
+      assert(dups.isEmpty, s"duplicate emissions: ${dups.keys.take(5)}")
+      val agg = hits.groupBy(h => (h.cohort_week, h.week_offset))
+        .map { case (k, v) => k -> v.length.toLong }
+      assert(agg === expected,
+        "aggregated stream emissions must equal the batch cohort table")
+    } finally query.stop()
+  }
 }
