@@ -248,6 +248,28 @@ object Oracles {
         |  ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY p.event_id""".stripMargin,
 
+    // Inequality (no equi key) interval join — DuckDB plans its IEJoin;
+    // the Spark side is the binned equi-join form (RangeJoin.scala).
+    // Window constants must track RangeJoin.{WindowSec, AnchorMinValue}.
+    "range_join" ->
+      s"""WITH ev AS (
+        |  SELECT event_id, user_id, value, event_type,
+        |    epoch(date_trunc('second', ts))::bigint AS sec
+        |  FROM events),
+        |a AS (
+        |  SELECT event_id AS anchor_id, sec AS a_sec
+        |  FROM ev WHERE event_type = 'purchase'
+        |    AND value > ${graft.operators.RangeJoin.AnchorMinValue})
+        |SELECT a.anchor_id,
+        |  count(*) AS n_events,
+        |  count(DISTINCT e.user_id) AS n_users,
+        |  round(sum(e.value), 4) AS sum_value
+        |FROM a JOIN ev e
+        |  ON e.sec >= a.a_sec
+        |  AND e.sec < a.a_sec + ${graft.operators.RangeJoin.WindowSec}
+        |GROUP BY a.anchor_id
+        |ORDER BY a.anchor_id""".stripMargin,
+
     "events_sessionize" ->
       """SELECT user_id, session_id::bigint AS session_id, count(*) AS n_events,
         |  min(ep) AS session_start, max(ep) AS session_end,

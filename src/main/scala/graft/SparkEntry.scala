@@ -48,6 +48,7 @@ object SparkEntry {
     "q23_approx_percentiles" -> Relational.q23ApproxPercentiles,
     "q12_approx_distinct"    -> Relational.q12ApproxDistinct,
     "asof_join"          -> (AsOfJoin.purchasesAsOfSignup(_, _)),
+    "range_join"         -> (graft.operators.RangeJoin.eventsInWindows(_, _)),
     "events_sessionize"  -> (Sessionize.sessions(_, _)),
     "events_funnel"      -> (graft.operators.Funnel.eventsFunnel(_, _)),
     "events_retention"   -> (graft.operators.Funnel.eventsRetention(_, _)),

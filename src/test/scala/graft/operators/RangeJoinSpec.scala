@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSuite, Tables}
+
+/** `range_join` — half-open window semantics on a hand fixture
+  * (including bin-boundary anchors) and equality with the naive
+  * inequality-join form at sf0.001. */
+class RangeJoinSpec extends SparkSuite {
+
+  test("windows are half-open [start, start+w), bins invisible (fixture)") {
+    val s = spark; import s.implicits._
+    // anchor 1 starts exactly on a bin boundary (covers ONE bin);
+    // anchor 2 straddles two bins.
+    val anchors = Seq((1L, 7200L), (2L, 3650L)).toDF("anchor_id", "a_sec")
+    val points = Seq(
+      (10L, 1L, 1.0, 7200L),  // == anchor-1 start → in (1); < 7250 → in (2)
+      (11L, 2L, 1.0, 10799L), // anchor-1 start + w - 1   → in  (1)
+      (12L, 3L, 1.0, 10800L), // == anchor-1 end          → out
+      (13L, 4L, 1.0, 7199L),  // 1s before anchor-1 start → in (2) only
+      (14L, 5L, 1.0, 7100L),  // inside anchor-2 only     → in  (2)
+      (15L, 5L, 1.0, 3650L),  // == anchor-2 start, same user → in (2)
+      (16L, 6L, 1.0, 7250L)   // == anchor-2 end (out) but inside 1 → in (1)
+    ).toDF("event_id", "user_id", "value", "e_sec")
+
+    val out = RangeJoin.rangeJoinAgg(anchors, points, 3600L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((3L, 3L)), s"anchor 1: $out") // events 10,11,16
+    assert(out(2L) == ((4L, 3L)), s"anchor 2: $out") // 10,13,14,15; users 1,4,5
+  }
+
+  test("binned form equals the naive inequality join at sf0.001") {
+    val ev = Tables(spark, sfDir).events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              col("value"), Tables.tsNsToSec("ts").as("e_sec"))
+    val anchors = ev
+      .filter(col("event_type") === "purchase" &&
+              col("value") > RangeJoin.AnchorMinValue)
+      .select(col("event_id").as("anchor_id"), col("e_sec").as("a_sec"))
+    // Naive form: the inequality join Spark would plan as a nested
+    // loop — fine as a test oracle at sf0.001, the shape the binned
+    // operator exists to avoid at scale.
+    val naive = anchors.join(ev.drop("event_type"),
+        col("e_sec") >= col("a_sec") &&
+        col("e_sec") < col("a_sec") + lit(RangeJoin.WindowSec))
+      .groupBy(col("anchor_id"))
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct(col("user_id")).as("n_users"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+
+    val binned = RangeJoin.eventsInWindows(spark, sfDir)
+      .select(col("anchor_id"), col("n_events"), col("n_users"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+
+    assert(binned.nonEmpty, "no anchors matched at sf0.001")
+    assert(binned == naive)
+  }
+
+  test("the join is a bin equi-join, not a nested loop") {
+    val plan = RangeJoin.eventsInWindows(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") &&
+           !plan.contains("CartesianProduct"),
+      s"range join must not plan a nested loop:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected an equi-join on the bin key:\n$plan")
+  }
+}
