@@ -248,6 +248,16 @@ object Oracles {
         |  ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY p.event_id""".stripMargin,
 
+    "q24_set_ops" ->
+      """WITH a AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+        |b AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+        |big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |SELECT c_custkey, c_name, c_mktsegment
+        |FROM ((SELECT * FROM a INTERSECT SELECT * FROM b)
+        |      EXCEPT SELECT * FROM big) s
+        |JOIN customer ON s.o_custkey = c_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
     // Inequality (no equi key) interval join — DuckDB plans its IEJoin;
     // the Spark side is the binned equi-join form (RangeJoin.scala).
     // Window constants must track RangeJoin.{WindowSec, AnchorMinValue}.

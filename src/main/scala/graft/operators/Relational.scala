@@ -383,6 +383,26 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Set operations: INTERSECT / EXCEPT (distinct semantics). Repeat
+    * customers (orders in both 1995 AND 1996) minus big spenders.
+    * Spark plans INTERSECT as a distinct left-semi and EXCEPT as a
+    * distinct left-anti — both plain key shuffles with map-side
+    * partial distinct, no row explosion; the final customer join is a
+    * broadcast (dim side small after the set ops). */
+  def q24SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val orders = t.orders
+    def custsIn(year: Int) =
+      orders.filter(expr(s"year(o_orderdate) = $year"))
+        .select(col("o_custkey"))
+    val bigSpenders = orders.filter(col("o_totalprice") > 400000)
+      .select(col("o_custkey"))
+    custsIn(1995).intersect(custsIn(1996)).except(bigSpenders)
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** JSON extraction from the events.props payload column. */
   def q20Json(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir).events
