@@ -1022,6 +1022,20 @@ object Oracles {
         |GROUP BY md5(text)
         |ORDER BY doc_id""".stripMargin,
 
+    // Stream-static enrichment: daily windowed agg per customer
+    // segment after a broadcast dim join.
+    "stream_enrich" ->
+      """SELECT day_start, c_mktsegment, count(*) AS n_events,
+        |  round(sum(value), 4) AS sum_value
+        |FROM (
+        |  SELECT ((epoch(date_trunc('second', ts))::bigint // 86400) * 86400)
+        |           AS day_start,
+        |         user_id, value
+        |  FROM events) e
+        |JOIN customer ON e.user_id = c_custkey
+        |GROUP BY day_start, c_mktsegment
+        |ORDER BY day_start, c_mktsegment""".stripMargin,
+
     // Identical sessions to events_sessionize — the stateful path must
     // reproduce the window-function batch form exactly.
     "stream_sessionize" ->

@@ -93,7 +93,8 @@ object SparkEntry {
     "stream_dedup"        -> Streams.streamDedup,
     "stream_neardup"      -> Streams.streamNeardup,
     "stream_funnel"       -> Streams.streamFunnel,
-    "stream_retention"    -> Streams.streamRetention
+    "stream_retention"    -> Streams.streamRetention,
+    "stream_enrich"       -> Streams.streamEnrich
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

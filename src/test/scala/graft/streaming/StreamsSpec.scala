@@ -314,4 +314,33 @@ class StreamsSpec extends SparkSuite {
         "aggregated stream emissions must equal the batch cohort table")
     } finally query.stop()
   }
+
+  test("stream-static enrich through a real stream equals the batch plan") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    val customer = graft.Tables(spark, sfDir).customer
+    val batchEvents = graft.Tables(spark, sfDir).events
+    val expected = Streams.enrichTransform(batchEvents, customer)
+      .orderBy("day_start", "c_mktsegment").collect().toSeq
+
+    val rows = batchEvents
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._2)
+    val stream = MemoryStream[(Long, Long, Long, Double)]
+    val streamed = Streams.enrichTransform(
+      stream.toDF().toDF("event_id", "ts", "user_id", "value"), customer)
+    val query = streamed.writeStream.format("memory")
+      .queryName("enrich").outputMode("complete").start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3)).foreach { b =>
+        stream.addData(b.toSeq)
+        query.processAllAvailable()
+      }
+      val got = s.table("enrich")
+        .orderBy("day_start", "c_mktsegment").collect().toSeq
+      assert(got === expected)
+    } finally query.stop()
+  }
 }
