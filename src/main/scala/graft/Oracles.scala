@@ -485,7 +485,25 @@ object Oracles {
         |SELECT doc_id, rk::int AS rk, term, tf, df,
         |  round(tfidf, 6) AS tfidf
         |FROM ranked WHERE rk <= 3
-        |ORDER BY doc_id, rk""".stripMargin
+        |ORDER BY doc_id, rk""".stripMargin,
+
+    // Spark counts distinct xxhash64 of words/bigrams (native codegen
+    // loop); the oracle counts the strings — equal absent a 64-bit
+    // collision.
+    "text_repetition" ->
+      raw"""WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS w
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(w)::int AS n_words,
+        |  len(list_distinct(w))::int AS n_distinct_words,
+        |  round(1.0 - len(list_distinct(w)) / len(w), 4) AS word_dup_ratio,
+        |  round(1.0 - len(list_distinct([w[i] || ' ' || w[i+1]
+        |                                 FOR i IN range(1, len(w))]))
+        |              / (len(w) - 1), 4) AS bigram_dup_ratio
+        |FROM toks WHERE len(w) >= 2
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** Shared inverted-shingle-index CTE chain over `src` (must expose

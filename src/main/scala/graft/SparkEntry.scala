@@ -66,6 +66,7 @@ object SparkEntry {
     "text_langid"        -> TextQueries.textLangid,
     "text_fingerprint"   -> TextQueries.textFingerprint,
     "text_tfidf"         -> TextQueries.textTfidf,
+    "text_repetition"    -> TextQueries.textRepetition,
     // §2C — deduplication
     "dedup_exact"         -> Dedup.dedupExact,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccard,

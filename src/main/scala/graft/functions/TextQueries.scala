@@ -113,4 +113,27 @@ object TextQueries {
         round(col("tfidf"), 6).as("tfidf"))
       .orderBy(col("doc_id"), col("rk"))
   }
+
+  /** E6: repetition scoring (Gopher/C4-style quality signal) —
+    * duplicate-word and duplicate-bigram fractions per document.
+    * Token and bigram multisets come from [[ShingleHashes]] (one
+    * generated loop per row, no interpreted HOF), so the whole query
+    * is a zero-shuffle scan+project; distinct-hash counts equal
+    * distinct-string counts absent a 64-bit collision (none in this
+    * corpus; the DuckDB oracle counts the strings themselves). */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val nWords = size(ShingleHashes.tokenHashes(col("text")))
+    val nDistinct = size(ShingleHashes(col("text"), 1))
+    val nDistinctBigrams = size(ShingleHashes(col("text"), 2))
+    d.filter(nWords >= 2)
+      .select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        nDistinct.as("n_distinct_words"),
+        round(lit(1.0) - nDistinct / nWords, 4).as("word_dup_ratio"),
+        round(lit(1.0) - nDistinctBigrams / (nWords - lit(1)), 4)
+          .as("bigram_dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -85,4 +85,27 @@ class TextFunctionsSpec extends SparkSuite {
     val bad = out.filter(col("quality") < 0 || col("quality") > 1).count()
     assert(bad === 0)
   }
+
+  test("repetition ratios on known strings; zero-shuffle plan") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rep").toString
+    Seq(
+      (1L, "a a a a"),         // 4 words, 1 distinct; bigrams all "a a"
+      (2L, "a b c d"),         // no repetition at all
+      (3L, "a b a b a")        // 5 words, 2 distinct; bigrams {ab, ba}
+    ).toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = TextQueries.textRepetition(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((4, 1, 0.75, 0.6667)))
+    assert(out(2L) == ((4, 4, 0.0, 0.0)))
+    assert(out(3L) == ((5, 2, 0.6, 0.5)))
+
+    val plan = TextQueries.textRepetition(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") || plan.indexOf("Exchange") ==
+      plan.lastIndexOf("Exchange"), // orderBy's range exchange only
+      s"repetition scoring must not shuffle data:\n$plan")
+  }
 }
