@@ -67,5 +67,13 @@ class RangeJoinSpec extends SparkSuite {
       s"range join must not plan a nested loop:\n$plan")
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
       s"expected an equi-join on the bin key:\n$plan")
+    // Catalyst does not dedup repeated subtrees (CLAUDE.md): events IS
+    // read twice here — once filtered to anchors (predicate pushed to
+    // parquet), once as the point side — and that is the intended
+    // shape: a single-scan explode-both-roles form would lose the
+    // anchor pushdown. Lock the count so a refactor that accidentally
+    // multiplies scans fails loudly.
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 2, s"expected exactly 2 parquet scans, got $scans:\n$plan")
   }
 }

@@ -315,6 +315,35 @@ class StreamsSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("stateful sessionize agrees with Spark's built-in session_window") {
+    // Independent cross-validation: the flatMapGroupsWithState
+    // sessionizer vs Catalyst's native session_window operator. Our
+    // rule keeps events with diff <= Gap in one session; session_window
+    // merges while next < prev + gapDuration (strict <), so gapDuration
+    // = Gap + 1 seconds makes the two rules identical on integral-second
+    // timestamps.
+    val builtin = graft.Tables(spark, sfDir).events
+      .select(col("user_id"),
+        graft.Tables.tsNsToSec("ts").cast("timestamp").as("ep_ts"),
+        col("value"))
+      .groupBy(col("user_id"),
+        session_window(col("ep_ts"), s"${Streams.Gap + 1} seconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start"),
+        col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+    val stateful = Streams.streamSessionize(spark, sfDir)
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+    assert(stateful === builtin,
+      "stateful sessions must match the native session_window operator")
+  }
+
   test("stream-static enrich through a real stream equals the batch plan") {
     val s = spark; import s.implicits._
     implicit val sq = s.sqlContext
