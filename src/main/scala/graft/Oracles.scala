@@ -628,6 +628,44 @@ object Oracles {
          |FROM pairs_j
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // Incremental ingest gate: batch (doc_id % m = r) probed against
+    // the corpus. Shares the sh CTE (df cut over corpus AND batch)
+    // with the symmetric pair chain so the shingle definition cannot
+    // drift; the Jaccard algebra is C2's, asymmetrically joined.
+    "dedup_incremental" -> {
+      val m = graft.operators.Incremental.BatchMod
+      val r = graft.operators.Incremental.BatchRem
+      val tau = graft.operators.Incremental.Tau
+      s"""WITH ${shingleCtes("documents")},
+         |h AS (SELECT doc_id, md5(text) AS h,
+         |             (doc_id % $m = $r) AS is_new
+         |      FROM documents),
+         |corpus_h AS (SELECT DISTINCT h FROM h WHERE NOT is_new),
+         |batch AS (
+         |  SELECT doc_id, h,
+         |    min(doc_id) OVER (PARTITION BY h) AS first_in_batch
+         |  FROM h WHERE is_new),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS new_doc, b.doc_id AS corp_doc, count(*) AS c
+         |  FROM sh a JOIN sh b ON a.s = b.s
+         |  WHERE a.doc_id % $m = $r AND NOT (b.doc_id % $m = $r)
+         |  GROUP BY 1, 2),
+         |near AS (
+         |  SELECT DISTINCT new_doc FROM inter
+         |  JOIN sizes sa ON sa.doc_id = new_doc
+         |  JOIN sizes sb ON sb.doc_id = corp_doc
+         |  WHERE c::double / (sa.n + sb.n - c) >= $tau)
+         |SELECT doc_id,
+         |  (h IN (SELECT h FROM corpus_h)
+         |   OR doc_id > first_in_batch) AS exact_dup,
+         |  (doc_id IN (SELECT new_doc FROM near)) AS near_dup,
+         |  (NOT (h IN (SELECT h FROM corpus_h) OR doc_id > first_in_batch)
+         |   AND doc_id NOT IN (SELECT new_doc FROM near)) AS keep
+         |FROM batch
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "dedup_components" ->
       s"""WITH RECURSIVE ${ngramPairCtes("documents")},
          |$componentCtes

@@ -74,6 +74,7 @@ object SparkEntry {
     "dedup_simhash"       -> Dedup.dedupSimhash,
     "dedup_embed_cosine"  -> Dedup.dedupEmbedCosine,
     "dedup_components"    -> Dedup.dedupComponents,
+    "dedup_incremental"   -> (graft.operators.Incremental.dedupIncremental(_, _)),
     "sample_stratified"   -> (graft.operators.Sampling.sampleStratified(_, _)),
     "decontaminate"       -> (graft.operators.Decontaminate.decontaminate(_, _)),
     // §2I — composed curation pipeline

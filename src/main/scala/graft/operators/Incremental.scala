@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** SURVEY §2C adjunct — INCREMENTAL dedup: flag a new ingest batch
+  * against an existing corpus without re-processing the corpus. The
+  * production shape of dedup at 100 TB is not "recluster the world
+  * nightly"; it is "probe today's batch against yesterday's index":
+  *
+  *  - exact layer: a batch doc is a duplicate if its content hash
+  *    exists in the corpus OR an earlier batch doc has it (min-doc_id
+  *    wins inside the batch, same canonical rule as C1);
+  *  - near layer: a batch doc is a near-duplicate if it has 3-gram
+  *    Jaccard ≥ [[Tau]] with ANY corpus doc — the same df-cut
+  *    inverted shingle index as C2 ([[Dedup.shingleIndexOf]]), but
+  *    the s-join is asymmetric batch×corpus, so the corpus side only
+  *    ever contributes its (precomputable, persistable) index and
+  *    the candidate space is |batch| × posting-list, not corpus².
+  *
+  * Within-batch NEAR duplicates are intentionally out of scope here —
+  * that is the periodic full-corpus components pass (C6/curate); this
+  * operator is the between-runs ingest gate. The reference has no
+  * incremental anything: every JobX request re-maps its full input
+  * (mr/job_engine.py) — this operator exists precisely because a
+  * 100 TB corpus cannot afford that.
+  */
+object Incremental {
+
+  /** Batch slice: doc_id % BatchMod == BatchRem (deterministic,
+    * proportional at every scale factor). */
+  val BatchMod = 5L
+  val BatchRem = 4L
+
+  /** Jaccard threshold — same τ as the C2 pair graph. */
+  val Tau = 0.5
+
+  /** Query entry: every batch doc with its exact/near flags and the
+    * final keep verdict. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame =
+    incrementalOf(Tables(spark, dir).documents)
+
+  /** Core over any (doc_id, text) frame. */
+  private[operators] def incrementalOf(d: DataFrame): DataFrame = {
+    val flagged = d.withColumn("is_new",
+      col("doc_id") % BatchMod === BatchRem)
+
+    // Exact layer: batch hashes probe the corpus's distinct-hash set
+    // (semi-join shape) + a min-window inside the batch.
+    val hashes = flagged.select(col("doc_id"), md5(col("text")).as("h"),
+      col("is_new"))
+    val corpusH = hashes.filter(!col("is_new")).select(col("h")).distinct()
+      .withColumn("in_corpus", lit(true))
+    val exact = hashes.filter(col("is_new"))
+      .join(corpusH, Seq("h"), "left")
+      .withColumn("first_in_batch",
+        min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      .withColumn("exact_dup",
+        coalesce(col("in_corpus"), lit(false)) ||
+          col("doc_id") > col("first_in_batch"))
+
+    // Near layer: df cut counts over corpus AND batch (single-sourced
+    // with the oracle's sh CTE) so a shingle hot anywhere is cut
+    // everywhere; then batch shingles probe corpus shingles only.
+    val sh = Dedup.shingleIndexOf(flagged, carry = Seq("is_new"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val near = sh.filter(col("is_new")).as("a")
+      .join(sh.filter(!col("is_new")).as("b"), col("a.s") === col("b.s"))
+      .groupBy(col("a.doc_id").as("new_doc"), col("b.doc_id").as("corp_doc"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.as("sa"), col("new_doc") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("corp_doc") === col("sb.doc_id"))
+      .filter(col("c").cast("double") /
+        (col("sa.n") + col("sb.n") - col("c")) >= Tau)
+      .select(col("new_doc")).distinct()
+      .withColumn("near_hit", lit(true))
+
+    exact
+      .join(near, col("doc_id") === col("new_doc"), "left")
+      .withColumn("near_dup", coalesce(col("near_hit"), lit(false)))
+      .select(col("doc_id"), col("exact_dup"), col("near_dup"),
+        (!col("exact_dup") && !col("near_dup")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+}
