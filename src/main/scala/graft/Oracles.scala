@@ -331,6 +331,25 @@ object Oracles {
         |FROM cnt
         |ORDER BY from_type, to_type""".stripMargin,
 
+    // Top-20 3-step sequences; tie order (n DESC, then types) must be
+    // total or the LIMIT cut is nondeterministic.
+    "events_sequences" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch(date_trunc('second', ts))::bigint AS ep
+        |  FROM events),
+        |seq AS (
+        |  SELECT event_type AS t1,
+        |    lead(event_type, 1) OVER w AS t2,
+        |    lead(event_type, 2) OVER w AS t3
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id))
+        |SELECT t1, t2, t3, count(*) AS n
+        |FROM seq WHERE t3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, t1, t2, t3
+        |LIMIT 20""".stripMargin,
+
     // Weekly cohort retention; `//` = DuckDB integral division,
     // mirroring Spark's `div` (Funnel.WeekSeconds single-sourced).
     // retentionSql is shared with the G6 stream_retention entry.

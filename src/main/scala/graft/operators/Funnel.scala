@@ -99,6 +99,33 @@ object Funnel {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Top-k sequence mining: the most common 3-step event-type
+    * sequences over each user's (ep, event_id)-ordered stream. Same
+    * single-scan + single-user_id-exchange shape as [[pathingOf]]
+    * (two leads over one window), then a tiny (t1,t2,t3) aggregate
+    * and a global top-k — the candidate space is |event_types|³
+    * (125 here), so the final agg/sort is metadata-sized at any data
+    * scale. */
+  def eventsSequences(spark: SparkSession, dir: String): DataFrame =
+    sequencesOf(Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        Tables.tsNsToSec("ts").as("ep")))
+
+  /** Core over an (user_id, event_id, event_type, ep) frame. */
+  def sequencesOf(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ep"), col("event_id"))
+    ev
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("event_type").as("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+      .limit(20)
+  }
+
   /** Weekly cohort retention: cohort = integral week of the user's
     * first signup; a user counts as retained in `week_offset` w if
     * they have ANY event in cohort_week + w (offsets < 0, i.e.

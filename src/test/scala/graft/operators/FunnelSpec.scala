@@ -31,6 +31,23 @@ class FunnelSpec extends SparkSuite {
     assert(out(5L) == ((Some(100L), None, None, 1)))
   }
 
+  test("sequences: trigrams never span users; counts on a hand fixture") {
+    val s = spark; import s.implicits._
+    val ev = Seq(
+      // u1: a b c d → abc, bcd
+      (1L, 1L, "a", 10L), (1L, 2L, "b", 20L),
+      (1L, 3L, "c", 30L), (1L, 4L, "d", 40L),
+      // u2: a b c → abc (and NOT c,a,b across the user boundary)
+      (2L, 5L, "a", 10L), (2L, 6L, "b", 20L), (2L, 7L, "c", 30L),
+      // u3: only two events — no trigram
+      (3L, 8L, "x", 10L), (3L, 9L, "y", 20L)
+    ).toDF("user_id", "event_id", "event_type", "ep")
+    val out = Funnel.sequencesOf(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+    assert(out == Map(("a", "b", "c") -> 2L, ("b", "c", "d") -> 1L), s"$out")
+  }
+
   test("funnel stage counts are monotone non-increasing at sf0.001") {
     val rows = Funnel.eventsFunnel(spark, sfDir).collect()
     val reached = (1 to 3).map(k => rows.count(_.getInt(4) >= k))
