@@ -46,8 +46,8 @@ object SparkEntry {
     // bounds asserted in ApproxSpec (sketches aren't cross-engine
     // reproducible, so no SQL oracle by design)
     "q23_approx_percentiles" -> Relational.q23ApproxPercentiles,
-    "q24_set_ops"        -> Relational.q24SetOps,
     "q12_approx_distinct"    -> Relational.q12ApproxDistinct,
+    "q24_set_ops"        -> Relational.q24SetOps,
     "asof_join"          -> (AsOfJoin.purchasesAsOfSignup(_, _)),
     "range_join"         -> (graft.operators.RangeJoin.eventsInWindows(_, _)),
     "events_sessionize"  -> (Sessionize.sessions(_, _)),

@@ -49,9 +49,15 @@ object Incremental {
       col("doc_id") % BatchMod === BatchRem)
 
     // Exact layer: batch hashes probe the corpus's distinct-hash set
-    // (semi-join shape) + a min-window inside the batch.
+    // (semi-join shape) + a min-window inside the batch. Persisted:
+    // the frame is referenced twice (corpus set + batch probe) and
+    // Catalyst does not dedup repeated subtrees — without the persist
+    // documents is scanned and hashed twice. No unpersist by design
+    // (Curate.survivors pattern: tiny projection, CacheManager dedups
+    // repeated calls by canonicalized plan, eviction recomputes).
     val hashes = flagged.select(col("doc_id"), md5(col("text")).as("h"),
       col("is_new"))
+      .persist()
     val corpusH = hashes.filter(!col("is_new")).select(col("h")).distinct()
       .withColumn("in_corpus", lit(true))
     val exact = hashes.filter(col("is_new"))
@@ -65,7 +71,12 @@ object Incremental {
     // Near layer: df cut counts over corpus AND batch (single-sourced
     // with the oracle's sh CTE) so a shingle hot anywhere is cut
     // everywhere; then batch shingles probe corpus shingles only.
+    // Persisted: referenced THREE times (probe side, index side,
+    // sizes) — unpersisted, the tokenize+shingle+df-window pipeline
+    // would run three full times (the scan count is the honest
+    // signal; IncrementalSpec asserts it).
     val sh = Dedup.shingleIndexOf(flagged, carry = Seq("is_new"))
+      .persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val near = sh.filter(col("is_new")).as("a")
       .join(sh.filter(!col("is_new")).as("b"), col("a.s") === col("b.s"))

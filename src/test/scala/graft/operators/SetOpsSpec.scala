@@ -21,4 +21,16 @@ class SetOpsSpec extends SparkSuite {
     assert(rows.nonEmpty)
     assert(rows.distinct.length == rows.length, "duplicate custkeys")
   }
+
+  test("q24 scans orders exactly 3x (each with its own pushed filter)") {
+    // Catalyst does not dedup repeated subtrees (CLAUDE.md): the three
+    // orders references are three scans BY DESIGN — each gets a
+    // different predicate pushed to parquet, which one shared
+    // unfiltered scan would lose. Lock the count (3 orders + 1
+    // customer) so a refactor can't silently multiply it.
+    val plan = Relational.q24SetOps(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 4, s"expected 4 parquet scans (3 orders + 1 customer), got $scans:\n$plan")
+  }
 }
