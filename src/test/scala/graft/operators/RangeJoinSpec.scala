@@ -59,6 +59,39 @@ class RangeJoinSpec extends SparkSuite {
     assert(binned == naive)
   }
 
+  test("property: binned == naive for random (incl. negative) seconds") {
+    // `div` truncates toward zero, so "bin 0" spans (-w, w) — wider
+    // than w, but coverage stays correct: bin(e_sec) is monotone and
+    // anchors explode to the full [bin(a), bin(a+w-1)] range, which
+    // is always <= 2 bins. Random signed seconds exercise exactly
+    // that near-zero regime the sf data (2024 epoch) never hits.
+    val s = spark; import s.implicits._
+    import org.scalacheck.Prop.forAll
+    val w = 100L
+    val prop = forAll { (as0: List[Long], ps0: List[Long]) =>
+      val as = as0.take(6).map(_ % 500L)
+      val ps = ps0.take(30).map(_ % 500L)
+      as.isEmpty || ps.isEmpty || {
+        val anchors = as.zipWithIndex
+          .map { case (a, i) => (i.toLong, a) }.toDF("anchor_id", "a_sec")
+        val points = ps.zipWithIndex
+          .map { case (p, i) => (i.toLong, i.toLong % 3, 1.0, p) }
+          .toDF("event_id", "user_id", "value", "e_sec")
+        val got = RangeJoin.rangeJoinAgg(anchors, points, w).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val want = as.zipWithIndex.flatMap { case (a, i) =>
+          val n = ps.count(p => p >= a && p < a + w)
+          if (n > 0) Some(i.toLong -> n.toLong) else None
+        }.toMap
+        got == want
+      }
+    }
+    val params = org.scalacheck.Test.Parameters.default
+      .withMinSuccessfulTests(10)
+    val res = org.scalacheck.Test.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("the join is a bin equi-join, not a nested loop") {
     val plan = RangeJoin.eventsInWindows(spark, sfDir)
       .queryExecution.executedPlan.toString
