@@ -185,6 +185,55 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  final case class Resized(doc_id: Long, width: Int, height: Int,
+      target_w: Int, target_h: Int, resized_md5: String)
+
+  /** F4 core: resize planning for one image blob. REAL: the header
+    * parse ([[decodeHeader]]), the aspect-preserving integral dims
+    * math (long multiply before divide — no doubles, no overflow for
+    * any s32 dims — floor, clamped to ≥ 1), and the deterministic
+    * output contract. STUBBED: the pixel resample itself — no codec
+    * ships in this container (SURVEY §2F), so the "resized payload"
+    * stand-in is md5(content ‖ "_tw_th"), a deterministic function of
+    * exactly the codec's inputs. Non-image blobs yield None (a real
+    * resize stage drops or routes them). */
+  private[multimodal] def resizeTo(maxSide: Int)(b: MmBlob): Option[Resized] = {
+    val d = decodeHeader(b)
+    for {
+      w <- d.width; h <- d.height
+      if d.ok && w > 0 && h > 0
+    } yield {
+      val m = math.max(w, h)
+      val (tw, th) =
+        if (m <= maxSide) (w, h)
+        else (math.max(1, (w.toLong * maxSide / m).toInt),
+              math.max(1, (h.toLong * maxSide / m).toInt))
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(b.content)
+      md.update(s"_${tw}_${th}".getBytes("UTF-8"))
+      Resized(b.doc_id, w, h, tw, th,
+        md.digest().map("%02x".format(_)).mkString)
+    }
+  }
+
+  /** F4: aspect-preserving resize over the blob column — the same
+    * per-partition codec-batch shape as [[mmDecode]] (a real decoder
+    * handle would be created once per partition). Spec-gated
+    * (MultimodalSpec: exact dims on synthesized headers, clamp and
+    * no-upscale edges, checksum determinism, no-shuffle plan) — the
+    * corpus has no image rows, so a Verify entry would gate zero
+    * rows; the synthesized-blob spec is the honest check. */
+  def mmResize(spark: SparkSession, dir: String, maxSide: Int = 256): DataFrame = {
+    import spark.implicits._
+    blobs(spark, dir).as[MmBlob]
+      .mapPartitions { it =>
+        // codec handle per partition would be created HERE
+        it.flatMap(resizeTo(maxSide))
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
   /** F3: every-4th 16-byte block ("frame") sampled from the blob —
     * one native loop ([[graft.functions.FrameHex]]; the
     * sequence+transform HOF form ran its lambda interpreted per

@@ -202,6 +202,39 @@ class MultimodalSpec extends SparkSuite {
       s"decode path should not hash-shuffle blobs:\n$plan")
   }
 
+  test("resize plans aspect-preserving integral dims; codec stub is deterministic") {
+    import Multimodal.{MmBlob, resizeTo}
+    def rz(b: Array[Byte]) = resizeTo(256)(MmBlob(1L, b))
+    // downscale: long side pinned to 256, short side floored
+    val big = rz(pngHeader(1024, 768, 8)).get
+    assert((big.width, big.height, big.target_w, big.target_h)
+      == ((1024, 768, 256, 192)))
+    // no upscale below the cap
+    val small = rz(pngHeader(100, 50, 8)).get
+    assert((small.target_w, small.target_h) == ((100, 50)))
+    // square, bmp arm
+    val sq = rz(bmpHeader(300, 300, 24)).get
+    assert((sq.target_w, sq.target_h) == ((256, 256)))
+    // extreme ratio: floor would hit 0 — clamped to 1
+    val thin = rz(pngHeader(10000, 1, 8)).get
+    assert((thin.target_w, thin.target_h) == ((256, 1)))
+    // non-images route to None, not fake dims
+    assert(rz(wavHeader(2, 44100, 16)).isEmpty)
+    assert(rz("just text".getBytes("UTF-8")).isEmpty)
+    // the stub is a pure function of (bytes, tw, th)
+    val again = rz(pngHeader(1024, 768, 8)).get
+    assert(again.resized_md5 == big.resized_md5)
+    assert(rz(pngHeader(1024, 769, 8)).get.resized_md5 != big.resized_md5)
+  }
+
+  test("resize keeps the decode path's no-shuffle batch shape") {
+    val plan = Multimodal.mmResize(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val beforeSort = plan.split("Sort").last
+    assert(!beforeSort.contains("Exchange hashpartitioning"),
+      s"resize path should not hash-shuffle blobs:\n$plan")
+  }
+
   test("framesample yields ceil(n_bytes/64) frames per doc, 16-byte frames") {
     val frames = Multimodal.mmFramesample(spark, sfDir)
     val meta = Multimodal.mmMeta(spark, sfDir)
