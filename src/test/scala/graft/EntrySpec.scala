@@ -1,0 +1,24 @@
+package graft
+
+/** Driver-contract smoke: `entry` returns rows, and every oracle key
+  * names a real query (a dangling oracle would crash the driver's
+  * compare; a query without an oracle is the declared [R] rows-only
+  * path). */
+class EntrySpec extends SparkSuite {
+
+  test("flagship entry returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key names a query; [R] set is the declared one") {
+    val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(dangling.isEmpty, s"oracles without a query: $dangling")
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val declared = Set("q23_approx_percentiles", "q12_approx_distinct",
+      "dedup_minhash_lsh", "dedup_simhash", "ann_lsh", "ann_ivf",
+      "embed_cluster", "stream_neardup")
+    assert(rowsOnly == declared,
+      s"undeclared rows-only queries: ${rowsOnly -- declared}; " +
+        s"missing: ${declared -- rowsOnly}")
+  }
+}
