@@ -281,7 +281,7 @@ object Oracles {
         |ORDER BY a.anchor_id""".stripMargin,
 
     "events_sessionize" ->
-      """SELECT user_id, session_id::bigint AS session_id, count(*) AS n_events,
+      s"""SELECT user_id, session_id::bigint AS session_id, count(*) AS n_events,
         |  min(ep) AS session_start, max(ep) AS session_end,
         |  round(sum(value), 4) AS session_value
         |FROM (
@@ -290,7 +290,7 @@ object Oracles {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM (
         |    SELECT user_id, event_id, value, ep,
-        |      CASE WHEN prev_ep IS NULL OR ep - prev_ep > 1800
+        |      CASE WHEN prev_ep IS NULL OR ep - prev_ep > ${graft.operators.Sessionize.GapSeconds}
         |           THEN 1 ELSE 0 END AS new_session
         |    FROM (
         |      SELECT user_id, event_id, value,
@@ -1114,7 +1114,7 @@ object Oracles {
     // Identical sessions to events_sessionize — the stateful path must
     // reproduce the window-function batch form exactly.
     "stream_sessionize" ->
-      """SELECT user_id, session_id::bigint AS session_id, count(*) AS n_events,
+      s"""SELECT user_id, session_id::bigint AS session_id, count(*) AS n_events,
         |  min(ep) AS session_start, max(ep) AS session_end,
         |  round(sum(value), 4) AS session_value
         |FROM (
@@ -1124,7 +1124,7 @@ object Oracles {
         |      AS session_id
         |  FROM (
         |    SELECT *,
-        |      CASE WHEN prev_ep IS NULL OR ep - prev_ep > 1800
+        |      CASE WHEN prev_ep IS NULL OR ep - prev_ep > ${graft.operators.Sessionize.GapSeconds}
         |           THEN 1 ELSE 0 END AS new_session
         |    FROM (
         |      SELECT user_id, event_id, value,

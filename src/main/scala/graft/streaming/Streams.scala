@@ -35,11 +35,16 @@ object Streams {
 
   /** G1 transform: 1-hour tumbling window × event_type counts/sums.
     * Works on any (ts: long ns, event_type, value) frame, batch or
-    * stream; the streaming caller adds `withWatermark` before the
-    * groupBy so late data is bounded and state can be evicted. */
+    * stream. A streaming caller that wants bounded state derives the
+    * event-time column ITSELF (`ep_ts`, epoch-seconds timestamp) and
+    * watermarks it before calling — the transform then groups on that
+    * exact watermarked attribute, so append mode works and window
+    * state is evicted. (Watermarking after the fact is impossible:
+    * a fresh withColumn here would drop the watermark metadata.) */
   def windowAggTransform(events: DataFrame): DataFrame =
-    events
-      .withColumn("ep_ts", Tables.tsNsToSec("ts").cast("timestamp"))
+    (if (events.columns.contains("ep_ts")) events
+     else events.withColumn("ep_ts",
+       Tables.tsNsToSec("ts").cast("timestamp")))
       .groupBy(window(col("ep_ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 4).as("sum_value"))
@@ -96,7 +101,10 @@ object Streams {
     out.result().iterator
   }
 
-  val Gap = 1800L
+  /** Session gap — single-sourced from the batch operator so the
+    * "stateful path shares the window form's oracle" contract cannot
+    * drift (the sessionize oracle SQL interpolates the same val). */
+  val Gap: Long = graft.operators.Sessionize.GapSeconds
 
   /** Shared stateful sessionize over a typed event stream. */
   def sessionizeStateful(events: Dataset[Ev], emitOpen: Boolean): Dataset[Session] = {
@@ -117,9 +125,17 @@ object Streams {
     * production shape: `sessionizeStateful(emitOpen=false)` is its
     * timeout-free core, the batch entry its oracle. */
   def sessionizeEventTime(events: Dataset[EvT],
-      watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+      delaySeconds: Long = 600L): Dataset[Session] = {
+    // The (user_id, session_start) identity below is unique ONLY
+    // while the watermark delay stays within the gap: a late
+    // in-watermark event arriving after a session was emitted could
+    // otherwise clamp the open session's start onto the emitted
+    // session's start (sessionizeFn's min-clamp) and collide the ids.
+    require(delaySeconds <= Gap,
+      s"watermark delay ${delaySeconds}s must be <= the session gap " +
+        s"${Gap}s or (user_id, session_start) session identity breaks")
     import events.sparkSession.implicits._
-    events.withWatermark("ts", watermarkDelay)
+    events.withWatermark("ts", s"$delaySeconds seconds")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout) {
@@ -396,6 +412,11 @@ object Streams {
     * packs the first 64). */
   def retentionFn(userId: Long, evs: Iterator[FEv],
       state: GroupState[RetState]): Iterator[RetHit] = {
+    // The -1 cohort sentinel (and funnelFn's -1s) assumes epochs are
+    // >= 0, i.e. no pre-1970 event times — true of any live stream
+    // and of the test corpus; pre-1970 history would need a
+    // nullable-state redesign AND floor (not truncating) division to
+    // keep week indexes aligned with the batch oracle's `//`.
     val wk = graft.operators.Funnel.WeekSeconds
     val sorted = evs.toIndexedSeq.sortBy(_.ep)
     var s = state.getOption.getOrElse(RetState(-1L, Set.empty))
@@ -411,7 +432,11 @@ object Streams {
         }
       }
     }
-    state.update(s)
+    // Never-signed-up users keep no state row: the sentinel state is
+    // indistinguishable from absent state, and persisting it would
+    // grow the store by one permanent row per active user instead of
+    // one per signed-up user.
+    if (s.cohortWeek >= 0) state.update(s)
     out.result().iterator
   }
 
@@ -449,8 +474,12 @@ object Streams {
     * ride along. Works on any (ts: long ns, user_id, value) frame,
     * batch or stream. */
   def enrichTransform(events: DataFrame, customer: DataFrame): DataFrame =
-    events
-      .withColumn("ep_ts", Tables.tsNsToSec("ts").cast("timestamp"))
+    // Same ep_ts pass-through contract as [[windowAggTransform]]: a
+    // streaming caller watermarks its own ep_ts so the windowed agg
+    // after the stateless join can run append mode and evict state.
+    (if (events.columns.contains("ep_ts")) events
+     else events.withColumn("ep_ts",
+       Tables.tsNsToSec("ts").cast("timestamp")))
       .join(broadcast(customer.select(col("c_custkey").as("user_id"),
                                       col("c_mktsegment"))),
             Seq("user_id"))

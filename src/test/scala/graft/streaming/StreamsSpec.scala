@@ -25,11 +25,12 @@ class StreamsSpec extends SparkSuite {
       .orderBy("win_start", "event_type").collect().toSeq
 
     val stream = MemoryStream[(Long, Long, String, Double)]
+    // The caller derives and watermarks ep_ts ITSELF; the transform
+    // groups on that watermarked attribute (pass-through contract).
     val streamed = Streams.windowAggTransform(
       stream.toDF().toDF("event_id", "ts", "event_type", "value")
-        .withColumn("ep_wm", (col("ts") / lit(1000000000L)).cast("long")
-          .cast("timestamp"))
-        .withWatermark("ep_wm", "10 minutes"))
+        .withColumn("ep_ts", graft.Tables.tsNsToSec("ts").cast("timestamp"))
+        .withWatermark("ep_ts", "10 minutes"))
     val query = streamed.writeStream.format("memory")
       .queryName("win_agg").outputMode("complete").start()
     try {
@@ -40,6 +41,36 @@ class StreamsSpec extends SparkSuite {
       val got = s.table("win_agg")
         .orderBy("win_start", "event_type").collect().toSeq
       assert(got === expected)
+    } finally query.stop()
+  }
+
+  test("windowed agg runs APPEND mode: closed windows emit, state evicts") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    val base = 1704067200L
+    def ev(id: Long, sec: Long, typ: String, v: Double) =
+      (id, (base + sec) * 1000000000L, typ, v)
+    val stream = MemoryStream[(Long, Long, String, Double)]
+    val streamed = Streams.windowAggTransform(
+      stream.toDF().toDF("event_id", "ts", "event_type", "value")
+        .withColumn("ep_ts", graft.Tables.tsNsToSec("ts").cast("timestamp"))
+        .withWatermark("ep_ts", "10 minutes"))
+    // Without the watermarked-ep_ts pass-through this start() throws
+    // ("append output mode not supported ... without watermark").
+    val query = streamed.writeStream.format("memory")
+      .queryName("win_append").outputMode("append").start()
+    try {
+      stream.addData(Seq(ev(1, 10, "click", 1.0), ev(2, 100, "view", 2.0)))
+      query.processAllAvailable()
+      // advance event time two windows ahead: watermark passes the
+      // first window's end, so append finalizes and emits it
+      stream.addData(Seq(ev(3, 8000, "click", 3.0)))
+      query.processAllAvailable()
+      val got = s.table("win_append")
+        .orderBy("win_start", "event_type").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      assert(got === Seq((base, "click", 1L), (base, "view", 1L)),
+        s"first window should be finalized: ${got.mkString(",")}")
     } finally query.stop()
   }
 
