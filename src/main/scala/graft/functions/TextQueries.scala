@@ -123,11 +123,11 @@ object TextQueries {
     * corpus; the DuckDB oracle counts the strings themselves). */
   def textRepetition(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir).documents
-    // Token COUNT via codegen'd regexp_count (the dedupMinhashLsh
-    // idiom) — size(tokenHashes(..)) would hash every token into an
-    // array just to take its length, twice (filter + project, no CSE
-    // across operators).
-    val nWords = regexp_count(col("text"), lit("\\S+"))
+    // Token COUNT via the shared codegen'd helper (single source of
+    // the whitespace-token definition) — size(tokenHashes(..)) would
+    // hash every token into an array just to take its length, twice
+    // (filter + project, no CSE across operators).
+    val nWords = T.wsTokenCount(col("text"))
     val nDistinct = size(ShingleHashes(col("text"), 1))
     val nDistinctBigrams = size(ShingleHashes(col("text"), 2))
     d.filter(nWords >= 2)

@@ -197,10 +197,26 @@ object Multimodal {
     * stand-in is md5(content ‖ "_tw_th"), a deterministic function of
     * exactly the codec's inputs. Non-image blobs yield None (a real
     * resize stage drops or routes them). */
-  private[multimodal] def resizeTo(maxSide: Int)(b: MmBlob): Option[Resized] = {
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  private def hexOf(bytes: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(bytes.length * 2)
+    bytes.foreach { b =>
+      sb.append(HexChars((b >> 4) & 0xF)).append(HexChars(b & 0xF))
+    }
+    sb.toString
+  }
+
+  private[multimodal] def resizeTo(maxSide: Int,
+      md: java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5"))
+      (b: MmBlob): Option[Resized] = {
     val d = decodeHeader(b)
     for {
-      w <- d.width; h <- d.height
+      w <- d.width; h0 <- d.height
+      // BMP height may legitimately be negative (top-down rows); the
+      // pixel grid is |h| tall, so plan on the magnitude.
+      h = math.abs(h0)
       if d.ok && w > 0 && h > 0
     } yield {
       val m = math.max(w, h)
@@ -208,11 +224,10 @@ object Multimodal {
         if (m <= maxSide) (w, h)
         else (math.max(1, (w.toLong * maxSide / m).toInt),
               math.max(1, (h.toLong * maxSide / m).toInt))
-      val md = java.security.MessageDigest.getInstance("MD5")
+      md.reset()
       md.update(b.content)
       md.update(s"_${tw}_${th}".getBytes("UTF-8"))
-      Resized(b.doc_id, w, h, tw, th,
-        md.digest().map("%02x".format(_)).mkString)
+      Resized(b.doc_id, w, h, tw, th, hexOf(md.digest()))
     }
   }
 
@@ -227,8 +242,10 @@ object Multimodal {
     import spark.implicits._
     blobs(spark, dir).as[MmBlob]
       .mapPartitions { it =>
-        // codec handle per partition would be created HERE
-        it.flatMap(resizeTo(maxSide))
+        // codec handle (and the digest for the stub) created once per
+        // partition, not per row
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap(resizeTo(maxSide, md))
       }
       .toDF()
       .orderBy(col("doc_id"))

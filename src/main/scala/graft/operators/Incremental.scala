@@ -71,13 +71,18 @@ object Incremental {
     // Near layer: df cut counts over corpus AND batch (single-sourced
     // with the oracle's sh CTE) so a shingle hot anywhere is cut
     // everywhere; then batch shingles probe corpus shingles only.
-    // Persisted: referenced THREE times (probe side, index side,
-    // sizes) — unpersisted, the tokenize+shingle+df-window pipeline
-    // would run three full times (the scan count is the honest
-    // signal; IncrementalSpec asserts it).
+    // Persisted: read FOUR times once sizes joins twice (probe side,
+    // index side, and the sizes lineage) — unpersisted, the
+    // tokenize+shingle+df-window pipeline would run once per
+    // reference (the scan count is the honest signal;
+    // IncrementalSpec asserts it).
     val sh = Dedup.shingleIndexOf(flagged, carry = Seq("is_new"))
       .persist()
+    // Also persisted: sa and sb below are two references, and the
+    // groupBy shuffle over the full shingle index is the largest
+    // aggregation in the query.
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .persist()
     val near = sh.filter(col("is_new")).as("a")
       .join(sh.filter(!col("is_new")).as("b"), col("a.s") === col("b.s"))
       .groupBy(col("a.doc_id").as("new_doc"), col("b.doc_id").as("corp_doc"))

@@ -218,6 +218,10 @@ class MultimodalSpec extends SparkSuite {
     // extreme ratio: floor would hit 0 — clamped to 1
     val thin = rz(pngHeader(10000, 1, 8)).get
     assert((thin.target_w, thin.target_h) == ((256, 1)))
+    // top-down BMP (negative height): a real image — plan on |h|
+    val topDown = rz(bmpHeader(16, -32, 32)).get
+    assert((topDown.width, topDown.height, topDown.target_w, topDown.target_h)
+      == ((16, 32, 16, 32)))
     // non-images route to None, not fake dims
     assert(rz(wavHeader(2, 44100, 16)).isEmpty)
     assert(rz("just text".getBytes("UTF-8")).isEmpty)
