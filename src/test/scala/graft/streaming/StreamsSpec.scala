@@ -346,6 +346,40 @@ class StreamsSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("dedup state survives a query restart from its checkpoint") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("ckpt_out").toString
+    val stream = MemoryStream[Streams.Doc]
+    // memory sinks cannot recover from a checkpoint; the file sink is
+    // the fault-tolerant shape this test exists to exercise
+    def start() = Streams.dedupStateful(stream.toDS())
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    val q1 = start()
+    try {
+      stream.addData(Streams.Doc(1L, "AAAA"), Streams.Doc(2L, "BBBB"))
+      q1.processAllAvailable()
+      assert(s.read.parquet(outDir).count() === 2)
+    } finally q1.stop()
+
+    // restart the SAME logical query from the checkpoint: the seen-hash
+    // state must be recovered, so a post-restart duplicate of AAAA is
+    // suppressed while a genuinely new hash still emits
+    val q2 = start()
+    try {
+      stream.addData(Streams.Doc(3L, "AAAA"), Streams.Doc(4L, "CCCC"))
+      q2.processAllAvailable()
+      val got = s.read.parquet(outDir).as[Streams.Doc].collect()
+        .map(d => d.doc_id -> d.text_hash).toSet
+      assert(got === Set(1L -> "AAAA", 2L -> "BBBB", 4L -> "CCCC"),
+        s"state must survive the restart: $got")
+    } finally q2.stop()
+  }
+
   test("stateful sessionize agrees with Spark's built-in session_window") {
     // Independent cross-validation: the flatMapGroupsWithState
     // sessionizer vs Catalyst's native session_window operator. Our
