@@ -248,6 +248,20 @@ object Oracles {
         |  ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY p.event_id""".stripMargin,
 
+    // RANGE frame over the numeric ORDER BY value: ties are peers in
+    // both engines, so the frame sets agree row for row.
+    "q25_range_window" ->
+      """SELECT user_id, event_id, ep,
+        |  count(*) OVER w AS n_3d,
+        |  round(sum(value) OVER w, 4) AS sum_3d
+        |FROM (
+        |  SELECT user_id, event_id, value,
+        |    epoch(date_trunc('second', ts))::bigint AS ep
+        |  FROM events WHERE user_id < 20)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ep
+        |             RANGE BETWEEN 259200 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ep, event_id""".stripMargin,
+
     "q24_set_ops" ->
       """WITH a AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
         |b AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996),

@@ -48,6 +48,7 @@ object SparkEntry {
     "q23_approx_percentiles" -> Relational.q23ApproxPercentiles,
     "q12_approx_distinct"    -> Relational.q12ApproxDistinct,
     "q24_set_ops"        -> Relational.q24SetOps,
+    "q25_range_window"   -> Relational.q25RangeWindow,
     "asof_join"          -> (AsOfJoin.purchasesAsOfSignup(_, _)),
     "range_join"         -> (graft.operators.RangeJoin.eventsInWindows(_, _)),
     "events_sessionize"  -> (Sessionize.sessions(_, _)),

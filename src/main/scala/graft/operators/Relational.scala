@@ -390,6 +390,24 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** RANGE-frame window (vs q16's ROWS frame): trailing 3-day count
+    * and sum per user, frame bounds defined by the ORDER BY VALUE
+    * (epoch seconds), so ties are peers and enter the frame together
+    * in both engines. Same single user_id exchange as any per-user
+    * window. */
+  def q25RangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), col("event_id"), col("value"),
+        Tables.tsNsToSec("ts").as("ep"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ep"))
+      .rangeBetween(-3L * 86400L, 0L)
+    ev.select(col("user_id"), col("event_id"), col("ep"),
+        count(lit(1)).over(w).as("n_3d"),
+        round(sum(col("value")).over(w), 4).as("sum_3d"))
+      .orderBy(col("user_id"), col("ep"), col("event_id"))
+  }
+
   /** Set operations: INTERSECT / EXCEPT (distinct semantics). Repeat
     * customers (orders in both 1995 AND 1996) minus big spenders.
     * Spark plans INTERSECT as a distinct left-semi and EXCEPT as a
