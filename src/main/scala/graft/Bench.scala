@@ -19,6 +19,13 @@ import org.apache.spark.sql.SparkSession
   * query that fails is recorded with value -1 and listed in
   * `"failed"`; its time-to-crash is excluded from the total and it
   * is not re-run.
+  *
+  * Artifact shape: the driver captures only the TAIL of stdout, and
+  * round 4's line — which carried every per-query sample — overflowed
+  * it (18 of 70 queries lost, `parsed: null`). So stdout now gets ONE
+  * compact line (total + per-query medians + failures) printed last,
+  * and the full artifact including all raw samples goes to
+  * `SPARK_GRAFT_BENCH_OUT` (default `/tmp/graft_bench_full.json`).
   */
 object Bench {
   private val Runs = 3
@@ -81,7 +88,20 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => median(v) }.sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median_of_$Runs","queries":$qs,"runs":$runs,"failed":$failed,"sf":"$sfDir"}""")
+    val compact =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median_of_$Runs","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    val full =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median_of_$Runs","queries":$qs,"runs":$runs,"failed":$failed,"sf":"$sfDir"}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/tmp/graft_bench_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
+    // printed after spark.stop() so no late executor/log line can land
+    // between this and process exit — the driver tails stdout.
+    println(compact)
   }
 }

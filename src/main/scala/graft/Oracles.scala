@@ -995,7 +995,7 @@ object Oracles {
         |    FROM (
         |      SELECT doc_id, h, cpos, csize,
         |        ('0x' || substring(h, (cpos * 2 + 17)::int, 2))::int AS ver
-        |      FROM mwalk WHERE ctype = '6D766864')
+        |      FROM mwalk WHERE ctype = '6D766864' AND csize >= 9)
         |    WHERE (ver = 0 AND csize >= 28) OR (ver = 1 AND csize >= 40)))
         |SELECT parsed.doc_id,
         |  CASE WHEN is_png THEN 'png' WHEN is_bmp THEN 'bmp'

@@ -131,7 +131,13 @@ object HttpApi {
       try api.route(ex)
       catch {
         case scala.util.control.NonFatal(e) =>
-          api.json(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+          // route may already have sent headers (write failure
+          // mid-response) — json would then throw IllegalStateException
+          // from sendResponseHeaders. Close the exchange on every path
+          // so a failed response is never abandoned.
+          try api.json(ex, 500, s"""{"error":"${e.getClass.getSimpleName}"}""")
+          catch { case scala.util.control.NonFatal(_) => () }
+          finally ex.close()
       })
     server.start()
     api

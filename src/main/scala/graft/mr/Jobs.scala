@@ -176,7 +176,11 @@ object Jobs {
         val g = group.get
         jobToStages.put(js.jobId,
           js.stageInfos.map(si => si.stageId -> si.numTasks.toLong))
-        js.stageInfos.foreach(si => stageToGroup.put(si.stageId, g))
+        // putIfAbsent: a stage listed by concurrent jobs from two
+        // tracked groups (shared/reused lineage) keeps its first
+        // attribution instead of being silently re-pointed — task
+        // counts for that stage stay with one group for its lifetime.
+        js.stageInfos.foreach(si => stageToGroup.putIfAbsent(si.stageId, g))
       }
     }
     override def onStageSubmitted(
@@ -208,7 +212,20 @@ object Jobs {
           ()
         }
         stages.foreach { case (s, _) =>
-          stageToGroup.remove(s); submittedStages.remove(s); ()
+          // keep the mapping while any still-running job lists this
+          // stage (shared-stage edge): removing it here would drop the
+          // other job's remaining onTaskEnd counts.
+          val stillListed = {
+            var found = false
+            jobToStages.forEach { (_, ss) =>
+              if (!found && ss.exists(_._1 == s)) found = true
+            }
+            found
+          }
+          if (!stillListed) {
+            stageToGroup.remove(s); submittedStages.remove(s)
+          }
+          ()
         }
       }
     }

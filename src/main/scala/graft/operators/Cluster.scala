@@ -114,13 +114,15 @@ object Cluster {
 
     // greatest(…, 0): ‖x‖²−2x·c+‖c‖² can round to −ε for x≈c, and
     // sqrt(−ε) would be NaN.
-    val out = e.withColumn("d2s", dist2s(centroids))
+    // Persist-without-unpersist (Curate.survivors pattern): the
+    // returned frame still reads `e`, so unpersisting here would make
+    // the final assignment pass re-read + re-cast from parquet.
+    // CacheManager dedups by canonicalized plan; eviction recomputes.
+    e.withColumn("d2s", dist2s(centroids))
       .select(col("vec_id"),
         assignCol.as("cluster"),
         round(sqrt(greatest(expr("array_min(d2s)"), lit(0.0))), 4).as("dist"))
       .orderBy(col("vec_id"))
-    e.unpersist(blocking = false)
-    out
   }
 
   /** Query entry (rows-only gate; properties in ClusterSpec). */
