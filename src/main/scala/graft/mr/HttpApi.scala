@@ -20,6 +20,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Routes (`{name}` = a key of the `jobs` map; `{id}` = the
   * `request_id` a POST returned):
+  *  - `GET /` → 200 service banner + live counts (reference
+  *    mr/views/index.py's index route)
+  *  - `GET /jobs` → 200 sorted array of submittable job names — the
+  *    reference's job browser (mr/views/ui/job.py: navigate the
+  *    submittable workflows/jobs)
+  *  - `GET /requests` → 200 array of every tracked request (active
+  *    AND completed-but-unreaped), each with its `request_id` and the
+  *    same progress fields as `GET /request/{id}` — the operator's
+  *    "what is this engine doing" surface
   *  - `POST /job/{name}` → 202 `{"request_id":"…"}`; 404 unknown name
   *  - `GET /request/{id}` → 200 `{"name":…,"jobs_started":…,
   *    "jobs_ended":…,"tasks_total":…,"tasks_done":…,"fraction":…,
@@ -85,6 +94,22 @@ final class HttpApi private (spark: SparkSession, dataDir: String,
     val method = ex.getRequestMethod
     val path = ex.getRequestURI.getPath
     (method, path.split("/").toList.filter(_.nonEmpty)) match {
+      case ("GET", Nil) =>
+        json(ex, 200,
+          s"""{"service":"graft","jobs":${jobs.size},"requests":${requests.size()}}""")
+      case ("GET", "jobs" :: Nil) =>
+        json(ex, 200, jobs.keys.toSeq.sorted
+          .map("\"" + _ + "\"").mkString("[", ",", "]"))
+      case ("GET", "requests" :: Nil) =>
+        // snapshot under the map's weak consistency: each entry is
+        // rendered from its live handle, ordered for determinism
+        val items = {
+          import scala.jdk.CollectionConverters._
+          requests.asScala.toSeq.sortBy(_._1).map { case (id, h) =>
+            s"""{"request_id":"$id",""" + progressJson(h).tail
+          }
+        }
+        json(ex, 200, items.mkString("[", ",", "]"))
       case ("POST", "job" :: name :: Nil) =>
         jobs.get(name) match {
           case None => notFound(ex, "job")

@@ -124,6 +124,115 @@ object Jobs {
     def deliver(jobName: String, df: DataFrame): Unit = f(jobName, df)
   }
 
+  /** One shared client: connection pooling across deliveries, no
+    * per-writer socket churn. */
+  private[mr] lazy val httpClient: java.net.http.HttpClient =
+    java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10))
+      .build()
+
+  /** Resolve the request id of the job group this delivery runs
+    * under ([[submitAsync]] set it on this thread before launching
+    * the action) — the reference's `request.request_id`. */
+  private def requestId(df: DataFrame): String =
+    Option(df.sparkSession.sparkContext
+      .getLocalProperty("spark.jobGroup.id")).getOrElse("")
+
+  /** POST the result as one JSON array to a webhook (reference
+    * result_writers/http.py:11: `requests.<verb>(url, headers,
+    * json.dumps(list(results)))` then `raise_for_status`). Identity
+    * headers mirror the reference's `X-REQUEST-ID`/`X-JOB-NAME`.
+    *
+    * Result-plane, not data-plane: like the reference, the whole
+    * result is serialized into one request body, so this is for the
+    * small aggregate outputs jobs end in — never a raw table dump.
+    * `maxRows` fails delivery loudly rather than ship a silently
+    * truncated result; a non-2xx response fails the job the same way
+    * `raise_for_status` does. */
+  final case class HttpWriter(url: String, verb: String = "POST",
+      maxRows: Int = 100000) extends ResultWriter {
+    def deliver(jobName: String, df: DataFrame): Unit = {
+      val rows = df.toJSON.take(maxRows + 1)
+      if (rows.length > maxRows)
+        throw new IllegalStateException(
+          s"HttpWriter: result of '$jobName' exceeds maxRows=$maxRows; " +
+            "use SinkWriter for bulk output")
+      val body = rows.mkString("[", ",", "]")
+      val req = java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(url))
+        .header("Content-Type", "application/json")
+        .header("X-REQUEST-ID", requestId(df))
+        .header("X-JOB-NAME", jobName)
+        .method(verb,
+          java.net.http.HttpRequest.BodyPublishers.ofString(body))
+        .build()
+      val resp = httpClient.send(req,
+        java.net.http.HttpResponse.BodyHandlers.discarding())
+      if (resp.statusCode() / 100 != 2)
+        throw new java.io.IOException(
+          s"HttpWriter: $verb $url returned ${resp.statusCode()}")
+    }
+  }
+
+  /** Render the result as an RFC-822 MIME message — text body plus a
+    * JSON attachment — and hand it to `transport` (reference
+    * result_writers/email.py: EmailTemplate with a json attachment,
+    * `{request_id}`/`{job_name}` replacements, send). This container
+    * has no SMTP relay, so transport is pluggable: [[EmailWriter.spool]]
+    * drops `.eml` files in a sendmail-style pickup directory; a real
+    * deployment points transport at its relay. */
+  final case class EmailWriter(to: Seq[String], from: String,
+      transport: (String, String) => Unit,
+      subject: String = "graft result: {job_name}",
+      body: String = "Results of job {job_name} (request {request_id}) attached.",
+      attachmentName: String = "result.json",
+      maxRows: Int = 100000) extends ResultWriter {
+    def deliver(jobName: String, df: DataFrame): Unit = {
+      if (to.isEmpty)
+        throw new IllegalStateException(
+          "EmailWriter: at least one TO address is required")
+      val rows = df.toJSON.take(maxRows + 1)
+      if (rows.length > maxRows)
+        throw new IllegalStateException(
+          s"EmailWriter: result of '$jobName' exceeds maxRows=$maxRows")
+      def fill(t: String): String = t
+        .replace("{job_name}", jobName)
+        .replace("{request_id}", requestId(df))
+      val boundary = s"graft-${UUID.randomUUID()}"
+      val mime = new StringBuilder()
+        .append(s"From: $from\r\n")
+        .append(s"To: ${to.mkString(", ")}\r\n")
+        .append(s"Subject: ${fill(subject)}\r\n")
+        .append("MIME-Version: 1.0\r\n")
+        .append(s"""Content-Type: multipart/mixed; boundary="$boundary"\r\n""")
+        .append("\r\n")
+        .append(s"--$boundary\r\n")
+        .append("Content-Type: text/plain; charset=utf-8\r\n\r\n")
+        .append(fill(body)).append("\r\n")
+        .append(s"--$boundary\r\n")
+        .append(s"""Content-Type: application/json; name="$attachmentName"\r\n""")
+        .append(
+          s"""Content-Disposition: attachment; filename="$attachmentName"\r\n\r\n""")
+        .append(rows.mkString("[", ",", "]")).append("\r\n")
+        .append(s"--$boundary--\r\n")
+        .toString()
+      transport(jobName, mime)
+    }
+  }
+
+  object EmailWriter {
+    /** Sendmail-style pickup-directory transport: each delivery is
+      * one `<dir>/<jobName>-<uuid>.eml`. */
+    def spool(dir: String): (String, String) => Unit = { (jobName, mime) =>
+      val d = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.write(
+        d.resolve(s"$jobName-${UUID.randomUUID()}.eml"),
+        mime.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    }
+  }
+
   /** Named daemon-thread factory — shared with [[HttpApi]]'s server
     * pool so thread policy lives in one place. */
   private[mr] def namedDaemonFactory(prefix: String): ThreadFactory =

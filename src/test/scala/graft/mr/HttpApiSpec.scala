@@ -54,6 +54,34 @@ class HttpApiSpec extends SparkSuite {
     }
   }
 
+  test("index, job browser and request listing expose the engine state") {
+    withApi { (base, _) =>
+      val (ic, ib) = send("GET", s"$base/")
+      assert(ic === 200 && field(ib, "service") === "graft", ib)
+      val (jc, jb) = send("GET", s"$base/jobs")
+      assert(jc === 200 && jb === """["runaway","wordcount"]""", jb)
+
+      // empty before any submit…
+      assert(send("GET", s"$base/requests") === ((200, "[]")))
+      val (_, body) = send("POST", s"$base/job/wordcount")
+      val id = field(body, "request_id")
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while ({
+        val (_, b) = send("GET", s"$base/request/$id")
+        field(b, "succeeded") == "null" && System.nanoTime() < deadline
+      }) Thread.sleep(100)
+      // …then lists the completed-but-unreaped request with progress
+      val (lc, lb) = send("GET", s"$base/requests")
+      assert(lc === 200, lb)
+      assert(field(lb, "request_id") === id, lb)
+      assert(field(lb, "name") === "wordcount", lb)
+      assert(field(lb, "completed") === "true", lb)
+      // reaping empties the listing again
+      send("POST", s"$base/reap")
+      assert(send("GET", s"$base/requests")._2 === "[]")
+    }
+  }
+
   test("unknown job name, request id, and route are 404") {
     withApi { (base, _) =>
       assert(send("POST", s"$base/job/nope")._1 === 404)

@@ -170,4 +170,83 @@ class JobsSpec extends SparkSuite {
     assert(spark.read.parquet(outA).count() > 0)
     assert(spark.read.parquet(outB).count() > 0)
   }
+
+  test("HttpWriter POSTs the result JSON with identity headers") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val got = scala.concurrent.Promise[(String, String, String)]()
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/hook", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      got.trySuccess((body,
+        ex.getRequestHeaders.getFirst("X-JOB-NAME"),
+        ex.getRequestHeaders.getFirst("X-REQUEST-ID")))
+      ex.sendResponseHeaders(200, -1)
+      ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/hook"
+      val handle = Jobs.submitJob(spark, "wc_http",
+        MrQueries.mrWordcount(spark, sfDir), Jobs.HttpWriter(url))
+      assert(Jobs.await(handle, 120.seconds).isSuccess)
+      val (body, jobName, reqId) =
+        scala.concurrent.Await.result(got.future, 10.seconds)
+      assert(jobName === "wc_http")
+      assert(reqId === handle.groupId,
+        "X-REQUEST-ID must carry the request id the submit returned")
+      assert(body.startsWith("[") && body.endsWith("]"))
+      val expected = MrQueries.mrWordcount(spark, sfDir).count()
+      assert(body.split("""\},\{""").length.toLong === expected,
+        "one JSON object per result row")
+    } finally server.stop(0)
+  }
+
+  test("HttpWriter fails the job on a non-2xx response") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/hook", (ex: HttpExchange) => {
+      ex.sendResponseHeaders(503, -1); ex.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/hook"
+      val handle = Jobs.submitJob(spark, "wc_http_503",
+        MrQueries.mrWordcount(spark, sfDir), Jobs.HttpWriter(url))
+      val res = Jobs.await(handle, 120.seconds)
+      assert(res.isFailure, "a 503 from the receiver must fail delivery")
+    } finally server.stop(0)
+  }
+
+  test("EmailWriter spools a complete MIME message with the result attached") {
+    val dir = Files.createTempDirectory("graft-mail").toString
+    val handle = Jobs.submitJob(spark, "wc_mail",
+      MrQueries.mrWordcount(spark, sfDir),
+      Jobs.EmailWriter(Seq("data@example.com"), "graft@example.com",
+        Jobs.EmailWriter.spool(dir)))
+    assert(Jobs.await(handle, 120.seconds).isSuccess)
+    val emls = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .toArray.map(_.toString).filter(_.endsWith(".eml"))
+    assert(emls.length === 1, s"expected one spooled message, got $emls")
+    val mime = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(emls.head)),
+      "UTF-8")
+    assert(mime.contains("Subject: graft result: wc_mail"))
+    assert(mime.contains("To: data@example.com"))
+    assert(mime.contains(s"request ${handle.groupId}"),
+      "{request_id} must interpolate into the body")
+    assert(mime.contains("""filename="result.json""""))
+    val attachment = mime.split("\r\n\r\n").find(_.startsWith("["))
+    assert(attachment.isDefined, "JSON attachment part present")
+    val expected = MrQueries.mrWordcount(spark, sfDir).count()
+    assert(attachment.get.split("""\},\{""").length.toLong === expected)
+  }
+
+  test("EmailWriter with no recipients fails delivery, not silently") {
+    val handle = Jobs.submitJob(spark, "wc_mail_none",
+      MrQueries.mrWordcount(spark, sfDir),
+      Jobs.EmailWriter(Seq.empty, "graft@example.com", (_, _) => ()))
+    assert(Jobs.await(handle, 120.seconds).isFailure)
+  }
 }
