@@ -160,6 +160,82 @@ class DedupSpec extends SparkSuite {
         s"${pairs.size} pairs: ${pairs.take(5)}")
   }
 
+  test("Zipfian corpus: posting-list bound holds and pairs equal the " +
+      "naive join under the same cut") {
+    val s = spark; import s.implicits._
+    // Power-law corpus: a hot 12-token phrase lands in ~40% of 240
+    // background docs (each of its shingles df ≈ 96 >> NgramDfMax),
+    // 20 mid phrases land in ~30 docs each (df below the cut, so they
+    // create real sub-τ partial overlaps the naive join must agree
+    // on), and a Zipf-ish tail. 8 planted near-dup pairs have unique
+    // bodies, so their Jaccard is cut-unaffected and stays >= 0.8.
+    val rng = new scala.util.Random(42)
+    val hot = (1 to 12).map("hot" + _)
+    val mids = (0 until 20).map(k => (1 to 5).map(j => s"mid${k}_$j"))
+    val background = (0 until 240).map { i =>
+      val h = if (rng.nextDouble() < 0.4) hot else Seq.empty
+      val m = Seq.fill(2 + rng.nextInt(3))(mids(rng.nextInt(mids.size))).flatten
+      // Zipf-ish tail: token rank ~ 1/sqrt(u), vocab of ~900
+      val tail = Seq.fill(10)("t" + (30.0 / math.sqrt(
+        rng.nextDouble() max 1e-3)).toInt)
+      (i.toLong, (h ++ m ++ tail).mkString(" "))
+    }
+    val planted = (0 until 8).flatMap { k =>
+      val r = new scala.util.Random(9000 + k)
+      val base = Seq.fill(30)("uniq" + k + "_" + r.nextInt(100000))
+      Seq((800L + 2 * k, base.mkString(" ")),
+        (801L + 2 * k, base.updated(15, "planted_mut" + k).mkString(" ")))
+    }
+    val docs = background ++ planted
+    val dir = java.nio.file.Files.createTempDirectory("graft-zipf").toString
+    docs.toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    // (a) the fixture actually stresses: hot shingles exceed the cut…
+    val preCut = d.select(col("doc_id"),
+        explode(H.shingleHashes(col("text"), 3)).as("s"))
+      .groupBy("s").count()
+    val maxPre = preCut.agg(max("count")).as[Long].head()
+    assert(maxPre > Dedup.NgramDfMax,
+      s"fixture must plant a df > ${Dedup.NgramDfMax} shingle, max df $maxPre")
+    // …and the surviving index's posting lists are bounded by the cut
+    val maxPost = Dedup.shingleIndexOf(d)
+      .groupBy("s").count().agg(max("count")).as[Long].head()
+    assert(maxPost <= Dedup.NgramDfMax,
+      s"df cut must bound every posting list, got $maxPost")
+
+    // (b) engine pairs == naive all-pairs Jaccard under the same cut
+    def shingles(t: String): Set[String] =
+      t.split("\\s+").filter(_.nonEmpty).sliding(3)
+        .filter(_.length == 3).map(_.mkString(" ")).toSet
+    val all = docs.map { case (id, t) => id -> shingles(t) }
+    val df = all.flatMap(_._2).groupBy(identity).map { case (k, v) =>
+      k -> all.count(_._2.contains(k))
+    }
+    val cutSets = all.map { case (id, sh) =>
+      id -> sh.filter(df(_) <= Dedup.NgramDfMax)
+    }
+    val naive = (for {
+      (a, sa) <- cutSets; (b, sb) <- cutSets
+      if a < b && sa.nonEmpty && sb.nonEmpty
+      inter = sa.intersect(sb).size
+      if inter > 0
+      j = inter.toDouble / (sa.size + sb.size - inter)
+      if j >= 0.5
+    } yield (a, b)).toSet
+    val engine = Dedup.dedupNgramJaccard(spark, dir)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(engine === naive,
+      s"engine minus naive: ${(engine -- naive).take(5)}; " +
+        s"naive minus engine: ${(naive -- engine).take(5)}")
+    // cut-unaffected planted pairs are all found
+    val plantedPairs = (0 until 8).map(k => (800L + 2 * k, 801L + 2 * k)).toSet
+    assert(plantedPairs.subsetOf(engine),
+      s"planted pairs missing: ${plantedPairs -- engine}")
+  }
+
   test("components equal a driver-side union-find over the pair graph") {
     val pairs = Dedup.dedupNgramJaccard(spark, sfDir)
       .select("doc_a", "doc_b").collect()
