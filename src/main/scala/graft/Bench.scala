@@ -28,7 +28,12 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_BENCH_OUT` (default `/tmp/graft_bench_full.json`).
   */
 object Bench {
-  private val Runs = 3
+  /** `SPARK_GRAFT_BENCH_RUNS` overrides samples-per-query;
+    * `SPARK_GRAFT_BENCH_ONLY=q2,q5` restricts to named queries — the
+    * CLAUDE.md variance rule's "re-time the suspect in isolation"
+    * recipe as a flag instead of a throwaway main. */
+  private val Runs =
+    sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -57,7 +62,11 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)")
       .write.format("noop").mode("overwrite").save()
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
         val ok =
