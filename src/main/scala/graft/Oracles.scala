@@ -1045,7 +1045,54 @@ object Oracles {
         |  SELECT doc_id, hex(encode(text)) AS h,
         |    unnest(range(1, octet_length(encode(text)) + 1, 64)) AS i
         |  FROM documents)
-        |ORDER BY doc_id, frame_idx""".stripMargin
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // Mirrors Multimodal.mmResizeQuery's synthesized image corpus in
+    // hex space (same header construction, same kind routing), then
+    // checks the REAL operator behavior: raw rows dropped, |h| for
+    // top-down BMPs, long-multiply-then-floor aspect math with the
+    // ≥1 clamp, and the hex-space stub digest md5(lower(hex(content))
+    // || '_tw_th').
+    "mm_resize" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    1 + (doc_id * 7) % 500 AS w,
+        |    1 + (doc_id * 13) % 400 AS h,
+        |    CASE WHEN doc_id % 11 = 0 THEN 'raw'
+        |         WHEN doc_id % 3 = 0 THEN 'png' ELSE 'bmp' END AS kind,
+        |    CASE WHEN doc_id % 5 = 0 THEN 4294967296 - h ELSE h END AS hbmp
+        |  FROM documents),
+        |hexed AS (
+        |  SELECT doc_id, w, h,
+        |    CASE kind
+        |      WHEN 'png' THEN '89504E470D0A1A0A0000000D49484452'
+        |        || lpad(hex(w), 8, '0') || lpad(hex(h), 8, '0') || '0802'
+        |      WHEN 'bmp' THEN '424D' || repeat('00', 12) || '28000000'
+        |        || lpad(hex(w % 256), 2, '0')
+        |        || lpad(hex((w // 256) % 256), 2, '0')
+        |        || lpad(hex((w // 65536) % 256), 2, '0')
+        |        || lpad(hex((w // 16777216) % 256), 2, '0')
+        |        || lpad(hex(hbmp % 256), 2, '0')
+        |        || lpad(hex((hbmp // 256) % 256), 2, '0')
+        |        || lpad(hex((hbmp // 65536) % 256), 2, '0')
+        |        || lpad(hex((hbmp // 16777216) % 256), 2, '0')
+        |        || '01001800'
+        |    END || hex(encode(text)) AS hx
+        |  FROM base WHERE kind <> 'raw'),
+        |dims AS (
+        |  SELECT doc_id, w, h, hx, greatest(w, h) AS m FROM hexed),
+        |planned AS (
+        |  SELECT doc_id, w, h, hx,
+        |    CASE WHEN m <= 256 THEN w
+        |         ELSE greatest(1, (w * 256) // m) END AS tw,
+        |    CASE WHEN m <= 256 THEN h
+        |         ELSE greatest(1, (h * 256) // m) END AS th
+        |  FROM dims)
+        |SELECT doc_id, w::int AS width, h::int AS height,
+        |  tw::int AS target_w, th::int AS target_h,
+        |  md5(lower(hx) || '_' || tw || '_' || th) AS resized_md5
+        |FROM planned
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** SURVEY §2G — streaming jobs, verified through their batch form

@@ -91,6 +91,7 @@ object SparkEntry {
     "mm_meta"             -> Multimodal.mmMeta,
     "mm_decode"           -> Multimodal.mmDecode,
     "mm_framesample"      -> Multimodal.mmFramesample,
+    "mm_resize"           -> ((s, d) => Multimodal.mmResizeQuery(s, d)),
     // §2G — streaming (batch-equivalent entries; stream path in specs)
     "stream_window_agg"   -> Streams.streamWindowAgg,
     "stream_sessionize"   -> Streams.streamSessionize,

@@ -224,8 +224,12 @@ object Multimodal {
         if (m <= maxSide) (w, h)
         else (math.max(1, (w.toLong * maxSide / m).toInt),
               math.max(1, (h.toLong * maxSide / m).toInt))
+      // Stub digest runs over hex(content): same determinism, same
+      // inputs (bytes, tw, th), but reproducible by a DuckDB oracle
+      // whose md5 only accepts VARCHAR — raw bytes can't round-trip
+      // through it.
       md.reset()
-      md.update(b.content)
+      md.update(hexOf(b.content).getBytes("UTF-8"))
       md.update(s"_${tw}_${th}".getBytes("UTF-8"))
       Resized(b.doc_id, w, h, tw, th, hexOf(md.digest()))
     }
@@ -240,8 +244,14 @@ object Multimodal {
     * rows; the synthesized-blob spec is the honest check. */
   def mmResize(spark: SparkSession, dir: String, maxSide: Int = 256): DataFrame = {
     import spark.implicits._
-    blobs(spark, dir).as[MmBlob]
-      .mapPartitions { it =>
+    resizeCore(blobs(spark, dir).as[MmBlob], maxSide)
+  }
+
+  /** The shared resize stage: per-partition codec-batch shape over any
+    * blob frame. */
+  private def resizeCore(ds: Dataset[MmBlob], maxSide: Int): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
         // codec handle (and the digest for the stub) created once per
         // partition, not per row
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -249,6 +259,50 @@ object Multimodal {
       }
       .toDF()
       .orderBy(col("doc_id"))
+  }
+
+  /** F4 oracle-gated entry: the corpus ships no image rows, so this
+    * query synthesizes a deterministic image corpus FROM the documents
+    * table — real PNG/BMP container headers (width/height derived from
+    * doc_id, the text bytes as payload; ~1/5 of BMPs top-down via a
+    * negative height; ~1/11 of docs left as raw non-image bytes) —
+    * and runs the REAL [[resizeCore]] over it. Everything the operator
+    * actually does (header parse, routing/drop of non-images,
+    * abs(negative height), aspect math with clamp, deterministic stub
+    * digest) is then checkable against a DuckDB oracle that builds the
+    * same blobs in hex space. Construction is pure codegen'd builtins
+    * (hex/lpad/unhex), no UDF. */
+  def mmResizeQuery(spark: SparkSession, dir: String,
+      maxSide: Int = 256): DataFrame = {
+    import spark.implicits._
+    def le32(v: String): String =
+      s"concat(lpad(hex(($v) % 256), 2, '0'), " +
+        s"lpad(hex((($v) div 256) % 256), 2, '0'), " +
+        s"lpad(hex((($v) div 65536) % 256), 2, '0'), " +
+        s"lpad(hex((($v) div 16777216) % 256), 2, '0'))"
+    val imgs = Tables(spark, dir).documents
+      .selectExpr("doc_id", "text",
+        "1 + (doc_id * 7) % 500 AS w",
+        "1 + (doc_id * 13) % 400 AS h",
+        "CASE WHEN doc_id % 11 = 0 THEN 'raw' " +
+          "WHEN doc_id % 3 = 0 THEN 'png' ELSE 'bmp' END AS kind")
+      // top-down BMPs store a negative height: two's-complement LE
+      .selectExpr("doc_id", "text", "w", "h", "kind",
+        "CASE WHEN doc_id % 5 = 0 THEN 4294967296 - h ELSE h END AS hbmp")
+      .selectExpr("doc_id",
+        "CASE kind " +
+          // PNG: magic, IHDR length 13, 'IHDR', BE dims, depth 8, color 2
+          "WHEN 'png' THEN concat('89504E470D0A1A0A0000000D49484452', " +
+          "  lpad(hex(w), 8, '0'), lpad(hex(h), 8, '0'), '0802') " +
+          // BMP: 'BM', size/reserved/offset zeros, DIB size 40, LE
+          // dims, 1 plane, 24 bpp
+          s"WHEN 'bmp' THEN concat('424D', repeat('00', 12), '28000000', " +
+          s"  ${le32("w")}, ${le32("hbmp")}, '01001800') " +
+          "ELSE '' END AS header_hex",
+        "hex(cast(text AS binary)) AS payload_hex")
+      .selectExpr("doc_id",
+        "unhex(concat(header_hex, payload_hex)) AS content")
+    resizeCore(imgs.as[MmBlob], maxSide)
   }
 
   /** F3: every-4th 16-byte block ("frame") sampled from the blob —
