@@ -239,6 +239,22 @@ class MultimodalSpec extends SparkSuite {
       s"resize path should not hash-shuffle blobs:\n$plan")
   }
 
+  test("mm_resize oracle entry: synthesized corpus stays shuffle-free " +
+      "and routes raw rows out") {
+    val q = Multimodal.mmResizeQuery(spark, sfDir)
+    // header construction + resize are per-row scan work: no exchange
+    // below the final orderBy's range partitioning
+    val plan = q.queryExecution.executedPlan.toString
+    val beforeSort = plan.split("Sort").last
+    assert(!beforeSort.contains("Exchange hashpartitioning"),
+      s"synthesized-corpus resize should not hash-shuffle:\n$plan")
+    // exactly the doc_id % 11 == 0 raw rows are dropped by routing
+    val docs = Multimodal.blobs(spark, sfDir).count()
+    val raw = (0L until docs).count(_ % 11 == 0)
+    assert(q.count() === docs - raw,
+      "every non-raw doc must produce exactly one resized row")
+  }
+
   test("framesample yields ceil(n_bytes/64) frames per doc, 16-byte frames") {
     val frames = Multimodal.mmFramesample(spark, sfDir)
     val meta = Multimodal.mmMeta(spark, sfDir)
