@@ -661,6 +661,46 @@ object Oracles {
          |FROM pairs_j
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // Same algebra as Dedup.dedupSubstring: k-grams via k-1 leads over
+    // per-doc position order, corpus-wide occurrence count >= 2,
+    // gaps-and-islands merge of consecutive repeated positions into
+    // maximal spans. k and the span floor are single-sourced.
+    "dedup_substring" -> {
+      val k = graft.operators.Dedup.SubstrK
+      val leads = (1 until k).map(i =>
+        s"lead(tok, $i) OVER (PARTITION BY doc_id ORDER BY pos)")
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |toks AS (
+         |  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+         |  FROM d, unnest(range(1, len(t) + 1)) AS r(i)),
+         |grams0 AS (
+         |  SELECT doc_id, pos,
+         |    concat_ws(' ', tok, ${leads.mkString(", ")}) AS g,
+         |    ${leads.last} AS last_tok
+         |  FROM toks),
+         |grams AS (
+         |  SELECT doc_id, pos, g FROM grams0 WHERE last_tok IS NOT NULL),
+         |rep AS (
+         |  SELECT doc_id, pos,
+         |    count(*) OVER (PARTITION BY g) AS cnt
+         |  FROM grams),
+         |runs AS (
+         |  SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+         |      AS grp
+         |  FROM rep WHERE cnt >= 2),
+         |spans AS (
+         |  SELECT doc_id, min(pos) AS start_pos,
+         |    max(pos) + ${k - 1} AS end_pos
+         |  FROM runs GROUP BY doc_id, grp)
+         |SELECT doc_id, start_pos::int AS start_pos, end_pos::int AS end_pos,
+         |  (end_pos - start_pos + 1)::int AS n_tokens
+         |FROM spans
+         |WHERE end_pos - start_pos + 1 >= ${graft.operators.Dedup.SubstrMinSpan}
+         |ORDER BY doc_id, start_pos""".stripMargin
+    },
+
     // Incremental ingest gate: batch (doc_id % m = r) probed against
     // the corpus. Shares the sh CTE (df cut over corpus AND batch)
     // with the symmetric pair chain so the shingle definition cannot

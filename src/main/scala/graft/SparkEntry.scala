@@ -71,6 +71,7 @@ object SparkEntry {
     "text_repetition"    -> TextQueries.textRepetition,
     // §2C — deduplication
     "dedup_exact"         -> Dedup.dedupExact,
+    "dedup_substring"     -> Dedup.dedupSubstring,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccard,
     "dedup_minhash_lsh"   -> Dedup.dedupMinhashLsh,
     "dedup_simhash"       -> Dedup.dedupSimhash,

@@ -143,6 +143,67 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Window width (tokens) of the repeated-substring probe, and the
+    * minimum maximal-span length reported. k=8 makes accidental
+    * repeats vanish (even a 30-word vocabulary has 30⁸ ≈ 6.6e11
+    * 8-grams) while any real copied passage of ≥ MinSpan tokens is a
+    * run of ≥ MinSpan−k+1 repeated 8-grams. Single-sourced into the
+    * DuckDB oracle. */
+  val SubstrK = 8
+  val SubstrMinSpan = 15
+
+  /** C9: exact repeated-substring spans — the "dedup training data at
+    * the substring level" operator (cf. Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": exact duplicated
+    * passages, not whole-doc near-dups, are what LLM corpora mostly
+    * contain). Reports every maximal run of ≥ [[SubstrMinSpan]] tokens
+    * whose [[SubstrK]]-gram windows ALL occur ≥ 2 times in the corpus
+    * (across docs or within one).
+    *
+    * Spark-first shape — linear, never pairwise: tokenize via
+    * posexplode, form k-grams with k−1 codegen'd `lead` windows (one
+    * exchange on doc_id), count k-gram occurrences with a count window
+    * over the k-gram key (one exchange — same reuse idiom as the
+    * shingle index's df window), then merge consecutive repeated
+    * positions per doc into maximal spans with the gaps-and-islands
+    * rewrite (pos − row_number, reusing the doc_id partitioning).
+    * Total shuffled volume is O(total tokens) rows — no self-join, no
+    * candidate pairs, so a hot boilerplate passage costs its token
+    * count, not its df². At 100 TB the k-gram shuffle key would be
+    * xxhash64-narrowed (collision-insensitive for counting ≥ 2 up to
+    * 64-bit collision odds); here the key stays the literal k-gram so
+    * the DuckDB oracle is exact. */
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = SubstrK
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\\s+")).as(Seq("pos", "tok")))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams = toks
+      .withColumn("g", concat_ws(" ",
+        col("tok") +: (1 until k).map(i => lead(col("tok"), i).over(byDoc)): _*))
+      // the last k-1 positions of a doc have no full k-gram (window
+      // exprs can't sit in a WHERE — materialize the probe column)
+      .withColumn("full", lead(col("tok"), k - 1).over(byDoc).isNotNull)
+      .filter(col("full"))
+      .select(col("doc_id"), col("pos"), col("g"))
+    val repeated = grams
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("cnt") >= 2)
+    repeated
+      .withColumn("grp", col("pos") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("start_pos"),
+        (max(col("pos")) + lit(k - 1)).as("end_pos"))
+      .withColumn("n_tokens", col("end_pos") - col("start_pos") + 1)
+      .filter(col("n_tokens") >= SubstrMinSpan)
+      .select(col("doc_id"), col("start_pos").cast("int").as("start_pos"),
+        col("end_pos").cast("int").as("end_pos"),
+        col("n_tokens").cast("int").as("n_tokens"))
+      .orderBy(col("doc_id"), col("start_pos"))
+  }
+
   /** C4: SimHash hamming-≤3 near-dup pairs. The simhash itself is a
     * native codegen expression ([[graft.functions.SimHash64]]); the
     * candidate join uses the 4×16-bit chunk pigeonhole (hamming ≤ 3 →

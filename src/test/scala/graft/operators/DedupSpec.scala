@@ -236,6 +236,58 @@ class DedupSpec extends SparkSuite {
       s"planted pairs missing: ${plantedPairs -- engine}")
   }
 
+  test("substring spans equal an independent reference on planted copies") {
+    val s = spark; import s.implicits._
+    val k = Dedup.SubstrK
+    // independent reference: count k-grams, merge consecutive repeated
+    // positions, keep maximal spans >= the floor
+    def refSpans(docs: Seq[(Long, String)]): Set[(Long, Int, Int, Int)] = {
+      val grams = docs.flatMap { case (id, t) =>
+        val ws = t.split("\\s+").filter(_.nonEmpty)
+        (0 to ws.length - k).map(p => (id, p, ws.slice(p, p + k).mkString(" ")))
+      }
+      val cnt = grams.groupBy(_._3).view.mapValues(_.size).toMap
+      grams.filter(g => cnt(g._3) >= 2).groupBy(_._1).flatMap {
+        case (id, gs) =>
+          val runs = gs.map(_._2).sorted
+            .foldLeft(List.empty[(Int, Int)]) {
+              case ((st, en) :: tail, p) if p == en + 1 => (st, p) :: tail
+              case (acc, p) => (p, p) :: acc
+            }
+          runs.map { case (st, en) =>
+            (id, st, en + k - 1, en + k - 1 - st + 1) }
+      }.filter(_._4 >= Dedup.SubstrMinSpan).toSet
+    }
+    def uniq(id: Int, n: Int): Seq[String] =
+      (0 until n).map(j => s"u${id}_$j")
+    val phrase = (0 until 20).map(j => s"x$j")
+    val docs: Seq[(Long, String)] =
+      // background: globally unique tokens, no spans
+      (0 until 10).map(i => (i.toLong, uniq(i, 40).mkString(" "))) ++ Seq(
+        // near-dup pair: one token mutated mid-doc → prefix+suffix spans
+        (100L, uniq(100, 50).mkString(" ")),
+        (101L, uniq(100, 50).updated(25, "mut").mkString(" ")),
+        // exact pair → whole-doc spans
+        (200L, uniq(200, 30).mkString(" ")),
+        (201L, uniq(200, 30).mkString(" ")),
+        // within-doc repeat: phrase + filler + same phrase
+        (300L, (phrase ++ uniq(300, 5) ++ phrase).mkString(" ")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-substr").toString
+    docs.toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.dedupSubstring(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    val want = refSpans(docs)
+    assert(got === want,
+      s"engine minus ref: ${(got -- want).take(5)}; " +
+        s"ref minus engine: ${(want -- got).take(5)}")
+    // sanity on the planted structure itself
+    assert(want.contains((100L, 0, 24, 25)) && want.contains((100L, 26, 49, 24)),
+      s"expected prefix+suffix spans for the mutated pair in $want")
+    assert(want.contains((200L, 0, 29, 30)) && want.contains((201L, 0, 29, 30)))
+    assert(want.contains((300L, 0, 19, 20)) && want.contains((300L, 25, 44, 20)))
+  }
+
   test("components equal a driver-side union-find over the pair graph") {
     val pairs = Dedup.dedupNgramJaccard(spark, sfDir)
       .select("doc_a", "doc_b").collect()
