@@ -775,6 +775,30 @@ object Oracles {
     // compare) sort below the per-lang threshold. Seed + thresholds
     // are single-sourced from graft.operators.Sampling so Spark and
     // oracle cannot drift.
+    // Sequence packing: running token total per source shard in doc_id
+    // order; window = start_off div budget, offset = start_off % budget.
+    // Token count is text_tokens' n_ws_tokens form; budget single-
+    // sourced from Sampling.PackBudget. Pure integer algebra.
+    "pack_sequences" -> {
+      val b = graft.operators.Sampling.PackBudget
+      // raw interpolator: the \s in the regex must reach DuckDB intact
+      raw"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    len(list_filter(string_split_regex(text, '\s+'),
+         |                    w -> w <> ''))::bigint AS n
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, n,
+         |    sum(n) OVER (PARTITION BY source ORDER BY doc_id) - n
+         |      AS start_off
+         |  FROM t)
+         |SELECT doc_id, source, n::int AS n_tokens,
+         |  (start_off // $b)::int AS seq_id,
+         |  (start_off % $b)::int AS seq_offset
+         |FROM c
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "sample_stratified" -> {
       val cases = graft.operators.Sampling.LangThresholds
         .map { case (lang, thr, _) => s"WHEN '$lang' THEN '$thr'" }

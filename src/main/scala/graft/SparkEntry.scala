@@ -79,6 +79,7 @@ object SparkEntry {
     "dedup_components"    -> Dedup.dedupComponents,
     "dedup_incremental"   -> (graft.operators.Incremental.dedupIncremental(_, _)),
     "sample_stratified"   -> (graft.operators.Sampling.sampleStratified(_, _)),
+    "pack_sequences"      -> (graft.operators.Sampling.packSequences(_, _)),
     "decontaminate"       -> (graft.operators.Decontaminate.decontaminate(_, _)),
     // §2I — composed curation pipeline
     "curate_corpus"       -> (graft.operators.Curate.curateCorpus(_, _)),

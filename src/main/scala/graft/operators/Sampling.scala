@@ -66,4 +66,39 @@ object Sampling {
       .filter(col("bucket") < col("thr"))
       .orderBy(col("doc_id"))
   }
+
+  /** Context-window token budget for [[packSequences]] (single-sourced
+    * into the oracle). */
+  val PackBudget = 2048L
+
+  /** J2: sequence packing — the "concatenate documents and chop into
+    * fixed context windows" step every LLM training pipeline runs
+    * before batching. Docs are laid out in deterministic (source,
+    * doc_id) order as one token stream per source shard; each doc is
+    * assigned the window containing its first token (seq_id) and its
+    * offset inside that window. Whitespace token counts share
+    * [[graft.functions.TextFunctions.wsTokenCount]] with text_tokens,
+    * so the packer and the token-count query can never disagree.
+    *
+    * Scale shape: the running sum is a window per SOURCE shard in
+    * (doc_id) order — shards pack independently and in parallel,
+    * which is how a 100 TB corpus is packed in practice (per input
+    * shard, never one global stream: a global order would serialize
+    * the whole corpus through one sort). Pure integer algebra — exact
+    * cross-engine hash gate. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = graft.functions.TextFunctions.wsTokenCount(col("text"))
+      .cast("long")
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"), n.as("n_tokens"))
+      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("source"),
+        col("n_tokens").cast("int").as("n_tokens"),
+        // integral div, not Column./ (double division — CLAUDE.md)
+        expr(s"start_off div ${PackBudget}L").cast("int").as("seq_id"),
+        (col("start_off") % PackBudget).cast("int").as("seq_offset"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -54,4 +54,35 @@ class SamplingSpec extends SparkSuite {
     assert(!plan.contains("hashpartitioning"),
       s"unexpected hash shuffle:\n$plan")
   }
+
+  test("pack_sequences lays out a contiguous token stream per source") {
+    val packed = Sampling.packSequences(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getInt(3), r.getInt(4)))
+    val b = Sampling.PackBudget
+    packed.groupBy(_._2).foreach { case (src, rowsUnsorted) =>
+      val rows = rowsUnsorted.sortBy(_._1)
+      // reconstruct the stream: each doc starts where the previous
+      // one's tokens ended
+      var off = 0L
+      rows.foreach { case (id, _, n, seqId, seqOff) =>
+        assert(seqId === (off / b).toInt,
+          s"doc $id in $src: seq_id ${seqId} != ${off / b}")
+        assert(seqOff === (off % b).toInt,
+          s"doc $id in $src: seq_offset ${seqOff} != ${off % b}")
+        off += n
+      }
+      // no window is skipped: ids are dense over the stream
+      assert(rows.map(_._4).distinct.sorted.zipWithIndex
+        .forall { case (s, i) => s == i },
+        s"seq_ids must be dense per source in $src")
+    }
+    // token counts agree with text_tokens' definition
+    val fromTokens = graft.functions.TextQueries.textTokens(spark, sfDir)
+      .select(col("doc_id"), col("n_ws_tokens")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    packed.foreach { case (id, _, n, _, _) =>
+      assert(fromTokens(id) === n)
+    }
+  }
 }
