@@ -162,14 +162,19 @@ object Dedup {
     *
     * Spark-first shape — linear, never pairwise: tokenize via
     * posexplode, form k-grams with k−1 codegen'd `lead` windows (one
-    * exchange on doc_id), count k-gram occurrences with a count window
-    * over the k-gram key (one exchange — same reuse idiom as the
-    * shingle index's df window), then merge consecutive repeated
+    * exchange on doc_id), find repeated k-grams with a partial-agg
+    * groupBy + inner equi-join back, then merge consecutive repeated
     * positions per doc into maximal spans with the gaps-and-islands
-    * rewrite (pos − row_number, reusing the doc_id partitioning).
-    * Total shuffled volume is O(total tokens) rows — no self-join, no
-    * candidate pairs, so a hot boilerplate passage costs its token
-    * count, not its df². At 100 TB the k-gram shuffle key would be
+    * rewrite (pos − row_number). Total shuffled volume is O(total
+    * tokens) rows — no self-join, no candidate pairs, so a hot
+    * boilerplate passage costs its token count, not its df².
+    *
+    * Deliberately NOT the shingle index's df-window idiom: a window
+    * partitioned by the k-gram key cannot split a hot key (and unlike
+    * the shingle index there is no df cut bounding it), while the
+    * partial agg map-side-combines a hot k-gram to one row per
+    * partition and AQE can skew-split the probe side of the join. At
+    * 100 TB the k-gram shuffle key would additionally be
     * xxhash64-narrowed (collision-insensitive for counting ≥ 2 up to
     * 64-bit collision odds); here the key stays the literal k-gram so
     * the DuckDB oracle is exact. */
@@ -188,9 +193,13 @@ object Dedup {
       .withColumn("full", lead(col("tok"), k - 1).over(byDoc).isNotNull)
       .filter(col("full"))
       .select(col("doc_id"), col("pos"), col("g"))
-    val repeated = grams
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("g"))))
+    // repeated-key set first (HAVING shrinks it to actual repeats), so
+    // the join both filters and stays small on the build side
+    val repKeys = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)
+      .select(col("g"))
+    val repeated = grams.join(repKeys, "g")
     repeated
       .withColumn("grp", col("pos") - row_number().over(byDoc))
       .groupBy(col("doc_id"), col("grp"))
