@@ -64,6 +64,13 @@ object Bench {
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // fail fast on a typo'd name: a silent empty selection would still
+    // print a well-formed {"value":0.000,...} line that reads as a result
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.mkString(",")}")
+    }
     val selected = SparkEntry.queries.toSeq
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>

@@ -669,8 +669,14 @@ object Oracles {
       val k = graft.operators.Dedup.SubstrK
       val leads = (1 until k).map(i =>
         s"lead(tok, $i) OVER (PARTITION BY doc_id ORDER BY pos)")
-      s"""WITH d AS (
-         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      // regex split + empty filter mirrors Spark's split("\s+") with
+      // the ""-head artifact dropped — both engines number the same
+      // token stream (file convention: string_split_regex everywhere)
+      raw"""WITH d AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\s+'),
+         |                w -> w <> '') AS t
+         |  FROM documents),
          |toks AS (
          |  SELECT doc_id, i - 1 AS pos, t[i] AS tok
          |  FROM d, unnest(range(1, len(t) + 1)) AS r(i)),

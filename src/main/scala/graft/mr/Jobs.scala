@@ -199,6 +199,13 @@ object Jobs {
         .replace("{job_name}", jobName)
         .replace("{request_id}", requestId(df))
       val boundary = s"graft-${UUID.randomUUID()}"
+      // base64 (76-char CRLF lines, JDK MIME encoder): the JSON array
+      // is one arbitrarily long line of arbitrary UTF-8 — raw it would
+      // blow RFC 5322's 998-octet line limit and invite relay
+      // re-wrapping that corrupts the payload
+      val attachment = java.util.Base64.getMimeEncoder.encodeToString(
+        rows.mkString("[", ",", "]")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       val mime = new StringBuilder()
         .append(s"From: $from\r\n")
         .append(s"To: ${to.mkString(", ")}\r\n")
@@ -210,10 +217,11 @@ object Jobs {
         .append("Content-Type: text/plain; charset=utf-8\r\n\r\n")
         .append(fill(body)).append("\r\n")
         .append(s"--$boundary\r\n")
-        .append(s"""Content-Type: application/json; name="$attachmentName"\r\n""")
+        .append(s"""Content-Type: application/json; charset=utf-8; name="$attachmentName"\r\n""")
+        .append("Content-Transfer-Encoding: base64\r\n")
         .append(
           s"""Content-Disposition: attachment; filename="$attachmentName"\r\n\r\n""")
-        .append(rows.mkString("[", ",", "]")).append("\r\n")
+        .append(attachment).append("\r\n")
         .append(s"--$boundary--\r\n")
         .toString()
       transport(jobName, mime)
@@ -267,6 +275,7 @@ object Jobs {
   }
   private val groupProgress = new ConcurrentHashMap[String, GroupCounters]()
   private val stageToGroup = new ConcurrentHashMap[Int, String]()
+  private val jobToGroup = new ConcurrentHashMap[Int, String]()
   private val jobToStages = new ConcurrentHashMap[Int, Seq[(Int, Long)]]()
   private val submittedStages = ConcurrentHashMap.newKeySet[Int]()
 
@@ -283,12 +292,15 @@ object Jobs {
         c.jobsStarted.incrementAndGet()
         c.tasksTotal.addAndGet(js.stageInfos.map(_.numTasks.toLong).sum)
         val g = group.get
+        jobToGroup.put(js.jobId, g)
         jobToStages.put(js.jobId,
           js.stageInfos.map(si => si.stageId -> si.numTasks.toLong))
         // putIfAbsent: a stage listed by concurrent jobs from two
         // tracked groups (shared/reused lineage) keeps its first
         // attribution instead of being silently re-pointed — task
         // counts for that stage stay with one group for its lifetime.
+        // (Job-level counters resolve through jobToGroup, never through
+        // this map, so a shared head stage can't misattribute them.)
         js.stageInfos.foreach(si => stageToGroup.putIfAbsent(si.stageId, g))
       }
     }
@@ -307,8 +319,10 @@ object Jobs {
           .foreach(_.tasksDone.incrementAndGet())
     override def onJobEnd(je: SparkListenerJobEnd): Unit = {
       Option(jobToStages.remove(je.jobId)).foreach { stages =>
-        val counters = stages.headOption
-          .flatMap { case (s, _) => Option(stageToGroup.get(s)) }
+        // the ended job's OWN group — resolving via a (possibly shared,
+        // first-wins) stage would credit jobsEnded and the skipped-task
+        // subtraction to whichever group claimed the stage first
+        val counters = Option(jobToGroup.remove(je.jobId))
           .flatMap(g => Option(groupProgress.get(g)))
         counters.foreach(_.jobsEnded.incrementAndGet())
         // stages Spark skipped (cached/reused) never ran their tasks;

@@ -181,9 +181,17 @@ object Dedup {
   def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = SubstrK
+    // Positions are assigned AFTER dropping empty split artifacts
+    // (leading whitespace makes Spark's split emit a "" head token),
+    // mirroring the oracle's list_filter — both engines number the
+    // same token stream.
+    val byDocRaw = Window.partitionBy(col("doc_id")).orderBy(col("p0"))
     val toks = Tables(spark, dir).documents
       .select(col("doc_id"),
-        posexplode(split(col("text"), "\\s+")).as(Seq("pos", "tok")))
+        posexplode(split(col("text"), "\\s+")).as(Seq("p0", "tok")))
+      .filter(length(col("tok")) > 0)
+      .withColumn("pos", row_number().over(byDocRaw) - 1)
+      .select(col("doc_id"), col("pos"), col("tok"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val grams = toks
       .withColumn("g", concat_ws(" ",
@@ -193,6 +201,10 @@ object Dedup {
       .withColumn("full", lead(col("tok"), k - 1).over(byDoc).isNotNull)
       .filter(col("full"))
       .select(col("doc_id"), col("pos"), col("g"))
+      // referenced twice below (aggregate + join probe): persist so the
+      // tokenize + k-1-lead pipeline runs once, not per reference
+      // (Curate.survivors pattern — CacheManager dedups, no unpersist)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // repeated-key set first (HAVING shrinks it to actual repeats), so
     // the join both filters and stays small on the build side
     val repKeys = grams.groupBy(col("g"))

@@ -237,10 +237,20 @@ class JobsSpec extends SparkSuite {
     assert(mime.contains(s"request ${handle.groupId}"),
       "{request_id} must interpolate into the body")
     assert(mime.contains("""filename="result.json""""))
-    val attachment = mime.split("\r\n\r\n").find(_.startsWith("["))
-    assert(attachment.isDefined, "JSON attachment part present")
+    assert(mime.contains("Content-Transfer-Encoding: base64"))
+    // decode the base64 part back to the JSON array (strip the closing
+    // boundary that shares the blank-line-delimited chunk)
+    val b64 = mime.split("\r\n\r\n")
+      .map(_.split("\r\n--").head.trim)
+      .find(p => p.nonEmpty && p.matches("(?s)[A-Za-z0-9+/=\r\n]+"))
+    assert(b64.isDefined, "base64 attachment part present")
+    val attachment = new String(
+      java.util.Base64.getMimeDecoder.decode(b64.get), "UTF-8")
+    assert(attachment.startsWith("[") && attachment.endsWith("]"))
+    // RFC 5322 line-length sanity over the whole message
+    mime.split("\r\n").foreach(l => assert(l.length <= 998))
     val expected = MrQueries.mrWordcount(spark, sfDir).count()
-    assert(attachment.get.split("""\},\{""").length.toLong === expected)
+    assert(attachment.split("""\},\{""").length.toLong === expected)
   }
 
   test("EmailWriter with no recipients fails delivery, not silently") {

@@ -249,8 +249,10 @@ class MultimodalSpec extends SparkSuite {
     assert(!beforeSort.contains("Exchange hashpartitioning"),
       s"synthesized-corpus resize should not hash-shuffle:\n$plan")
     // exactly the doc_id % 11 == 0 raw rows are dropped by routing
+    // (derived from the data — no assumption that ids are contiguous)
     val docs = Multimodal.blobs(spark, sfDir).count()
-    val raw = (0L until docs).count(_ % 11 == 0)
+    val raw = Multimodal.blobs(spark, sfDir)
+      .filter(col("doc_id") % 11 === 0).count()
     assert(q.count() === docs - raw,
       "every non-raw doc must produce exactly one resized row")
   }

@@ -288,6 +288,32 @@ class DedupSpec extends SparkSuite {
     assert(want.contains((300L, 0, 19, 20)) && want.contains((300L, 25, 44, 20)))
   }
 
+  test("substring k-gram pipeline runs once, not once per reference") {
+    // grams feeds both the repeated-key aggregate and the join probe;
+    // the persist makes each reference an InMemoryTableScan with zero
+    // parquet scans outside the cached lineage (IncrementalSpec
+    // walker — a textual scan count is useless on cached plans).
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def walk(p: SparkPlan): (Int, Int) = p match {
+      case _: InMemoryTableScanExec => (0, 1)
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case _: FileSourceScanExec => (1, 0)
+      case other =>
+        val cs = other.children.map(walk)
+        (cs.map(_._1).sum, cs.map(_._2).sum)
+    }
+    val df = Dedup.dedupSubstring(spark, sfDir)
+    df.collect() // fill the cache, finalize AQE
+    val (parquetScans, memScans) = walk(df.queryExecution.executedPlan)
+    assert(memScans >= 2,
+      s"expected >=2 cache reads (aggregate + join probe), got $memScans")
+    assert(parquetScans == 0,
+      s"expected 0 parquet scans outside the cache, got $parquetScans")
+  }
+
   test("components equal a driver-side union-find over the pair graph") {
     val pairs = Dedup.dedupNgramJaccard(spark, sfDir)
       .select("doc_a", "doc_b").collect()
