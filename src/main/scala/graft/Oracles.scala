@@ -367,7 +367,44 @@ object Oracles {
     // Weekly cohort retention; `//` = DuckDB integral division,
     // mirroring Spark's `div` (Funnel.WeekSeconds single-sourced).
     // retentionSql is shared with the G6 stream_retention entry.
-    "events_retention" -> retentionSql
+    "events_retention" -> retentionSql,
+
+    // Trailing-24h spike detection. Every window aggregate is an
+    // EXACT integer (count / Σx / Σx² of per-hour counts as BIGINTs);
+    // mean/var/z derive in the same double expression tree as Spark,
+    // so the gate is a full bit-exact hash despite the statistics —
+    // deliberately NOT stddev() (engine Welford orders differ in the
+    // last ulp). Baseline + threshold single-sourced from Funnel.
+    "events_anomaly" -> {
+      val minN = graft.operators.Funnel.AnomalyMinBaseline
+      val zThr = graft.operators.Funnel.AnomalySpikeZ
+      s"""WITH hourly AS (
+         |  SELECT event_type,
+         |    epoch(date_trunc('second', ts))::bigint // 3600 AS h,
+         |    count(*) AS cnt
+         |  FROM events
+         |  GROUP BY 1, 2),
+         |win AS (
+         |  SELECT event_type, h, cnt,
+         |    count(cnt) OVER w AS nw,
+         |    sum(cnt) OVER w AS sumx,
+         |    sum(cnt * cnt) OVER w AS sumx2
+         |  FROM hourly
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY h
+         |               RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+         |scored AS (
+         |  SELECT event_type, h, cnt, nw,
+         |    sumx::double / nw AS mean,
+         |    (sumx2::double - sumx::double * sumx / nw) / (nw - 1)
+         |      AS varr
+         |  FROM win WHERE nw >= $minN)
+         |SELECT event_type, h * 3600 AS hour_ep, cnt::int AS n_events,
+         |  round((cnt::double - mean) / sqrt(varr), 4) AS z,
+         |  abs((cnt::double - mean) / sqrt(varr)) > $zThr AS is_spike
+         |FROM scored
+         |WHERE varr > 0
+         |ORDER BY event_type, hour_ep""".stripMargin
+    }
   )
 
   /** The cohort-retention SQL — shared verbatim by `events_retention`

@@ -54,6 +54,7 @@ object SparkEntry {
     "events_sessionize"  -> (Sessionize.sessions(_, _)),
     "events_funnel"      -> (graft.operators.Funnel.eventsFunnel(_, _)),
     "events_retention"   -> (graft.operators.Funnel.eventsRetention(_, _)),
+    "events_anomaly"     -> (graft.operators.Funnel.eventsAnomaly(_, _)),
     "events_pathing"     -> (graft.operators.Funnel.eventsPathing(_, _)),
     "events_sequences"   -> (graft.operators.Funnel.eventsSequences(_, _)),
     // §2A — MapReduce engine pipelines

@@ -160,4 +160,59 @@ object Funnel {
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("cohort_week"), col("week_offset"))
   }
+
+  /** Baseline hours required before an anomaly score is emitted, and
+    * the spike threshold (|z| > 3). Single-sourced into the oracle. */
+  val AnomalyMinBaseline = 12
+  val AnomalySpikeZ = 3.0
+
+  /** Trailing-window anomaly (spike) detection: per (event_type,
+    * hour), the z-score of the hour's event count against the
+    * trailing 24 hours (current hour excluded).
+    *
+    * Reproducibility design — why this is NOT `stddev` over a window:
+    * two engines' Welford/merge orders differ in the last ulp on
+    * doubles, so a windowed stddev is not cross-engine bit-stable.
+    * Here every window aggregate is an EXACT integer: count, Σx and
+    * Σx² over per-hour counts are long sums (≤ 2⁵³, no FP at all),
+    * and mean/variance/z are then derived in one identical double
+    * expression tree on both engines — bit-equality by construction,
+    * full hash gate. Same trick as the funnel's integral epochs.
+    *
+    * Shape: one groupBy (event_type, hour) collapse — the RANGE-frame
+    * window then runs over ~24·365 rows per type per year, thousands
+    * of times smaller than the event stream; partitions by type are
+    * independent. */
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables(spark, dir).events
+      .select(col("event_type"), Tables.tsNsToSec("ts").as("ep"))
+      .withColumn("h", expr("ep div 3600L"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rangeBetween(-24, -1)
+    hourly
+      .withColumn("nw", count(col("cnt")).over(w))
+      .withColumn("sumx", sum(col("cnt")).over(w))
+      .withColumn("sumx2", sum(col("cnt") * col("cnt")).over(w))
+      .filter(col("nw") >= AnomalyMinBaseline)
+      .withColumn("mean", col("sumx").cast("double") / col("nw"))
+      .withColumn("varr",
+        (col("sumx2").cast("double") -
+          col("sumx").cast("double") * col("sumx") / col("nw")) /
+          (col("nw") - 1))
+      .filter(col("varr") > 0)
+      .withColumn("z",
+        (col("cnt").cast("double") - col("mean")) / sqrt(col("varr")))
+      // epoch seconds, not a constructed timestamp: integral output
+      // like stream_window_agg's win_start (timestamp construction
+      // semantics differ across engines; integers cannot)
+      .select(col("event_type"),
+        (col("h") * 3600).as("hour_ep"),
+        col("cnt").cast("int").as("n_events"),
+        round(col("z"), 4).as("z"),
+        (abs(col("z")) > AnomalySpikeZ).as("is_spike"))
+      .orderBy(col("event_type"), col("hour_ep"))
+  }
 }

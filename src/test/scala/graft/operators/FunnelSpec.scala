@@ -126,4 +126,37 @@ class FunnelSpec extends SparkSuite {
         s"cohort $cw: some offset exceeds week-0 user count")
     }
   }
+
+  test("anomaly z-scores equal an independent trailing-window reference") {
+    import org.apache.spark.sql.functions._
+    // independent reference from the raw hourly counts
+    val hourly = graft.Tables(spark, sfDir).events
+      .select(col("event_type"), graft.Tables.tsNsToSec("ts").as("ep"))
+      .selectExpr("event_type", "ep div 3600L AS h")
+      .groupBy("event_type", "h").count()
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byType = hourly.groupBy(_._1).view.mapValues(
+      _.map(t => t._2 -> t._3).toMap).toMap
+    val want = (for {
+      (tpe, hs) <- byType.toSeq
+      (h, cnt) <- hs.toSeq
+      window = ((h - 24) to (h - 1)).flatMap(hs.get)
+      if window.size >= Funnel.AnomalyMinBaseline
+      nw = window.size
+      sumx = window.sum
+      sumx2 = window.map(x => x * x).sum
+      varr = (sumx2.toDouble - sumx.toDouble * sumx / nw) / (nw - 1)
+      if varr > 0
+      z = (cnt.toDouble - sumx.toDouble / nw) / math.sqrt(varr)
+    } yield (tpe, h * 3600) ->
+        ((cnt.toInt, math.abs(z) > Funnel.AnomalySpikeZ))).toMap
+    val got = Funnel.eventsAnomaly(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getInt(2), r.getBoolean(4)))).toMap
+    assert(got.keySet === want.keySet,
+      s"row sets differ: extra=${(got.keySet -- want.keySet).take(3)} " +
+        s"missing=${(want.keySet -- got.keySet).take(3)}")
+    got.foreach { case (k, v) => assert(want(k) === v, s"row $k") }
+    assert(got.nonEmpty, "baseline window must yield scored hours")
+  }
 }
