@@ -104,10 +104,16 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => median(v) }.sum
+    // n_queries always, "only":true when SPARK_GRAFT_BENCH_ONLY is
+    // active: a harness tailing stdout must be able to tell a
+    // partial-suite "total" from the full-suite one without diffing
+    // the queries map against SparkEntry.
+    val subset = (if (only.isDefined) ""","only":true""" else "") +
+      s""","n_queries":${selected.size}"""
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median_of_$Runs","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median_of_$Runs","queries":$qs,"failed":$failed$subset,"sf":"$sfDir"}"""
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median_of_$Runs","queries":$qs,"runs":$runs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median_of_$Runs","queries":$qs,"runs":$runs,"failed":$failed$subset,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/tmp/graft_bench_full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

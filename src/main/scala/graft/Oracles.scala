@@ -434,7 +434,7 @@ object Oracles {
   val mr: Map[String, String] = Map(
     "mr_wordcount" ->
       """SELECT word, count(*) AS n FROM (
-        |  SELECT unnest(string_split_regex(text, '\s+')) AS word
+        |  SELECT unnest(string_split_regex(text, '[ \t\n\x0B\f\r]+')) AS word
         |  FROM documents) t
         |WHERE word <> ''
         |GROUP BY word
@@ -475,12 +475,12 @@ object Oracles {
   val text: Map[String, String] = Map(
     "text_tokens" ->
       """SELECT doc_id,
-        |  len(list_filter(string_split_regex(text, '\s+'),
+        |  len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
         |                  w -> w <> ''))::int AS n_ws_tokens,
         |  len(regexp_extract_all(text,
-        |      '[a-z]+|[0-9]+|[^a-z0-9\s]'))::int AS n_bpe_tokens,
+        |      '[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0B\f\r]'))::int AS n_bpe_tokens,
         |  round(length(text) /
-        |    len(list_filter(string_split_regex(text, '\s+'),
+        |    len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
         |                    w -> w <> '')), 4) AS chars_per_token
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
@@ -507,13 +507,13 @@ object Oracles {
         |         ELSE 'fr' END AS pred_lang
         |  FROM (
         |    SELECT doc_id, lang,
-        |      len(list_filter(string_split_regex(text, '\s+'),
+        |      len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
         |          w -> w IN ('the','a','is','of'))) AS s_en,
-        |      len(list_filter(string_split_regex(text, '\s+'),
+        |      len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
         |          w -> w IN ('der','die','und'))) AS s_de,
-        |      len(list_filter(string_split_regex(text, '\s+'),
+        |      len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
         |          w -> w IN ('el','los','y'))) AS s_es,
-        |      len(list_filter(string_split_regex(text, '\s+'),
+        |      len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
         |          w -> w IN ('le','les','et'))) AS s_fr
         |    FROM documents))
         |ORDER BY doc_id""".stripMargin,
@@ -533,7 +533,7 @@ object Oracles {
     "text_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id,
-        |    unnest(list_filter(string_split_regex(text, '\s+'),
+        |    unnest(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
         |                       w -> w <> '')) AS term
         |  FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
@@ -563,7 +563,7 @@ object Oracles {
     "text_repetition" ->
       raw"""WITH toks AS (
         |  SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS w
+        |    list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), w -> w <> '') AS w
         |  FROM documents)
         |SELECT doc_id,
         |  len(w)::int AS n_words,
@@ -589,13 +589,13 @@ object Oracles {
   private def qualityBaseCte(src: String): String =
     raw"""q_base AS (
          |  SELECT doc_id, text,
-         |    len(list_filter(string_split_regex(text, '\s+'),
+         |    len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
          |                    w -> w <> '')) AS n_tok,
-         |    len(list_filter(string_split_regex(text, '\s+'),
+         |    len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
          |        w -> w IN ('the','a','is','of')))
-         |      / len(list_filter(string_split_regex(text, '\s+'),
+         |      / len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
          |                        w -> w <> '')) AS stop_ratio,
-         |    len(regexp_extract_all(text, '[^a-z0-9\s]'))
+         |    len(regexp_extract_all(text, '[^a-z0-9 \t\n\x0B\f\r]'))
          |      / length(text) AS punct_ratio
          |  FROM $src)""".stripMargin
 
@@ -616,7 +616,7 @@ object Oracles {
   private def shingleCtes(src: String, sfx: String = ""): String =
     raw"""toks$sfx AS (
          |  SELECT doc_id,
-         |    list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS w
+         |    list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), w -> w <> '') AS w
          |  FROM $src),
          |sh0$sfx AS (
          |  SELECT doc_id,
@@ -708,10 +708,13 @@ object Oracles {
         s"lead(tok, $i) OVER (PARTITION BY doc_id ORDER BY pos)")
       // regex split + empty filter mirrors Spark's split("\s+") with
       // the ""-head artifact dropped — both engines number the same
-      // token stream (file convention: string_split_regex everywhere)
+      // token stream (file convention: string_split_regex everywhere).
+      // The whitespace class is spelled out because Java's \s is
+      // [ \t\n\x0B\f\r] while RE2's excludes \x0B — a vertical tab in
+      // a document would otherwise split differently per engine.
       raw"""WITH d AS (
          |  SELECT doc_id,
-         |    list_filter(string_split_regex(text, '\s+'),
+         |    list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
          |                w -> w <> '') AS t
          |  FROM documents),
          |toks AS (
@@ -824,10 +827,10 @@ object Oracles {
     // sourced from Sampling.PackBudget. Pure integer algebra.
     "pack_sequences" -> {
       val b = graft.operators.Sampling.PackBudget
-      // raw interpolator: the \s in the regex must reach DuckDB intact
+      // raw interpolator: the regex backslashes must reach DuckDB intact
       raw"""WITH t AS (
          |  SELECT doc_id, source,
-         |    len(list_filter(string_split_regex(text, '\s+'),
+         |    len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
          |                    w -> w <> ''))::bigint AS n
          |  FROM documents),
          |c AS (
@@ -1160,8 +1163,12 @@ object Oracles {
     // top-down BMPs, long-multiply-then-floor aspect math with the
     // ≥1 clamp, and the hex-space stub digest md5(lower(hex(content))
     // || '_tw_th').
-    "mm_resize" ->
-      """WITH base AS (
+    "mm_resize" -> {
+      // single-sourced from the operator default, like SubstrK /
+      // PackBudget / AnomalySpikeZ — a changed maxSide cannot
+      // silently desync this oracle
+      val ms = graft.multimodal.Multimodal.ResizeMaxSide
+      s"""WITH base AS (
         |  SELECT doc_id, text,
         |    1 + (doc_id * 7) % 500 AS w,
         |    1 + (doc_id * 13) % 400 AS h,
@@ -1190,16 +1197,17 @@ object Oracles {
         |  SELECT doc_id, w, h, hx, greatest(w, h) AS m FROM hexed),
         |planned AS (
         |  SELECT doc_id, w, h, hx,
-        |    CASE WHEN m <= 256 THEN w
-        |         ELSE greatest(1, (w * 256) // m) END AS tw,
-        |    CASE WHEN m <= 256 THEN h
-        |         ELSE greatest(1, (h * 256) // m) END AS th
+        |    CASE WHEN m <= $ms THEN w
+        |         ELSE greatest(1, (w * $ms) // m) END AS tw,
+        |    CASE WHEN m <= $ms THEN h
+        |         ELSE greatest(1, (h * $ms) // m) END AS th
         |  FROM dims)
         |SELECT doc_id, w::int AS width, h::int AS height,
         |  tw::int AS target_w, th::int AS target_h,
         |  md5(lower(hx) || '_' || tw || '_' || th) AS resized_md5
         |FROM planned
         |ORDER BY doc_id""".stripMargin
+    }
   )
 
   /** SURVEY §2G — streaming jobs, verified through their batch form

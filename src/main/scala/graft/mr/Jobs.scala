@@ -124,6 +124,25 @@ object Jobs {
     def deliver(jobName: String, df: DataFrame): Unit = f(jobName, df)
   }
 
+  /** Header-injection guard: HTTP and MIME header VALUES must not
+    * contain CR/LF — a newline in a job name or subject would
+    * terminate the header and inject arbitrary headers (or, in MIME,
+    * body content). Rejects rather than strips: a silently mangled
+    * job name is harder to debug than a loud submit-time failure.
+    * With `asciiOnly` (MIME headers) it also rejects non-ASCII and
+    * control characters — these writers do not implement RFC 2047
+    * encoded-words, so a non-ASCII subject would be relay-mangled. */
+  private[mr] def headerSafe(field: String, v: String,
+      asciiOnly: Boolean = false): String = {
+    if (v.exists(c => c == '\r' || c == '\n'))
+      throw new IllegalArgumentException(
+        s"$field must not contain CR/LF: '${v.take(64)}'")
+    if (asciiOnly && v.exists(c => c < 0x20 || c > 0x7e))
+      throw new IllegalArgumentException(
+        s"$field must be printable ASCII in a MIME header: '${v.take(64)}'")
+    v
+  }
+
   /** One shared client: connection pooling across deliveries, no
     * per-writer socket churn. */
   private[mr] lazy val httpClient: java.net.http.HttpClient =
@@ -161,8 +180,8 @@ object Jobs {
       val req = java.net.http.HttpRequest
         .newBuilder(java.net.URI.create(url))
         .header("Content-Type", "application/json")
-        .header("X-REQUEST-ID", requestId(df))
-        .header("X-JOB-NAME", jobName)
+        .header("X-REQUEST-ID", headerSafe("request id", requestId(df)))
+        .header("X-JOB-NAME", headerSafe("jobName", jobName))
         .method(verb,
           java.net.http.HttpRequest.BodyPublishers.ofString(body))
         .build()
@@ -206,10 +225,13 @@ object Jobs {
       val attachment = java.util.Base64.getMimeEncoder.encodeToString(
         rows.mkString("[", ",", "]")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // every interpolated header value is injection-guarded: jobName
+      // reaches Subject via fill(), addresses and the attachment name
+      // are caller input — one CR/LF in any of them would forge headers
       val mime = new StringBuilder()
-        .append(s"From: $from\r\n")
-        .append(s"To: ${to.mkString(", ")}\r\n")
-        .append(s"Subject: ${fill(subject)}\r\n")
+        .append(s"From: ${headerSafe("from", from, asciiOnly = true)}\r\n")
+        .append(s"To: ${to.map(headerSafe("to", _, asciiOnly = true)).mkString(", ")}\r\n")
+        .append(s"Subject: ${headerSafe("subject", fill(subject), asciiOnly = true)}\r\n")
         .append("MIME-Version: 1.0\r\n")
         .append(s"""Content-Type: multipart/mixed; boundary="$boundary"\r\n""")
         .append("\r\n")
@@ -217,10 +239,10 @@ object Jobs {
         .append("Content-Type: text/plain; charset=utf-8\r\n\r\n")
         .append(fill(body)).append("\r\n")
         .append(s"--$boundary\r\n")
-        .append(s"""Content-Type: application/json; charset=utf-8; name="$attachmentName"\r\n""")
+        .append(s"""Content-Type: application/json; charset=utf-8; name="${headerSafe("attachmentName", attachmentName, asciiOnly = true)}"\r\n""")
         .append("Content-Transfer-Encoding: base64\r\n")
         .append(
-          s"""Content-Disposition: attachment; filename="$attachmentName"\r\n\r\n""")
+          s"""Content-Disposition: attachment; filename="${headerSafe("attachmentName", attachmentName, asciiOnly = true)}"\r\n\r\n""")
         .append(attachment).append("\r\n")
         .append(s"--$boundary--\r\n")
         .toString()
@@ -322,16 +344,13 @@ object Jobs {
         // the ended job's OWN group — resolving via a (possibly shared,
         // first-wins) stage would credit jobsEnded and the skipped-task
         // subtraction to whichever group claimed the stage first
-        val counters = Option(jobToGroup.remove(je.jobId))
-          .flatMap(g => Option(groupProgress.get(g)))
+        val ownGroup = Option(jobToGroup.remove(je.jobId))
+        val counters = ownGroup.flatMap(g => Option(groupProgress.get(g)))
         counters.foreach(_.jobsEnded.incrementAndGet())
-        // stages Spark skipped (cached/reused) never ran their tasks;
-        // remove them from the total so fraction can reach its target
         counters.foreach { c =>
-          val skipped = stages
-            .collect { case (s, n) if !submittedStages.contains(s) => n }
-            .sum
-          if (skipped > 0) c.tasksTotal.addAndGet(-skipped)
+          val uncredited = uncreditedTasks(stages, ownGroup,
+            submittedStages.contains, s => Option(stageToGroup.get(s)))
+          if (uncredited > 0) c.tasksTotal.addAndGet(-uncredited)
           ()
         }
         stages.foreach { case (s, _) =>
@@ -353,6 +372,22 @@ object Jobs {
       }
     }
   }
+  /** Tasks a just-ended job listed in its group's tasksTotal
+    * (onJobStart) that will never be credited to THAT group's
+    * tasksDone — subtracted at job end so `fraction` can reach 1:
+    * (a) stages Spark skipped entirely (cached/reused lineage) never
+    * ran their tasks; (b) shared stages whose first-wins attribution
+    * ([[stageToGroup]] putIfAbsent) belongs to a DIFFERENT group —
+    * onTaskEnd credits those tasks there, and before this clause a
+    * group that merely listed such a stage counted tasks it could
+    * never complete. A stage that is both (a skipped, foreign-owned
+    * stage) subtracts once — the clauses are ORed, not summed. */
+  private[mr] def uncreditedTasks(stages: Seq[(Int, Long)],
+      ownGroup: Option[String], submitted: Int => Boolean,
+      attributedTo: Int => Option[String]): Long =
+    stages.collect { case (s, n) if !submitted(s) ||
+        attributedTo(s).exists(g => !ownGroup.contains(g)) => n }.sum
+
   private def installListener(spark: SparkSession): Unit = {
     val appId = spark.sparkContext.applicationId
     if (listenerInstalled.add(appId))

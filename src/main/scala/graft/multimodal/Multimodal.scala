@@ -23,6 +23,12 @@ import graft.Tables
   */
 object Multimodal {
 
+  /** Default longest-side bound for [[mmResize]]/[[mmResizeQuery]] —
+    * single-sourced into the DuckDB oracle (Oracles.scala) like
+    * SubstrK/PackBudget/AnomalySpikeZ, so changing the default here
+    * cannot silently desync the hash gate. */
+  val ResizeMaxSide = 256
+
   // Shadows functions.round: DuckDB-exact binary rounding so oracle
   // hashes cannot flake on decimal half boundaries (see OracleMath).
   private def round(c: org.apache.spark.sql.Column, scale: Int):
@@ -242,7 +248,8 @@ object Multimodal {
     * no-upscale edges, checksum determinism, no-shuffle plan) — the
     * corpus has no image rows, so a Verify entry would gate zero
     * rows; the synthesized-blob spec is the honest check. */
-  def mmResize(spark: SparkSession, dir: String, maxSide: Int = 256): DataFrame = {
+  def mmResize(spark: SparkSession, dir: String,
+      maxSide: Int = ResizeMaxSide): DataFrame = {
     import spark.implicits._
     resizeCore(blobs(spark, dir).as[MmBlob], maxSide)
   }
@@ -273,7 +280,7 @@ object Multimodal {
     * same blobs in hex space. Construction is pure codegen'd builtins
     * (hex/lpad/unhex), no UDF. */
   def mmResizeQuery(spark: SparkSession, dir: String,
-      maxSide: Int = 256): DataFrame = {
+      maxSide: Int = ResizeMaxSide): DataFrame = {
     import spark.implicits._
     def le32(v: String): String =
       s"concat(lpad(hex(($v) % 256), 2, '0'), " +

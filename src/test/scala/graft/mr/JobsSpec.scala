@@ -259,4 +259,50 @@ class JobsSpec extends SparkSuite {
       Jobs.EmailWriter(Seq.empty, "graft@example.com", (_, _) => ()))
     assert(Jobs.await(handle, 120.seconds).isFailure)
   }
+
+  test("writers reject CR/LF and non-ASCII header injection") {
+    // a jobName/subject/address containing a newline would terminate
+    // the header line and inject arbitrary headers into the message
+    intercept[IllegalArgumentException] {
+      Jobs.headerSafe("jobName", "evil\r\nX-Injected: 1")
+    }
+    intercept[IllegalArgumentException] {
+      Jobs.headerSafe("subject", "smuggle\nBcc: x@y", asciiOnly = true)
+    }
+    intercept[IllegalArgumentException] {
+      Jobs.headerSafe("from", "résumé@example.com", asciiOnly = true)
+    }
+    assert(Jobs.headerSafe("jobName", "wc_ok-1") === "wc_ok-1")
+    // end-to-end: a delivery with a CR/LF jobName fails the job
+    // instead of spooling a forged message
+    val dir = Files.createTempDirectory("graft-mail-inj").toString
+    val handle = Jobs.submitJob(spark, "wc\r\nX-Forged: yes",
+      MrQueries.mrWordcount(spark, sfDir),
+      Jobs.EmailWriter(Seq("data@example.com"), "graft@example.com",
+        Jobs.EmailWriter.spool(dir)))
+    assert(Jobs.await(handle, 120.seconds).isFailure)
+    assert(!Files.list(java.nio.file.Paths.get(dir)).findAny().isPresent,
+      "no message may be spooled for a rejected header")
+  }
+
+  test("shared-stage accounting: foreign-attributed tasks leave the total") {
+    // group B listed stage 7 (tasksTotal += 4 at onJobStart) but the
+    // first-wins attribution gave it to group A — B can never be
+    // credited those 4 tasks, so job end must subtract them (the
+    // pre-fix asymmetry pinned B's fraction below 1 forever)
+    val stages = Seq(5 -> 10L, 7 -> 4L, 9 -> 2L)
+    val submitted = Set(5, 7) // 9 was skipped (reused lineage)
+    val owner = Map(5 -> "B", 7 -> "A")
+    val got = Jobs.uncreditedTasks(stages, Some("B"),
+      submitted.contains, owner.get)
+    assert(got === 4L + 2L,
+      "foreign-owned (4) and skipped (2) tasks must both leave the total")
+    // a stage that is both skipped and foreign-owned subtracts once
+    val both = Jobs.uncreditedTasks(Seq(7 -> 4L), Some("B"),
+      _ => false, Map(7 -> "A").get)
+    assert(both === 4L)
+    // own submitted stages stay counted
+    assert(Jobs.uncreditedTasks(Seq(5 -> 10L), Some("B"),
+      submitted.contains, owner.get) === 0L)
+  }
 }
