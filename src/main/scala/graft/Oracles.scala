@@ -404,7 +404,36 @@ object Oracles {
          |FROM scored
          |WHERE varr > 0
          |ORDER BY event_type, hour_ep""".stripMargin
-    }
+    },
+
+    // First/last-touch attribution: same running ROWS frame in both
+    // engines, (ts, event_id) total-order tiebreak, IGNORE NULLS
+    // first/last skipping non-touch rows. Purchases with no prior
+    // touch keep NULL credit in both engines.
+    "events_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, ts,
+        |    CASE WHEN event_type IN ('view', 'click')
+        |         THEN event_type END AS touch_type,
+        |    CASE WHEN event_type IN ('view', 'click')
+        |         THEN event_id END AS touch_id
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch(date_trunc('second', ts))::bigint AS ep,
+        |    first_value(touch_type IGNORE NULLS) OVER win AS first_touch_type,
+        |    first_value(touch_id IGNORE NULLS) OVER win AS first_touch_id,
+        |    last_value(touch_type IGNORE NULLS) OVER win AS last_touch_type,
+        |    last_value(touch_id IGNORE NULLS) OVER win AS last_touch_id,
+        |    count(touch_id) OVER win AS n_touches
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id AS purchase_id, user_id, ep,
+        |  first_touch_type, first_touch_id,
+        |  last_touch_type, last_touch_id, n_touches::int AS n_touches
+        |FROM w WHERE event_type = 'purchase'
+        |ORDER BY purchase_id""".stripMargin
   )
 
   /** The cohort-retention SQL — shared verbatim by `events_retention`
@@ -573,7 +602,31 @@ object Oracles {
         |                                 FOR i IN range(1, len(w))]))
         |              / (len(w) - 1), 4) AS bigram_dup_ratio
         |FROM toks WHERE len(w) >= 2
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // Top-K vocabulary cut is a total order (count DESC, token ASC),
+    // so the boundary tie is deterministic in both engines. Integer
+    // '/' is double division in DuckDB, matching Spark's Column./.
+    "text_oov" -> {
+      val k = graft.functions.TextQueries.OovVocabK
+      raw"""WITH t AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+         |                       w -> w <> '')) AS tok
+         |  FROM documents),
+         |v AS (
+         |  SELECT tok FROM (
+         |    SELECT tok, count(*) AS cnt FROM t GROUP BY tok)
+         |  ORDER BY cnt DESC, tok ASC LIMIT $k),
+         |m AS (
+         |  SELECT t.doc_id,
+         |    CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM t LEFT JOIN v USING (tok))
+         |SELECT doc_id, count(*)::int AS n_tokens, sum(oov)::int AS n_oov,
+         |  round(sum(oov) / count(*), 4) AS oov_ratio
+         |FROM m GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
+    }
   )
 
   /** Shared inverted-shingle-index CTE chain over `src` (must expose
@@ -816,6 +869,33 @@ object Oracles {
         |WHERE dot / (na * nb) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // Per-embedding QC stats. Sequential list_reduce folds match
+    // VecStatsD's strict index-order accumulation bit-for-bit (the
+    // seedless list_reduce starts at element 1, VecStatsD at 0.0 —
+    // equivalent here because x² and |x| are non-negative and
+    // 0.0 + x == x for the sum's leading element). is_unit compares
+    // the UNROUNDED norm against the single-sourced tolerance.
+    "embed_stats" -> {
+      val tol = graft.operators.Similarity.UnitNormTol
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+         |  FROM embeddings),
+         |s AS (
+         |  SELECT vec_id, len(v)::int AS dim,
+         |    sqrt(list_reduce(
+         |      list_transform(list_zip(v, v), p -> p[1] * p[2]),
+         |      (x, y) -> x + y)) AS nrm,
+         |    list_reduce(v, (x, y) -> x + y) AS sm,
+         |    list_reduce(list_transform(v, x -> abs(x)),
+         |      (x, y) -> greatest(x, y)) AS mab
+         |  FROM e)
+         |SELECT vec_id, dim, round(nrm, 4) AS norm,
+         |  round(sm / dim, 4) AS mean, round(mab, 4) AS max_abs,
+         |  abs(nrm - 1.0) <= $tol AS is_unit
+         |FROM s
+         |ORDER BY vec_id""".stripMargin
+    },
+
     // Stratified rebalance sample: keep iff first 16 md5 bits (as
     // 4-char lowercase hex — fixed-width hex compare IS the numeric
     // compare) sort below the per-lang threshold. Seed + thresholds
@@ -857,6 +937,36 @@ object Oracles {
          |  FROM documents)
          |SELECT doc_id, lang, bucket, thr
          |FROM s WHERE bucket < thr
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // Mixture rebalance toward the declared per-source weight recipe:
+    // thr is pure integer algebra over the per-source counts, the
+    // draw is the same fixed-width-hex md5 compare as
+    // sample_stratified under mixSources' own salt. ::bigint casts
+    // keep DuckDB's window sum (HUGEINT) off the hex() path.
+    // thr = 65536 (keep-all) bypasses the 4-char compare in BOTH
+    // engines.
+    "mix_sources" -> {
+      val seed = graft.operators.Sampling.MixSeed
+      val m = graft.operators.Sampling.MixWeightMod
+      s"""WITH c AS (
+         |  SELECT source, count(*) AS cnt,
+         |    substr(source, 4)::bigint % $m + 1 AS w
+         |  FROM documents GROUP BY source),
+         |r AS (
+         |  SELECT source,
+         |    least(65536, ((sum(cnt) OVER ())::bigint * w * 65536)
+         |                 // ((sum(w) OVER ())::bigint * cnt)) AS thr
+         |  FROM c),
+         |s AS (
+         |  SELECT d.doc_id, d.source, r.thr,
+         |    substr(md5('$seed' || d.doc_id::varchar), 1, 4) AS bucket,
+         |    CASE WHEN r.thr >= 65536 THEN '10000'
+         |         ELSE lpad(lower(hex(r.thr)), 4, '0') END AS thr_hex
+         |  FROM documents d JOIN r USING (source))
+         |SELECT doc_id, source, bucket, thr_hex
+         |FROM s WHERE thr >= 65536 OR bucket < thr_hex
          |ORDER BY doc_id""".stripMargin
     },
 

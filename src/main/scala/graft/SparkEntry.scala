@@ -55,6 +55,7 @@ object SparkEntry {
     "events_funnel"      -> (graft.operators.Funnel.eventsFunnel(_, _)),
     "events_retention"   -> (graft.operators.Funnel.eventsRetention(_, _)),
     "events_anomaly"     -> (graft.operators.Funnel.eventsAnomaly(_, _)),
+    "events_attribution" -> (graft.operators.Funnel.eventsAttribution(_, _)),
     "events_pathing"     -> (graft.operators.Funnel.eventsPathing(_, _)),
     "events_sequences"   -> (graft.operators.Funnel.eventsSequences(_, _)),
     // §2A — MapReduce engine pipelines
@@ -70,6 +71,7 @@ object SparkEntry {
     "text_fingerprint"   -> TextQueries.textFingerprint,
     "text_tfidf"         -> TextQueries.textTfidf,
     "text_repetition"    -> TextQueries.textRepetition,
+    "text_oov"           -> TextQueries.textOov,
     // §2C — deduplication
     "dedup_exact"         -> Dedup.dedupExact,
     "dedup_substring"     -> Dedup.dedupSubstring,
@@ -81,12 +83,14 @@ object SparkEntry {
     "dedup_incremental"   -> (graft.operators.Incremental.dedupIncremental(_, _)),
     "sample_stratified"   -> (graft.operators.Sampling.sampleStratified(_, _)),
     "pack_sequences"      -> (graft.operators.Sampling.packSequences(_, _)),
+    "mix_sources"         -> (graft.operators.Sampling.mixSources(_, _)),
     "decontaminate"       -> (graft.operators.Decontaminate.decontaminate(_, _)),
     // §2I — composed curation pipeline
     "curate_corpus"       -> (graft.operators.Curate.curateCorpus(_, _)),
     "curate_train"        -> (graft.operators.Curate.curateTrain(_, _)),
     // §2D — similarity search
     "ann_bruteforce"      -> Similarity.annBruteforce,
+    "embed_stats"         -> Similarity.embedStats,
     "ann_lsh"             -> Similarity.annLsh,
     "ann_ivf"             -> ((s, d) => Similarity.annIvf(s, d)),
     "embed_cluster"       -> (graft.operators.Cluster.embedCluster(_, _)),

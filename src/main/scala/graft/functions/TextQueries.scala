@@ -114,6 +114,53 @@ object TextQueries {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Corpus-vocabulary size for [[textOov]] (single-sourced into the
+    * oracle). The synthetic corpus draws from ~31 distinct tokens at
+    * every SF, so K=16 makes the cut discriminate (K ≥ |vocab| would
+    * mark every token in-vocabulary and gate nothing). */
+  val OovVocabK = 16
+
+  /** E7: out-of-vocabulary scoring — per-document fraction of tokens
+    * outside the corpus' top-[[OovVocabK]] vocabulary (the "is this
+    * document gibberish / the wrong domain for this corpus" signal a
+    * curation pipeline thresholds on). Vocabulary cut is
+    * deterministic: (count DESC, token ASC) is a total order, so the
+    * boundary tie cannot flake the hash gate.
+    *
+    * Shape: one wordcount agg (map-side combined; output is |vocab|
+    * rows, not |corpus|) → TakeOrderedAndProject for the top-K →
+    * broadcast back onto the exploded token stream (K rows; never a
+    * shuffle of the corpus by token) → one groupBy(doc_id) that
+    * re-collapses to a row per document. The token explode itself is
+    * shuffle-free. */
+  def textOov(spark: SparkSession, dir: String): DataFrame =
+    oovOf(Tables(spark, dir).documents, OovVocabK)
+
+  /** Core OOV scoring over a (doc_id, text) frame with a caller-sized
+    * vocabulary cut (specs plant fixtures with tiny vocabularies). */
+  def oovOf(d: DataFrame, vocabK: Int): DataFrame = {
+    // explode(split) + relational length-filter stays in codegen
+    // (same pattern as textTfidf — a filter() HOF would drop the
+    // whole explode to interpreted)
+    val toks = d.select(col("doc_id"),
+        explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val vocab = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(vocabK)
+      .select(col("tok"), lit(1).as("iv"))
+    toks.join(broadcast(vocab), Seq("tok"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("iv").isNull, lit(1))).as("n_oov"))
+      .select(col("doc_id"),
+        col("n_tokens").cast("int").as("n_tokens"),
+        col("n_oov").cast("int").as("n_oov"),
+        round(col("n_oov") / col("n_tokens"), 4).as("oov_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** E6: repetition scoring (Gopher/C4-style quality signal) —
     * duplicate-word and duplicate-bigram fractions per document.
     * Token and bigram multisets come from [[ShingleHashes]] (one

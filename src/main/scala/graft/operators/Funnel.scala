@@ -215,4 +215,54 @@ object Funnel {
         (abs(col("z")) > AnomalySpikeZ).as("is_spike"))
       .orderBy(col("event_type"), col("hour_ep"))
   }
+
+  /** B35: first/last-touch attribution — for every purchase, the
+    * earliest and the most recent strictly-preceding touch event
+    * (view/click) by the same user, plus the touch count. The other
+    * canonical event-stream join after funnel/retention/pathing:
+    * "which interaction gets credit for this conversion".
+    *
+    * Shape: ONE hash exchange on user_id, then five aggregates over a
+    * single running ROWS frame (one Window node — same spec), filter
+    * to purchases afterwards (the window must see full history).
+    * first/last with ignoreNulls skip non-touch rows instead of a
+    * self-join per purchase — the naive "join each purchase to its
+    * preceding touches and re-aggregate" form is quadratic in a
+    * user's history; this is linear and partition-local after the one
+    * exchange. Purchases with no prior touch keep NULL credit —
+    * honest, not dropped. Ties: (ts, event_id) is a total order, so
+    * first/last are deterministic and the hash gate is exact. */
+  def eventsAttribution(spark: SparkSession, dir: String): DataFrame =
+    attributionOf(Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts")))
+
+  /** Core attribution over an (event_id, user_id, event_type, ts)
+    * frame — ts any totally-ordered type (epoch-nanos long from
+    * [[Tables.events]]; specs plant plain longs). */
+  def attributionOf(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val touch = col("event_type").isin("view", "click")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev
+      .withColumn("touch_type", when(touch, col("event_type")))
+      .withColumn("touch_id", when(touch, col("event_id")))
+      .withColumn("first_touch_type",
+        first(col("touch_type"), ignoreNulls = true).over(w))
+      .withColumn("first_touch_id",
+        first(col("touch_id"), ignoreNulls = true).over(w))
+      .withColumn("last_touch_type",
+        last(col("touch_type"), ignoreNulls = true).over(w))
+      .withColumn("last_touch_id",
+        last(col("touch_id"), ignoreNulls = true).over(w))
+      .withColumn("n_touches", count(col("touch_id")).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        Tables.tsNsToSec("ts").as("ep"),
+        col("first_touch_type"), col("first_touch_id"),
+        col("last_touch_type"), col("last_touch_id"),
+        col("n_touches").cast("int").as("n_touches"))
+      .orderBy(col("purchase_id"))
+  }
 }

@@ -43,8 +43,13 @@ object Sampling {
     * Comparing this 4-char lowercase-hex string with `<` IS the
     * numeric compare — no hex→int parse needed (DuckDB lacks a
     * portable one), no doubles anywhere. */
-  def hashBucket(key: Column): Column =
-    substring(md5(concat(lit(Seed), key.cast("string")).cast("binary")), 1, 4)
+  def hashBucket(key: Column): Column = hashBucket(key, Seed)
+
+  /** Same bucket, caller-chosen salt: [[mixSources]] draws with its
+    * own seed so its sample is independent of [[sampleStratified]]'s
+    * (the same salt would keep/drop the same doc_ids in both). */
+  def hashBucket(key: Column, seed: String): Column =
+    substring(md5(concat(lit(seed), key.cast("string")).cast("binary")), 1, 4)
 
   /** The per-row threshold for the current `lang` column value. */
   def langThresholdCol: Column =
@@ -64,6 +69,68 @@ object Sampling {
         hashBucket(col("doc_id")).as("bucket"),
         langThresholdCol.as("thr"))
       .filter(col("bucket") < col("thr"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Salt for [[mixSources]] — independent draw from [[Seed]]. */
+  val MixSeed = "graft-mix-7:"
+
+  /** The declared mixture recipe: source `srcN` gets integer weight
+    * N % [[MixWeightMod]] + 1 (target share w_s / Σw). A function of
+    * the source NAME so the recipe is data-independent, and
+    * non-uniform so rebalancing actually thins (this corpus has equal
+    * source counts — a uniform recipe would keep every row and prove
+    * nothing; mod 4 yields TWO distinct sub-1.0 rates plus keep-all,
+    * so the threshold algebra is exercised at more than one point).
+    * Single-sourced into the oracle. */
+  val MixWeightMod = 4
+
+  /** J3: dataset-mixture rebalancing — downsample each source toward
+    * its share of the declared recipe (the "mix the crawl snapshots /
+    * code / books to a recipe" step of assembling a training corpus).
+    * Over-represented sources are hash-thinned toward total·w_s/Σw
+    * docs; under-represented sources are kept whole (a rate filter
+    * cannot upsample — replication is a different operator, and real
+    * recipes clamp at 1.0 exactly like this).
+    *
+    * Determinism/oracle: the acceptance threshold is PURE INTEGER
+    * algebra — thr = min(65536, (total·w·65536) div (Σw·cnt)) — and
+    * the per-row draw is the same fixed-width-hex md5 compare as
+    * [[sampleStratified]] (independent salt), so the kept set is
+    * bit-reproducible cross-engine. thr = 65536 (keep-all) bypasses
+    * the string compare: its 5-hex-char form can't be compared
+    * against a 4-char bucket lexicographically.
+    *
+    * Scale shape: the rate table is one tiny agg (|sources| rows, a
+    * global window over those rows only) broadcast back onto the
+    * corpus; the DATA PLANE is scan → broadcast-hash-join → per-row
+    * hash filter — zero shuffles of the documents themselves, no
+    * window over the corpus, composes with pushdown. */
+  def mixSources(spark: SparkSession, dir: String): DataFrame =
+    mixOf(Tables(spark, dir).documents)
+
+  /** Core mixture rebalance over a (doc_id, source) frame (specs
+    * plant skewed fixtures — the shipped corpus has uniform source
+    * counts, which only exercises the keep-all branch at small SF). */
+  def mixOf(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val everyRow = Window.partitionBy() // |sources| rows, post-agg only
+    val rates = d.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+      .withColumn("w",
+        expr(s"cast(substring(source, 4) as bigint) % $MixWeightMod + 1"))
+      .withColumn("total", sum(col("cnt")).over(everyRow))
+      .withColumn("wsum", sum(col("w")).over(everyRow))
+      .withColumn("thr",
+        least(lit(65536L), expr("(total * w * 65536) div (wsum * cnt)")))
+      .select(col("source"), col("thr"))
+    d.select(col("doc_id"), col("source"))
+      .join(broadcast(rates), "source")
+      .withColumn("bucket", hashBucket(col("doc_id"), MixSeed))
+      .withColumn("thr_hex",
+        when(col("thr") >= 65536L, lit("10000"))
+          .otherwise(lpad(lower(hex(col("thr"))), 4, "0")))
+      .filter(col("thr") >= 65536L || col("bucket") < col("thr_hex"))
+      .select(col("doc_id"), col("source"), col("bucket"), col("thr_hex"))
       .orderBy(col("doc_id"))
   }
 

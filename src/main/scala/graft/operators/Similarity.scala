@@ -47,6 +47,34 @@ object Similarity {
       ExpressionEncoder[Seq[(Double, Long)]]()
   }
 
+  /** |norm − 1| tolerance for [[embedStats]]' is_unit flag
+    * (single-sourced into the oracle). The compared norm is
+    * bit-identical cross-engine (strict sequential fold), so the
+    * boundary cannot flake. */
+  val UnitNormTol = 0.01
+
+  /** D5: per-embedding QC stats — the "drop malformed vectors before
+    * they poison ANN/dedup" pass every embedding pipeline runs at
+    * ingest: L2 norm, component mean, max |component|, and a
+    * unit-norm flag. One generated loop per row
+    * ([[graft.functions.VecStatsD]]: norm², sum, max_abs in a single
+    * pass), zero shuffles, full pushdown — per-row math at any scale.
+    * All folds are strict sequential, so the DuckDB oracle hash-gates
+    * every value bit-exactly. */
+  def embedStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val st = graft.functions.VecStatsD(V.toDouble(col("embedding")))
+    e.select(col("vec_id"),
+        size(col("embedding")).as("dim"),
+        st.as("st"))
+      .select(col("vec_id"), col("dim"),
+        round(sqrt(col("st.norm_sq")), 4).as("norm"),
+        round(col("st.sum") / col("dim"), 4).as("mean"),
+        round(col("st.max_abs"), 4).as("max_abs"),
+        (abs(sqrt(col("st.norm_sq")) - 1.0) <= UnitNormTol).as("is_unit"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Vectors with norms; queries = vec_id < 10 (deterministic set). */
   private def vectors(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).embeddings

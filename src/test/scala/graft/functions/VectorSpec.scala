@@ -61,6 +61,31 @@ class VectorSpec extends SparkSuite {
     assert(allNan.forall(_ == 15L), s"NaN dots must set every bit: $allNan")
   }
 
+  test("VecStatsD equals the composed HOF reference, bit for bit") {
+    val s = spark; import s.implicits._
+    val rng = new scala.util.Random(11)
+    val vecs = Seq.fill(100)(Seq.fill(64)(rng.nextGaussian())) ++
+      Seq(Seq.empty[Double],          // zero-length → (0, 0, 0)
+        Seq(0.0, -0.0),               // signed-zero edge
+        Seq(1e300, 1e300, -1e300))    // magnitude ordering matters
+    val df = vecs.toDF("v")
+    val got = df.select(graft.functions.VecStatsD(col("v")).as("st"))
+      .select(col("st.norm_sq"), col("st.sum"), col("st.max_abs"))
+      .collect()
+    val ref = df.selectExpr(
+      "aggregate(v, cast(0.0 AS double), (a, x) -> a + x * x) AS q",
+      "aggregate(v, cast(0.0 AS double), (a, x) -> a + x) AS s",
+      "aggregate(v, cast(0.0 AS double), (a, x) -> greatest(a, abs(x))) AS m")
+      .collect()
+    def bits(d: Double) = java.lang.Double.doubleToLongBits(d)
+    got.zip(ref).zipWithIndex.foreach { case ((g, r), i) =>
+      (0 to 2).foreach { c =>
+        assert(bits(g.getDouble(c)) == bits(r.getDouble(c)),
+          s"row $i col $c: ${g.getDouble(c)} != ${r.getDouble(c)}")
+      }
+    }
+  }
+
   test("interpreted (eval) and codegen paths agree") {
     val s = spark; import s.implicits._
     val planes = V.randomPlanes(nPlanes = 16, dim = 4, seed = 9L)

@@ -159,4 +159,46 @@ class FunnelSpec extends SparkSuite {
     got.foreach { case (k, v) => assert(want(k) === v, s"row $k") }
     assert(got.nonEmpty, "baseline window must yield scored hours")
   }
+
+  test("attribution credits first/last prior touch (hand fixture)") {
+    val s = spark; import s.implicits._
+    val G = 1000000000L // epoch-nanos per second, as Tables.events
+    val ev = Seq(
+      // u1: two purchases; the second sees the post-purchase view
+      (1L, 1L, "view", 1 * G), (2L, 1L, "click", 2 * G),
+      (3L, 1L, "purchase", 3 * G), (4L, 1L, "view", 4 * G),
+      (5L, 1L, "purchase", 5 * G),
+      // u2: conversion with no history at all
+      (6L, 2L, "purchase", 1 * G),
+      // u3: everything in the same nanosecond — (ts, event_id)
+      // tiebreak decides; the id-10 view FOLLOWS the purchase
+      (7L, 3L, "view", 1 * G), (8L, 3L, "click", 1 * G),
+      (9L, 3L, "purchase", 1 * G), (10L, 3L, "view", 1 * G),
+      // u4: prior history that contains no touch types
+      (11L, 4L, "error", 1 * G), (12L, 4L, "purchase", 2 * G)
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = Funnel.attributionOf(ev).collect().map { r =>
+      r.getLong(0) -> ((Option(r.get(3)), Option(r.get(4)),
+        Option(r.get(5)), Option(r.get(6)), r.getInt(7)))
+    }.toMap
+    assert(out.keySet == Set(3L, 5L, 6L, 9L, 12L),
+      "exactly the purchases are attributed")
+    assert(out(3L) == ((Some("view"), Some(1L), Some("click"), Some(2L), 2)))
+    assert(out(5L) == ((Some("view"), Some(1L), Some("view"), Some(4L), 3)))
+    assert(out(6L) == ((None, None, None, None, 0)))
+    assert(out(9L) == ((Some("view"), Some(7L), Some("click"), Some(8L), 2)))
+    assert(out(12L) == ((None, None, None, None, 0)))
+  }
+
+  test("attribution scans events once and shuffles once (plus output sort)") {
+    val q = Funnel.eventsAttribution(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 events scan, got $scans:\n$plan")
+    val hashEx = "hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1, s"expected 1 hash exchange (user_id), got $hashEx:\n$plan")
+    val windows = "Window".r.findAllIn(plan).length
+    assert(windows == 1,
+      s"five aggregates over one frame must fuse into 1 Window node, got $windows:\n$plan")
+  }
 }

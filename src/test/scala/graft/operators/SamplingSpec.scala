@@ -85,4 +85,41 @@ class SamplingSpec extends SparkSuite {
       assert(fromTokens(id) === n)
     }
   }
+
+  test("mix_sources thins to the recipe rate; keep-all sources stay whole") {
+    val s = spark; import s.implicits._
+    // planted skew: src0 (w=1, 300 docs) must thin to 1/3; src1
+    // (w=2, 200 docs) lands EXACTLY on thr=65536 (boundary keep-all);
+    // src2 (w=3, 100 docs) is over-entitled (thr clamps) — all three
+    // regimes of the threshold algebra in one fixture
+    val docs = ((0 until 300).map(i => (i.toLong, "src0")) ++
+      (300 until 500).map(i => (i.toLong, "src1")) ++
+      (500 until 600).map(i => (i.toLong, "src2")))
+      .toDF("doc_id", "source")
+    val kept = Sampling.mixOf(docs)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // src1/src2: keep-all, exact
+    assert(kept("src1") == 200L, s"boundary thr=65536 must keep all: $kept")
+    assert(kept("src2") == 100L, s"clamped thr must keep all: $kept")
+    // src0: rate 21845/65536 ≈ 1/3, binomial tolerance
+    val rate = 21845.0 / 65536
+    val tol = 4 * math.sqrt(rate * (1 - rate) / 300) + 0.02
+    assert(math.abs(kept("src0").toDouble / 300 - rate) <= tol,
+      s"src0: got ${kept("src0")}/300, want ≈$rate ±$tol")
+    // and on the real corpus the kept set is deterministic
+    val a = Sampling.mixSources(spark, sfDir).collect().map(_.getLong(0)).toSeq
+    val b = Sampling.mixSources(spark, sfDir).collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+  }
+
+  test("mix_sources broadcasts the rate table; corpus is never hash-shuffled") {
+    val q = Sampling.mixSources(spark, sfDir)
+    q.collect() // let AQE finalize join strategies before reading the plan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rate table must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must not sort-merge against a 20-row rate table:\n$plan")
+  }
 }

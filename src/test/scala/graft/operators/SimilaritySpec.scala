@@ -88,4 +88,38 @@ class SimilaritySpec extends SparkSuite {
       assert(r.getInt(2) <= 5)
     }
   }
+
+  test("embed_stats: QC values consistent with a driver-side recompute") {
+    val got = Similarity.embedStats(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    val raw = graft.Tables(spark, sfDir).embeddings.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    assert(got.keySet == raw.keySet)
+    raw.foreach { case (id, v) =>
+      val (dim, norm, mean, maxAbs, isUnit) = got(id)
+      assert(dim == v.length)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      // driver recompute reassociates: tolerance, not bit-equality
+      // (the bit-exact check is VectorSpec's VecStatsD test + the
+      // DuckDB hash gate)
+      assert(math.abs(norm - n) < 1e-3, s"vec $id: norm $norm vs $n")
+      assert(math.abs(mean - v.sum / v.length) < 1e-3)
+      assert(math.abs(maxAbs - v.map(math.abs).max) < 1e-3)
+      assert(isUnit == (math.abs(n - 1.0) <= Similarity.UnitNormTol + 1e-9),
+        s"vec $id: is_unit $isUnit but norm $n")
+      assert(maxAbs <= n + 1e-9, "a component cannot exceed the norm")
+    }
+    // the synthetic embeddings are unit vectors — the flag must agree
+    assert(got.values.forall(_._5), "unit corpus must flag clean")
+  }
+
+  test("embed_stats plan: zero shuffles except the output sort") {
+    val plan = Similarity.embedStats(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"),
+      s"per-row stats must not shuffle:\n$plan")
+    assert(!plan.contains("HashAggregate"),
+      s"per-row stats must not aggregate:\n$plan")
+  }
 }
