@@ -406,35 +406,43 @@ object Oracles {
          |ORDER BY event_type, hour_ep""".stripMargin
     },
 
-    // First/last-touch attribution: same running ROWS frame in both
-    // engines, (ts, event_id) total-order tiebreak, IGNORE NULLS
-    // first/last skipping non-touch rows. Purchases with no prior
-    // touch keep NULL credit in both engines.
-    "events_attribution" ->
-      """WITH e AS (
-        |  SELECT event_id, user_id, event_type, ts,
-        |    CASE WHEN event_type IN ('view', 'click')
-        |         THEN event_type END AS touch_type,
-        |    CASE WHEN event_type IN ('view', 'click')
-        |         THEN event_id END AS touch_id
-        |  FROM events),
-        |w AS (
-        |  SELECT event_id, user_id, event_type,
-        |    epoch(date_trunc('second', ts))::bigint AS ep,
-        |    first_value(touch_type IGNORE NULLS) OVER win AS first_touch_type,
-        |    first_value(touch_id IGNORE NULLS) OVER win AS first_touch_id,
-        |    last_value(touch_type IGNORE NULLS) OVER win AS last_touch_type,
-        |    last_value(touch_id IGNORE NULLS) OVER win AS last_touch_id,
-        |    count(touch_id) OVER win AS n_touches
-        |  FROM e
-        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
-        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
-        |SELECT event_id AS purchase_id, user_id, ep,
-        |  first_touch_type, first_touch_id,
-        |  last_touch_type, last_touch_id, n_touches::int AS n_touches
-        |FROM w WHERE event_type = 'purchase'
-        |ORDER BY purchase_id""".stripMargin
+    // First/last-touch attribution (attributionSql is shared with the
+    // G8 stream_attribution entry: the stateful fold's batch mode must
+    // equal this window form).
+    "events_attribution" -> attributionSql
   )
+
+  /** The attribution SQL — shared verbatim by `events_attribution`
+    * (B-section window form) and `stream_attribution` (G8 stateful
+    * form, batch mode): one semantics, two execution strategies.
+    * Same running ROWS frame in both engines, (ts, event_id)
+    * total-order tiebreak, IGNORE NULLS first/last skipping non-touch
+    * rows; purchases with no prior touch keep NULL credit.
+    * (`def`, not `val`: consumed by object vals declared earlier.) */
+  private def attributionSql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, ts,
+      |    CASE WHEN event_type IN ('view', 'click')
+      |         THEN event_type END AS touch_type,
+      |    CASE WHEN event_type IN ('view', 'click')
+      |         THEN event_id END AS touch_id
+      |  FROM events),
+      |w AS (
+      |  SELECT event_id, user_id, event_type,
+      |    epoch(date_trunc('second', ts))::bigint AS ep,
+      |    first_value(touch_type IGNORE NULLS) OVER win AS first_touch_type,
+      |    first_value(touch_id IGNORE NULLS) OVER win AS first_touch_id,
+      |    last_value(touch_type IGNORE NULLS) OVER win AS last_touch_type,
+      |    last_value(touch_id IGNORE NULLS) OVER win AS last_touch_id,
+      |    count(touch_id) OVER win AS n_touches
+      |  FROM e
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT event_id AS purchase_id, user_id, ep,
+      |  first_touch_type, first_touch_id,
+      |  last_touch_type, last_touch_id, n_touches::int AS n_touches
+      |FROM w WHERE event_type = 'purchase'
+      |ORDER BY purchase_id""".stripMargin
 
   /** The cohort-retention SQL — shared verbatim by `events_retention`
     * (window form) and `stream_retention` (G6 stateful form, batch
@@ -1363,6 +1371,10 @@ object Oracles {
     // Likewise: the stateful first-activity stream aggregated in
     // batch mode must equal the B-section retention window form.
     "stream_retention" -> retentionSql,
+
+    // And the stateful attribution fold's batch mode must equal the
+    // B-section attribution window form — same shared SQL.
+    "stream_attribution" -> attributionSql,
     "stream_window_agg" ->
       """SELECT win_start, event_type, count(*) AS n_events,
         |  round(sum(value), 4) AS sum_value

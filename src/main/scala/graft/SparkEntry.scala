@@ -106,6 +106,7 @@ object SparkEntry {
     "stream_neardup"      -> Streams.streamNeardup,
     "stream_funnel"       -> Streams.streamFunnel,
     "stream_retention"    -> Streams.streamRetention,
+    "stream_attribution"  -> Streams.streamAttribution,
     "stream_enrich"       -> Streams.streamEnrich
   )
 

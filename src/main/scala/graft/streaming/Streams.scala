@@ -394,6 +394,84 @@ object Streams {
       .orderBy(col("user_id"))
   }
 
+  /** Typed event for attribution: full ns timestamp + event_id so the
+    * (ts, event_id) tiebreak matches the batch form exactly. */
+  final case class AEv(event_id: Long, user_id: Long,
+      event_type: String, ts: Long)
+  /** Per-user attribution state: the first touch ever seen and the
+    * latest touch so far, plus the touch count — 2 strings + 3 longs,
+    * never history. (Public: streaming state encoder requirement.) */
+  final case class AttState(firstType: String, firstId: Long,
+      lastType: String, lastId: Long, n: Long)
+  /** One attributed conversion (same column contract as the B-section
+    * `events_attribution`). */
+  final case class AttHit(purchase_id: Long, user_id: Long, ep: Long,
+      first_touch_type: Option[String], first_touch_id: Option[Long],
+      last_touch_type: Option[String], last_touch_id: Option[Long],
+      n_touches: Int)
+
+  /** G8 attribution core for one user. Folds events in (ts, event_id)
+    * order: a view/click updates the touch state (first is set once,
+    * last always, count increments); a purchase emits an attribution
+    * row from the state AS OF strictly before it — same-call later
+    * touches cannot leak in because the fold is ordered. No-touch
+    * purchases emit NULL credit, matching the batch window form.
+    * In-order contract across batches as [[funnelFn]]: a late
+    * out-of-order touch cannot retroactively re-credit an
+    * already-emitted purchase (3 longs + 2 strings of state vs
+    * buffering full history — the same trade, documented). */
+  def attributionFn(userId: Long, evs: Iterator[AEv],
+      state: GroupState[AttState]): Iterator[AttHit] = {
+    val sorted = evs.toIndexedSeq.sortBy(e => (e.ts, e.event_id))
+    var s = state.getOption.orNull
+    val out = Seq.newBuilder[AttHit]
+    sorted.foreach { e =>
+      e.event_type match {
+        case "purchase" =>
+          out += AttHit(e.event_id, userId, e.ts / 1000000000L,
+            Option(s).map(_.firstType), Option(s).map(_.firstId),
+            Option(s).map(_.lastType), Option(s).map(_.lastId),
+            Option(s).map(_.n.toInt).getOrElse(0))
+        case "view" | "click" =>
+          s = if (s == null)
+            AttState(e.event_type, e.event_id, e.event_type, e.event_id, 1L)
+          else
+            s.copy(lastType = e.event_type, lastId = e.event_id, n = s.n + 1)
+        case _ => ()
+      }
+    }
+    // Users with no touches keep no state row (absent state ==
+    // no-credit sentinel), same footprint rule as retentionFn.
+    if (s != null) state.update(s)
+    out.result().iterator
+  }
+
+  /** Shared stateful attribution (batch or streaming). State lives
+    * forever by design (a conversion may follow its first touch by
+    * months); bound with ProcessingTimeTimeout as in [[dedupFn]]. */
+  def attributionStateful(evs: Dataset[AEv]): Dataset[AttHit] = {
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        attributionFn)
+  }
+
+  /** G8 batch entry: each user's full history in one call ⇒ equals
+    * the B-section `events_attribution` window form and shares its
+    * SQL oracle (StreamsSpec drives the MemoryStream path). */
+  def streamAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evs = Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .as[AEv]
+    attributionStateful(evs)
+      .toDF()
+      .select(col("purchase_id"), col("user_id"), col("ep"),
+        col("first_touch_type"), col("first_touch_id"),
+        col("last_touch_type"), col("last_touch_id"), col("n_touches"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** Per-user retention state: cohort week (-1 until the first
     * signup is seen) + the week offsets already emitted. (Public:
     * streaming state encoder requirement, as above.) */

@@ -437,4 +437,47 @@ class StreamsSpec extends SparkSuite {
       assert(got === expected)
     } finally query.stop()
   }
+
+  test("batch stream_attribution equals the window-form events_attribution") {
+    val got = Streams.streamAttribution(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4)), Option(r.get(5)),
+        Option(r.get(6)), r.getInt(7))).toSeq
+    val batch = graft.operators.Funnel.eventsAttribution(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4)), Option(r.get(5)),
+        Option(r.get(6)), r.getInt(7))).toSeq
+    assert(got === batch,
+      "stateful attribution (batch mode) must equal the window form")
+  }
+
+  test("streaming attribution on an ordered stream equals batch; credit is as-of") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    val expected = Streams.streamAttribution(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(3)), Option(r.get(5)),
+        r.getInt(7)))).toMap
+    val evs = graft.Tables(spark, sfDir).events
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .as[Streams.AEv].collect().sortBy(e => (e.ts, e.event_id))
+    val stream = MemoryStream[Streams.AEv]
+    val query = Streams.attributionStateful(stream.toDS())
+      .writeStream.format("memory").queryName("attr1")
+      .outputMode("append").start()
+    try {
+      evs.grouped(math.max(1, evs.length / 4)).foreach { batch =>
+        stream.addData(batch.toSeq)
+        query.processAllAvailable()
+      }
+      val got = s.table("attr1").as[Streams.AttHit].collect()
+        .map(h => h.purchase_id ->
+          ((h.first_touch_type, h.last_touch_type, h.n_touches))).toMap
+      assert(got.keySet == expected.keySet,
+        "every purchase attributed exactly once across micro-batches")
+      // a purchase's credit must reflect only touches BEFORE it, even
+      // when later touches for the same user arrive in later batches
+      got.foreach { case (id, v) => assert(v == expected(id), s"purchase $id") }
+    } finally query.stop()
+  }
 }
