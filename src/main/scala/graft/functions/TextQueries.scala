@@ -132,7 +132,11 @@ object TextQueries {
     * broadcast back onto the exploded token stream (K rows; never a
     * shuffle of the corpus by token) → one groupBy(doc_id) that
     * re-collapses to a row per document. The token explode itself is
-    * shuffle-free. */
+    * shuffle-free. DELIBERATELY reads the corpus twice (vocab pass +
+    * probe pass): persisting the exploded token stream to save one
+    * column-pruned scan would materialize more bytes than the scan
+    * reads at 100 TB — compute-stats-then-apply re-reads by design
+    * (OovSpec locks the scan count at exactly 2). */
   def textOov(spark: SparkSession, dir: String): DataFrame =
     oovOf(Tables(spark, dir).documents, OovVocabK)
 

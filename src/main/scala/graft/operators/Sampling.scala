@@ -105,7 +105,10 @@ object Sampling {
     * global window over those rows only) broadcast back onto the
     * corpus; the DATA PLANE is scan → broadcast-hash-join → per-row
     * hash filter — zero shuffles of the documents themselves, no
-    * window over the corpus, composes with pushdown. */
+    * window over the corpus, composes with pushdown. Two scans
+    * (count pass + probe pass) by design, same
+    * compute-stats-then-apply rationale as text_oov; SamplingSpec
+    * locks the count. */
   def mixSources(spark: SparkSession, dir: String): DataFrame =
     mixOf(Tables(spark, dir).documents)
 

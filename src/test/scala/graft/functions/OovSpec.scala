@@ -49,5 +49,22 @@ class OovSpec extends SparkSuite {
       s"K-row vocabulary must broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"),
       s"token stream must not sort-merge against a K-row vocabulary:\n$plan")
+    // DELIBERATELY two scans (vocab pass + probe pass): persisting the
+    // exploded token stream to save one column-pruned parquet scan
+    // would materialize MORE bytes than the scan reads at 100 TB —
+    // compute-stats-then-apply reads twice by design. Lock the count
+    // so an accidental third reference is caught. Tree walk, not a
+    // textual count: a finalized AQE plan prints Initial AND Final
+    // sections, double-counting every scan (CLAUDE.md trap).
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case qs: QueryStageExec => scans(qs.plan)
+      case _: FileSourceScanExec => 1
+      case other => other.children.map(scans).sum
+    }
+    val n = scans(q.queryExecution.executedPlan)
+    assert(n == 2, s"expected exactly 2 documents scans, got $n:\n$plan")
   }
 }

@@ -121,5 +121,19 @@ class SamplingSpec extends SparkSuite {
       s"rate table must broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"),
       s"corpus must not sort-merge against a 20-row rate table:\n$plan")
+    // deliberately two scans (count pass + probe pass), same
+    // compute-stats-then-apply rationale as text_oov; lock the count
+    // by walking the tree (a finalized AQE plan string prints Initial
+    // AND Final sections — textual counts double, CLAUDE.md trap)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case qs: QueryStageExec => scans(qs.plan)
+      case _: FileSourceScanExec => 1
+      case other => other.children.map(scans).sum
+    }
+    val n = scans(q.queryExecution.executedPlan)
+    assert(n == 2, s"expected exactly 2 documents scans, got $n:\n$plan")
   }
 }
