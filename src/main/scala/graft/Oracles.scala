@@ -375,42 +375,52 @@ object Oracles {
     // so the gate is a full bit-exact hash despite the statistics —
     // deliberately NOT stddev() (engine Welford orders differ in the
     // last ulp). Baseline + threshold single-sourced from Funnel.
-    "events_anomaly" -> {
-      val minN = graft.operators.Funnel.AnomalyMinBaseline
-      val zThr = graft.operators.Funnel.AnomalySpikeZ
-      s"""WITH hourly AS (
-         |  SELECT event_type,
-         |    epoch(date_trunc('second', ts))::bigint // 3600 AS h,
-         |    count(*) AS cnt
-         |  FROM events
-         |  GROUP BY 1, 2),
-         |win AS (
-         |  SELECT event_type, h, cnt,
-         |    count(cnt) OVER w AS nw,
-         |    sum(cnt) OVER w AS sumx,
-         |    sum(cnt * cnt) OVER w AS sumx2
-         |  FROM hourly
-         |  WINDOW w AS (PARTITION BY event_type ORDER BY h
-         |               RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
-         |scored AS (
-         |  SELECT event_type, h, cnt, nw,
-         |    sumx::double / nw AS mean,
-         |    (sumx2::double - sumx::double * sumx / nw) / (nw - 1)
-         |      AS varr
-         |  FROM win WHERE nw >= $minN)
-         |SELECT event_type, h * 3600 AS hour_ep, cnt::int AS n_events,
-         |  round((cnt::double - mean) / sqrt(varr), 4) AS z,
-         |  abs((cnt::double - mean) / sqrt(varr)) > $zThr AS is_spike
-         |FROM scored
-         |WHERE varr > 0
-         |ORDER BY event_type, hour_ep""".stripMargin
-    },
+    // (anomalySql is shared with the G9 stream_anomaly entry: the
+    // stateful trailing-window fold's batch mode must equal this
+    // RANGE-window form.)
+    "events_anomaly" -> anomalySql,
 
     // First/last-touch attribution (attributionSql is shared with the
     // G8 stream_attribution entry: the stateful fold's batch mode must
     // equal this window form).
     "events_attribution" -> attributionSql
   )
+
+  /** The anomaly SQL — shared verbatim by `events_anomaly` (B-section
+    * RANGE-window form) and `stream_anomaly` (G9 stateful
+    * trailing-window fold, batch mode): one semantics, two execution
+    * strategies. (`def`, not `val`: consumed by object vals declared
+    * earlier.) */
+  private def anomalySql: String = {
+    val minN = graft.operators.Funnel.AnomalyMinBaseline
+    val zThr = graft.operators.Funnel.AnomalySpikeZ
+    s"""WITH hourly AS (
+       |  SELECT event_type,
+       |    epoch(date_trunc('second', ts))::bigint // 3600 AS h,
+       |    count(*) AS cnt
+       |  FROM events
+       |  GROUP BY 1, 2),
+       |win AS (
+       |  SELECT event_type, h, cnt,
+       |    count(cnt) OVER w AS nw,
+       |    sum(cnt) OVER w AS sumx,
+       |    sum(cnt * cnt) OVER w AS sumx2
+       |  FROM hourly
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY h
+       |               RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+       |scored AS (
+       |  SELECT event_type, h, cnt, nw,
+       |    sumx::double / nw AS mean,
+       |    (sumx2::double - sumx::double * sumx / nw) / (nw - 1)
+       |      AS varr
+       |  FROM win WHERE nw >= $minN)
+       |SELECT event_type, h * 3600 AS hour_ep, cnt::int AS n_events,
+       |  round((cnt::double - mean) / sqrt(varr), 4) AS z,
+       |  abs((cnt::double - mean) / sqrt(varr)) > $zThr AS is_spike
+       |FROM scored
+       |WHERE varr > 0
+       |ORDER BY event_type, hour_ep""".stripMargin
+  }
 
   /** The attribution SQL — shared verbatim by `events_attribution`
     * (B-section window form) and `stream_attribution` (G8 stateful
@@ -1375,6 +1385,9 @@ object Oracles {
     // And the stateful attribution fold's batch mode must equal the
     // B-section attribution window form — same shared SQL.
     "stream_attribution" -> attributionSql,
+
+    // Same contract for the stateful trailing-window anomaly scorer.
+    "stream_anomaly" -> anomalySql,
     "stream_window_agg" ->
       """SELECT win_start, event_type, count(*) AS n_events,
         |  round(sum(value), 4) AS sum_value

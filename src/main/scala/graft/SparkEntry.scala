@@ -107,6 +107,7 @@ object SparkEntry {
     "stream_funnel"       -> Streams.streamFunnel,
     "stream_retention"    -> Streams.streamRetention,
     "stream_attribution"  -> Streams.streamAttribution,
+    "stream_anomaly"      -> Streams.streamAnomaly,
     "stream_enrich"       -> Streams.streamEnrich
   )
 

@@ -394,6 +394,99 @@ object Streams {
       .orderBy(col("user_id"))
   }
 
+  /** Typed hourly observation for anomaly: type key + hour index. */
+  final case class HEv(event_type: String, h: Long)
+  /** Per-type anomaly state: trailing hourly counts + the last hour
+    * already scored. Bounded: hours older than maxSeen − 24 can never
+    * appear in a future trailing window and are evicted each call.
+    * (Public: streaming state encoder requirement.) */
+  final case class AnomState(counts: Map[Long, Long], lastScored: Long)
+  /** One scored hour (z unrounded: the batch entry applies the same
+    * roundDuck column as events_anomaly so the shared oracle gates
+    * bit-exactly). */
+  final case class AnomScore(event_type: String, hour_ep: Long,
+      n_events: Int, z: Double)
+
+  /** G9 anomaly core for one event type. Merges the call's events
+    * into the trailing per-hour count map, then scores every hour
+    * whose window can no longer change: all hours below the max seen
+    * (a later batch may still append events to the max hour itself —
+    * the in-order contract of [[funnelFn]] applies across batches).
+    * `emitTail=true` (batch): the full history arrived in one call,
+    * so the max hour is final too — score it; output equals the
+    * B-section `events_anomaly` RANGE-window form (shared oracle).
+    * The z algebra mirrors that query operation-for-operation:
+    * integer count/Σx/Σx² over the PRESENT hours in [h−24, h−1],
+    * then one identical double expression tree — bit-exact.
+    *
+    * Scale: the group key is event_type — inherently low-cardinality,
+    * and the per-call fold collapses the batch to hourly counts
+    * immediately (state is ≤ 25 longs per type, never events). The
+    * heavy count runs map-side in the fold exactly like the batch
+    * query's pre-window groupBy. */
+  def anomalyFn(emitTail: Boolean)(tpe: String, evs: Iterator[HEv],
+      state: GroupState[AnomState]): Iterator[AnomScore] = {
+    val minN = graft.operators.Funnel.AnomalyMinBaseline
+    var s = state.getOption.getOrElse(AnomState(Map.empty, Long.MinValue))
+    val merged = evs.foldLeft(s.counts) { (m, e) =>
+      m.updated(e.h, m.getOrElse(e.h, 0L) + 1L)
+    }
+    if (merged.isEmpty) return Iterator.empty
+    val maxH = merged.keys.max
+    val scoreUpTo = if (emitTail) maxH else maxH - 1
+    val out = Seq.newBuilder[AnomScore]
+    merged.keys.toSeq.sorted
+      .filter(h => h > s.lastScored && h <= scoreUpTo)
+      .foreach { h =>
+        val win = ((h - 24) until h).flatMap(merged.get)
+        val nw = win.size
+        if (nw >= minN) {
+          val sumx = win.sum
+          val sumx2 = win.map(x => x * x).sum
+          // same double tree as events_anomaly / the oracle
+          val mean = sumx.toDouble / nw
+          val varr = (sumx2.toDouble - sumx.toDouble * sumx / nw) / (nw - 1)
+          if (varr > 0) {
+            val cnt = merged(h)
+            out += AnomScore(tpe, h * 3600,
+              cnt.toInt, (cnt.toDouble - mean) / math.sqrt(varr))
+          }
+        }
+      }
+    s = AnomState(merged.filter { case (h, _) => h >= maxH - 24 },
+      math.max(s.lastScored, scoreUpTo))
+    state.update(s)
+    out.result().iterator
+  }
+
+  /** Shared stateful anomaly scorer (batch or streaming). */
+  def anomalyStateful(evs: Dataset[HEv],
+      emitTail: Boolean): Dataset[AnomScore] = {
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        anomalyFn(emitTail))
+  }
+
+  /** G9 batch entry: full history per type in one call with
+    * `emitTail=true` ⇒ equals the B-section `events_anomaly` and
+    * shares its SQL oracle (z rounded by the same roundDuck column,
+    * spike flag from the same unrounded compare). */
+  def streamAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evs = Tables(spark, dir).events
+      .select(col("event_type"), Tables.tsNsToSec("ts").as("ep"))
+      .selectExpr("event_type", "ep div 3600L AS h")
+      .as[HEv]
+    val zThr = graft.operators.Funnel.AnomalySpikeZ
+    anomalyStateful(evs, emitTail = true)
+      .toDF()
+      .select(col("event_type"), col("hour_ep"), col("n_events"),
+        graft.functions.OracleMath.roundDuck(col("z"), 4).as("z"),
+        (abs(col("z")) > zThr).as("is_spike"))
+      .orderBy(col("event_type"), col("hour_ep"))
+  }
+
   /** Typed event for attribution: full ns timestamp + event_id so the
     * (ts, event_id) tiebreak matches the batch form exactly. */
   final case class AEv(event_id: Long, user_id: Long,

@@ -480,4 +480,57 @@ class StreamsSpec extends SparkSuite {
       got.foreach { case (id, v) => assert(v == expected(id), s"purchase $id") }
     } finally query.stop()
   }
+
+  test("batch stream_anomaly equals the RANGE-window events_anomaly bit-for-bit") {
+    val got = Streams.streamAnomaly(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    val batch = graft.operators.Funnel.eventsAnomaly(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(got === batch,
+      "stateful trailing-window fold (batch mode) must equal the window form")
+  }
+
+  test("streaming anomaly scores each finalized hour once; tail hour stays pending") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    val expected = Streams.streamAnomaly(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getInt(2), r.getDouble(3))))
+      .toMap
+    val evs = graft.Tables(spark, sfDir).events
+      .select(col("event_type"), graft.Tables.tsNsToSec("ts").as("ep"))
+      .selectExpr("event_type", "ep div 3600L AS h")
+      .as[Streams.HEv].collect().sortBy(_.h)
+    // each type's max hour is never finalized by a later hour in the
+    // stream, so it must stay pending in append mode
+    val pending = evs.groupBy(_.event_type).view
+      .mapValues(_.map(_.h).max * 3600).toMap.toSet
+    val stream = MemoryStream[Streams.HEv]
+    val query = Streams.anomalyStateful(stream.toDS(), emitTail = false)
+      .writeStream.format("memory").queryName("anom1")
+      .outputMode("append").start()
+    try {
+      evs.grouped(math.max(1, evs.length / 4)).foreach { b =>
+        stream.addData(b.toSeq)
+        query.processAllAvailable()
+      }
+      val rows = s.table("anom1").as[Streams.AnomScore].collect()
+      val keys = rows.map(r => (r.event_type, r.hour_ep)).toSeq
+      assert(keys.distinct.length == keys.length,
+        "an hour must be scored at most once across micro-batches")
+      val got = rows.map(r => (r.event_type, r.hour_ep) ->
+        ((r.n_events, r.z))).toMap
+      assert(got.keySet == expected.keySet -- pending,
+        s"streamed scores must be batch minus the pending tail hours; " +
+          s"extra=${(got.keySet -- expected.keySet).take(3)} " +
+          s"missing=${(expected.keySet -- got.keySet -- pending).take(3)}")
+      got.foreach { case (k, (n, z)) =>
+        val (en, ez) = expected(k)
+        assert(n == en, s"$k n_events")
+        // expected z passed through roundDuck(4); streamed z is raw
+        assert(math.abs(z - ez) <= 5.1e-5, s"$k z: $z vs $ez")
+      }
+    } finally query.stop()
+  }
 }
