@@ -1035,36 +1035,65 @@ object Oracles {
     // the standalone entry, suffixed _d to coexist), and (5) the
     // Sampling hash-threshold filter (seed + thresholds interpolated
     // from the same constants the Spark side reads).
-    "curate_train" -> {
-      val evalSrc = graft.operators.Decontaminate.EvalSource
-      val sampleCases = graft.operators.Sampling.LangThresholds
-        .map { case (lang, thr, _) => s"WHEN '$lang' THEN '$thr'" }
-        .mkString(" ")
-      ("WITH RECURSIVE " + qualityBaseCte("documents") + ",\n" +
-      s"""scored AS (
-        |  SELECT doc_id, text, n_tok, $qualityExpr AS quality
-        |  FROM q_base),
-        |q AS (SELECT * FROM scored
-        |      WHERE quality >= ${graft.operators.Curate.MinQuality}),""".stripMargin
-        + "\n" +
-      """ex AS (
-        |  SELECT doc_id, text, n_tok, quality FROM (
-        |    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS rep
-        |    FROM q)
-        |  WHERE doc_id = rep),
-        |""".stripMargin
-        + ngramPairCtes("ex") + ",\n" + componentCtes + ",\n"
-        + decontamCtes("documents", "_d") + "\n" +
-      s"""SELECT ex.doc_id, d.lang, round(ex.quality, 4) AS quality
-        |FROM ex JOIN documents d ON d.doc_id = ex.doc_id
-        |WHERE ex.doc_id NOT IN (SELECT node FROM comp WHERE node <> rep_doc)
-        |  AND d.source <> '$evalSrc'
-        |  AND ex.doc_id NOT IN (SELECT train_doc FROM contam_d)
-        |  AND substr(md5('${graft.operators.Sampling.Seed}'
-        |             || ex.doc_id::varchar), 1, 4)
-        |      < CASE d.lang $sampleCases ELSE '0000' END
-        |ORDER BY ex.doc_id""".stripMargin)
+    "curate_train" ->
+      (trainKeptCtes + "\n" +
+        """SELECT doc_id, lang, round(quality, 4) AS quality
+          |FROM kept
+          |ORDER BY doc_id""".stripMargin),
+
+    // The curated training set packed into context windows: the same
+    // kept CTE chain, then pack_sequences' per-source running-sum
+    // algebra over it — six operator families under one oracle.
+    "curate_pack" -> {
+      val b = graft.operators.Sampling.PackBudget
+      (trainKeptCtes + ",\n" +
+        s"""c AS (
+           |  SELECT doc_id, source, n_tok,
+           |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+           |      - n_tok AS start_off
+           |  FROM kept)
+           |SELECT doc_id, source, n_tok::int AS n_tokens,
+           |  (start_off // $b)::int AS seq_id,
+           |  (start_off % $b)::int AS seq_offset
+           |FROM c
+           |ORDER BY doc_id""".stripMargin)
     })
+
+  /** The curate_train kept-set CTE chain (stages 1–5), ending in
+    * `kept(doc_id, lang, source, n_tok, quality)` — shared verbatim
+    * by the curate_train and curate_pack oracles so the kept set
+    * cannot drift between them. (`def`, not `val`: consumed by
+    * object vals declared earlier.) */
+  private def trainKeptCtes: String = {
+    val evalSrc = graft.operators.Decontaminate.EvalSource
+    val sampleCases = graft.operators.Sampling.LangThresholds
+      .map { case (lang, thr, _) => s"WHEN '$lang' THEN '$thr'" }
+      .mkString(" ")
+    ("WITH RECURSIVE " + qualityBaseCte("documents") + ",\n" +
+    s"""scored AS (
+      |  SELECT doc_id, text, n_tok, $qualityExpr AS quality
+      |  FROM q_base),
+      |q AS (SELECT * FROM scored
+      |      WHERE quality >= ${graft.operators.Curate.MinQuality}),""".stripMargin
+      + "\n" +
+    """ex AS (
+      |  SELECT doc_id, text, n_tok, quality FROM (
+      |    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+      |    FROM q)
+      |  WHERE doc_id = rep),
+      |""".stripMargin
+      + ngramPairCtes("ex") + ",\n" + componentCtes + ",\n"
+      + decontamCtes("documents", "_d") + ",\n" +
+    s"""kept AS (
+      |  SELECT ex.doc_id, d.lang, d.source, ex.n_tok, ex.quality
+      |  FROM ex JOIN documents d ON d.doc_id = ex.doc_id
+      |  WHERE ex.doc_id NOT IN (SELECT node FROM comp WHERE node <> rep_doc)
+      |    AND d.source <> '$evalSrc'
+      |    AND ex.doc_id NOT IN (SELECT train_doc FROM contam_d)
+      |    AND substr(md5('${graft.operators.Sampling.Seed}'
+      |               || ex.doc_id::varchar), 1, 4)
+      |        < CASE d.lang $sampleCases ELSE '0000' END)""".stripMargin)
+  }
 
   /** SURVEY §2D — similarity search (ann_lsh is rows-only +
     * recall-property-tested). */

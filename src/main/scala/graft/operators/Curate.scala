@@ -89,15 +89,35 @@ object Curate {
     *   5. apply [[Sampling]]'s deterministic per-language rebalance
     *      (pure per-row hash-threshold filter — composes for free).
     * Five operators, one query, one fully-composed DuckDB oracle. */
-  def curateTrain(spark: SparkSession, dir: String): DataFrame = {
+  def curateTrain(spark: SparkSession, dir: String): DataFrame =
+    trainKept(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        round(col("quality"), 4).as("quality"))
+      .orderBy(col("doc_id"))
+
+  /** Stages 1–5 with full metadata — the kept set behind
+    * [[curateTrain]] and [[curatePack]]. Same canonicalized sub-plan
+    * from both callers, so [[survivors]]' cache entry is shared. */
+  private def trainKept(spark: SparkSession, dir: String): DataFrame = {
     val contaminated = Decontaminate.decontaminate(spark, dir)
       .select(col("train_doc")).distinct()
     survivors(spark, dir)
       .filter(col("source") =!= Decontaminate.EvalSource)
       .join(contaminated, col("doc_id") === col("train_doc"), "left_anti")
       .filter(Sampling.keepFilter)
-      .select(col("doc_id"), col("lang"),
-        round(col("quality"), 4).as("quality"))
-      .orderBy(col("doc_id"))
   }
+
+  /** §2I×J2 — pack the CURATED training set: [[curateTrain]]'s kept
+    * docs laid out into fixed token-budget context windows by
+    * [[Sampling.packOf]]'s per-source-shard algebra. The sixth
+    * operator family composed under the same fully-expanded DuckDB
+    * oracle — the trainer-facing output of the whole pipeline (what
+    * actually ships to the data loader is packed sequences of the
+    * curated corpus, not loose documents). Token counts are
+    * [[survivors]]' wsTokenCount column — single-sourced with
+    * text_tokens and pack_sequences, so the packer, the curator and
+    * the token-count query can never disagree. */
+  def curatePack(spark: SparkSession, dir: String): DataFrame =
+    Sampling.packOf(trainKept(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_tokens")))
 }

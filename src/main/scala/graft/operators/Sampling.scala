@@ -157,12 +157,19 @@ object Sampling {
     * the whole corpus through one sort). Pure integer algebra — exact
     * cross-engine hash gate. */
   def packSequences(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val n = graft.functions.TextFunctions.wsTokenCount(col("text"))
-      .cast("long")
+    packOf(Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"), n.as("n_tokens")))
+  }
+
+  /** Core packing algebra over any (doc_id, source, n_tokens) frame —
+    * [[packSequences]] feeds it the raw corpus, [[Curate.curatePack]]
+    * the curated training set. */
+  def packOf(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-    Tables(spark, dir).documents
-      .select(col("doc_id"), col("source"), n.as("n_tokens"))
+    d.select(col("doc_id"), col("source"),
+        col("n_tokens").cast("long").as("n_tokens"))
       .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .select(col("doc_id"), col("source"),
         col("n_tokens").cast("int").as("n_tokens"),

@@ -82,4 +82,33 @@ class CurateSpec extends SparkSuite {
     assert(trainIds === expected,
       "train set must be exactly the sampled decontaminated survivors")
   }
+
+  test("curate_pack packs exactly the train set, contiguously per source") {
+    val packed = Curate.curatePack(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getInt(3), r.getInt(4)))
+    val trainIds = Curate.curateTrain(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    assert(packed.map(_._1).toSet == trainIds,
+      "packed docs must be exactly the curated training set")
+    // the packed stream is contiguous per source shard: each doc
+    // starts where the previous one's tokens ended (same
+    // reconstruction property as pack_sequences, over the kept set)
+    val b = Sampling.PackBudget
+    packed.groupBy(_._2).foreach { case (src, rowsU) =>
+      val rows = rowsU.sortBy(_._1)
+      var off = 0L
+      rows.foreach { case (id, _, n, seqId, seqOff) =>
+        assert(seqId == (off / b).toInt, s"doc $id in $src: seq_id")
+        assert(seqOff == (off % b).toInt, s"doc $id in $src: seq_offset")
+        off += n
+      }
+    }
+    // token counts single-sourced with text_tokens
+    val fromTokens = graft.functions.TextQueries.textTokens(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    packed.foreach { case (id, _, n, _, _) =>
+      assert(fromTokens(id) == n, s"doc $id token count")
+    }
+  }
 }
