@@ -888,11 +888,20 @@ object Oracles {
         |ORDER BY id_a, id_b""".stripMargin,
 
     // Per-embedding QC stats. Sequential list_reduce folds match
-    // VecStatsD's strict index-order accumulation bit-for-bit (the
+    // VecStatsD's strict index-order accumulation bit-for-bit: the
     // seedless list_reduce starts at element 1, VecStatsD at 0.0 —
-    // equivalent here because x² and |x| are non-negative and
-    // 0.0 + x == x for the sum's leading element). is_unit compares
-    // the UNROUNDED norm against the single-sourced tolerance.
+    // equivalent for norm²/max_abs because x² and |x| are
+    // non-negative, and for the sum because `sm + 0.0` below
+    // normalizes the one case where the seed is visible (an
+    // all--0.0 vector folds to -0.0 seedless but +0.0 from a 0.0
+    // seed; x + 0.0 == x bit-exactly for every other double).
+    // greatest() is NaN-propagating in DuckDB exactly as VecStatsD's
+    // max_abs loop is (VectorSpec's NaN rows). Zero-length guard:
+    // seedless list_reduce ERRORS on an empty list, so each fold is
+    // gated on len(v) — an empty embedding then surfaces as a
+    // visible NULL-vs-0.0 row diff against VecStatsD's (0, 0, 0),
+    // never as an oracle crash. is_unit compares the UNROUNDED norm
+    // against the single-sourced tolerance.
     "embed_stats" -> {
       val tol = graft.operators.Similarity.UnitNormTol
       s"""WITH e AS (
@@ -900,12 +909,14 @@ object Oracles {
          |  FROM embeddings),
          |s AS (
          |  SELECT vec_id, len(v)::int AS dim,
-         |    sqrt(list_reduce(
+         |    CASE WHEN len(v) = 0 THEN NULL ELSE sqrt(list_reduce(
          |      list_transform(list_zip(v, v), p -> p[1] * p[2]),
-         |      (x, y) -> x + y)) AS nrm,
-         |    list_reduce(v, (x, y) -> x + y) AS sm,
-         |    list_reduce(list_transform(v, x -> abs(x)),
-         |      (x, y) -> greatest(x, y)) AS mab
+         |      (x, y) -> x + y)) END AS nrm,
+         |    CASE WHEN len(v) = 0 THEN NULL
+         |      ELSE list_reduce(v, (x, y) -> x + y) + 0.0 END AS sm,
+         |    CASE WHEN len(v) = 0 THEN NULL
+         |      ELSE list_reduce(list_transform(v, x -> abs(x)),
+         |        (x, y) -> greatest(x, y)) END AS mab
          |  FROM e)
          |SELECT vec_id, dim, round(nrm, 4) AS norm,
          |  round(sm / dim, 4) AS mean, round(mab, 4) AS max_abs,

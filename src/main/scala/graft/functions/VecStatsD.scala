@@ -18,7 +18,11 @@ import org.apache.spark.sql.types.{DataType, DoubleType, StructField, StructType
   * `sum += x` in index order, no reassociation, no FMA — matching the
   * DuckDB oracle's `list_reduce` op order bit-for-bit (x²  ≥ 0 and
   * abs ≥ 0 make the 0.0-vs-first-element seed difference vacuous).
-  * max_abs is order-independent.
+  * max_abs is order-independent, and NaN-propagating like both the
+  * oracle's `greatest` and Spark's (a bare `if (ax > m)` would
+  * silently skip NaN components and diverge cross-engine;
+  * VectorSpec's NaN row locks this). norm_sq/sum propagate NaN
+  * through `+=` natively.
   */
 case class VecStatsD(child: Expression) extends UnaryExpression {
 
@@ -38,7 +42,7 @@ case class VecStatsD(child: Expression) extends UnaryExpression {
       q += x * x
       s += x
       val ax = math.abs(x)
-      if (ax > m) m = ax
+      if (ax > m || java.lang.Double.isNaN(ax)) m = ax
       i += 1
     }
     InternalRow(q, s, m)
@@ -63,7 +67,7 @@ case class VecStatsD(child: Expression) extends UnaryExpression {
          |  $q += $x * $x;
          |  $s += $x;
          |  double $ax = java.lang.Math.abs($x);
-         |  if ($ax > $m) $m = $ax;
+         |  if ($ax > $m || java.lang.Double.isNaN($ax)) $m = $ax;
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
          |  new java.lang.Object[] {

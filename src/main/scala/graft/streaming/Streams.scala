@@ -394,8 +394,12 @@ object Streams {
       .orderBy(col("user_id"))
   }
 
-  /** Typed hourly observation for anomaly: type key + hour index. */
-  final case class HEv(event_type: String, h: Long)
+  /** Typed hourly observation for anomaly: type key + hour index +
+    * pre-folded count. A raw stream event carries n=1; the batch
+    * entry feeds hourly-collapsed counts (see [[streamAnomaly]]) so
+    * the |event_types| state shuffle moves ~25 rows per type, not the
+    * whole event table. */
+  final case class HEv(event_type: String, h: Long, n: Long)
   /** Per-type anomaly state: trailing hourly counts + the last hour
     * already scored. Bounded: hours older than maxSeen − 24 can never
     * appear in a future trailing window and are evicted each call.
@@ -420,16 +424,22 @@ object Streams {
     * then one identical double expression tree — bit-exact.
     *
     * Scale: the group key is event_type — inherently low-cardinality,
-    * and the per-call fold collapses the batch to hourly counts
-    * immediately (state is ≤ 25 longs per type, never events). The
-    * heavy count runs map-side in the fold exactly like the batch
-    * query's pre-window groupBy. */
+    * so whatever crosses the groupByKey shuffle serializes through
+    * ≤ |types| tasks. flatMapGroupsWithState has NO map-side partial
+    * aggregation, so the caller must pre-fold where the planner
+    * allows it: the batch entry collapses to hourly counts first
+    * (`groupBy(event_type, h).count` — map-side combined, ~10⁴×
+    * smaller than raw events) and this fn adds the pre-counted `n`s;
+    * the streaming path feeds raw n=1 events because Structured
+    * Streaming disallows an aggregate before fMGWS in append mode —
+    * there the volume is bounded per micro-batch and inherent to
+    * keyed state. State is ≤ 25 longs per type either way. */
   def anomalyFn(emitTail: Boolean)(tpe: String, evs: Iterator[HEv],
       state: GroupState[AnomState]): Iterator[AnomScore] = {
     val minN = graft.operators.Funnel.AnomalyMinBaseline
     var s = state.getOption.getOrElse(AnomState(Map.empty, Long.MinValue))
     val merged = evs.foldLeft(s.counts) { (m, e) =>
-      m.updated(e.h, m.getOrElse(e.h, 0L) + 1L)
+      m.updated(e.h, m.getOrElse(e.h, 0L) + e.n)
     }
     if (merged.isEmpty) return Iterator.empty
     val maxH = merged.keys.max
@@ -471,12 +481,23 @@ object Streams {
   /** G9 batch entry: full history per type in one call with
     * `emitTail=true` ⇒ equals the B-section `events_anomaly` and
     * shares its SQL oracle (z rounded by the same roundDuck column,
-    * spike flag from the same unrounded compare). */
+    * spike flag from the same unrounded compare).
+    *
+    * The event table is collapsed to `(event_type, h, n)` hourly
+    * counts BEFORE the stateful op: the groupBy gets Spark's map-side
+    * partial aggregation, so the |event_types|-task state shuffle
+    * moves ~hours×types pre-counted rows instead of replaying every
+    * raw event through ≤ |types| tasks (StreamsSpec asserts the
+    * partial aggregate sits below the state op in the executed
+    * plan). Integer counts fold identically, so the shared oracle
+    * stays bit-exact. */
   def streamAnomaly(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val evs = Tables(spark, dir).events
       .select(col("event_type"), Tables.tsNsToSec("ts").as("ep"))
       .selectExpr("event_type", "ep div 3600L AS h")
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("n"))
       .as[HEv]
     val zThr = graft.operators.Funnel.AnomalySpikeZ
     anomalyStateful(evs, emitTail = true)
@@ -515,6 +536,13 @@ object Streams {
     * buffering full history — the same trade, documented). */
   def attributionFn(userId: Long, evs: Iterator[AEv],
       state: GroupState[AttState]): Iterator[AttHit] = {
+    // Per-user memory contract (as funnelFn/retentionFn): this buffer
+    // holds ONE user's events for ONE call — the whole corpus history
+    // in batch (~10² events/user here; bounded by per-user activity,
+    // not table size) and one micro-batch's slice in streaming
+    // (bounded by trigger interval × per-user rate). It is never the
+    // group-key cardinality or the table; cross-batch memory is the
+    // fixed 2-string+3-long AttState.
     val sorted = evs.toIndexedSeq.sortBy(e => (e.ts, e.event_id))
     var s = state.getOption.orNull
     val out = Seq.newBuilder[AttHit]

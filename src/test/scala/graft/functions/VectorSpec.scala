@@ -67,7 +67,12 @@ class VectorSpec extends SparkSuite {
     val vecs = Seq.fill(100)(Seq.fill(64)(rng.nextGaussian())) ++
       Seq(Seq.empty[Double],          // zero-length → (0, 0, 0)
         Seq(0.0, -0.0),               // signed-zero edge
-        Seq(1e300, 1e300, -1e300))    // magnitude ordering matters
+        Seq(1e300, 1e300, -1e300),    // magnitude ordering matters
+        // NaN must propagate into max_abs like greatest() does —
+        // mid-array, where a bare `ax > m` would silently skip it,
+        // and trailing, where m already holds a finite max
+        Seq(1.0, Double.NaN, 2.0),
+        Seq(3.0, -4.0, Double.NaN))
     val df = vecs.toDF("v")
     val got = df.select(graft.functions.VecStatsD(col("v")).as("st"))
       .select(col("st.norm_sq"), col("st.sum"), col("st.max_abs"))

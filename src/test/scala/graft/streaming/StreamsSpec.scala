@@ -492,6 +492,30 @@ class StreamsSpec extends SparkSuite {
       "stateful trailing-window fold (batch mode) must equal the window form")
   }
 
+  test("batch stream_anomaly folds pre-counted hourly rows: partial aggregate below the state op") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val q = Streams.streamAnomaly(spark, sfDir)
+    q.collect() // finalize AQE so the executed plan is the real one
+    def find(p: SparkPlan, pred: SparkPlan => Boolean): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case qs: QueryStageExec => Seq(qs.plan)
+        case _ => p.children
+      }
+      (if (pred(p)) Seq(p) else Seq.empty) ++ kids.flatMap(find(_, pred))
+    }
+    val stateOps = find(q.queryExecution.executedPlan,
+      _.getClass.getSimpleName.contains("MapGroups"))
+    assert(stateOps.nonEmpty, "stateful op must be in the executed plan")
+    // the hourly collapse (groupBy(event_type, h).count — map-side
+    // combined) must sit BELOW the state op: without it the batch
+    // entry replays every raw event through <= |event_types| tasks
+    assert(stateOps.exists(so => so.children
+        .exists(c => find(c, _.getClass.getSimpleName.contains("Aggregate")).nonEmpty)),
+      "batch feed must be the pre-counted hourly aggregate, not raw events")
+  }
+
   test("streaming anomaly scores each finalized hour once; tail hour stays pending") {
     val s = spark; import s.implicits._
     implicit val sq = s.sqlContext
@@ -500,7 +524,8 @@ class StreamsSpec extends SparkSuite {
       .toMap
     val evs = graft.Tables(spark, sfDir).events
       .select(col("event_type"), graft.Tables.tsNsToSec("ts").as("ep"))
-      .selectExpr("event_type", "ep div 3600L AS h")
+      .selectExpr("event_type", "ep div 3600L AS h",
+        "CAST(1 AS BIGINT) AS n") // raw stream events carry n=1
       .as[Streams.HEv].collect().sortBy(_.h)
     // each type's max hour is never finalized by a later hour in the
     // stream, so it must stay pending in append mode
