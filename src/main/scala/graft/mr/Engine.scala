@@ -13,24 +13,23 @@ import org.apache.spark.sql.{Dataset, Encoder}
   *
   * `scratch` is the FS scope (reference: mr/fs/, used by
   * dev/resources/handlers/map/test/random_yield_grouped.py): a
-  * task-local temp directory on the executor's disk, created lazily
-  * on first use and deleted when the task completes — handlers get
-  * real scratch-file IO without any shared filesystem.
+  * per-task scratch directory, created lazily on first use and
+  * released when the task completes. WHERE it lives is the
+  * [[ScratchBackend]] seam (reference: mr/fs/backend/fs_factory.py) —
+  * executor-local disk by default, a shared mount if a deployment
+  * installs one via [[ScratchFs.use]]; the active backend is captured
+  * here at job-build time and ships with the Ctx.
   */
-final class Ctx private[mr] (bc: Broadcast[Map[String, String]])
+final class Ctx private[mr] (bc: Broadcast[Map[String, String]],
+    backend: ScratchBackend = ScratchFs.backend)
     extends Serializable {
   def sessionGet(key: String): Option[String] = bc.value.get(key)
   def session: Map[String, String] = bc.value
 
   @transient lazy val scratch: java.nio.file.Path = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-scratch-")
+    val dir = backend.newScratchDir()
     Option(org.apache.spark.TaskContext.get()).foreach(
-      _.addTaskCompletionListener[Unit] { _ =>
-        def rm(p: java.io.File): Unit = {
-          Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
-        }
-        rm(dir.toFile)
-      })
+      _.addTaskCompletionListener[Unit] { _ => backend.release(dir) })
     dir
   }
 }

@@ -450,6 +450,84 @@ object Jobs {
       writer: ResultWriter): JobHandle =
     submitAsync(spark, name) { writer.deliver(name, df) }
 
+  // ----- content-keyed result cache (reference: mr/cache/) --------
+
+  /** One cached submission: the job handle (pre-completed on a hit),
+    * the sink path holding the result, and whether it was a hit. */
+  final case class CachedSubmit(handle: JobHandle, path: String, hit: Boolean)
+
+  /** Process-local default backend; deployments pass a shared
+    * [[ResultCache]] to [[submitCached]] (the redis.py axis). */
+  val defaultResultCache: InMemoryResultCache = new InMemoryResultCache
+
+  /** Identical submissions in flight RIGHT NOW share one handle —
+    * without this, two racing submits would both miss and write the
+    * same sink concurrently. Entries leave after the cache is fed. */
+  private val inflight = new ConcurrentHashMap[String, CachedSubmit]()
+
+  /** Content key for a cached job: handler name + its REGISTERED
+    * version + canonicalized args + the caller's input snapshot
+    * version. Re-registering the handler (version bump), changing an
+    * arg, or advancing the input snapshot rotates the key — that IS
+    * the invalidation (nothing is purged; stale entries just stop
+    * being addressed, as with the reference's Redis keys). Throws if
+    * the handler is not registered: an unversioned transform has no
+    * stable content identity to cache under. */
+  def cacheKey(handler: String, args: Map[String, String],
+      inputVersion: String): String = {
+    val ver = Handlers.resolve(handler).map(_.version).getOrElse(
+      throw new NoSuchElementException(
+        s"no handler registered under '$handler'"))
+    val argStr = args.toSeq.sorted
+      .map { case (k, v) => s"$k=$v" }.mkString("&")
+    s"$handler@v$ver?$argStr!$inputVersion"
+  }
+
+  private[mr] def sha256Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+
+  /** Already-landed results complete instantly: the handle reports
+    * completed=true / fraction 1.0 with zero scheduler counters. */
+  private def completedHandle(name: String): JobHandle =
+    JobHandle(name, s"graft-cachehit-$name-${UUID.randomUUID().toString.take(8)}",
+      Future.successful(scala.util.Success(())), new AtomicBoolean(false))
+
+  /** Submit `handler(input)` → `<sinkRoot>/<keyDigest>` unless an
+    * identical submission already landed (then: pre-completed handle,
+    * existing path, zero Spark work) or is in flight (then: the
+    * in-flight submission's own handle). The handler is resolved at
+    * submit time, so its version pins the key; the cache is only fed
+    * on SUCCESS — a failed or cancelled job leaves no entry and the
+    * next submit recomputes. Deleting a sink without rotating
+    * `inputVersion` is operator error (the backend is authoritative),
+    * same contract as the reference's Redis-held results. */
+  def submitCached(spark: SparkSession, handler: String, input: DataFrame,
+      inputVersion: String, sinkRoot: String,
+      args: Map[String, String] = Map.empty,
+      format: Sinks.Format = Sinks.Parquet,
+      cache: ResultCache = defaultResultCache): CachedSubmit = {
+    val key = cacheKey(handler, args, inputVersion)
+    cache.get(key) match {
+      case Some(path) => CachedSubmit(completedHandle(handler), path, hit = true)
+      case None =>
+        val sub = inflight.computeIfAbsent(key, { _ =>
+          val path = s"$sinkRoot/${sha256Hex(key).take(16)}"
+          val hd = submitAsync(spark, handler) {
+            Sinks.write(Handlers.run(handler, input), path, format)
+          }
+          hd.onComplete { r =>
+            if (r.isSuccess) cache.put(key, path)
+            inflight.remove(key)
+            ()
+          }
+          CachedSubmit(hd, path, hit = false)
+        })
+        sub
+    }
+  }
+
   /** Cancel every Spark job launched under the handle's group (and
     * mark the handle so a not-yet-started action never runs). The
     * handle's future then completes with a failed Try. */

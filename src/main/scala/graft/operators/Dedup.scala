@@ -229,7 +229,16 @@ object Dedup {
     * native codegen expression ([[graft.functions.SimHash64]]); the
     * candidate join uses the 4×16-bit chunk pigeonhole (hamming ≤ 3 →
     * at least one chunk equal), then exact `bit_count(xor)` verify.
-    * Rows-only oracle (property-tested in DedupSpec). */
+    * Rows-only oracle (property-tested in DedupSpec).
+    *
+    * SCALE ROUTE: the pigeonhole colludes candidate pairs at ~n²/2¹⁶
+    * regardless of similarity — measured 13.1× time for 10× data at
+    * sf1 (BASELINE.md), the one superlinear dedup construction. At
+    * corpus scale route hamming-style near-dup through
+    * [[dedupMinhashLsh]]'s banded buckets instead (linear growth,
+    * 7.7 s at sf1); this operator remains the exact-hamming reference
+    * and the property anchor for stream_neardup. SURVEY §4 records
+    * the same routing. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir).documents
       .select(col("doc_id"), H.simhash(col("text")).as("sh"))

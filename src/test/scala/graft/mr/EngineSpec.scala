@@ -4,6 +4,33 @@ import org.scalacheck.Prop.forAll
 
 import graft.SparkSuite
 
+object EngineSpec {
+  // Spy state for the SharedMountBackend double. Static so the
+  // serialized backend instances running inside local-mode tasks and
+  // the asserting test thread see the same sets.
+  val created = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  val released = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Test double proving a remote-path backend slots into the
+    * [[ScratchFs]] seam: scratch dirs live under one externally-given
+    * mount root (stand-in for an NFS/Tahoe-style shared FS), and
+    * every hand-out/release is recorded. Serializable with only the
+    * root string captured, per the ScratchBackend contract. */
+  final class SharedMountBackend(root: String) extends ScratchBackend {
+    def newScratchDir(): java.nio.file.Path = {
+      val d = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(root), "mount-")
+      created.add(d.toString)
+      d
+    }
+    def release(dir: java.nio.file.Path): Unit = {
+      LocalScratchBackend.release(dir)
+      released.add(dir.toString)
+      ()
+    }
+  }
+}
+
 class EngineSpec extends SparkSuite {
 
   private def sc = spark // force session init before implicits
@@ -125,6 +152,45 @@ class EngineSpec extends SparkSuite {
       reducer = (_, k, vs) => Iterator((k, vs.sorted.mkString("|"))))
     val out = Engine.run(ds, step).collect().toMap
     assert(out === Map(1L -> "payload-1", 2L -> "payload-2", 3L -> "payload-3"))
+  }
+
+  test("ScratchFs seam: a shared-mount backend slots in for Ctx.scratch") {
+    val s = sc; import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-mount-").toString
+    EngineSpec.created.clear(); EngineSpec.released.clear()
+    ScratchFs.use(new EngineSpec.SharedMountBackend(root))
+    try {
+      val ds = Seq(1L, 2L, 3L).toDS()
+      val step = Step[Long, Long, String, (Long, String)](
+        "scratch_mount",
+        mapper = (ctx, v) => {
+          val f = ctx.scratch.resolve(s"w-$v.txt")
+          java.nio.file.Files.writeString(f, s"p-$v")
+          Iterator((v, s"${java.nio.file.Files.readString(f)}@${ctx.scratch}"))
+        },
+        reducer = (_, k, vs) => Iterator((k, vs.head)))
+      val out = Engine.run(ds, step).collect().toMap
+      assert(out.size === 3)
+      out.foreach { case (k, v) =>
+        val Array(payload, dir) = v.split("@", 2)
+        assert(payload === s"p-$k")
+        assert(dir.startsWith(root),
+          s"scratch must live under the installed backend's mount: $dir")
+      }
+      import scala.jdk.CollectionConverters._
+      assert(EngineSpec.created.asScala.nonEmpty)
+      assert(EngineSpec.created.asScala.toSet ===
+        EngineSpec.released.asScala.toSet,
+        "every scratch dir the backend handed out must be released at task end")
+    } finally ScratchFs.reset()
+    // after reset, new jobs are back on executor-local temp dirs
+    val after = Engine.run(Seq(9L).toDS(),
+      Step[Long, Long, String, (Long, String)]("scratch_local",
+        mapper = (ctx, v) => Iterator((v, ctx.scratch.toString)),
+        reducer = (_, k, vs) => Iterator((k, vs.head)))).collect()
+    assert(!after.head._2.startsWith(root),
+      "reset() must restore the local default for subsequent jobs")
   }
 
   test("fanOut routes records to named branches") {

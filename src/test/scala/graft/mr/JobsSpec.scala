@@ -285,6 +285,124 @@ class JobsSpec extends SparkSuite {
       "no message may be spooled for a rejected header")
   }
 
+  test("submitCached: identical re-submit is a cache hit with zero recompute") {
+    val root = Files.createTempDirectory("graft-cache").toString
+    val cache = new InMemoryResultCache
+    val computes = new java.util.concurrent.atomic.AtomicInteger(0)
+    Handlers.register(Handlers.HandlerDef("cached_wc", 1L,
+      "wordcount for the cache spec", { df =>
+        computes.incrementAndGet(); df
+      }))
+    try {
+      val input = MrQueries.mrWordcount(spark, sfDir)
+      val first = Jobs.submitCached(spark, "cached_wc", input,
+        inputVersion = "snap-1", sinkRoot = root, cache = cache)
+      assert(!first.hit)
+      assert(Jobs.await(first.handle, 120.seconds).isSuccess)
+      assert(spark.read.parquet(first.path).count() > 0)
+      assert(computes.get() === 1)
+      val again = Jobs.submitCached(spark, "cached_wc", input,
+        inputVersion = "snap-1", sinkRoot = root, cache = cache)
+      assert(again.hit, "identical submission must hit the cache")
+      assert(again.path === first.path)
+      assert(again.handle.isCompleted &&
+        Jobs.await(again.handle, 1.second).isSuccess)
+      assert(again.handle.progress.fraction === 1.0)
+      assert(computes.get() === 1,
+        "a cache hit must not re-run the handler transform")
+      // a different input snapshot or different args must MISS
+      val newSnap = Jobs.submitCached(spark, "cached_wc", input,
+        inputVersion = "snap-2", sinkRoot = root, cache = cache)
+      assert(!newSnap.hit && newSnap.path != first.path)
+      assert(Jobs.await(newSnap.handle, 120.seconds).isSuccess)
+      val newArgs = Jobs.submitCached(spark, "cached_wc", input,
+        inputVersion = "snap-1", sinkRoot = root,
+        args = Map("mode" -> "strict"), cache = cache)
+      assert(!newArgs.hit && newArgs.path != first.path)
+      assert(newArgs.path != newSnap.path)
+      assert(Jobs.await(newArgs.handle, 120.seconds).isSuccess)
+      assert(computes.get() === 3)
+    } finally { Handlers.delete("cached_wc"); () }
+  }
+
+  test("submitCached: handler re-register (version bump) invalidates the key") {
+    val root = Files.createTempDirectory("graft-cache-inv").toString
+    val cache = new InMemoryResultCache
+    val v1Runs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val v2Runs = new java.util.concurrent.atomic.AtomicInteger(0)
+    Handlers.register(Handlers.HandlerDef("cached_inv", 1L, "v1",
+      { df => v1Runs.incrementAndGet(); df }))
+    try {
+      val input = MrQueries.mrWordcount(spark, sfDir)
+      val first = Jobs.submitCached(spark, "cached_inv", input,
+        inputVersion = "snap-1", sinkRoot = root, cache = cache)
+      assert(Jobs.await(first.handle, 120.seconds).isSuccess)
+      // re-register at a newer version: same name, new content identity
+      assert(Handlers.register(Handlers.HandlerDef("cached_inv", 2L, "v2",
+        { df => v2Runs.incrementAndGet(); df })))
+      val afterBump = Jobs.submitCached(spark, "cached_inv", input,
+        inputVersion = "snap-1", sinkRoot = root, cache = cache)
+      assert(!afterBump.hit,
+        "a version bump must rotate the key and recompute")
+      assert(afterBump.path !== first.path)
+      assert(Jobs.await(afterBump.handle, 120.seconds).isSuccess)
+      assert(v1Runs.get() === 1 && v2Runs.get() === 1,
+        "the NEW handler version must have produced the recompute")
+      // and the bumped result is itself cached now
+      assert(Jobs.submitCached(spark, "cached_inv", input,
+        inputVersion = "snap-1", sinkRoot = root, cache = cache).hit)
+    } finally { Handlers.delete("cached_inv"); () }
+  }
+
+  test("submitCached: failed jobs leave no cache entry; unregistered handlers throw") {
+    val root = Files.createTempDirectory("graft-cache-fail").toString
+    val cache = new InMemoryResultCache
+    intercept[NoSuchElementException] {
+      Jobs.submitCached(spark, "never_registered",
+        MrQueries.mrWordcount(spark, sfDir),
+        inputVersion = "s", sinkRoot = root, cache = cache)
+    }
+    Handlers.register(Handlers.HandlerDef("cached_boom", 1L, "fails",
+      df => df.selectExpr("raise_error('cache boom')")))
+    try {
+      val bad = Jobs.submitCached(spark, "cached_boom",
+        graft.Tables(spark, sfDir).documents,
+        inputVersion = "s", sinkRoot = root, cache = cache)
+      assert(Jobs.await(bad.handle, 120.seconds).isFailure)
+      assert(cache.size === 0, "a failed job must not feed the cache")
+      // next submit misses and tries again (still failing, still no entry)
+      val retry = Jobs.submitCached(spark, "cached_boom",
+        graft.Tables(spark, sfDir).documents,
+        inputVersion = "s", sinkRoot = root, cache = cache)
+      assert(!retry.hit)
+      assert(Jobs.await(retry.handle, 120.seconds).isFailure)
+    } finally { Handlers.delete("cached_boom"); () }
+  }
+
+  test("submitCached: racing identical submits share one in-flight handle") {
+    val root = Files.createTempDirectory("graft-cache-race").toString
+    val cache = new InMemoryResultCache
+    val computes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    Handlers.register(Handlers.HandlerDef("cached_race", 1L, "slow",
+      { df => computes.incrementAndGet(); gate.await(); df }))
+    try {
+      val input = MrQueries.mrWordcount(spark, sfDir)
+      val a = Jobs.submitCached(spark, "cached_race", input,
+        inputVersion = "s", sinkRoot = root, cache = cache)
+      // the transform runs inside the async action; whether or not it
+      // has started yet, the second submit must attach, not re-launch
+      val b = Jobs.submitCached(spark, "cached_race", input,
+        inputVersion = "s", sinkRoot = root, cache = cache)
+      assert(b.handle eq a.handle,
+        "identical in-flight submissions must share the handle")
+      assert(b.path === a.path)
+      gate.countDown()
+      assert(Jobs.await(a.handle, 120.seconds).isSuccess)
+      assert(computes.get() === 1, "exactly one computation ran")
+    } finally { Handlers.delete("cached_race"); () }
+  }
+
   test("shared-stage accounting: foreign-attributed tasks leave the total") {
     // group B listed stage 7 (tasksTotal += 4 at onJobStart) but the
     // first-wins attribution gave it to group A — B can never be
