@@ -292,6 +292,43 @@ object Streams {
         neardupFn)
   }
 
+  /** TTL-bounded variant of [[neardupStateful]] — the "near-dup
+    * within N days" retention decision the contract above names, made
+    * concrete. A bucket idle past `ttlMs` drops its whole
+    * (doc_id, simhash) list on the next trigger, so a HOT pigeonhole
+    * bucket's state is bounded by arrival-rate × ttl instead of
+    * corpus size — the declared semantic trade being that a near-dup
+    * arriving after the window pairs with nothing. Timeouts are
+    * processing-time: they fire for buckets that receive no data in a
+    * batch (a bucket receiving data instead re-arms its deadline).
+    * StreamsSpec stresses this with a planted hot bucket.
+    *
+    * Operational note: with ProcessingTimeTimeout the state operator
+    * reports `shouldRunAnotherBatch` unconditionally (a later wall
+    * clock may fire timeouts), so the query keeps scheduling no-data
+    * micro-batches and `processAllAvailable()` NEVER observes
+    * quiescence — drive tests/tools by polling the sink, and give the
+    * query a real trigger interval so idle eviction batches don't
+    * spin (StreamsSpec does both). */
+  def neardupStatefulTtl(docs: Dataset[ChunkedDoc],
+      ttlMs: Long): Dataset[NearDup] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(d => (d.idx, d.key))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.ProcessingTimeTimeout) {
+        (bucket: (Int, Int), ds: Iterator[ChunkedDoc],
+            state: GroupState[ShBucket]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val out = neardupFn(bucket, ds, state)
+            state.setTimeoutDuration(ttlMs)
+            out
+          }
+      }
+  }
+
   /** G4 batch entry: simhash hamming-≤3 near-dup pairs over
     * `documents`, computed through the streaming state machine. In
     * batch mode each bucket's full history arrives in one call, so

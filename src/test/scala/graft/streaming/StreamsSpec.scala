@@ -241,6 +241,74 @@ class StreamsSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("neardup TTL: a planted hot pigeonhole bucket evicts on idle and stays bounded") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    // Planted skew (the DedupSpec power-law analogue for the
+    // pigeonhole): EVERY doc shares chunk-0 value 0x2A — one hot
+    // (idx=0, key=0x2A) bucket accumulating the whole corpus under
+    // NoTimeout. The other three chunks are one-nibble-0xF patterns,
+    // so distinct docs sit >= 8 hamming apart (no accidental pairs).
+    def shOf(i: Int): Long =
+      ((0xFL << (4 * (i % 4))) << 48) |
+        ((0xFL << (4 * ((i / 4) % 4))) << 32) |
+        ((0xFL << (4 * ((i / 16) % 4))) << 16) | 0x2AL
+    def rows(id: Long, sh: Long): Seq[Streams.ChunkedDoc] =
+      (0 until 4).map(i => Streams.ChunkedDoc(i,
+        ((sh >>> (i * 16)) & 0xFFFFL).toInt, id, sh))
+    val ttlMs = 1000L
+    val stream = MemoryStream[Streams.ChunkedDoc]
+    // NO processAllAvailable anywhere in this test: with
+    // ProcessingTimeTimeout the state op reports shouldRunAnotherBatch
+    // unconditionally, so no-data batches keep coming and
+    // processAllAvailable never sees quiescence (it would hang
+    // forever). Poll the sink/progress with a deadline instead, and
+    // throttle the idle-batch spin with a real trigger interval.
+    val query = Streams.neardupStatefulTtl(stream.toDS(), ttlMs)
+      .writeStream.format("memory").queryName("neardup_ttl")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .start()
+    def pairs(): Set[(Long, Long, Int)] =
+      s.table("neardup_ttl").as[Streams.NearDup]
+        .collect().map(p => (p.doc_a, p.doc_b, p.hamming)).toSet
+    def stateRows(): Long = Option(query.lastProgress)
+      .map(_.stateOperators(0).numRowsTotal).getOrElse(-1L)
+    def awaitCond(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis() + 60000L
+      while (!cond && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(cond, s"not observed within 60s: $what")
+    }
+    try {
+      // batch 1: 40 hot-bucket docs, mutually far apart (~12 buckets,
+      // every doc in the hot one)
+      stream.addData((0 until 40).flatMap(i => rows(i.toLong, shOf(i))))
+      awaitCond("skewed corpus loaded into bucket state")(stateRows() >= 10L)
+      val afterLoad = stateRows()
+      // within TTL: 1-bit neighbor of doc 0 -> pair emitted
+      stream.addData(rows(1000L, shOf(0) ^ (1L << 16)))
+      awaitCond("within-TTL near-dup pairs")(pairs().contains((0L, 1000L, 1)))
+      // idle past the TTL: the no-data timeout batches drop the hot
+      // bucket and friends — state is bounded by rate x ttl, not
+      // corpus. Wait for FULL drain so the post-TTL probe below is
+      // deterministic (partial drain could leave the hot bucket).
+      assert(afterLoad > 0L)
+      awaitCond(s"idle buckets all evict (loaded $afterLoad rows)")(
+        stateRows() == 0L)
+      // a doc that WOULD have paired with doc 0 arrives post-eviction:
+      // outside the retention window it pairs with nothing (the trade
+      // the TTL buys), but fresh within-window pairs still emit
+      stream.addData(rows(2000L, shOf(0) ^ (3L << 16)))
+      stream.addData(rows(3000L, shOf(0) ^ (1L << 16) ^ (3L << 16)))
+      awaitCond("fresh within-TTL pair emits after eviction")(
+        pairs().exists(p => p._1 == 2000L && p._2 == 3000L))
+      assert(!pairs().exists(p => p._1 < 2000L && p._2 == 2000L),
+        s"post-TTL arrival must not pair with evicted state: ${pairs()}")
+    } finally query.stop()
+  }
+
   test("state survives across triggers (session continues, then closes)") {
     val s = spark; import s.implicits._
     implicit val sq = s.sqlContext
