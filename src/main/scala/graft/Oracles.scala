@@ -644,7 +644,45 @@ object Oracles {
          |  round(sum(oov) / count(*), 4) AS oov_ratio
          |FROM m GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    // Mean corpus token frequency per doc: Σ cnt / (n_tokens · N) with
+    // both operands exact integers, ONE double division (correctly
+    // rounded IEEE, bit-exact cross-engine). Casts keep DuckDB's
+    // hugeint sums out of the division.
+    "text_typicality" ->
+      raw"""WITH t AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+         |                       w -> w <> '')) AS tok
+         |  FROM documents),
+         |v AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+         |nt AS (SELECT sum(cnt)::bigint AS n_total FROM v)
+         |SELECT t.doc_id, count(*)::int AS n_tokens,
+         |  sum(v.cnt)::bigint AS sum_cnt, min(v.cnt)::bigint AS min_cnt,
+         |  round(sum(v.cnt)::bigint / (count(*) * nt.n_total), 6)
+         |    AS typicality
+         |FROM t JOIN v USING (tok) CROSS JOIN nt
+         |GROUP BY t.doc_id, nt.n_total
+         |ORDER BY t.doc_id""".stripMargin,
+
+    // Corpus card per (source, lang): integer sums, exact single
+    // divisions only — no FP accumulation.
+    "corpus_stats" ->
+      raw"""WITH pd AS (
+         |  SELECT source, lang,
+         |    len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+         |                    w -> w <> '')) AS n_tok,
+         |    length(text) AS n_chars
+         |  FROM documents),
+         |tot AS (SELECT count(*) AS total_docs FROM pd)
+         |SELECT source, lang, count(*)::int AS n_docs,
+         |  sum(n_tok)::bigint AS n_tokens, sum(n_chars)::bigint AS n_chars,
+         |  round(sum(n_tok)::bigint / count(*), 4) AS tokens_per_doc,
+         |  round(count(*) / tot.total_docs, 6) AS doc_share
+         |FROM pd CROSS JOIN tot
+         |GROUP BY source, lang, tot.total_docs
+         |ORDER BY source, lang""".stripMargin
   )
 
   /** Shared inverted-shingle-index CTE chain over `src` (must expose

@@ -72,6 +72,8 @@ object SparkEntry {
     "text_tfidf"         -> TextQueries.textTfidf,
     "text_repetition"    -> TextQueries.textRepetition,
     "text_oov"           -> TextQueries.textOov,
+    "text_typicality"    -> TextQueries.textTypicality,
+    "corpus_stats"       -> TextQueries.corpusStats,
     // §2C — deduplication
     "dedup_exact"         -> Dedup.dedupExact,
     "dedup_substring"     -> Dedup.dedupSubstring,

@@ -165,6 +165,82 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** E8: token-typicality scoring — per-document mean corpus
+    * frequency of its tokens, the "is this document drawn from this
+    * corpus' distribution" OOD signal (rare-token-heavy docs score
+    * low; [[textOov]]'s binary cut is its thresholded cousin). All
+    * integer algebra until ONE double division — mean frequency =
+    * Σ cnt(tok) / (n_tokens · N) with both operands exact longs, so
+    * the IEEE quotient is correctly rounded and the DuckDB oracle
+    * hash-gates it bit-exactly. min_cnt (the doc's rarest token) is
+    * pure integer.
+    *
+    * Shape: one wordcount agg (map-side combined, |vocab| rows out),
+    * its 1-row total via crossJoin(broadcast) [textTfidf's named
+    * pattern], the vocab broadcast back over the token stream, one
+    * groupBy(doc_id) re-collapse. Two deliberate corpus scans
+    * (compute-stats-then-apply, the text_oov convention). The vocab
+    * broadcast is right while |whitespace vocab| stays executor-sized
+    * (~10⁶ tokens); a corpus beyond that flips the probe to a plain
+    * shuffle join on tok — same algebra, one more exchange. */
+  def textTypicality(spark: SparkSession, dir: String): DataFrame =
+    typicalityOf(Tables(spark, dir).documents)
+
+  /** Core typicality scoring over a (doc_id, text) frame (specs plant
+    * skewed fixtures). */
+  def typicalityOf(d: DataFrame): DataFrame = {
+    val toks = d.select(col("doc_id"),
+        explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    // vocab is referenced TWICE (probe join + corpus total) and
+    // Catalyst does not dedup repeated subtrees — unpersisted, the
+    // full-corpus wordcount would run twice (CLAUDE.md). |vocab| rows
+    // is KBs; CacheManager dedups by plan, no unpersist (Curate
+    // .survivors pattern). TypicalitySpec locks the scan counts.
+    val vocab = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTot = vocab.agg(sum(col("cnt")).as("n_total"))
+    toks.join(broadcast(vocab), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("cnt")).as("sum_cnt"),
+        min(col("cnt")).as("min_cnt"))
+      .crossJoin(broadcast(nTot))
+      .select(col("doc_id"),
+        col("n_tokens").cast("int").as("n_tokens"),
+        col("sum_cnt"), col("min_cnt"),
+        round(col("sum_cnt") / (col("n_tokens") * col("n_total")), 6)
+          .as("typicality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** E9: corpus reporting card — per (source, lang) stratum: doc and
+    * token volumes plus exact-rational density/share columns (the
+    * numbers every corpus datasheet leads with, and what mix_sources /
+    * sample_stratified decisions are made against). Integer sums with
+    * single exact divisions only — no FP accumulation anywhere, so
+    * the hash gate is trivial. One map-side-combined groupBy over
+    * |sources|×|langs| keys + the 1-row corpus-total broadcast. */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val nTok = T.wsTokenCount(col("text"))
+    val perDoc = d.select(col("source"), col("lang"),
+      nTok.as("n_tok"), length(col("text")).as("n_chars"))
+    val strata = perDoc.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+    val tot = perDoc.agg(count(lit(1)).as("total_docs"))
+    strata.crossJoin(broadcast(tot))
+      .select(col("source"), col("lang"),
+        col("n_docs").cast("int").as("n_docs"),
+        col("n_tokens"), col("n_chars"),
+        round(col("n_tokens") / col("n_docs"), 4).as("tokens_per_doc"),
+        round(col("n_docs") / col("total_docs"), 6).as("doc_share"))
+      .orderBy(col("source"), col("lang"))
+  }
+
   /** E6: repetition scoring (Gopher/C4-style quality signal) —
     * duplicate-word and duplicate-bigram fractions per document.
     * Token and bigram multisets come from [[ShingleHashes]] (one

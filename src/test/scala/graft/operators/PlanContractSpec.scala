@@ -18,8 +18,12 @@ class PlanContractSpec extends SparkSuite {
   //    aggregate — a broadcast scalar, O(n) total.
   //  - text_tfidf: same shape as q14 — the corpus-size N is a 1-row
   //    count() aggregate crossJoin-broadcast into the scorer.
+  //  - text_typicality / corpus_stats: same 1-row-total
+  //    crossJoin-broadcast shape as text_tfidf (corpus token count /
+  //    corpus doc count respectively).
   private val boundedBroadcastOk =
-    Set("ann_bruteforce", "q14_scalar_subquery", "text_tfidf")
+    Set("ann_bruteforce", "q14_scalar_subquery", "text_tfidf",
+      "text_typicality", "corpus_stats")
 
   test("no query plans a cartesian or unbounded nested-loop join") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
