@@ -682,7 +682,35 @@ object Oracles {
          |  round(count(*) / tot.total_docs, 6) AS doc_share
          |FROM pd CROSS JOIN tot
          |GROUP BY source, lang, tot.total_docs
-         |ORDER BY source, lang""".stripMargin
+         |ORDER BY source, lang""".stripMargin,
+
+    // Top-k bigrams per language: the same \s+ tokenize-and-compact
+    // as WordNgrams (the pack_sequences regex), 1-indexed adjacent
+    // pairs via an end-exclusive range, integer counts, total
+    // (n desc, bigram asc) tiebreak. k single-sourced from
+    // TextQueries.TopNgramsK.
+    "corpus_ngrams" -> {
+      val k = graft.functions.TextQueries.TopNgramsK
+      raw"""WITH t AS (
+         |  SELECT lang,
+         |    list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+         |                w -> w <> '') AS s
+         |  FROM documents),
+         |g AS (
+         |  SELECT lang,
+         |    unnest(list_transform(range(1, len(s)),
+         |                          i -> s[i] || ' ' || s[i + 1])) AS bigram
+         |  FROM t WHERE len(s) >= 2),
+         |c AS (
+         |  SELECT lang, bigram, count(*) AS n FROM g GROUP BY lang, bigram)
+         |SELECT lang, rk::int AS rk, bigram, n FROM (
+         |  SELECT lang, bigram, n,
+         |    row_number() OVER (PARTITION BY lang
+         |                       ORDER BY n DESC, bigram) AS rk
+         |  FROM c)
+         |WHERE rk <= $k
+         |ORDER BY lang, rk""".stripMargin
+    }
   )
 
   /** Shared inverted-shingle-index CTE chain over `src` (must expose
@@ -992,20 +1020,7 @@ object Oracles {
          |ORDER BY doc_id""".stripMargin
     },
 
-    "sample_stratified" -> {
-      val cases = graft.operators.Sampling.LangThresholds
-        .map { case (lang, thr, _) => s"WHEN '$lang' THEN '$thr'" }
-        .mkString(" ")
-      s"""WITH s AS (
-         |  SELECT doc_id, lang,
-         |    substr(md5('${graft.operators.Sampling.Seed}'
-         |               || doc_id::varchar), 1, 4) AS bucket,
-         |    CASE lang $cases ELSE '0000' END AS thr
-         |  FROM documents)
-         |SELECT doc_id, lang, bucket, thr
-         |FROM s WHERE bucket < thr
-         |ORDER BY doc_id""".stripMargin
-    },
+    "sample_stratified" -> stratifiedSampleSql,
 
     // Mixture rebalance toward the declared per-source weight recipe:
     // thr is pure integer algebra over the per-source counts, the
@@ -1037,6 +1052,42 @@ object Oracles {
          |ORDER BY doc_id""".stripMargin
     },
 
+    // Epoch upsampling toward the same recipe: base copies are the
+    // integral part of thr_total/65536, the fractional extra copy is
+    // the fixed-width-hex md5 draw under mixEpochs' own salt against
+    // rem = thr_total mod 65536. Epoch ids come from an end-exclusive
+    // range so n_copies = 0 emits nothing in both engines.
+    "mix_epochs" -> {
+      val seed = graft.operators.Sampling.EpochSeed
+      val m = graft.operators.Sampling.MixWeightMod
+      s"""WITH c AS (
+         |  SELECT source, count(*) AS cnt,
+         |    substr(source, 4)::bigint % $m + 1 AS w
+         |  FROM documents GROUP BY source),
+         |r AS (
+         |  SELECT source,
+         |    ((sum(cnt) OVER ())::bigint * w * 65536)
+         |      // ((sum(w) OVER ())::bigint * cnt) AS thr_total
+         |  FROM c),
+         |s AS (
+         |  SELECT d.doc_id, d.source,
+         |    (r.thr_total // 65536) AS base,
+         |    (r.thr_total % 65536) AS rem,
+         |    substr(md5('$seed' || d.doc_id::varchar), 1, 4) AS bucket
+         |  FROM documents d JOIN r USING (source)),
+         |k AS (
+         |  SELECT doc_id, source,
+         |    (base + CASE WHEN bucket < lpad(lower(hex(rem)), 4, '0')
+         |                 THEN 1 ELSE 0 END)::int AS n_copies
+         |  FROM s)
+         |SELECT doc_id, source, epoch::int AS epoch, n_copies
+         |FROM (
+         |  SELECT doc_id, source, n_copies,
+         |    unnest(range(0, n_copies)) AS epoch
+         |  FROM k WHERE n_copies > 0)
+         |ORDER BY doc_id, epoch""".stripMargin
+    },
+
     // Asymmetric containment |A∩B|/|A| over the SAME df-cut shingle
     // space as the pair chain (shingleCtes single-sources both);
     // τ and the eval slice come from Decontaminate so Spark and
@@ -1048,6 +1099,27 @@ object Oracles {
          |FROM contam
          |ORDER BY eval_doc, train_doc""".stripMargin
   )
+
+  /** J1 stratified sample — keep iff first 16 md5 bits (as 4-char
+    * lowercase hex — fixed-width hex compare IS the numeric compare)
+    * sort below the per-lang threshold. Seed + thresholds single-
+    * sourced from graft.operators.Sampling. SHARED by the J1 batch
+    * entry and the G10 stream_sample batch entry — the stateless
+    * streaming path must reproduce this exactly. */
+  private def stratifiedSampleSql: String = {
+    val cases = graft.operators.Sampling.LangThresholds
+      .map { case (lang, thr, _) => s"WHEN '$lang' THEN '$thr'" }
+      .mkString(" ")
+    s"""WITH s AS (
+       |  SELECT doc_id, lang,
+       |    substr(md5('${graft.operators.Sampling.Seed}'
+       |               || doc_id::varchar), 1, 4) AS bucket,
+       |    CASE lang $cases ELSE '0000' END AS thr
+       |  FROM documents)
+       |SELECT doc_id, lang, bucket, thr
+       |FROM s WHERE bucket < thr
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** SURVEY §2I — the composed curation pipeline: E2 quality filter →
     * exact dedup (min doc_id per md5) → near-dup component
@@ -1170,7 +1242,51 @@ object Oracles {
         |                       ORDER BY cos DESC, n_id) AS rk
         |  FROM pairs)
         |WHERE rk <= 5
-        |ORDER BY q_id, rk""".stripMargin
+        |ORDER BY q_id, rk""".stripMargin,
+
+    // Int8 quantization digest. The quantized value is spelled as the
+    // SAME floor algebra QuantStatsI8 generates — floor(|y| + 0.5)
+    // with the sign restored, never an engine round() — and scale is
+    // the same NaN-propagating greatest fold as embed_stats over
+    // the same cast-to-double list, so q_i, scale and every sq_err
+    // term are bit-identical cross-engine. An all-zero/empty vector
+    // takes the scale=0 → all-zero-q branch in BOTH engines (no 0/0
+    // NaN); the empty-vector folds are len-gated like embed_stats so
+    // a zero-length embedding surfaces as a visible NULL-vs-0 diff,
+    // never an oracle crash. Squares are ≥ 0 ⇒ the seedless
+    // list_reduce == the 0.0-seeded generated loop bit-for-bit.
+    "embed_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, v, len(v)::int AS dim,
+        |    CASE WHEN len(v) = 0 THEN 0.0
+        |      ELSE list_reduce(list_transform(v, x -> abs(x)),
+        |        (x, y) -> greatest(x, y)) END / 127.0 AS scale
+        |  FROM e),
+        |q AS (
+        |  SELECT vec_id, v, dim, scale,
+        |    list_transform(v, x -> CASE WHEN scale = 0 THEN 0::bigint
+        |      ELSE least(127::bigint, greatest((-127)::bigint,
+        |        (CASE WHEN x / scale >= 0 THEN floor(x / scale + 0.5)
+        |              ELSE -floor(-(x / scale) + 0.5) END)::bigint))
+        |      END) AS ql
+        |  FROM m)
+        |SELECT vec_id, dim, round(scale, 8) AS scale,
+        |  CASE WHEN dim = 0 THEN NULL
+        |    ELSE list_sum(ql)::bigint END AS q_sum,
+        |  list_min(ql)::int AS q_min,
+        |  list_max(ql)::int AS q_max,
+        |  len(list_filter(ql, x -> abs(x) = 127))::int AS n_sat,
+        |  len(list_filter(ql, x -> x = 0))::int AS n_zero,
+        |  CASE WHEN dim = 0 THEN NULL
+        |    ELSE round(list_reduce(
+        |      list_transform(list_zip(v, ql),
+        |        p -> (p[1] - p[2] * scale) * (p[1] - p[2] * scale)),
+        |      (x, y) -> x + y), 8) END AS sq_err
+        |FROM q
+        |ORDER BY vec_id""".stripMargin
   )
 
   /** SURVEY §2F — multimodal binary plumbing. mm_decode's oracle does
@@ -1466,6 +1582,10 @@ object Oracles {
 
     // Same contract for the stateful trailing-window anomaly scorer.
     "stream_anomaly" -> anomalySql,
+
+    // The stateless ingestion sampler must equal the J1 batch sample
+    // row-for-row — same shared SQL.
+    "stream_sample" -> stratifiedSampleSql,
     "stream_window_agg" ->
       """SELECT win_start, event_type, count(*) AS n_events,
         |  round(sum(value), 4) AS sum_value

@@ -74,6 +74,7 @@ object SparkEntry {
     "text_oov"           -> TextQueries.textOov,
     "text_typicality"    -> TextQueries.textTypicality,
     "corpus_stats"       -> TextQueries.corpusStats,
+    "corpus_ngrams"      -> TextQueries.corpusNgrams,
     // §2C — deduplication
     "dedup_exact"         -> Dedup.dedupExact,
     "dedup_substring"     -> Dedup.dedupSubstring,
@@ -86,6 +87,7 @@ object SparkEntry {
     "sample_stratified"   -> (graft.operators.Sampling.sampleStratified(_, _)),
     "pack_sequences"      -> (graft.operators.Sampling.packSequences(_, _)),
     "mix_sources"         -> (graft.operators.Sampling.mixSources(_, _)),
+    "mix_epochs"          -> (graft.operators.Sampling.mixEpochs(_, _)),
     "decontaminate"       -> (graft.operators.Decontaminate.decontaminate(_, _)),
     // §2I — composed curation pipeline
     "curate_corpus"       -> (graft.operators.Curate.curateCorpus(_, _)),
@@ -94,6 +96,7 @@ object SparkEntry {
     // §2D — similarity search
     "ann_bruteforce"      -> Similarity.annBruteforce,
     "embed_stats"         -> Similarity.embedStats,
+    "embed_quantize"      -> Similarity.embedQuantize,
     "ann_lsh"             -> Similarity.annLsh,
     "ann_ivf"             -> ((s, d) => Similarity.annIvf(s, d)),
     "embed_cluster"       -> (graft.operators.Cluster.embedCluster(_, _)),
@@ -111,7 +114,8 @@ object SparkEntry {
     "stream_retention"    -> Streams.streamRetention,
     "stream_attribution"  -> Streams.streamAttribution,
     "stream_anomaly"      -> Streams.streamAnomaly,
-    "stream_enrich"       -> Streams.streamEnrich
+    "stream_enrich"       -> Streams.streamEnrich,
+    "stream_sample"       -> Streams.streamSample
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -241,6 +241,38 @@ object TextQueries {
       .orderBy(col("source"), col("lang"))
   }
 
+  /** Top-k cut for [[corpusNgrams]] (single-sourced into the oracle).
+    * Small enough that the per-lang result is a screenful; the rank
+    * cut is what makes the plan a WindowGroupLimit, not a global
+    * sort of the whole n-gram table. */
+  val TopNgramsK = 5
+
+  /** E10: corpus-level top-k bigrams per language — the "what
+    * boilerplate dominates this crawl" report (and the n-gram blocklist
+    * feed for C4-style filtering). Word-count-shaped and fully
+    * shuffle-parallel at any scale: one generated loop per row
+    * ([[WordNgrams]] — no interpreted HOF) explodes per-occurrence
+    * bigrams map-side, the (lang, bigram) groupBy partial-aggregates
+    * before its single exchange, and the rank-limited window plans a
+    * WindowGroupLimit (each partition keeps ≤ k rows per lang before
+    * the final sort — the full bigram table is never globally
+    * sorted; NgramsSpec locks the node). Counts are integers and the
+    * tiebreak (n desc, bigram asc) is total ⇒ exact hash gate. */
+  def corpusNgrams(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(spark, dir).documents
+    val grams = d.select(col("lang"),
+      explode(WordNgrams(col("text"), 2)).as("bigram"))
+    val counts = grams.groupBy(col("lang"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n").desc, col("bigram").asc)
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopNgramsK)
+      .select(col("lang"), col("rk"), col("bigram"), col("n"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   /** E6: repetition scoring (Gopher/C4-style quality signal) —
     * duplicate-word and duplicate-bigram fractions per document.
     * Token and bigram multisets come from [[ShingleHashes]] (one

@@ -178,4 +178,68 @@ object Sampling {
         (col("start_off") % PackBudget).cast("int").as("seq_offset"))
       .orderBy(col("doc_id"))
   }
+
+  /** Salt for [[mixEpochs]] — independent draw from [[Seed]] and
+    * [[MixSeed]] (the extra-copy lottery must not correlate with
+    * which docs the downsampling mixes keep). */
+  val EpochSeed = "graft-epoch-11:"
+
+  /** J4: epoch-style UPsampling toward the recipe — the half of
+    * mixture rebalancing that [[mixSources]] deliberately clamps
+    * away. A rate filter cannot emit a row twice; trainers instead
+    * repeat under-represented sources for fractional "epochs"
+    * (e.g. books ×1.74): every doc of source s gets
+    * `floor(rate_s)` copies plus one more with probability
+    * `frac(rate_s)`, so E[copies] = rate_s exactly and a source's
+    * effective share matches the declared weight recipe without any
+    * doc being over-repeated (copies differ by at most 1 within a
+    * source — the low-discrepancy repetition trainers want, not an
+    * iid draw of the whole corpus).
+    *
+    * Determinism/oracle: thr_total = (total·w·65536) div (wsum·cnt)
+    * is PURE INTEGER algebra (single-sourced recipe with
+    * [[mixSources]]); base = thr_total div 65536 copies are
+    * unconditional, and the fractional extra copy is the fixed-width
+    * hex md5 compare of [[sampleStratified]] under [[EpochSeed]]
+    * against rem = thr_total mod 65536 — bit-reproducible
+    * cross-engine, rem = 0 (an exactly-integral rate) draws nothing.
+    *
+    * Scale shape: identical to mix_sources — the rate table is one
+    * tiny agg broadcast back; the data plane is scan →
+    * broadcast-hash-join → per-row explode of ≤ base+1 epoch ids.
+    * Zero corpus shuffles, no window over the corpus; output size is
+    * Σ rate_s·cnt_s = |corpus| rows per recipe epoch regardless of
+    * skew. Two scans (count pass + probe pass) by design. */
+  def mixEpochs(spark: SparkSession, dir: String): DataFrame =
+    epochsOf(Tables(spark, dir).documents)
+
+  /** Core epoch-replication algebra over any (doc_id, source) frame
+    * (specs plant skewed fixtures hitting all three regimes:
+    * fractional-only, exactly ×1, integral multiple). */
+  def epochsOf(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val everyRow = Window.partitionBy() // |sources| rows, post-agg only
+    val rates = d.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+      .withColumn("w",
+        expr(s"cast(substring(source, 4) as bigint) % $MixWeightMod + 1"))
+      .withColumn("total", sum(col("cnt")).over(everyRow))
+      .withColumn("wsum", sum(col("w")).over(everyRow))
+      .withColumn("thr_total", expr("(total * w * 65536) div (wsum * cnt)"))
+      .select(col("source"),
+        expr("thr_total div 65536").as("base"),
+        (col("thr_total") % 65536L).as("rem"))
+    d.select(col("doc_id"), col("source"))
+      .join(broadcast(rates), "source")
+      .withColumn("bucket", hashBucket(col("doc_id"), EpochSeed))
+      // rem < 65536 ⇒ 4 hex chars; rem = 0 ⇒ "0000", beaten by no bucket
+      .withColumn("rem_hex", lpad(lower(hex(col("rem"))), 4, "0"))
+      .withColumn("n_copies",
+        (col("base") +
+          when(col("bucket") < col("rem_hex"), 1L).otherwise(0L)).cast("int"))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"), col("n_copies"),
+        explode(sequence(lit(0), col("n_copies") - 1)).as("epoch"))
+      .select(col("doc_id"), col("source"), col("epoch"), col("n_copies"))
+      .orderBy(col("doc_id"), col("epoch"))
+  }
 }

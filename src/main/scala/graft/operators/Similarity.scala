@@ -75,6 +75,30 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** D6: per-embedding int8 quantization digest — the "compress
+    * vectors to int8 before the ANN store" pass. One generated loop
+    * per row ([[graft.functions.QuantStatsI8]]: max|x| → scale →
+    * quantize/clamp/digest in a single pass), zero shuffles, full
+    * pushdown. The summed squared reconstruction error couples every
+    * component to its quantized value, so the DuckDB oracle
+    * hash-gates each position bit-exactly without shipping the q
+    * array. Finite-input precondition documented on the expression
+    * (run [[embedStats]] upstream, as a real pipeline would). */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val st = graft.functions.QuantStatsI8(V.toDouble(col("embedding")))
+    e.select(col("vec_id"), size(col("embedding")).as("dim"), st.as("st"))
+      .select(col("vec_id"), col("dim"),
+        round(col("st.scale"), 8).as("scale"),
+        col("st.q_sum").as("q_sum"),
+        col("st.q_min").as("q_min"),
+        col("st.q_max").as("q_max"),
+        col("st.n_sat").as("n_sat"),
+        col("st.n_zero").as("n_zero"),
+        round(col("st.sq_err"), 8).as("sq_err"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Vectors with norms; queries = vec_id < 10 (deterministic set). */
   private def vectors(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).embeddings

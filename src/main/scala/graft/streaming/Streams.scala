@@ -725,6 +725,30 @@ object Streams {
       .select(unix_timestamp(col("window.start")).as("day_start"),
               col("c_mktsegment"), col("n_events"), col("sum_value"))
 
+  /** G10 transform: streaming ingestion sampling — the J1
+    * sample_stratified predicate applied to documents as they
+    * arrive (sample the firehose at ingest, don't land it all and
+    * thin later). Each row's fate is a pure function of its own key
+    * (fixed-width-hex md5 draw vs the stratum threshold), so the
+    * streaming plan is scan → project → filter: STATELESS — no state
+    * store, no watermark, no shuffle, nothing to checkpoint but the
+    * source offsets — and the kept set is bit-identical to the batch
+    * sample over the same rows regardless of micro-batching or
+    * arrival order (J1's determinism carried to the stream;
+    * StreamsSpec drives both and asserts zero state operators).
+    * Works on any (doc_id, lang) frame, batch or stream. */
+  def sampleTransform(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+        graft.operators.Sampling.hashBucket(col("doc_id")).as("bucket"),
+        graft.operators.Sampling.langThresholdCol.as("thr"))
+      .filter(col("bucket") < col("thr"))
+
+  /** G10 batch entry — equals J1 sample_stratified row-for-row and
+    * shares its SQL oracle. */
+  def streamSample(spark: SparkSession, dir: String): DataFrame =
+    sampleTransform(Tables(spark, dir).documents)
+      .orderBy(col("doc_id"))
+
   /** G7 batch entry (driver-verified against the DuckDB join oracle). */
   def streamEnrich(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)

@@ -113,6 +113,74 @@ class SamplingSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("mix_epochs replicates to the recipe rate; all three regimes") {
+    val s = spark; import s.implicits._
+    // same planted skew as mix_sources, but read as UPsampling rates:
+    // src0 (w=1, 300 docs) → rate 1/3: base 0, extra-copy lottery only;
+    // src1 (w=2, 200 docs) → rate exactly 1: base 1, rem 0 (no draw);
+    // src2 (w=3, 100 docs) → rate exactly 3: base 3, rem 0 (×3 exact)
+    val docs = ((0 until 300).map(i => (i.toLong, "src0")) ++
+      (300 until 500).map(i => (i.toLong, "src1")) ++
+      (500 until 600).map(i => (i.toLong, "src2")))
+      .toDF("doc_id", "source")
+    val out = Sampling.epochsOf(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    val bySrc = out.groupBy(_._2)
+    // src1: exactly one copy of every doc, all epoch 0
+    assert(bySrc("src1").length == 200 &&
+      bySrc("src1").forall(r => r._3 == 0 && r._4 == 1),
+      "rate exactly 1 must emit each doc once")
+    // src2: exactly three copies of every doc, epochs dense 0..2
+    assert(bySrc("src2").length == 300, "rate 3 must triple the source")
+    bySrc("src2").groupBy(_._1).foreach { case (id, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == Seq(0, 1, 2),
+        s"doc $id: epochs must be dense 0..2")
+      assert(rows.forall(_._4 == 3))
+    }
+    // src0: base 0 — every emitted doc appears exactly once, and the
+    // emitted fraction is rem/65536 = 21845/65536 ≈ 1/3 ± binomial
+    val src0 = bySrc.getOrElse("src0", Array.empty)
+    assert(src0.forall(r => r._3 == 0 && r._4 == 1))
+    assert(src0.map(_._1).distinct.length == src0.length)
+    val rate = 21845.0 / 65536
+    val tol = 4 * math.sqrt(rate * (1 - rate) / 300) + 0.02
+    assert(math.abs(src0.length.toDouble / 300 - rate) <= tol,
+      s"src0: got ${src0.length}/300, want ≈$rate ±$tol")
+    // low-discrepancy invariant: within a source, copies differ by ≤1
+    bySrc.foreach { case (src, rows) =>
+      val counts = rows.groupBy(_._1).map(_._2.length).toSet
+      assert(counts.size <= 2 &&
+        (counts.size == 1 || counts.max - counts.min == 1),
+        s"$src: per-doc copies must differ by at most 1, got $counts")
+    }
+    // and on the real corpus the emitted multiset is deterministic
+    val a = Sampling.mixEpochs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(2))).toSeq
+    val b = Sampling.mixEpochs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(2))).toSeq
+    assert(a == b)
+  }
+
+  test("mix_epochs broadcasts the rate table; corpus is never hash-shuffled") {
+    val q = Sampling.mixEpochs(spark, sfDir)
+    q.collect() // let AQE finalize join strategies before reading the plan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rate table must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must not sort-merge against a tiny rate table:\n$plan")
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case qs: QueryStageExec => scans(qs.plan)
+      case _: FileSourceScanExec => 1
+      case other => other.children.map(scans).sum
+    }
+    val n = scans(q.queryExecution.executedPlan)
+    assert(n == 2, s"expected exactly 2 documents scans, got $n:\n$plan")
+  }
+
   test("mix_sources broadcasts the rate table; corpus is never hash-shuffled") {
     val q = Sampling.mixSources(spark, sfDir)
     q.collect() // let AQE finalize join strategies before reading the plan

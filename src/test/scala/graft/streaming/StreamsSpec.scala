@@ -506,6 +506,39 @@ class StreamsSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("stateless ingestion sampling through a real stream equals the batch sample") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    val expected = Streams.streamSample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSeq
+    val rows = graft.Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val stream = MemoryStream[(Long, String)]
+    val streamed = Streams.sampleTransform(
+      stream.toDF().toDF("doc_id", "lang"))
+    val query = streamed.writeStream.format("memory")
+      .queryName("sampled").outputMode("append").start()
+    try {
+      // deliberately uneven batches in shuffled arrival order: the
+      // per-row draw must not care how the stream is chopped
+      val shuffled = new scala.util.Random(23).shuffle(rows.toSeq)
+      shuffled.grouped(math.max(1, shuffled.length / 4)).foreach { b =>
+        stream.addData(b)
+        query.processAllAvailable()
+      }
+      val got = s.table("sampled").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+        .toSeq
+      assert(got === expected)
+      // stateless contract: no state store operator ever materialized
+      val p = query.lastProgress
+      assert(p == null || p.stateOperators.isEmpty,
+        "ingestion sampler must hold no streaming state")
+    } finally query.stop()
+  }
+
   test("batch stream_attribution equals the window-form events_attribution") {
     val got = Streams.streamAttribution(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
