@@ -710,6 +710,30 @@ object Oracles {
          |  FROM c)
          |WHERE rk <= $k
          |ORDER BY lang, rk""".stripMargin
+    },
+
+    // Heavy-hitter bigrams above the exact 1/ShareDenom corpus share.
+    // The oracle computes the full count table and cuts; the Spark
+    // side must land on the identical set via MG-sketch candidates +
+    // exact recount (the sketch's merge-order freedom is exactly what
+    // the exact second pass erases). Integer cut, exact long/long
+    // share division.
+    "ngram_blocklist" -> {
+      val denom = graft.operators.HeavyHitters.ShareDenom
+      raw"""WITH t AS (
+         |  SELECT list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+         |                     w -> w <> '') AS s
+         |  FROM documents),
+         |g AS (
+         |  SELECT unnest(list_transform(range(1, len(s)),
+         |                               i -> s[i] || ' ' || s[i + 1])) AS gram
+         |  FROM t WHERE len(s) >= 2),
+         |c AS (SELECT gram, count(*) AS n FROM g GROUP BY gram),
+         |tot AS (SELECT sum(n)::bigint AS total FROM c)
+         |SELECT gram, n, round(n / tot.total, 6) AS share
+         |FROM c, tot
+         |WHERE n * $denom > tot.total
+         |ORDER BY n DESC, gram""".stripMargin
     }
   )
 

@@ -75,6 +75,7 @@ object SparkEntry {
     "text_typicality"    -> TextQueries.textTypicality,
     "corpus_stats"       -> TextQueries.corpusStats,
     "corpus_ngrams"      -> TextQueries.corpusNgrams,
+    "ngram_blocklist"    -> (graft.operators.HeavyHitters.ngramBlocklist(_, _)),
     // §2C — deduplication
     "dedup_exact"         -> Dedup.dedupExact,
     "dedup_substring"     -> Dedup.dedupSubstring,
