@@ -1024,25 +1024,7 @@ object Oracles {
     // order; window = start_off div budget, offset = start_off % budget.
     // Token count is text_tokens' n_ws_tokens form; budget single-
     // sourced from Sampling.PackBudget. Pure integer algebra.
-    "pack_sequences" -> {
-      val b = graft.operators.Sampling.PackBudget
-      // raw interpolator: the regex backslashes must reach DuckDB intact
-      raw"""WITH t AS (
-         |  SELECT doc_id, source,
-         |    len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
-         |                    w -> w <> ''))::bigint AS n
-         |  FROM documents),
-         |c AS (
-         |  SELECT doc_id, source, n,
-         |    sum(n) OVER (PARTITION BY source ORDER BY doc_id) - n
-         |      AS start_off
-         |  FROM t)
-         |SELECT doc_id, source, n::int AS n_tokens,
-         |  (start_off // $b)::int AS seq_id,
-         |  (start_off % $b)::int AS seq_offset
-         |FROM c
-         |ORDER BY doc_id""".stripMargin
-    },
+    "pack_sequences" -> packSequencesSql,
 
     "sample_stratified" -> stratifiedSampleSql,
 
@@ -1123,6 +1105,33 @@ object Oracles {
          |FROM contam
          |ORDER BY eval_doc, train_doc""".stripMargin
   )
+
+  /** J2 sequence packing — running token total per source shard in
+    * doc_id order; window = start_off div budget, offset = start_off
+    * mod budget. Token count is text_tokens' n_ws_tokens form; budget
+    * single-sourced from Sampling.PackBudget. Pure integer algebra.
+    * SHARED by the J2 batch entry and the G11 stream_pack batch
+    * entry — the online cursor packer must reproduce the window form
+    * exactly. */
+  private def packSequencesSql: String = {
+    val b = graft.operators.Sampling.PackBudget
+    // raw interpolator: the regex backslashes must reach DuckDB intact
+    raw"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+       |                    w -> w <> ''))::bigint AS n
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source, n,
+       |    sum(n) OVER (PARTITION BY source ORDER BY doc_id) - n
+       |      AS start_off
+       |  FROM t)
+       |SELECT doc_id, source, n::int AS n_tokens,
+       |  (start_off // $b)::int AS seq_id,
+       |  (start_off % $b)::int AS seq_offset
+       |FROM c
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** J1 stratified sample — keep iff first 16 md5 bits (as 4-char
     * lowercase hex — fixed-width hex compare IS the numeric compare)
@@ -1610,6 +1619,10 @@ object Oracles {
     // The stateless ingestion sampler must equal the J1 batch sample
     // row-for-row — same shared SQL.
     "stream_sample" -> stratifiedSampleSql,
+
+    // The online cursor packer's batch mode must equal the J2
+    // running-sum window form — same shared SQL.
+    "stream_pack" -> packSequencesSql,
     "stream_window_agg" ->
       """SELECT win_start, event_type, count(*) AS n_events,
         |  round(sum(value), 4) AS sum_value

@@ -116,7 +116,8 @@ object SparkEntry {
     "stream_attribution"  -> Streams.streamAttribution,
     "stream_anomaly"      -> Streams.streamAnomaly,
     "stream_enrich"       -> Streams.streamEnrich,
-    "stream_sample"       -> Streams.streamSample
+    "stream_sample"       -> Streams.streamSample,
+    "stream_pack"         -> Streams.streamPack
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,71 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2H — Z-order (Morton-curve) data layout for
+  * multi-dimensional scan pruning.
+  *
+  * A 100 TB fact table is usually filtered on more than one column
+  * (user × time, key × date). Sorting the files by ONE column makes
+  * its min/max row-group stats selective and leaves every other
+  * column's stats useless; interleaving the bits of TWO bucketized
+  * columns into a Morton z-value and range-partitioning + sorting by
+  * it makes a 2-d box predicate touch only the few files whose
+  * z-range intersects the box — both columns' parquet min/max stats
+  * become selective at once. This is a LAYOUT operator: it changes
+  * where rows land, never what they are (round-trip equality in
+  * ZOrderSpec), and the reader needs no cooperation — pruning falls
+  * out of ordinary parquet row-group stats + pushed filters.
+  *
+  * Everything is pure Column algebra (shifts/masks/ors — codegen, no
+  * UDF, no HOF); the only driver-side state is the 4-long min/max
+  * frame of the stats pass (layout-job state, the ann_ivf
+  * quantizer-state exception).
+  */
+object ZOrder {
+
+  /** Morton z-value: interleave the low `bits` bits of two bucket
+    * ids (each must already be in [0, 2^bits)); a takes the even bit
+    * positions, b the odd. bits ≤ 31 keeps the result in a positive
+    * long. */
+  def zValue(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31)
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
+  /** Linear bucketization of a long column (by name) onto
+    * [0, 2^bits): (x−mn)·2^bits div (mx−mn+1). Integer algebra only
+    * (`div`, never FP); monotone, so range predicates on x map to
+    * range predicates on the bucket. Span·2^bits must fit a long —
+    * true for epoch seconds / surrogate keys with bits ≤ 31. */
+  def bucketize(name: String, mn: Long, mx: Long, bits: Int): Column = {
+    require(mx >= mn && bits >= 1 && bits <= 31)
+    expr(s"((cast(`$name` as bigint) - ${mn}L) * ${1L << bits}L) " +
+      s"div (${mx - mn + 1L}L)")
+  }
+
+  /** Write `df` z-ordered by two long columns into `nFiles` files:
+    * stats pass (min/max of both columns) → z-value → range
+    * repartition (contiguous z-ranges per file) → sort within file →
+    * plain parquet. Per-file z-ranges are disjoint, so a 2-d box
+    * touches only the files its z-intervals intersect. */
+  def writeZOrdered(df: DataFrame, ca: String, cb: String,
+      path: String, bits: Int = 16, nFiles: Int = 16): Unit = {
+    val r = df.agg(min(col(ca)).cast("long"), max(col(ca)).cast("long"),
+        min(col(cb)).cast("long"), max(col(cb)).cast("long")).head()
+    val (mna, mxa, mnb, mxb) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    df.withColumn("_z",
+        zValue(bucketize(ca, mna, mxa, bits),
+          bucketize(cb, mnb, mxb, bits), bits))
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
+}

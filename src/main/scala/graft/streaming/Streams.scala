@@ -725,6 +725,66 @@ object Streams {
       .select(unix_timestamp(col("window.start")).as("day_start"),
               col("c_mktsegment"), col("n_events"), col("sum_value"))
 
+  /** One incoming doc for [[packFn]] (public: streaming state
+    * encoder requirement). */
+  final case class PDoc(doc_id: Long, source: String, n_tokens: Long)
+  /** Per-source packer state: the next free offset in the shard's
+    * token stream — ONE long per source, the smallest possible
+    * streaming state (compare: the batch window form re-sorts the
+    * shard; the stream just keeps a cursor). */
+  final case class PackState(nextOff: Long)
+  /** A doc placed into its context window. */
+  final case class PackedDoc(doc_id: Long, source: String, n_tokens: Int,
+      seq_id: Int, seq_offset: Int)
+
+  /** G11 core for one source shard: lay incoming docs onto the
+    * shard's running token stream, assigning each the window holding
+    * its first token. In-order contract: docs arrive in doc_id order
+    * per source across batches (the same per-key in-order contract as
+    * [[funnelFn]]/[[retentionFn]]; within one call arrival order is
+    * free — the fold sorts). Batch mode sees the whole shard in one
+    * call, so output equals the J2 window form exactly — shared SQL
+    * oracle. */
+  def packFn(source: String, docs: Iterator[PDoc],
+      state: GroupState[PackState]): Iterator[PackedDoc] = {
+    val b = graft.operators.Sampling.PackBudget
+    val sorted = docs.toIndexedSeq.sortBy(_.doc_id)
+    var off = state.getOption.map(_.nextOff).getOrElse(0L)
+    val out = sorted.map { d =>
+      val start = off
+      off += d.n_tokens
+      PackedDoc(d.doc_id, source, d.n_tokens.toInt,
+        (start / b).toInt, (start % b).toInt)
+    }
+    state.update(PackState(off))
+    out.iterator
+  }
+
+  /** Shared stateful packer (batch or streaming). */
+  def packStateful(docs: Dataset[PDoc]): Dataset[PackedDoc] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        packFn)
+  }
+
+  /** G11 batch entry: equals J2 pack_sequences row-for-row (shared
+    * SQL oracle) — the online packer and the batch packer cannot
+    * drift. */
+  def streamPack(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.wsTokenCount(col("text"))
+          .cast("long").as("n_tokens"))
+      .as[PDoc]
+    packStateful(docs)
+      .toDF()
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("seq_id"), col("seq_offset"))
+      .orderBy(col("doc_id"))
+  }
+
   /** G10 transform: streaming ingestion sampling — the J1
     * sample_stratified predicate applied to documents as they
     * arrive (sample the firehose at ingest, don't land it all and

@@ -539,6 +539,51 @@ class StreamsSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("batch stream_pack equals the window-form pack_sequences") {
+    val got = Streams.streamPack(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3),
+        r.getInt(4))).toSeq
+    val batch = graft.operators.Sampling.packSequences(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3),
+        r.getInt(4))).toSeq
+    assert(got === batch,
+      "stateful packer (batch mode) must equal the running-sum window form")
+  }
+
+  test("online packer: shard offsets continue across batches, equals batch") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    val expected = graft.operators.Sampling.packSequences(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3),
+        r.getInt(4))).toSeq
+    val docs = graft.Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.wsTokenCount(col("text"))
+          .cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1) // the per-source in-order arrival contract
+    val stream = MemoryStream[(Long, String, Long)]
+    val streamed = Streams.packStateful(
+      stream.toDF().toDF("doc_id", "source", "n_tokens").as[Streams.PDoc])
+    val query = streamed.toDF().writeStream.format("memory")
+      .queryName("packed").outputMode("append").start()
+    try {
+      val batches =
+        docs.grouped(math.max(1, docs.length / 4)).map(_.toSeq).toSeq
+      assert(batches.length >= 2, "continuation must span real batches")
+      batches.foreach { b =>
+        stream.addData(b)
+        query.processAllAvailable()
+      }
+      val got = s.table("packed").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3),
+          r.getInt(4))).toSeq
+      assert(got === expected,
+        "cross-batch cursor must reproduce the batch packing exactly")
+    } finally query.stop()
+  }
+
   test("batch stream_attribution equals the window-form events_attribution") {
     val got = Streams.streamAttribution(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
