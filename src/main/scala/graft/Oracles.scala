@@ -28,6 +28,19 @@ object Oracles {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
+    // Per-column profile, one UNION ALL branch per column (the same
+    // branch-per-column shape as the Spark side); min/max stringified
+    // — int/varchar only, whose string forms are engine-identical.
+    // Columns single-sourced from Profile.LineitemCols.
+    "table_profile" ->
+      graft.operators.Profile.LineitemCols.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  min($c)::varchar AS min_val, max($c)::varchar AS max_val
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+
     "q2_topk_window" ->
       """SELECT * FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,

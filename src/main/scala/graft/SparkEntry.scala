@@ -49,6 +49,7 @@ object SparkEntry {
     "q12_approx_distinct"    -> Relational.q12ApproxDistinct,
     "q24_set_ops"        -> Relational.q24SetOps,
     "q25_range_window"   -> Relational.q25RangeWindow,
+    "table_profile"      -> (graft.operators.Profile.tableProfile(_, _)),
     "asof_join"          -> (AsOfJoin.purchasesAsOfSignup(_, _)),
     "range_join"         -> (graft.operators.RangeJoin.eventsInWindows(_, _)),
     "events_sessionize"  -> (Sessionize.sessions(_, _)),

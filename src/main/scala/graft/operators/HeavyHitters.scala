@@ -117,7 +117,12 @@ object HeavyHitters {
     val sketch = grams.as[String].select(new MisraGries(cap).toColumn).head()
     val total = sketch.n
     // pass 2: exact recount of candidates only (codegen'd InSet probe,
-    // never a full-keyspace shuffle), then the exact integer cut
+    // never a full-keyspace shuffle), then the exact integer cut.
+    // Empty corpus ⇒ empty candidate set ⇒ nothing can pass the cut;
+    // short-circuit rather than hand isInCollection an empty list.
+    if (sketch.counts.isEmpty)
+      return grams.limit(0)
+        .select(col("gram"), lit(0L).as("n"), lit(0.0).as("share"))
     grams.filter(col("gram").isInCollection(sketch.counts.keys.toSeq))
       .groupBy(col("gram")).agg(count(lit(1)).as("n"))
       .filter(col("n") * denom > lit(total))

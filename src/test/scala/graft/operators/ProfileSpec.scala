@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** [[Profile]] — recompute equality, planted-null accounting, and the
+  * one-column-per-branch scan-pruning contract. */
+class ProfileSpec extends SparkSuite {
+
+  test("profile matches an independent per-column recompute") {
+    val got = Profile.tableProfile(spark, sfDir).collect()
+    assert(got.map(_.getString(0)).toSeq == Profile.LineitemCols.sorted)
+    val li = graft.Tables(spark, sfDir).lineitem
+    got.foreach { r =>
+      val c = r.getString(0)
+      val e = li.agg(
+        count(lit(1)), sum(when(col(c).isNull, 1L).otherwise(0L)),
+        countDistinct(col(c)),
+        min(col(c)).cast("string"), max(col(c)).cast("string")).head()
+      assert(r.getLong(1) == e.getLong(0), s"$c n_rows")
+      assert(r.getLong(2) == e.getLong(1), s"$c n_null")
+      assert(r.getLong(3) == e.getLong(2), s"$c n_distinct")
+      assert(r.getString(4) == e.getString(3), s"$c min")
+      assert(r.getString(5) == e.getString(4), s"$c max")
+    }
+  }
+
+  test("nulls are counted, not silently dropped") {
+    val s = spark; import s.implicits._
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "a"), (null, "b"), (3L, null), (null, null), (3L, "a"))
+      .toDF("k", "v")
+    val rows = Profile.profileOf(df, Seq("k", "v")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.getString(4)), Option(r.getString(5)))).toMap
+    assert(rows("k") == ((5L, 2L, 2L, Some("1"), Some("3"))))
+    assert(rows("v") == ((5L, 2L, 2L, Some("a"), Some("b"))))
+  }
+
+  test("each union branch scans exactly its one column") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val q = Profile.tableProfile(spark, sfDir)
+    q.collect()
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case qs: QueryStageExec => scans(qs.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val ss = scans(q.queryExecution.executedPlan)
+    assert(ss.length == Profile.LineitemCols.length,
+      s"one scan per profiled column, got ${ss.length}")
+    val readCols = ss.map(_.requiredSchema.fieldNames.toSeq)
+    readCols.foreach { fields =>
+      assert(fields.length <= 1,
+        s"branch must read exactly its one column, read: $fields")
+    }
+    assert(readCols.flatten.sorted == Profile.LineitemCols.sorted,
+      s"branches must cover the profiled columns once each: $readCols")
+    // and no Expand anywhere — the N-distinct trap this shape avoids
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"unexpected Expand:\n$plan")
+  }
+}
