@@ -697,6 +697,28 @@ object Oracles {
          |GROUP BY source, lang, tot.total_docs
          |ORDER BY source, lang""".stripMargin,
 
+    // Quality deciles per language over the SAME single-sourced
+    // quality CTE + score expression as text_quality/curate. ntile
+    // over the total (quality, doc_id) order is deterministic; min/
+    // max fold the raw score (bit-exact cross-engine, the curate
+    // floor contract) and round only for display.
+    "quality_deciles" ->
+      ("WITH " + qualityBaseCte("documents") + ",\n" +
+      s"""s AS (
+         |  SELECT doc_id, lang, $qualityExpr AS quality
+         |  FROM q_base),
+         |t AS (
+         |  SELECT lang, quality,
+         |    ntile(10) OVER (PARTITION BY lang
+         |                    ORDER BY quality, doc_id) AS decile
+         |  FROM s)
+         |SELECT lang, decile::int AS decile, count(*) AS n_docs,
+         |  round(min(quality), 4) AS q_min,
+         |  round(max(quality), 4) AS q_max
+         |FROM t
+         |GROUP BY lang, decile
+         |ORDER BY lang, decile""".stripMargin),
+
     // Top-k bigrams per language: the same \s+ tokenize-and-compact
     // as WordNgrams (the pack_sequences regex), 1-indexed adjacent
     // pairs via an end-exclusive range, integer counts, total
@@ -762,7 +784,7 @@ object Oracles {
     * graft.functions.TextFunctions op-for-op. */
   private def qualityBaseCte(src: String): String =
     raw"""q_base AS (
-         |  SELECT doc_id, text,
+         |  SELECT doc_id, text, lang,
          |    len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
          |                    w -> w <> '')) AS n_tok,
          |    len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),

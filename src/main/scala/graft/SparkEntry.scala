@@ -76,6 +76,7 @@ object SparkEntry {
     "text_typicality"    -> TextQueries.textTypicality,
     "corpus_stats"       -> TextQueries.corpusStats,
     "corpus_ngrams"      -> TextQueries.corpusNgrams,
+    "quality_deciles"    -> TextQueries.qualityDeciles,
     "ngram_blocklist"    -> (graft.operators.HeavyHitters.ngramBlocklist(_, _)),
     // §2C — deduplication
     "dedup_exact"         -> Dedup.dedupExact,

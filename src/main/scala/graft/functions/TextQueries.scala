@@ -241,6 +241,39 @@ object TextQueries {
       .orderBy(col("source"), col("lang"))
   }
 
+  /** E2 adjunct: decile bucketing of the quality score per language —
+    * the "rank the corpus into quality tiers" step a curation recipe
+    * reads before choosing its floor (curate's MinQuality is exactly
+    * such a tier boundary). ntile over the TOTAL order
+    * (quality, doc_id) is deterministic cross-engine, and min/max of
+    * the raw (unrounded) score are bit-exact because the score's
+    * rational expression tree is single-sourced with the oracle
+    * (the same raw-value contract curate's quality floor already
+    * certifies).
+    *
+    * Scale note: exact deciles need one sort per lang shard — the
+    * honest cost of exact ranks (and lang shards sort in parallel).
+    * The sketch route for 100 TB dashboards is q23_approx_percentiles
+    * (KLL); this entry is the exact form a one-off curation decision
+    * runs. */
+  def qualityDeciles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(spark, dir).documents
+    val nTok = T.wsTokenCount(col("text"))
+    val stopRatio = T.tokenCountIn(col("text"), T.EnStopwords) / nTok
+    val punctRatio = T.punctCount(col("text")) / length(col("text"))
+    val scored = d.select(col("doc_id"), col("lang"),
+      T.qualityScore(nTok, stopRatio, punctRatio).as("quality"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality"), col("doc_id"))
+    scored.withColumn("decile", ntile(10).over(w))
+      .groupBy(col("lang"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(min(col("quality")), 4).as("q_min"),
+        round(max(col("quality")), 4).as("q_max"))
+      .orderBy(col("lang"), col("decile"))
+  }
+
   /** Top-k cut for [[corpusNgrams]] (single-sourced into the oracle).
     * Small enough that the per-lang result is a screenful; the rank
     * cut is what makes the plan a WindowGroupLimit, not a global

@@ -108,4 +108,30 @@ class TextFunctionsSpec extends SparkSuite {
       plan.lastIndexOf("Exchange"), // orderBy's range exchange only
       s"repetition scoring must not shuffle data:\n$plan")
   }
+
+  test("quality_deciles: balanced dense buckets, ordered disjoint score ranges") {
+    val rows = TextQueries.qualityDeciles(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val perLang = graft.Tables(spark, sfDir).documents
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (lang, ds) =>
+      val sorted = ds.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length),
+        s"$lang: decile ids must be dense from 1")
+      assert(sorted.map(_._3).sum == perLang(lang),
+        s"$lang: deciles must cover the corpus exactly")
+      // ntile balance: bucket sizes differ by at most one
+      val sizes = sorted.map(_._3)
+      assert(sizes.max - sizes.min <= 1, s"$lang: unbalanced $sizes")
+      // tiers are ordered and non-overlapping on the score
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5 <= b._4 + 1e-9,
+            s"$lang: decile ${a._2} max ${a._5} above decile ${b._2} min ${b._4}")
+        case _ =>
+      }
+    }
+  }
 }
