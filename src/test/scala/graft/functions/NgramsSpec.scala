@@ -38,6 +38,37 @@ class NgramsSpec extends SparkSuite {
     assert(tri === Seq("the quick brown", "quick brown fox"))
   }
 
+  test("property: bigrams equal a sliding-window reference on arbitrary whitespace") {
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    val s = spark; import s.implicits._
+    val tok = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(5)).suchThat(_.nonEmpty),
+      Gen.oneOf("héllo", "wörld", "✓", "a", "dup"))
+    val ws = Gen.nonEmptyListOf(
+      Gen.oneOf(' ', '\t', '\n', '\r', '\f', '\u000B')).map(_.mkString)
+    val text = for {
+      toks <- Gen.listOf(tok).map(_.take(20))
+      lead <- Gen.option(ws)
+      seps <- Gen.listOfN(toks.length, ws)
+    } yield lead.getOrElse("") +
+      toks.zip(seps).map { case (t, w) => t + w }.mkString
+    val prop = Prop.forAll(Gen.listOf(text).map(_.take(10))) { texts =>
+      texts.isEmpty || {
+        val rows = texts.toDF("text")
+          .select(WordNgrams(col("text"), 2)).collect()
+          .map(_.getSeq[String](0))
+        texts.zip(rows).forall { case (t, got) =>
+          val ref = t.split("\\s+").filterNot(_.isEmpty)
+            .sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+          got == ref
+        }
+      }
+    }
+    val res = ScTest.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("interpreted (eval) and codegen paths agree") {
     val s = spark; import s.implicits._
     val df = fixtures.toDF("text")
