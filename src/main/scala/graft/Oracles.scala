@@ -1070,28 +1070,7 @@ object Oracles {
     // keep DuckDB's window sum (HUGEINT) off the hex() path.
     // thr = 65536 (keep-all) bypasses the 4-char compare in BOTH
     // engines.
-    "mix_sources" -> {
-      val seed = graft.operators.Sampling.MixSeed
-      val m = graft.operators.Sampling.MixWeightMod
-      s"""WITH c AS (
-         |  SELECT source, count(*) AS cnt,
-         |    substr(source, 4)::bigint % $m + 1 AS w
-         |  FROM documents GROUP BY source),
-         |r AS (
-         |  SELECT source,
-         |    least(65536, ((sum(cnt) OVER ())::bigint * w * 65536)
-         |                 // ((sum(w) OVER ())::bigint * cnt)) AS thr
-         |  FROM c),
-         |s AS (
-         |  SELECT d.doc_id, d.source, r.thr,
-         |    substr(md5('$seed' || d.doc_id::varchar), 1, 4) AS bucket,
-         |    CASE WHEN r.thr >= 65536 THEN '10000'
-         |         ELSE lpad(lower(hex(r.thr)), 4, '0') END AS thr_hex
-         |  FROM documents d JOIN r USING (source))
-         |SELECT doc_id, source, bucket, thr_hex
-         |FROM s WHERE thr >= 65536 OR bucket < thr_hex
-         |ORDER BY doc_id""".stripMargin
-    },
+    "mix_sources" -> mixSourcesSql,
 
     // Epoch upsampling toward the same recipe: base copies are the
     // integral part of thr_total/65536, the fractional extra copy is
@@ -1140,6 +1119,36 @@ object Oracles {
          |FROM contam
          |ORDER BY eval_doc, train_doc""".stripMargin
   )
+
+  /** J3 mixture rebalance toward the declared per-source weight
+    * recipe: thr is pure integer algebra over the per-source counts,
+    * the draw the fixed-width-hex md5 compare under mixSources' own
+    * salt; thr = 65536 (keep-all) bypasses the 4-char compare in
+    * BOTH engines. SHARED by the J3 batch entry and the G13
+    * stream_mix batch entry — the stateless ingest thinning must
+    * reproduce the batch mix exactly. */
+  private def mixSourcesSql: String = {
+    val seed = graft.operators.Sampling.MixSeed
+    val m = graft.operators.Sampling.MixWeightMod
+    s"""WITH c AS (
+       |  SELECT source, count(*) AS cnt,
+       |    substr(source, 4)::bigint % $m + 1 AS w
+       |  FROM documents GROUP BY source),
+       |r AS (
+       |  SELECT source,
+       |    least(65536, ((sum(cnt) OVER ())::bigint * w * 65536)
+       |                 // ((sum(w) OVER ())::bigint * cnt)) AS thr
+       |  FROM c),
+       |s AS (
+       |  SELECT d.doc_id, d.source, r.thr,
+       |    substr(md5('$seed' || d.doc_id::varchar), 1, 4) AS bucket,
+       |    CASE WHEN r.thr >= 65536 THEN '10000'
+       |         ELSE lpad(lower(hex(r.thr)), 4, '0') END AS thr_hex
+       |  FROM documents d JOIN r USING (source))
+       |SELECT doc_id, source, bucket, thr_hex
+       |FROM s WHERE thr >= 65536 OR bucket < thr_hex
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** J2 sequence packing — running token total per source shard in
     * doc_id order; window = start_off div budget, offset = start_off
@@ -1658,6 +1667,10 @@ object Oracles {
     // The online cursor packer's batch mode must equal the J2
     // running-sum window form — same shared SQL.
     "stream_pack" -> packSequencesSql,
+
+    // Stateless ingest thinning against the batch-computed rate
+    // table must equal the J3 batch mix — same shared SQL.
+    "stream_mix" -> mixSourcesSql,
     "stream_window_agg" ->
       """SELECT win_start, event_type, count(*) AS n_events,
         |  round(sum(value), 4) AS sum_value

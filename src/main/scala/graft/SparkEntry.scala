@@ -119,7 +119,8 @@ object SparkEntry {
     "stream_anomaly"      -> Streams.streamAnomaly,
     "stream_enrich"       -> Streams.streamEnrich,
     "stream_sample"       -> Streams.streamSample,
-    "stream_pack"         -> Streams.streamPack
+    "stream_pack"         -> Streams.streamPack,
+    "stream_mix"          -> Streams.streamMix
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

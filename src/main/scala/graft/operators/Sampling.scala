@@ -112,13 +112,15 @@ object Sampling {
   def mixSources(spark: SparkSession, dir: String): DataFrame =
     mixOf(Tables(spark, dir).documents)
 
-  /** Core mixture rebalance over a (doc_id, source) frame (specs
-    * plant skewed fixtures — the shipped corpus has uniform source
-    * counts, which only exercises the keep-all branch at small SF). */
-  def mixOf(d: DataFrame): DataFrame = {
+  /** The per-source keep-threshold table for [[mixOf]] — one tiny agg
+    * over the reference corpus (|sources| rows). Split out so the G13
+    * stream_mix twin can compute it batch-side and broadcast it into
+    * a live stream (rates from yesterday's corpus applied to today's
+    * firehose — exactly how recipe thinning deploys). */
+  def mixRatesOf(d: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val everyRow = Window.partitionBy() // |sources| rows, post-agg only
-    val rates = d.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+    d.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
       .withColumn("w",
         expr(s"cast(substring(source, 4) as bigint) % $MixWeightMod + 1"))
       .withColumn("total", sum(col("cnt")).over(everyRow))
@@ -126,7 +128,12 @@ object Sampling {
       .withColumn("thr",
         least(lit(65536L), expr("(total * w * 65536) div (wsum * cnt)")))
       .select(col("source"), col("thr"))
-    d.select(col("doc_id"), col("source"))
+  }
+
+  /** The stateless per-row mixture filter against a precomputed rate
+    * table — works on any (doc_id, source) frame, batch or stream. */
+  def mixApply(docs: DataFrame, rates: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"))
       .join(broadcast(rates), "source")
       .withColumn("bucket", hashBucket(col("doc_id"), MixSeed))
       .withColumn("thr_hex",
@@ -134,8 +141,14 @@ object Sampling {
           .otherwise(lpad(lower(hex(col("thr"))), 4, "0")))
       .filter(col("thr") >= 65536L || col("bucket") < col("thr_hex"))
       .select(col("doc_id"), col("source"), col("bucket"), col("thr_hex"))
-      .orderBy(col("doc_id"))
-  }
+      // no orderBy here: a streaming caller cannot sort; batch
+      // entries add their own presentation sort
+
+  /** Core mixture rebalance over a (doc_id, source) frame (specs
+    * plant skewed fixtures — the shipped corpus has uniform source
+    * counts, which only exercises the keep-all branch at small SF). */
+  def mixOf(d: DataFrame): DataFrame =
+    mixApply(d, mixRatesOf(d)).orderBy(col("doc_id"))
 
   /** Context-window token budget for [[packSequences]] (single-sourced
     * into the oracle). */

@@ -809,6 +809,23 @@ object Streams {
     sampleTransform(Tables(spark, dir).documents)
       .orderBy(col("doc_id"))
 
+  /** G13 batch entry: streaming mixture thinning — the J3 recipe
+    * filter applied to documents as they arrive. The per-source rate
+    * table is computed BATCH-side from the reference corpus
+    * ([[graft.operators.Sampling.mixRatesOf]] — rates from
+    * yesterday's corpus, the way recipe thinning deploys) and
+    * broadcast into each micro-batch; the stream side is then the
+    * same stateless per-row md5-vs-threshold filter as
+    * [[sampleTransform]] — no state store, no watermark, no stream
+    * shuffle, and the kept set is bit-identical to batch mix_sources
+    * under any micro-batching (StreamsSpec drives it live; shared
+    * SQL oracle). */
+  def streamMix(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    graft.operators.Sampling.mixApply(d, graft.operators.Sampling.mixRatesOf(d))
+      .orderBy(col("doc_id"))
+  }
+
   /** G7 batch entry (driver-verified against the DuckDB join oracle). */
   def streamEnrich(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)

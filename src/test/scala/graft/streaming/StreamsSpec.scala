@@ -553,6 +553,39 @@ class StreamsSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("stateless mixture thinning through a real stream equals the batch mix") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    val d = graft.Tables(spark, sfDir).documents
+    // the rate table is computed batch-side (yesterday's corpus) and
+    // rides into each micro-batch as a broadcast static dim
+    val rates = graft.operators.Sampling.mixRatesOf(d)
+    val expected = Streams.streamMix(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSeq
+    val rows = d.select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val stream = MemoryStream[(Long, String)]
+    val streamed = graft.operators.Sampling.mixApply(
+      stream.toDF().toDF("doc_id", "source"), rates)
+    val query = streamed.writeStream.format("memory")
+      .queryName("mixed").outputMode("append").start()
+    try {
+      val shuffled = new scala.util.Random(41).shuffle(rows.toSeq)
+      shuffled.grouped(math.max(1, shuffled.length / 3)).foreach { b =>
+        stream.addData(b)
+        query.processAllAvailable()
+      }
+      val got = s.table("mixed").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+        .toSeq
+      assert(got === expected)
+      val p = query.lastProgress
+      assert(p == null || p.stateOperators.isEmpty,
+        "mixture thinning must hold no streaming state")
+    } finally query.stop()
+  }
+
   test("batch stream_pack equals the window-form pack_sequences") {
     val got = Streams.streamPack(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3),
