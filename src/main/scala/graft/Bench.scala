@@ -112,6 +112,14 @@ object Bench {
       s""","n_queries":${selected.size}"""
     val compact =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median_of_$Runs","queries":$qs,"failed":$failed$subset,"sf":"$sfDir"}"""
+    // The driver keeps only the TAIL (~2000 chars) of stdout, and at
+    // 92 queries the compact line alone exceeds it — round 7 lost the
+    // "metric"/"value" prefix and the official total was unrecoverable.
+    // So a short total-only line (no queries map, bounded size) is
+    // printed LAST: whatever the tail truncates, this line survives
+    // whole and parses standalone.
+    val summary =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median_of_$Runs","failed":$failed$subset,"sf":"$sfDir"}"""
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","stat":"median_of_$Runs","queries":$qs,"runs":$runs,"failed":$failed$subset,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
@@ -123,7 +131,9 @@ object Bench {
     }
     spark.stop()
     // printed after spark.stop() so no late executor/log line can land
-    // between this and process exit — the driver tails stdout.
+    // between this and process exit — the driver tails stdout. The
+    // short summary line goes last (see above).
     println(compact)
+    println(summary)
   }
 }

@@ -512,10 +512,14 @@ object Oracles {
         |GROUP BY l_orderkey
         |ORDER BY l_orderkey""".stripMargin,
 
+    // sorted-list slice mirrors the operator's NoopMaxValues per-key
+    // memory bound (a no-op at ≤ 7 lineitems per order, single-sourced
+    // so a changed cap cannot desync the gate)
     "mr_noop" ->
-      """SELECT l_orderkey,
-        |  string_agg(l_linenumber::varchar, ',' ORDER BY l_linenumber)
-        |    AS linenumbers
+      s"""SELECT l_orderkey,
+        |  array_to_string(
+        |    list_sort(list(l_linenumber))[1:${graft.mr.MrQueries.NoopMaxValues}],
+        |    ',') AS linenumbers
         |FROM lineitem
         |WHERE l_orderkey < 100
         |GROUP BY l_orderkey
@@ -1557,55 +1561,80 @@ object Oracles {
         |ORDER BY doc_id, frame_idx""".stripMargin,
 
     // Mirrors Multimodal.mmResizeQuery's synthesized image corpus in
-    // hex space (same header construction, same kind routing), then
-    // checks the REAL operator behavior: raw rows dropped, |h| for
-    // top-down BMPs, long-multiply-then-floor aspect math with the
-    // ≥1 clamp, and the hex-space stub digest md5(lower(hex(content))
-    // || '_tw_th').
+    // hex space (same well-formed BMP construction incl. the cycled
+    // pixel array, same kind routing), then checks the REAL operator
+    // behavior: raw rows dropped, |h| for top-down BMPs,
+    // long-multiply-then-floor aspect math with the ≥1 clamp, the
+    // nearest-neighbor resample itself for BMP rows (every output
+    // pixel re-derived as substr(px, (sy*stride + sx*3)*2 + 1, 6) and
+    // digested in ty,tx order), and the hex-space stub digest
+    // md5(lower(hex(content)) || '_tw_th') for the PNG codec path.
     "mm_resize" -> {
-      // single-sourced from the operator default, like SubstrK /
+      // single-sourced from the operator constant, like SubstrK /
       // PackBudget / AnomalySpikeZ — a changed maxSide cannot
       // silently desync this oracle
-      val ms = graft.multimodal.Multimodal.ResizeMaxSide
+      val ms = graft.multimodal.Multimodal.ResizeOracleMaxSide
+      def le32(v: String): String =
+        s"lpad(hex(($v) % 256), 2, '0') " +
+          s"|| lpad(hex((($v) // 256) % 256), 2, '0') " +
+          s"|| lpad(hex((($v) // 65536) % 256), 2, '0') " +
+          s"|| lpad(hex((($v) // 16777216) % 256), 2, '0')"
       s"""WITH base AS (
         |  SELECT doc_id, text,
-        |    1 + (doc_id * 7) % 500 AS w,
-        |    1 + (doc_id * 13) % 400 AS h,
+        |    1 + (doc_id * 7) % 40 AS w,
+        |    1 + (doc_id * 13) % 32 AS h,
         |    CASE WHEN doc_id % 11 = 0 THEN 'raw'
         |         WHEN doc_id % 3 = 0 THEN 'png' ELSE 'bmp' END AS kind,
-        |    CASE WHEN doc_id % 5 = 0 THEN 4294967296 - h ELSE h END AS hbmp
+        |    CASE WHEN doc_id % 5 = 0 THEN 4294967296 - h ELSE h END AS hbmp,
+        |    ((w * 3 + 3) // 4) * 4 AS stride,
+        |    hex(encode(text)) || '00' AS p2
         |  FROM documents),
+        |pix AS (
+        |  SELECT *,
+        |    CASE WHEN kind = 'bmp' THEN substr(
+        |      repeat(p2, ((stride * h * 2 + length(p2) - 1) // length(p2))::int),
+        |      1, (stride * h * 2)::int) ELSE '' END AS px
+        |  FROM base WHERE kind <> 'raw'),
         |hexed AS (
-        |  SELECT doc_id, w, h,
+        |  SELECT doc_id, w, h, kind, stride, px,
         |    CASE kind
         |      WHEN 'png' THEN '89504E470D0A1A0A0000000D49484452'
         |        || lpad(hex(w), 8, '0') || lpad(hex(h), 8, '0') || '0802'
-        |      WHEN 'bmp' THEN '424D' || repeat('00', 12) || '28000000'
-        |        || lpad(hex(w % 256), 2, '0')
-        |        || lpad(hex((w // 256) % 256), 2, '0')
-        |        || lpad(hex((w // 65536) % 256), 2, '0')
-        |        || lpad(hex((w // 16777216) % 256), 2, '0')
-        |        || lpad(hex(hbmp % 256), 2, '0')
-        |        || lpad(hex((hbmp // 256) % 256), 2, '0')
-        |        || lpad(hex((hbmp // 65536) % 256), 2, '0')
-        |        || lpad(hex((hbmp // 16777216) % 256), 2, '0')
-        |        || '01001800'
-        |    END || hex(encode(text)) AS hx
-        |  FROM base WHERE kind <> 'raw'),
-        |dims AS (
-        |  SELECT doc_id, w, h, hx, greatest(w, h) AS m FROM hexed),
+        |        || hex(encode(text))
+        |      WHEN 'bmp' THEN '424D' || ${le32("54 + stride * h")}
+        |        || '00000000' || '36000000' || '28000000'
+        |        || ${le32("w")} || ${le32("hbmp")} || '01001800'
+        |        || '00000000' || ${le32("stride * h")} || repeat('00', 16)
+        |        || px
+        |    END AS hx
+        |  FROM pix),
         |planned AS (
-        |  SELECT doc_id, w, h, hx,
-        |    CASE WHEN m <= $ms THEN w
-        |         ELSE greatest(1, (w * $ms) // m) END AS tw,
-        |    CASE WHEN m <= $ms THEN h
-        |         ELSE greatest(1, (h * $ms) // m) END AS th
-        |  FROM dims)
-        |SELECT doc_id, w::int AS width, h::int AS height,
+        |  SELECT doc_id, w, h, kind, stride, px, hx,
+        |    CASE WHEN greatest(w, h) <= $ms THEN w
+        |         ELSE greatest(1, (w * $ms) // greatest(w, h)) END AS tw,
+        |    CASE WHEN greatest(w, h) <= $ms THEN h
+        |         ELSE greatest(1, (h * $ms) // greatest(w, h)) END AS th
+        |  FROM hexed),
+        |nn AS (
+        |  SELECT p.doc_id,
+        |    md5(lower(string_agg(
+        |      substr(p.px,
+        |        ((((ty.g * p.h) // p.th) * p.stride
+        |          + ((tx.g * p.w) // p.tw) * 3) * 2 + 1)::int, 6),
+        |      '' ORDER BY ty.g, tx.g))) AS nn_md5
+        |  FROM planned p
+        |  JOIN generate_series(0, ${ms - 1}) ty(g) ON ty.g < p.th
+        |  JOIN generate_series(0, ${ms - 1}) tx(g) ON tx.g < p.tw
+        |  WHERE p.kind = 'bmp'
+        |  GROUP BY p.doc_id)
+        |SELECT p.doc_id, w::int AS width, h::int AS height,
         |  tw::int AS target_w, th::int AS target_h,
-        |  md5(lower(hx) || '_' || tw || '_' || th) AS resized_md5
-        |FROM planned
-        |ORDER BY doc_id""".stripMargin
+        |  CASE WHEN p.kind = 'bmp' THEN nn.nn_md5
+        |       ELSE md5(lower(hx) || '_' || tw || '_' || th)
+        |  END AS resized_md5,
+        |  CASE WHEN p.kind = 'bmp' THEN 'nn' ELSE 'stub' END AS resample
+        |FROM planned p LEFT JOIN nn ON nn.doc_id = p.doc_id
+        |ORDER BY p.doc_id""".stripMargin
     }
   )
 

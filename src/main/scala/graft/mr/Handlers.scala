@@ -104,6 +104,39 @@ object Handlers {
     SyncDelta(created, updated, deleted)
   }
 
+  // ----- durable seam (reference: mr/models/kv/data_layer.py) ------
+
+  /** Process-local default backend, mirroring
+    * [[Jobs.defaultResultCache]]; deployments pass a
+    * [[FileHandlerStore]] (or a shared backend behind the same trait)
+    * to [[registerDurable]]/[[restore]]. */
+  val defaultHandlerStore: InMemoryHandlerStore = new InMemoryHandlerStore
+
+  /** Register a DURABLE handler: the serializable spec is CAS-put to
+    * the store and, iff the store accepted it (name new or version
+    * strictly newer — the same monotonic rule as [[register]]), the
+    * rebuilt transform is registered in the live library. A restarted
+    * process recovers it via [[restore]]. Closure handlers registered
+    * via [[register]] stay process-local; the store tracks the
+    * spec-backed population only. */
+  def registerDurable(h: StoredHandler,
+      store: HandlerStore = defaultHandlerStore): Boolean =
+    writeLock.synchronized {
+      val accepted = store.put(h)
+      if (accepted) { register(h.toDef); () }
+      accepted
+    }
+
+  /** Rebuild the live library from the store — the restart-recovery
+    * path (reference: model.py's load-from-etcd). Each stored spec is
+    * re-registered under the monotonic guard, so a restore can never
+    * downgrade a definition the process already holds. Returns how
+    * many definitions the library accepted. */
+  def restore(store: HandlerStore = defaultHandlerStore): Int =
+    writeLock.synchronized {
+      store.load().count(h => register(h.toDef))
+    }
+
   /** Test hook: empty the library. */
   private[mr] def clear(): Unit = library.clear()
 }

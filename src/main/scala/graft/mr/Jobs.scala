@@ -467,20 +467,24 @@ object Jobs {
 
   /** Content key for a cached job: handler name + its REGISTERED
     * version + canonicalized args + the caller's input snapshot
-    * version. Re-registering the handler (version bump), changing an
-    * arg, or advancing the input snapshot rotates the key — that IS
-    * the invalidation (nothing is purged; stale entries just stop
-    * being addressed, as with the reference's Redis keys). Throws if
-    * the handler is not registered: an unversioned transform has no
-    * stable content identity to cache under. */
+    * version + the requested sink (root and format — a Csv request
+    * must never be satisfied by a landed Parquet result under a
+    * different root). Re-registering the handler (version bump),
+    * changing an arg, advancing the input snapshot, or pointing at a
+    * different sink rotates the key — that IS the invalidation
+    * (nothing is purged; stale entries just stop being addressed, as
+    * with the reference's Redis keys). Throws if the handler is not
+    * registered: an unversioned transform has no stable content
+    * identity to cache under. */
   def cacheKey(handler: String, args: Map[String, String],
-      inputVersion: String): String = {
+      inputVersion: String, sinkRoot: String,
+      format: Sinks.Format): String = {
     val ver = Handlers.resolve(handler).map(_.version).getOrElse(
       throw new NoSuchElementException(
         s"no handler registered under '$handler'"))
     val argStr = args.toSeq.sorted
       .map { case (k, v) => s"$k=$v" }.mkString("&")
-    s"$handler@v$ver?$argStr!$inputVersion"
+    s"$handler@v$ver?$argStr!$inputVersion>$sinkRoot#${format.name}"
   }
 
   private[mr] def sha256Hex(s: String): String =
@@ -508,22 +512,37 @@ object Jobs {
       args: Map[String, String] = Map.empty,
       format: Sinks.Format = Sinks.Parquet,
       cache: ResultCache = defaultResultCache): CachedSubmit = {
-    val key = cacheKey(handler, args, inputVersion)
+    val key = cacheKey(handler, args, inputVersion, sinkRoot, format)
     cache.get(key) match {
       case Some(path) => CachedSubmit(completedHandle(handler), path, hit = true)
       case None =>
+        // get + computeIfAbsent is not atomic: a completing twin can
+        // cache.put + inflight.remove between them, and recomputing
+        // here would mode("overwrite") the sink while cache-hit
+        // readers are on it. So the cache is RE-CHECKED inside the
+        // mapping (any entry visible now is complete — put happens
+        // before remove) and a hit is returned pre-completed; it is
+        // taken back out of inflight below since nothing will land.
         val sub = inflight.computeIfAbsent(key, { _ =>
-          val path = s"$sinkRoot/${sha256Hex(key).take(16)}"
-          val hd = submitAsync(spark, handler) {
-            Sinks.write(Handlers.run(handler, input), path, format)
+          cache.get(key) match {
+            case Some(path) =>
+              CachedSubmit(completedHandle(handler), path, hit = true)
+            case None =>
+              val path = s"$sinkRoot/${sha256Hex(key).take(16)}"
+              val hd = submitAsync(spark, handler) {
+                Sinks.write(Handlers.run(handler, input), path, format)
+              }
+              hd.onComplete { r =>
+                // put-then-remove: the landed entry must be visible
+                // before the inflight entry disappears
+                if (r.isSuccess) cache.put(key, path)
+                inflight.remove(key)
+                ()
+              }
+              CachedSubmit(hd, path, hit = false)
           }
-          hd.onComplete { r =>
-            if (r.isSuccess) cache.put(key, path)
-            inflight.remove(key)
-            ()
-          }
-          CachedSubmit(hd, path, hit = false)
         })
+        if (sub.hit) inflight.remove(key, sub)
         sub
     }
   }

@@ -71,7 +71,18 @@ object MrQueries {
   /** A4: forwarding reducer (reference reduce/test/noop.py): group the
     * values per key and forward them — the no-combiner path, where the
     * reducer sees the full value list. Output is the sorted list as a
-    * csv string (deterministic, oracle-comparable). */
+    * csv string (deterministic, oracle-comparable).
+    *
+    * Per-key memory bound: a forwarding reducer's buffer grows with
+    * the group, so the value list is capped at [[NoopMaxValues]]
+    * (mirrored by the oracle's list slice). TPC-H orders carry ≤ 7
+    * lineitems at every SF, so the cap never fires on this data — it
+    * exists so a hot key on 100 TB inputs degrades to a truncated
+    * list instead of an executor OOM. A production forwarding
+    * reducer over unbounded groups should emit rows per value
+    * (mr_wordcount's shape) rather than concatenate. */
+  val NoopMaxValues = 64
+
   def mrNoop(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = Tables(spark, dir).lineitem
@@ -80,7 +91,8 @@ object MrQueries {
     val step = Step[(Long, Int), Long, Int, (Long, String)](
       "noop",
       mapper = (_, kv) => Iterator(kv),
-      reducer = (_, k, vs) => Iterator((k, vs.sorted.mkString(","))))
+      reducer = (_, k, vs) =>
+        Iterator((k, vs.sorted.take(NoopMaxValues).mkString(","))))
     Engine.run(li, step).toDF("l_orderkey", "linenumbers")
       .orderBy(col("l_orderkey"))
   }

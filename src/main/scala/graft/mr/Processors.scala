@@ -46,6 +46,11 @@ object Processors {
       else {
         val pb = new ProcessBuilder(cmd.asJava)
         env.foreach { case (k, v) => pb.environment().put(k, v); () }
+        // stderr → the executor's own stderr (task log). Without this
+        // a chatty child fills the ~64 KB OS pipe buffer and blocks,
+        // deadlocking the task with no failure surfaced — the same
+        // reason Hadoop streaming drains stderr.
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
         val p = pb.start()
         // kill the child if the task dies mid-stream (cancellation,
         // upstream failure) — never leak subprocesses on executors
@@ -53,22 +58,42 @@ object Processors {
           _.addTaskCompletionListener[Unit] { _ =>
             if (p.isAlive) { p.destroyForcibly(); () }
           })
+        // A feeder failure must not be swallowed: a mid-stream write
+        // error other than the child closing its stdin early (a
+        // legitimate move — think `head`) means the child saw a
+        // truncated input and may still exit 0 — silent truncation
+        // accepted as success. Captured here, rethrown after waitFor.
+        @volatile var feederErr: Throwable = null
         val feeder = new Thread(() => {
           val out = new BufferedWriter(
             new OutputStreamWriter(p.getOutputStream, UTF_8))
-          try it.foreach { l => out.write(l); out.newLine() }
-          finally out.close()
+          try {
+            try it.foreach { l => out.write(l); out.newLine() }
+            finally out.close()
+          } catch { case t: Throwable => feederErr = t }
         }, "graft-pipe-feeder")
         feeder.setDaemon(true)
         feeder.start()
+        def childClosedStdin(t: Throwable): Boolean = t match {
+          case io: java.io.IOException =>
+            val m = Option(io.getMessage).getOrElse("")
+            m.contains("Broken pipe") || m.contains("Stream closed") ||
+              m.contains("pipe closed")
+          case _ => false
+        }
         val in = new BufferedReader(
           new InputStreamReader(p.getInputStream, UTF_8))
         Iterator.continually(in.readLine()).takeWhile(_ != null) ++ {
           // runs after stdout drains: surface the child's verdict
           val code = p.waitFor()
+          feeder.join()
           if (code != 0)
             throw new java.io.IOException(
               s"piped handler '${cmd.mkString(" ")}' exited $code")
+          if (feederErr != null && !childClosedStdin(feederErr))
+            throw new java.io.IOException(
+              s"feeding piped handler '${cmd.mkString(" ")}' failed " +
+                "mid-stream (child saw truncated input)", feederErr)
           Iterator.empty
         }
       }

@@ -9,9 +9,11 @@ import graft.Tables
   * opaque `binary` columns with typed metadata beside them. The test
   * corpus has no real media, so the blob is derived
   * (`cast(text as binary)`); the decode step parses real PNG/BMP
-  * container headers from the bytes (dimensions need no codec — only
-  * pixel decoding would, and that is explicitly out of scope in this
-  * container). Everything Spark-side is real: the binary schema, the
+  * container headers from the bytes (dimensions need no codec), and
+  * the resize step really resamples 24-bit uncompressed BMP pixel
+  * arrays (nearest-neighbor is integer indexing — no codec needed);
+  * only the compressed-codec formats (PNG/MP4) keep a documented
+  * stub digest. Everything Spark-side is real: the binary schema, the
   * per-partition batch shape, the typed output rows, and the fact
   * that only metadata (not blobs) crosses any shuffle.
   *
@@ -23,11 +25,19 @@ import graft.Tables
   */
 object Multimodal {
 
-  /** Default longest-side bound for [[mmResize]]/[[mmResizeQuery]] —
-    * single-sourced into the DuckDB oracle (Oracles.scala) like
-    * SubstrK/PackBudget/AnomalySpikeZ, so changing the default here
-    * cannot silently desync the hash gate. */
+  /** Default longest-side bound for [[mmResize]]. */
   val ResizeMaxSide = 256
+
+  /** Longest-side bound used by the ORACLE entry ([[mmResizeQuery]]) —
+    * single-sourced into the DuckDB oracle (Oracles.scala) like
+    * SubstrK/PackBudget/AnomalySpikeZ, so changing it here cannot
+    * silently desync the hash gate. Small (16) on purpose: the
+    * synthesized corpus keeps dims ≤ 40×32 so its BMP pixel arrays
+    * are real (stride·h bytes actually present) and the DuckDB twin
+    * can re-derive every output pixel; 16 < min(40,32) makes the
+    * downscale, no-upscale, and clamp-to-1 paths all fire on real
+    * data. */
+  val ResizeOracleMaxSide = 16
 
   // Shadows functions.round: DuckDB-exact binary rounding so oracle
   // hashes cannot flake on decimal half boundaries (see OracleMath).
@@ -192,17 +202,22 @@ object Multimodal {
   }
 
   final case class Resized(doc_id: Long, width: Int, height: Int,
-      target_w: Int, target_h: Int, resized_md5: String)
+      target_w: Int, target_h: Int, resized_md5: String, resample: String)
 
-  /** F4 core: resize planning for one image blob. REAL: the header
-    * parse ([[decodeHeader]]), the aspect-preserving integral dims
-    * math (long multiply before divide — no doubles, no overflow for
-    * any s32 dims — floor, clamped to ≥ 1), and the deterministic
-    * output contract. STUBBED: the pixel resample itself — no codec
-    * ships in this container (SURVEY §2F), so the "resized payload"
-    * stand-in is md5(content ‖ "_tw_th"), a deterministic function of
-    * exactly the codec's inputs. Non-image blobs yield None (a real
-    * resize stage drops or routes them). */
+  /** F4 core: resize for one image blob. REAL: the header parse
+    * ([[decodeHeader]]), the aspect-preserving integral dims math
+    * (long multiply before divide — no doubles, no overflow for any
+    * s32 dims — floor, clamped to ≥ 1), and — for 24-bit uncompressed
+    * BMP whose full pixel array is present — the pixel resample
+    * itself: nearest-neighbor over the stored rows (`resample="nn"`,
+    * pure integer row/col indexing, no codec needed; the output is
+    * the packed tw·th·3 BGR byte array in stored row order, digested
+    * as md5 of its lowercase hex so a DuckDB oracle — whose md5 only
+    * accepts VARCHAR — can re-derive it pixel for pixel). STUBBED:
+    * compressed/paletted BMPs and the codec formats (PNG/MP4) —
+    * `resample="stub"`, digest md5(hex(content) ‖ "_tw_th"), a
+    * deterministic function of exactly the codec's inputs. Non-image
+    * blobs yield None (a real resize stage drops or routes them). */
   private val HexChars = "0123456789abcdef".toCharArray
 
   private def hexOf(bytes: Array[Byte]): String = {
@@ -212,6 +227,11 @@ object Multimodal {
     }
     sb.toString
   }
+
+  /** Nearest-neighbor source index: floor(t·src/dst), exact in Long —
+    * the same formula the DuckDB oracle runs as `(t * src) // dst`. */
+  @inline private def nnIdx(t: Int, src: Int, dst: Int): Int =
+    (t.toLong * src / dst).toInt
 
   private[multimodal] def resizeTo(maxSide: Int,
       md: java.security.MessageDigest =
@@ -230,14 +250,41 @@ object Multimodal {
         if (m <= maxSide) (w, h)
         else (math.max(1, (w.toLong * maxSide / m).toInt),
               math.max(1, (h.toLong * maxSide / m).toInt))
-      // Stub digest runs over hex(content): same determinism, same
-      // inputs (bytes, tw, th), but reproducible by a DuckDB oracle
-      // whose md5 only accepts VARCHAR — raw bytes can't round-trip
-      // through it.
+      val a = b.content
+      // Real-resample eligibility: 24bpp, BI_RGB (compression 0 at
+      // byte 30), pixel offset sane, and the WHOLE stride·h pixel
+      // array inside the blob (all in Long — a hostile header cannot
+      // overflow the bound check into a read past the array).
+      val stride = (w.toLong * 3 + 3) / 4 * 4
+      val pixOff = if (a.length >= 34) leS32(a, 10) else -1
+      val isNN = d.format == "bmp" && d.bit_depth.contains(24) &&
+        a.length >= 54 && leS32(a, 30) == 0 && pixOff >= 54 &&
+        pixOff + stride * h <= a.length
       md.reset()
-      md.update(hexOf(b.content).getBytes("UTF-8"))
-      md.update(s"_${tw}_${th}".getBytes("UTF-8"))
-      Resized(b.doc_id, w, h, tw, th, hexOf(md.digest()))
+      if (isNN) {
+        val strideI = stride.toInt // bounded by a.length via the check
+        val out = new Array[Byte](tw * th * 3)
+        var ty = 0; var i = 0
+        while (ty < th) {
+          val rowOff = pixOff + nnIdx(ty, h, th) * strideI
+          var tx = 0
+          while (tx < tw) {
+            val src = rowOff + nnIdx(tx, w, tw) * 3
+            out(i) = a(src); out(i + 1) = a(src + 1); out(i + 2) = a(src + 2)
+            i += 3; tx += 1
+          }
+          ty += 1
+        }
+        md.update(hexOf(out).getBytes("UTF-8"))
+        Resized(b.doc_id, w, h, tw, th, hexOf(md.digest()), "nn")
+      } else {
+        // Stub digest runs over hex(content): same determinism, same
+        // inputs (bytes, tw, th), but reproducible by a DuckDB oracle
+        // whose md5 only accepts VARCHAR.
+        md.update(hexOf(a).getBytes("UTF-8"))
+        md.update(s"_${tw}_${th}".getBytes("UTF-8"))
+        Resized(b.doc_id, w, h, tw, th, hexOf(md.digest()), "stub")
+      }
     }
   }
 
@@ -270,17 +317,24 @@ object Multimodal {
 
   /** F4 oracle-gated entry: the corpus ships no image rows, so this
     * query synthesizes a deterministic image corpus FROM the documents
-    * table — real PNG/BMP container headers (width/height derived from
-    * doc_id, the text bytes as payload; ~1/5 of BMPs top-down via a
-    * negative height; ~1/11 of docs left as raw non-image bytes) —
-    * and runs the REAL [[resizeCore]] over it. Everything the operator
-    * actually does (header parse, routing/drop of non-images,
-    * abs(negative height), aspect math with clamp, deterministic stub
-    * digest) is then checkable against a DuckDB oracle that builds the
-    * same blobs in hex space. Construction is pure codegen'd builtins
-    * (hex/lpad/unhex), no UDF. */
+    * table and runs the REAL [[resizeCore]] over it:
+    *  - BMP rows (the majority) are WELL-FORMED 24-bit uncompressed
+    *    bitmaps — full 14+40-byte header (file size, pixel offset 54,
+    *    BI_RGB) and a pixel array of exactly stride·h bytes built by
+    *    cycling the doc's text bytes (‖ 0x00) — so the operator's
+    *    nearest-neighbor path runs over REAL pixels and the digest is
+    *    the md5 of the actually-resampled byte array;
+    *  - PNG rows keep container-header-only blobs and exercise the
+    *    documented codec stub (dims math + stub digest);
+    *  - ~1/5 of BMPs are top-down (negative height, two's-complement
+    *    LE) and ~1/11 of docs stay raw non-image bytes (dropped).
+    * Dims are ≤ 40×32 and the bound is [[ResizeOracleMaxSide]] (16),
+    * so downscale, no-upscale, and clamp-to-1 all fire, and the
+    * DuckDB twin can re-derive every output pixel in hex space.
+    * Construction is pure codegen'd builtins (hex/lpad/repeat/unhex),
+    * no UDF. */
   def mmResizeQuery(spark: SparkSession, dir: String,
-      maxSide: Int = ResizeMaxSide): DataFrame = {
+      maxSide: Int = ResizeOracleMaxSide): DataFrame = {
     import spark.implicits._
     def le32(v: String): String =
       s"concat(lpad(hex(($v) % 256), 2, '0'), " +
@@ -289,26 +343,41 @@ object Multimodal {
         s"lpad(hex((($v) div 16777216) % 256), 2, '0'))"
     val imgs = Tables(spark, dir).documents
       .selectExpr("doc_id", "text",
-        "1 + (doc_id * 7) % 500 AS w",
-        "1 + (doc_id * 13) % 400 AS h",
+        "1 + (doc_id * 7) % 40 AS w",
+        "1 + (doc_id * 13) % 32 AS h",
         "CASE WHEN doc_id % 11 = 0 THEN 'raw' " +
           "WHEN doc_id % 3 = 0 THEN 'png' ELSE 'bmp' END AS kind")
-      // top-down BMPs store a negative height: two's-complement LE
+      // top-down BMPs store a negative height: two's-complement LE;
+      // stride = rows padded to 4-byte boundaries (24bpp)
       .selectExpr("doc_id", "text", "w", "h", "kind",
-        "CASE WHEN doc_id % 5 = 0 THEN 4294967296 - h ELSE h END AS hbmp")
+        "CASE WHEN doc_id % 5 = 0 THEN 4294967296 - h ELSE h END AS hbmp",
+        "((w * 3 + 3) div 4) * 4 AS stride")
+      // the BMP pixel array: exactly stride*h bytes, text bytes
+      // (‖ 0x00 so empty text still cycles) repeated and truncated
+      .selectExpr("doc_id", "text", "w", "h", "kind", "hbmp", "stride",
+        "concat(hex(cast(text AS binary)), '00') AS p2")
+      .selectExpr("doc_id", "text", "w", "h", "kind", "hbmp", "stride",
+        "CASE WHEN kind = 'bmp' THEN substring(" +
+          "repeat(p2, cast((stride * h * 2 + length(p2) - 1) div length(p2) AS int)), " +
+          "1, cast(stride * h * 2 AS int)) ELSE '' END AS px_hex")
       .selectExpr("doc_id",
         "CASE kind " +
-          // PNG: magic, IHDR length 13, 'IHDR', BE dims, depth 8, color 2
+          // PNG: magic, IHDR length 13, 'IHDR', BE dims, depth 8,
+          // color 2; payload = the text bytes (header-only container)
           "WHEN 'png' THEN concat('89504E470D0A1A0A0000000D49484452', " +
-          "  lpad(hex(w), 8, '0'), lpad(hex(h), 8, '0'), '0802') " +
-          // BMP: 'BM', size/reserved/offset zeros, DIB size 40, LE
-          // dims, 1 plane, 24 bpp
-          s"WHEN 'bmp' THEN concat('424D', repeat('00', 12), '28000000', " +
-          s"  ${le32("w")}, ${le32("hbmp")}, '01001800') " +
-          "ELSE '' END AS header_hex",
-        "hex(cast(text AS binary)) AS payload_hex")
-      .selectExpr("doc_id",
-        "unhex(concat(header_hex, payload_hex)) AS content")
+          "  lpad(hex(w), 8, '0'), lpad(hex(h), 8, '0'), '0802', " +
+          "  hex(cast(text AS binary))) " +
+          // BMP: 'BM', LE file size, reserved zeros, pixel offset 54,
+          // DIB size 40, LE dims, 1 plane, 24 bpp, BI_RGB, LE image
+          // size, 16 zero bytes (ppm/palette fields), then the pixels
+          s"WHEN 'bmp' THEN concat('424D', ${le32("54 + stride * h")}, " +
+          s"  '00000000', '36000000', '28000000', " +
+          s"  ${le32("w")}, ${le32("hbmp")}, '01001800', '00000000', " +
+          s"  ${le32("stride * h")}, repeat('00', 16), px_hex) " +
+          // raw rows keep their plain text bytes — realistic
+          // non-image payloads the routing must drop
+          "ELSE hex(cast(text AS binary)) END AS content_hex")
+      .selectExpr("doc_id", "unhex(content_hex) AS content")
     resizeCore(imgs.as[MmBlob], maxSide)
   }
 

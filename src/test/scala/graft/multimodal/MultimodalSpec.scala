@@ -231,6 +231,83 @@ class MultimodalSpec extends SparkSuite {
     assert(rz(pngHeader(1024, 769, 8)).get.resized_md5 != big.resized_md5)
   }
 
+  /** A complete, well-formed 24-bit uncompressed BMP: 14+40-byte
+    * header (pixel offset 54, BI_RGB) + stride·|h| pixel bytes from
+    * `pix(i)` (i indexes the packed pixel array including padding). */
+  private def fullBmp(w: Int, h: Int, pix: Int => Byte): Array[Byte] = {
+    val stride = (w * 3 + 3) / 4 * 4
+    val n = stride * math.abs(h)
+    val buf = java.nio.ByteBuffer.allocate(54 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(54 + n)      // file size
+    buf.putInt(0)           // reserved zeros at 6..9
+    buf.putInt(54)          // pixel offset
+    buf.putInt(40)          // info header size
+    buf.putInt(w).putInt(h) // little-endian dims (h may be negative)
+    buf.putShort(1)         // planes
+    buf.putShort(24)        // bpp
+    buf.putInt(0)           // BI_RGB
+    buf.putInt(n)           // image size
+    buf.put(new Array[Byte](16)) // ppm/palette fields
+    (0 until n).foreach(i => buf.put(pix(i)))
+    buf.array()
+  }
+
+  private def md5HexLower(bytes: Array[Byte]): String = {
+    val hx = bytes.map(b => f"${b & 0xFF}%02x").mkString
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(hx.getBytes("UTF-8"))
+      .map(b => f"${b & 0xFF}%02x").mkString
+  }
+
+  test("BMP resample is REAL nearest-neighbor over the pixel array") {
+    import Multimodal.{MmBlob, resizeTo}
+    // 4×2 @ maxSide 2 → 2×1: sy = 0·2/1 = 0, sx ∈ {0·4/2, 1·4/2} =
+    // {0, 2} — output must be exactly pixels (row0,col0)+(row0,col2)
+    val img = fullBmp(4, 2, i => (i * 7 + 3).toByte)
+    val stride = (4 * 3 + 3) / 4 * 4
+    val got = resizeTo(2)(MmBlob(1L, img)).get
+    assert((got.target_w, got.target_h, got.resample) === ((2, 1, "nn")))
+    val px = img.drop(54)
+    val expected = Array(px(0), px(1), px(2), px(6), px(7), px(8))
+    assert(got.resized_md5 === md5HexLower(expected))
+    // identity size (≤ maxSide): output is the packed (unpadded)
+    // pixel grid — still the real path, not the raw blob digest
+    val small = fullBmp(2, 2, i => (i * 31 + 5).toByte)
+    val s = resizeTo(16)(MmBlob(2L, small)).get
+    assert((s.target_w, s.target_h, s.resample) === ((2, 2, "nn")))
+    val sStride = (2 * 3 + 3) / 4 * 4 // 8: two padding bytes per row
+    val sp = small.drop(54)
+    val sExpected = Array(
+      sp(0), sp(1), sp(2), sp(3), sp(4), sp(5),
+      sp(sStride), sp(sStride + 1), sp(sStride + 2),
+      sp(sStride + 3), sp(sStride + 4), sp(sStride + 5))
+    assert(s.resized_md5 === md5HexLower(sExpected))
+    assert(stride === 12)
+  }
+
+  test("resample digest follows STORED row order (top-down = bottom-up " +
+      "bytes ⇒ same digest); ineligible BMPs fall back to the stub") {
+    import Multimodal.{MmBlob, resizeTo}
+    val up = fullBmp(3, 4, i => (i * 11).toByte)
+    val down = fullBmp(3, -4, i => (i * 11).toByte)
+    val (ru, rd) = (resizeTo(2)(MmBlob(1L, up)).get,
+      resizeTo(2)(MmBlob(2L, down)).get)
+    assert(ru.resample === "nn" && rd.resample === "nn")
+    assert(ru.resized_md5 === rd.resized_md5,
+      "same stored bytes must digest identically regardless of sign")
+    // truncated pixel array → not eligible for the real path
+    val trunc = resizeTo(2)(MmBlob(3L, up.dropRight(1))).get
+    assert(trunc.resample === "stub")
+    // compression ≠ BI_RGB → stub (flip the compression field)
+    val rle = up.clone(); rle(30) = 1
+    assert(resizeTo(2)(MmBlob(4L, rle)).get.resample === "stub")
+    // PNG is always the codec stub
+    val png = resizeTo(2)(MmBlob(5L, pngHeader(64, 64, 8))).get
+    assert(png.resample === "stub")
+  }
+
   test("resize keeps the decode path's no-shuffle batch shape") {
     val plan = Multimodal.mmResize(spark, sfDir)
       .queryExecution.executedPlan.toString
