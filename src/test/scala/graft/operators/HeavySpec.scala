@@ -72,18 +72,33 @@ class HeavySpec extends SparkSuite {
   }
 
   test("merge keeps the bound and is lossless below capacity") {
+    import graft.operators.HeavyHitters.MgBuffer
     val mg = new MisraGries(4)
-    val a = MgSummary(Map("x" -> 10L, "y" -> 3L, "z" -> 2L), 15L)
-    val b = MgSummary(Map("x" -> 5L, "w" -> 4L, "v" -> 2L), 11L)
-    val m = mg.merge(a, b)
+    val a = MgBuffer.from(Map("x" -> 10L, "y" -> 3L, "z" -> 2L), 15L, 4)
+    val b = MgBuffer.from(Map("x" -> 5L, "w" -> 4L, "v" -> 2L), 11L, 4)
+    val m = mg.merge(a, b).toSummary
     assert(m.n == 26L)
     assert(m.counts.size <= 4)
     // summed: x=15 y=3 z=2 w=4 v=2 → 5 keys; offset = 5th largest (2)
     assert(m.counts == Map("x" -> 13L, "y" -> 1L, "w" -> 2L))
     // below capacity nothing is lost
     val small = mg.merge(
-      MgSummary(Map("a" -> 2L), 2L), MgSummary(Map("b" -> 1L), 1L))
+      MgBuffer.from(Map("a" -> 2L), 2L, 4),
+      MgBuffer.from(Map("b" -> 1L), 1L, 4)).toSummary
     assert(small.counts == Map("a" -> 2L, "b" -> 1L) && small.n == 3L)
+  }
+
+  test("mutable buffer reduce matches the textbook fold (evicting path)") {
+    import graft.operators.HeavyHitters.MgBuffer
+    // cap 2, stream: a a b c a d — the textbook fold:
+    //   a:1 → a:2 → +b:1 → c decrements-all ({a:1}, b drops to zero,
+    //   c itself NOT inserted) → a:2 → d inserts into the freed slot
+    val buf = new MgBuffer(2)
+    Seq("a", "a", "b", "c", "a", "d").foreach(buf.inc)
+    val s = buf.toSummary
+    assert(s.n === 6L)
+    assert(s.counts === Map("a" -> 2L, "d" -> 1L),
+      "decrement-all must drop zeros and NOT insert the evicting key")
   }
 
   test("corpus entry equals the brute-force recount at this SF") {
