@@ -41,6 +41,27 @@ object Oracles {
            |FROM lineitem""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
 
+    // Mirrors Profile.tableProfileTyped's pinned formatting contract:
+    // %.6f for doubles, fixed 6-digit-micros timestamps (DuckDB reads
+    // the ns parquet truncated to micro TIMESTAMP — the Spark side
+    // profiles ts at the same micro grain by integral div).
+    "table_profile_typed" ->
+      graft.operators.Profile.TypedCols.map { case (table, c, kind) =>
+        def fmt(x: String): String = kind match {
+          case "plain" => s"$x::varchar"
+          case "double" => s"printf('%.6f', $x)"
+          case "ts" | "tsns" => s"strftime($x, '%Y-%m-%d %H:%M:%S.%f')"
+        }
+        s"""SELECT '$table' AS table_name, '$c' AS col_name,
+           |  count(*) AS n_rows,
+           |  count(*) - count($c) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  ${fmt(s"min($c)")} AS min_val,
+           |  ${fmt(s"max($c)")} AS max_val
+           |FROM $table""".stripMargin
+      }.mkString("", "\nUNION ALL\n",
+        "\nORDER BY table_name, col_name"),
+
     "q2_topk_window" ->
       """SELECT * FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,

@@ -50,6 +50,7 @@ object SparkEntry {
     "q24_set_ops"        -> Relational.q24SetOps,
     "q25_range_window"   -> Relational.q25RangeWindow,
     "table_profile"      -> (graft.operators.Profile.tableProfile(_, _)),
+    "table_profile_typed" -> (graft.operators.Profile.tableProfileTyped(_, _)),
     "asof_join"          -> (AsOfJoin.purchasesAsOfSignup(_, _)),
     "range_join"         -> (graft.operators.RangeJoin.eventsInWindows(_, _)),
     "events_sessionize"  -> (Sessionize.sessions(_, _)),

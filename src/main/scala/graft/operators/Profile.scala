@@ -48,4 +48,75 @@ object Profile {
         .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
           col("n_distinct"), col("min_val"), col("max_val"))
     }.reduce(_.unionAll(_)).orderBy(col("col_name"))
+
+  // ----- typed min/max (doubles + timestamps) ----------------------
+
+  /** The EXPLICIT cross-engine formatting contract for typed min/max
+    * (the gap the plain-cast entry deliberately left open):
+    *  - `double` → fixed 6-decimal `%.6f` over the full binary value
+    *    (never the shortest-repr string cast, whose scientific
+    *    notation and trailing-digit choices differ between engines);
+    *  - `timestamp` (micros) → `yyyy-MM-dd HH:mm:ss.SSSSSS`, DuckDB
+    *    twin `%Y-%m-%d %H:%M:%S.%f` (both fixed 6-digit micros);
+    *  - epoch-nanos `long` (events.ts) → truncate to micros with an
+    *    INTEGRAL `div 1000` (never a double round-trip — CLAUDE.md)
+    *    and format as above. The WHOLE branch (distinct included)
+    *    runs at the micro grain: DuckDB reads the ns-parquet
+    *    truncated to micro TIMESTAMP, so sub-micro grain is not
+    *    cross-engine observable — a distinct over raw nanos would
+    *    silently over-count the oracle's once two events share a
+    *    micro (probable at sf ≥ 1: ~19% birthday odds at 1M events
+    *    over 30 days).
+    * Aggregate formatters apply to the two scalars only — per-row
+    * work stays a codegen'd min/max over the native column type. */
+  /** Spark-side formatter per type kind. */
+  private def sparkFmt(kind: String)(x: String): String = kind match {
+    case "plain" => s"cast($x AS string)"
+    case "double" => s"format_string('%.6f', $x)"
+    case "ts" => s"date_format($x, 'yyyy-MM-dd HH:mm:ss.SSSSSS')"
+    // the branch column is already micros (see tableProfileTyped)
+    case "tsns" => s"date_format(timestamp_micros($x), " +
+      "'yyyy-MM-dd HH:mm:ss.SSSSSS')"
+  }
+
+  /** The typed-profile column set: (table, column, type kind) —
+    * single-sourced into the oracle (which mirrors the contract with
+    * `::varchar` / `printf('%.6f', …)` / `strftime(…, '%Y-%m-%d
+    * %H:%M:%S.%f')` per kind). */
+  val TypedCols: Seq[(String, String, String)] = Seq(
+    ("events", "event_id", "plain"),
+    ("events", "ts", "tsns"),
+    ("events", "value", "double"),
+    ("events", "event_type", "plain"),
+    ("orders", "o_totalprice", "double"),
+    ("orders", "o_orderdate", "ts"))
+
+  /** H query entry 2: the datasheet over double/timestamp columns
+    * with the pinned formatting contract. Same scale shape as
+    * [[profileOf]]: one column-pruned two-phase branch per column. */
+  def tableProfileTyped(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    TypedCols.map { case (table, c, kind) =>
+      val df = table match {
+        case "events" => t.events
+        case "orders" => t.orders
+      }
+      val fmt = sparkFmt(kind) _
+      val branchCol =
+        if (kind == "tsns") expr(s"$c div 1000").as(c) // ns → µs, integral
+        else col(c)
+      df.select(branchCol)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col(c))).as("n_null"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).as("min_raw"),
+          max(col(c)).as("max_raw"))
+        .selectExpr(s"'$table' AS table_name", s"'$c' AS col_name",
+          "n_rows", "n_null", "n_distinct",
+          fmt("min_raw") + " AS min_val",
+          fmt("max_raw") + " AS max_val")
+    }.reduce(_.unionAll(_))
+      .orderBy(col("table_name"), col("col_name"))
+  }
 }

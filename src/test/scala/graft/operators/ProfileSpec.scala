@@ -64,4 +64,33 @@ class ProfileSpec extends SparkSuite {
     val plan = q.queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), s"unexpected Expand:\n$plan")
   }
+
+  test("typed profile: pinned formatting contract and micro-grain ts") {
+    val rows = Profile.tableProfileTyped(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getString(5), r.getString(6))).toMap
+    assert(rows.keySet == Profile.TypedCols
+      .map { case (t, c, _) => (t, c) }.toSet)
+    val fixed6 = """-?\d+\.\d{6}""".r
+    val tsFmt = """\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{6}""".r
+    Seq(("events", "value"), ("orders", "o_totalprice")).foreach { k =>
+      val (_, _, _, mn, mx) = rows(k)
+      assert(fixed6.matches(mn) && fixed6.matches(mx),
+        s"$k min/max must be fixed 6-decimal: $mn / $mx")
+    }
+    Seq(("events", "ts"), ("orders", "o_orderdate")).foreach { k =>
+      val (_, _, _, mn, mx) = rows(k)
+      assert(tsFmt.matches(mn) && tsFmt.matches(mx),
+        s"$k min/max must be 6-digit-micros timestamps: $mn / $mx")
+      assert(mn <= mx)
+    }
+    // ts profiles at the MICRO grain (the oracle engine's read grain):
+    // the distinct count must equal a micro-truncated recompute, not
+    // the raw-nanos one
+    val ev = graft.Tables(spark, sfDir).events
+    val microDistinct = ev.selectExpr("ts div 1000 AS us")
+      .agg(countDistinct(col("us"))).head().getLong(0)
+    assert(rows(("events", "ts"))._3 == microDistinct)
+  }
 }
