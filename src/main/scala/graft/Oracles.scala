@@ -1321,6 +1321,66 @@ object Oracles {
   /** SURVEY §2D — similarity search (ann_lsh is rows-only +
     * recall-property-tested). */
   val similarity: Map[String, String] = Map(
+    // Mirrors Similarity.annIvf stage for stage: Knuth-hash quantizer
+    // seed (integer algebra — the reason it isn't xxhash64), strict
+    // sequential-fold dot products (bit-identical per CLAUDE.md),
+    // first-max-index assignment (row_number d DESC, c_idx ASC),
+    // array_sort-then-reverse probe order (d DESC, c_idx DESC), exact
+    // rerank with the (cos DESC, n_id) tiebreak.
+    "ann_ivf" -> {
+      val mul = graft.operators.Similarity.IvfHashMul
+      val mod = graft.operators.Similarity.IvfHashMod
+      s"""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce(
+        |      list_transform(list_zip(v, v), s -> s[1] * s[2]),
+        |      (x, y) -> x + y)) AS nrm
+        |  FROM e),
+        |cents AS (
+        |  SELECT row_number() OVER (
+        |      ORDER BY (vec_id * $mul) % $mod, vec_id) AS c_idx,
+        |    v AS cv
+        |  FROM e
+        |  ORDER BY (vec_id * $mul) % $mod, vec_id
+        |  LIMIT 16),
+        |dots AS (
+        |  SELECT n.vec_id, c.c_idx,
+        |    list_reduce(
+        |      list_transform(list_zip(n.v, c.cv), s -> s[1] * s[2]),
+        |      (x, y) -> x + y) AS d
+        |  FROM n CROSS JOIN cents c),
+        |assigned AS (
+        |  SELECT vec_id, c_idx AS list_id FROM (
+        |    SELECT vec_id, c_idx, row_number() OVER (
+        |        PARTITION BY vec_id ORDER BY d DESC, c_idx) AS rn
+        |    FROM dots) WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS q_id, c_idx AS list_id FROM (
+        |    SELECT vec_id, c_idx, row_number() OVER (
+        |        PARTITION BY vec_id ORDER BY d DESC, c_idx DESC) AS rn
+        |    FROM dots WHERE vec_id < 10) WHERE rn <= 4),
+        |pairs AS (
+        |  SELECT p.q_id, a.vec_id AS n_id,
+        |    list_reduce(
+        |      list_transform(list_zip(q.v, x.v), s -> s[1] * s[2]),
+        |      (u, w) -> u + w) / (q.nrm * x.nrm) AS cos
+        |  FROM probes p
+        |  JOIN assigned a ON a.list_id = p.list_id
+        |  JOIN n x ON x.vec_id = a.vec_id
+        |  JOIN n q ON q.vec_id = p.q_id
+        |  WHERE a.vec_id <> p.q_id)
+        |SELECT q_id, n_id, rk::int AS rk, round(cos, 4) AS cos FROM (
+        |  SELECT q_id, n_id, cos,
+        |    row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY cos DESC, n_id) AS rk
+        |  FROM pairs)
+        |WHERE rk <= 5
+        |ORDER BY q_id, rk""".stripMargin
+    },
+
     "ann_bruteforce" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::double) AS v

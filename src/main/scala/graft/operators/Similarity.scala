@@ -137,25 +137,41 @@ object Similarity {
     topK(spark, pairs, k = 5)
   }
 
+  /** Quantizer-seed hash: Knuth multiplicative, h = (vec_id ·
+    * 2654435761) mod 2³² — pure integer algebra any engine computes
+    * identically (it replaced xxhash64, which only Spark has, to make
+    * the IVF path fully SQL-oracle-gatable), and a bijection on ids
+    * < 2³² (odd multiplier), so the seed order has no ties.
+    * Single-sourced into the DuckDB oracle. */
+  val IvfHashMul = 2654435761L
+  val IvfHashMod = 4294967296L
+
   /** D2b: IVF (inverted-file) top-5 — the other standard ANN family.
     * Coarse quantizer: `nLists` deterministic centroids (the vectors
-    * with the smallest xxhash64(vec_id) — a seeded sample; a
-    * production build would k-means-refine them, the list structure
-    * is identical). Every vector is assigned to its best-cosine list
-    * (one scan, centroids broadcast as literals); a query probes its
-    * `nProbe` best lists and reranks exactly. The candidate join is
-    * an equi-join on list_id — at 1e9 vectors each list is a
-    * partition-pruned slice, and nProbe/nLists is the recall/cost
-    * dial. Rows-only oracle; recall vs brute force in SimilaritySpec.
-    */
+    * with the smallest [[IvfHashMul]]-hash of vec_id — a seeded
+    * sample; a production build would k-means-refine them, the list
+    * structure is identical). Every vector is assigned to its
+    * best-cosine list (one scan, centroids broadcast as literals); a
+    * query probes its `nProbe` best lists and reranks exactly. The
+    * candidate join is an equi-join on list_id — at 1e9 vectors each
+    * list is a partition-pruned slice, and nProbe/nLists is the
+    * recall/cost dial.
+    *
+    * FULLY hash-gated (round 8): every stage is cross-engine
+    * reproducible — the seed hash is integer algebra, dot products
+    * are strict sequential folds (bit-identical, CLAUDE.md), the
+    * assignment tie rule is first-max-index (mirrored as row_number
+    * ORDER BY d DESC, c_idx), and the probe tie rule is the
+    * array_sort-then-reverse struct order (d DESC, c_idx DESC).
+    * Recall vs brute force stays property-tested in SimilaritySpec. */
   def annIvf(spark: SparkSession, dir: String,
       nLists: Int = 16, nProbe: Int = 4): DataFrame = {
     val e = vectors(spark, dir)
     // 16 centroid vectors: tiny, deterministic; this collect is the
     // "train the quantizer" step, not data-plane work.
     val centroids: Array[Seq[Double]] = e
-      .withColumn("h", xxhash64(col("vec_id")))
-      .orderBy(col("h")).limit(nLists)
+      .withColumn("h", expr(s"(vec_id * $IvfHashMul) % $IvfHashMod"))
+      .orderBy(col("h"), col("vec_id")).limit(nLists)
       .select(col("v")).collect().map(_.getSeq[Double](0))
     def centCol(c: Seq[Double]) = array(c.map(lit): _*)
     val dots = array(centroids.map(c => V.dot(col("v"), centCol(c))): _*)
