@@ -1815,6 +1815,23 @@ object Oracles {
         |GROUP BY day_start, c_mktsegment
         |ORDER BY day_start, c_mktsegment""".stripMargin,
 
+    // Stream-stream interval join: every (view, click) pair by the
+    // same user with the click in the view's trailing lag window —
+    // the same ns→sec mapping as the funnel oracle.
+    "stream_join" ->
+      s"""WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch(date_trunc('second', ts))::bigint AS ep
+        |  FROM events)
+        |SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+        |  v.ep AS view_ep, c.ep AS click_ep, c.ep - v.ep AS lag_s
+        |FROM e v JOIN e c
+        |  ON v.user_id = c.user_id
+        | AND c.ep >= v.ep
+        | AND c.ep <= v.ep + ${graft.streaming.Streams.ViewClickLagMax}
+        |WHERE v.event_type = 'view' AND c.event_type = 'click'
+        |ORDER BY v.user_id, view_id, click_id""".stripMargin,
+
     // Identical sessions to events_sessionize — the stateful path must
     // reproduce the window-function batch form exactly.
     "stream_sessionize" ->

@@ -121,7 +121,8 @@ object SparkEntry {
     "stream_enrich"       -> Streams.streamEnrich,
     "stream_sample"       -> Streams.streamSample,
     "stream_pack"         -> Streams.streamPack,
-    "stream_mix"          -> Streams.streamMix
+    "stream_mix"          -> Streams.streamMix,
+    "stream_join"         -> Streams.streamJoin
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -826,6 +826,57 @@ object Streams {
       .orderBy(col("doc_id"))
   }
 
+  /** Max view→click lag in seconds for the G12 stream-stream interval
+    * join (single-sourced into the DuckDB oracle). */
+  val ViewClickLagMax = 1800L
+
+  /** G12 transform: STREAM-STREAM interval join — attribute each
+    * click to every view by the same user within the preceding
+    * [[ViewClickLagMax]] seconds. Works on any pair of
+    * (user_id, event_id, ep_ts) frames, batch or stream.
+    *
+    * The one Structured Streaming capability class the G section
+    * lacked: both sides are unbounded, so unlike the stream-static
+    * [[enrichTransform]] the join itself must hold state. A streaming
+    * caller derives AND WATERMARKS both ep_ts columns itself (the
+    * [[windowAggTransform]] contract); with watermarks on both
+    * inputs and this predicate bounding both event times against
+    * each other, Spark derives a state watermark and EVICTS buffered
+    * rows older than watermark − lag — bounded state at any rate
+    * (asserted live in StreamsSpec). At 100 TB the join is an
+    * equi-join on user_id: both sides hash-partition by user, state
+    * is per-partition, and the lag bound keeps each partition's
+    * buffer a sliding window rather than the full history. Batch
+    * mode is the same logical join (two column-pruned scans of one
+    * source — a genuine self-join, not a repeated-subtree accident),
+    * so the entry shares one SQL oracle with the stream path. */
+  def viewClickJoinTransform(views: DataFrame, clicks: DataFrame): DataFrame =
+    views
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ep_ts").as("view_ts"))
+      .join(
+        clicks.select(col("user_id").as("c_user"),
+          col("event_id").as("click_id"), col("ep_ts").as("click_ts")),
+        expr(s"""v_user = c_user
+                |AND click_ts >= view_ts
+                |AND click_ts <= view_ts + interval $ViewClickLagMax seconds
+                |""".stripMargin))
+      .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
+        unix_timestamp(col("view_ts")).as("view_ep"),
+        unix_timestamp(col("click_ts")).as("click_ep"),
+        (unix_timestamp(col("click_ts")) - unix_timestamp(col("view_ts")))
+          .as("lag_s"))
+
+  /** G12 batch entry (driver-verified against the DuckDB oracle). */
+  def streamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .withColumn("ep_ts", Tables.tsNsToSec("ts").cast("timestamp"))
+    viewClickJoinTransform(
+      ev.filter(col("event_type") === "view"),
+      ev.filter(col("event_type") === "click"))
+      .orderBy(col("user_id"), col("view_id"), col("click_id"))
+  }
+
   /** G7 batch entry (driver-verified against the DuckDB join oracle). */
   def streamEnrich(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)

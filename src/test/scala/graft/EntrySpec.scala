@@ -14,8 +14,10 @@ class EntrySpec extends SparkSuite {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(dangling.isEmpty, s"oracles without a query: $dangling")
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // ann_ivf left this set in round 8 (integer-algebra quantizer
+    // seed made it fully hash-gatable)
     val declared = Set("q23_approx_percentiles", "q12_approx_distinct",
-      "dedup_minhash_lsh", "dedup_simhash", "ann_lsh", "ann_ivf",
+      "dedup_minhash_lsh", "dedup_simhash", "ann_lsh",
       "embed_cluster", "stream_neardup")
     assert(rowsOnly == declared,
       s"undeclared rows-only queries: ${rowsOnly -- declared}; " +

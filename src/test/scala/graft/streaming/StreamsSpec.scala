@@ -751,4 +751,103 @@ class StreamsSpec extends SparkSuite {
       }
     } finally query.stop()
   }
+
+  // ----- G12 stream-stream interval join ---------------------------
+
+  private def vcBase = 1704067200L // 2024-01-01 00:00:00 UTC
+
+  /** (user_id, event_id, ts-ns) fixture rows for the view⋈click join. */
+  private def vcNs(sec: Long): Long = (vcBase + sec) * 1000000000L
+
+  private def vcFrame(rows: Seq[(Long, Long, Long)]) = {
+    val s = spark; import s.implicits._
+    rows.toDF("user_id", "event_id", "ts")
+      .withColumn("ep_ts", graft.Tables.tsNsToSec("ts").cast("timestamp"))
+  }
+
+  test("stream-stream view⋈click join equals batch, with views buffered " +
+      "across batches") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    // user 1: v1@0, v2@100; clicks c10@60 (pairs v1 only — it precedes
+    // v2), c11@1900 (lag 1900 from v1 > 1800 excluded; lag 1800 from
+    // v2 = boundary, included). user 2's view must never pair with
+    // user 1's clicks.
+    val views = Seq((1L, 1L, vcNs(0)), (1L, 2L, vcNs(100)),
+      (2L, 3L, vcNs(50)))
+    val clicks = Seq((1L, 10L, vcNs(60)), (1L, 11L, vcNs(1900)),
+      (2L, 12L, vcNs(5000)))
+    val expected = Streams.viewClickJoinTransform(
+        vcFrame(views), vcFrame(clicks))
+      .orderBy("user_id", "view_id", "click_id").collect().toSeq
+    assert(expected.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      === Seq((1L, 1L, 10L), (1L, 2L, 11L)),
+      "fixture must exercise the lag boundary and the user equi-key")
+
+    val vStream = MemoryStream[(Long, Long, Long)]
+    val cStream = MemoryStream[(Long, Long, Long)]
+    def side(m: MemoryStream[(Long, Long, Long)]) =
+      m.toDF().toDF("user_id", "event_id", "ts")
+        .withColumn("ep_ts", graft.Tables.tsNsToSec("ts").cast("timestamp"))
+        .withWatermark("ep_ts", "10 minutes")
+    val joined = Streams.viewClickJoinTransform(side(vStream), side(cStream))
+    val query = joined.writeStream.format("memory")
+      .queryName("vc_join").outputMode("append").start()
+    try {
+      // batch 1: views only — they must be BUFFERED in join state
+      vStream.addData(views)
+      query.processAllAvailable()
+      assert(s.table("vc_join").isEmpty)
+      // batch 2: the clicks arrive later and still find their views
+      cStream.addData(clicks)
+      query.processAllAvailable()
+      val got = s.table("vc_join")
+        .orderBy("user_id", "view_id", "click_id").collect().toSeq
+      assert(got === expected,
+        "cross-batch stream join must equal the batch join")
+    } finally query.stop()
+  }
+
+  test("stream-stream join state is EVICTED once both watermarks pass " +
+      "the lag window") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    val vStream = MemoryStream[(Long, Long, Long)]
+    val cStream = MemoryStream[(Long, Long, Long)]
+    def side(m: MemoryStream[(Long, Long, Long)]) =
+      m.toDF().toDF("user_id", "event_id", "ts")
+        .withColumn("ep_ts", graft.Tables.tsNsToSec("ts").cast("timestamp"))
+        .withWatermark("ep_ts", "10 minutes")
+    val joined = Streams.viewClickJoinTransform(side(vStream), side(cStream))
+    val query = joined.writeStream.format("memory")
+      .queryName("vc_evict").outputMode("append").start()
+    // stateOperators can be EMPTY on early progress reports (the TTL
+    // lesson) — headOption + sentinel, never (0)
+    def stateRows(): Long = Option(query.lastProgress)
+      .flatMap(_.stateOperators.headOption)
+      .map(_.numRowsTotal).getOrElse(-1L)
+    try {
+      vStream.addData((1L, 1L, vcNs(0)))
+      cStream.addData((1L, 10L, vcNs(60)))
+      query.processAllAvailable()
+      val before = stateRows()
+      assert(before >= 2L,
+        s"both sides must be buffered in join state, saw $before")
+      // advance BOTH input watermarks far past lag + delay; run two
+      // more batches (eviction applies on the batch after the
+      // watermark moves)
+      val far = 100000L
+      vStream.addData((1L, 2L, vcNs(far)))
+      cStream.addData((1L, 11L, vcNs(far)))
+      query.processAllAvailable()
+      vStream.addData((1L, 4L, vcNs(far + 10)))
+      cStream.addData((1L, 12L, vcNs(far + 10)))
+      query.processAllAvailable()
+      val after = stateRows()
+      assert(after >= 0L, "state operator must have reported progress")
+      assert(after <= 4L,
+        s"old rows must leave the store (only the recent window may " +
+          s"remain): before=$before after=$after")
+    } finally query.stop()
+  }
 }
