@@ -660,6 +660,58 @@ object Oracles {
         |FROM toks WHERE len(w) >= 2
         |ORDER BY doc_id""".stripMargin,
 
+    // PII scrub over the deterministically augmented corpus: both
+    // engines build the identical pii_text (integer algebra on
+    // doc_id), the regex literals are single-sourced from TextQueries
+    // (RE2 ∩ java.util.regex dialect), counts are taken pre-redaction
+    // and the three rewrites apply in the same fixed order. DuckDB's
+    // regexp_replace needs the explicit 'g' flag to match Spark's
+    // replace-all default.
+    "text_pii" -> {
+      val email = graft.functions.TextQueries.EmailRe
+      val phone = graft.functions.TextQueries.PhoneRe
+      val ip = graft.functions.TextQueries.IpRe
+      s"""WITH aug AS (
+        |  SELECT doc_id,
+        |    text
+        |    || CASE WHEN doc_id % 3 <> 0
+        |         THEN ' Contact user' || doc_id::varchar || '.'
+        |           || (doc_id % 97)::varchar || '@'
+        |           || CASE doc_id % 4 WHEN 0 THEN 'example.com'
+        |              WHEN 1 THEN 'mail.example.org'
+        |              WHEN 2 THEN 'corp-site.net' ELSE 'test.io' END
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 5 < 2
+        |         THEN ' call +1-555-'
+        |           || lpad(((doc_id*7) % 10000)::varchar, 4, '0')
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0
+        |         THEN ' from ' || ((doc_id*13) % 256)::varchar || '.'
+        |           || ((doc_id*17) % 256)::varchar || '.'
+        |           || ((doc_id*23) % 256)::varchar || '.'
+        |           || ((doc_id*29) % 256)::varchar
+        |         ELSE '' END AS pii_text
+        |  FROM documents),
+        |red AS (
+        |  SELECT doc_id, pii_text,
+        |    regexp_replace(regexp_replace(regexp_replace(pii_text,
+        |      '$email', '<EMAIL>', 'g'),
+        |      '$phone', '<PHONE>', 'g'),
+        |      '$ip', '<IP>', 'g') AS redacted
+        |  FROM aug)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(pii_text, '$email'))::int AS n_emails,
+        |  len(regexp_extract_all(pii_text, '$phone'))::int AS n_phones,
+        |  len(regexp_extract_all(pii_text, '$ip'))::int AS n_ips,
+        |  (len(regexp_extract_all(pii_text, '$email'))
+        |   + len(regexp_extract_all(pii_text, '$phone'))
+        |   + len(regexp_extract_all(pii_text, '$ip'))) > 0 AS has_pii,
+        |  md5(redacted) AS redacted_md5,
+        |  length(redacted)::int AS redacted_len
+        |FROM red
+        |ORDER BY doc_id""".stripMargin
+    },
+
     // Top-K vocabulary cut is a total order (count DESC, token ASC),
     // so the boundary tie is deterministic in both engines. Integer
     // '/' is double division in DuckDB, matching Spark's Column./.

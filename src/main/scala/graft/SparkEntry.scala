@@ -75,6 +75,7 @@ object SparkEntry {
     "text_repetition"    -> TextQueries.textRepetition,
     "text_oov"           -> TextQueries.textOov,
     "text_typicality"    -> TextQueries.textTypicality,
+    "text_pii"           -> TextQueries.textPii,
     "corpus_stats"       -> TextQueries.corpusStats,
     "corpus_ngrams"      -> TextQueries.corpusNgrams,
     "quality_deciles"    -> TextQueries.qualityDeciles,

@@ -332,4 +332,80 @@ object TextQueries {
           .as("bigram_dup_ratio"))
       .orderBy(col("doc_id"))
   }
+
+  /** PII patterns for [[textPii]] — written in the RE2 ∩ java.util.regex
+    * common dialect (no backreferences, no lookaround) so one literal
+    * drives both Spark and the DuckDB oracle. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+  val IpRe = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** The deterministic PII augmentation for [[textPii]]: the synthetic
+    * corpus carries no natural PII, so each doc's text is extended with
+    * email/phone/IPv4 tokens derived from `doc_id` by pure integer
+    * algebra (the mm_resize synthesized-corpus pattern — both engines
+    * build the identical string, so detection AND redaction stay a
+    * full hash gate). The three mod gates leave ~1/3 of docs with no
+    * email, ~3/5 with no phone, ~6/7 with no IP — the no-op redaction
+    * path is exercised, not just the rewrite path. */
+  def piiAugmented(id: Column, text: Column): Column = {
+    val s = (c: Column) => c.cast("string")
+    val domain = when(id % 4 === 0, "example.com")
+      .when(id % 4 === 1, "mail.example.org")
+      .when(id % 4 === 2, "corp-site.net")
+      .otherwise("test.io")
+    val email = when(id % 3 =!= 0,
+      concat(lit(" Contact user"), s(id), lit("."), s(id % 97),
+        lit("@"), domain)).otherwise("")
+    val phone = when(id % 5 < 2,
+      concat(lit(" call +1-555-"), lpad(s((id * 7) % 10000), 4, "0")))
+      .otherwise("")
+    val ip = when(id % 7 === 0,
+      concat(lit(" from "), s((id * 13) % 256), lit("."),
+        s((id * 17) % 256), lit("."), s((id * 23) % 256), lit("."),
+        s((id * 29) % 256))).otherwise("")
+    concat(text, email, phone, ip)
+  }
+
+  /** E11: PII detection + redaction (C4/Dolma-style scrub step) —
+    * count email/phone/IPv4 matches per document and rewrite each to a
+    * typed placeholder. Counts are taken on the pre-redaction text;
+    * redaction applies the three rewrites in a fixed order
+    * (email→phone→IP, identical in the oracle). Every function here
+    * (`regexp_count`/`regexp_replace`/`md5`) is a codegen'd builtin:
+    * the whole operator is a zero-shuffle per-row scan — at 100 TB it
+    * is map-only work that partitions perfectly, with the one orderBy
+    * existing purely for the deterministic oracle dump. */
+  def textPii(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    piiScanOf(d.select(col("doc_id"),
+        piiAugmented(col("doc_id"), col("text")).as("pii_text")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The redaction expression of [[textPii]], exposed so the spec can
+    * assert zero residual matches on the rewritten text itself. */
+  def piiRedacted(text: Column): Column = regexp_replace(
+    regexp_replace(
+      regexp_replace(text, lit(EmailRe), lit("<EMAIL>")),
+      lit(PhoneRe), lit("<PHONE>")),
+    lit(IpRe), lit("<IP>"))
+
+  /** Detection + redaction core of [[textPii]] over any
+    * (doc_id, pii_text) frame — separated so the spec drives hand
+    * fixtures with real PII strings, not just the synthetic corpus. */
+  def piiScanOf(aug: DataFrame): DataFrame = {
+    val redacted = piiRedacted(col("pii_text"))
+    val nEmails = regexp_count(col("pii_text"), lit(EmailRe))
+    val nPhones = regexp_count(col("pii_text"), lit(PhoneRe))
+    val nIps = regexp_count(col("pii_text"), lit(IpRe))
+    aug.select(
+      col("doc_id"),
+      nEmails.cast("int").as("n_emails"),
+      nPhones.cast("int").as("n_phones"),
+      nIps.cast("int").as("n_ips"),
+      (nEmails + nPhones + nIps > 0).as("has_pii"),
+      md5(redacted).as("redacted_md5"),
+      length(redacted).cast("int").as("redacted_len"))
+  }
 }
