@@ -36,6 +36,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - `DELETE /request/{id}` → 200 `{"cancelled":"…"}`; 404 unknown
   *  - `POST /reap` → 200 `{"live":N}` — drop completed request state
   *
+  * Human HTML surface (the reference's job-browser UI —
+  * mr/views/ui/job.py routes Jinja templates under
+  * mr/resources/templates/; here the pages render server-side from
+  * the same live registries the JSON routes read, with inline CSS
+  * instead of the reference's CDN Bootstrap — this engine assumes
+  * zero egress):
+  *  - `GET /ui` → job browser: every submittable job with a one-click
+  *    submit form (reference ui_job_get_browser)
+  *  - `POST /ui/job/{name}` → submit + `303 See Other` to the new
+  *    request's page (the HTML twin of `POST /job/{name}`)
+  *  - `GET /ui/requests` → live request table (id, job, progress,
+  *    outcome), each linking to its detail page
+  *  - `GET /ui/request/{id}` → request detail with a progress bar;
+  *    auto-refreshes while incomplete
+  *
   * Lifecycle: completed requests stay pollable until an explicit
   * `/reap` (the reference equivalently keeps request trees until
   * request_cleanup runs) — a long-lived server should reap on its
@@ -74,6 +89,102 @@ final class HttpApi private (spark: SparkSession, dataDir: String,
 
   private def notFound(ex: HttpExchange, what: String): Unit =
     json(ex, 404, s"""{"error":"unknown $what"}""")
+
+  // ---- HTML UI -----------------------------------------------------
+
+  private def esc(s: String): String = s
+    .replace("&", "&amp;").replace("<", "&lt;")
+    .replace(">", "&gt;").replace("\"", "&quot;")
+
+  /** The one shared layout (the reference's layouts/base.html). CSS is
+    * inline: this engine assumes zero egress, so no CDN stylesheets. */
+  private def htmlPage(ex: HttpExchange, status: Int, title: String,
+      body: String, refreshSec: Option[Int] = None): Unit = {
+    val refresh = refreshSec
+      .map(s => s"""<meta http-equiv="refresh" content="$s">""")
+      .getOrElse("")
+    val doc =
+      s"""<!DOCTYPE html>
+         |<html><head><title>graft — ${esc(title)}</title>$refresh
+         |<meta name="viewport" content="width=device-width, initial-scale=1.0">
+         |<style>
+         |body{font-family:sans-serif;margin:2em;color:#222}
+         |table{border-collapse:collapse}
+         |td,th{border:1px solid #ccc;padding:.35em .7em;text-align:left}
+         |th{background:#f4f4f4}
+         |.bar{width:12em;background:#eee;height:1em;display:inline-block}
+         |.bar>div{background:#4a8;height:1em}
+         |nav a{margin-right:1em}
+         |</style></head>
+         |<body><nav><a href="/ui">jobs</a>
+         |<a href="/ui/requests">requests</a></nav>
+         |<h1>${esc(title)}</h1>$body</body></html>""".stripMargin
+    val bytes = doc.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    try ex.getResponseBody.write(bytes)
+    finally ex.close()
+  }
+
+  private def seeOther(ex: HttpExchange, location: String): Unit = {
+    ex.getResponseHeaders.set("Location", location)
+    ex.sendResponseHeaders(303, -1L)
+    ex.close()
+  }
+
+  private def uiJobBrowser(ex: HttpExchange): Unit = {
+    val rows = jobs.keys.toSeq.sorted.map { name =>
+      s"""<tr><td>${esc(name)}</td><td><form method="post"
+         | action="/ui/job/${esc(name)}"><button>submit</button>
+         |</form></td></tr>""".stripMargin
+    }
+    htmlPage(ex, 200, "jobs",
+      s"""<table><tr><th>job</th><th></th></tr>${rows.mkString}</table>""")
+  }
+
+  private def uiRequests(ex: HttpExchange): Unit = {
+    import scala.jdk.CollectionConverters._
+    val rows = requests.asScala.toSeq.sortBy(_._1).map { case (id, h) =>
+      val p = h.progress
+      val outcome = h.result.value match {
+        case Some(scala.util.Success(t)) =>
+          if (t.isSuccess) "succeeded" else "failed"
+        case Some(scala.util.Failure(_)) => "failed"
+        case None => "running"
+      }
+      s"""<tr><td><a href="/ui/request/${esc(id)}">${esc(id)}</a></td>
+         |<td>${esc(h.name)}</td><td>${"%.0f".format(p.fraction * 100)}%</td>
+         |<td>$outcome</td></tr>""".stripMargin
+    }
+    htmlPage(ex, 200, "requests",
+      s"""<table><tr><th>request</th><th>job</th><th>progress</th>
+         |<th>state</th></tr>${rows.mkString}</table>""".stripMargin)
+  }
+
+  private def uiRequestDetail(ex: HttpExchange, id: String,
+      h: Jobs.JobHandle): Unit = {
+    val p = h.progress
+    val pct = math.round(p.fraction * 100).toInt
+    val outcome = h.result.value match {
+      case Some(scala.util.Success(t)) =>
+        if (t.isSuccess) "succeeded" else "failed"
+      case Some(scala.util.Failure(_)) => "failed"
+      case None => "running"
+    }
+    val body =
+      s"""<table>
+         |<tr><th>request</th><td>${esc(id)}</td></tr>
+         |<tr><th>job</th><td>${esc(h.name)}</td></tr>
+         |<tr><th>progress</th><td><span class="bar">
+         |<div style="width:$pct%"></div></span> $pct%
+         |(${p.tasksDone}/${p.tasksTotal} tasks)</td></tr>
+         |<tr><th>state</th><td>$outcome</td></tr>
+         |</table>""".stripMargin
+    // poll-by-refresh while running (the reference's UI leaned on
+    // client JS; a meta refresh needs no script assets at all)
+    htmlPage(ex, 200, s"request ${h.name}", body,
+      refreshSec = if (p.completed) None else Some(2))
+  }
 
   private def progressJson(h: Jobs.JobHandle): String = {
     val p = h.progress
@@ -133,6 +244,22 @@ final class HttpApi private (spark: SparkSession, dataDir: String,
         }
       case ("POST", "reap" :: Nil) =>
         json(ex, 200, s"""{"live":${reap()}}""")
+      case ("GET", "ui" :: Nil) => uiJobBrowser(ex)
+      case ("GET", "ui" :: "requests" :: Nil) => uiRequests(ex)
+      case ("POST", "ui" :: "job" :: name :: Nil) =>
+        jobs.get(name) match {
+          case None => notFound(ex, "job")
+          case Some(q) =>
+            val handle = Jobs.submitJob(spark, name, q(spark, dataDir),
+              Jobs.SinkWriter(sinkRoot))
+            requests.put(handle.groupId, handle)
+            seeOther(ex, s"/ui/request/${handle.groupId}")
+        }
+      case ("GET", "ui" :: "request" :: id :: Nil) =>
+        Option(requests.get(id)) match {
+          case None => notFound(ex, "request")
+          case Some(h) => uiRequestDetail(ex, id, h)
+        }
       case _ => notFound(ex, "route")
     }
   }

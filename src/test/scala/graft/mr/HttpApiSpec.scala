@@ -82,12 +82,59 @@ class HttpApiSpec extends SparkSuite {
     }
   }
 
+  test("HTML UI: browser lists jobs, form submit redirects to a live " +
+      "request page, requests table shows the outcome") {
+    withApi { (base, _) =>
+      // job browser renders every submittable job with its submit form
+      val browseRes = client.send(
+        HttpRequest.newBuilder(URI.create(s"$base/ui")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(browseRes.statusCode() === 200)
+      assert(browseRes.headers().firstValue("Content-Type")
+        .orElse("").startsWith("text/html"))
+      assert(browseRes.body().contains("wordcount"))
+      assert(browseRes.body().contains("runaway"))
+      assert(browseRes.body().contains("""action="/ui/job/wordcount""""))
+
+      // the HTML submit is a POST + See Other to the request page
+      // (HttpClient's default NEVER-follow leaves the 303 visible)
+      val submitRes = client.send(
+        HttpRequest.newBuilder(URI.create(s"$base/ui/job/wordcount"))
+          .POST(HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(submitRes.statusCode() === 303, submitRes.body())
+      val loc = submitRes.headers().firstValue("Location").orElse("")
+      assert(loc.startsWith("/ui/request/"), loc)
+      val id = loc.stripPrefix("/ui/request/")
+
+      // the detail page is live — poll the JSON twin to completion,
+      // then the HTML must report the terminal state with no refresh
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while ({
+        val (_, b) = send("GET", s"$base/request/$id")
+        field(b, "succeeded") == "null" && System.nanoTime() < deadline
+      }) Thread.sleep(100)
+      val (dc, db) = send("GET", s"$base$loc")
+      assert(dc === 200)
+      assert(db.contains("succeeded"), db)
+      assert(!db.contains("http-equiv"),
+        s"completed request page must not auto-refresh: $db")
+
+      // and the requests table links it
+      val (lc, lb) = send("GET", s"$base/ui/requests")
+      assert(lc === 200)
+      assert(lb.contains(id) && lb.contains("wordcount"), lb)
+    }
+  }
+
   test("unknown job name, request id, and route are 404") {
     withApi { (base, _) =>
       assert(send("POST", s"$base/job/nope")._1 === 404)
       assert(send("GET", s"$base/request/nope")._1 === 404)
       assert(send("DELETE", s"$base/request/nope")._1 === 404)
       assert(send("GET", s"$base/whatever")._1 === 404)
+      assert(send("POST", s"$base/ui/job/nope")._1 === 404)
+      assert(send("GET", s"$base/ui/request/nope")._1 === 404)
     }
   }
 
