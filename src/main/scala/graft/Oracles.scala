@@ -667,50 +667,12 @@ object Oracles {
     // and the three rewrites apply in the same fixed order. DuckDB's
     // regexp_replace needs the explicit 'g' flag to match Spark's
     // replace-all default.
-    "text_pii" -> {
-      val email = graft.functions.TextQueries.EmailRe
-      val phone = graft.functions.TextQueries.PhoneRe
-      val ip = graft.functions.TextQueries.IpRe
-      s"""WITH aug AS (
-        |  SELECT doc_id,
-        |    text
-        |    || CASE WHEN doc_id % 3 <> 0
-        |         THEN ' Contact user' || doc_id::varchar || '.'
-        |           || (doc_id % 97)::varchar || '@'
-        |           || CASE doc_id % 4 WHEN 0 THEN 'example.com'
-        |              WHEN 1 THEN 'mail.example.org'
-        |              WHEN 2 THEN 'corp-site.net' ELSE 'test.io' END
-        |         ELSE '' END
-        |    || CASE WHEN doc_id % 5 < 2
-        |         THEN ' call +1-555-'
-        |           || lpad(((doc_id*7) % 10000)::varchar, 4, '0')
-        |         ELSE '' END
-        |    || CASE WHEN doc_id % 7 = 0
-        |         THEN ' from ' || ((doc_id*13) % 256)::varchar || '.'
-        |           || ((doc_id*17) % 256)::varchar || '.'
-        |           || ((doc_id*23) % 256)::varchar || '.'
-        |           || ((doc_id*29) % 256)::varchar
-        |         ELSE '' END AS pii_text
-        |  FROM documents),
-        |red AS (
-        |  SELECT doc_id, pii_text,
-        |    regexp_replace(regexp_replace(regexp_replace(pii_text,
-        |      '$email', '<EMAIL>', 'g'),
-        |      '$phone', '<PHONE>', 'g'),
-        |      '$ip', '<IP>', 'g') AS redacted
-        |  FROM aug)
-        |SELECT doc_id,
-        |  len(regexp_extract_all(pii_text, '$email'))::int AS n_emails,
-        |  len(regexp_extract_all(pii_text, '$phone'))::int AS n_phones,
-        |  len(regexp_extract_all(pii_text, '$ip'))::int AS n_ips,
-        |  (len(regexp_extract_all(pii_text, '$email'))
-        |   + len(regexp_extract_all(pii_text, '$phone'))
-        |   + len(regexp_extract_all(pii_text, '$ip'))) > 0 AS has_pii,
-        |  md5(redacted) AS redacted_md5,
-        |  length(redacted)::int AS redacted_len
-        |FROM red
-        |ORDER BY doc_id""".stripMargin
-    },
+    "text_pii" -> piiSql,
+
+    // The G14 stream entry is the same stateless per-row scrub
+    // (bit-identical under any micro-batching), so it shares E11's
+    // oracle verbatim.
+    "stream_pii" -> piiSql,
 
     // Top-K vocabulary cut is a total order (count DESC, token ASC),
     // so the boundary tie is deterministic in both engines. Integer
@@ -1089,6 +1051,34 @@ object Oracles {
         |WHERE dot / (na * nb) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // SemDeDup: the shared IVF quantizer CTEs pin the cell structure
+    // to Similarity.ivfAssigned exactly; pairs exist only within a
+    // cell (lo < hi), a vector is dropped iff some smaller-id
+    // same-cell neighbor clears τ, rep = the smallest such neighbor.
+    // Same strict-fold cosine (and divisor order lo·hi) as C5.
+    "dedup_semantic" -> {
+      val tau = graft.operators.Dedup.SemTau
+      s"""${ivfAssignCtes(graft.operators.Dedup.SemLists)},
+        |pr AS (
+        |  SELECT a.vec_id AS lo, b.vec_id AS hi,
+        |    list_reduce(
+        |      list_transform(list_zip(na.v, nb.v), s -> s[1] * s[2]),
+        |      (x, y) -> x + y) / (na.nrm * nb.nrm) AS cos
+        |  FROM assigned a
+        |  JOIN assigned b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+        |  JOIN n na ON na.vec_id = a.vec_id
+        |  JOIN n nb ON nb.vec_id = b.vec_id),
+        |drops AS (
+        |  SELECT hi AS vec_id, min(lo) AS rep_id,
+        |    count(*)::int AS n_smaller_near
+        |  FROM pr WHERE cos >= $tau GROUP BY hi)
+        |SELECT s.vec_id, s.list_id, d.rep_id IS NULL AS kept,
+        |  coalesce(d.rep_id, s.vec_id) AS rep_id,
+        |  coalesce(d.n_smaller_near, 0)::int AS n_smaller_near
+        |FROM assigned s LEFT JOIN drops d ON d.vec_id = s.vec_id
+        |ORDER BY s.vec_id""".stripMargin
+    },
+
     // Per-embedding QC stats. Sequential list_reduce folds match
     // VecStatsD's strict index-order accumulation bit-for-bit: the
     // seedless list_reduce starts at element 1, VecStatsD at 0.0 —
@@ -1275,6 +1265,58 @@ object Oracles {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** E11 PII scrub — deterministic doc_id-algebra augmentation, regex
+    * literals single-sourced from TextQueries (RE2 ∩ java.util.regex
+    * dialect), counts pre-redaction, rewrites in the fixed
+    * email→phone→IP order with DuckDB's explicit 'g' flag matching
+    * Spark's replace-all default. SHARED by the E11 batch entry and
+    * the G14 stream_pii entry — the stateless streaming scrub must
+    * reproduce this exactly. */
+  private def piiSql: String = {
+    val email = graft.functions.TextQueries.EmailRe
+    val phone = graft.functions.TextQueries.PhoneRe
+    val ip = graft.functions.TextQueries.IpRe
+    s"""WITH aug AS (
+      |  SELECT doc_id,
+      |    text
+      |    || CASE WHEN doc_id % 3 <> 0
+      |         THEN ' Contact user' || doc_id::varchar || '.'
+      |           || (doc_id % 97)::varchar || '@'
+      |           || CASE doc_id % 4 WHEN 0 THEN 'example.com'
+      |              WHEN 1 THEN 'mail.example.org'
+      |              WHEN 2 THEN 'corp-site.net' ELSE 'test.io' END
+      |         ELSE '' END
+      |    || CASE WHEN doc_id % 5 < 2
+      |         THEN ' call +1-555-'
+      |           || lpad(((doc_id*7) % 10000)::varchar, 4, '0')
+      |         ELSE '' END
+      |    || CASE WHEN doc_id % 7 = 0
+      |         THEN ' from ' || ((doc_id*13) % 256)::varchar || '.'
+      |           || ((doc_id*17) % 256)::varchar || '.'
+      |           || ((doc_id*23) % 256)::varchar || '.'
+      |           || ((doc_id*29) % 256)::varchar
+      |         ELSE '' END AS pii_text
+      |  FROM documents),
+      |red AS (
+      |  SELECT doc_id, pii_text,
+      |    regexp_replace(regexp_replace(regexp_replace(pii_text,
+      |      '$email', '<EMAIL>', 'g'),
+      |      '$phone', '<PHONE>', 'g'),
+      |      '$ip', '<IP>', 'g') AS redacted
+      |  FROM aug)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(pii_text, '$email'))::int AS n_emails,
+      |  len(regexp_extract_all(pii_text, '$phone'))::int AS n_phones,
+      |  len(regexp_extract_all(pii_text, '$ip'))::int AS n_ips,
+      |  (len(regexp_extract_all(pii_text, '$email'))
+      |   + len(regexp_extract_all(pii_text, '$phone'))
+      |   + len(regexp_extract_all(pii_text, '$ip'))) > 0 AS has_pii,
+      |  md5(redacted) AS redacted_md5,
+      |  length(redacted)::int AS redacted_len
+      |FROM red
+      |ORDER BY doc_id""".stripMargin
+  }
+
   /** SURVEY §2I — the composed curation pipeline: E2 quality filter →
     * exact dedup (min doc_id per md5) → near-dup component
     * non-representatives dropped (C2 pairs + C6 components over the
@@ -1370,6 +1412,47 @@ object Oracles {
       |        < CASE d.lang $sampleCases ELSE '0000' END)""".stripMargin)
   }
 
+  /** The deterministic IVF coarse-quantizer CTE chain, ending in
+    * `n(vec_id, v, nrm)` and `assigned(vec_id, list_id)` — shared
+    * verbatim by the ann_ivf and dedup_semantic oracles so the cell
+    * structure cannot drift between them. Mirrors
+    * Similarity.ivfBase/ivfAssigned stage for stage: Knuth-hash
+    * quantizer seed (integer algebra — the reason it isn't xxhash64),
+    * strict sequential-fold dot products (bit-identical per
+    * CLAUDE.md), first-max-index assignment (row_number d DESC,
+    * c_idx ASC). (`def`, not `val`: consumed by object vals.) */
+  private def ivfAssignCtes(nLists: Int): String = {
+    val mul = graft.operators.Similarity.IvfHashMul
+    val mod = graft.operators.Similarity.IvfHashMod
+    s"""WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, v,
+      |    sqrt(list_reduce(
+      |      list_transform(list_zip(v, v), s -> s[1] * s[2]),
+      |      (x, y) -> x + y)) AS nrm
+      |  FROM e),
+      |cents AS (
+      |  SELECT row_number() OVER (
+      |      ORDER BY (vec_id * $mul) % $mod, vec_id) AS c_idx,
+      |    v AS cv
+      |  FROM e
+      |  ORDER BY (vec_id * $mul) % $mod, vec_id
+      |  LIMIT $nLists),
+      |dots AS (
+      |  SELECT n.vec_id, c.c_idx,
+      |    list_reduce(
+      |      list_transform(list_zip(n.v, c.cv), s -> s[1] * s[2]),
+      |      (x, y) -> x + y) AS d
+      |  FROM n CROSS JOIN cents c),
+      |assigned AS (
+      |  SELECT vec_id, c_idx AS list_id FROM (
+      |    SELECT vec_id, c_idx, row_number() OVER (
+      |        PARTITION BY vec_id ORDER BY d DESC, c_idx) AS rn
+      |    FROM dots) WHERE rn = 1)""".stripMargin
+  }
+
   /** SURVEY §2D — similarity search (ann_lsh is rows-only +
     * recall-property-tested). */
   val similarity: Map[String, String] = Map(
@@ -1380,35 +1463,7 @@ object Oracles {
     // array_sort-then-reverse probe order (d DESC, c_idx DESC), exact
     // rerank with the (cos DESC, n_id) tiebreak.
     "ann_ivf" -> {
-      val mul = graft.operators.Similarity.IvfHashMul
-      val mod = graft.operators.Similarity.IvfHashMod
-      s"""WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
-        |  FROM embeddings),
-        |n AS (
-        |  SELECT vec_id, v,
-        |    sqrt(list_reduce(
-        |      list_transform(list_zip(v, v), s -> s[1] * s[2]),
-        |      (x, y) -> x + y)) AS nrm
-        |  FROM e),
-        |cents AS (
-        |  SELECT row_number() OVER (
-        |      ORDER BY (vec_id * $mul) % $mod, vec_id) AS c_idx,
-        |    v AS cv
-        |  FROM e
-        |  ORDER BY (vec_id * $mul) % $mod, vec_id
-        |  LIMIT 16),
-        |dots AS (
-        |  SELECT n.vec_id, c.c_idx,
-        |    list_reduce(
-        |      list_transform(list_zip(n.v, c.cv), s -> s[1] * s[2]),
-        |      (x, y) -> x + y) AS d
-        |  FROM n CROSS JOIN cents c),
-        |assigned AS (
-        |  SELECT vec_id, c_idx AS list_id FROM (
-        |    SELECT vec_id, c_idx, row_number() OVER (
-        |        PARTITION BY vec_id ORDER BY d DESC, c_idx) AS rn
-        |    FROM dots) WHERE rn = 1),
+      s"""${ivfAssignCtes(nLists = 16)},
         |probes AS (
         |  SELECT vec_id AS q_id, c_idx AS list_id FROM (
         |    SELECT vec_id, c_idx, row_number() OVER (

@@ -87,6 +87,7 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> Dedup.dedupMinhashLsh,
     "dedup_simhash"       -> Dedup.dedupSimhash,
     "dedup_embed_cosine"  -> Dedup.dedupEmbedCosine,
+    "dedup_semantic"      -> Dedup.dedupSemantic,
     "dedup_components"    -> Dedup.dedupComponents,
     "dedup_incremental"   -> (graft.operators.Incremental.dedupIncremental(_, _)),
     "sample_stratified"   -> (graft.operators.Sampling.sampleStratified(_, _)),
@@ -123,7 +124,8 @@ object SparkEntry {
     "stream_sample"       -> Streams.streamSample,
     "stream_pack"         -> Streams.streamPack,
     "stream_mix"          -> Streams.streamMix,
-    "stream_join"         -> Streams.streamJoin
+    "stream_join"         -> Streams.streamJoin,
+    "stream_pii"          -> Streams.streamPii
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

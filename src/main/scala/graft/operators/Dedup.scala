@@ -493,4 +493,57 @@ object Dedup {
         round(col("cos"), 4).as("cos"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** Cosine threshold for [[dedupSemantic]] — the same continuum
+    * caveat as C5's τ applies; the compare is bit-exact cross-engine
+    * (strict sequential folds), so the boundary cannot flake. */
+  val SemTau = 0.4
+
+  /** Number of IVF cells for [[dedupSemantic]] (single-sourced into
+    * the oracle's centroid LIMIT). */
+  val SemLists = 16
+
+  /** C10: SemDeDup-style semantic dedup — cluster the embedding space
+    * with [[Similarity.ivfAssigned]]'s deterministic coarse quantizer,
+    * then compare pairs ONLY within a cell: a vector is dropped iff a
+    * smaller-id vector in its own cell sits at cosine ≥ [[SemTau]]
+    * (rep = the smallest such neighbor — a local rule; transitive
+    * closure across cells is [[dedupComponents]]' job, and C5 is the
+    * exhaustive-pair exact form this approximates).
+    *
+    * This is the 100 TB shape of embedding dedup: candidate
+    * generation is an equi-join on list_id, so per-pair work is
+    * Σ|cell|² instead of n² — with k cells of balanced size that is
+    * n²/k, and k is the dial (≈√n cells in production; the quantizer
+    * "training" stays a k-row collect). The assignment frame is
+    * persisted once and feeds both join sides from the cache (one
+    * scan + one centroid-dot pass total — Catalyst does not dedup
+    * repeated subtrees; SemanticDedupSpec walks the plan). The
+    * drop rule reads only same-cell pairs, so the output is exactly
+    * reproducible in SQL — unlike banded-LSH candidate cuts, the
+    * cell cut is deterministic, which is what lets a *semantic*
+    * (approximate-by-construction) dedup carry a FULL hash gate. */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = Similarity.ivfAssigned(spark, dir, SemLists)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lo = assigned.select(col("list_id"), col("vec_id").as("lo"),
+      col("v").as("lv"), col("nrm").as("lnrm"))
+    val hi = assigned.select(col("list_id"), col("vec_id").as("hi"),
+      col("v").as("rv"), col("nrm").as("rnrm"))
+    val pairs = lo.join(hi, Seq("list_id"))
+      .filter(col("lo") < col("hi"))
+      .withColumn("cos", V.cosineWithNorms(V.dot(col("lv"), col("rv")),
+        col("lnrm"), col("rnrm")))
+      .filter(col("cos") >= SemTau)
+    val drops = pairs.groupBy(col("hi").as("vec_id"))
+      .agg(min(col("lo")).as("rep_id"),
+        count(lit(1)).cast("int").as("n_smaller_near"))
+    assigned.select(col("vec_id"), col("list_id"))
+      .join(drops, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("list_id"),
+        col("rep_id").isNull.as("kept"),
+        coalesce(col("rep_id"), col("vec_id")).as("rep_id"),
+        coalesce(col("n_smaller_near"), lit(0)).as("n_smaller_near"))
+      .orderBy(col("vec_id"))
+  }
 }

@@ -164,18 +164,36 @@ object Similarity {
     * ORDER BY d DESC, c_idx), and the probe tie rule is the
     * array_sort-then-reverse struct order (d DESC, c_idx DESC).
     * Recall vs brute force stays property-tested in SimilaritySpec. */
-  def annIvf(spark: SparkSession, dir: String,
-      nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+  /** The deterministic IVF quantizer pieces, shared by [[annIvf]] and
+    * [[Dedup.dedupSemantic]]: the projected+normed vectors frame and
+    * the per-row centroid-dot array (centroids = the `nLists` vectors
+    * with the smallest [[IvfHashMul]]-hash of vec_id; the k-row
+    * collect is the "train the quantizer" step, not data-plane
+    * work). */
+  private[operators] def ivfBase(spark: SparkSession, dir: String,
+      nLists: Int): (DataFrame, org.apache.spark.sql.Column) = {
     val e = vectors(spark, dir)
-    // 16 centroid vectors: tiny, deterministic; this collect is the
-    // "train the quantizer" step, not data-plane work.
     val centroids: Array[Seq[Double]] = e
       .withColumn("h", expr(s"(vec_id * $IvfHashMul) % $IvfHashMod"))
       .orderBy(col("h"), col("vec_id")).limit(nLists)
       .select(col("v")).collect().map(_.getSeq[Double](0))
     def centCol(c: Seq[Double]) = array(c.map(lit): _*)
-    val dots = array(centroids.map(c => V.dot(col("v"), centCol(c))): _*)
+    (e, array(centroids.map(c => V.dot(col("v"), centCol(c))): _*))
+  }
 
+  /** Every vector with its best-cosine list assignment
+    * (first-max-index tie rule): `(vec_id, v, nrm, list_id)`. */
+  private[operators] def ivfAssigned(spark: SparkSession, dir: String,
+      nLists: Int): DataFrame = {
+    val (e, dots) = ivfBase(spark, dir, nLists)
+    e.withColumn("dots", dots)
+      .withColumn("list_id", expr("array_position(dots, array_max(dots))"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("list_id"))
+  }
+
+  def annIvf(spark: SparkSession, dir: String,
+      nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val (e, dots) = ivfBase(spark, dir, nLists)
     val assigned = e.withColumn("dots", dots)
       .withColumn("list_id", expr("array_position(dots, array_max(dots))"))
       .select(col("vec_id"), col("v"), col("nrm"), col("list_id"))

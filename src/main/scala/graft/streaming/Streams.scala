@@ -826,6 +826,22 @@ object Streams {
       .orderBy(col("doc_id"))
   }
 
+  /** G14 batch entry: ingest-time PII scrubbing — E11 text_pii's
+    * detection + redaction applied to documents as they arrive (scrub
+    * at ingest so raw PII never lands in the lake — the deploy shape
+    * privacy reviews actually ask for). Each row's counts and
+    * rewritten text are pure functions of that row alone
+    * ([[graft.functions.TextQueries.piiScanOf]] — codegen'd
+    * regexp_count/regexp_replace/md5), so the streaming plan is
+    * scan → project: STATELESS — no state store, no watermark, no
+    * stream shuffle, nothing checkpointed but source offsets — and
+    * the output is bit-identical to the batch scrub over the same
+    * rows under any micro-batching or arrival order (StreamsSpec
+    * drives a real MemoryStream and asserts zero state operators).
+    * Shares E11's SQL oracle. */
+  def streamPii(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.TextQueries.textPii(spark, dir)
+
   /** Max view→click lag in seconds for the G12 stream-stream interval
     * join (single-sourced into the DuckDB oracle). */
   val ViewClickLagMax = 1800L

@@ -553,6 +553,37 @@ class StreamsSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("stateless PII scrub through a real stream equals the batch scrub") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    import graft.functions.TextQueries
+    val expected = Streams.streamPii(spark, sfDir).collect().toSeq
+    // feed the stream the same augmented text the batch entry builds
+    val rows = graft.Tables(spark, sfDir).documents
+      .select(col("doc_id"),
+        TextQueries.piiAugmented(col("doc_id"), col("text")).as("pii_text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val stream = MemoryStream[(Long, String)]
+    val streamed = TextQueries.piiScanOf(
+      stream.toDF().toDF("doc_id", "pii_text"))
+    val query = streamed.writeStream.format("memory")
+      .queryName("pii").outputMode("append").start()
+    try {
+      // uneven batches in shuffled arrival order: per-row redaction
+      // must not care how the stream is chopped
+      val shuffled = new scala.util.Random(31).shuffle(rows.toSeq)
+      shuffled.grouped(math.max(1, shuffled.length / 4)).foreach { b =>
+        stream.addData(b)
+        query.processAllAvailable()
+      }
+      val got = s.table("pii").orderBy("doc_id").collect().toSeq
+      assert(got === expected)
+      val p = query.lastProgress
+      assert(p == null || p.stateOperators.isEmpty,
+        "ingest-time scrub must hold no streaming state")
+    } finally query.stop()
+  }
+
   test("stateless mixture thinning through a real stream equals the batch mix") {
     val s = spark; import s.implicits._
     implicit val sq = s.sqlContext
