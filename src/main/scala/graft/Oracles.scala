@@ -62,6 +62,34 @@ object Oracles {
       }.mkString("", "\nUNION ALL\n",
         "\nORDER BY table_name, col_name"),
 
+    // Join-key skew datasheet: per-key counts CTE, then a 1-row
+    // report per key — heaviest key via (cnt DESC, k ASC) LIMIT 1
+    // (the deterministic tiebreak), ratios as single divisions of
+    // exact ::bigint operands (DuckDB's sum() is HUGEINT — cast
+    // before dividing so both engines divide the same long types).
+    // Keys single-sourced from Profile.SkewKeys.
+    "table_skew" -> {
+      val ks = graft.operators.Profile.SkewKeys
+      val ctes = ks.map { case (table, c) =>
+        s"""c_${table}_$c AS (
+           |  SELECT $c AS k, count(*) AS cnt FROM $table GROUP BY 1)"""
+          .stripMargin
+      }.mkString("WITH ", ",\n", "")
+      val branches = ks.map { case (table, c) =>
+        val cte = s"c_${table}_$c"
+        s"""SELECT '$table.$c' AS entity,
+           |  sum(cnt)::bigint AS n_rows, count(*)::bigint AS n_keys,
+           |  (SELECT k::varchar FROM $cte
+           |   ORDER BY cnt DESC, k LIMIT 1) AS top_key,
+           |  max(cnt)::bigint AS top_cnt,
+           |  round(max(cnt)::bigint / sum(cnt)::bigint, 6) AS top_share,
+           |  round((max(cnt)::bigint * count(*)::bigint)
+           |        / sum(cnt)::bigint, 4) AS skew_ratio
+           |FROM $cte""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"$ctes\n$branches\nORDER BY entity"
+    },
+
     "q2_topk_window" ->
       """SELECT * FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
@@ -1138,6 +1166,33 @@ object Oracles {
     // thr = 65536 (keep-all) bypasses the 4-char compare in BOTH
     // engines.
     "mix_sources" -> mixSourcesSql,
+
+    // Temperature-flattened language rebalance (α = 0.5): the weight
+    // is the INTEGER sqrt of the per-lang count (floor of the
+    // correctly-rounded IEEE sqrt — bit-safe cross-engine below 2⁵²),
+    // then mix_sources' integer threshold algebra verbatim and the
+    // fixed-width-hex md5 draw under mixTemperature's own salt.
+    "mix_temperature" -> {
+      val seed = graft.operators.Sampling.TempSeed
+      s"""WITH c AS (
+         |  SELECT lang, count(*) AS cnt,
+         |    floor(sqrt(count(*)))::bigint AS w
+         |  FROM documents GROUP BY lang),
+         |r AS (
+         |  SELECT lang,
+         |    least(65536, ((sum(cnt) OVER ())::bigint * w * 65536)
+         |                 // ((sum(w) OVER ())::bigint * cnt)) AS thr
+         |  FROM c),
+         |s AS (
+         |  SELECT d.doc_id, d.lang, r.thr,
+         |    substr(md5('$seed' || d.doc_id::varchar), 1, 4) AS bucket,
+         |    CASE WHEN r.thr >= 65536 THEN '10000'
+         |         ELSE lpad(lower(hex(r.thr)), 4, '0') END AS thr_hex
+         |  FROM documents d JOIN r USING (lang))
+         |SELECT doc_id, lang, bucket, thr_hex
+         |FROM s WHERE thr >= 65536 OR bucket < thr_hex
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // Epoch upsampling toward the same recipe: base copies are the
     // integral part of thr_total/65536, the fractional extra copy is

@@ -51,6 +51,7 @@ object SparkEntry {
     "q25_range_window"   -> Relational.q25RangeWindow,
     "table_profile"      -> (graft.operators.Profile.tableProfile(_, _)),
     "table_profile_typed" -> (graft.operators.Profile.tableProfileTyped(_, _)),
+    "table_skew"          -> (graft.operators.Profile.tableSkew(_, _)),
     "asof_join"          -> (AsOfJoin.purchasesAsOfSignup(_, _)),
     "range_join"         -> (graft.operators.RangeJoin.eventsInWindows(_, _)),
     "events_sessionize"  -> (Sessionize.sessions(_, _)),
@@ -94,6 +95,7 @@ object SparkEntry {
     "pack_sequences"      -> (graft.operators.Sampling.packSequences(_, _)),
     "mix_sources"         -> (graft.operators.Sampling.mixSources(_, _)),
     "mix_epochs"          -> (graft.operators.Sampling.mixEpochs(_, _)),
+    "mix_temperature"     -> (graft.operators.Sampling.mixTemperature(_, _)),
     "decontaminate"       -> (graft.operators.Decontaminate.decontaminate(_, _)),
     // §2I — composed curation pipeline
     "curate_corpus"       -> (graft.operators.Curate.curateCorpus(_, _)),

@@ -25,6 +25,12 @@ import graft.Tables
   */
 object Profile {
 
+  // Shadows functions.round: DuckDB-exact binary rounding so oracle
+  // hashes cannot flake on decimal half boundaries (see OracleMath).
+  private def round(c: org.apache.spark.sql.Column, scale: Int):
+      org.apache.spark.sql.Column =
+    graft.functions.OracleMath.roundDuck(c, scale)
+
   /** The profiled lineitem columns — integer + varchar only (exact
     * cross-engine string forms; single-sourced into the oracle). */
   val LineitemCols: Seq[String] = Seq(
@@ -118,5 +124,63 @@ object Profile {
           fmt("max_raw") + " AS max_val")
     }.reduce(_.unionAll(_))
       .orderBy(col("table_name"), col("col_name"))
+  }
+
+  // ----- join-key skew report --------------------------------------
+
+  /** The profiled join keys — the columns the suite's big joins and
+    * aggregations actually shuffle on (single-sourced into the
+    * oracle). */
+  val SkewKeys: Seq[(String, String)] = Seq(
+    ("events", "user_id"),
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("orders", "o_custkey"))
+
+  /** H query entry 3: per-join-key skew datasheet — the measurement
+    * pass that decides whether a key needs [[Skew]]'s salting before
+    * a shuffle join/agg (heaviest key, its share, and the
+    * heaviest-to-mean ratio: a skew_ratio near 1 is uniform; ≫ 1
+    * means one task drags the stage and AQE skew-split or a salt is
+    * warranted).
+    *
+    * Scale shape per key: one map-side-combined groupBy over the key
+    * (the same exchange the join itself would pay — measuring skew
+    * costs one count pass), then ONE global aggregate over the
+    * |keys|-row counts frame: the heaviest key rides along as
+    * min(struct(−cnt, key)) — lexicographic struct order gives
+    * (max cnt, then min key), the deterministic tiebreak, with no
+    * second pass and no 1×1 join (the blanket plan contract bans
+    * BroadcastNestedLoop even at one row). Never a window over the
+    * data, never a collect. Ratios are single divisions of exact
+    * longs ⇒ correctly-rounded doubles, full hash gate. */
+  def tableSkew(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    SkewKeys.map { case (table, c) =>
+      val df = table match {
+        case "events" => t.events
+        case "lineitem" => t.lineitem
+        case "orders" => t.orders
+      }
+      skewOf(df, s"$table.$c", c)
+    }.reduce(_.unionAll(_)).orderBy(col("entity"))
+  }
+
+  /** One skew-report row for `keyCol` of any frame. */
+  def skewOf(df: DataFrame, entity: String, keyCol: String): DataFrame = {
+    val counts = df.select(col(keyCol).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+    val topCnt = -col("top.nc")
+    counts.agg(
+        sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        min(struct((-col("cnt")).as("nc"), col("k").as("k"))).as("top"))
+      .select(lit(entity).as("entity"),
+        col("n_rows"), col("n_keys"),
+        col("top.k").cast("string").as("top_key"),
+        topCnt.as("top_cnt"),
+        round(topCnt / col("n_rows"), 6).as("top_share"),
+        round((topCnt * col("n_keys")) / col("n_rows"), 4)
+          .as("skew_ratio"))
   }
 }

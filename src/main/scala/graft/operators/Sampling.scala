@@ -192,6 +192,66 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Salt for [[mixTemperature]] — independent draw from every other
+    * sampling salt in this file. */
+  val TempSeed = "graft-temp-5:"
+
+  /** J5: temperature-flattened language rebalancing — the mT5/XLM-R
+    * "sample language l ∝ p_l^α" step (α = 1/T = 0.5 here), the
+    * standard fix for high-resource languages drowning out rare ones.
+    * Target share t_l ∝ √share_l, so en is thinned toward its square
+    * root while rare languages keep every doc (a rate filter cannot
+    * upsample — [[mixEpochs]] is the replication half, same contract
+    * as [[mixSources]]).
+    *
+    * Determinism/oracle: the temperature weight is the INTEGER square
+    * root w_l = floor(√cnt_l) — the normalizer cancels in w/Σw, so
+    * √cnt is √share up to a constant — and from there the threshold
+    * is [[mixSources]]' pure integer algebra verbatim:
+    * thr = min(65536, (total·w·65536) div (wsum·cnt)). floor(√n) is
+    * bit-safe cross-engine for any realistic count (IEEE sqrt is
+    * correctly rounded; the double grid is fine enough below 2⁵² that
+    * √(k²−1) never rounds up to k), and the isqrt quantization error
+    * on the share is < 1/(2√cnt) — part of the operator contract,
+    * negligible at corpus counts. Per-row draw = the fixed-width-hex
+    * md5 compare under [[TempSeed]]. Full hash gate.
+    *
+    * Scale shape: identical to mix_sources — a |langs|-row agg
+    * broadcast back onto the corpus; the data plane is scan →
+    * broadcast-hash-join → per-row hash filter, zero corpus
+    * shuffles. */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame =
+    tempOf(Tables(spark, dir).documents)
+
+  /** The per-language temperature threshold table (|langs| rows;
+    * window runs post-agg over those rows only). */
+  def tempRatesOf(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val everyRow = Window.partitionBy()
+    d.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+      .withColumn("w", floor(sqrt(col("cnt").cast("double"))).cast("long"))
+      .withColumn("total", sum(col("cnt")).over(everyRow))
+      .withColumn("wsum", sum(col("w")).over(everyRow))
+      .withColumn("thr",
+        least(lit(65536L), expr("(total * w * 65536) div (wsum * cnt)")))
+      .select(col("lang"), col("thr"))
+  }
+
+  /** Core temperature rebalance over any (doc_id, lang) frame (specs
+    * plant skewed fixtures; the shipped corpus' real lang skew —
+    * en ≈ 44 % — exercises both the thinning and keep-all branches at
+    * every SF). */
+  def tempOf(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("lang"))
+      .join(broadcast(tempRatesOf(d)), "lang")
+      .withColumn("bucket", hashBucket(col("doc_id"), TempSeed))
+      .withColumn("thr_hex",
+        when(col("thr") >= 65536L, lit("10000"))
+          .otherwise(lpad(lower(hex(col("thr"))), 4, "0")))
+      .filter(col("thr") >= 65536L || col("bucket") < col("thr_hex"))
+      .select(col("doc_id"), col("lang"), col("bucket"), col("thr_hex"))
+      .orderBy(col("doc_id"))
+
   /** Salt for [[mixEpochs]] — independent draw from [[Seed]] and
     * [[MixSeed]] (the extra-copy lottery must not correlate with
     * which docs the downsampling mixes keep). */

@@ -65,6 +65,32 @@ class ProfileSpec extends SparkSuite {
     assert(!plan.contains("Expand"), s"unexpected Expand:\n$plan")
   }
 
+  test("skew report: exact fixture algebra, deterministic tiebreak") {
+    val s = spark; import s.implicits._
+    // a×5, b×3, c×1, d×1: n_rows=10, n_keys=4, top=(a,5),
+    // top_share=0.5, skew_ratio = 5·4/10 = 2.0
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c", "d"))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+    val r = Profile.skewOf(df, "fix.k", "k").head()
+    assert(r.getString(0) === "fix.k")
+    assert(r.getLong(1) === 10L && r.getLong(2) === 4L)
+    assert(r.getString(3) === "a" && r.getLong(4) === 5L)
+    assert(r.getDouble(5) === 0.5 && r.getDouble(6) === 2.0)
+    // tie on the max count resolves to the SMALLER key
+    val tied = (Seq.fill(5)("b") ++ Seq.fill(5)("a") ++ Seq("c"))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+    assert(Profile.skewOf(tied, "t.k", "k").head().getString(3) === "a")
+    // real entry: every profiled key present, shares in (0, 1],
+    // ratio ≥ 1 (the heaviest key is at least the mean)
+    val out = Profile.tableSkew(spark, sfDir).collect()
+    assert(out.map(_.getString(0)).toSeq ===
+      Profile.SkewKeys.map { case (t, c) => s"$t.$c" }.sorted)
+    out.foreach { row =>
+      assert(row.getDouble(5) > 0.0 && row.getDouble(5) <= 1.0)
+      assert(row.getDouble(6) >= 1.0)
+    }
+  }
+
   test("typed profile: pinned formatting contract and micro-grain ts") {
     val rows = Profile.tableProfileTyped(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1)) ->

@@ -181,6 +181,56 @@ class SamplingSpec extends SparkSuite {
     assert(n == 2, s"expected exactly 2 documents scans, got $n:\n$plan")
   }
 
+  test("mix_temperature flattens toward sqrt shares; rare langs keep all") {
+    val s = spark; import s.implicits._
+    // planted skew: en 400 / fr 100 / de 100 → isqrt weights 20/10/10,
+    // wsum 40, total 600: en thr = 600·20·65536/(40·400) = 49152
+    // exactly (rate 3/4 — the thinning branch, integer-exact), fr/de
+    // thr = 98304 → clamped keep-all
+    val docs = ((0 until 400).map(i => (i.toLong, "en")) ++
+      (400 until 500).map(i => (i.toLong, "fr")) ++
+      (500 until 600).map(i => (i.toLong, "de")))
+      .toDF("doc_id", "lang")
+    val kept = Sampling.tempOf(docs)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("fr") == 100L && kept("de") == 100L,
+      s"under-represented langs must keep every doc: $kept")
+    val rate = 49152.0 / 65536
+    val tol = 4 * math.sqrt(rate * (1 - rate) / 400) + 0.02
+    assert(math.abs(kept("en").toDouble / 400 - rate) <= tol,
+      s"en: got ${kept("en")}/400, want ≈$rate ±$tol")
+    // thr_hex audit column is exact for the thinned stratum
+    val enThr = Sampling.tempOf(docs).filter(col("lang") === "en")
+      .select("thr_hex").distinct().collect().map(_.getString(0)).toSeq
+    assert(enThr == Seq("c000"), s"49152 = 0xc000: $enThr") // 0xc000
+    // real corpus: deterministic, and the dominant lang is the one
+    // that thins (temperature only ever flattens)
+    val a = Sampling.mixTemperature(spark, sfDir).collect().map(_.getLong(0)).toSeq
+    val b = Sampling.mixTemperature(spark, sfDir).collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+  }
+
+  test("mix_temperature broadcasts the rate table; corpus never hash-shuffles") {
+    val q = Sampling.mixTemperature(spark, sfDir)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rate table must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must not sort-merge against a |langs|-row table:\n$plan")
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case qs: QueryStageExec => scans(qs.plan)
+      case _: FileSourceScanExec => 1
+      case other => other.children.map(scans).sum
+    }
+    val n = scans(q.queryExecution.executedPlan)
+    assert(n == 2, s"expected exactly 2 documents scans, got $n:\n$plan")
+  }
+
   test("mix_sources broadcasts the rate table; corpus is never hash-shuffled") {
     val q = Sampling.mixSources(spark, sfDir)
     q.collect() // let AQE finalize join strategies before reading the plan
