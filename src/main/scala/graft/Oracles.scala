@@ -445,7 +445,27 @@ object Oracles {
     // First/last-touch attribution (attributionSql is shared with the
     // G8 stream_attribution entry: the stateful fold's batch mode must
     // equal this window form).
-    "events_attribution" -> attributionSql
+    "events_attribution" -> attributionSql,
+
+    // Event-type co-occurrence: distinct (user, type) → same-user
+    // type pairs (a < b) → integer user counts per pair + per-type
+    // reach, one exact Jaccard division.
+    "events_cooccurrence" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS n_users_both
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2),
+        |r AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1)
+        |SELECT type_a, type_b, n_users_both,
+        |  ra.n AS n_users_a, rb.n AS n_users_b,
+        |  round(n_users_both / (ra.n + rb.n - n_users_both), 6) AS jaccard
+        |FROM p
+        |JOIN r ra ON ra.event_type = p.type_a
+        |JOIN r rb ON rb.event_type = p.type_b
+        |ORDER BY type_a, type_b""".stripMargin
   )
 
   /** The anomaly SQL — shared verbatim by `events_anomaly` (B-section
@@ -695,6 +715,38 @@ object Oracles {
     // and the three rewrites apply in the same fixed order. DuckDB's
     // regexp_replace needs the explicit 'g' flag to match Spark's
     // replace-all default.
+    // Bigram-LM conditional typicality: ratio of two INTEGER sums
+    // (corpus bigram count over corpus prefix-unigram count, summed
+    // over each doc's bigram occurrences), one double division at the
+    // end. Bigram derivation identical to corpus_ngrams; docs with
+    // < 2 tokens vanish through the inner join in both engines.
+    "text_bigram_lm" ->
+      raw"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+         |                w -> w <> '') AS s
+         |  FROM documents),
+         |occ AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(s)),
+         |                          i -> s[i] || ' ' || s[i + 1])) AS bigram,
+         |    unnest(list_transform(range(1, len(s)), i -> s[i])) AS w1
+         |  FROM t WHERE len(s) >= 2),
+         |big AS (SELECT bigram, count(*) AS cnt2 FROM occ GROUP BY bigram),
+         |uni AS (
+         |  SELECT tok, count(*) AS cnt1 FROM (
+         |    SELECT unnest(s) AS tok FROM t) GROUP BY tok)
+         |SELECT occ.doc_id, count(*)::int AS n_bigrams,
+         |  sum(cnt2)::bigint AS sum_bigram_cnt,
+         |  sum(cnt1)::bigint AS sum_prefix_cnt,
+         |  sum(CASE WHEN cnt2 = 1 THEN 1 ELSE 0 END)::int AS n_unique_bigrams,
+         |  round(sum(cnt2)::bigint / sum(cnt1)::bigint, 6) AS cond_typicality
+         |FROM occ
+         |JOIN big USING (bigram)
+         |JOIN uni ON uni.tok = occ.w1
+         |GROUP BY occ.doc_id
+         |ORDER BY occ.doc_id""".stripMargin,
+
     "text_pii" -> piiSql,
 
     // The G14 stream entry is the same stateless per-row scrub

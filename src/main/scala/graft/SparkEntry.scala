@@ -59,6 +59,7 @@ object SparkEntry {
     "events_retention"   -> (graft.operators.Funnel.eventsRetention(_, _)),
     "events_anomaly"     -> (graft.operators.Funnel.eventsAnomaly(_, _)),
     "events_attribution" -> (graft.operators.Funnel.eventsAttribution(_, _)),
+    "events_cooccurrence" -> (graft.operators.Funnel.eventsCooccurrence(_, _)),
     "events_pathing"     -> (graft.operators.Funnel.eventsPathing(_, _)),
     "events_sequences"   -> (graft.operators.Funnel.eventsSequences(_, _)),
     // §2A — MapReduce engine pipelines
@@ -77,6 +78,7 @@ object SparkEntry {
     "text_oov"           -> TextQueries.textOov,
     "text_typicality"    -> TextQueries.textTypicality,
     "text_pii"           -> TextQueries.textPii,
+    "text_bigram_lm"     -> TextQueries.textBigramLm,
     "corpus_stats"       -> TextQueries.corpusStats,
     "corpus_ngrams"      -> TextQueries.corpusNgrams,
     "quality_deciles"    -> TextQueries.qualityDeciles,

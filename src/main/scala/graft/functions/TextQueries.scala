@@ -333,6 +333,56 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** E12: bigram-LM conditional typicality — the sequel to E8
+    * text_typicality's unigram signal: how predictable is each
+    * document's WORD ORDER under the corpus bigram statistics? A doc
+    * of common words in a never-seen order (shuffled/spun text) scores
+    * low here while scoring high on the unigram signal. Per doc:
+    * Σ corpus-count(bigram) over its bigram occurrences divided by
+    * Σ corpus-count(prefix unigram) — the ratio of two INTEGER sums
+    * (order-free, exact), one correctly-rounded double division at
+    * the end ⇒ full hash gate, the same no-log trick as text_tfidf's
+    * rational idf (Σ log P would be fold-order-dependent FP).
+    * n_unique_bigrams (corpus count = 1) is the "only this doc ever
+    * said this" novelty counter.
+    *
+    * Shape: [[WordNgrams]] explodes per-occurrence bigrams map-side
+    * (one generated loop per row, no interpreted HOF); corpus bigram
+    * and prefix-unigram count tables are wordcount aggs
+    * (map-side-combined); occurrences re-join them on the
+    * bigram/word key — ordinary shuffle equi-joins that partition by
+    * key at any corpus size (the count tables are NOT broadcast by
+    * contract: at 100 TB the bigram table is itself huge) — then one
+    * doc_id groupBy of integer sums. */
+  def textBigramLm(spark: SparkSession, dir: String): DataFrame =
+    bigramLmOf(Tables(spark, dir).documents)
+
+  /** Core bigram-LM algebra over any (doc_id, text) frame — split out
+    * so the spec can drive exact hand fixtures. Three deliberate
+    * corpus passes (occurrences / bigram counts / unigram counts —
+    * the compute-stats-then-apply convention of text_oov). */
+  def bigramLmOf(d: DataFrame): DataFrame = {
+    val occ = d.select(col("doc_id"),
+        explode(WordNgrams(col("text"), 2)).as("bigram"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+    val big = occ.groupBy(col("bigram")).agg(count(lit(1)).as("cnt2"))
+    val uni = d.select(explode(split(col("text"), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt1"))
+    occ.join(big, "bigram")
+      .join(uni, col("w1") === col("w"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("int").as("n_bigrams"),
+        sum(col("cnt2")).as("sum_bigram_cnt"),
+        sum(col("cnt1")).as("sum_prefix_cnt"),
+        sum(when(col("cnt2") === 1, 1).otherwise(0)).cast("int")
+          .as("n_unique_bigrams"))
+      .withColumn("cond_typicality",
+        round(col("sum_bigram_cnt") / col("sum_prefix_cnt"), 6))
+      .orderBy(col("doc_id"))
+  }
+
   /** PII patterns for [[textPii]] — written in the RE2 ∩ java.util.regex
     * common dialect (no backreferences, no lookaround) so one literal
     * drives both Spark and the DuckDB oracle. */

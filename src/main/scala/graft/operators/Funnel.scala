@@ -265,4 +265,44 @@ object Funnel {
         col("n_touches").cast("int").as("n_touches"))
       .orderBy(col("purchase_id"))
   }
+
+  /** B: event-type co-occurrence — for every unordered pair of event
+    * types, how many users do both, with per-type user reach and the
+    * Jaccard overlap (the "which behaviors travel together" /
+    * market-basket read over the event log). All integer counts plus
+    * one exact division ⇒ full hash gate.
+    *
+    * Shape: one distinct (user_id, event_type) shuffle — per-user
+    * type sets are bounded by the tiny event-type vocabulary, so the
+    * user_id self-join fans out ≤ T²/2 pairs per user and the pair
+    * agg map-side-combines into |T|²/2 rows; per-type reach counts
+    * re-join as broadcasts. No window over the event stream, no
+    * collect — at 100 TB everything keys on user_id or on the
+    * T²-row pair table. */
+  def eventsCooccurrence(spark: SparkSession, dir: String): DataFrame =
+    cooccurrenceOf(Tables(spark, dir).events
+      .select(col("user_id"), col("event_type")))
+
+  /** Core co-occurrence over any (user_id, event_type) frame. */
+  def cooccurrenceOf(ev: DataFrame): DataFrame = {
+    val ut = ev.select(col("user_id"), col("event_type")).distinct()
+    val pairs = ut.select(col("user_id"), col("event_type").as("type_a"))
+      .join(ut.select(col("user_id"), col("event_type").as("type_b")),
+        Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_users_both"))
+    val reach = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    pairs
+      .join(broadcast(reach.select(col("event_type").as("type_a"),
+        col("n").as("n_users_a"))), Seq("type_a"))
+      .join(broadcast(reach.select(col("event_type").as("type_b"),
+        col("n").as("n_users_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_users_both"),
+        col("n_users_a"), col("n_users_b"),
+        round(col("n_users_both") /
+          (col("n_users_a") + col("n_users_b") - col("n_users_both")), 6)
+          .as("jaccard"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
 }

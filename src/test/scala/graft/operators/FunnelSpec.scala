@@ -83,6 +83,33 @@ class FunnelSpec extends SparkSuite {
     assert(scans == 1, s"expected 1 events scan, got $scans:\n$plan")
   }
 
+  test("co-occurrence counts same-user type pairs with exact Jaccard") {
+    val s = spark; import s.implicits._
+    // u1 {a,b}, u2 {a,b,c}, u3 {a}; duplicate events must not
+    // double-count a user
+    val ev = Seq(
+      (1L, "a"), (1L, "b"), (1L, "a"),
+      (2L, "a"), (2L, "b"), (2L, "c"),
+      (3L, "a")
+    ).toDF("user_id", "event_type")
+    val out = Funnel.cooccurrenceOf(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(out.keySet === Set(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(out(("a", "b")) === ((2L, 3L, 2L, 0.666667)))
+    assert(out(("a", "c")) === ((1L, 3L, 1L, 0.333333)))
+    assert(out(("b", "c")) === ((1L, 2L, 1L, 0.5)))
+  }
+
+  test("co-occurrence reach tables broadcast; pairs never sort-merge") {
+    val q = Funnel.eventsCooccurrence(spark, sfDir)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-type reach must broadcast:\n$plan")
+  }
+
   test("pathing orders by (ep, event_id) and counts transitions (fixture)") {
     val s = spark; import s.implicits._
     // u1: a@1 -> b@2 -> c@2 (tie broken by event_id: 20 < 21)
