@@ -1595,6 +1595,59 @@ object Oracles {
         |ORDER BY q_id, rk""".stripMargin
     },
 
+    // PQ asymmetric-distance scoring, stage for stage with
+    // Similarity.annPq: the same Knuth-hash codebook seeds (slices of
+    // the IVF seed vectors), first-max sub-dot assignment (row_number
+    // d DESC, c_idx), and the score folded over list(d ORDER BY m) —
+    // the exact left-fold order of the Spark side's fixed d_0+…+d_7
+    // expression tree, so the FP sum cannot drift. Sub-slices are
+    // 8 dims of the 64-dim embeddings (PqSub = 8).
+    "ann_pq" -> {
+      val mul = graft.operators.Similarity.IvfHashMul
+      val mod = graft.operators.Similarity.IvfHashMod
+      val m = graft.operators.Similarity.PqSub
+      val sd = 64 / m
+      s"""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT row_number() OVER (
+        |      ORDER BY (vec_id * $mul) % $mod, vec_id) AS c_idx,
+        |    v AS cv
+        |  FROM e
+        |  ORDER BY (vec_id * $mul) % $mod, vec_id
+        |  LIMIT 16),
+        |cd AS (
+        |  SELECT e.vec_id, t.m, c.c_idx,
+        |    list_reduce(
+        |      list_transform(
+        |        list_zip(e.v[t.m*$sd+1 : t.m*$sd+$sd],
+        |                 c.cv[t.m*$sd+1 : t.m*$sd+$sd]),
+        |        s -> s[1] * s[2]),
+        |      (x, y) -> x + y) AS d
+        |  FROM e, range(0, $m) t(m), cents c),
+        |codes AS (
+        |  SELECT vec_id, m, c_idx AS code FROM (
+        |    SELECT vec_id, m, c_idx,
+        |      row_number() OVER (PARTITION BY vec_id, m
+        |                         ORDER BY d DESC, c_idx) AS rn
+        |    FROM cd) WHERE rn = 1),
+        |qd AS (SELECT vec_id AS q_id, m, c_idx, d FROM cd WHERE vec_id < 10),
+        |pairs AS (
+        |  SELECT q.q_id, x.vec_id AS n_id,
+        |    list_reduce(list(q.d ORDER BY q.m), (a, b) -> a + b) AS score
+        |  FROM codes x JOIN qd q ON q.m = x.m AND q.c_idx = x.code
+        |  WHERE x.vec_id <> q.q_id
+        |  GROUP BY q.q_id, x.vec_id)
+        |SELECT q_id, n_id, rk::int AS rk, round(score, 4) AS score FROM (
+        |  SELECT q_id, n_id, score,
+        |    row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY score DESC, n_id) AS rk
+        |  FROM pairs)
+        |WHERE rk <= 5
+        |ORDER BY q_id, rk""".stripMargin
+    },
+
     "ann_bruteforce" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::double) AS v

@@ -109,6 +109,7 @@ object SparkEntry {
     "embed_quantize"      -> Similarity.embedQuantize,
     "ann_lsh"             -> Similarity.annLsh,
     "ann_ivf"             -> ((s, d) => Similarity.annIvf(s, d)),
+    "ann_pq"              -> ((s, d) => Similarity.annPq(s, d)),
     "embed_cluster"       -> (graft.operators.Cluster.embedCluster(_, _)),
     // §2F — multimodal binary plumbing
     "mm_meta"             -> Multimodal.mmMeta,

@@ -219,6 +219,81 @@ object Similarity {
     topK(spark, pairs, k = 5)
   }
 
+  /** D3: product-quantization (PQ) top-5 — the classic
+    * memory-compressed ANN family (IVF is the partition-pruning
+    * family, LSH the hashing family; PQ is the code-book family every
+    * vector store ships). Vectors are split into [[PqSub]] sub-vectors
+    * of dim/[[PqSub]] dims; each subspace has a 16-entry codebook
+    * (the SLICES of the same Knuth-hash seed vectors as the IVF
+    * quantizer — one deterministic "training" collect serves both
+    * operators) and every vector is encoded as PqSub small codes
+    * (assignment = first-max sub-dot, the IVF tie rule). A query
+    * scores a vector WITHOUT touching its floats: score =
+    * Σ_m qd[m][code_m] — asymmetric-distance lookup into the query's
+    * per-subspace dot table. At 1e9 vectors the scan reads 16 nibble codes
+    * (8 bytes) per vector instead of 256 bytes of floats; here the
+    * lookup is PqSub broadcast equi-joins on (q_id, code_m) — the FIRST
+    * join doubles as the query fan-out (code_0 = c matches each
+    * vector to every query exactly once), so there is NO nested-loop
+    * pair generation anywhere in the plan.
+    *
+    * FULLY hash-gated: sub-dots are strict sequential folds over
+    * deterministic slices, codes use the first-max tie rule
+    * (row_number d DESC, c_idx in the oracle), and the PqSub-term score
+    * sum is a FIXED left-fold expression tree d_0 + … + d_15 — the
+    * oracle folds list(d ORDER BY m) the same way, so not even the
+    * FP addition order can drift. Approximation quality vs brute
+    * force is property-tested in SimilaritySpec. */
+  val PqSub = 16
+
+  def annPq(spark: SparkSession, dir: String, nCode: Int = 16): DataFrame = {
+    val e = vectors(spark, dir)
+    val cents: Array[Seq[Double]] = e
+      .withColumn("h", expr(s"(vec_id * $IvfHashMul) % $IvfHashMod"))
+      .orderBy(col("h"), col("vec_id")).limit(nCode)
+      .select(col("v")).collect().map(_.getSeq[Double](0))
+    val subDim = cents.head.length / PqSub
+    def vSub(mi: Int) = slice(col("v"), mi * subDim + 1, subDim)
+    def centSub(c: Seq[Double], mi: Int) =
+      array(c.slice(mi * subDim, (mi + 1) * subDim).map(lit): _*)
+    def dotsFor(mi: Int): org.apache.spark.sql.Column =
+      array(cents.map(c => V.dot(vSub(mi), centSub(c, mi))): _*)
+
+    // encode: 8 codes per vector, then the float columns are DROPPED —
+    // the scoring side of the plan carries codes only (the PQ point)
+    val coded = (0 until PqSub).foldLeft(e) { (df, mi) =>
+      df.withColumn(s"ds_$mi", dotsFor(mi))
+        .withColumn(s"code_$mi",
+          expr(s"array_position(ds_$mi, array_max(ds_$mi))"))
+        .drop(s"ds_$mi")
+    }.select(col("vec_id") +:
+      (0 until PqSub).map(mi => col(s"code_$mi")): _*)
+
+    // per-query lookup tables: 16 rows per (query, subspace). The
+    // 10-row query side is persisted so the 8 table derivations read
+    // the cache, not 8 more scans.
+    val q = e.filter(col("vec_id") < 10)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def qtab(mi: Int): DataFrame =
+      q.withColumn("ds", dotsFor(mi))
+        .select(col("vec_id").as("q_id"),
+          posexplode(col("ds")).as(Seq("cpos", s"d_$mi")))
+        .select(col("q_id"),
+          (col("cpos") + 1).cast("long").as(s"code_$mi"), col(s"d_$mi"))
+
+    val fanned = coded.join(broadcast(qtab(0)), Seq(s"code_0"))
+    val scored = (1 until PqSub).foldLeft(fanned) { (df, mi) =>
+      df.join(broadcast(qtab(mi)), Seq("q_id", s"code_$mi"))
+    }
+    // fixed left-fold expression tree: the FP addition order is part
+    // of the operator contract (mirrored by the oracle's ordered
+    // list_reduce)
+    val score = (0 until PqSub).map(mi => col(s"d_$mi")).reduce(_ + _)
+    val pairs = scored.filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), score.as("cos"))
+    topK(spark, pairs, k = 5).withColumnRenamed("cos", "score")
+  }
+
   /** D2: hyperplane-LSH bucketed top-5 — the 100 TB path. 64
     * deterministic Gaussian hyperplanes → sign bits, banded into
     * 16 × 4-bit bucket keys; candidates are vectors sharing any band

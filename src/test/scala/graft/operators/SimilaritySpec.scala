@@ -55,6 +55,37 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.4, s"IVF recall@5 too low: $recall")
   }
 
+  test("PQ recall@5 vs brute force on real embeddings") {
+    val bf = Similarity.annBruteforce(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.annPq(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & pq).size.toDouble / bf.size
+    // a 16-entry codebook per subspace is coarse; the floor guards
+    // against a broken encoder, not a tight quality bar (5 random
+    // neighbors of 500 would land near 1%)
+    assert(recall >= 0.2, s"PQ recall@5 too low: $recall")
+  }
+
+  test("PQ plan: code joins are broadcast equi-joins, no nested loop") {
+    val q = Similarity.annPq(spark, sfDir)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"qtab lookups must be broadcast hash joins:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoop") &&
+      !plan.contains("CartesianProduct"),
+      s"PQ must fan out via the code_0 equi-join, not a nested loop:\n$plan")
+    // valid structure: ≤ 5 ranked rows per query, scores non-increasing
+    val rows = q.collect().groupBy(_.getLong(0))
+    rows.values.foreach { hits =>
+      assert(hits.length <= 5)
+      val scores = hits.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+      assert(scores == scores.sorted.reverse,
+        s"scores must be non-increasing in rank: $scores")
+    }
+  }
+
   test("IVF probing all lists equals brute force exactly") {
     val bf = Similarity.annBruteforce(spark, sfDir).collect().toSeq
     val full = Similarity.annIvf(spark, sfDir, nLists = 16, nProbe = 16)
