@@ -1210,6 +1210,22 @@ object Oracles {
 
     "sample_stratified" -> stratifiedSampleSql,
 
+    // J7 training-shard shuffle: shard = hex prefix of the salted
+    // md5, pos = rank of the full hash within the shard. Salt and
+    // prefix width single-sourced from Sampling; fixed-width
+    // lowercase hex compares numerically in both engines.
+    "corpus_shuffle" -> {
+      val seed = graft.operators.Sampling.ShuffleSeed
+      val k = graft.operators.Sampling.ShardHexWidth
+      s"""SELECT doc_id, shard, pos::int AS pos FROM (
+         |  SELECT doc_id, substr(h, 1, $k) AS shard,
+         |    row_number() OVER (PARTITION BY substr(h, 1, $k)
+         |                       ORDER BY h, doc_id) AS pos
+         |  FROM (SELECT doc_id, md5('$seed' || doc_id::varchar) AS h
+         |        FROM documents))
+         |ORDER BY shard, pos""".stripMargin
+    },
+
     // Mixture rebalance toward the declared per-source weight recipe:
     // thr is pure integer algebra over the per-source counts, the
     // draw is the same fixed-width-hex md5 compare as
@@ -1909,79 +1925,66 @@ object Oracles {
         |ORDER BY doc_id, frame_idx""".stripMargin,
 
     // Mirrors Multimodal.mmResizeQuery's synthesized image corpus in
-    // hex space (same well-formed BMP construction incl. the cycled
-    // pixel array, same kind routing), then checks the REAL operator
-    // behavior: raw rows dropped, |h| for top-down BMPs,
-    // long-multiply-then-floor aspect math with the ≥1 clamp, the
-    // nearest-neighbor resample itself for BMP rows (every output
-    // pixel re-derived as substr(px, (sy*stride + sx*3)*2 + 1, 6) and
-    // digested in ty,tx order), and the hex-space stub digest
-    // md5(lower(hex(content)) || '_tw_th') for the PNG codec path.
+    // hex space (same cycled-pixel construction, same kind routing),
+    // then checks the REAL operator behavior: raw rows dropped, |h|
+    // for top-down BMPs, long-multiply-then-floor aspect math with
+    // the ≥1 clamp, and the nearest-neighbor resample itself for BOTH
+    // image kinds — every output pixel re-derived as
+    // substr(px, (sy*rowbytes + sx*3)*2 + 1, 6) in ty,tx order, where
+    // rowbytes is the 4-byte-aligned stride for BMP and the packed
+    // w*3 for PNG. The PNG side is the strong half of the gate: the
+    // operator recovers these pixels by actually CRC-checking,
+    // inflating, and defiltering a real PNG, while this oracle knows
+    // them directly from the construction rule — any decode bug
+    // breaks the hash.
     "mm_resize" -> {
       // single-sourced from the operator constant, like SubstrK /
       // PackBudget / AnomalySpikeZ — a changed maxSide cannot
       // silently desync this oracle
       val ms = graft.multimodal.Multimodal.ResizeOracleMaxSide
-      def le32(v: String): String =
-        s"lpad(hex(($v) % 256), 2, '0') " +
-          s"|| lpad(hex((($v) // 256) % 256), 2, '0') " +
-          s"|| lpad(hex((($v) // 65536) % 256), 2, '0') " +
-          s"|| lpad(hex((($v) // 16777216) % 256), 2, '0')"
       s"""WITH base AS (
         |  SELECT doc_id, text,
         |    1 + (doc_id * 7) % 40 AS w,
         |    1 + (doc_id * 13) % 32 AS h,
         |    CASE WHEN doc_id % 11 = 0 THEN 'raw'
         |         WHEN doc_id % 3 = 0 THEN 'png' ELSE 'bmp' END AS kind,
-        |    CASE WHEN doc_id % 5 = 0 THEN 4294967296 - h ELSE h END AS hbmp,
         |    ((w * 3 + 3) // 4) * 4 AS stride,
         |    hex(encode(text)) || '00' AS p2
         |  FROM documents),
         |pix AS (
         |  SELECT *,
-        |    CASE WHEN kind = 'bmp' THEN substr(
-        |      repeat(p2, ((stride * h * 2 + length(p2) - 1) // length(p2))::int),
-        |      1, (stride * h * 2)::int) ELSE '' END AS px
-        |  FROM base WHERE kind <> 'raw'),
-        |hexed AS (
-        |  SELECT doc_id, w, h, kind, stride, px,
+        |    CASE WHEN kind = 'bmp' THEN stride ELSE w * 3 END AS rowbytes,
         |    CASE kind
-        |      WHEN 'png' THEN '89504E470D0A1A0A0000000D49484452'
-        |        || lpad(hex(w), 8, '0') || lpad(hex(h), 8, '0') || '0802'
-        |        || hex(encode(text))
-        |      WHEN 'bmp' THEN '424D' || ${le32("54 + stride * h")}
-        |        || '00000000' || '36000000' || '28000000'
-        |        || ${le32("w")} || ${le32("hbmp")} || '01001800'
-        |        || '00000000' || ${le32("stride * h")} || repeat('00', 16)
-        |        || px
-        |    END AS hx
-        |  FROM pix),
+        |      WHEN 'bmp' THEN substr(
+        |        repeat(p2, ((stride * h * 2 + length(p2) - 1) // length(p2))::int),
+        |        1, (stride * h * 2)::int)
+        |      WHEN 'png' THEN substr(
+        |        repeat(p2, ((w * h * 6 + length(p2) - 1) // length(p2))::int),
+        |        1, (w * h * 6)::int)
+        |    END AS px
+        |  FROM base WHERE kind <> 'raw'),
         |planned AS (
-        |  SELECT doc_id, w, h, kind, stride, px, hx,
+        |  SELECT doc_id, w, h, rowbytes, px,
         |    CASE WHEN greatest(w, h) <= $ms THEN w
         |         ELSE greatest(1, (w * $ms) // greatest(w, h)) END AS tw,
         |    CASE WHEN greatest(w, h) <= $ms THEN h
         |         ELSE greatest(1, (h * $ms) // greatest(w, h)) END AS th
-        |  FROM hexed),
+        |  FROM pix),
         |nn AS (
         |  SELECT p.doc_id,
         |    md5(lower(string_agg(
         |      substr(p.px,
-        |        ((((ty.g * p.h) // p.th) * p.stride
+        |        ((((ty.g * p.h) // p.th) * p.rowbytes
         |          + ((tx.g * p.w) // p.tw) * 3) * 2 + 1)::int, 6),
         |      '' ORDER BY ty.g, tx.g))) AS nn_md5
         |  FROM planned p
         |  JOIN generate_series(0, ${ms - 1}) ty(g) ON ty.g < p.th
         |  JOIN generate_series(0, ${ms - 1}) tx(g) ON tx.g < p.tw
-        |  WHERE p.kind = 'bmp'
         |  GROUP BY p.doc_id)
         |SELECT p.doc_id, w::int AS width, h::int AS height,
         |  tw::int AS target_w, th::int AS target_h,
-        |  CASE WHEN p.kind = 'bmp' THEN nn.nn_md5
-        |       ELSE md5(lower(hx) || '_' || tw || '_' || th)
-        |  END AS resized_md5,
-        |  CASE WHEN p.kind = 'bmp' THEN 'nn' ELSE 'stub' END AS resample
-        |FROM planned p LEFT JOIN nn ON nn.doc_id = p.doc_id
+        |  nn.nn_md5 AS resized_md5, 'nn' AS resample
+        |FROM planned p JOIN nn ON nn.doc_id = p.doc_id
         |ORDER BY p.doc_id""".stripMargin
     }
   )
@@ -2123,6 +2126,33 @@ object Oracles {
         |                         event_id) AS prev_ep
         |      FROM events)))
         |GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    // G15 ingest-time decontamination. NOT the C9 oracle: the df cut
+    // runs over the EVAL slice only (the honest ingest-time
+    // semantics — an unbounded train stream has no knowable df), and
+    // the train side keeps its full distinct shingle set (sh0, no
+    // cut). Ingest window = doc_id seconds floored to the hour,
+    // matching the batch entry's synthesized ep_ts.
+    "stream_decontaminate" -> {
+      val ev = graft.operators.Decontaminate.EvalSource
+      val tau = graft.operators.Decontaminate.Tau
+      s"""WITH evd AS (
+        |  SELECT doc_id, text FROM documents WHERE source = '$ev'),
+        |trd AS (
+        |  SELECT doc_id, text FROM documents WHERE source <> '$ev'),
+        |${shingleCtes("evd")},
+        |${shingleCtes("trd", "_t")},
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT t.doc_id AS train_doc, a.doc_id AS eval_doc, count(*) AS c
+        |  FROM sh0_t t JOIN sh a ON a.s = t.s
+        |  GROUP BY 1, 2)
+        |SELECT (train_doc // 3600) * 3600 AS win_start,
+        |  train_doc, eval_doc, round(c::double / n, 4) AS contain
+        |FROM inter JOIN sizes ON sizes.doc_id = eval_doc
+        |WHERE c::double / n >= $tau
+        |ORDER BY win_start, train_doc, eval_doc""".stripMargin
+    }
   )
 }

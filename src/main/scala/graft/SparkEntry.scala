@@ -98,6 +98,7 @@ object SparkEntry {
     "mix_sources"         -> (graft.operators.Sampling.mixSources(_, _)),
     "mix_epochs"          -> (graft.operators.Sampling.mixEpochs(_, _)),
     "mix_temperature"     -> (graft.operators.Sampling.mixTemperature(_, _)),
+    "corpus_shuffle"      -> (graft.operators.Sampling.corpusShuffle(_, _)),
     "decontaminate"       -> (graft.operators.Decontaminate.decontaminate(_, _)),
     // §2I — composed curation pipeline
     "curate_corpus"       -> (graft.operators.Curate.curateCorpus(_, _)),
@@ -130,7 +131,8 @@ object SparkEntry {
     "stream_pack"         -> Streams.streamPack,
     "stream_mix"          -> Streams.streamMix,
     "stream_join"         -> Streams.streamJoin,
-    "stream_pii"          -> Streams.streamPii
+    "stream_pii"          -> Streams.streamPii,
+    "stream_decontaminate" -> Streams.streamDecontaminate
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -10,12 +10,16 @@ import graft.Tables
   * corpus has no real media, so the blob is derived
   * (`cast(text as binary)`); the decode step parses real PNG/BMP
   * container headers from the bytes (dimensions need no codec), and
-  * the resize step really resamples 24-bit uncompressed BMP pixel
-  * arrays (nearest-neighbor is integer indexing — no codec needed);
-  * only the compressed-codec formats (PNG/MP4) keep a documented
-  * stub digest. Everything Spark-side is real: the binary schema, the
-  * per-partition batch shape, the typed output rows, and the fact
-  * that only metadata (not blobs) crosses any shuffle.
+  * the resize step really resamples pixels for BOTH image formats:
+  * 24-bit uncompressed BMP (nearest-neighbor is integer indexing)
+  * and 8-bit truecolor PNG via a real decoder ([[pngPixels]]: chunk
+  * walk with CRC validation, zlib inflate of the IDAT stream, and
+  * all five scanline filters). Only genuinely codec-bound payloads
+  * (MP4 video, paletted/compressed BMP, interlaced or non-truecolor
+  * PNG) keep a documented stub digest. Everything Spark-side is
+  * real: the binary schema, the per-partition batch shape, the typed
+  * output rows, and the fact that only metadata (not blobs) crosses
+  * any shuffle.
   *
   * Scale notes: blobs never enter a join/groupBy key; metadata
   * extraction is per-row scan work; decode runs `mapPartitions` so a
@@ -101,6 +105,179 @@ object Multimodal {
           Some((beU32(a, coff + 28), beU64(a, coff + 32)))
         else None
     } yield info
+  }
+
+  /** Hard ceiling on a decoded PNG pixel array (64 MiB): an inflate
+    * target is allocated from header-claimed dims, so a hostile IHDR
+    * must not be able to demand an arbitrary allocation. */
+  private val PngMaxPixelBytes: Long = 1L << 26
+
+  /** REAL PNG pixel decode for the 8-bit truecolor profile (bit depth
+    * 8, color type 2, no interlace) — the profile [[encodePng]]
+    * writes and by far the most common wire form for photos:
+    *  - chunk walk with per-chunk CRC32 validation (type+data, ISO
+    *    3309 — the same polynomial `java.util.zip.CRC32` implements);
+    *  - zlib inflate of the concatenated IDAT stream
+    *    (`java.util.zip.Inflater`), output bounded to exactly
+    *    h·(1+w·3) bytes so a zip-bomb stream cannot expand past the
+    *    header-claimed geometry;
+    *  - scanline defiltering, all five filter types (None/Sub/Up/
+    *    Average/Paeth, RFC 2083 §6) at bpp=3.
+    * Returns the packed w·h·3 RGB array in row order. Anything
+    * outside the profile — paletted, 16-bit, interlaced, truncated,
+    * CRC-corrupt, over-size — degrades to None and the caller stubs;
+    * no partial reads, no exceptions escape. */
+  private[multimodal] def pngPixels(a: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (a.length < 20 || !(0 until 8).forall(i => a(i) == PngMagic(i)))
+      return None
+    var off = 8
+    var w = 0; var h = 0
+    var seenIhdr = false; var ended = false
+    val idat = new java.io.ByteArrayOutputStream()
+    val crc = new java.util.zip.CRC32
+    while (!ended) {
+      if (off + 12 > a.length) return None // truncated chunk header
+      val len = beU32(a, off)
+      if (len < 0 || off + 12L + len > a.length) return None
+      crc.reset(); crc.update(a, off + 4, 4 + len)
+      if (crc.getValue != (beU32(a, off + 8 + len).toLong & 0xFFFFFFFFL))
+        return None // corrupt chunk
+      new String(a, off + 4, 4, "US-ASCII") match {
+        case "IHDR" =>
+          if (seenIhdr || len != 13) return None
+          w = beU32(a, off + 8); h = beU32(a, off + 12)
+          val depth = a(off + 16) & 0xFF; val color = a(off + 17) & 0xFF
+          val comp = a(off + 18) & 0xFF; val filt = a(off + 19) & 0xFF
+          val inter = a(off + 20) & 0xFF
+          if (depth != 8 || color != 2 || comp != 0 || filt != 0 ||
+              inter != 0 || w <= 0 || h <= 0 ||
+              w.toLong * h * 3 > PngMaxPixelBytes) return None
+          seenIhdr = true
+        case "IDAT" => if (!seenIhdr) return None else idat.write(a, off + 8, len)
+        case "IEND" => ended = true
+        case _      => () // ancillary chunks (tEXt, pHYs, …) skipped
+      }
+      off += 12 + len
+    }
+    if (!seenIhdr) return None
+    // Inflate the filtered scanlines: exactly h rows of 1 filter byte
+    // + w·3 samples. Anything short (truncated stream) or a malformed
+    // deflate stream → None.
+    val rb = w * 3
+    val raw = new Array[Byte](h * (rb + 1))
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var n = 0
+      while (n < raw.length && !inf.finished()) {
+        val k = inf.inflate(raw, n, raw.length - n)
+        if (k == 0 && (inf.needsInput() || inf.needsDictionary())) return None
+        n += k
+      }
+      if (n < raw.length) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    // Defilter in place-ish: each row's predictor reads the already-
+    // reconstructed previous row / left pixel (bpp = 3).
+    val out = new Array[Byte](h * rb)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (rb + 1)) & 0xFF
+      if (ft > 4) return None
+      val src = y * (rb + 1) + 1
+      val dst = y * rb
+      var x = 0
+      while (x < rb) {
+        val cur = raw(src + x) & 0xFF
+        val left = if (x >= 3) out(dst + x - 3) & 0xFF else 0
+        val up = if (y > 0) out(dst - rb + x) & 0xFF else 0
+        val ul = if (y > 0 && x >= 3) out(dst - rb + x - 3) & 0xFF else 0
+        val rec = ft match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + ((left + up) >> 1)
+          case _ => // Paeth
+            val p = left + up - ul
+            val pa = math.abs(p - left)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            cur + (if (pa <= pb && pa <= pc) left
+                   else if (pb <= pc) up else ul)
+        }
+        out(dst + x) = rec.toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, out))
+  }
+
+  /** PNG encoder for the same profile [[pngPixels]] decodes — used by
+    * the synthesized oracle corpus ([[mmResizeQuery]]) and the specs,
+    * NOT by the operator itself. Per-row filter type cycles through
+    * all five ((seed+y) mod 5) so a decode bug in any filter breaks
+    * the hash gate, and chunk CRCs are real so the decoder's CRC
+    * validation must pass on the honest path. */
+  private[multimodal] def encodePng(w: Int, h: Int, rgb: Array[Byte],
+      seed: Long): Array[Byte] = {
+    require(rgb.length == w * h * 3, s"need ${w * h * 3} bytes, got ${rgb.length}")
+    val rb = w * 3
+    val raw = new Array[Byte](h * (rb + 1))
+    var y = 0
+    while (y < h) {
+      val ft = java.lang.Math.floorMod(seed + y, 5L).toInt
+      raw(y * (rb + 1)) = ft.toByte
+      val src = y * rb
+      val dst = y * (rb + 1) + 1
+      var x = 0
+      while (x < rb) {
+        val cur = rgb(src + x) & 0xFF
+        val left = if (x >= 3) rgb(src + x - 3) & 0xFF else 0
+        val up = if (y > 0) rgb(src - rb + x) & 0xFF else 0
+        val ul = if (y > 0 && x >= 3) rgb(src - rb + x - 3) & 0xFF else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) >> 1
+          case _ =>
+            val p = left + up - ul
+            val pa = math.abs(p - left)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+        }
+        raw(dst + x) = (cur - pred).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    val zdat = try {
+      defl.setInput(raw); defl.finish()
+      val buf = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+      val chunk = new Array[Byte](8192)
+      while (!defl.finished()) buf.write(chunk, 0, defl.deflate(chunk))
+      buf.toByteArray
+    } finally defl.end()
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(12 + data.length)
+      b.putInt(data.length)
+      b.put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(b.array(), 4, 4 + data.length)
+      b.putInt(crc.getValue.toInt)
+      b.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte).put(2.toByte) // bit depth 8, truecolor
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, no interlace
+      .array()
+    PngMagic ++ chunk("IHDR", ihdr) ++ chunk("IDAT", zdat) ++
+      chunk("IEND", Array.emptyByteArray)
   }
 
   /** Real container-header decode across the three modalities — no
@@ -207,15 +384,20 @@ object Multimodal {
   /** F4 core: resize for one image blob. REAL: the header parse
     * ([[decodeHeader]]), the aspect-preserving integral dims math
     * (long multiply before divide — no doubles, no overflow for any
-    * s32 dims — floor, clamped to ≥ 1), and — for 24-bit uncompressed
-    * BMP whose full pixel array is present — the pixel resample
-    * itself: nearest-neighbor over the stored rows (`resample="nn"`,
-    * pure integer row/col indexing, no codec needed; the output is
-    * the packed tw·th·3 BGR byte array in stored row order, digested
-    * as md5 of its lowercase hex so a DuckDB oracle — whose md5 only
-    * accepts VARCHAR — can re-derive it pixel for pixel). STUBBED:
-    * compressed/paletted BMPs and the codec formats (PNG/MP4) —
-    * `resample="stub"`, digest md5(hex(content) ‖ "_tw_th"), a
+    * s32 dims — floor, clamped to ≥ 1), and the pixel resample itself
+    * for both image formats (`resample="nn"`, [[nnSample]]):
+    *  - 24-bit uncompressed BMP whose full pixel array is present —
+    *    nearest-neighbor over the stored rows, pure integer indexing;
+    *  - 8-bit truecolor PNG — a REAL decode first ([[pngPixels]]:
+    *    CRC-validated chunk walk, zlib inflate, all five scanline
+    *    filters), then the same kernel over the packed RGB rows.
+    * The output is the packed tw·th·3 byte array in stored row order
+    * (BGR for BMP, RGB for PNG — no channel swap either side),
+    * digested as md5 of its lowercase hex so a DuckDB oracle — whose
+    * md5 only accepts VARCHAR — can re-derive it pixel for pixel.
+    * STUBBED: payloads that genuinely need a codec library —
+    * compressed/paletted BMPs, non-truecolor/interlaced/corrupt PNG,
+    * MP4 — `resample="stub"`, digest md5(hex(content) ‖ "_tw_th"), a
     * deterministic function of exactly the codec's inputs. Non-image
     * blobs yield None (a real resize stage drops or routes them). */
   private val HexChars = "0123456789abcdef".toCharArray
@@ -232,6 +414,28 @@ object Multimodal {
     * the same formula the DuckDB oracle runs as `(t * src) // dst`. */
   @inline private def nnIdx(t: Int, src: Int, dst: Int): Int =
     (t.toLong * src / dst).toInt
+
+  /** The shared nearest-neighbor kernel: sample a w×h pixel grid
+    * stored in `src` (3 bytes/pixel, rows of `rowBytes` starting at
+    * `base` — BMP rows carry 4-byte-aligned stride padding, PNG rows
+    * are packed) down to tw×th, returning the packed tw·th·3 output
+    * array in ty,tx order. */
+  private def nnSample(src: Array[Byte], base: Int, rowBytes: Int,
+      w: Int, h: Int, tw: Int, th: Int): Array[Byte] = {
+    val out = new Array[Byte](tw * th * 3)
+    var ty = 0; var i = 0
+    while (ty < th) {
+      val rowOff = base + nnIdx(ty, h, th) * rowBytes
+      var tx = 0
+      while (tx < tw) {
+        val s = rowOff + nnIdx(tx, w, tw) * 3
+        out(i) = src(s); out(i + 1) = src(s + 1); out(i + 2) = src(s + 2)
+        i += 3; tx += 1
+      }
+      ty += 1
+    }
+    out
+  }
 
   private[multimodal] def resizeTo(maxSide: Int,
       md: java.security.MessageDigest =
@@ -260,20 +464,16 @@ object Multimodal {
       val isNN = d.format == "bmp" && d.bit_depth.contains(24) &&
         a.length >= 54 && leS32(a, 30) == 0 && pixOff >= 54 &&
         pixOff + stride * h <= a.length
+      // PNG real path: full pixel decode (inflate + defilter). The
+      // decoder re-reads dims from IHDR; they equal (w, h) whenever it
+      // succeeds (same header bytes), so the planned tw/th stay valid.
+      val pngPx: Option[Array[Byte]] =
+        if (d.format == "png") pngPixels(a).map(_._3) else None
       md.reset()
-      if (isNN) {
-        val strideI = stride.toInt // bounded by a.length via the check
-        val out = new Array[Byte](tw * th * 3)
-        var ty = 0; var i = 0
-        while (ty < th) {
-          val rowOff = pixOff + nnIdx(ty, h, th) * strideI
-          var tx = 0
-          while (tx < tw) {
-            val src = rowOff + nnIdx(tx, w, tw) * 3
-            out(i) = a(src); out(i + 1) = a(src + 1); out(i + 2) = a(src + 2)
-            i += 3; tx += 1
-          }
-          ty += 1
+      if (isNN || pngPx.isDefined) {
+        val out = pngPx match {
+          case Some(px) => nnSample(px, 0, w * 3, w, h, tw, th)
+          case None     => nnSample(a, pixOff, stride.toInt, w, h, tw, th)
         }
         md.update(hexOf(out).getBytes("UTF-8"))
         Resized(b.doc_id, w, h, tw, th, hexOf(md.digest()), "nn")
@@ -315,6 +515,9 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  final case class SynthImg(doc_id: Long, kind: String, w: Int, h: Int,
+      px_hex: String, content: Array[Byte])
+
   /** F4 oracle-gated entry: the corpus ships no image rows, so this
     * query synthesizes a deterministic image corpus FROM the documents
     * table and runs the REAL [[resizeCore]] over it:
@@ -324,15 +527,22 @@ object Multimodal {
     *    cycling the doc's text bytes (‖ 0x00) — so the operator's
     *    nearest-neighbor path runs over REAL pixels and the digest is
     *    the md5 of the actually-resampled byte array;
-    *  - PNG rows keep container-header-only blobs and exercise the
-    *    documented codec stub (dims math + stub digest);
+    *  - PNG rows are FULL REAL PNGs: the packed w·h·3 pixel array
+    *    comes from the same text-cycling rule (no stride), then
+    *    [[encodePng]] wraps it — per-row filters cycling all five
+    *    types, a real zlib IDAT stream, real chunk CRCs — so the
+    *    operator must actually inflate, CRC-check, and defilter to
+    *    recover the pixels. The DuckDB twin re-derives the expected
+    *    pixels straight from the construction rule in hex space; it
+    *    never needs zlib, which is exactly what makes a compressed
+    *    format oracle-able;
     *  - ~1/5 of BMPs are top-down (negative height, two's-complement
     *    LE) and ~1/11 of docs stay raw non-image bytes (dropped).
     * Dims are ≤ 40×32 and the bound is [[ResizeOracleMaxSide]] (16),
     * so downscale, no-upscale, and clamp-to-1 all fire, and the
     * DuckDB twin can re-derive every output pixel in hex space.
-    * Construction is pure codegen'd builtins (hex/lpad/repeat/unhex),
-    * no UDF. */
+    * Construction is codegen'd builtins (hex/lpad/repeat/unhex) for
+    * the headers plus one per-partition map for the PNG encode. */
   def mmResizeQuery(spark: SparkSession, dir: String,
       maxSide: Int = ResizeOracleMaxSide): DataFrame = {
     import spark.implicits._
@@ -352,33 +562,51 @@ object Multimodal {
       .selectExpr("doc_id", "text", "w", "h", "kind",
         "CASE WHEN doc_id % 5 = 0 THEN 4294967296 - h ELSE h END AS hbmp",
         "((w * 3 + 3) div 4) * 4 AS stride")
-      // the BMP pixel array: exactly stride*h bytes, text bytes
-      // (‖ 0x00 so empty text still cycles) repeated and truncated
+      // the pixel array: text bytes (‖ 0x00 so empty text still
+      // cycles) repeated and truncated — stride·h bytes for BMP,
+      // packed w·h·3 for PNG
       .selectExpr("doc_id", "text", "w", "h", "kind", "hbmp", "stride",
         "concat(hex(cast(text AS binary)), '00') AS p2")
       .selectExpr("doc_id", "text", "w", "h", "kind", "hbmp", "stride",
         "CASE WHEN kind = 'bmp' THEN substring(" +
           "repeat(p2, cast((stride * h * 2 + length(p2) - 1) div length(p2) AS int)), " +
-          "1, cast(stride * h * 2 AS int)) ELSE '' END AS px_hex")
-      .selectExpr("doc_id",
+          "1, cast(stride * h * 2 AS int)) " +
+        "WHEN kind = 'png' THEN substring(" +
+          "repeat(p2, cast((w * h * 6 + length(p2) - 1) div length(p2) AS int)), " +
+          "1, cast(w * h * 6 AS int)) ELSE '' END AS px_hex")
+      .selectExpr("doc_id", "kind", "cast(w AS int) AS w",
+        "cast(h AS int) AS h", "px_hex",
         "CASE kind " +
-          // PNG: magic, IHDR length 13, 'IHDR', BE dims, depth 8,
-          // color 2; payload = the text bytes (header-only container)
-          "WHEN 'png' THEN concat('89504E470D0A1A0A0000000D49484452', " +
-          "  lpad(hex(w), 8, '0'), lpad(hex(h), 8, '0'), '0802', " +
-          "  hex(cast(text AS binary))) " +
           // BMP: 'BM', LE file size, reserved zeros, pixel offset 54,
           // DIB size 40, LE dims, 1 plane, 24 bpp, BI_RGB, LE image
           // size, 16 zero bytes (ppm/palette fields), then the pixels
-          s"WHEN 'bmp' THEN concat('424D', ${le32("54 + stride * h")}, " +
+          s"WHEN 'bmp' THEN unhex(concat('424D', ${le32("54 + stride * h")}, " +
           s"  '00000000', '36000000', '28000000', " +
           s"  ${le32("w")}, ${le32("hbmp")}, '01001800', '00000000', " +
-          s"  ${le32("stride * h")}, repeat('00', 16), px_hex) " +
+          s"  ${le32("stride * h")}, repeat('00', 16), px_hex)) " +
           // raw rows keep their plain text bytes — realistic
           // non-image payloads the routing must drop
-          "ELSE hex(cast(text AS binary)) END AS content_hex")
-      .selectExpr("doc_id", "unhex(content_hex) AS content")
-    resizeCore(imgs.as[MmBlob], maxSide)
+          "WHEN 'raw' THEN cast(text AS binary) " +
+          "ELSE cast(null AS binary) END AS content")
+    val blobs = imgs.as[SynthImg].mapPartitions { it =>
+      it.map { r =>
+        if (r.kind == "png")
+          MmBlob(r.doc_id, encodePng(r.w, r.h, unhexBytes(r.px_hex), r.doc_id))
+        else MmBlob(r.doc_id, r.content)
+      }
+    }
+    resizeCore(blobs, maxSide)
+  }
+
+  private def unhexBytes(s: String): Array[Byte] = {
+    val out = new Array[Byte](s.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = ((Character.digit(s.charAt(i * 2), 16) << 4) |
+        Character.digit(s.charAt(i * 2 + 1), 16)).toByte
+      i += 1
+    }
+    out
   }
 
   /** F3: every-4th 16-byte block ("frame") sampled from the blob —

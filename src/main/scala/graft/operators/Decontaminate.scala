@@ -39,6 +39,22 @@ object Decontaminate {
   def decontaminate(spark: SparkSession, dir: String): DataFrame =
     decontaminateOf(Tables(spark, dir).documents)
 
+  /** The static ingest side of the G15 stream twin
+    * (Streams.decontamStreamTransform): each eval doc's distinct cut
+    * shingle hashes plus its cut-set size. The df cut here runs over
+    * the EVAL slice ONLY — at ingest time the unbounded train
+    * stream's document frequencies are unknowable, which is the
+    * honest semantic difference from this batch operator's
+    * corpus-wide cut (both are documented, separately-oracled
+    * contracts). Benchmarks are tiny at any corpus scale, so this
+    * frame broadcasts. */
+  def evalIndexOf(evalDocs: DataFrame): DataFrame = {
+    val sh = Dedup.shingleIndexOf(evalDocs)
+    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    sh.join(n, "doc_id")
+      .select(col("doc_id").as("eval_doc"), col("s"), col("n"))
+  }
+
   /** Core over any (doc_id, source, text) frame. */
   private[operators] def decontaminateOf(d: DataFrame): DataFrame = {
     // df cut counts over the WHOLE corpus (eval + train), mirroring

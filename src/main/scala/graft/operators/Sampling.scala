@@ -315,4 +315,54 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("epoch"), col("n_copies"))
       .orderBy(col("doc_id"), col("epoch"))
   }
+
+  /** Salt for [[corpusShuffle]] — independent of every sampling draw
+    * (the shard a doc lands in must not correlate with whether any
+    * mix kept it). */
+  val ShuffleSeed = "graft-shuffle-17:"
+
+  /** Hex-prefix width of the shard id: 16^k shards. 2 (256 shards)
+    * here; a 100 TB corpus dials it to 4 (65 536 shards ≈ 1.5 GB
+    * each) — the width is config, the algebra is unchanged. */
+  val ShardHexWidth = 2
+
+  /** J7: deterministic global corpus shuffle into training shards —
+    * the last step before a trainer reads the corpus: break every
+    * correlation the curation pipeline left in doc order (by-source
+    * runs, by-crawl-date runs) by scattering docs pseudo-randomly
+    * across shards and ordering them pseudo-randomly within each
+    * shard. shard = the first [[ShardHexWidth]] hex chars of
+    * md5([[ShuffleSeed]] ‖ doc_id); pos = the 1-based rank of the
+    * FULL 32-char hash within the shard (doc_id tiebreak for the
+    * astronomically-unlikely collision) — reading shards in any
+    * order, each in pos order, is a uniform permutation of the
+    * corpus determined entirely by the salt.
+    *
+    * Determinism/oracle: md5-of-UTF-8 is identical in Spark and
+    * DuckDB and fixed-width lowercase hex compares numerically
+    * ([[hashBucket]]'s contract), so shard AND pos are
+    * bit-reproducible cross-engine — full hash gate — re-runnable,
+    * and stable under any input partitioning.
+    *
+    * Scale shape: ONE hash-partition exchange on shard + a per-shard
+    * sort — exactly the physical plan a sharded shuffled write needs
+    * (`repartition($"shard").sortWithinPartitions($"h")` → write);
+    * no global sort, no driver state, shards are independent so 16^k
+    * reducers pack in parallel. The window is per-shard, never over
+    * the whole corpus. */
+  def corpusShuffle(spark: SparkSession, dir: String): DataFrame =
+    shuffleOf(Tables(spark, dir).documents)
+
+  /** Core shard assignment over any frame with doc_id. */
+  def shuffleOf(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    d.select(col("doc_id"),
+        md5(concat(lit(ShuffleSeed), col("doc_id").cast("string"))
+          .cast("binary")).as("h"))
+      .withColumn("shard", substring(col("h"), 1, ShardHexWidth))
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
 }

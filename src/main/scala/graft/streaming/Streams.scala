@@ -842,6 +842,51 @@ object Streams {
   def streamPii(spark: SparkSession, dir: String): DataFrame =
     graft.functions.TextQueries.textPii(spark, dir)
 
+  /** G15 transform: ingest-time eval-set decontamination — the
+    * stream-static twin of C9 `decontaminate` (quarantine a training
+    * doc the moment it arrives if it contains ≥ Tau of any eval doc's
+    * 3-gram shingle set, instead of sweeping the corpus after the
+    * fact). The static side is the eval shingle index
+    * (Decontaminate.evalIndexOf: per-doc distinct cut hashes + cut
+    * set size, df cut over the eval slice only — the honest
+    * ingest-time semantics; the unbounded train stream's df is
+    * unknowable). The stream side explodes each arriving doc's
+    * distinct shingles (native codegen ShingleHashes), equi-joins the
+    * index — broadcast-shaped: benchmarks are tiny at any corpus
+    * scale, so NO stream state for the join itself — and counts
+    * matches per (ingest window, train doc, eval doc) under the
+    * caller's watermark, so aggregation state is evicted and append
+    * mode works. A train doc's shingles all carry its single ingest
+    * timestamp, so the per-pair count completes within one window by
+    * construction. Emits containment ≥ Tau — the quarantine feed. */
+  def decontamStreamTransform(train: DataFrame, evalIdx: DataFrame): DataFrame =
+    train
+      .select(col("doc_id").as("train_doc"), col("ep_ts"),
+        explode(H.shingleHashes(col("text"), 3)).as("s"))
+      .join(broadcast(evalIdx), "s")
+      .groupBy(window(col("ep_ts"), "1 hour"), col("train_doc"),
+        col("eval_doc"), col("n"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("contain", col("c").cast("double") / col("n"))
+      .filter(col("contain") >= graft.operators.Decontaminate.Tau)
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("train_doc"), col("eval_doc"),
+        round(col("contain"), 4).as("contain"))
+
+  /** G15 batch entry (driver-verified against the DuckDB oracle):
+    * ingest time synthesized as doc_id seconds — deterministic,
+    * spreads docs across 1-hour windows as the corpus grows. */
+  def streamDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val ev = graft.operators.Decontaminate.EvalSource
+    val evalIdx = graft.operators.Decontaminate.evalIndexOf(
+      d.filter(col("source") === ev))
+    val train = d.filter(col("source") =!= ev)
+      .withColumn("ep_ts", col("doc_id").cast("timestamp"))
+    decontamStreamTransform(train, evalIdx)
+      .orderBy(col("win_start"), col("train_doc"), col("eval_doc"))
+  }
+
   /** Max view→click lag in seconds for the G12 stream-stream interval
     * join (single-sourced into the DuckDB oracle). */
   val ViewClickLagMax = 1800L

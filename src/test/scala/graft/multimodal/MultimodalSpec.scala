@@ -303,9 +303,82 @@ class MultimodalSpec extends SparkSuite {
     // compression ≠ BI_RGB → stub (flip the compression field)
     val rle = up.clone(); rle(30) = 1
     assert(resizeTo(2)(MmBlob(4L, rle)).get.resample === "stub")
-    // PNG is always the codec stub
+    // a header-only PNG (no chunks to decode) is the codec stub
     val png = resizeTo(2)(MmBlob(5L, pngHeader(64, 64, 8))).get
     assert(png.resample === "stub")
+  }
+
+  /** Rewrite the chunk starting at `off` after mutating one data byte,
+    * RECOMPUTING its CRC — produces a structurally valid PNG outside
+    * the decodable profile (vs. corruption, which breaks the CRC). */
+  private def patchChunk(png: Array[Byte], off: Int, rel: Int,
+      value: Byte): Array[Byte] = {
+    val out = png.clone()
+    val len = java.nio.ByteBuffer.wrap(out, off, 4).getInt
+    out(off + 8 + rel) = value
+    val crc = new java.util.zip.CRC32
+    crc.update(out, off + 4, 4 + len)
+    java.nio.ByteBuffer.wrap(out, off + 8 + len, 4).putInt(crc.getValue.toInt)
+    out
+  }
+
+  test("PNG roundtrip: encodePng → pngPixels recovers exact pixels " +
+      "through all five scanline filters") {
+    val rng = new scala.util.Random(97)
+    // h = 7 with seed cycling → every filter type 0..4 appears
+    for (seed <- 0L to 4L; (w, h) <- Seq((5, 7), (1, 1), (3, 1), (1, 6))) {
+      val rgb = Array.fill(w * h * 3)(rng.nextInt(256).toByte)
+      val png = Multimodal.encodePng(w, h, rgb, seed)
+      val got = Multimodal.pngPixels(png)
+      assert(got.isDefined, s"decode failed for ${w}x$h seed $seed")
+      val (gw, gh, gpx) = got.get
+      assert((gw, gh) === ((w, h)))
+      assert(gpx.toSeq === rgb.toSeq, s"pixels differ for ${w}x$h seed $seed")
+    }
+  }
+
+  test("PNG resample is REAL: inflate + defilter + nearest-neighbor") {
+    import Multimodal.{MmBlob, resizeTo}
+    // 4×2 @ maxSide 2 → 2×1: same geometry as the BMP test but over
+    // packed RGB rows recovered from a real zlib stream
+    val rgb = Array.tabulate(4 * 2 * 3)(i => (i * 7 + 3).toByte)
+    val png = Multimodal.encodePng(4, 2, rgb, seed = 3L)
+    val got = resizeTo(2)(MmBlob(1L, png)).get
+    assert((got.target_w, got.target_h, got.resample) === ((2, 1, "nn")))
+    val expected = Array(rgb(0), rgb(1), rgb(2), rgb(6), rgb(7), rgb(8))
+    assert(got.resized_md5 === md5HexLower(expected))
+    // identity size: still the real path over the decoded array
+    val s = resizeTo(16)(MmBlob(2L, png)).get
+    assert((s.target_w, s.target_h, s.resample) === ((4, 2, "nn")))
+    assert(s.resized_md5 === md5HexLower(rgb))
+  }
+
+  test("PNG decode degrades to the stub outside the profile: corrupt " +
+      "CRC, truncated IDAT, interlaced, non-truecolor, 16-bit") {
+    import Multimodal.{MmBlob, resizeTo}
+    val rgb = Array.tabulate(6 * 4 * 3)(i => (i * 13 + 1).toByte)
+    val good = Multimodal.encodePng(6, 4, rgb, seed = 1L)
+    assert(resizeTo(3)(MmBlob(1L, good)).get.resample === "nn")
+    // flip one IDAT byte WITHOUT fixing the CRC → corrupt → stub
+    val ihdrLen = 12 + 13
+    val corrupt = good.clone(); corrupt(8 + ihdrLen + 8 + 2) =
+      (corrupt(8 + ihdrLen + 8 + 2) ^ 0x5A).toByte
+    assert(resizeTo(3)(MmBlob(2L, corrupt)).get.resample === "stub")
+    // drop the IEND tail → truncated chunk walk → stub
+    assert(resizeTo(3)(MmBlob(3L, good.dropRight(6))).get.resample === "stub")
+    // interlace=1 with a VALID recomputed CRC → outside profile → stub
+    assert(resizeTo(3)(MmBlob(4L, patchChunk(good, 8, 12, 1)))
+      .get.resample === "stub")
+    // color type 0 (grayscale) with valid CRC → stub
+    assert(resizeTo(3)(MmBlob(5L, patchChunk(good, 8, 9, 0)))
+      .get.resample === "stub")
+    // bit depth 16 with valid CRC → stub
+    assert(resizeTo(3)(MmBlob(6L, patchChunk(good, 8, 8, 16)))
+      .get.resample === "stub")
+    // determinism of the real path
+    val a = resizeTo(3)(MmBlob(7L, good)).get
+    val b = resizeTo(3)(MmBlob(7L, good)).get
+    assert(a === b)
   }
 
   test("resize keeps the decode path's no-shuffle batch shape") {

@@ -254,4 +254,66 @@ class SamplingSpec extends SparkSuite {
     val n = scans(q.queryExecution.executedPlan)
     assert(n == 2, s"expected exactly 2 documents scans, got $n:\n$plan")
   }
+
+  test("corpus_shuffle is a permutation: every doc once, contiguous pos " +
+      "per shard, deterministic, stable under input partitioning") {
+    val d = graft.Tables(spark, sfDir).documents
+    val out = Sampling.corpusShuffle(spark, sfDir).collect()
+    val nDocs = d.count()
+    assert(out.length.toLong === nDocs, "one output row per doc")
+    assert(out.map(_.getLong(0)).distinct.length.toLong === nDocs,
+      "no doc repeated or dropped — a permutation")
+    // per-shard pos is exactly 1..n_shard
+    out.groupBy(_.getString(1)).foreach { case (shard, rows) =>
+      val ps = rows.map(_.getInt(2)).sorted
+      assert(ps.toSeq === (1 to rows.length).toSeq,
+        s"shard $shard pos must be contiguous from 1")
+    }
+    // shard id is the declared-width hex prefix
+    assert(out.forall(_.getString(1).length == Sampling.ShardHexWidth))
+    // deterministic + independent of how the input arrives
+    val again = Sampling.shuffleOf(d.repartition(7)).collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+      === again.map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq)
+  }
+
+  test("corpus_shuffle actually shuffles: within-shard doc order is " +
+      "decorrelated from doc_id order") {
+    val out = Sampling.corpusShuffle(spark, sfDir).collect()
+    // in every shard with ≥ 10 docs, reading in pos order must NOT
+    // be monotone in doc_id (probability ~ 1/n! under the null)
+    val bigShards = out.groupBy(_.getString(1)).filter(_._2.length >= 10)
+    assert(bigShards.nonEmpty, "fixture must exercise multi-doc shards")
+    bigShards.foreach { case (shard, rows) =>
+      val ids = rows.sortBy(_.getInt(2)).map(_.getLong(0)).toSeq
+      assert(ids !== ids.sorted,
+        s"shard $shard kept ascending doc_id order — not shuffled")
+    }
+  }
+
+  test("corpus_shuffle plan: exactly one hash exchange (on shard), " +
+      "per-shard sort, no global window") {
+    val q = Sampling.corpusShuffle(spark, sfDir)
+    q.collect() // finalize AQE before walking
+    // walk the tree, not the string: a finalized AQE plan prints
+    // initial+final sections, doubling textual exchange counts
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def hashEx(p: SparkPlan): Seq[ShuffleExchangeExec] = p match {
+      case a: AdaptiveSparkPlanExec => hashEx(a.executedPlan)
+      case qs: QueryStageExec => hashEx(qs.plan)
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] =>
+        e +: e.children.flatMap(hashEx)
+      case other => other.children.flatMap(hashEx)
+    }
+    val ex = hashEx(q.queryExecution.executedPlan)
+    assert(ex.length == 1,
+      s"expected exactly one hash exchange:\n${q.queryExecution.executedPlan}")
+    assert(ex.head.outputPartitioning.asInstanceOf[HashPartitioning]
+      .expressions.map(_.sql).exists(_.contains("shard")),
+      "the one hash exchange must partition by shard")
+  }
 }

@@ -881,4 +881,51 @@ class StreamsSpec extends SparkSuite {
           s"remain): before=$before after=$after")
     } finally query.stop()
   }
+
+  test("ingest-time decontamination through a real stream equals the " +
+      "batch entry (append mode, watermark-closed windows)") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    val ev = graft.operators.Decontaminate.EvalSource
+    val d = graft.Tables(spark, sfDir).documents
+    // static side computed batch-side (the benchmark set), broadcast
+    // into every micro-batch
+    val evalIdx = graft.operators.Decontaminate.evalIndexOf(
+      d.filter(col("source") === ev))
+    val expected = Streams.streamDecontaminate(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val rows = d.filter(col("source") =!= ev)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val stream = MemoryStream[(Long, String)]
+    val streamed = Streams.decontamStreamTransform(
+      stream.toDF().toDF("doc_id", "text")
+        .withColumn("ep_ts", col("doc_id").cast("timestamp"))
+        .withWatermark("ep_ts", "10 minutes"),
+      evalIdx)
+    val query = streamed.writeStream.format("memory")
+      .queryName("decontam").outputMode("append").start()
+    try {
+      val shuffled = new scala.util.Random(53).shuffle(rows.toSeq)
+      shuffled.grouped(math.max(1, shuffled.length / 3)).foreach { b =>
+        stream.addData(b)
+        query.processAllAvailable()
+      }
+      // a far-future clean sentinel closes every data window (its own
+      // shingles match nothing, so it emits no row itself)
+      stream.addData((10_000_000L, "zz zz zz"))
+      query.processAllAvailable()
+      stream.addData((10_000_100L, "zz zz zz"))
+      query.processAllAvailable()
+      val got = s.table("decontam")
+        .orderBy("win_start", "train_doc", "eval_doc").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+      assert(got === expected)
+      val p = query.lastProgress
+      assert(p != null && p.stateOperators.nonEmpty,
+        "the windowed count is the one stateful stage")
+    } finally query.stop()
+  }
 }
