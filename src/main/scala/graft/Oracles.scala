@@ -42,9 +42,11 @@ object Oracles {
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
 
     // Mirrors Profile.tableProfileTyped's pinned formatting contract:
-    // %.6f for doubles, fixed 6-digit-micros timestamps (DuckDB reads
-    // the ns parquet truncated to micro TIMESTAMP — the Spark side
-    // profiles ts at the same micro grain by integral div).
+    // %.6f for doubles, fixed 6-digit-micros timestamps. DuckDB reads
+    // events.ts as micro TIMESTAMP whatever the parquet physical type
+    // (ns parquet truncates, µs parquet is native); the Spark side
+    // profiles the normalized epoch-nanos long at the same micro
+    // grain by integral div — both engines agree at µs precision.
     "table_profile_typed" ->
       graft.operators.Profile.TypedCols.map { case (table, c, kind) =>
         def fmt(x: String): String = kind match {
@@ -928,7 +930,12 @@ object Oracles {
     * asymmetric decontaminate chain, so the shingle definition and
     * df cut are single-sourced. `sfx` renames the CTEs so two chains
     * can coexist in one composed query (see curate_train). */
-  private def shingleCtes(src: String, sfx: String = ""): String =
+  /** Cut-free prefix (toks→sh0: distinct shingles, no df cut) — the
+    * train side of the ingest-time decontaminate oracle uses exactly
+    * this and nothing more (an unbounded train stream has no knowable
+    * df), so it is its own helper rather than a dead `sh$sfx` CTE
+    * carried along. */
+  private def shingleDistinctCtes(src: String, sfx: String = ""): String =
     raw"""toks$sfx AS (
          |  SELECT doc_id,
          |    list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), w -> w <> '') AS w
@@ -937,8 +944,11 @@ object Oracles {
          |  SELECT doc_id,
          |    unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
          |                          FOR i IN range(1, len(w) - 1)])) AS s
-         |  FROM toks$sfx WHERE len(w) >= 3),
-         |sh$sfx AS (
+         |  FROM toks$sfx WHERE len(w) >= 3)""".stripMargin
+
+  private def shingleCtes(src: String, sfx: String = ""): String =
+    shingleDistinctCtes(src, sfx) + ",\n" +
+    raw"""sh$sfx AS (
          |  SELECT doc_id, s FROM (
          |    SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM sh0$sfx)
          |  WHERE df <= ${graft.operators.Dedup.NgramDfMax})""".stripMargin
@@ -2142,7 +2152,7 @@ object Oracles {
         |trd AS (
         |  SELECT doc_id, text FROM documents WHERE source <> '$ev'),
         |${shingleCtes("evd")},
-        |${shingleCtes("trd", "_t")},
+        |${shingleDistinctCtes("trd", "_t")},
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |inter AS (
         |  SELECT t.doc_id AS train_doc, a.doc_id AS eval_doc, count(*) AS c

@@ -125,14 +125,21 @@ object Multimodal {
     *    Average/Paeth, RFC 2083 §6) at bpp=3.
     * Returns the packed w·h·3 RGB array in row order. Anything
     * outside the profile — paletted, 16-bit, interlaced, truncated,
-    * CRC-corrupt, over-size — degrades to None and the caller stubs;
-    * no partial reads, no exceptions escape. */
+    * CRC-corrupt, over-size, non-contiguous IDAT chunks, surplus
+    * deflate output or unconsumed compressed bytes beyond the
+    * header-claimed geometry, or trailing bytes after IEND — degrades
+    * to None and the caller stubs; no partial reads, no exceptions
+    * escape. */
   private[multimodal] def pngPixels(a: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (a.length < 20 || !(0 until 8).forall(i => a(i) == PngMagic(i)))
       return None
     var off = 8
     var w = 0; var h = 0
     var seenIhdr = false; var ended = false
+    // PNG spec (RFC 2083 §4.1.3): IDAT chunks must be consecutive —
+    // once the run is broken by any other chunk, a later IDAT is a
+    // structural error, not data to splice in.
+    var inIdat = false; var idatClosed = false
     val idat = new java.io.ByteArrayOutputStream()
     val crc = new java.util.zip.CRC32
     while (!ended) {
@@ -153,13 +160,19 @@ object Multimodal {
               inter != 0 || w <= 0 || h <= 0 ||
               w.toLong * h * 3 > PngMaxPixelBytes) return None
           seenIhdr = true
-        case "IDAT" => if (!seenIhdr) return None else idat.write(a, off + 8, len)
-        case "IEND" => ended = true
-        case _      => () // ancillary chunks (tEXt, pHYs, …) skipped
+        case "IDAT" =>
+          if (!seenIhdr || idatClosed) return None
+          inIdat = true; idat.write(a, off + 8, len)
+        case "IEND" =>
+          if (len != 0) return None
+          ended = true
+        case _ => // ancillary chunks (tEXt, pHYs, …) skipped
+          if (inIdat) idatClosed = true
       }
       off += 12 + len
     }
     if (!seenIhdr) return None
+    if (off != a.length) return None // trailing bytes after IEND
     // Inflate the filtered scanlines: exactly h rows of 1 filter byte
     // + w·3 samples. Anything short (truncated stream) or a malformed
     // deflate stream → None.
@@ -175,6 +188,13 @@ object Multimodal {
         n += k
       }
       if (n < raw.length) return None
+      // "exactly h·(1+w·3) bytes" means exactly: one probe inflate
+      // must yield no surplus pixels, leave the stream finished (the
+      // probe consumes the zlib trailer if the last data call didn't),
+      // and leave no unconsumed compressed bytes after it.
+      val probe = new Array[Byte](1)
+      if (inf.inflate(probe, 0, 1) != 0) return None
+      if (!inf.finished() || inf.getRemaining != 0) return None
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inf.end()

@@ -381,6 +381,52 @@ class MultimodalSpec extends SparkSuite {
     assert(a === b)
   }
 
+  /** Build one chunk (len + type + data + CRC over type+data). */
+  private def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+    bb.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+    val crc = new java.util.zip.CRC32
+    crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+    bb.putInt(crc.getValue.toInt).array()
+  }
+
+  test("PNG decode rejects structural supersets of the profile: " +
+      "trailing bytes, non-contiguous IDAT, surplus deflate") {
+    import Multimodal.pngPixels
+    val rgb = Array.tabulate(6 * 4 * 3)(i => (i * 7 + 3).toByte)
+    val good = Multimodal.encodePng(6, 4, rgb, seed = 2L)
+    assert(pngPixels(good).isDefined)
+    // trailing bytes after IEND → None
+    assert(pngPixels(good ++ Array[Byte](0, 1, 2)).isEmpty)
+    // rebuild from scratch: signature + IHDR + IDAT(s) + IEND, so the
+    // structural variants below are valid-CRC PNGs differing ONLY in
+    // the property under test
+    val sig = good.take(8)
+    val ihdrLen = java.nio.ByteBuffer.wrap(good, 8, 4).getInt
+    val ihdr = good.slice(8, 8 + 12 + ihdrLen)
+    val idatLen = java.nio.ByteBuffer.wrap(good, 8 + 12 + ihdrLen, 4).getInt
+    val zdata = good.slice(8 + 12 + ihdrLen + 8, 8 + 12 + ihdrLen + 8 + idatLen)
+    val iend = chunk("IEND", Array.emptyByteArray)
+    def png(chunks: Array[Byte]*): Array[Byte] =
+      sig ++ chunks.flatten ++ iend
+    // split IDAT across two chunks is legal...
+    val (z1, z2) = zdata.splitAt(zdata.length / 2)
+    assert(pngPixels(png(ihdr, chunk("IDAT", z1), chunk("IDAT", z2))).isDefined)
+    // ...but an ancillary chunk interleaved between them is not
+    assert(pngPixels(png(ihdr, chunk("IDAT", z1),
+      chunk("tEXt", "k v".getBytes("US-ASCII")),
+      chunk("IDAT", z2))).isEmpty)
+    // unconsumed compressed bytes after the zlib stream → None
+    assert(pngPixels(png(ihdr, chunk("IDAT", zdata ++ Array[Byte](7, 7)))).isEmpty)
+    // surplus deflate output beyond the header-claimed h·(1+3w) → None
+    val raw = new Array[Byte](4 * (1 + 6 * 3) + 1) // one extra byte
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zbuf = new Array[Byte](raw.length + 64)
+    val zn = defl.deflate(zbuf); defl.end()
+    assert(pngPixels(png(ihdr, chunk("IDAT", zbuf.take(zn)))).isEmpty)
+  }
+
   test("resize keeps the decode path's no-shuffle batch shape") {
     val plan = Multimodal.mmResize(spark, sfDir)
       .queryExecution.executedPlan.toString

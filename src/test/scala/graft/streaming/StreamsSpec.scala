@@ -899,10 +899,16 @@ class StreamsSpec extends SparkSuite {
       .select(col("doc_id"), col("text")).collect()
       .map(r => (r.getLong(0), r.getString(1)))
     val stream = MemoryStream[(Long, String)]
+    // Batches arrive in shuffled order below, so the watermark delay
+    // must cover the full doc_id span — a fixed delay only works while
+    // the fixture's ids span less than it (round-8 ADVICE: at >70 min
+    // of span a 10-minute watermark would drop late rows and the test
+    // would break on a bigger fixture, not on a real bug).
+    val delaySec = rows.map(_._1).max + 60
     val streamed = Streams.decontamStreamTransform(
       stream.toDF().toDF("doc_id", "text")
         .withColumn("ep_ts", col("doc_id").cast("timestamp"))
-        .withWatermark("ep_ts", "10 minutes"),
+        .withWatermark("ep_ts", s"$delaySec seconds"),
       evalIdx)
     val query = streamed.writeStream.format("memory")
       .queryName("decontam").outputMode("append").start()

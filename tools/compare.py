@@ -26,6 +26,16 @@ def main(out_dir, sf_dir):
     for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     fails = 0
+    # Verify-side crash record: covers rows-only queries (no oracle
+    # entry) whose failure would otherwise be invisible here. Oracle'd
+    # queries that crashed also show below as ERROR (missing parquet).
+    try:
+        for name, err in sorted(json.load(open(f"{out_dir}/errors.json")).items()):
+            if name not in oracles:
+                fails += 1
+                print(f"{name}: CRASHED {err}")
+    except FileNotFoundError:
+        pass  # pre-round-10 Verify output
     for name in sorted(oracles):
         try:
             spark_df = pd.concat(

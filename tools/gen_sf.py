@@ -3,9 +3,11 @@
 does not ship (the driver provides sf{0.001,0.01,0.1}; SF1 certification
 needs one decade more).
 
-Replicates the shape of /root/testdata/sf0.1 as profiled in round 5 —
-schema (incl. parquet physical types: ms timestamps for orders/lineitem,
-ns for events, int32 narrow columns), value grains (2-dec money, 1-dec
+Replicates the shape of /root/testdata/sf0.1 as re-profiled in round 10
+— schema (incl. parquet physical types: us timestamps for orders/
+lineitem AND events, the type family the driver ships as of 2026-08-13;
+round 5 profiled ms/ns, Tables.events accepts both via its normalizing
+seam), int32 narrow columns, value grains (2-dec money, 1-dec
 retail price, cent-step discount/tax), distributions (uniform keys,
 Poisson-4 lineitems per order as a side effect of uniform l_orderkey,
 Exp(50) event values, 30-word document vocabulary with ~5%% near-dup
@@ -107,7 +109,7 @@ def main(sf, out):
         "o_custkey": pa.array(rng.integers(0, n_cust, n_ord), pa.int64()),
         "o_orderstatus": np.array(STATUSES)[rng.integers(0, 3, n_ord)],
         "o_totalprice": money(rng, n_ord, 1000, 500000),
-        "o_orderdate": pa.array(odate, pa.timestamp("ms")),
+        "o_orderdate": pa.array(odate * 1000, pa.timestamp("us")),
         "o_orderpriority": np.array(PRIORITIES)[rng.integers(0, 5, n_ord)]}))
 
     sdate = SHIP_EPOCH_MS + rng.integers(0, SHIP_DAYS, n_li) * DAY_MS
@@ -122,12 +124,12 @@ def main(sf, out):
         "l_tax": rng.integers(0, 9, n_li) / 100.0,
         "l_returnflag": np.array(["A", "N", "R"])[rng.integers(0, 3, n_li)],
         "l_linestatus": np.array(["F", "O"])[rng.integers(0, 2, n_li)],
-        "l_shipdate": pa.array(sdate, pa.timestamp("ms"))}))
+        "l_shipdate": pa.array(sdate * 1000, pa.timestamp("us"))}))
 
-    ts = np.sort(rng.integers(0, EVENT_SPAN_US, n_ev)) * 1000 + EVENT_EPOCH_US * 1000
+    ts = np.sort(rng.integers(0, EVENT_SPAN_US, n_ev)) + EVENT_EPOCH_US
     write(f"{out}/events.parquet", pa.table({
         "event_id": pa.array(np.arange(n_ev), pa.int64()),
-        "ts": pa.array(ts, pa.timestamp("ns")),
+        "ts": pa.array(ts, pa.timestamp("us")),
         "user_id": pa.array(rng.integers(0, n_users, n_ev), pa.int64()),
         "event_type": np.array(EVENT_TYPES)[rng.integers(0, 5, n_ev)],
         "value": np.round(rng.exponential(50.0, n_ev), 2),
