@@ -135,6 +135,12 @@ object Engine {
   * names the entry step; here the chain *is* the composition, built
   * step-by-step so the Scala types line up, and the whole thing stays
   * one Catalyst plan (shuffles only where a reducing Step sits).
+  *
+  * Each chained stage's output is aliased `step:<name>` — a
+  * `SubqueryAlias` marker in the ANALYZED plan that [[Trace]] reads to
+  * reconstruct the per-step invocation tree (the reference's
+  * mr/trace.py request graph). The optimizer erases aliases before
+  * physical planning, so the markers cost nothing at runtime.
   */
 final case class Workflow[I, O] private (
     name: String,
@@ -146,14 +152,25 @@ final case class Workflow[I, O] private (
       implicit kEnc: Encoder[K], kvEnc: Encoder[(K, V)],
       oEnc: Encoder[O2]): Workflow[I, O2] =
     copy(stepNames = stepNames :+ step.name,
-      pipe = ds => Engine.run(pipe(ds), step, session))
+      pipe = ds => Engine.run(pipe(ds), step, session)
+        .alias(Trace.StepAliasPrefix + step.name))
 
   def andThenMap[K, V](step: MapStep[O, K, V])(
       implicit kvEnc: Encoder[(K, V)]): Workflow[I, (K, V)] =
     copy(stepNames = stepNames :+ step.name,
-      pipe = ds => Engine.runMap(pipe(ds), step, session))
+      pipe = ds => Engine.runMap(pipe(ds), step, session)
+        .alias(Trace.StepAliasPrefix + step.name))
 
   def run(ds: Dataset[I]): Dataset[O] = pipe(ds)
+
+  /** Run plus the submit-time invocation-tree trace of the result —
+    * the reference's per-request forensic graph for callers that
+    * bypass [[Jobs]] (which records the same trace on its handles). */
+  def runTraced(ds: Dataset[I], requestId: String):
+      (Dataset[O], Trace.RequestTrace) = {
+    val out = run(ds)
+    (out, Trace.RequestTrace(requestId, name, Trace.ofDataset(out)))
+  }
 }
 
 object Workflow {

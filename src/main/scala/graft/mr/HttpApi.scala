@@ -33,6 +33,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - `GET /request/{id}` → 200 `{"name":…,"jobs_started":…,
   *    "jobs_ended":…,"tasks_total":…,"tasks_done":…,"fraction":…,
   *    "completed":…,"succeeded":true|false|null}`; 404 unknown id
+  *  - `GET /request/{id}/trace` → 200 the request's invocation-tree
+  *    trace as a step/plan JSON tree (reference: mr/views/job.py
+  *    serving mr/trace.py's per-request graph); 404 unknown id or a
+  *    request with no recorded trace
+  *  - `GET /request/{id}/trace.dot` → 200 the same graph as graphviz
+  *    DOT source, `text/vnd.graphviz` (the reference's `get_source`;
+  *    rendering is the caller's `dot` binary, as in mr/trace.py:320)
   *  - `DELETE /request/{id}` → 200 `{"cancelled":"…"}`; 404 unknown
   *  - `POST /reap` → 200 `{"live":N}` — drop completed request state
   *
@@ -171,6 +178,16 @@ final class HttpApi private (spark: SparkSession, dataDir: String,
       case Some(scala.util.Failure(_)) => "failed"
       case None => "running"
     }
+    // the reference's job view links the request's invocation graph
+    // (mr/views/job.py); here: chained step names + the raw trace
+    val traceRow = h.trace.map { t =>
+      val steps =
+        if (t.steps.nonEmpty) esc(t.steps.mkString(" → ")) else "(no steps)"
+      s"""<tr><th>steps</th><td>$steps
+         | — <a href="/request/${esc(id)}/trace">trace</a>
+         | <a href="/request/${esc(id)}/trace.dot">dot</a></td></tr>"""
+        .stripMargin
+    }.getOrElse("")
     val body =
       s"""<table>
          |<tr><th>request</th><td>${esc(id)}</td></tr>
@@ -179,6 +196,7 @@ final class HttpApi private (spark: SparkSession, dataDir: String,
          |<div style="width:$pct%"></div></span> $pct%
          |(${p.tasksDone}/${p.tasksTotal} tasks)</td></tr>
          |<tr><th>state</th><td>$outcome</td></tr>
+         |$traceRow
          |</table>""".stripMargin
     // poll-by-refresh while running (the reference's UI leaned on
     // client JS; a meta refresh needs no script assets at all)
@@ -234,6 +252,22 @@ final class HttpApi private (spark: SparkSession, dataDir: String,
         Option(requests.get(id)) match {
           case None => notFound(ex, "request")
           case Some(h) => json(ex, 200, progressJson(h))
+        }
+      case ("GET", "request" :: id :: "trace" :: Nil) =>
+        Option(requests.get(id)).flatMap(_.trace) match {
+          case None => notFound(ex, "trace")
+          case Some(t) => json(ex, 200, t.toJson)
+        }
+      case ("GET", "request" :: id :: "trace.dot" :: Nil) =>
+        Option(requests.get(id)).flatMap(_.trace) match {
+          case None => notFound(ex, "trace")
+          case Some(t) =>
+            val bytes = t.toDot.getBytes(StandardCharsets.UTF_8)
+            ex.getResponseHeaders.set("Content-Type",
+              "text/vnd.graphviz; charset=utf-8")
+            ex.sendResponseHeaders(200, bytes.length.toLong)
+            try ex.getResponseBody.write(bytes)
+            finally ex.close()
         }
       case ("DELETE", "request" :: id :: Nil) =>
         Option(requests.get(id)) match {

@@ -70,7 +70,13 @@ object Jobs {
 
   final case class JobHandle(name: String, groupId: String,
       result: Future[Try[Unit]],
-      private[mr] val cancelled: AtomicBoolean) {
+      private[mr] val cancelled: AtomicBoolean,
+      /** Submit-time invocation-tree trace (reference: mr/trace.py's
+        * per-request graph; mr/views/job.py serves it). Present for
+        * DataFrame-bearing submissions ([[submitJob]]); None for raw
+        * [[submitAsync]] actions and cache-hit handles, whose work is
+        * opaque to the planner. */
+      trace: Option[Trace.RequestTrace] = None) {
 
     /** Final counters, captured when reap() retires this handle's
       * groupProgress entry — a poller holding the handle (e.g.
@@ -418,12 +424,25 @@ object Jobs {
   /** Launch `action` (typically: materialize a DataFrame into a sink)
     * asynchronously under its own job group. The group is set on the
     * worker thread (Spark job groups are thread-local). */
-  def submitAsync(spark: SparkSession, name: String)(action: => Unit): JobHandle = {
+  def submitAsync(spark: SparkSession, name: String)(action: => Unit): JobHandle =
+    submitWithTrace(spark, name, groupId => None)(action)
+
+  /** Single construction point: the handle enters the registry fully
+    * formed (trace included) — registering an untraced handle and
+    * swapping a traced copy in afterwards would race [[reap]], whose
+    * retired-counters handoff writes to whichever handle object the
+    * registry holds at that instant. */
+  private def submitWithTrace(spark: SparkSession, name: String,
+      traceOf: String => Option[Trace.RequestTrace])(
+      action: => Unit): JobHandle = {
     reap()
     installListener(spark)
     val group = s"graft-job-$name-${UUID.randomUUID().toString.take(8)}"
     groupProgress.put(group, new GroupCounters)
     val cancelled = new AtomicBoolean(false)
+    // trace BEFORE the action launches: analysis shares lazy state
+    // with the action's own execution — do not interleave them
+    val tr = traceOf(group)
     val fut = Future {
       // cancel() may land before this thread even starts — the group
       // would not exist yet and cancelJobGroup would be a silent
@@ -436,7 +455,7 @@ object Jobs {
         finally spark.sparkContext.clearJobGroup()
       }
     }
-    val handle = JobHandle(name, group, fut, cancelled)
+    val handle = JobHandle(name, group, fut, cancelled, tr)
     registry.put(group, handle)
     handle
   }
@@ -445,10 +464,28 @@ object Jobs {
     * the async-POST-then-deliver flow of the reference's job API in
     * one call. The DataFrame is materialized by the writer itself
     * (one pass, no intermediate collect); computation and delivery
-    * share the cancellable group. */
+    * share the cancellable group.
+    *
+    * The submit also records the request's invocation-tree trace
+    * (driver-side analysis only — no job runs): [[trace]] serves it
+    * by request id for the life of the handle. A plan that fails
+    * analysis will fail identically in the action thread, so trace
+    * capture swallows nothing — it just defers the error to where
+    * the job's `Try` reports it. */
   def submitJob(spark: SparkSession, name: String, df: DataFrame,
       writer: ResultWriter): JobHandle =
-    submitAsync(spark, name) { writer.deliver(name, df) }
+    submitWithTrace(spark, name, group =>
+      Try(Trace.RequestTrace(group, name, Trace.ofDataset(df))).toOption) {
+      writer.deliver(name, df)
+    }
+
+  /** The invocation-tree trace of a live (or completed-but-unreaped)
+    * request — the reference's `GET` of a request's graph
+    * (mr/views/job.py over mr/trace.py). Gone once the handle is
+    * reaped, exactly as the reference's request trees are pruned by
+    * request_cleanup.py. */
+  def trace(requestId: String): Option[Trace.RequestTrace] =
+    Option(registry.get(requestId)).flatMap(_.trace)
 
   // ----- content-keyed result cache (reference: mr/cache/) --------
 

@@ -27,6 +27,7 @@ class HttpApiSpec extends SparkSuite {
     val sinkRoot = Files.createTempDirectory("graft-http").toString
     val api = HttpApi.start(spark, sfDir, sinkRoot, Map(
       "wordcount" -> (MrQueries.mrWordcount _),
+      "chain" -> (MrQueries.mrChain _),
       "runaway" -> ((s: org.apache.spark.sql.SparkSession, _: String) =>
         s.range(Long.MaxValue).selectExpr("sum(id * id)"))))
     try f(s"http://127.0.0.1:${api.port}", sinkRoot)
@@ -59,7 +60,7 @@ class HttpApiSpec extends SparkSuite {
       val (ic, ib) = send("GET", s"$base/")
       assert(ic === 200 && field(ib, "service") === "graft", ib)
       val (jc, jb) = send("GET", s"$base/jobs")
-      assert(jc === 200 && jb === """["runaway","wordcount"]""", jb)
+      assert(jc === 200 && jb === """["chain","runaway","wordcount"]""", jb)
 
       // empty before any submit…
       assert(send("GET", s"$base/requests") === ((200, "[]")))
@@ -124,6 +125,46 @@ class HttpApiSpec extends SparkSuite {
       val (lc, lb) = send("GET", s"$base/ui/requests")
       assert(lc === 200)
       assert(lb.contains(id) && lb.contains("wordcount"), lb)
+    }
+  }
+
+  test("invocation-tree trace: a chained mr_chain request serves its " +
+      "step/plan tree as JSON and DOT (reference mr/trace.py surface)") {
+    withApi { (base, _) =>
+      val (code, body) = send("POST", s"$base/job/chain")
+      assert(code === 202, body)
+      val id = field(body, "request_id")
+      // the trace is recorded at SUBMIT time — readable immediately,
+      // no need to wait for completion
+      val (tc, tb) = send("GET", s"$base/request/$id/trace")
+      assert(tc === 200, tb)
+      // the three chained steps, in execution order
+      assert(field(tb, "job") === "chain", tb)
+      assert(tb.contains(""""steps":["split","scatter","gather"]"""), tb)
+      // the tree itself carries the markers on plan nodes with output
+      // schemas (the per-node payload analog)
+      assert(tb.contains(""""step":"gather""""), tb)
+      assert(tb.contains(""""out":["""), tb)
+      assert(tb.contains(""""children":["""), tb)
+      // DOT source: digraph with request/job header nodes and the
+      // step-labeled plan nodes, edges in data-flow direction
+      val (dc, db) = send("GET", s"$base/request/$id/trace.dot")
+      assert(dc === 200, db)
+      assert(db.startsWith("// Trace of request"), db.take(120))
+      assert(db.contains("digraph trace {") && db.contains("Q -> J"), db)
+      for (s <- Seq("split", "scatter", "gather"))
+        assert(db.contains(s"""S \\"$s\\""""), s"step $s missing in dot:\n$db")
+      assert(db.contains("[label=\"feeds\"]"), db)
+      // a raw submitAsync-style request has no trace → 404 on the
+      // trace routes but 200 on the request itself
+      val (_, rb) = send("POST", s"$base/job/runaway")
+      val rid = field(rb, "request_id")
+      assert(send("GET", s"$base/request/$rid")._1 === 200)
+      send("DELETE", s"$base/request/$rid")
+      // runaway was built from a DataFrame too, so it DOES have a
+      // trace; unknown ids are the 404 path
+      assert(send("GET", s"$base/request/nope/trace")._1 === 404)
+      assert(send("GET", s"$base/request/nope/trace.dot")._1 === 404)
     }
   }
 
