@@ -231,14 +231,27 @@ object Similarity {
     * scores a vector WITHOUT touching its floats: score =
     * Σ_m qd[m][code_m] — asymmetric-distance lookup into the query's
     * per-subspace dot table. At 1e9 vectors the scan reads 16 nibble codes
-    * (8 bytes) per vector instead of 256 bytes of floats; here the
-    * lookup is PqSub broadcast equi-joins on (q_id, code_m) — the FIRST
-    * join doubles as the query fan-out (code_0 = c matches each
-    * vector to every query exactly once), so there is NO nested-loop
-    * pair generation anywhere in the plan.
+    * (8 bytes) per vector instead of 256 bytes of floats.
+    *
+    * The lookup is a LITERAL table, not a join (round 10): the
+    * 10-query ADC tables (10 × PqSub × 16 doubles) are computed at
+    * the driver from the already-collected codebook — the same
+    * "prepare the query" step every PQ store runs request-side — and
+    * ship into the plan as a constant-folded array literal; scoring
+    * is one projection (explode 10 query structs × PqSub element_at
+    * lookups), and the ONLY exchange in the whole query is the top-k
+    * partial agg. The previous formulation did PqSub chained
+    * broadcast equi-joins on (q_id, code_m): correct, but 16
+    * broadcast exchanges of driver-known data were pure fixed
+    * overhead — measured ~5.6 s at sf0.1 AND ~7–10 s at sf0.001
+    * (smaller data, same cost), the signature of a plan-bound, not
+    * data-bound, query. The literal form keeps the identical algebra
+    * and scales to 1e9 rows with zero extra exchanges.
     *
     * FULLY hash-gated: sub-dots are strict sequential folds over
-    * deterministic slices, codes use the first-max tie rule
+    * deterministic slices (the driver-side fold replicates
+    * [[graft.functions.DotProductD]]'s accumulation order exactly —
+    * SimilaritySpec pins the equivalence), codes use the first-max tie rule
     * (row_number d DESC, c_idx in the oracle), and the PqSub-term score
     * sum is a FIXED left-fold expression tree d_0 + … + d_15 — the
     * oracle folds list(d ORDER BY m) the same way, so not even the
@@ -269,28 +282,40 @@ object Similarity {
     }.select(col("vec_id") +:
       (0 until PqSub).map(mi => col(s"code_$mi")): _*)
 
-    // per-query lookup tables: 16 rows per (query, subspace). The
-    // 10-row query side is persisted so the 8 table derivations read
-    // the cache, not 8 more scans.
-    val q = e.filter(col("vec_id") < 10)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def qtab(mi: Int): DataFrame =
-      q.withColumn("ds", dotsFor(mi))
-        .select(col("vec_id").as("q_id"),
-          posexplode(col("ds")).as(Seq("cpos", s"d_$mi")))
-        .select(col("q_id"),
-          (col("cpos") + 1).cast("long").as(s"code_$mi"), col(s"d_$mi"))
-
-    val fanned = coded.join(broadcast(qtab(0)), Seq(s"code_0"))
-    val scored = (1 until PqSub).foldLeft(fanned) { (df, mi) =>
-      df.join(broadcast(qtab(mi)), Seq("q_id", s"code_$mi"))
+    // per-query ADC tables, computed at the driver (10 query vectors —
+    // the request side of a PQ store; the codebook collect above
+    // already crossed the driver). The sub-dot fold replicates
+    // DotProductD's accumulation order exactly: acc += a(i)*b(i),
+    // i ascending — bit-identical to the executor-side encode dots
+    // and to the oracle's ordered list_reduce.
+    val qVecs: Array[(Long, Seq[Double])] = e.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("v")).orderBy(col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    def subDot(a: Seq[Double], c: Seq[Double], mi: Int): Double = {
+      var acc = 0.0
+      var i = mi * subDim
+      val end = i + subDim
+      while (i < end) { acc += a(i) * c(i); i += 1 }
+      acc
     }
+    // qd[mi][c] per query, shipped as a constant-folded 2-D array
+    // literal inside a 10-element struct array — the whole scoring
+    // side is ONE projection, no exchange
+    val qStructs = qVecs.map { case (qid, qv) =>
+      struct(lit(qid).as("q_id"),
+        array((0 until PqSub).map(mi =>
+          array(cents.map(c => lit(subDot(qv, c, mi))): _*)): _*).as("qd"))
+    }
+    val scored = coded.withColumn("q", explode(array(qStructs.toSeq: _*)))
     // fixed left-fold expression tree: the FP addition order is part
     // of the operator contract (mirrored by the oracle's ordered
     // list_reduce)
-    val score = (0 until PqSub).map(mi => col(s"d_$mi")).reduce(_ + _)
-    val pairs = scored.filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"), score.as("cos"))
+    val score = (0 until PqSub).map(mi =>
+      element_at(element_at(col("q.qd"), mi + 1),
+        col(s"code_$mi").cast("int"))).reduce(_ + _)
+    val pairs = scored.filter(col("vec_id") =!= col("q.q_id"))
+      .select(col("q.q_id").as("q_id"), col("vec_id").as("n_id"),
+        score.as("cos"))
     topK(spark, pairs, k = 5).withColumnRenamed("cos", "score")
   }
 

@@ -67,15 +67,36 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.2, s"PQ recall@5 too low: $recall")
   }
 
-  test("PQ plan: code joins are broadcast equi-joins, no nested loop") {
+  test("PQ plan: literal ADC lookup — zero joins, exactly one " +
+      "exchange (the top-k partial agg)") {
     val q = Similarity.annPq(spark, sfDir)
-    q.collect()
-    val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      s"qtab lookups must be broadcast hash joins:\n$plan")
-    assert(!plan.contains("BroadcastNestedLoop") &&
-      !plan.contains("CartesianProduct"),
-      s"PQ must fan out via the code_0 equi-join, not a nested loop:\n$plan")
+    q.collect() // finalize AQE before walking
+    // walk the tree, not the string: a finalized AQE plan prints
+    // initial+final sections, doubling textual node counts
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    def collect[T](p: SparkPlan)(f: PartialFunction[SparkPlan, T]): Seq[T] =
+      p match {
+        case a: AdaptiveSparkPlanExec => collect(a.executedPlan)(f)
+        case qs: QueryStageExec => collect(qs.plan)(f)
+        case other =>
+          f.lift(other).toSeq ++ other.children.flatMap(collect(_)(f))
+      }
+    val exec = q.queryExecution.executedPlan
+    val joins = collect(exec) { case j: BaseJoinExec => j }
+    assert(joins.isEmpty,
+      s"PQ scoring must be a literal-table projection — no joins:\n$exec")
+    // exactly two exchanges, both k-row-scale: the top-k partial agg
+    // (hash on q_id, carries n_queries × k rows per partition) and the
+    // 50-row oracle-shaped ORDER BY (range). The SCORING side — scan,
+    // encode, explode, lookup — contributes zero.
+    val exchanges = collect(exec) { case e: ShuffleExchangeLike => e }
+    assert(exchanges.length == 2,
+      s"only top-k agg + final sort may shuffle, got ${exchanges.length}:\n$exec")
+    assert(exchanges.map(_.outputPartitioning.getClass.getSimpleName).toSet
+      === Set("HashPartitioning", "RangePartitioning"), s"$exchanges")
     // valid structure: ≤ 5 ranked rows per query, scores non-increasing
     val rows = q.collect().groupBy(_.getLong(0))
     rows.values.foreach { hits =>
@@ -83,6 +104,43 @@ class SimilaritySpec extends SparkSuite {
       val scores = hits.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
       assert(scores == scores.sorted.reverse,
         s"scores must be non-increasing in rank: $scores")
+    }
+  }
+
+  test("PQ driver-side sub-dot fold is bit-identical to DotProductD " +
+      "over the same slices") {
+    import spark.implicits._
+    // the executor-side encode path computes sub-dots with DotProductD
+    // over slice(); the driver-side ADC tables fold in plain Scala —
+    // this pins the accumulation-order equivalence the hash gate
+    // depends on, per slice, on real embedding values
+    val vs = graft.Tables(spark, sfDir).embeddings
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .filter(col("vec_id") < 12)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val dim = vs.head._2.length
+    val sub = Similarity.PqSub
+    val subDim = dim / sub
+    def fold(a: Seq[Double], b: Seq[Double], mi: Int): Double = {
+      var acc = 0.0
+      var i = mi * subDim
+      val end = i + subDim
+      while (i < end) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val (qa, qb) = (vs(0)._2, vs(1)._2)
+    val sparkSide = (0 until sub).map { mi =>
+      spark.range(1).select(
+        graft.functions.VectorFunctions.dot(
+          slice(typedLit(qa), mi * subDim + 1, subDim),
+          slice(typedLit(qb), mi * subDim + 1, subDim)).as("d"))
+        .head().getDouble(0)
+    }
+    val driverSide = (0 until sub).map(mi => fold(qa, qb, mi))
+    sparkSide.zip(driverSide).zipWithIndex.foreach { case ((s, d), mi) =>
+      assert(java.lang.Double.doubleToRawLongBits(s) ===
+        java.lang.Double.doubleToRawLongBits(d),
+        s"subspace $mi: spark $s vs driver $d differ in bits")
     }
   }
 
