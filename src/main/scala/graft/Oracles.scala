@@ -692,6 +692,51 @@ object Oracles {
         |FROM ranked WHERE rk <= 3
         |ORDER BY doc_id, rk""".stripMargin,
 
+    // Mirrors TextQueries.textBm25 term for term: rational RSJ idf
+    // (no ln — exactness discipline, see the operator scaladoc), k1+1
+    // written as (1.2 + 1) — NOT 2.2 — because 1.2d + 1.0 and the
+    // parsed literal 2.2 are DIFFERENT doubles (the sum truncates
+    // exactly, the literal rounds up); both engines must do the same
+    // addition. sum(dl)::bigint per the HUGEINT rule. The inner
+    // ORDER BY cuts on the UNROUNDED score (same cut as Spark's
+    // TakeOrdered), the outer re-sorts by doc_id.
+    "text_bm25" -> {
+      val ts = graft.functions.TextQueries.Bm25Terms
+      val k1 = graft.functions.TextQueries.Bm25K1 // "1.2"
+      val b = graft.functions.TextQueries.Bm25B   // "0.75"
+      val k = graft.functions.TextQueries.Bm25TopK
+      val tfCols = ts.map(t =>
+        s"count(*) FILTER (WHERE term = '$t') AS tf_$t").mkString(",\n|    ")
+      val dfCols = ts.map(t =>
+        s"count(*) FILTER (WHERE tf_$t > 0) AS df_$t").mkString(",\n|    ")
+      val scoreSum = ts.map(t =>
+        s"((n_docs - df_$t + 0.5) / (df_$t + 0.5)) * (tf_$t * ($k1 + 1)) / " +
+          s"(tf_$t + $k1 * ((1 - $b) + $b * (dl / (sum_dl / n_docs))))")
+        .mkString("\n|    + ")
+      val tfList = ts.map(t => s"tf_$t").mkString(", ")
+      raw"""WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+        |                       w -> w <> '')) AS term
+        |  FROM documents),
+        |perdoc AS (
+        |  SELECT doc_id, count(*) AS dl,
+        |    $tfCols
+        |  FROM toks GROUP BY 1),
+        |stats AS (
+        |  SELECT count(*) AS n_docs, sum(dl)::bigint AS sum_dl,
+        |    $dfCols
+        |  FROM perdoc),
+        |scored AS (
+        |  SELECT doc_id, $tfList, dl,
+        |    $scoreSum AS score
+        |  FROM perdoc CROSS JOIN stats
+        |  WHERE ${ts.map(t => s"tf_$t").mkString(" + ")} > 0)
+        |SELECT doc_id, $tfList, dl, round(score, 4) AS score FROM (
+        |  SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT $k)
+        |ORDER BY doc_id""".stripMargin
+    },
+
     // Spark counts distinct xxhash64 of words/bigrams (native codegen
     // loop); the oracle counts the strings — equal absent a 64-bit
     // collision.

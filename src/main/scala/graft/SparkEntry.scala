@@ -74,6 +74,7 @@ object SparkEntry {
     "text_langid"        -> TextQueries.textLangid,
     "text_fingerprint"   -> TextQueries.textFingerprint,
     "text_tfidf"         -> TextQueries.textTfidf,
+    "text_bm25"          -> TextQueries.textBm25,
     "text_repetition"    -> TextQueries.textRepetition,
     "text_oov"           -> TextQueries.textOov,
     "text_typicality"    -> TextQueries.textTypicality,

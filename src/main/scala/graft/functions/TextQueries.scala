@@ -114,6 +114,75 @@ object TextQueries {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** The fixed retrieval query for [[textBm25]] (single-sourced into
+    * the oracle): three mid-df corpus terms, so scores discriminate. */
+  val Bm25Terms: Seq[String] = Seq("spark", "join", "fast")
+  /** Okapi constants (the universal defaults). */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  /** Result size. */
+  val Bm25TopK = 20
+
+  /** E14: BM25 retrieval — the standard corpus-search scorer (Okapi
+    * tf-saturation × idf, summed over query terms), the "find the
+    * docs most about X" tool every corpus-curation/inspection loop
+    * reaches for. Top-[[Bm25TopK]] docs for the fixed [[Bm25Terms]]
+    * query with per-term tf, doc length and the composite score.
+    *
+    * The idf factor is the *rational* Robertson–Sparck Jones odds
+    * `(N − df + 0.5) / (df + 0.5)` — the argument of BM25's usual
+    * `ln`, without the `ln` ([[textTfidf]]'s exactness discipline:
+    * IEEE `+ − * /` are correctly rounded and bit-identical across
+    * engines, `ln`'s last ulp is library-dependent; monotone in the
+    * canonical idf, so single-term ranking is unchanged and the
+    * DuckDB oracle stays an exact hash gate). The per-term scores
+    * sum in a FIXED left-fold expression tree (term order =
+    * [[Bm25Terms]]) mirrored textually in the oracle, so the FP
+    * addition order cannot drift.
+    *
+    * Shape (the 100 TB story): ONE corpus scan → token explode →
+    * one map-side-combined groupBy(doc_id) carrying doc length and
+    * the per-term tfs as conditional counts (|docs| rows out, never
+    * a token-keyed shuffle) → a 1-row corpus-stats aggregate
+    * (N, Σdl, per-term df) broadcast back via crossJoin → per-row
+    * score algebra → distributed top-k (TakeOrderedAndProject: each
+    * partition keeps ≤ k rows; no global sort, no single-partition
+    * window). Two exchanges total, both tiny (the doc-keyed agg and
+    * the k-row gather). */
+  def textBm25(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val toks = d.select(col("doc_id"),
+        explode(split(col("text"), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+    def tfc(t: String) = s"tf_$t"
+    val perDoc = toks.groupBy("doc_id").agg(
+      count(lit(1)).as("dl"),
+      Bm25Terms.map(t =>
+        sum(when(col("term") === t, 1L).otherwise(0L)).as(tfc(t))): _*)
+    val stats = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).as("sum_dl") +:
+        Bm25Terms.map(t =>
+          sum(when(col(tfc(t)) > 0, 1L).otherwise(0L)).as(s"df_$t"))): _*)
+    def termScore(t: String) = {
+      val tf = col(tfc(t)); val df = col(s"df_$t")
+      val idf = (col("n_docs") - df + lit(0.5)) / (df + lit(0.5))
+      val norm = tf + lit(Bm25K1) *
+        (lit(1 - Bm25B) + lit(Bm25B) *
+          (col("dl") / (col("sum_dl") / col("n_docs"))))
+      idf * (tf * lit(Bm25K1 + 1)) / norm
+    }
+    val score = Bm25Terms.map(termScore).reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .filter(Bm25Terms.map(t => col(tfc(t))).reduce(_ + _) > 0)
+      .withColumn("score", score)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25TopK)
+      .select(col("doc_id") +: Bm25Terms.map(t => col(tfc(t))) :+
+        col("dl") :+ round(col("score"), 4).as("score"): _*)
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus-vocabulary size for [[textOov]] (single-sourced into the
     * oracle). The synthetic corpus draws from ~31 distinct tokens at
     * every SF, so K=16 makes the cut discriminate (K ≥ |vocab| would
