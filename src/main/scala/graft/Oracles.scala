@@ -2189,6 +2189,43 @@ object Oracles {
     // the train side keeps its full distinct shingle set (sh0, no
     // cut). Ingest window = doc_id seconds floored to the hour,
     // matching the batch entry's synthesized ep_ts.
+    // G16 ingest-time BM25: the E14 CTE chain (same rational-idf
+    // algebra and (1.2 + 1) literal discipline) without the top-k cut
+    // — the stream emits every scored doc; ingest window = doc_id
+    // seconds floored to the hour (the G15 convention).
+    "stream_bm25" -> {
+      val ts = graft.functions.TextQueries.Bm25Terms
+      val k1 = graft.functions.TextQueries.Bm25K1
+      val b = graft.functions.TextQueries.Bm25B
+      val tfCols = ts.map(t =>
+        s"count(*) FILTER (WHERE term = '$t') AS tf_$t").mkString(",\n|    ")
+      val dfCols = ts.map(t =>
+        s"count(*) FILTER (WHERE tf_$t > 0) AS df_$t").mkString(",\n|    ")
+      val scoreSum = ts.map(t =>
+        s"((n_docs - df_$t + 0.5) / (df_$t + 0.5)) * (tf_$t * ($k1 + 1)) / " +
+          s"(tf_$t + $k1 * ((1 - $b) + $b * (dl / (sum_dl / n_docs))))")
+        .mkString("\n|    + ")
+      val tfList = ts.map(t => s"tf_$t").mkString(", ")
+      raw"""WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+        |                       w -> w <> '')) AS term
+        |  FROM documents),
+        |perdoc AS (
+        |  SELECT doc_id, count(*) AS dl,
+        |    $tfCols
+        |  FROM toks GROUP BY 1),
+        |stats AS (
+        |  SELECT count(*) AS n_docs, sum(dl)::bigint AS sum_dl,
+        |    $dfCols
+        |  FROM perdoc)
+        |SELECT (doc_id // 3600) * 3600 AS win_start, doc_id, $tfList, dl,
+        |  round($scoreSum, 4) AS score
+        |FROM perdoc CROSS JOIN stats
+        |WHERE ${ts.map(t => s"tf_$t").mkString(" + ")} > 0
+        |ORDER BY win_start, doc_id""".stripMargin
+    },
+
     "stream_decontaminate" -> {
       val ev = graft.operators.Decontaminate.EvalSource
       val tau = graft.operators.Decontaminate.Tau

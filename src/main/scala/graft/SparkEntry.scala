@@ -133,6 +133,7 @@ object SparkEntry {
     "stream_mix"          -> Streams.streamMix,
     "stream_join"         -> Streams.streamJoin,
     "stream_pii"          -> Streams.streamPii,
+    "stream_bm25"         -> Streams.streamBm25,
     "stream_decontaminate" -> Streams.streamDecontaminate
   )
 

@@ -143,42 +143,74 @@ object TextQueries {
     * Shape (the 100 TB story): ONE corpus scan → token explode →
     * one map-side-combined groupBy(doc_id) carrying doc length and
     * the per-term tfs as conditional counts (|docs| rows out, never
-    * a token-keyed shuffle) → a 1-row corpus-stats aggregate
-    * (N, Σdl, per-term df) broadcast back via crossJoin → per-row
-    * score algebra → distributed top-k (TakeOrderedAndProject: each
-    * partition keeps ≤ k rows; no global sort, no single-partition
-    * window). Two exchanges total, both tiny (the doc-keyed agg and
-    * the k-row gather). */
-  def textBm25(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables(spark, dir).documents
-    val toks = d.select(col("doc_id"),
-        explode(split(col("text"), "\\s+")).as("term"))
+    * a token-keyed shuffle), PERSISTED — the frame feeds both the
+    * stats aggregate and the scorer, and Catalyst does not dedup the
+    * subtrees → a 1-row corpus-stats aggregate (N, Σdl, per-term df)
+    * broadcast back via crossJoin → per-row score algebra →
+    * distributed top-k (TakeOrderedAndProject: each partition keeps
+    * ≤ k rows; no global sort, no single-partition window).
+    *
+    * [[graft.streaming.Streams.streamBm25]] is the ingest-time twin:
+    * the same tf/score algebra per arriving doc under an event-time
+    * window, with the corpus stats as the static broadcast side. */
+  /** Whitespace token stream for BM25, keeping `keep` alongside the
+    * term (batch: doc_id; streaming: doc_id + event time). */
+  private[graft] def bm25Toks(docs: DataFrame, keep: Seq[String]): DataFrame =
+    docs.select(keep.map(col) :+
+        explode(split(col("text"), "\\s+")).as("term"): _*)
       .filter(length(col("term")) > 0)
-    def tfc(t: String) = s"tf_$t"
-    val perDoc = toks.groupBy("doc_id").agg(
-      count(lit(1)).as("dl"),
-      Bm25Terms.map(t =>
-        sum(when(col("term") === t, 1L).otherwise(0L)).as(tfc(t))): _*)
-    val stats = perDoc.agg(
+
+  /** The per-term tf aggregate columns (dl + one conditional count per
+    * query term) — shared by the batch groupBy(doc_id) and the
+    * streaming groupBy(window, doc_id). */
+  private[graft] def bm25TfAggs: Seq[org.apache.spark.sql.Column] =
+    count(lit(1)).as("dl") +: Bm25Terms.map(t =>
+      sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$t"))
+
+  /** Corpus stats (N, Σdl, per-term df) over a per-doc tf frame —
+    * the static "index statistics" side. */
+  private[graft] def bm25StatsOf(perDoc: DataFrame): DataFrame =
+    perDoc.agg(
       count(lit(1)).as("n_docs"),
-      (sum(col("dl")).as("sum_dl") +:
+      (sum(col("dl")).cast("long").as("sum_dl") +:
         Bm25Terms.map(t =>
-          sum(when(col(tfc(t)) > 0, 1L).otherwise(0L)).as(s"df_$t"))): _*)
+          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))): _*)
+
+  /** The composite score over columns (tf_<t>, df_<t>, dl, sum_dl,
+    * n_docs) — a FIXED left-fold tree in [[Bm25Terms]] order; see
+    * [[textBm25]] for the exactness contract. */
+  private[graft] def bm25ScoreExpr: org.apache.spark.sql.Column = {
     def termScore(t: String) = {
-      val tf = col(tfc(t)); val df = col(s"df_$t")
+      val tf = col(s"tf_$t"); val df = col(s"df_$t")
       val idf = (col("n_docs") - df + lit(0.5)) / (df + lit(0.5))
       val norm = tf + lit(Bm25K1) *
         (lit(1 - Bm25B) + lit(Bm25B) *
           (col("dl") / (col("sum_dl") / col("n_docs"))))
       idf * (tf * lit(Bm25K1 + 1)) / norm
     }
-    val score = Bm25Terms.map(termScore).reduce(_ + _)
-    perDoc.crossJoin(broadcast(stats))
-      .filter(Bm25Terms.map(t => col(tfc(t))).reduce(_ + _) > 0)
-      .withColumn("score", score)
+    Bm25Terms.map(termScore).reduce(_ + _)
+  }
+
+  /** Any-query-term row filter over the tf_<t> columns. */
+  private[graft] def bm25AnyTerm: org.apache.spark.sql.Column =
+    Bm25Terms.map(t => col(s"tf_$t")).reduce(_ + _) > 0
+
+  def textBm25(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    // persisted: the frame feeds BOTH the stats aggregate and the
+    // scorer, and Catalyst does not dedup the two subtrees — without
+    // the cache the corpus is scanned twice (Curate.survivors
+    // pattern: no unpersist in a query-returning function;
+    // CacheManager dedups repeated calls by canonicalized plan).
+    val perDoc = bm25Toks(d, Seq("doc_id"))
+      .groupBy("doc_id").agg(bm25TfAggs.head, bm25TfAggs.tail: _*)
+      .persist()
+    perDoc.crossJoin(broadcast(bm25StatsOf(perDoc)))
+      .filter(bm25AnyTerm)
+      .withColumn("score", bm25ScoreExpr)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(Bm25TopK)
-      .select(col("doc_id") +: Bm25Terms.map(t => col(tfc(t))) :+
+      .select(col("doc_id") +: Bm25Terms.map(t => col(s"tf_$t")) :+
         col("dl") :+ round(col("score"), 4).as("score"): _*)
       .orderBy(col("doc_id"))
   }

@@ -887,6 +887,57 @@ object Streams {
       .orderBy(col("win_start"), col("train_doc"), col("eval_doc"))
   }
 
+  /** G16 transform: ingest-time BM25 scoring — the stream-static twin
+    * of E14 `text_bm25` (score each document for the fixed retrieval
+    * query the moment it arrives, instead of ranking the corpus after
+    * the fact — the "route the docs most about X" ingest tap). The
+    * static side is the corpus index statistics (N, Σdl, per-term df
+    * — what a production scorer holds as its index metadata),
+    * broadcast into every micro-batch via a constant-key equi-join
+    * (stream-static, no state). The stream side explodes each
+    * arriving doc's tokens and aggregates dl + per-term conditional
+    * tfs per (ingest window, doc) — a doc's tokens all carry its
+    * single ingest timestamp, so the count completes within one
+    * window by construction and append mode works under the caller's
+    * watermark (the decontaminate-twin pattern). Emits every scored
+    * doc containing a query term; there is deliberately NO top-k cut
+    * — a global cut over an unbounded stream is undefined in append
+    * mode, so ranking is the batch consumer's job
+    * ([[graft.functions.TextQueries.textBm25]]).
+    *
+    * Score algebra and FP-order contract are single-sourced with the
+    * batch entry ([[graft.functions.TextQueries.bm25ScoreExpr]]) —
+    * stream and batch cannot disagree. */
+  def bm25StreamTransform(docs: DataFrame, stats: DataFrame): DataFrame = {
+    import graft.functions.{TextQueries => TQ}
+    TQ.bm25Toks(docs, Seq("doc_id", "ep_ts"))
+      .groupBy(window(col("ep_ts"), "1 hour"), col("doc_id"))
+      .agg(TQ.bm25TfAggs.head, TQ.bm25TfAggs.tail: _*)
+      .withColumn("one", lit(1))
+      .join(broadcast(stats.withColumn("one", lit(1))), "one")
+      .filter(TQ.bm25AnyTerm)
+      .withColumn("score", TQ.bm25ScoreExpr)
+      .select(unix_timestamp(col("window.start")).as("win_start") +:
+        col("doc_id") +: TQ.Bm25Terms.map(t => col(s"tf_$t")) :+
+        col("dl") :+
+        graft.functions.OracleMath.roundDuck(col("score"), 4).as("score"): _*)
+  }
+
+  /** G16 batch entry (driver-verified against the DuckDB oracle):
+    * ingest time synthesized as doc_id seconds (the G15 convention);
+    * stats computed over the full corpus — the steady-state index a
+    * long-running scorer would hold. */
+  def streamBm25(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TextQueries => TQ}
+    val d = Tables(spark, dir).documents
+    val stats = TQ.bm25StatsOf(
+      TQ.bm25Toks(d, Seq("doc_id"))
+        .groupBy("doc_id").agg(TQ.bm25TfAggs.head, TQ.bm25TfAggs.tail: _*))
+    bm25StreamTransform(
+      d.withColumn("ep_ts", col("doc_id").cast("timestamp")), stats)
+      .orderBy(col("win_start"), col("doc_id"))
+  }
+
   /** Max view→click lag in seconds for the G12 stream-stream interval
     * join (single-sourced into the DuckDB oracle). */
   val ViewClickLagMax = 1800L

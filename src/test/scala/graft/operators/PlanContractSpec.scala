@@ -21,11 +21,14 @@ class PlanContractSpec extends SparkSuite {
   //  - text_typicality / corpus_stats: same 1-row-total
   //    crossJoin-broadcast shape as text_tfidf (corpus token count /
   //    corpus doc count respectively).
-  //  - text_bm25: same 1-row shape — the corpus stats row (N, sum_dl,
-  //    per-term dfs) crossJoin-broadcast into the per-doc scorer.
+  //  - text_bm25 / stream_bm25: same 1-row shape — the corpus stats
+  //    row (N, sum_dl, per-term dfs) broadcast into the per-doc
+  //    scorer (crossJoin batch-side; constant-key stream-static join
+  //    in the ingest twin, which the optimizer folds to the same
+  //    1-row broadcast loop).
   private val boundedBroadcastOk =
     Set("ann_bruteforce", "q14_scalar_subquery", "text_tfidf",
-      "text_typicality", "corpus_stats", "text_bm25")
+      "text_typicality", "corpus_stats", "text_bm25", "stream_bm25")
 
   test("no query plans a cartesian or unbounded nested-loop join") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

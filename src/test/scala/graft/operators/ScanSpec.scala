@@ -44,12 +44,15 @@ class ScanSpec extends SparkSuite {
   }
 
   test("text queries read only doc_id and text, not the whole table") {
-    val plan = scanString(
-      graft.functions.TextQueries.textFingerprint(spark, sfDir))
-    val readSchema = plan.linesIterator
-      .find(_.contains("ReadSchema")).getOrElse(fail(s"no ReadSchema:\n$plan"))
-    assert(readSchema.contains("doc_id") && readSchema.contains("text"))
-    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
-      s"unused columns not pruned:\n$readSchema")
+    for (q <- Seq(
+        graft.functions.TextQueries.textFingerprint(spark, sfDir),
+        graft.functions.TextQueries.textBm25(spark, sfDir))) {
+      val plan = scanString(q)
+      val readSchema = plan.linesIterator
+        .find(_.contains("ReadSchema")).getOrElse(fail(s"no ReadSchema:\n$plan"))
+      assert(readSchema.contains("doc_id") && readSchema.contains("text"))
+      assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+        s"unused columns not pruned:\n$readSchema")
+    }
   }
 }

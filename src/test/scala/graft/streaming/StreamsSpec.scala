@@ -934,4 +934,53 @@ class StreamsSpec extends SparkSuite {
         "the windowed count is the one stateful stage")
     } finally query.stop()
   }
+
+  test("ingest-time BM25 through a real stream equals the batch entry " +
+      "(append mode, static stats broadcast, watermark-closed windows)") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    import graft.functions.{TextQueries => TQ}
+    val d = graft.Tables(spark, sfDir).documents
+    // static side: the corpus index statistics, computed batch-side
+    val stats = TQ.bm25StatsOf(
+      TQ.bm25Toks(d, Seq("doc_id"))
+        .groupBy("doc_id").agg(TQ.bm25TfAggs.head, TQ.bm25TfAggs.tail: _*))
+    val expected = Streams.streamBm25(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    val rows = d.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val stream = MemoryStream[(Long, String)]
+    // shuffled batches need the watermark delay to cover the full
+    // doc_id span (same rationale as the decontamination test above)
+    val delaySec = rows.map(_._1).max + 60
+    val streamed = Streams.bm25StreamTransform(
+      stream.toDF().toDF("doc_id", "text")
+        .withColumn("ep_ts", col("doc_id").cast("timestamp"))
+        .withWatermark("ep_ts", s"$delaySec seconds"),
+      stats)
+    val query = streamed.writeStream.format("memory")
+      .queryName("bm25s").outputMode("append").start()
+    try {
+      val shuffled = new scala.util.Random(71).shuffle(rows.toSeq)
+      shuffled.grouped(math.max(1, shuffled.length / 3)).foreach { b =>
+        stream.addData(b)
+        query.processAllAvailable()
+      }
+      // far-future sentinel with no query terms closes every window
+      // without emitting a row itself
+      stream.addData((10_000_000L, "zz zz zz"))
+      query.processAllAvailable()
+      stream.addData((10_000_100L, "zz zz zz"))
+      query.processAllAvailable()
+      val got = s.table("bm25s")
+        .orderBy("win_start", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+      assert(got === expected)
+      val p = query.lastProgress
+      assert(p != null && p.stateOperators.nonEmpty,
+        "the windowed tf aggregation is the one stateful stage")
+    } finally query.stop()
+  }
 }
