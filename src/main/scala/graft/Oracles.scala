@@ -1165,6 +1165,29 @@ object Oracles {
          |  ON c.rep_doc = s.rep_doc
          |ORDER BY doc_id""".stripMargin,
 
+    // C11: components × the shared quality CTE (single-sourced with
+    // text_quality / curate — the election and the quality report
+    // cannot drift). Ranking compares UNROUNDED quality, ties break
+    // on node — the same total order as the Spark window.
+    "dedup_best_rep" ->
+      ("WITH RECURSIVE " + qualityBaseCte("documents") + ",\n" +
+        ngramPairCtes("documents") + ",\n" + componentCtes + ",\n" +
+        s"""scored AS (
+          |  SELECT c.node, c.rep_doc AS comp_id, $qualityExpr AS quality
+          |  FROM comp c JOIN q_base q ON q.doc_id = c.node),
+          |ranked AS (
+          |  SELECT node, comp_id, quality,
+          |    row_number() OVER (PARTITION BY comp_id
+          |                       ORDER BY quality DESC, node) AS rn
+          |  FROM scored),
+          |best AS (
+          |  SELECT comp_id, node AS rep_doc FROM ranked WHERE rn = 1)
+          |SELECT r.node AS doc_id, b.rep_doc,
+          |  round(r.quality, 4) AS quality,
+          |  (r.node = b.rep_doc) AS is_rep
+          |FROM ranked r JOIN best b USING (comp_id)
+          |ORDER BY doc_id""".stripMargin),
+
     "dedup_embed_cosine" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::double) AS v

@@ -86,6 +86,7 @@ object SparkEntry {
     "ngram_blocklist"    -> (graft.operators.HeavyHitters.ngramBlocklist(_, _)),
     // §2C — deduplication
     "dedup_exact"         -> Dedup.dedupExact,
+    "dedup_best_rep"      -> Dedup.dedupBestRep,
     "dedup_substring"     -> Dedup.dedupSubstring,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccard,
     "dedup_minhash_lsh"   -> Dedup.dedupMinhashLsh,

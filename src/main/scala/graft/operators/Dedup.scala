@@ -282,6 +282,59 @@ object Dedup {
     out
   }
 
+  /** C11 (round 10): quality-aware cluster representative selection —
+    * for each C6 near-dup component, elect the HIGHEST-quality member
+    * (total order: quality DESC, doc_id ASC) as the cluster's
+    * representative, instead of C6's min-doc_id convention. This is
+    * the refinement real curation pipelines run: among near-identical
+    * documents, keep the best-scoring copy, not the one that happened
+    * to arrive first. Output: one row per clustered doc —
+    * (doc_id, rep_doc = elected best, quality, is_rep).
+    *
+    * Quality is the E2 composite ([[graft.functions.TextFunctions
+    * .qualityScore]]) — the same single-sourced expression tree as
+    * text_quality and the curate chain, so the election and the
+    * quality report can never disagree; the ranking compares
+    * UNROUNDED bit-identical doubles on both engines (ties between
+    * exact-duplicate members break on doc_id).
+    *
+    * Scale shape: the C2 pair graph + C6 O(log d) star-contraction
+    * produce (node, lbl) for CLUSTERED docs only — a small fraction
+    * of the corpus — so the quality join and the per-cluster
+    * row_number window run over cluster members, not the corpus;
+    * cluster sizes are bounded by the dedup phenomenon itself and
+    * the window partitions by cluster id (AQE splits a pathological
+    * mega-cluster's skew). DuckDB oracle: recursive-CTE components ×
+    * the shared quality CTE, full hash gate. */
+  def dedupBestRep(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(spark, dir).documents
+    val pairs = ngramPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+      .persist()
+    val labels = componentLabels(pairs)
+    val nTok = T.wsTokenCount(col("text"))
+    val stopRatio = T.tokenCountIn(col("text"), T.EnStopwords) / nTok
+    val punctRatio = T.punctCount(col("text")) / length(col("text"))
+    val q = d.select(col("doc_id"),
+      T.qualityScore(nTok, stopRatio, punctRatio).as("quality"))
+    val scored = labels.join(q, labels("node") === q("doc_id"))
+      .select(col("node"), col("lbl"), col("quality"))
+    val w = Window.partitionBy("lbl")
+      .orderBy(col("quality").desc, col("node"))
+    val ranked = scored.withColumn("rn", row_number().over(w))
+    val best = ranked.filter(col("rn") === 1)
+      .select(col("lbl"), col("node").as("rep_doc"))
+    val out = ranked.join(best, "lbl")
+      .select(col("node").as("doc_id"), col("rep_doc"),
+        round(col("quality"), 4).as("quality"),
+        (col("node") === col("rep_doc")).as("is_rep"))
+      .orderBy(col("doc_id"))
+    pairs.unpersist()
+    out
+  }
+
   /** Connected-component labels over a (doc_a, doc_b) pair frame →
     * one (node, lbl) row per node, lbl = min doc_id reachable.
     * Callers should persist `pairs` first — the node set and initial

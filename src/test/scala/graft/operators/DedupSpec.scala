@@ -421,4 +421,30 @@ class DedupSpec extends SparkSuite {
     assert(ngramPairs.subsetOf(lshPairs),
       s"LSH missed: ${ngramPairs -- lshPairs}")
   }
+
+  test("dedup_best_rep: same clusters as C6, exactly one rep per " +
+      "cluster, and the rep maximizes (quality, -doc_id)") {
+    val best = Dedup.dedupBestRep(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(best.nonEmpty, "fixture has planted near-dups")
+    // cluster membership must be identical to dedup_components
+    // (the election changes WHO represents, never the partition)
+    val comp = Dedup.dedupComponents(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap // doc -> min-id label
+    assert(best.map(_._1).toSet === comp.keySet, "same clustered docs")
+    val byCluster = best.groupBy(b => comp(b._1))
+    byCluster.foreach { case (cid, members) =>
+      val reps = members.filter(_._4)
+      assert(reps.length == 1, s"cluster $cid: ${reps.length} reps")
+      val rep = reps.head
+      assert(members.forall(_._2 == rep._1),
+        s"cluster $cid: every member must point at the elected rep")
+      // rep wins on (quality DESC, doc_id ASC) — rounded quality is
+      // a valid witness here because ties break toward smaller id
+      members.foreach { m =>
+        assert(m._3 < rep._3 || (m._3 == rep._3 && m._1 >= rep._1),
+          s"cluster $cid: member $m beats rep $rep")
+      }
+    }
+  }
 }
