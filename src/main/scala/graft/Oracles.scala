@@ -1304,6 +1304,39 @@ object Oracles {
          |ORDER BY shard, pos""".stripMargin
     },
 
+    // J8 curriculum layout: stage = quality quartile (1 = cleanest;
+    // boundary docs go to the earlier stage — `<` on unrounded
+    // bit-identical doubles), per-(stage, shard) rank = the J7
+    // shuffle under the same salt. quantile_cont ↔ Spark percentile
+    // interpolation equivalence is the q23 precedent; quality CTE
+    // single-sourced with text_quality.
+    "mix_curriculum" -> {
+      val seed = graft.operators.Sampling.ShuffleSeed
+      val k = graft.operators.Sampling.ShardHexWidth
+      ("WITH " + qualityBaseCte("documents") + ",\n" +
+        s"""scored AS (
+          |  SELECT doc_id, $qualityExpr AS quality FROM q_base),
+          |bs AS (
+          |  SELECT quantile_cont(quality, 0.25) AS b1,
+          |    quantile_cont(quality, 0.5) AS b2,
+          |    quantile_cont(quality, 0.75) AS b3
+          |  FROM scored),
+          |staged AS (
+          |  SELECT doc_id, quality,
+          |    1 + (quality < b3)::int + (quality < b2)::int
+          |      + (quality < b1)::int AS stage,
+          |    md5('$seed' || doc_id::varchar) AS h
+          |  FROM scored CROSS JOIN bs)
+          |SELECT doc_id, stage, shard, pos::int AS pos,
+          |  round(quality, 4) AS quality
+          |FROM (
+          |  SELECT doc_id, stage, quality, substr(h, 1, $k) AS shard,
+          |    row_number() OVER (PARTITION BY stage, substr(h, 1, $k)
+          |                       ORDER BY h, doc_id) AS pos
+          |  FROM staged)
+          |ORDER BY doc_id""".stripMargin)
+    },
+
     // Mixture rebalance toward the declared per-source weight recipe:
     // thr is pure integer algebra over the per-source counts, the
     // draw is the same fixed-width-hex md5 compare as

@@ -101,6 +101,7 @@ object SparkEntry {
     "mix_epochs"          -> (graft.operators.Sampling.mixEpochs(_, _)),
     "mix_temperature"     -> (graft.operators.Sampling.mixTemperature(_, _)),
     "corpus_shuffle"      -> (graft.operators.Sampling.corpusShuffle(_, _)),
+    "mix_curriculum"      -> (graft.operators.Sampling.mixCurriculum(_, _)),
     "decontaminate"       -> (graft.operators.Decontaminate.decontaminate(_, _)),
     // §2I — composed curation pipeline
     "curate_corpus"       -> (graft.operators.Curate.curateCorpus(_, _)),

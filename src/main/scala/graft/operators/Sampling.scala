@@ -26,6 +26,14 @@ import graft.Tables
   */
 object Sampling {
 
+  // Shadows functions.round: DuckDB-exact binary rounding so oracle
+  // hashes cannot flake on decimal half boundaries (see OracleMath).
+  // Added with mix_curriculum — the first Sampling query to round a
+  // double — and promptly caught by the sf0.1 gate (5 half-boundary
+  // rows), exactly as the CLAUDE.md convention predicts.
+  private def round(c: Column, scale: Int): Column =
+    graft.functions.OracleMath.roundDuck(c, scale)
+
   /** Salt so resampling is a config change, not a code change. */
   val Seed = "graft-sample-42:"
 
@@ -364,5 +372,58 @@ object Sampling {
       .withColumn("pos", row_number().over(w))
       .select(col("doc_id"), col("shard"), col("pos"))
       .orderBy(col("shard"), col("pos"))
+  }
+
+  /** J8 (round 10): curriculum layout — stage the corpus by quality
+    * quartile (stage 1 = the cleanest quarter, read first; stage 4 =
+    * the noisiest, read last), then give each stage its own J7
+    * deterministic shuffle — easy-to-hard pacing BETWEEN stages,
+    * decorrelated order WITHIN each stage. A trainer consumes stages
+    * in number order, shards within a stage in any order, docs within
+    * a shard in pos order.
+    *
+    * Stage boundaries are the EXACT corpus quality quartiles via ONE
+    * `percentile(quality, array(...))` aggregate (the q23 shared-
+    * buffer discipline) broadcast back as a 1-row frame — per-row
+    * bucketing against three literals, so there is no global sort
+    * and no ntile window anywhere; the Spark↔DuckDB interpolation
+    * equivalence is the one q23_percentiles already proves. Stage
+    * membership compares UNROUNDED quality to the unrounded
+    * boundaries (both bit-identical cross-engine: the E2 expression
+    * and `quantile_cont`); a doc exactly ON a boundary goes to the
+    * earlier (cleaner) stage, mirrored in the oracle.
+    *
+    * Scale shape: quality scan → 1-row percentile agg (the one
+    * full-corpus aggregation; constant-size sketch-free buffer per
+    * q23's measured discipline) → per-row stage/shard algebra → the
+    * J7 per-(stage, shard) rank window. Same window economics as
+    * corpus_shuffle: partitions are shard-sized, never corpus-sized. */
+  def mixCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(spark, dir).documents
+    val nTok = T.wsTokenCount(col("text"))
+    val stopRatio = T.tokenCountIn(col("text"), T.EnStopwords) / nTok
+    val punctRatio = T.punctCount(col("text")) / length(col("text"))
+    val q = d.select(col("doc_id"),
+      T.qualityScore(nTok, stopRatio, punctRatio).as("quality"))
+    val bounds = q.agg(
+      expr("percentile(quality, array(0.25D, 0.5D, 0.75D))").as("bs"))
+    val stage = (lit(1) +
+      (col("quality") < element_at(col("bs"), 3)).cast("int") +
+      (col("quality") < element_at(col("bs"), 2)).cast("int") +
+      (col("quality") < element_at(col("bs"), 1)).cast("int")).as("stage")
+    val w = Window.partitionBy(col("stage"), col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+    q.crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("quality"), stage)
+      .withColumn("h",
+        md5(concat(lit(ShuffleSeed), col("doc_id").cast("string"))
+          .cast("binary")))
+      .withColumn("shard", substring(col("h"), 1, ShardHexWidth))
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("stage"), col("shard"), col("pos"),
+        round(col("quality"), 4).as("quality"))
+      .orderBy(col("doc_id"))
   }
 }

@@ -26,9 +26,12 @@ class PlanContractSpec extends SparkSuite {
   //    scorer (crossJoin batch-side; constant-key stream-static join
   //    in the ingest twin, which the optimizer folds to the same
   //    1-row broadcast loop).
+  //  - mix_curriculum: same 1-row shape — the three quartile
+  //    boundaries ride a 1-row percentile aggregate crossJoin.
   private val boundedBroadcastOk =
     Set("ann_bruteforce", "q14_scalar_subquery", "text_tfidf",
-      "text_typicality", "corpus_stats", "text_bm25", "stream_bm25")
+      "text_typicality", "corpus_stats", "text_bm25", "stream_bm25",
+      "mix_curriculum")
 
   test("no query plans a cartesian or unbounded nested-loop join") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -329,4 +329,32 @@ class SamplingSpec extends SparkSuite {
       .expressions.map(_.sql).exists(_.contains("shard")),
       "the one hash exchange must partition by shard")
   }
+
+  test("mix_curriculum: every doc staged once, stages are quality-" +
+      "monotone (1 = cleanest), per-(stage, shard) pos contiguous") {
+    val d = graft.Tables(spark, sfDir).documents
+    val out = Sampling.mixCurriculum(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3),
+        r.getDouble(4)))
+    assert(out.length.toLong === d.count(), "one row per doc")
+    assert(out.map(_._1).distinct.length === out.length)
+    val byStage = out.groupBy(_._2)
+    assert(byStage.keySet.subsetOf(Set(1, 2, 3, 4)))
+    assert(byStage.size >= 2, "fixture must spread over stages")
+    // monotone: a cleaner stage's worst doc is at least as good as a
+    // noisier stage's best (roundDuck is monotone, so the rounded
+    // witness is valid)
+    val sorted = byStage.toSeq.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Seq((s1, a), (s2, b)) =>
+        assert(a.map(_._5).min >= b.map(_._5).max,
+          s"stage $s1 must dominate stage $s2 on quality")
+      case _ => ()
+    }
+    // within each (stage, shard): pos is exactly 1..n
+    out.groupBy(r => (r._2, r._3)).foreach { case (k, rows) =>
+      assert(rows.map(_._4).sorted.toSeq === (1 to rows.length).toSeq,
+        s"$k pos must be contiguous from 1")
+    }
+  }
 }
