@@ -467,7 +467,30 @@ object Oracles {
         |FROM p
         |JOIN r ra ON ra.event_type = p.type_a
         |JOIN r rb ON rb.event_type = p.type_b
-        |ORDER BY type_a, type_b""".stripMargin
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    // DAU/MAU/stickiness: the sliding-window distinct via the same
+    // contribution explode (ud.day + o.n) the Spark side uses — a
+    // plain equi-aggregation on both engines, no range join. Window
+    // width single-sourced from Funnel.MauWindowDays; only observed
+    // days report (inner join with dau).
+    "events_engagement" -> {
+      val w = graft.operators.Funnel.MauWindowDays
+      s"""WITH ud AS (
+        |  SELECT DISTINCT
+        |    epoch(date_trunc('second', ts))::bigint // 86400 AS day,
+        |    user_id
+        |  FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+        |mau AS (
+        |  SELECT ud.day + o.n AS day, count(DISTINCT ud.user_id) AS mau
+        |  FROM ud CROSS JOIN range(0, $w) o(n)
+        |  GROUP BY 1)
+        |SELECT d.day, d.dau, m.mau,
+        |  round(d.dau / m.mau, 4) AS stickiness
+        |FROM dau d JOIN mau m USING (day)
+        |ORDER BY day""".stripMargin
+    }
   )
 
   /** The anomaly SQL — shared verbatim by `events_anomaly` (B-section

@@ -60,6 +60,7 @@ object SparkEntry {
     "events_anomaly"     -> (graft.operators.Funnel.eventsAnomaly(_, _)),
     "events_attribution" -> (graft.operators.Funnel.eventsAttribution(_, _)),
     "events_cooccurrence" -> (graft.operators.Funnel.eventsCooccurrence(_, _)),
+    "events_engagement"   -> (graft.operators.Funnel.eventsEngagement(_, _)),
     "events_pathing"     -> (graft.operators.Funnel.eventsPathing(_, _)),
     "events_sequences"   -> (graft.operators.Funnel.eventsSequences(_, _)),
     // §2A — MapReduce engine pipelines

@@ -305,4 +305,50 @@ object Funnel {
           .as("jaccard"))
       .orderBy(col("type_a"), col("type_b"))
   }
+
+  /** MAU lookback window in days (the industry-standard 28 —
+    * single-sourced into the oracle). */
+  val MauWindowDays = 28L
+
+  /** B-section (round 10): DAU / MAU / stickiness — the product-
+    * analytics engagement datasheet: per day, the distinct active
+    * users that day (DAU), the distinct users active in the trailing
+    * [[MauWindowDays]]-day window (MAU), and DAU/MAU (the
+    * "stickiness" ratio every growth dashboard tracks). Early days
+    * carry a partial lookback (standard dashboard semantics).
+    *
+    * The sliding-window DISTINCT is the classic hard shape — a naive
+    * day×window range join is a non-equi join, and a window-function
+    * distinct over users doesn't exist. Exact scale shape here:
+    * CONTRIBUTION EXPLODE — each (day, user) activity row contributes
+    * to exactly [[MauWindowDays]] observation days
+    * (`explode(sequence(day, day+27))`), turning the range join into
+    * a plain groupBy(obs_day) distinct-count: bounded 28× row
+    * amplification of the already-deduplicated user-day frame (NOT
+    * raw events), map-side combined, AQE-handled skew — linear,
+    * shuffle-only-on-equi-keys, at any corpus size. (At extreme
+    * scale the dial is an HLL sketch merge per day — q12's
+    * approx-distinct pattern; the exact form IS the oracle gate.)
+    * Partial windows past the data's edge drop out via the inner
+    * join with the DAU frame (only observed days report). */
+  def eventsEngagement(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    // epoch-day from the epoch-nanos contract: two integral divs,
+    // mirroring the oracle's epoch(...) // 86400 exactly
+    val ud = ev.select(
+        expr("(ts div 1000000000L) div 86400L").as("day"), col("user_id"))
+      .distinct()
+      .persist() // feeds DAU and the contribution explode (Catalyst
+                 // does not dedup the two subtrees)
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val mau = ud
+      .withColumn("obs_day",
+        explode(sequence(col("day"), col("day") + lit(MauWindowDays - 1))))
+      .groupBy("obs_day")
+      .agg(countDistinct(col("user_id")).as("mau"))
+    dau.join(mau, dau("day") === mau("obs_day"))
+      .select(col("day"), col("dau"), col("mau"),
+        round(col("dau") / col("mau"), 4).as("stickiness"))
+      .orderBy(col("day"))
+  }
 }

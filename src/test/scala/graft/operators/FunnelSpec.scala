@@ -228,4 +228,32 @@ class FunnelSpec extends SparkSuite {
     assert(windows == 1,
       s"five aggregates over one frame must fuse into 1 Window node, got $windows:\n$plan")
   }
+
+  test("engagement: MAU dominates DAU, the span's first day has no " +
+      "lookback, stickiness is the exact rounded ratio, an " +
+      "independent sliding-window replica agrees") {
+    val rows = Funnel.eventsEngagement(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSeq === rows.map(_._1).sorted.toSeq)
+    rows.foreach { case (day, dau, mau, st) =>
+      assert(mau >= dau, s"day $day: MAU $mau < DAU $dau")
+      assert(st > 0 && st <= 1.0)
+    }
+    val firstDay = rows.head
+    assert(firstDay._2 === firstDay._3,
+      "first observed day has no history: MAU must equal DAU")
+    // independent replica: driver-side sliding distinct over user-days
+    val ud = graft.Tables(spark, sfDir).events
+      .selectExpr("(ts div 1000000000L) div 86400L as day", "user_id")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDay = ud.groupBy(_._1)
+    rows.foreach { case (day, dau, mau, _) =>
+      assert(byDay(day).map(_._2).toSet.size.toLong === dau)
+      val win = (day - Funnel.MauWindowDays + 1) to day
+      val expectMau = win.flatMap(d =>
+        byDay.getOrElse(d, Array.empty[(Long, Long)]).map(_._2)).toSet.size
+      assert(expectMau.toLong === mau, s"day $day MAU")
+    }
+  }
 }
