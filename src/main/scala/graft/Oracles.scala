@@ -1749,9 +1749,9 @@ object Oracles {
     // Similarity.annPq: the same Knuth-hash codebook seeds (slices of
     // the IVF seed vectors), first-max sub-dot assignment (row_number
     // d DESC, c_idx), and the score folded over list(d ORDER BY m) —
-    // the exact left-fold order of the Spark side's fixed d_0+…+d_7
+    // the exact left-fold order of the Spark side's fixed d_0+…+d_15
     // expression tree, so the FP sum cannot drift. Sub-slices are
-    // 8 dims of the 64-dim embeddings (PqSub = 8).
+    // 64/PqSub dims of the 64-dim embeddings (PqSub = 16, 4-dim slices).
     "ann_pq" -> {
       val mul = graft.operators.Similarity.IvfHashMul
       val mod = graft.operators.Similarity.IvfHashMod

@@ -272,7 +272,7 @@ object Similarity {
     def dotsFor(mi: Int): org.apache.spark.sql.Column =
       array(cents.map(c => V.dot(vSub(mi), centSub(c, mi))): _*)
 
-    // encode: 8 codes per vector, then the float columns are DROPPED —
+    // encode: PqSub codes per vector, then the float columns are DROPPED —
     // the scoring side of the plan carries codes only (the PQ point)
     val coded = (0 until PqSub).foldLeft(e) { (df, mi) =>
       df.withColumn(s"ds_$mi", dotsFor(mi))
