@@ -92,6 +92,35 @@ object Oracles {
       s"$ctes\n$branches\nORDER BY entity"
     },
 
+    // Z-order key: the same integer algebra as ZOrder.zorderKey —
+    // `//` bucketization, per-bit shift/mask/or interleave generated
+    // from the shared KeyBits constant. Pure BIGINT ops, exact in
+    // both engines.
+    "zorder_key" -> {
+      val bits = graft.sources.ZOrder.KeyBits
+      val n = 1L << bits
+      val inter = (0 until bits).flatMap(i => Seq(
+        s"(((ba >> $i) & 1) << ${2 * i})",
+        s"(((bb >> $i) & 1) << ${2 * i + 1})")).mkString("\n|    | ")
+      raw"""WITH e AS (
+        |  SELECT event_id, user_id AS ua,
+        |    epoch(date_trunc('second', ts))::bigint AS sec
+        |  FROM events),
+        |st AS (
+        |  SELECT min(ua) AS mna, max(ua) AS mxa,
+        |    min(sec) AS mnb, max(sec) AS mxb
+        |  FROM e),
+        |b AS (
+        |  SELECT event_id,
+        |    ((ua - mna) * $n) // (mxa - mna + 1) AS ba,
+        |    ((sec - mnb) * $n) // (mxb - mnb + 1) AS bb
+        |  FROM e CROSS JOIN st)
+        |SELECT event_id, ba AS bucket_user, bb AS bucket_sec,
+        |  $inter AS z
+        |FROM b
+        |ORDER BY event_id""".stripMargin
+    },
+
     "q2_topk_window" ->
       """SELECT * FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,

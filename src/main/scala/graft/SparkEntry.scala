@@ -52,6 +52,7 @@ object SparkEntry {
     "table_profile"      -> (graft.operators.Profile.tableProfile(_, _)),
     "table_profile_typed" -> (graft.operators.Profile.tableProfileTyped(_, _)),
     "table_skew"          -> (graft.operators.Profile.tableSkew(_, _)),
+    "zorder_key"          -> (graft.sources.ZOrder.zorderKey(_, _)),
     "asof_join"          -> (AsOfJoin.purchasesAsOfSignup(_, _)),
     "range_join"         -> (graft.operators.RangeJoin.eventsInWindows(_, _)),
     "events_sessionize"  -> (Sessionize.sessions(_, _)),

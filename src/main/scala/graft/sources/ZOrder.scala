@@ -49,6 +49,45 @@ object ZOrder {
       s"div (${mx - mn + 1L}L)")
   }
 
+  /** Default key width for [[zorderKey]] (single-sourced into the
+    * oracle). 2·16 = 32 z-bits: 65 536 buckets per dimension. */
+  val KeyBits = 16
+
+  /** H query (round 10): the z-key computation as a FIRST-CLASS
+    * oracle-gated query — for every event, its (user_id, event-second)
+    * bucket ids and the interleaved Morton z-value that
+    * [[writeZOrdered]] lays files out by. This is the inspectable
+    * core of the layout operator: a layout job debugger looks at
+    * exactly this frame ("which z-range does this row land in, and
+    * are the buckets balanced") before paying for a rewrite.
+    *
+    * Fully declarative: the min/max stats pass stays IN the plan as a
+    * 1-row aggregate crossJoin-broadcast (the writer variant collects
+    * it driver-side because the write API needs literals; the query
+    * form needs nothing outside Catalyst). Everything downstream is
+    * integer algebra — `div` bucketization, shift/mask/or interleave
+    * — bit-identical in DuckDB (`//`, `>>`, `&`, `|` on BIGINT), so
+    * the whole 32-bit key hash-gates exactly. One scan, one 1-row
+    * aggregate exchange, zero other shuffles before the output sort. */
+  def zorderKey(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val e = graft.Tables(spark, dir).events
+      .select(col("event_id"), col("user_id").cast("bigint").as("ua"),
+        graft.Tables.tsNsToSec("ts").as("sec"))
+    val stats = e.agg(
+      min(col("ua")).as("mna"), max(col("ua")).as("mxa"),
+      min(col("sec")).as("mnb"), max(col("sec")).as("mxb"))
+    val n = 1L << KeyBits
+    e.crossJoin(broadcast(stats))
+      .withColumn("bucket_user",
+        expr(s"((ua - mna) * ${n}L) div (mxa - mna + 1L)"))
+      .withColumn("bucket_sec",
+        expr(s"((sec - mnb) * ${n}L) div (mxb - mnb + 1L)"))
+      .select(col("event_id"), col("bucket_user"), col("bucket_sec"),
+        zValue(col("bucket_user"), col("bucket_sec"), KeyBits).as("z"))
+      .orderBy(col("event_id"))
+  }
+
   /** Write `df` z-ordered by two long columns into `nFiles` files:
     * stats pass (min/max of both columns) → z-value → range
     * repartition (contiguous z-ranges per file) → sort within file →

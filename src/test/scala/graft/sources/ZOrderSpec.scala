@@ -78,4 +78,24 @@ class ZOrderSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
     assert(back.toSeq == orig.toSeq)
   }
+
+  test("zorder_key query: z equals a driver-side reference interleave " +
+      "and is monotone-consistent with the bucket grid") {
+    val rows = ZOrder.zorderKey(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    def ref(a: Long, b: Long): Long =
+      (0 until ZOrder.KeyBits).foldLeft(0L) { (acc, i) =>
+        acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      }
+    rows.foreach { case (id, ba, bb, z) =>
+      assert(ba >= 0 && ba < (1L << ZOrder.KeyBits), s"event $id bucket_user $ba")
+      assert(bb >= 0 && bb < (1L << ZOrder.KeyBits), s"event $id bucket_sec $bb")
+      assert(z === ref(ba, bb), s"event $id: z $z != reference ${ref(ba, bb)}")
+    }
+    // the interleave is a bijection on the grid: distinct (ba, bb)
+    // pairs get distinct z values
+    assert(rows.map(r => (r._2, r._3)).distinct.length ===
+      rows.map(_._4).distinct.length)
+  }
 }
