@@ -121,6 +121,42 @@ object Oracles {
         |ORDER BY event_id""".stripMargin
     },
 
+    // CUBE with per-column grouping() flags (composite grouping_id
+    // bit order is engine-defined; the per-column 0/1 flag is
+    // SQL-standard and cross-engine).
+    "q26_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  grouping(l_returnflag)::int AS g_rf,
+        |  grouping(l_linestatus)::int AS g_ls,
+        |  round(sum(l_quantity), 4) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST,
+        |         l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    // H4 snapshot diff: both snapshots derive from doc_id algebra
+    // (single-sourced semantics with Profile.snapshotDiff); the
+    // status CASE is wrapped so the filter needn't repeat it.
+    "snapshot_diff" ->
+      """WITH a AS (
+        |  SELECT doc_id, md5(text) AS md5_a
+        |  FROM documents WHERE doc_id % 7 <> 3),
+        |b AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+        |        ELSE text END) AS md5_b
+        |  FROM documents WHERE doc_id % 11 <> 7),
+        |d AS (
+        |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |    CASE WHEN a.doc_id IS NULL THEN 'added'
+        |         WHEN b.doc_id IS NULL THEN 'removed'
+        |         WHEN md5_a <> md5_b THEN 'changed' END AS status,
+        |    md5_a, md5_b
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT doc_id, status, md5_a, md5_b
+        |FROM d WHERE status IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+
     "q2_topk_window" ->
       """SELECT * FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
@@ -1340,6 +1376,26 @@ object Oracles {
 
     "sample_stratified" -> stratifiedSampleSql,
 
+    // J9 exact-k stratified sample: full-width md5 draw, per-lang
+    // row_number over the (draw, doc_id) total order, rank ≤ k. Salt
+    // and k single-sourced from Sampling.
+    "sample_exact_k" -> {
+      val seed = graft.operators.Sampling.ExactKSeed
+      val k = graft.operators.Sampling.ExactK
+      s"""WITH drawn AS (
+         |  SELECT doc_id, lang,
+         |    md5('$seed' || doc_id::varchar) AS draw
+         |  FROM documents),
+         |r AS (
+         |  SELECT lang, doc_id, draw,
+         |    row_number() OVER (PARTITION BY lang
+         |                       ORDER BY draw, doc_id)::int AS rk
+         |  FROM drawn)
+         |SELECT lang, rk, doc_id, draw FROM r
+         |WHERE rk <= $k
+         |ORDER BY lang, rk""".stripMargin
+    },
+
     // J7 training-shard shuffle: shard = hex prefix of the salted
     // md5, pos = rank of the full hash within the shard. Salt and
     // prefix width single-sourced from Sampling; fixed-width
@@ -1558,11 +1614,12 @@ object Oracles {
     * Spark's replace-all default. SHARED by the E11 batch entry and
     * the G14 stream_pii entry — the stateless streaming scrub must
     * reproduce this exactly. */
-  private def piiSql: String = {
-    val email = graft.functions.TextQueries.EmailRe
-    val phone = graft.functions.TextQueries.PhoneRe
-    val ip = graft.functions.TextQueries.IpRe
-    s"""WITH aug AS (
+  /** E11's deterministic augmentation as a reusable CTE over any
+    * (doc_id, text) source — TextQueries.piiAugmented's integer
+    * algebra verbatim. Shared by the E11/G14 scrub oracle and the
+    * G17 composed ingest-gate oracle (stream_curate). */
+  private def piiAugCte(src: String): String =
+    s"""aug AS (
       |  SELECT doc_id,
       |    text
       |    || CASE WHEN doc_id % 3 <> 0
@@ -1582,15 +1639,31 @@ object Oracles {
       |           || ((doc_id*23) % 256)::varchar || '.'
       |           || ((doc_id*29) % 256)::varchar
       |         ELSE '' END AS pii_text
-      |  FROM documents),
-      |red AS (
+      |  FROM $src)""".stripMargin
+
+  /** The fixed-order email→phone→IP redaction over `aug` — the SQL
+    * sibling of TextQueries.piiRedacted. */
+  private def piiRedCte: String = {
+    val email = graft.functions.TextQueries.EmailRe
+    val phone = graft.functions.TextQueries.PhoneRe
+    val ip = graft.functions.TextQueries.IpRe
+    s"""red AS (
       |  SELECT doc_id, pii_text,
       |    regexp_replace(regexp_replace(regexp_replace(pii_text,
       |      '$email', '<EMAIL>', 'g'),
       |      '$phone', '<PHONE>', 'g'),
       |      '$ip', '<IP>', 'g') AS redacted
-      |  FROM aug)
-      |SELECT doc_id,
+      |  FROM aug)""".stripMargin
+  }
+
+  private def piiSql: String = {
+    val email = graft.functions.TextQueries.EmailRe
+    val phone = graft.functions.TextQueries.PhoneRe
+    val ip = graft.functions.TextQueries.IpRe
+    // helpers are concatenated pre-stripped: interpolating them into
+    // a stripMargin template would eat the first '|' of every '||'
+    "WITH " + piiAugCte("documents") + ",\n" + piiRedCte + "\n" +
+    s"""SELECT doc_id,
       |  len(regexp_extract_all(pii_text, '$email'))::int AS n_emails,
       |  len(regexp_extract_all(pii_text, '$phone'))::int AS n_phones,
       |  len(regexp_extract_all(pii_text, '$ip'))::int AS n_ips,
@@ -2191,6 +2264,45 @@ object Oracles {
     // The stateful funnel's batch mode must equal the B-section
     // aggregate-join funnel — same shared SQL.
     "stream_funnel" -> funnelSql,
+
+    // G17 composed ingest gate: replayed feed (re-crawls under a
+    // 3·5·7-aligned id offset draw the same PII gates, different PII
+    // values) → E11 scrub (shared aug/red CTEs) → E2 quality floor
+    // over the REDACTED text (raw-value floor, rounded output) →
+    // min-doc_id per post-scrub hash. The replays are byte-distinct
+    // before the scrub and identical after it — the dedup stage is
+    // provably active at every SF.
+    "stream_curate" -> {
+      val email = graft.functions.TextQueries.EmailRe
+      val phone = graft.functions.TextQueries.PhoneRe
+      val ip = graft.functions.TextQueries.IpRe
+      val off = graft.streaming.Streams.ReingestOffset
+      val minQ = graft.operators.Curate.MinQuality
+      s"""WITH feed AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $off AS doc_id, text FROM documents
+         |  WHERE doc_id % 10 = 6),""".stripMargin + "\n" +
+      piiAugCte("feed") + ",\n" + piiRedCte + ",\n" +
+      """red_docs AS (
+         |  SELECT doc_id, redacted AS text, '' AS lang FROM red),""".stripMargin +
+      "\n" + qualityBaseCte("red_docs") + ",\n" +
+      s"""scored AS (
+         |  SELECT b.doc_id,
+         |    md5(b.text) AS text_hash,
+         |    (len(regexp_extract_all(r.pii_text, '$email'))
+         |     + len(regexp_extract_all(r.pii_text, '$phone'))
+         |     + len(regexp_extract_all(r.pii_text, '$ip')))::int
+         |      AS n_pii,
+         |    $qualityExpr AS q_raw
+         |  FROM q_base b JOIN red r ON b.doc_id = r.doc_id),
+         |kept AS (
+         |  SELECT *, min(doc_id) OVER (PARTITION BY text_hash) AS rep
+         |  FROM scored WHERE q_raw >= $minQ)
+         |SELECT doc_id, text_hash, n_pii, round(q_raw, 4) AS quality
+         |FROM kept WHERE doc_id = rep
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // Likewise: the stateful first-activity stream aggregated in
     // batch mode must equal the B-section retention window form.

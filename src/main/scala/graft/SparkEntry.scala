@@ -49,9 +49,11 @@ object SparkEntry {
     "q12_approx_distinct"    -> Relational.q12ApproxDistinct,
     "q24_set_ops"        -> Relational.q24SetOps,
     "q25_range_window"   -> Relational.q25RangeWindow,
+    "q26_cube"           -> Relational.q26Cube,
     "table_profile"      -> (graft.operators.Profile.tableProfile(_, _)),
     "table_profile_typed" -> (graft.operators.Profile.tableProfileTyped(_, _)),
     "table_skew"          -> (graft.operators.Profile.tableSkew(_, _)),
+    "snapshot_diff"       -> (graft.operators.Profile.snapshotDiff(_, _)),
     "zorder_key"          -> (graft.sources.ZOrder.zorderKey(_, _)),
     "asof_join"          -> (AsOfJoin.purchasesAsOfSignup(_, _)),
     "range_join"         -> (graft.operators.RangeJoin.eventsInWindows(_, _)),
@@ -98,6 +100,7 @@ object SparkEntry {
     "dedup_components"    -> Dedup.dedupComponents,
     "dedup_incremental"   -> (graft.operators.Incremental.dedupIncremental(_, _)),
     "sample_stratified"   -> (graft.operators.Sampling.sampleStratified(_, _)),
+    "sample_exact_k"      -> (graft.operators.Sampling.sampleExactK(_, _)),
     "pack_sequences"      -> (graft.operators.Sampling.packSequences(_, _)),
     "mix_sources"         -> (graft.operators.Sampling.mixSources(_, _)),
     "mix_epochs"          -> (graft.operators.Sampling.mixEpochs(_, _)),
@@ -138,7 +141,8 @@ object SparkEntry {
     "stream_join"         -> Streams.streamJoin,
     "stream_pii"          -> Streams.streamPii,
     "stream_bm25"         -> Streams.streamBm25,
-    "stream_decontaminate" -> Streams.streamDecontaminate
+    "stream_decontaminate" -> Streams.streamDecontaminate,
+    "stream_curate"       -> Streams.streamCurate
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

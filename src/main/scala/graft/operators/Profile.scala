@@ -183,4 +183,45 @@ object Profile {
         round((topCnt * col("n_keys")) / col("n_rows"), 4)
           .as("skew_ratio"))
   }
+
+  // ----- snapshot diff ---------------------------------------------
+
+  /** H query entry 4: corpus snapshot delta — diff "yesterday's"
+    * snapshot A against "today's" snapshot B before promoting a new
+    * crawl: which docs were added, removed, or content-changed. The
+    * promotion gate every versioned-corpus pipeline runs (and the
+    * input to dedup_incremental's "only process the delta" step).
+    *
+    * The corpus ships a single snapshot, so both sides derive
+    * deterministically from doc_id algebra (the synthesized-corpus
+    * pattern of mm_resize / text_pii): A omits doc_id % 7 = 3
+    * (docs that hadn't been crawled yet), B omits doc_id % 11 = 7
+    * (docs dropped since) and re-crawled doc_id % 5 = 0 with a
+    * ' v2' suffix — all four outcomes (added / removed / changed /
+    * unchanged) occur at every SF.
+    *
+    * Scale shape: each side is projected to (doc_id, md5) BEFORE the
+    * join — the full-outer exchange carries 32-hex digests, never
+    * document text; at catalog scale both snapshots are bucketed by
+    * doc_id and the join is a zero-exchange sort-merge (SinksSpec's
+    * co-bucketed pattern). Output is the delta only — the report a
+    * gate reads; unchanged docs are the boring majority and stay out
+    * of the result. Exact string algebra ⇒ full hash gate. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val a = docs.filter(col("doc_id") % 7 =!= 3)
+      .select(col("doc_id"), md5(col("text")).as("md5_a"))
+    val b = docs.filter(col("doc_id") % 11 =!= 7)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text"))).as("md5_b"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("md5_a").isNull, lit("added"))
+          .when(col("md5_b").isNull, lit("removed"))
+          .when(col("md5_a") =!= col("md5_b"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(col("doc_id"), col("status"), col("md5_a"), col("md5_b"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -438,4 +438,28 @@ object Relational {
            round(sum(col("value")), 4).as("sum_value"))
       .orderBy(col("k"))
   }
+
+  /** GROUP BY CUBE — all 2^k grouping combinations in one Expand
+    * pass, completing the rollup (q9) / grouping-sets (q21) / cube
+    * trio. The `grouping()` flags disambiguate a NULL subtotal row
+    * from genuinely-NULL data; they are emitted as explicit per-column
+    * 0/1 ints rather than one `grouping_id()` because the composite
+    * id's bit order is engine-defined, while the per-column flag is
+    * SQL-standard and hash-gates cross-engine. Same scale shape as
+    * rollup: ONE Expand (4 grouping sets → 4× the filtered rows
+    * map-side) into one map-side-combined aggregate over a tiny key
+    * space — no extra exchanges vs a plain groupBy. */
+  def q26Cube(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    li.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).cast("int").as("g_rf"),
+           grouping(col("l_linestatus")).cast("int").as("g_ls"),
+           round(sum(col("l_quantity")), 4).as("sum_qty"),
+           count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+              col("g_rf"), col("g_ls"), col("sum_qty"), col("n_rows"))
+      .orderBy(col("g_rf"), col("g_ls"),
+               col("l_returnflag").asc_nulls_first,
+               col("l_linestatus").asc_nulls_first)
+  }
 }

@@ -80,6 +80,44 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Salt for [[sampleExactK]] — independent draw from [[Seed]]. */
+  val ExactKSeed = "graft-exactk-7:"
+
+  /** Per-stratum sample size for [[sampleExactK]]. Below every
+    * stratum's population at every SF (the smallest sf0.01 language
+    * holds ~50 docs), so the cut always discriminates. */
+  val ExactK = 40
+
+  /** J9: exact-k deterministic stratified sample — when the contract
+    * is "exactly k docs per language" (eval slices, human-review
+    * batches, few-shot pools), not a keep-rate. Each doc draws the
+    * FULL 32-hex md5 of (salt ‖ doc_id) and a per-stratum
+    * row_number over the (draw, doc_id) total order keeps rank ≤ k:
+    * a salt-determined uniform-without-replacement choice,
+    * re-runnable and independent of [[sampleStratified]]'s draw.
+    *
+    * Scale shape: ONE lang exchange for the per-stratum window, and
+    * Catalyst plans the rank-≤-k filter as WindowGroupLimit — every
+    * map task pre-cuts to its local top-k per stratum BEFORE the
+    * exchange, so the shuffle carries O(k · tasks) rows, not the
+    * corpus (node + row bound asserted in SamplingSpec). The
+    * rate-based [[sampleStratified]] stays the zero-shuffle 100 TB
+    * default; this is its exact-k sibling paying the honest
+    * per-stratum top-k cost. Fixed-width-hex draw ⇒ bit-exact
+    * cross-engine, full hash gate. */
+  def sampleExactK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(spark, dir).documents
+    val drawn = d.select(col("doc_id"), col("lang"),
+      md5(concat(lit(ExactKSeed), col("doc_id").cast("string"))).as("draw"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("draw"), col("doc_id"))
+    drawn.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= ExactK)
+      .select(col("lang"), col("rk"), col("doc_id"), col("draw"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   /** Salt for [[mixSources]] — independent draw from [[Seed]]. */
   val MixSeed = "graft-mix-7:"
 

@@ -1013,4 +1013,103 @@ object Streams {
         round(col("session_value"), 4).as("session_value"))
       .orderBy(col("user_id"), col("session_id"))
   }
+
+  // ----- G17: composed ingest-time curation gate -------------------
+
+  /** A post-scrub document entering [[curateFn]]'s stateful dedup
+    * stage (public: the streaming state encoder's generated code
+    * cannot see a private class). */
+  final case class CurDoc(doc_id: Long, text_hash: String,
+      n_pii: Int, quality: Double)
+
+  /** Re-ingest offset for [[streamCurate]]'s replay feed. Divisible
+    * by 3·5·7 so a replayed doc draws the SAME PII augmentation
+    * GATES as its original (email/phone/IP present or not), while
+    * the synthesized values themselves (local part, phone digits)
+    * differ — the two copies are distinct strings BEFORE the scrub
+    * and byte-identical AFTER it. */
+  val ReingestOffset = 1050000L
+
+  /** The deterministic ingest feed: every document, plus a "crawled
+    * again" replay of each doc_id % 10 = 6 doc under a new id. The
+    * corpus ships no exact duplicates at small SF, so without the
+    * replay the dedup stage would be vacuous at the gate scale; with
+    * it, scrub-then-dedup provably collapses pairs at every SF. */
+  def curateFeed(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .unionAll(
+        docs.filter(col("doc_id") % 10 === 6)
+          .select((col("doc_id") + ReingestOffset).as("doc_id"),
+            col("text")))
+
+  /** G17 stateless prefix: PII scrub (E11's augment + redact,
+    * single-sourced from TextQueries) → quality floor over the
+    * SCRUBBED text (the gate scores what it would keep — Curate's
+    * E2 expression tree over the redacted string, same MinQuality
+    * floor). Everything here is per-row codegen'd builtins: at
+    * 100 TB this prefix is map-only work with zero shuffles. */
+  def curatePrep(feed: DataFrame): DataFrame = {
+    import graft.functions.{TextFunctions => T, TextQueries => TQ}
+    val aug = feed.select(col("doc_id"),
+      TQ.piiAugmented(col("doc_id"), col("text")).as("pii_text"))
+    val red = aug.select(col("doc_id"), col("pii_text"),
+      TQ.piiRedacted(col("pii_text")).as("red"))
+    val nTok = T.wsTokenCount(col("red"))
+    val stopRatio = T.tokenCountIn(col("red"), T.EnStopwords) / nTok
+    val punctRatio = T.punctCount(col("red")) / length(col("red"))
+    val nPii = (regexp_count(col("pii_text"), lit(TQ.EmailRe)) +
+      regexp_count(col("pii_text"), lit(TQ.PhoneRe)) +
+      regexp_count(col("pii_text"), lit(TQ.IpRe))).cast("int")
+    red.select(col("doc_id"),
+        md5(col("red")).as("text_hash"),
+        nPii.as("n_pii"),
+        T.qualityScore(nTok, stopRatio, punctRatio).as("q_raw"))
+      // floor on the RAW value (Curate's convention — the rounded
+      // form is presentation only), round for output
+      .filter(col("q_raw") >= graft.operators.Curate.MinQuality)
+      .select(col("doc_id"), col("text_hash"), col("n_pii"),
+        round(col("q_raw"), 4).as("quality"))
+  }
+
+  /** G17 dedup core: first (min doc_id) doc per POST-SCRUB content
+    * hash — the privacy-correct order (two docs differing only in
+    * their PII are the same document once scrubbed; deduping
+    * pre-scrub would keep both). Same one-long-per-key state shape
+    * as [[dedupFn]]. */
+  def curateFn(hash: String, docs: Iterator[CurDoc],
+      state: GroupState[SeenRep]): Iterator[CurDoc] =
+    if (state.exists) {
+      docs.foreach(_ => ())
+      Iterator.empty
+    } else {
+      val rep = docs.minBy(_.doc_id)
+      state.update(SeenRep(rep.doc_id))
+      Iterator(rep)
+    }
+
+  /** Shared stateful stage over the prepped stream (batch or
+    * streaming — one transform, two execution modes). */
+  def curateStateful(docs: Dataset[CurDoc]): Dataset[CurDoc] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.text_hash)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        curateFn)
+  }
+
+  /** G17 batch entry: the whole ingest gate — scrub → quality floor
+    * → exact-dup suppression — as ONE pass over the replayed feed.
+    * In batch mode each hash group arrives in one call, so the kept
+    * set is min doc_id per redacted hash over the floor survivors,
+    * which is the SQL oracle. The replayed copies are dropped HERE
+    * (not by the floor): they differ pre-scrub, collide post-scrub. */
+  def streamCurate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val prepped = curatePrep(curateFeed(Tables(spark, dir).documents))
+      .as[CurDoc]
+    curateStateful(prepped)
+      .toDF()
+      .select(col("doc_id"), col("text_hash"), col("n_pii"),
+        col("quality"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -119,4 +119,36 @@ class ProfileSpec extends SparkSuite {
       .agg(countDistinct(col("us"))).head().getLong(0)
     assert(rows(("events", "ts"))._3 == microDistinct)
   }
+
+  test("snapshot_diff statuses match the membership algebra exactly") {
+    val ids = graft.Tables(spark, sfDir).documents
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val got = Profile.snapshotDiff(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    ids.foreach { id =>
+      val inA = id % 7 != 3
+      val inB = id % 11 != 7
+      val expect =
+        if (!inA && inB) Some("added")
+        else if (inA && !inB) Some("removed")
+        else if (inA && inB && id % 5 == 0) Some("changed")
+        else None
+      assert(got.get(id) === expect, s"doc $id")
+    }
+    // no phantom rows, and all three delta kinds actually occur
+    assert(got.keySet.subsetOf(ids.toSet))
+    assert(got.values.toSet === Set("added", "removed", "changed"))
+  }
+
+  test("snapshot_diff hash columns reflect membership, never text") {
+    val rows = Profile.snapshotDiff(spark, sfDir).collect()
+    rows.foreach { r =>
+      val (status, a, b) = (r.getString(1), r.getString(2), r.getString(3))
+      status match {
+        case "added"   => assert(a == null && b != null)
+        case "removed" => assert(a != null && b == null)
+        case "changed" => assert(a != null && b != null && a != b)
+      }
+    }
+  }
 }

@@ -357,4 +357,43 @@ class SamplingSpec extends SparkSuite {
         s"$k pos must be contiguous from 1")
     }
   }
+
+  test("sample_exact_k keeps exactly min(k, stratum) per language, dense ranks") {
+    val strata = graft.Tables(spark, sfDir).documents
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Sampling.sampleExactK(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val perLang = got.groupBy(_._1)
+    assert(perLang.keySet === strata.keySet)
+    perLang.foreach { case (lang, rows) =>
+      val want = math.min(Sampling.ExactK.toLong, strata(lang))
+      assert(rows.length.toLong === want,
+        s"$lang: got ${rows.length}, want exactly $want")
+      assert(rows.map(_._2).sorted.toSeq === (1 to rows.length).toSeq,
+        s"$lang ranks must be dense from 1")
+    }
+    // an independent draw from sampleStratified's salt: the kept sets
+    // must not coincide (same-salt reuse would correlate samples)
+    val strat = Sampling.sampleStratified(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.map(_._3).toSet != strat)
+  }
+
+  test("sample_exact_k re-runs identically (salt-determined)") {
+    val a = Sampling.sampleExactK(spark, sfDir).collect().toSeq
+    val b = Sampling.sampleExactK(spark, sfDir).collect().toSeq
+    assert(a === b)
+  }
+
+  test("sample_exact_k plans a WindowGroupLimit: shards pre-cut to top-k") {
+    // the rank<=k filter must rewrite to a WindowGroupLimit so each
+    // map task keeps at most k rows per stratum BEFORE the lang
+    // exchange — the property that makes the exact-k sample viable
+    // when a stratum holds billions of rows
+    val plan = Sampling.sampleExactK(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in:\n$plan")
+  }
 }

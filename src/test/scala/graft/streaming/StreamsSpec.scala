@@ -983,4 +983,78 @@ class StreamsSpec extends SparkSuite {
         "the windowed tf aggregation is the one stateful stage")
     } finally query.stop()
   }
+
+  test("streaming curate equals batch; replays suppressed across batches") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    val expected = Streams.streamCurate(spark, sfDir).collect()
+      .map(r => Streams.CurDoc(r.getLong(0), r.getString(1),
+        r.getInt(2), r.getDouble(3))).toSeq
+    val prepped = Streams.curatePrep(
+        Streams.curateFeed(graft.Tables(spark, sfDir).documents))
+      .as[Streams.CurDoc].collect().sortBy(_.doc_id)
+    // every replay arrives a LATER batch than its original: the
+    // suppression must come from the state store, not from
+    // within-batch grouping
+    val (orig, replays) =
+      prepped.partition(_.doc_id < Streams.ReingestOffset)
+    assert(replays.nonEmpty, "fixture must exercise the replay path")
+    val stream = MemoryStream[Streams.CurDoc]
+    val query = Streams.curateStateful(stream.toDS())
+      .writeStream.format("memory").queryName("curate")
+      .outputMode("append").start()
+    try {
+      orig.grouped(math.max(1, orig.length / 2)).foreach { b =>
+        stream.addData(b.toSeq); query.processAllAvailable()
+      }
+      stream.addData(replays.toSeq)
+      query.processAllAvailable()
+      val got = s.table("curate").as[Streams.CurDoc]
+        .collect().sortBy(_.doc_id).toSeq
+      assert(got === expected)
+      // no replay survives: each collides with its original post-scrub
+      assert(got.forall(_.doc_id < Streams.ReingestOffset))
+    } finally query.stop()
+  }
+
+  test("curate scrub collapses replays that differ pre-scrub") {
+    val s = spark; import s.implicits._
+    val docs = graft.Tables(spark, sfDir).documents
+    val feed = Streams.curateFeed(docs)
+    // pre-scrub: a replay's augmented text differs from its
+    // original's (different synthesized PII values)
+    import graft.functions.{TextQueries => TQ}
+    val aug = feed.select(col("doc_id"),
+        md5(TQ.piiAugmented(col("doc_id"), col("text"))).as("aug_md5"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // post-scrub: the prepped hashes coincide
+    val prepped = Streams.curatePrep(feed).as[Streams.CurDoc]
+      .collect().map(d => d.doc_id -> d.text_hash).toMap
+    val replayIds = aug.keySet.filter(_ >= Streams.ReingestOffset)
+    assert(replayIds.nonEmpty)
+    // replay pairs WITH a synthesized email differ pre-scrub (the
+    // address embeds the full doc_id); email-less pairs may be plain
+    // byte-identical re-crawls — both kinds must collide post-scrub
+    val differing = replayIds.filter(rid =>
+      aug(rid) != aug(rid - Streams.ReingestOffset))
+    assert(differing.nonEmpty,
+      "some replays must be PII-distinct before the scrub")
+    // exactly the email- or IP-bearing replays differ: the email
+    // embeds the full doc_id; the IP octets shift with the offset;
+    // the phone's last-4 digits do NOT (ReingestOffset·7 ≡ 0 mod 10⁴)
+    assert(differing ==
+      replayIds.filter(rid => (rid % 3) != 0 || (rid % 7) == 0),
+      "exactly the email/IP-bearing replays differ pre-scrub")
+    replayIds.foreach { rid =>
+      val oid = rid - Streams.ReingestOffset
+      (prepped.get(rid), prepped.get(oid)) match {
+        case (Some(rh), Some(oh)) =>
+          assert(rh == oh, s"replay $rid must collide with $oid post-scrub")
+        case (r, o) => assert(r.isEmpty == o.isEmpty,
+          "floor must pass/fail a replay pair together")
+      }
+    }
+    // the floor is active on this fixture (some docs dropped)
+    assert(prepped.size < aug.size)
+  }
 }
