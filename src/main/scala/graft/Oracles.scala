@@ -749,6 +749,42 @@ object Oracles {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
+    // E15 winnowing: per-occurrence gram polyhashes via the same
+    // list_reduce fold as text_fingerprint (constants single-sourced
+    // from TextQueries/TextFunctions), sliding-window minima via
+    // 1-based inclusive list slices, order-free set reductions.
+    "text_winnow" -> {
+      val n = graft.functions.TextQueries.WinnowN
+      val w = graft.functions.TextQueries.WinnowW
+      val mod = graft.functions.TextFunctions.FpMod
+      val gram = (1 to n - 1).foldLeft("w[i]") {
+        (acc, k) => s"$acc || ' ' || w[i+$k]" }
+      raw"""WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[ 	
+
+]+'),
+        |                x -> x <> '') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    [list_reduce(list_transform(string_split($gram, ''),
+        |                                c -> ascii(c)::bigint),
+        |                 (a, b) -> (a * 31 + b) % $mod)
+        |     FOR i IN range(1, len(w) - ${n - 2})] AS hs
+        |  FROM toks WHERE len(w) >= $n),
+        |wins AS (
+        |  SELECT doc_id, len(hs) AS n_grams,
+        |    list_distinct([list_min(hs[i:i+${w - 1}])
+        |                   FOR i IN range(1, len(hs) - ${w - 2})]) AS fps
+        |  FROM g WHERE len(hs) >= $w)
+        |SELECT doc_id, n_grams::int AS n_grams, len(fps)::int AS n_fp,
+        |  list_reduce(fps, (a, b) -> xor(a, b)) AS fp_xor,
+        |  list_min(fps) AS fp_min
+        |FROM wins
+        |ORDER BY doc_id""".stripMargin
+    },
+
     // E5: rational-idf tf-idf (no ln — see TextQueries.textTfidf: IEEE
     // + * / are correctly rounded, so the hash gate is exact). The
     // division operands are BIGINT on both sides; DuckDB's `/` (like

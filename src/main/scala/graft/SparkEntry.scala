@@ -77,6 +77,7 @@ object SparkEntry {
     "text_quality"       -> TextQueries.textQuality,
     "text_langid"        -> TextQueries.textLangid,
     "text_fingerprint"   -> TextQueries.textFingerprint,
+    "text_winnow"        -> TextQueries.textWinnow,
     "text_tfidf"         -> TextQueries.textTfidf,
     "text_bm25"          -> TextQueries.textBm25,
     "text_repetition"    -> TextQueries.textRepetition,

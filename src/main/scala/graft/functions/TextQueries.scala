@@ -71,6 +71,41 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Winnowing parameters: word-[[WinnowN]]-gram hashes, sliding
+    * window of [[WinnowW]] — any shared run of W+N−1 = 6 tokens
+    * between two documents shares a fingerprint (the winnowing
+    * guarantee). Hash constants shared with [[TextFunctions.FpMod]]
+    * so the oracle reproduces every hash. */
+  val WinnowN = 3
+  val WinnowW = 4
+
+  /** E15: winnowing document fingerprints (Schleimer et al., SIGMOD
+    * 2003 — the MOSS algorithm): select the minimum gram hash of
+    * every sliding window; the distinct minima are the document's
+    * fingerprint set — E4's single-value fingerprint generalized to
+    * a set with a locality guarantee (plagiarism/boilerplate
+    * detection picks ~1/W of the grams yet cannot miss a 6-token
+    * overlap). Output pins the SET via order-free reductions (count,
+    * xor-fold, min) instead of shipping it.
+    *
+    * One fused generated loop per row ([[WinnowStats]] — tokenize →
+    * per-occurrence gram polyhash → sliding min → distinct stats);
+    * zero shuffles, embarrassingly parallel at any corpus size.
+    * Integer hash algebra mirrored by the oracle's list_reduce ⇒
+    * full hash gate. */
+  def textWinnow(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val st = WinnowStats(col("text"), WinnowN, WinnowW, 31L, T.FpMod)
+    d.select(col("doc_id"), st.as("st"))
+      .select(col("doc_id"),
+        element_at(col("st"), 1).cast("int").as("n_grams"),
+        element_at(col("st"), 2).cast("int").as("n_fp"),
+        element_at(col("st"), 3).as("fp_xor"),
+        element_at(col("st"), 4).as("fp_min"))
+      .filter(col("n_grams") >= WinnowW)
+      .orderBy(col("doc_id"))
+  }
+
   /** E5: per-document top-3 keywords by TF-IDF over the whole corpus.
     *
     * Word-count-shaped and fully shuffle-parallel: explode tokens map

@@ -90,4 +90,55 @@ class NativeExprSpec extends SparkSuite {
       HashFunctions.MinHashPrime)).head().getSeq[Long](0)
     assert(sig === Seq(22L, 37L)) // min(3*7+1, 3*11+1)=22; min(5*7+2, 5*11+2)=37
   }
+
+  /** Driver-side winnowing replica: gram polyhashes → window minima
+    * → the distinct fingerprint set. */
+  private def winnowRef(text: String, n: Int, w: Int): Set[Long] = {
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    val m = toks.length - n + 1
+    if (m < w) return Set.empty
+    val hs = (0 until m).map { i =>
+      toks.slice(i, i + n).mkString(" ")
+        .foldLeft(0L)((a, c) => (a * 31L + c.toLong) % TextFunctions.FpMod)
+    }
+    (0 to m - w).map(p => hs.slice(p, p + w).min).toSet
+  }
+
+  test("WinnowStats matches the reference set reductions; guarantee holds") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    def gen(n: Int) =
+      Vector.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    // a shared run of exactly W+N-1 = 6 tokens: the winnowing
+    // guarantee promises >= 1 common fingerprint
+    val shared = "one two three four five six"
+    val docs = Seq.tabulate(30)(i => (i.toLong, gen(2 + rnd.nextInt(40)))) ++
+      Seq((100L, gen(10) + " " + shared + " " + gen(7)),
+          (101L, gen(5) + " " + shared))
+    val got = docs.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        WinnowStats(col("text"), 3, 4, 31L, TextFunctions.FpMod).as("st"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    docs.foreach { case (id, text) =>
+      val fps = winnowRef(text, 3, 4)
+      val m = math.max(text.split("\\s+").count(_.nonEmpty) - 2, 0)
+      val want =
+        if (fps.isEmpty) Seq(m.toLong, 0L, 0L, 0L)
+        else Seq(m.toLong, fps.size.toLong, fps.reduce(_ ^ _), fps.min)
+      assert(got(id) === want, s"doc $id")
+    }
+    assert(winnowRef(docs.find(_._1 == 100L).get._2, 3, 4)
+      .intersect(winnowRef(docs.find(_._1 == 101L).get._2, 3, 4)).nonEmpty,
+      "a 6-token shared run must share a fingerprint")
+  }
+
+  test("text_winnow is a zero-shuffle map-only scan") {
+    val plan = graft.functions.TextQueries.textWinnow(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"),
+      s"unexpected hash shuffle:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"unexpected agg:\n$plan")
+  }
 }
