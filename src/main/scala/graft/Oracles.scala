@@ -2209,6 +2209,32 @@ object Oracles {
     // inflating, and defiltering a real PNG, while this oracle knows
     // them directly from the construction rule — any decode bug
     // breaks the hash.
+    // F5: the WAV construction rule re-derived per sample — the
+    // operator's real chunk-walk + PCM16 parse must land on exactly
+    // these integers (junk-chunk skipping and two's-complement LE
+    // decode are proven by the match).
+    "mm_wavstats" ->
+      raw"""WITH base AS (
+        |  SELECT doc_id, text || ' ' AS t,
+        |    (1 + (doc_id * 11) % 300)::int AS n,
+        |    (8000 * (1 + doc_id % 4))::int AS sample_rate
+        |  FROM documents
+        |  WHERE doc_id % 9 <> 4),
+        |smp AS (
+        |  SELECT doc_id, sample_rate, n,
+        |    [ ((ascii(t[((i-1) % len(t)) + 1]) * 167 + (i-1) * 31)
+        |        % 32768) - 16384
+        |      FOR i IN range(1, n + 1) ] AS s
+        |  FROM base)
+        |SELECT doc_id, sample_rate, n AS n_samples,
+        |  list_sum(s)::bigint AS sum_s,
+        |  list_min(s)::int AS min_s, list_max(s)::int AS max_s,
+        |  list_sum([x*x FOR x IN s])::bigint AS sum_sq,
+        |  len([1 FOR i IN range(1, n)
+        |       IF s[i]::bigint * s[i+1] < 0])::int AS n_zero_cross
+        |FROM smp
+        |ORDER BY doc_id""".stripMargin,
+
     "mm_resize" -> {
       // single-sourced from the operator constant, like SubstrK /
       // PackBudget / AnomalySpikeZ — a changed maxSide cannot

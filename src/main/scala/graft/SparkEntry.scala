@@ -121,9 +121,11 @@ object SparkEntry {
     "ann_ivf"             -> ((s, d) => Similarity.annIvf(s, d)),
     "ann_pq"              -> ((s, d) => Similarity.annPq(s, d)),
     "embed_cluster"       -> (graft.operators.Cluster.embedCluster(_, _)),
+    "embed_pca"           -> (graft.operators.Cluster.embedPca(_, _)),
     // §2F — multimodal binary plumbing
     "mm_meta"             -> Multimodal.mmMeta,
     "mm_decode"           -> Multimodal.mmDecode,
+    "mm_wavstats"        -> (Multimodal.mmWavStats(_, _)),
     "mm_framesample"      -> Multimodal.mmFramesample,
     "mm_resize"           -> ((s, d) => Multimodal.mmResizeQuery(s, d)),
     // §2G — streaming (batch-equivalent entries; stream path in specs)

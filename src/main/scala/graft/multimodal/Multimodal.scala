@@ -640,4 +640,142 @@ object Multimodal {
         posexplode(graft.functions.FrameHex(col("content"), 64, 16))
           .as(Seq("frame_idx", "frame_hex")))
       .orderBy(col("doc_id"), col("frame_idx"))
+
+  // ----- F5: WAV sample-domain statistics --------------------------
+
+  final case class WavStats(doc_id: Long, sample_rate: Int,
+      n_samples: Int, sum_s: Long, min_s: Int, max_s: Int,
+      sum_sq: Long, n_zero_cross: Int)
+
+  /** Synthesized sample count / rate / value rules — doc_id and text
+    * integer algebra, single-sourced into the oracle. The sample rule
+    * mixes the cycled text byte with the position so repeated chars
+    * still produce sign-varying PCM (zero crossings occur). */
+  private def wavN(id: Long): Int = (1 + (id * 11) % 300).toInt
+  private def wavRate(id: Long): Int = (8000 * (1 + id % 4)).toInt
+  private def wavSample(b: Int, i: Int): Int =
+    ((b * 167 + i * 31) % 32768) - 16384
+
+  /** LE helpers for the synthesized container. */
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  private def le32b(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+
+  /** Build one REAL RIFF/WAVE/PCM16 file for a doc: canonical fmt
+    * chunk, an optional junk LIST chunk BETWEEN fmt and data (1/3 of
+    * files — a parser that assumes data at byte 36 instead of walking
+    * chunks reads garbage and fails the hash gate), then the PCM16 LE
+    * sample stream derived from the doc's cycled text bytes. */
+  private[multimodal] def synthWav(id: Long, text: String): Array[Byte] = {
+    val t = text + " " // never-empty cycle source (the px_hex trick)
+    val n = wavN(id)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = wavSample(t.charAt(i % t.length).toInt, i)
+      val v = s & 0xFFFF // two's-complement LE int16
+      pcm(i * 2) = (v & 0xFF).toByte
+      pcm(i * 2 + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val rate = wavRate(id)
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32b(16) ++
+      le16(1) ++ le16(1) ++ le32b(rate) ++ le32b(rate * 2) ++
+      le16(2) ++ le16(16)
+    val junk =
+      if (id % 3 == 1)
+        "LIST".getBytes("US-ASCII") ++ le32b(6) ++
+          "INFO".getBytes("US-ASCII") ++
+          Array((id % 256).toByte, ((id * 3) % 256).toByte)
+      else Array.emptyByteArray
+    val data = "data".getBytes("US-ASCII") ++ le32b(n * 2) ++ pcm
+    val body = "WAVE".getBytes("US-ASCII") ++ fmt ++ junk ++ data
+    "RIFF".getBytes("US-ASCII") ++ le32b(body.length) ++ body
+  }
+
+  /** Parse a RIFF/WAVE blob by WALKING its chunk list (fmt then data,
+    * arbitrary chunks in between, even-byte padding honored) and fold
+    * the PCM16 stream into exact integer statistics in one pass.
+    * Non-WAV or malformed payloads yield None. */
+  private[multimodal] def wavStatsOf(b: MmBlob): Option[WavStats] = {
+    val a = b.content
+    if (a.length < 12 ||
+        !(a(0) == 'R' && a(1) == 'I' && a(2) == 'F' && a(3) == 'F') ||
+        !(a(8) == 'W' && a(9) == 'A' && a(10) == 'V' && a(11) == 'E'))
+      return None
+    var off = 12
+    var rate = -1
+    var bits = -1
+    var channels = -1
+    while (off + 8 <= a.length) {
+      val id = new String(a, off, 4, "US-ASCII")
+      val len = leS32(a, off + 4)
+      if (len < 0 || off + 8 + len > a.length) return None
+      if (id == "fmt ") {
+        if (len < 16) return None
+        channels = leU16(a, off + 10)
+        rate = leS32(a, off + 12)
+        bits = leU16(a, off + 22)
+      } else if (id == "data") {
+        if (rate < 0 || bits != 16 || channels != 1) return None
+        val n = len / 2
+        var sum = 0L
+        var sumSq = 0L
+        var mn = Int.MaxValue
+        var mx = Int.MinValue
+        var zc = 0
+        var prev = 0
+        var i = 0
+        while (i < n) {
+          val p = off + 8 + i * 2
+          val s = ((a(p + 1) << 8) | (a(p) & 0xFF)).toShort.toInt
+          sum += s
+          sumSq += s.toLong * s
+          if (s < mn) mn = s
+          if (s > mx) mx = s
+          if (i > 0 && prev.toLong * s < 0) zc += 1
+          prev = s
+          i += 1
+        }
+        if (n == 0) return None
+        return Some(WavStats(b.doc_id, rate, n, sum, mn, mx, sumSq, zc))
+      }
+      off += 8 + len + (len & 1) // chunks are even-byte aligned
+    }
+    None
+  }
+
+  /** F5 oracle-gated entry: sample-domain audio statistics — the
+    * first F operator past container metadata into the decoded
+    * payload itself. The corpus ships no audio rows, so the query
+    * synthesizes a deterministic WAV corpus ([[synthWav]] — real
+    * containers, 1/3 with a junk chunk the walker must skip, ~1/9 of
+    * docs staying raw text the router must drop) and runs the
+    * per-partition codec-batch stage over it: chunk walk → PCM16
+    * decode → one-pass integer fold (n, Σs, min, max, Σs², zero
+    * crossings). Everything is exact integer algebra derived from
+    * (doc_id, text), so the DuckDB twin re-derives every statistic
+    * straight from the construction rule — per-sample list
+    * comprehension, never a WAV parser — and the operator's real
+    * parse must land on the same numbers: full hash gate. Scale
+    * shape: map-only over blobs, zero shuffles before the
+    * presentation sort. */
+  def mmWavStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feed = Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+    feed.mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val blob =
+            if (id % 9 == 4) MmBlob(id, text.getBytes("UTF-8")) // raw
+            else MmBlob(id, synthWav(id, text))
+          wavStatsOf(blob)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
 }

@@ -128,4 +128,93 @@ object Cluster {
   /** Query entry (rows-only gate; properties in ClusterSpec). */
   def embedCluster(spark: SparkSession, dir: String): DataFrame =
     kmeansAssignments(spark, dir)
+
+  // ----- D8: dominant principal direction (power iteration) --------
+
+  /** One weighted vector for the power-iteration update. */
+  final case class WVec(w: Double, v: Seq[Double])
+
+  /** Elementwise Σ w·v partial aggregate — the power-iteration
+    * matvec `(XᵀX)v = Σ_x (x·v)·x` as a constant-size buffer (dim
+    * doubles): each partition folds locally, the exchange carries ONE
+    * dim-vector per partition, never the data. */
+  final class SumWeighted(dim: Int)
+      extends Aggregator[WVec, Array[Double], Seq[Double]] {
+    def zero: Array[Double] = Array.ofDim[Double](dim)
+    def reduce(acc: Array[Double], a: WVec): Array[Double] = {
+      var i = 0
+      while (i < dim) { acc(i) += a.w * a.v(i); i += 1 }
+      acc
+    }
+    def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < dim) { a(i) += b(i); i += 1 }
+      a
+    }
+    def finish(acc: Array[Double]): Seq[Double] = acc.toSeq
+    def bufferEncoder: Encoder[Array[Double]] =
+      ExpressionEncoder[Array[Double]]()
+    def outputEncoder: Encoder[Seq[Double]] =
+      ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** The dominant right singular direction of the embedding matrix by
+    * distributed power iteration: v ← normalize(Σ_x (x·v)·x), fixed
+    * iteration budget, deterministic smallest-xxhash64 start vector
+    * (the k-means init convention). Per round: ONE corpus pass — the
+    * per-row dot is the codegen'd [[V.dot]], the update is the
+    * [[SumWeighted]] partial aggregate (dim-sized buffers, single
+    * group), and the dim-vector collect is quantizer-training state,
+    * not data plane. Returns the unit direction. */
+  def powerDirection(e: DataFrame, iters: Int = 8,
+      dim: Int = 64): Array[Double] = {
+    import e.sparkSession.implicits._
+    var v: Array[Double] = e
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy(col("h")).limit(1)
+      .select(col("v")).collect()(0).getSeq[Double](0).toArray
+    def normalize(a: Array[Double]): Array[Double] = {
+      val n = math.sqrt(a.map(x => x * x).sum)
+      if (n == 0) a else a.map(_ / n)
+    }
+    v = normalize(v)
+    for (_ <- 1 to iters) {
+      val w = e.select(
+          V.dot(col("v"), centCol(v.toSeq)).as("w"), col("v"))
+        .as[WVec]
+        .groupByKey(_ => 0)
+        .agg(new SumWeighted(dim).toColumn.name("s"))
+        .collect()(0)._2
+      v = normalize(w.toArray)
+    }
+    v
+  }
+
+  /** D8 query entry: per-vector projection onto the corpus' dominant
+    * principal direction plus the residual norm — the
+    * "All-but-the-Top" (Mu & Viswanath, ICLR'18) embedding
+    * postprocessing read: a corpus whose vectors pile onto one
+    * direction carries less usable geometry; removing the common
+    * component (keeping the residual) routinely improves cosine
+    * retrieval. proj = x·v, resid = √max(‖x‖²−proj², 0).
+    *
+    * Rows-only gate (like k-means: cross-partition FP merge order is
+    * not cross-engine reproducible); ClusterSpec asserts the
+    * Rayleigh-quotient dominance of the found direction over the
+    * start vector and random probes, unit-norm, iteration
+    * monotonicity, and a driver-side projection recompute. */
+  def embedPca(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+      .select(col("vec_id"), V.toDouble(col("embedding")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val v = powerDirection(e)
+    val proj = V.dot(col("v"), centCol(v.toSeq))
+    val x2 = V.dot(col("v"), col("v"))
+    e.select(col("vec_id"), proj.as("p"), x2.as("x2"))
+      .select(col("vec_id"),
+        round(col("p"), 4).as("proj"),
+        round(sqrt(greatest(col("x2") - col("p") * col("p"), lit(0.0))), 4)
+          .as("resid_norm"))
+      .orderBy(col("vec_id"))
+  }
 }

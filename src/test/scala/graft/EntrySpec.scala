@@ -18,7 +18,7 @@ class EntrySpec extends SparkSuite {
     // seed made it fully hash-gatable)
     val declared = Set("q23_approx_percentiles", "q12_approx_distinct",
       "dedup_minhash_lsh", "dedup_simhash", "ann_lsh",
-      "embed_cluster", "stream_neardup")
+      "embed_cluster", "embed_pca", "stream_neardup")
     assert(rowsOnly == declared,
       s"undeclared rows-only queries: ${rowsOnly -- declared}; " +
         s"missing: ${declared -- rowsOnly}")

@@ -493,4 +493,69 @@ class MultimodalSpec extends SparkSuite {
       .filter(col("doc_id") === row.doc_id).select("text").head().getString(0)
     assert(new String(row.content, "UTF-8") === text)
   }
+
+  // ----- mm_wavstats -----------------------------------------------
+
+  test("wavStatsOf walks chunks: junk chunk between fmt and data is skipped") {
+    def le16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    val samples = Seq(3, -5, 0, 32767, -32768, 17)
+    val pcm = samples.flatMap(s => le16(s & 0xFFFF)).toArray
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++
+      le16(1) ++ le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)
+    val data = "data".getBytes("US-ASCII") ++ le32(pcm.length) ++ pcm
+    val junk = "LIST".getBytes("US-ASCII") ++ le32(5) ++
+      "INFOx".getBytes("US-ASCII") ++ Array(0.toByte) // odd len: pad byte
+    def wav(chunks: Array[Byte]*) = {
+      val body = "WAVE".getBytes("US-ASCII") ++ chunks.flatten
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+    val plain = Multimodal.wavStatsOf(
+      Multimodal.MmBlob(1, wav(fmt, data)))
+    val withJunk = Multimodal.wavStatsOf(
+      Multimodal.MmBlob(1, wav(fmt, junk, data)))
+    assert(plain.isDefined)
+    assert(plain == withJunk, "junk chunk must not change the stats")
+    val st = plain.get
+    assert(st.n_samples == samples.length)
+    assert(st.sum_s == samples.map(_.toLong).sum)
+    assert(st.min_s == samples.min && st.max_s == samples.max)
+    assert(st.sum_sq == samples.map(s => s.toLong * s).sum)
+    // sign transitions: 3,-5 | -5,0 no | 0,32767 no | 32767,-32768 | -32768,17
+    assert(st.n_zero_cross == 3)
+  }
+
+  test("wavStatsOf rejects raw text, truncation, and wrong formats") {
+    assert(Multimodal.wavStatsOf(
+      Multimodal.MmBlob(1, "hello world this is text".getBytes)).isEmpty)
+    val good = Multimodal.synthWav(7, "some words here")
+    assert(Multimodal.wavStatsOf(Multimodal.MmBlob(7, good)).isDefined)
+    // truncated mid-data: chunk length now exceeds the array
+    assert(Multimodal.wavStatsOf(
+      Multimodal.MmBlob(7, good.take(good.length - 3))).isEmpty)
+  }
+
+  test("mm_wavstats matches a per-doc construction-rule recompute") {
+    val texts = graft.Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = Multimodal.mmWavStats(spark, sfDir).collect()
+    val wavIds = texts.keySet.filter(_ % 9 != 4)
+    assert(got.map(_.getLong(0)).toSet == wavIds)
+    got.take(50).foreach { r =>
+      val id = r.getLong(0)
+      val t = texts(id) + " "
+      val n = (1 + (id * 11) % 300).toInt
+      val ss = (0 until n).map(i =>
+        ((t.charAt(i % t.length).toInt * 167 + i * 31) % 32768) - 16384)
+      assert(r.getInt(1) == (8000 * (1 + id % 4)).toInt)
+      assert(r.getInt(2) == n)
+      assert(r.getLong(3) == ss.map(_.toLong).sum)
+      assert(r.getInt(4) == ss.min && r.getInt(5) == ss.max)
+      assert(r.getLong(6) == ss.map(s => s.toLong * s).sum)
+      assert(r.getInt(7) == ss.sliding(2).count(p =>
+        p.length == 2 && p(0).toLong * p(1) < 0))
+    }
+  }
 }

@@ -102,4 +102,64 @@ class ClusterSpec extends SparkSuite {
       .select("cluster").distinct().count()
     assert(ks >= 2, s"expected ≥2 populated clusters, got $ks")
   }
+
+  // ----- embed_pca --------------------------------------------------
+
+  /** Rayleigh quotient vᵀ(XᵀX)v / vᵀv over the collected corpus. */
+  private def rayleigh(xs: Array[Array[Double]], v: Array[Double]): Double = {
+    val num = xs.map { x =>
+      val d = x.zip(v).map { case (a, b) => a * b }.sum
+      d * d
+    }.sum
+    num / v.map(x => x * x).sum
+  }
+
+  test("embed_pca finds a direction dominating start and random probes") {
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables(spark, sfDir).embeddings
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+    val xs = e.collect().map(_.getSeq[Double](1).toArray)
+    val v = Cluster.powerDirection(e)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9, "unit norm")
+    val rv = rayleigh(xs, v)
+    // the deterministic start vector (k-means init convention)
+    val v0 = e.withColumn("h", xxhash64(col("vec_id")))
+      .orderBy(col("h")).limit(1).select(col("v"))
+      .collect()(0).getSeq[Double](0).toArray
+    assert(rv >= rayleigh(xs, v0) - 1e-9,
+      "power iteration must not lose to its start vector")
+    val rnd = new scala.util.Random(11)
+    (1 to 20).foreach { _ =>
+      val p = Array.fill(v.length)(rnd.nextGaussian())
+      assert(rv >= rayleigh(xs, p) - 1e-9,
+        "found direction must dominate random probes")
+    }
+  }
+
+  test("embed_pca projections and residuals match a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables(spark, sfDir).embeddings
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+    val v = Cluster.powerDirection(e)
+    val byId = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val got = Cluster.embedPca(spark, sfDir).collect()
+    assert(got.length == byId.size)
+    got.foreach { r =>
+      val x = byId(r.getLong(0))
+      // strict-sequential fold — DotProductD's accumulation order
+      var p = 0.0
+      var i = 0
+      while (i < x.length) { p += x(i) * v(i); i += 1 }
+      var x2 = 0.0
+      i = 0
+      while (i < x.length) { x2 += x(i) * x(i); i += 1 }
+      val resid = math.sqrt(math.max(x2 - p * p, 0.0))
+      assert(math.abs(r.getDouble(1) - p) <= 5e-5, s"proj ${r.getLong(0)}")
+      assert(math.abs(r.getDouble(2) - resid) <= 5e-5,
+        s"resid ${r.getLong(0)}")
+    }
+  }
 }
