@@ -134,6 +134,27 @@ object Oracles {
         |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST,
         |         l_linestatus ASC NULLS FIRST""".stripMargin,
 
+    // H5 equi-width histograms: the same IEEE floor-bin algebra per
+    // column, 1-row stats CTE cross-joined; blocks unioned. Columns
+    // and bin count single-sourced from Profile.
+    "table_histogram" -> {
+      val b = graft.operators.Profile.HistBins
+      val blocks = graft.operators.Profile.HistCols.map { case (t, c) =>
+        s"""SELECT '$t.$c' AS entity, bin,
+           |  round(mn + bin * (mx - mn) / $b, 4) AS lo,
+           |  round(mn + (bin + 1) * (mx - mn) / $b, 4) AS hi,
+           |  count(*) AS n
+           |FROM (
+           |  SELECT least(floor((x - mn) * $b / (mx - mn)), ${b - 1})::int
+           |           AS bin, mn, mx
+           |  FROM (SELECT $c::double AS x FROM $t) CROSS JOIN
+           |       (SELECT min($c::double) AS mn, max($c::double) AS mx
+           |        FROM $t))
+           |GROUP BY bin, mn, mx""".stripMargin
+      }
+      blocks.mkString("", "\nUNION ALL\n", "\nORDER BY entity, bin")
+    },
+
     // H4 snapshot diff: both snapshots derive from doc_id algebra
     // (single-sourced semantics with Profile.snapshotDiff); the
     // status CASE is wrapped so the filter needn't repeat it.

@@ -54,6 +54,7 @@ object SparkEntry {
     "table_profile_typed" -> (graft.operators.Profile.tableProfileTyped(_, _)),
     "table_skew"          -> (graft.operators.Profile.tableSkew(_, _)),
     "snapshot_diff"       -> (graft.operators.Profile.snapshotDiff(_, _)),
+    "table_histogram"     -> (graft.operators.Profile.tableHistogram(_, _)),
     "zorder_key"          -> (graft.sources.ZOrder.zorderKey(_, _)),
     "asof_join"          -> (AsOfJoin.purchasesAsOfSignup(_, _)),
     "range_join"         -> (graft.operators.RangeJoin.eventsInWindows(_, _)),

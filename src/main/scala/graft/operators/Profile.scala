@@ -184,6 +184,56 @@ object Profile {
           .as("skew_ratio"))
   }
 
+  // ----- equi-width histograms -------------------------------------
+
+  /** Histogram bin count and the profiled numeric columns. */
+  val HistBins = 16
+  val HistCols: Seq[(String, String)] = Seq(
+    ("lineitem", "l_extendedprice"),
+    ("orders", "o_totalprice"),
+    ("events", "value"))
+
+  /** H query entry 5: per-column equi-width histogram — the value
+    * -distribution datasheet next to [[tableProfile]]'s scalar stats
+    * (is the column uniform, skewed, bimodal? what does a sane bin
+    * range look like before choosing partition bounds?).
+    *
+    * Per column: ONE min/max aggregate (1-row frame, broadcast back —
+    * the zorder_key stats-pass shape) and ONE map-side-combined
+    * groupBy over ≤ [[HistBins]] keys; two scans per column,
+    * column-pruned, the same "compute stats then apply" convention as
+    * text_oov. The bin id is `floor((x−mn)·B/(mx−mn))` clamped to
+    * B−1 at x = mx — IEEE `− * /` are correctly rounded, so both
+    * engines compute the identical double and the identical floor:
+    * full hash gate despite the FP bin edges. Bin bounds are emitted
+    * rounded for the report; counts are exact longs. */
+  def tableHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    HistCols.map { case (table, c) =>
+      val df = table match {
+        case "lineitem" => t.lineitem
+        case "orders"   => t.orders
+        case "events"   => t.events
+      }
+      val vals = df.select(col(c).cast("double").as("x"))
+      val stats = vals.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      val b = lit(HistBins)
+      val bin = least(
+        floor((col("x") - col("mn")) * b / (col("mx") - col("mn"))),
+        lit(HistBins - 1)).cast("int")
+      vals.crossJoin(broadcast(stats))
+        .select(bin.as("bin"), col("mn"), col("mx"))
+        .groupBy(col("bin"), col("mn"), col("mx"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit(s"$table.$c").as("entity"), col("bin"),
+          round(col("mn") + col("bin") * (col("mx") - col("mn")) / b, 4)
+            .as("lo"),
+          round(col("mn") + (col("bin") + 1) * (col("mx") - col("mn")) / b, 4)
+            .as("hi"),
+          col("n"))
+    }.reduce(_.unionAll(_)).orderBy(col("entity"), col("bin"))
+  }
+
   // ----- snapshot diff ---------------------------------------------
 
   /** H query entry 4: corpus snapshot delta — diff "yesterday's"

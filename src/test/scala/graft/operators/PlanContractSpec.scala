@@ -30,10 +30,12 @@ class PlanContractSpec extends SparkSuite {
   //    boundaries ride a 1-row percentile aggregate crossJoin.
   //  - zorder_key: same 1-row shape — the min/max stats row of the
   //    in-plan bucketization pass.
+  //  - table_histogram: same 1-row shape — each column's min/max
+  //    stats row broadcast into the binning pass.
   private val boundedBroadcastOk =
     Set("ann_bruteforce", "q14_scalar_subquery", "text_tfidf",
       "text_typicality", "corpus_stats", "text_bm25", "stream_bm25",
-      "mix_curriculum", "zorder_key")
+      "mix_curriculum", "zorder_key", "table_histogram")
 
   test("no query plans a cartesian or unbounded nested-loop join") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -120,6 +120,28 @@ class ProfileSpec extends SparkSuite {
     assert(rows(("events", "ts"))._3 == microDistinct)
   }
 
+  test("table_histogram bins cover every row; edges tile [min, max]") {
+    val t = graft.Tables(spark, sfDir)
+    val rows = Profile.tableHistogram(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))
+    Profile.HistCols.foreach { case (table, c) =>
+      val df = table match {
+        case "lineitem" => t.lineitem
+        case "orders"   => t.orders
+        case "events"   => t.events
+      }
+      val n = df.count()
+      val mine = rows.filter(_._1 == s"$table.$c")
+      assert(mine.map(_._5).sum == n, s"$table.$c: counts must cover")
+      assert(mine.forall(r => r._2 >= 0 && r._2 < Profile.HistBins))
+      // edges are monotone and consistent: lo(bin) < hi(bin), and
+      // the occupied bins are distinct
+      assert(mine.forall(r => r._3 <= r._4))
+      assert(mine.map(_._2).distinct.length == mine.length)
+    }
+  }
+
   test("snapshot_diff statuses match the membership algebra exactly") {
     val ids = graft.Tables(spark, sfDir).documents
       .select(col("doc_id")).collect().map(_.getLong(0))
