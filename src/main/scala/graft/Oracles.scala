@@ -445,27 +445,32 @@ object Oracles {
         |ORDER BY a.anchor_id""".stripMargin,
 
     "events_sessionize" ->
-      s"""SELECT user_id, session_id::bigint AS session_id, count(*) AS n_events,
-        |  min(ep) AS session_start, max(ep) AS session_end,
-        |  round(sum(value), 4) AS session_value
-        |FROM (
-        |  SELECT user_id, event_id, value, ep,
-        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ep, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-        |  FROM (
-        |    SELECT user_id, event_id, value, ep,
-        |      CASE WHEN prev_ep IS NULL OR ep - prev_ep > ${graft.operators.Sessionize.GapSeconds}
-        |           THEN 1 ELSE 0 END AS new_session
-        |    FROM (
-        |      SELECT user_id, event_id, value,
-        |        epoch(date_trunc('second', ts))::bigint AS ep,
-        |        lag(epoch(date_trunc('second', ts))::bigint, 1)
-        |          OVER (PARTITION BY user_id
-        |                ORDER BY epoch(date_trunc('second', ts))::bigint,
-        |                         event_id) AS prev_ep
-        |      FROM events)))
-        |GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin,
+      ("WITH " + sessionCte + "\n" +
+      """SELECT user_id, session_id, n_events,
+        |  session_start, session_end, session_value
+        |FROM sess
+        |ORDER BY user_id, session_id""".stripMargin),
+
+    // B: the one-row session datasheet over the same session frame.
+    // Exact integer counts, two correctly-rounded long/long
+    // divisions, and ONE quantile_cont array call (the q23 shared-
+    // buffer / mix_curriculum interpolation-bit-equality pattern).
+    "events_sessions_stats" ->
+      ("WITH " + sessionCte + "\n" +
+      """SELECT count(*) AS n_sessions,
+        |  count(DISTINCT user_id) AS n_users,
+        |  sum(n_events) AS total_events,
+        |  round(sum(n_events) / count(*), 4) AS avg_events,
+        |  round(count(*) FILTER (n_events = 1) / count(*), 4)
+        |    AS bounce_share,
+        |  round(quantile_cont(session_end - session_start,
+        |                      [0.25, 0.5, 0.75])[1], 4) AS p25_duration_s,
+        |  round(quantile_cont(session_end - session_start,
+        |                      [0.25, 0.5, 0.75])[2], 4) AS p50_duration_s,
+        |  round(quantile_cont(session_end - session_start,
+        |                      [0.25, 0.5, 0.75])[3], 4) AS p75_duration_s,
+        |  max(session_end - session_start) AS max_duration_s
+        |FROM sess""".stripMargin),
 
     // Ordered funnel: each stage's min-ts is strictly after the
     // previous stage's — all integer epoch-second math, exact hash.
@@ -2314,6 +2319,33 @@ object Oracles {
     * (B-section aggregate-join form) and `stream_funnel` (G5 stateful
     * form, batch mode): one semantics, two execution strategies.
     * (`def`, not `val`: consumed by object vals declared earlier.) */
+  /** The gap-sessionized session frame — shared by the
+    * events_sessionize dump and the events_sessions_stats datasheet
+    * (one definition of "session" across both). */
+  private def sessionCte: String =
+    s"""sess AS (
+      |  SELECT user_id, session_id::bigint AS session_id,
+      |    count(*) AS n_events,
+      |    min(ep) AS session_start, max(ep) AS session_end,
+      |    round(sum(value), 4) AS session_value
+      |  FROM (
+      |    SELECT user_id, event_id, value, ep,
+      |      sum(new_session) OVER (PARTITION BY user_id ORDER BY ep, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    FROM (
+      |      SELECT user_id, event_id, value, ep,
+      |        CASE WHEN prev_ep IS NULL OR ep - prev_ep > ${graft.operators.Sessionize.GapSeconds}
+      |             THEN 1 ELSE 0 END AS new_session
+      |      FROM (
+      |        SELECT user_id, event_id, value,
+      |          epoch(date_trunc('second', ts))::bigint AS ep,
+      |          lag(epoch(date_trunc('second', ts))::bigint, 1)
+      |            OVER (PARTITION BY user_id
+      |                  ORDER BY epoch(date_trunc('second', ts))::bigint,
+      |                           event_id) AS prev_ep
+      |        FROM events)))
+      |  GROUP BY user_id, session_id)""".stripMargin
+
   private def funnelSql: String =
     """WITH ev AS (
       |  SELECT user_id, event_type,

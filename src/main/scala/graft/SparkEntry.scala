@@ -59,6 +59,7 @@ object SparkEntry {
     "asof_join"          -> (AsOfJoin.purchasesAsOfSignup(_, _)),
     "range_join"         -> (graft.operators.RangeJoin.eventsInWindows(_, _)),
     "events_sessionize"  -> (Sessionize.sessions(_, _)),
+    "events_sessions_stats" -> (Sessionize.sessionsStats(_, _)),
     "events_funnel"      -> (graft.operators.Funnel.eventsFunnel(_, _)),
     "events_retention"   -> (graft.operators.Funnel.eventsRetention(_, _)),
     "events_anomaly"     -> (graft.operators.Funnel.eventsAnomaly(_, _)),

@@ -45,4 +45,37 @@ object Sessionize {
            round(sum(col("value")), 4).as("session_value"))
       .orderBy(col("user_id"), col("session_id"))
   }
+
+  /** B: session-level datasheet over [[sessions]] — the one-row
+    * engagement report an analyst reads before slicing sessions
+    * (volume, breadth, depth, bounce share, duration distribution).
+    * Everything derives from the session frame: integer counts and
+    * sums, two exact long/long divisions (correctly-rounded doubles),
+    * and ONE `percentile(duration, array(¼,½,¾))` aggregate — q23's
+    * shared-buffer discipline (three separate percentile calls would
+    * each build their own per-group value map) — whose interpolation
+    * is bit-equal to DuckDB's quantile_cont (the mix_curriculum
+    * proof). Scale shape: the sessionize exchange is the whole cost;
+    * the stats pass is one global aggregate over the (much smaller)
+    * session frame. Full hash gate. */
+  def sessionsStats(spark: SparkSession, dir: String): DataFrame = {
+    val sess = sessions(spark, dir)
+      .select(col("user_id"), col("n_events"),
+        (col("session_end") - col("session_start")).as("d"))
+    sess.agg(
+        count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("n_events")).as("total_events"),
+        max(col("d")).as("max_duration_s"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"),
+        percentile(col("d"),
+          array(lit(0.25), lit(0.5), lit(0.75))).as("q"))
+      .select(col("n_sessions"), col("n_users"), col("total_events"),
+        round(col("total_events") / col("n_sessions"), 4).as("avg_events"),
+        round(col("n_bounce") / col("n_sessions"), 4).as("bounce_share"),
+        round(element_at(col("q"), 1), 4).as("p25_duration_s"),
+        round(element_at(col("q"), 2), 4).as("p50_duration_s"),
+        round(element_at(col("q"), 3), 4).as("p75_duration_s"),
+        col("max_duration_s"))
+  }
 }
