@@ -775,6 +775,54 @@ object Oracles {
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
+    // E16 RAKE (ratio-of-sums scoring): stopword-free token runs via
+    // a running stopword-count window; word freq/deg joined back;
+    // score = one division of two integer sums. Stopword list
+    // single-sourced from TextFunctions.EnStopwords via the Scala
+    // interpolation below.
+    "text_rake" -> {
+      val stops = graft.functions.TextFunctions.EnStopwords
+        .map(w => s"'$w'").mkString(", ")
+      val k = graft.functions.TextQueries.RakeTopK
+      raw"""WITH toks0 AS (
+         |  SELECT doc_id,
+         |    unnest([{'pos': i, 'w': w[i]} FOR i IN range(1, len(w) + 1)])
+         |      AS t
+         |  FROM (SELECT doc_id,
+         |          list_filter(string_split_regex(text,
+         |            '[ 	
+]+'), x -> x <> '') AS w
+         |        FROM documents)),
+         |toks AS (
+         |  SELECT doc_id, t.pos AS pos, t.w AS w,
+         |    CASE WHEN t.w IN ($stops) THEN 1 ELSE 0 END AS is_stop
+         |  FROM toks0),
+         |grp AS (
+         |  SELECT doc_id, pos, w, is_stop,
+         |    sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+         |  FROM toks),
+         |ph AS (SELECT doc_id, g, pos, w FROM grp WHERE is_stop = 0),
+         |plen AS (SELECT doc_id, g, count(*) AS plen FROM ph GROUP BY 1, 2),
+         |wstat AS (
+         |  SELECT doc_id, w, count(*) AS freq, sum(plen) AS deg
+         |  FROM ph JOIN plen USING (doc_id, g) GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT p.doc_id, p.g,
+         |    string_agg(p.w, ' ' ORDER BY p.pos) AS phrase,
+         |    sum(s.deg)::bigint AS num, sum(s.freq)::bigint AS den
+         |  FROM ph p JOIN wstat s ON p.doc_id = s.doc_id AND p.w = s.w
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT doc_id, phrase, num, den,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY num / den DESC, phrase ASC, num DESC)::int AS rk
+         |  FROM scored)
+         |SELECT doc_id, rk, phrase, round(num / den, 4) AS score
+         |FROM ranked WHERE rk <= $k
+         |ORDER BY doc_id, rk""".stripMargin
+    },
+
     // E15 winnowing: per-occurrence gram polyhashes via the same
     // list_reduce fold as text_fingerprint (constants single-sourced
     // from TextQueries/TextFunctions), sliding-window minima via

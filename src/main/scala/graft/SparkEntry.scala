@@ -80,6 +80,7 @@ object SparkEntry {
     "text_langid"        -> TextQueries.textLangid,
     "text_fingerprint"   -> TextQueries.textFingerprint,
     "text_winnow"        -> TextQueries.textWinnow,
+    "text_rake"          -> TextQueries.textRake,
     "text_tfidf"         -> TextQueries.textTfidf,
     "text_bm25"          -> TextQueries.textBm25,
     "text_repetition"    -> TextQueries.textRepetition,

@@ -71,6 +71,72 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Top-k phrases per document for [[textRake]]. */
+  val RakeTopK = 3
+
+  /** E16: RAKE keyword extraction (Rose et al. 2010, "Automatic
+    * Keyword Extraction from Individual Documents"): candidate
+    * phrases are the maximal stopword-free token runs; word
+    * statistics (freq = occurrences, deg = Σ length of containing
+    * phrases) score each phrase. This implementation uses the
+    * RATIO-OF-SUMS scoring variant — score = Σdeg / Σfreq over the
+    * phrase's token occurrences — so the score is ONE division of
+    * two exact integer sums (classic per-word Σ deg(w)/freq(w) sums
+    * doubles in engine-dependent order and cannot hash-gate). Top-3
+    * phrases per doc under a total (score, phrase, num) tiebreak;
+    * duplicate phrases in one doc produce identical output rows, so
+    * rank assignment among them cannot change the result set.
+    *
+    * Scale shape: the wordcount-style token explode feeds a per-doc
+    * pos window (one doc_id exchange); the phrase/word statistics
+    * are map-side-combined aggregates re-joined on (doc_id, …) keys
+    * — all equi-joins that partition by doc at any corpus size. The
+    * token-run frame is persisted across its three references
+    * (Catalyst does not dedup repeated subtrees — the scan-count
+    * rule); at 100 TB this materialization is the standard
+    * intermediate, and eviction just recomputes lineage. Rank cut
+    * plans a WindowGroupLimit. Full hash gate. */
+  def textRake(spark: SparkSession, dir: String): DataFrame =
+    rakeOf(Tables(spark, dir).documents)
+
+  /** RAKE core over any (doc_id, text) frame — split out so the spec
+    * can drive hand fixtures with known phrase scores. */
+  def rakeOf(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = d.select(col("doc_id"),
+        posexplode(split(col("text"), "\\s+")).as(Seq("pos", "w")))
+      .filter(length(col("w")) > 0)
+      .withColumn("is_stop",
+        when(col("w").isInCollection(T.EnStopwords), 1).otherwise(0))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ph = toks
+      .withColumn("g", sum(col("is_stop")).over(wDoc))
+      .filter(col("is_stop") === 0)
+      .select(col("doc_id"), col("g"), col("pos"), col("w"))
+      .persist()
+    val plen = ph.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("plen"))
+    val wstat = ph.join(plen, Seq("doc_id", "g"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+    val scored = ph.join(wstat, Seq("doc_id", "w"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(
+        expr("concat_ws(' ', transform(array_sort(" +
+          "collect_list(struct(pos, w))), p -> p.w))").as("phrase"),
+        sum(col("deg")).as("num"), sum(col("freq")).as("den"))
+    val wRank = Window.partitionBy(col("doc_id"))
+      .orderBy((col("num") / col("den")).desc, col("phrase").asc,
+        col("num").desc)
+    scored
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= RakeTopK)
+      .select(col("doc_id"), col("rk"), col("phrase"),
+        round(col("num") / col("den"), 4).as("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   /** Winnowing parameters: word-[[WinnowN]]-gram hashes, sliding
     * window of [[WinnowW]] — any shared run of W+N−1 = 6 tokens
     * between two documents shares a fingerprint (the winnowing

@@ -134,4 +134,34 @@ class TextFunctionsSpec extends SparkSuite {
       }
     }
   }
+
+  test("text_rake scores the hand fixture exactly (ratio of sums)") {
+    val s2 = spark; import s2.implicits._
+    // stopwords: the, a, is, of
+    // phrases: [quick brown fox], [quick fox], [speed]
+    // freq: quick 2, brown 1, fox 2, speed 1
+    // deg:  quick 3+2=5, brown 3, fox 3+2=5, speed 1
+    // scores: 13/5=2.6, 10/4=2.5, 1/1=1.0
+    val d = Seq((1L, "the quick brown fox is a quick fox of speed"))
+      .toDF("doc_id", "text")
+    val got = TextQueries.rakeOf(d).collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getDouble(3))).toSeq
+    assert(got === Seq(
+      (1, "quick brown fox", 2.6),
+      (2, "quick fox", 2.5),
+      (3, "speed", 1.0)))
+  }
+
+  test("text_rake: duplicate phrases yield identical rows at distinct ranks") {
+    val s2 = spark; import s2.implicits._
+    val d = Seq((1L, "alpha beta the alpha beta the gamma"))
+      .toDF("doc_id", "text")
+    val got = TextQueries.rakeOf(d).collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getDouble(3))).toSeq
+    // "alpha beta" twice: freq a=2,b=2; deg a=4,b=4 -> 8/4 = 2.0 twice
+    assert(got.map(t => (t._2, t._3)).toSet ===
+      Set(("alpha beta", 2.0), ("gamma", 1.0)))
+    assert(got.map(_._1).sorted === Seq(1, 2, 3))
+    assert(got.count(_._2 == "alpha beta") == 2)
+  }
 }
