@@ -398,6 +398,35 @@ object Oracles {
         |  ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY p.event_id""".stripMargin,
 
+    // Forward as-of: DuckDB's ASOF is backward-only, so the oracle
+    // mirrors the union + following-frame window algebra verbatim
+    // (which also pins the same-instant tie rule: view tag 0 sorts
+    // before purchase tag 1, so a same-ts purchase is "next").
+    "asof_join_forward" ->
+      """WITH u AS (
+        |  SELECT event_id, user_id, ts,
+        |    NULL::bigint AS p_id, NULL::timestamp AS p_ts, 0 AS tag
+        |  FROM events WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT event_id, user_id, ts,
+        |    event_id AS p_id, ts AS p_ts, 1 AS tag
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT *,
+        |    first_value(p_id IGNORE NULLS) OVER w AS next_p_id,
+        |    first_value(p_ts IGNORE NULLS) OVER w AS next_p_ts
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, tag, event_id
+        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT event_id AS view_id, user_id,
+        |  epoch(date_trunc('second', ts))::bigint AS view_sec,
+        |  next_p_id AS next_purchase_id,
+        |  epoch(date_trunc('second', next_p_ts))::bigint AS purchase_sec,
+        |  epoch(date_trunc('second', next_p_ts))::bigint
+        |    - epoch(date_trunc('second', ts))::bigint AS lag_s
+        |FROM m WHERE tag = 0
+        |ORDER BY view_id""".stripMargin,
+
     // RANGE frame over the numeric ORDER BY value: ties are peers in
     // both engines, so the frame sets agree row for row.
     "q25_range_window" ->
@@ -459,7 +488,7 @@ object Oracles {
       ("WITH " + sessionCte + "\n" +
       """SELECT count(*) AS n_sessions,
         |  count(DISTINCT user_id) AS n_users,
-        |  sum(n_events) AS total_events,
+        |  sum(n_events)::bigint AS total_events,
         |  round(sum(n_events) / count(*), 4) AS avg_events,
         |  round(count(*) FILTER (n_events = 1) / count(*), 4)
         |    AS bounce_share,
@@ -791,7 +820,8 @@ object Oracles {
          |  FROM (SELECT doc_id,
          |          list_filter(string_split_regex(text,
          |            '[ 	
-]+'), x -> x <> '') AS w
+
+]+'), x -> x <> '') AS w
          |        FROM documents)),
          |toks AS (
          |  SELECT doc_id, t.pos AS pos, t.w AS w,
@@ -1485,6 +1515,24 @@ object Oracles {
     "pack_sequences" -> packSequencesSql,
 
     "sample_stratified" -> stratifiedSampleSql,
+
+    // J10 balanced batches: per-lang salted-md5 rank mod B. Salt and
+    // B single-sourced from Sampling.
+    "mix_balanced_batches" -> {
+      val seed = graft.operators.Sampling.BatchSeed
+      val b = graft.operators.Sampling.NumBatches
+      s"""WITH drawn AS (
+         |  SELECT doc_id, lang,
+         |    md5('$seed' || doc_id::varchar) AS draw
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang
+         |                       ORDER BY draw, doc_id) AS rk
+         |  FROM drawn)
+         |SELECT doc_id, lang, ((rk - 1) % $b)::int AS batch FROM r
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // J9 exact-k stratified sample: full-width md5 draw, per-lang
     // row_number over the (draw, doc_id) total order, rank ≤ k. Salt

@@ -57,6 +57,7 @@ object SparkEntry {
     "table_histogram"     -> (graft.operators.Profile.tableHistogram(_, _)),
     "zorder_key"          -> (graft.sources.ZOrder.zorderKey(_, _)),
     "asof_join"          -> (AsOfJoin.purchasesAsOfSignup(_, _)),
+    "asof_join_forward"  -> (AsOfJoin.viewsAsOfNextPurchase(_, _)),
     "range_join"         -> (graft.operators.RangeJoin.eventsInWindows(_, _)),
     "events_sessionize"  -> (Sessionize.sessions(_, _)),
     "events_sessions_stats" -> (Sessionize.sessionsStats(_, _)),
@@ -105,6 +106,7 @@ object SparkEntry {
     "dedup_incremental"   -> (graft.operators.Incremental.dedupIncremental(_, _)),
     "sample_stratified"   -> (graft.operators.Sampling.sampleStratified(_, _)),
     "sample_exact_k"      -> (graft.operators.Sampling.sampleExactK(_, _)),
+    "mix_balanced_batches" -> (graft.operators.Sampling.mixBalancedBatches(_, _)),
     "pack_sequences"      -> (graft.operators.Sampling.packSequences(_, _)),
     "mix_sources"         -> (graft.operators.Sampling.mixSources(_, _)),
     "mix_epochs"          -> (graft.operators.Sampling.mixEpochs(_, _)),

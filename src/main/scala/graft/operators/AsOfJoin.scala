@@ -47,4 +47,43 @@ object AsOfJoin {
               Tables.tsNsToSec("asof_ts").as("signup_sec"))
       .orderBy(col("event_id"))
   }
+
+  /** FORWARD as-of join — the time-to-convert read: for each view,
+    * the user's NEXT purchase (ties at the same timestamp count as
+    * "next", matching the backward entry's ties-count-as-prior
+    * mirror). Same union + ordered-window merge, opposite frame:
+    * `first(_, ignoreNulls)` over rows-1-following→unbounded, so the
+    * cost stays ONE user_id exchange + per-partition sort at any
+    * scale (a `p.ts >= v.ts` inequality join would be O(|V|·|P|)
+    * per user). Both `first` calls share one window spec → one
+    * Window node. DuckDB's ASOF is backward-only, so the oracle runs
+    * the identical window algebra instead — which also pins the tie
+    * rule explicitly. */
+  def viewsAsOfNextPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    // tag: views sort BEFORE purchases at equal ts, so a same-instant
+    // purchase lands in the view's following frame
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"),
+              lit(null).cast("long").as("p_id"),
+              lit(null).cast("long").as("p_ts"), lit(0).as("tag"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+              col("event_id").as("p_id"), col("ts").as("p_ts"),
+              lit(1).as("tag"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    views.unionByName(purchases)
+      .withColumn("next_p_id", first(col("p_id"), ignoreNulls = true).over(w))
+      .withColumn("next_p_ts", first(col("p_ts"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 0)
+      .select(col("event_id").as("view_id"), col("user_id"),
+              Tables.tsNsToSec("ts").as("view_sec"),
+              col("next_p_id").as("next_purchase_id"),
+              Tables.tsNsToSec("next_p_ts").as("purchase_sec"),
+              (Tables.tsNsToSec("next_p_ts") - Tables.tsNsToSec("ts"))
+                .as("lag_s"))
+      .orderBy(col("view_id"))
+  }
 }

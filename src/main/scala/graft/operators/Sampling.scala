@@ -118,6 +118,36 @@ object Sampling {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** Batch count and salt for [[mixBalancedBatches]]. */
+  val NumBatches = 8
+  val BatchSeed = "graft-batch-11:"
+
+  /** J10: recipe-balanced training-batch assembly — assign every doc
+    * to one of [[NumBatches]] batches so that EACH batch reproduces
+    * the corpus' language mix (per (lang, batch) counts differ by
+    * ≤ 1 within a language — a guarantee, not an expectation; an iid
+    * split only gets the mix right in expectation). batch = (per-lang
+    * rank over the salted-md5 order − 1) mod B: deterministic,
+    * re-runnable, independent of every other J draw, and uniformly
+    * shuffled within each language.
+    *
+    * Scale shape: one lang exchange + per-stratum sort (shards rank
+    * in parallel — corpus_shuffle's cost class; ranks are consumed
+    * whole so no WindowGroupLimit applies). Fixed-width-hex draw ⇒
+    * full hash gate. */
+  def mixBalancedBatches(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(spark, dir).documents
+    val drawn = d.select(col("doc_id"), col("lang"),
+      md5(concat(lit(BatchSeed), col("doc_id").cast("string"))).as("draw"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("draw"), col("doc_id"))
+    drawn.withColumn("rk", row_number().over(w))
+      .select(col("doc_id"), col("lang"),
+        ((col("rk") - 1) % NumBatches).cast("int").as("batch"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Salt for [[mixSources]] — independent draw from [[Seed]]. */
   val MixSeed = "graft-mix-7:"
 

@@ -386,6 +386,44 @@ class SamplingSpec extends SparkSuite {
     assert(a === b)
   }
 
+  test("mix_balanced_batches: every batch reproduces the language mix ±1") {
+    val got = Sampling.mixBalancedBatches(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val total = graft.Tables(spark, sfDir).documents.count()
+    assert(got.length.toLong == total, "every doc is assigned")
+    assert(got.forall(r => r._3 >= 0 && r._3 < Sampling.NumBatches))
+    got.groupBy(_._2).foreach { case (lang, rows) =>
+      val counts = (0 until Sampling.NumBatches)
+        .map(b => rows.count(_._3 == b))
+      assert(counts.max - counts.min <= 1,
+        s"$lang per-batch counts must differ by <=1: $counts")
+    }
+  }
+
+  test("asof_join_forward matches a per-user driver replica incl. ties") {
+    val ev = graft.Tables(spark, sfDir).events
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val purchasesByUser = ev.filter(_._4 == "purchase")
+      .groupBy(_._2).map { case (u, ps) =>
+        u -> ps.map(p => (p._3, p._1)).sorted.toVector
+      }
+    val got = graft.operators.AsOfJoin.viewsAsOfNextPurchase(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None
+        else Some((r.getLong(3), r.getLong(4))))).toMap
+    ev.filter(_._4 == "view").foreach { case (vid, u, vts, _) =>
+      // the first purchase sorting after the view in (ts, tag,
+      // event_id) order: any purchase with ts >= vts qualifies
+      // (purchase tag 1 > view tag 0 at equal ts)
+      val next = purchasesByUser.getOrElse(u, Vector.empty)
+        .find { case (pts, _) => pts >= vts }
+      val want = next.map { case (pts, pid) => (pid, pts / 1000000000L) }
+      assert(got(vid) == want, s"view $vid")
+    }
+  }
+
   test("sample_exact_k plans a WindowGroupLimit: shards pre-cut to top-k") {
     // the rank<=k filter must rewrite to a WindowGroupLimit so each
     // map task keeps at most k rows per stratum BEFORE the lang
