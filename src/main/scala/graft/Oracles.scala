@@ -134,6 +134,29 @@ object Oracles {
         |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST,
         |         l_linestatus ASC NULLS FIRST""".stripMargin,
 
+    // H7 FK integrity: one left-outer probe + one aggregate per
+    // edge, orphan = non-null key with no parent. Edges
+    // single-sourced from Profile.FkEdges; sums cast off DuckDB's
+    // HUGEINT widening.
+    "table_fk_check" -> {
+      val blocks = graft.operators.Profile.FkEdges.map {
+        case (ct, ck, pt, pk) =>
+          s"""SELECT '$ct.$ck -> $pt.$pk' AS edge,
+             |  count(*) AS n_child,
+             |  sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END)::bigint
+             |    AS n_null,
+             |  sum(CASE WHEN k IS NOT NULL AND pk IS NULL
+             |      THEN 1 ELSE 0 END)::bigint AS n_orphans,
+             |  round(sum(CASE WHEN k IS NOT NULL AND pk IS NULL
+             |        THEN 1 ELSE 0 END) / count(*), 6) AS orphan_share
+             |FROM (SELECT c.$ck AS k, p.pk
+             |      FROM $ct c LEFT JOIN
+             |        (SELECT DISTINCT $pk AS pk FROM $pt) p
+             |        ON c.$ck = p.pk)""".stripMargin
+      }
+      blocks.mkString("", "\nUNION ALL\n", "\nORDER BY edge")
+    },
+
     // H5 equi-width histograms: the same IEEE floor-bin algebra per
     // column, 1-row stats CTE cross-joined; blocks unioned. Columns
     // and bin count single-sourced from Profile.
@@ -397,6 +420,45 @@ object Oracles {
         |FROM p ASOF LEFT JOIN s
         |  ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    // B RFM segmentation: cents-exact monetary, integral recency,
+    // quintile BOUNDARIES from one quantile_cont array call per
+    // metric (no global ntile sort), per-row boundary compares.
+    "events_rfm" ->
+      raw"""WITH p AS (
+        |  SELECT user_id, epoch(date_trunc('second', ts))::bigint AS ep,
+        |    floor(value * 100)::bigint AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |u0 AS (
+        |  SELECT user_id, max(ep) AS last_ep, count(*) AS freq,
+        |    sum(cents)::bigint AS cents
+        |  FROM p GROUP BY 1),
+        |mx AS (SELECT max(ep) AS max_ep FROM p),
+        |u AS (
+        |  SELECT user_id, (max_ep - last_ep) // 86400 AS recency_days,
+        |    freq, cents
+        |  FROM u0 CROSS JOIN mx),
+        |b AS (
+        |  SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS qr,
+        |    quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS qf,
+        |    quantile_cont(cents, [0.2, 0.4, 0.6, 0.8]) AS qm
+        |  FROM u),
+        |scored AS (
+        |  SELECT user_id, recency_days, freq,
+        |    round(cents / 100.0, 2) AS monetary,
+        |    6 - (1 + (CASE WHEN recency_days > qr[1] THEN 1 ELSE 0 END) + (CASE WHEN recency_days > qr[2] THEN 1 ELSE 0 END) + (CASE WHEN recency_days > qr[3] THEN 1 ELSE 0 END) + (CASE WHEN recency_days > qr[4] THEN 1 ELSE 0 END)) AS r,
+        |    (1 + (CASE WHEN freq > qf[1] THEN 1 ELSE 0 END) + (CASE WHEN freq > qf[2] THEN 1 ELSE 0 END) + (CASE WHEN freq > qf[3] THEN 1 ELSE 0 END) + (CASE WHEN freq > qf[4] THEN 1 ELSE 0 END)) AS f,
+        |    (1 + (CASE WHEN cents > qm[1] THEN 1 ELSE 0 END) + (CASE WHEN cents > qm[2] THEN 1 ELSE 0 END) + (CASE WHEN cents > qm[3] THEN 1 ELSE 0 END) + (CASE WHEN cents > qm[4] THEN 1 ELSE 0 END)) AS m
+        |  FROM u CROSS JOIN b)
+        |SELECT user_id, recency_days, freq, monetary, r, f, m,
+        |  CASE WHEN r >= 4 AND f >= 4 AND m >= 4 THEN 'champions'
+        |       WHEN f >= 4 THEN 'loyal'
+        |       WHEN m >= 4 THEN 'big_spender'
+        |       WHEN r <= 2 AND f >= 3 THEN 'at_risk'
+        |       WHEN r = 1 THEN 'churned'
+        |       ELSE 'casual' END AS segment
+        |FROM scored
+        |ORDER BY user_id""".stripMargin,
 
     // Forward as-of: DuckDB's ASOF is backward-only, so the oracle
     // mirrors the union + following-frame window algebra verbatim

@@ -55,6 +55,7 @@ object SparkEntry {
     "table_skew"          -> (graft.operators.Profile.tableSkew(_, _)),
     "snapshot_diff"       -> (graft.operators.Profile.snapshotDiff(_, _)),
     "table_histogram"     -> (graft.operators.Profile.tableHistogram(_, _)),
+    "table_fk_check"      -> (graft.operators.Profile.tableFkCheck(_, _)),
     "zorder_key"          -> (graft.sources.ZOrder.zorderKey(_, _)),
     "asof_join"          -> (AsOfJoin.purchasesAsOfSignup(_, _)),
     "asof_join_forward"  -> (AsOfJoin.viewsAsOfNextPurchase(_, _)),
@@ -67,6 +68,7 @@ object SparkEntry {
     "events_attribution" -> (graft.operators.Funnel.eventsAttribution(_, _)),
     "events_cooccurrence" -> (graft.operators.Funnel.eventsCooccurrence(_, _)),
     "events_engagement"   -> (graft.operators.Funnel.eventsEngagement(_, _)),
+    "events_rfm"          -> (graft.operators.Funnel.eventsRfm(_, _)),
     "events_pathing"     -> (graft.operators.Funnel.eventsPathing(_, _)),
     "events_sequences"   -> (graft.operators.Funnel.eventsSequences(_, _)),
     // §2A — MapReduce engine pipelines

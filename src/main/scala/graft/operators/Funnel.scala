@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -350,5 +350,66 @@ object Funnel {
       .select(col("day"), col("dau"), col("mau"),
         round(col("dau") / col("mau"), 4).as("stickiness"))
       .orderBy(col("day"))
+  }
+
+  /** B: RFM customer segmentation — the classic recency / frequency /
+    * monetary scoring over purchase events, ending in named segments
+    * (champions / loyal / big_spender / at_risk / churned / casual).
+    *
+    * Exactness discipline: monetary is Σ floor(value·100) — CENTS as
+    * exact integers, order-free (a raw double Σ would differ in the
+    * last ulp by partition merge order and could flip a boundary);
+    * recency/frequency are integral. Scores come from quintile
+    * BOUNDARIES — ONE aggregate computing three
+    * `percentile(x, array(.2,.4,.6,.8))` sketches broadcast as a
+    * 1-row frame, then pure per-row boundary comparisons
+    * (mix_curriculum's pattern; interpolation bit-equal to DuckDB's
+    * quantile_cont) — NOT a global ntile, which would serialize the
+    * user frame through one sort at 100 TB. Quantile-boundary
+    * buckets are not exactly equal-sized (ties cross boundaries);
+    * that is the documented, scalable trade. Score 5 = most
+    * recent / most frequent / highest spend. */
+  def eventsRfm(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), Tables.tsNsToSec("ts").as("ep"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    val perUser = purchases.groupBy(col("user_id"))
+      .agg(max(col("ep")).as("last_ep"),
+        count(lit(1)).as("freq"),
+        sum(col("cents")).as("cents"))
+    val maxEp = purchases.agg(max(col("ep")).as("max_ep"))
+    val u = perUser.crossJoin(broadcast(maxEp))
+      .select(col("user_id"),
+        // integral div on BOTH engines: Spark's / on longs is double
+        // division and DuckDB's ::bigint cast ROUNDS, so a double
+        // round-trip could disagree at day boundaries
+        expr("(max_ep - last_ep) div 86400").as("recency_days"),
+        col("freq"), col("cents"))
+    val qs = array(lit(0.2), lit(0.4), lit(0.6), lit(0.8))
+    val bounds = u.agg(
+      percentile(col("recency_days"), qs).as("qr"),
+      percentile(col("freq"), qs).as("qf"),
+      percentile(col("cents"), qs).as("qm"))
+    // score = 1 + #boundaries strictly below (ascending metric);
+    // recency inverts (smaller = better)
+    def scoreAsc(x: Column, q: Column): Column =
+      (1 to 4).map(i => when(x > element_at(q, i), 1).otherwise(0))
+        .reduce(_ + _) + 1
+    val r = lit(6) - scoreAsc(col("recency_days"), col("qr"))
+    val f = scoreAsc(col("freq"), col("qf"))
+    val m = scoreAsc(col("cents"), col("qm"))
+    u.crossJoin(broadcast(bounds))
+      .select(col("user_id"), col("recency_days"), col("freq"),
+        round(col("cents") / 100.0, 2).as("monetary"),
+        r.as("r"), f.as("f"), m.as("m"))
+      .withColumn("segment",
+        when(col("r") >= 4 && col("f") >= 4 && col("m") >= 4, "champions")
+          .when(col("f") >= 4, "loyal")
+          .when(col("m") >= 4, "big_spender")
+          .when(col("r") <= 2 && col("f") >= 3, "at_risk")
+          .when(col("r") === 1, "churned")
+          .otherwise("casual"))
+      .orderBy(col("user_id"))
   }
 }

@@ -184,6 +184,65 @@ object Profile {
           .as("skew_ratio"))
   }
 
+  // ----- referential-integrity check -------------------------------
+
+  /** The checked FK edges: (child table, child key, parent table,
+    * parent key) — single-sourced into the oracle. */
+  val FkEdges: Seq[(String, String, String, String)] = Seq(
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"))
+
+  /** H query entry 7: referential-integrity datasheet — orphan counts
+    * per FK edge (child rows whose key misses the parent), the
+    * trust-but-verify pass before joining a new snapshot (a silent
+    * 2% orphan rate quietly drops 2% of revenue from every join
+    * downstream). Per edge: one left-anti join (dims broadcast; the
+    * one fact-fact edge shuffles on its key — the same exchange the
+    * real join would pay, and the shape runtime bloom pruning
+    * applies to) + exact counts; null child keys are counted
+    * separately (null ∉ orphan — it never joins anywhere). Exact
+    * integers + one exact division ⇒ full hash gate. */
+  def tableFkCheck(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def tbl(n: String): DataFrame = n match {
+      case "lineitem" => t.lineitem
+      case "orders"   => t.orders
+      case "customer" => t.customer
+      case "supplier" => t.supplier
+      case "nation"   => t.nation
+      case "part"     => t.part
+      case "region"   => t.region
+    }
+    FkEdges.map { case (ct, ck, pt, pk) =>
+      fkCheckOf(tbl(ct).select(col(ck).as("k")),
+        tbl(pt).select(col(pk).as("pk")),
+        s"$ct.$ck -> $pt.$pk")
+    }.reduce(_.unionAll(_)).orderBy(col("edge"))
+  }
+
+  /** One FK-edge check over any child-key / parent-key frames: one
+    * left-outer probe + ONE aggregate — no driver actions, no second
+    * pass. orphan = non-null key with no parent; null keys count
+    * separately (they never join anywhere). */
+  def fkCheckOf(child: DataFrame, parent: DataFrame,
+      edge: String): DataFrame = {
+    child.join(parent.distinct(), col("k") === col("pk"), "left_outer")
+      .select(col("k"), col("pk"))
+      .agg(
+        count(lit(1)).as("n_child"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null"),
+        sum(when(col("k").isNotNull && col("pk").isNull, 1L)
+          .otherwise(0L)).as("n_orphans"))
+      .select(lit(edge).as("edge"),
+        col("n_child"), col("n_null"), col("n_orphans"),
+        round(col("n_orphans") / col("n_child"), 6).as("orphan_share"))
+  }
+
   // ----- equi-width histograms -------------------------------------
 
   /** Histogram bin count and the profiled numeric columns. */

@@ -256,4 +256,40 @@ class FunnelSpec extends SparkSuite {
       assert(expectMau.toLong === mau, s"day $day MAU")
     }
   }
+
+  test("events_rfm: scores bounded, segments match the CASE, replica agrees") {
+    val got = graft.operators.Funnel.eventsRfm(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    // driver replica of the per-user metrics (cents-exact monetary)
+    val ev = graft.Tables(spark, sfDir).events
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .selectExpr("user_id", "ts div 1000000000 AS ep",
+        "cast(floor(value * 100) AS long) AS cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val maxEp = ev.map(_._2).max
+    val byUser = ev.groupBy(_._1).map { case (u, rs) =>
+      u -> ((maxEp - rs.map(_._2).max) / 86400L,
+        rs.length.toLong, rs.map(_._3).sum)
+    }
+    got.foreach { r =>
+      val (u, rec, freq, mon) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val (wRec, wFreq, wCents) = byUser(u)
+      assert(rec == wRec && freq == wFreq, s"user $u metrics")
+      assert(math.abs(mon - wCents / 100.0) < 1e-9, s"user $u monetary")
+      val (rs, fs, ms, seg) =
+        (r.getInt(4), r.getInt(5), r.getInt(6), r.getString(7))
+      assert(rs >= 1 && rs <= 5 && fs >= 1 && fs <= 5 && ms >= 1 && ms <= 5)
+      val want =
+        if (rs >= 4 && fs >= 4 && ms >= 4) "champions"
+        else if (fs >= 4) "loyal"
+        else if (ms >= 4) "big_spender"
+        else if (rs <= 2 && fs >= 3) "at_risk"
+        else if (rs == 1) "churned"
+        else "casual"
+      assert(seg == want, s"user $u segment")
+    }
+    // every score level is populated somewhere (the boundaries cut)
+    assert(got.map(_.getInt(4)).distinct.length >= 3)
+  }
 }

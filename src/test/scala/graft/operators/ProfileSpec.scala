@@ -120,6 +120,23 @@ class ProfileSpec extends SparkSuite {
     assert(rows(("events", "ts"))._3 == microDistinct)
   }
 
+  test("table_fk_check: generator tables are orphan-free; fixture catches planted orphans") {
+    val s2 = spark; import s2.implicits._
+    val real = Profile.tableFkCheck(spark, sfDir).collect()
+    assert(real.length == Profile.FkEdges.length)
+    real.foreach { r =>
+      assert(r.getLong(3) == 0L, s"${r.getString(0)} orphans")
+      assert(r.getDouble(4) == 0.0)
+    }
+    // planted fixture: 2 orphans, 1 null key, duplicate parent keys
+    val child = Seq(Some(1L), Some(2L), Some(99L), Some(98L), None)
+      .toDF("k")
+    val parent = Seq(1L, 1L, 2L, 3L).toDF("pk")
+    val got = Profile.fkCheckOf(child, parent, "t.k -> p.pk").head()
+    assert((got.getLong(1), got.getLong(2), got.getLong(3)) == ((5L, 1L, 2L)))
+    assert(got.getDouble(4) == 0.4)
+  }
+
   test("table_histogram bins cover every row; edges tile [min, max]") {
     val t = graft.Tables(spark, sfDir)
     val rows = Profile.tableHistogram(spark, sfDir).collect()
