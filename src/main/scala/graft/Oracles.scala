@@ -1937,6 +1937,32 @@ object Oracles {
           |FROM kept
           |ORDER BY doc_id""".stripMargin),
 
+    // §2I observability: per-stage survivor counts over the SAME CTE
+    // chain the capstones run — the funnel report cannot drift from
+    // the pipeline.
+    "curate_report" -> {
+      val evalSrc = graft.operators.Decontaminate.EvalSource
+      (trainKeptCtes + "\n" +
+        s"""SELECT * FROM (
+           |SELECT 0 AS stage_idx, 'input' AS stage,
+           |  (SELECT count(*) FROM documents) AS n_docs
+           |UNION ALL SELECT 1, 'quality', (SELECT count(*) FROM q)
+           |UNION ALL SELECT 2, 'exact', (SELECT count(*) FROM ex)
+           |UNION ALL SELECT 3, 'neardup',
+           |  (SELECT count(*) FROM ex
+           |   WHERE doc_id NOT IN
+           |     (SELECT node FROM comp WHERE node <> rep_doc))
+           |UNION ALL SELECT 4, 'decontam',
+           |  (SELECT count(*)
+           |   FROM ex JOIN documents d ON d.doc_id = ex.doc_id
+           |   WHERE ex.doc_id NOT IN
+           |       (SELECT node FROM comp WHERE node <> rep_doc)
+           |     AND d.source <> '$evalSrc'
+           |     AND ex.doc_id NOT IN (SELECT train_doc FROM contam_d))
+           |UNION ALL SELECT 5, 'sampled', (SELECT count(*) FROM kept))
+           |ORDER BY stage_idx""".stripMargin)
+    },
+
     // The curated training set packed into context windows: the same
     // kept CTE chain, then pack_sequences' per-source running-sum
     // algebra over it — six operator families under one oracle.

@@ -119,6 +119,7 @@ object SparkEntry {
     // §2I — composed curation pipeline
     "curate_corpus"       -> (graft.operators.Curate.curateCorpus(_, _)),
     "curate_train"        -> (graft.operators.Curate.curateTrain(_, _)),
+    "curate_report"       -> (graft.operators.Curate.curateReport(_, _)),
     "curate_pack"         -> (graft.operators.Curate.curatePack(_, _)),
     // §2D — similarity search
     "ann_bruteforce"      -> Similarity.annBruteforce,

@@ -39,15 +39,20 @@ object Curate {
     * full metadata — shared by [[curateCorpus]] and [[curateTrain]].
     * Both callers produce the SAME canonicalized sub-plan, so the
     * persisted `exact` frame is one CacheManager entry, not two. */
-  private def survivors(spark: SparkSession, dir: String): DataFrame = {
+  /** Stage 1: E2-scored docs above the quality floor. */
+  private def scoredDocs(spark: SparkSession, dir: String): DataFrame = {
     val nTok = T.wsTokenCount(col("text"))
     val stopRatio = T.tokenCountIn(col("text"), T.EnStopwords) / nTok
     val punctRatio = T.punctCount(col("text")) / length(col("text"))
-    val scored = Tables(spark, dir).documents
+    Tables(spark, dir).documents
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         nTok.as("n_tokens"),
         T.qualityScore(nTok, stopRatio, punctRatio).as("quality"))
       .filter(col("quality") >= MinQuality)
+  }
+
+  private def survivors(spark: SparkSession, dir: String): DataFrame = {
+    val scored = scoredDocs(spark, dir)
     // exact dedup: keep the min doc_id per content hash. Persisted —
     // the frame feeds both the pair pipeline and the final anti-join,
     // and Catalyst does not dedup the two scan+window subtrees. Like
@@ -55,12 +60,7 @@ object Curate {
     // entry is a small doc-projection, CacheManager dedups repeated
     // calls by canonicalized plan (one entry, not one per call), and
     // eviction is safe — the lineage recomputes.
-    val exact = scored
-      .withColumn("rep",
-        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
-      .filter(col("doc_id") === col("rep"))
-      .drop("rep")
-      .persist()
+    val exact = exactDedup(scored)
     // near-dup dedup on the surviving set: drop every doc whose
     // component representative is another doc
     val pairs = Dedup.ngramPairsOf(exact.select(col("doc_id"), col("text")))
@@ -74,6 +74,16 @@ object Curate {
     pairs.unpersist()
     out
   }
+
+  /** Stage 2: min-doc_id-per-md5 exact dedup (persisted; see the
+    * cache note above). */
+  private def exactDedup(scored: DataFrame): DataFrame =
+    scored
+      .withColumn("rep",
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .filter(col("doc_id") === col("rep"))
+      .drop("rep")
+      .persist()
 
   def curateCorpus(spark: SparkSession, dir: String): DataFrame =
     survivors(spark, dir)
@@ -98,13 +108,17 @@ object Curate {
   /** Stages 1–5 with full metadata — the kept set behind
     * [[curateTrain]] and [[curatePack]]. Same canonicalized sub-plan
     * from both callers, so [[survivors]]' cache entry is shared. */
-  private def trainKept(spark: SparkSession, dir: String): DataFrame = {
+  private def trainKept(spark: SparkSession, dir: String): DataFrame =
+    decontamKept(spark, dir).filter(Sampling.keepFilter)
+
+  /** Stages 1–4: survivors minus the eval slice and every doc the
+    * standalone decontaminate pass flags. */
+  private def decontamKept(spark: SparkSession, dir: String): DataFrame = {
     val contaminated = Decontaminate.decontaminate(spark, dir)
       .select(col("train_doc")).distinct()
     survivors(spark, dir)
       .filter(col("source") =!= Decontaminate.EvalSource)
       .join(contaminated, col("doc_id") === col("train_doc"), "left_anti")
-      .filter(Sampling.keepFilter)
   }
 
   /** §2I×J2 — pack the CURATED training set: [[curateTrain]]'s kept
@@ -120,4 +134,31 @@ object Curate {
   def curatePack(spark: SparkSession, dir: String): DataFrame =
     Sampling.packOf(trainKept(spark, dir)
       .select(col("doc_id"), col("source"), col("n_tokens")))
+
+  /** §2I: the curation FUNNEL report — docs surviving each pipeline
+    * stage (input → quality floor → exact dedup → near-dup drop →
+    * eval-slice + decontamination drop → rebalance sample), the
+    * observability row every production curation run logs ("which
+    * stage ate my corpus?"). Each stage count is a 1-row aggregate
+    * over the SAME frames the capstone queries execute —
+    * [[scoredDocs]] / [[exactDedup]] / [[survivors]] /
+    * [[decontamKept]] / [[trainKept]] are shared code, and the
+    * persisted exact frame is one CacheManager entry across all six
+    * branches (canonicalized-plan dedup), so the report cannot
+    * drift from the pipeline it reports on. Exact integer counts ⇒
+    * full hash gate. */
+  def curateReport(spark: SparkSession, dir: String): DataFrame = {
+    val stages: Seq[(Int, String, DataFrame)] = Seq(
+      (0, "input", Tables(spark, dir).documents),
+      (1, "quality", scoredDocs(spark, dir)),
+      (2, "exact", exactDedup(scoredDocs(spark, dir))),
+      (3, "neardup", survivors(spark, dir)),
+      (4, "decontam", decontamKept(spark, dir)),
+      (5, "sampled", trainKept(spark, dir)))
+    stages.map { case (idx, name, df) =>
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
+          col("n_docs"))
+    }.reduce(_.unionAll(_)).orderBy(col("stage_idx"))
+  }
 }
