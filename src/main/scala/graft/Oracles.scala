@@ -2564,6 +2564,10 @@ object Oracles {
     // aggregate-join funnel — same shared SQL.
     "stream_funnel" -> funnelSql,
 
+    // G18 online RFM: the stateful metrics stage + the shared scoring
+    // stage reproduce B's events_rfm exactly — same SQL.
+    "stream_rfm" -> relational("events_rfm"),
+
     // G17 composed ingest gate: replayed feed (re-crawls under a
     // 3·5·7-aligned id offset draw the same PII gates, different PII
     // values) → E11 scrub (shared aug/red CTEs) → E2 quality floor

@@ -153,7 +153,8 @@ object SparkEntry {
     "stream_pii"          -> Streams.streamPii,
     "stream_bm25"         -> Streams.streamBm25,
     "stream_decontaminate" -> Streams.streamDecontaminate,
-    "stream_curate"       -> Streams.streamCurate
+    "stream_curate"       -> Streams.streamCurate,
+    "stream_rfm"          -> Streams.streamRfm
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

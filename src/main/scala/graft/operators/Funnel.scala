@@ -378,7 +378,17 @@ object Funnel {
       .agg(max(col("ep")).as("last_ep"),
         count(lit(1)).as("freq"),
         sum(col("cents")).as("cents"))
-    val maxEp = purchases.agg(max(col("ep")).as("max_ep"))
+    rfmScore(perUser)
+  }
+
+  /** The scoring stage over any per-user (user_id, last_ep, freq,
+    * cents) metrics frame — shared by the batch entry and the
+    * streaming twin's batch mode (one scoring definition, one
+    * oracle). max_ep derives from the metrics frame (= the corpus
+    * max purchase epoch, since every user's last_ep is a max over
+    * their purchases). */
+  def rfmScore(perUser: DataFrame): DataFrame = {
+    val maxEp = perUser.agg(max(col("last_ep")).as("max_ep"))
     val u = perUser.crossJoin(broadcast(maxEp))
       .select(col("user_id"),
         // integral div on BOTH engines: Spark's / on longs is double

@@ -1096,6 +1096,61 @@ object Streams {
         curateFn)
   }
 
+  // ----- G18: online RFM metric tracking ---------------------------
+
+  /** One purchase for the RFM stream. */
+  final case class PEvt(user_id: Long, ep: Long, cents: Long)
+  /** Per-user running RFM metrics (public for the state encoder). */
+  final case class RfmAcc(last_ep: Long, freq: Long, cents: Long)
+
+  /** G18 core: per-user running (last purchase epoch, purchase
+    * count, exact cents) — the metrics half of B's events_rfm
+    * maintained online. State is THREE longs per user, never
+    * history; cents stay exact integers (the batch entry's Σ floor
+    * (value·100) discipline), so the running sum is order-free and
+    * a later batch's update commutes. One updated metrics row per
+    * user per batch that saw activity. Scoring (quintile boundaries
+    * — corpus-level state) stays a batch-side pass over the metrics
+    * ([[graft.operators.Funnel.rfmScore]]); maintaining metrics
+    * online and scoring on read is exactly how production RFM
+    * dashboards run. */
+  def rfmFn(user: Long, evs: Iterator[PEvt],
+      state: GroupState[RfmAcc]): Iterator[(Long, Long, Long, Long)] = {
+    val es = evs.toVector
+    if (es.isEmpty) return Iterator.empty
+    val prev = state.getOption.getOrElse(RfmAcc(Long.MinValue, 0L, 0L))
+    val next = RfmAcc(
+      math.max(prev.last_ep, es.map(_.ep).max),
+      prev.freq + es.length,
+      prev.cents + es.map(_.cents).sum)
+    state.update(next)
+    Iterator((user, next.last_ep, next.freq, next.cents))
+  }
+
+  /** Shared stateful metrics stage (batch or streaming). */
+  def rfmStateful(evs: Dataset[PEvt]): DataFrame = {
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        rfmFn)
+      .toDF("user_id", "last_ep", "freq", "cents")
+  }
+
+  /** G18 batch entry: metrics via the stateful path (each user's
+    * history in one call ⇒ the per-user aggregate), then the SHARED
+    * scoring stage — output identical to B's events_rfm, same SQL
+    * oracle. */
+  def streamRfm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val purchases = Tables(spark, dir).events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), Tables.tsNsToSec("ts").as("ep"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .as[PEvt]
+    // rfmScore already ends in the deterministic user_id order
+    graft.operators.Funnel.rfmScore(rfmStateful(purchases))
+  }
+
   /** G17 batch entry: the whole ingest gate — scrub → quality floor
     * → exact-dup suppression — as ONE pass over the replayed feed.
     * In batch mode each hash group arrives in one call, so the kept

@@ -164,4 +164,29 @@ class TextFunctionsSpec extends SparkSuite {
     assert(got.map(_._1).sorted === Seq(1, 2, 3))
     assert(got.count(_._2 == "alpha beta") == 2)
   }
+
+  test("text_rake: one uncached corpus scan; three cache reads") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def walk(p: SparkPlan): (Int, Int) = p match {
+      case _: InMemoryTableScanExec => (0, 1)
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case _: FileSourceScanExec => (1, 0)
+      case other =>
+        val cs = other.children.map(walk)
+        (cs.map(_._1).sum, cs.map(_._2).sum)
+    }
+    val df = TextQueries.textRake(spark, sfDir)
+    df.collect() // materialize so the cache fills and AQE finalizes
+    val (parquetScans, memScans) = walk(df.queryExecution.executedPlan)
+    // the persisted token-run frame serves its three references from
+    // ONE cache entry; the cache's own lineage is the only parquet
+    // scan (Catalyst does not dedup repeated subtrees — without the
+    // persist this query read documents three times)
+    assert(memScans == 3, s"expected 3 cache reads, got $memScans")
+    assert(parquetScans == 0,
+      s"expected zero uncached corpus scans, got $parquetScans")
+  }
 }

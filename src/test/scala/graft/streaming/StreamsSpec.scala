@@ -1057,4 +1057,42 @@ class StreamsSpec extends SparkSuite {
     // the floor is active on this fixture (some docs dropped)
     assert(prepped.size < aug.size)
   }
+
+  test("streaming rfm: cross-batch metric accumulation equals batch") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    val purchases = graft.Tables(spark, sfDir).events
+      .filter(col("event_type") === "purchase")
+      .selectExpr("user_id", "ts div 1000000000 AS ep",
+        "cast(floor(value * 100) AS long) AS cents")
+      .as[Streams.PEvt].collect().sortBy(_.ep)
+    val expected = purchases.groupBy(_.user_id).map { case (u, rs) =>
+      u -> ((rs.map(_.ep).max, rs.length.toLong, rs.map(_.cents).sum))
+    }
+    val stream = MemoryStream[Streams.PEvt]
+    val query = Streams.rfmStateful(stream.toDS())
+      .writeStream.format("memory").queryName("rfm")
+      .outputMode("append").start()
+    try {
+      purchases.grouped(math.max(1, purchases.length / 4)).foreach { b =>
+        stream.addData(b.toSeq); query.processAllAvailable()
+      }
+      // last snapshot per user == the batch per-user aggregate
+      val got = s.table("rfm").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1).map { case (u, rows) =>
+          // freq is monotone: the final snapshot has the max freq
+          u -> rows.maxBy(_._3)
+        }
+      assert(got.keySet == expected.keySet)
+      got.foreach { case (u, (_, lastEp, freq, cents)) =>
+        assert((lastEp, freq, cents) == expected(u), s"user $u")
+      }
+      // accumulation really crossed batches: some user emitted >1 row
+      val emissions = s.table("rfm").collect()
+        .groupBy(_.getLong(0)).values.map(_.length)
+      assert(emissions.exists(_ > 1),
+        "fixture must exercise multi-batch accumulation")
+    } finally query.stop()
+  }
 }
