@@ -672,7 +672,122 @@ object Oracles {
         |  round(d.dau / m.mau, 4) AS stickiness
         |FROM dau d JOIN mau m USING (day)
         |ORDER BY day""".stripMargin
-    }
+    },
+
+    // B growth accounting: contribution-union form (own-day status +
+    // churn into day+1), mirroring Lifecycle.lifecycleOf's explode;
+    // churn rows on silent days drop via the dau>0 filter.
+    "events_lifecycle" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT
+        |    epoch(date_trunc('second', ts))::bigint // 86400 AS day,
+        |    user_id
+        |  FROM events),
+        |t AS (
+        |  SELECT day, user_id,
+        |    lag(day)  OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+        |    lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+        |  FROM ud),
+        |c AS (
+        |  SELECT day,
+        |    CASE WHEN prev_day IS NULL THEN 'new'
+        |         WHEN prev_day = day - 1 THEN 'retained'
+        |         ELSE 'resurrected' END AS kind
+        |  FROM t
+        |  UNION ALL
+        |  SELECT day + 1, 'churned' FROM t
+        |  WHERE next_day IS NULL OR next_day > day + 1),
+        |a AS (
+        |  SELECT day,
+        |    sum(CASE WHEN kind = 'new' THEN 1 ELSE 0 END)::bigint AS new_users,
+        |    sum(CASE WHEN kind = 'retained' THEN 1 ELSE 0 END)::bigint AS retained,
+        |    sum(CASE WHEN kind = 'resurrected' THEN 1 ELSE 0 END)::bigint AS resurrected,
+        |    sum(CASE WHEN kind = 'churned' THEN 1 ELSE 0 END)::bigint AS churned
+        |  FROM c GROUP BY 1)
+        |SELECT day, new_users, retained, resurrected, churned,
+        |  new_users + retained + resurrected AS dau
+        |FROM a
+        |WHERE new_users + retained + resurrected > 0
+        |ORDER BY day""".stripMargin,
+
+    // B activity heatmap: epoch-day 0 = Thursday → (+4)%7 puts dow 0
+    // on Sunday; value averaged from cents-exact integer sums.
+    "events_heatmap" ->
+      """WITH e AS (
+        |  SELECT
+        |    ((((epoch(date_trunc('second', ts))::bigint // 86400) % 7) + 4) % 7)::int AS dow,
+        |    ((epoch(date_trunc('second', ts))::bigint // 3600) % 24)::int AS hour,
+        |    user_id, floor(value * 100)::bigint AS cents
+        |  FROM events)
+        |SELECT dow, hour, count(*)::bigint AS n_events,
+        |  count(DISTINCT user_id)::bigint AS n_users,
+        |  round((sum(cents)::bigint / 100.0) / count(*), 4) AS avg_value
+        |FROM e GROUP BY dow, hour
+        |ORDER BY dow, hour""".stripMargin,
+
+    // B Markov transitions: raw-µs ts order with event_id tiebreak
+    // (same total order as Spark's epoch-nanos long), integer-count
+    // probability ratio per source state.
+    "events_markov" ->
+      """WITH p AS (
+        |  SELECT user_id, event_type AS dst,
+        |    lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS src
+        |  FROM events),
+        |c AS (
+        |  SELECT src, dst, count(*)::bigint AS n
+        |  FROM p WHERE src IS NOT NULL GROUP BY src, dst)
+        |SELECT src, dst, n,
+        |  round(n / sum(n) OVER (PARTITION BY src), 4) AS prob
+        |FROM c
+        |ORDER BY src, dst""".stripMargin,
+
+    // B interval-union coverage: the same strictly-preceding running
+    // max-end sweep (1800 s window width single-sourced from
+    // Lifecycle.CoverageWindowSec), all integer seconds.
+    "interval_coverage" -> {
+      val w = graft.operators.Lifecycle.CoverageWindowSec
+      s"""WITH iv AS (
+        |  SELECT user_id, epoch(date_trunc('second', ts))::bigint AS ep,
+        |    event_id
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, ep,
+        |    max(ep + $w) OVER (PARTITION BY user_id ORDER BY ep, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM iv)
+        |SELECT user_id, count(*)::bigint AS n_events,
+        |  sum(greatest(0, ep + $w -
+        |    greatest(ep, coalesce(prev_end, ep))))::bigint AS covered_sec,
+        |  sum(CASE WHEN prev_end IS NULL OR ep >= prev_end
+        |    THEN 1 ELSE 0 END)::bigint AS n_segments
+        |FROM g GROUP BY 1
+        |ORDER BY user_id""".stripMargin
+    },
+
+    // B revenue cohorts: integer month key year·12+month−1, min-window
+    // cohort assignment, cents-exact revenue, yyyymm render.
+    "orders_cohort" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    (year(o_orderdate) * 12 + month(o_orderdate) - 1)::int AS mk,
+        |    floor(o_totalprice * 100)::bigint AS cents
+        |  FROM orders),
+        |g AS (
+        |  SELECT o_custkey, mk, cents,
+        |    min(mk) OVER (PARTITION BY o_custkey) AS cohort_mk
+        |  FROM o),
+        |a AS (
+        |  SELECT cohort_mk, (mk - cohort_mk)::int AS month_index,
+        |    count(DISTINCT o_custkey)::bigint AS n_customers,
+        |    count(*)::bigint AS n_orders,
+        |    sum(cents)::bigint AS cents
+        |  FROM g GROUP BY 1, 2)
+        |SELECT ((cohort_mk // 12) * 100 + cohort_mk % 12 + 1)::int AS cohort_month,
+        |  month_index, n_customers, n_orders,
+        |  round(cents / 100.0, 2) AS revenue
+        |FROM a
+        |ORDER BY cohort_month, month_index""".stripMargin
   )
 
   /** The anomaly SQL — shared verbatim by `events_anomaly` (B-section

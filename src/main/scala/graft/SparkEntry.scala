@@ -71,6 +71,11 @@ object SparkEntry {
     "events_rfm"          -> (graft.operators.Funnel.eventsRfm(_, _)),
     "events_pathing"     -> (graft.operators.Funnel.eventsPathing(_, _)),
     "events_sequences"   -> (graft.operators.Funnel.eventsSequences(_, _)),
+    "events_lifecycle"   -> (graft.operators.Lifecycle.eventsLifecycle(_, _)),
+    "events_heatmap"     -> (graft.operators.Lifecycle.eventsHeatmap(_, _)),
+    "events_markov"      -> (graft.operators.Lifecycle.eventsMarkov(_, _)),
+    "interval_coverage"  -> (graft.operators.Lifecycle.intervalCoverage(_, _)),
+    "orders_cohort"      -> (graft.operators.Lifecycle.ordersCohort(_, _)),
     // §2A — MapReduce engine pipelines
     "mr_wordcount"       -> MrQueries.mrWordcount,
     "mr_sum"             -> MrQueries.mrSum,

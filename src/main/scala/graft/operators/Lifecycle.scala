@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** SURVEY §2B adjunct — user-lifecycle and time-structure analytics
+  * over `events`/`orders`: growth accounting, activity heatmap,
+  * behavior transition matrix, interval-union coverage, and revenue
+  * cohorts. (Reference surface: JobX users run these as chained
+  * map/reduce steps over event logs — e.g. `mr/handlers` word/sum
+  * pipelines keyed by user/day; here each is one declarative plan.)
+  *
+  * All arithmetic is exact integer math on the epoch-nanos `ts`
+  * contract (money in cents), so every query here is full hash-gated
+  * against the DuckDB oracle. Every operator is one hash exchange on
+  * its natural key (user_id / o_custkey) followed by re-partitioned
+  * aggregates — no windows over undefined partitions, no collects.
+  */
+object Lifecycle {
+
+  // Shadows functions.round: DuckDB-exact binary rounding so oracle
+  // hashes cannot flake on decimal half boundaries (see OracleMath).
+  private def round(c: Column, scale: Int): Column =
+    graft.functions.OracleMath.roundDuck(c, scale)
+
+  /** Interval half-width for [[intervalCoverage]]: each event covers
+    * [ep, ep+1800) seconds (single-sourced into the oracle). */
+  val CoverageWindowSec = 1800L
+
+  /** B: growth accounting — per active day, how many users are new
+    * (first-ever activity), retained (also active the previous day),
+    * resurrected (returning after a gap), and how many churned INTO
+    * the day (active the day before, absent that day and possibly
+    * later resurrected). dau = new + retained + resurrected.
+    *
+    * Shape: dedup to (user, day) once, ONE exchange on user_id for
+    * the lag/lead windows (same spec → one sort), then a
+    * contribution EXPLODE — each row emits its own-day status plus,
+    * when its next active day is not day+1, a churn contribution to
+    * day+1 — so the day-grain aggregate is a single groupBy over one
+    * pass (Catalyst does NOT dedup a twice-referenced tagged frame;
+    * the explode keeps the lineage single-scan, LifecycleSpec pins
+    * it). Churn rows landing on silent days (incl. corpus-end+1)
+    * drop via the dau>0 filter, mirrored in the oracle. */
+  def eventsLifecycle(spark: SparkSession, dir: String): DataFrame =
+    lifecycleOf(Tables(spark, dir).events
+      .select(expr("(ts div 1000000000L) div 86400L").as("day"),
+        col("user_id")))
+
+  /** Core growth accounting over a (day, user_id) activity frame. */
+  def lifecycleOf(act: DataFrame): DataFrame = {
+    val ud = act.select(col("day"), col("user_id")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val tagged = ud
+      .withColumn("prev_day", lag(col("day"), 1).over(w))
+      .withColumn("next_day", lead(col("day"), 1).over(w))
+    val status = when(col("prev_day").isNull, "new")
+      .when(col("prev_day") === col("day") - 1, "retained")
+      .otherwise("resurrected")
+    val churn = when(col("next_day").isNull ||
+      col("next_day") > col("day") + 1, lit("churned"))
+    val contrib = tagged
+      .select(explode(array(
+        struct(col("day"), status.as("kind")),
+        struct((col("day") + lit(1L)).as("day"), churn.as("kind"))))
+        .as("c"))
+      .select(col("c.day").as("day"), col("c.kind").as("kind"))
+      .filter(col("kind").isNotNull)
+    def cnt(k: String): Column =
+      sum(when(col("kind") === k, 1L).otherwise(0L))
+    contrib.groupBy("day")
+      .agg(cnt("new").as("new_users"), cnt("retained").as("retained"),
+        cnt("resurrected").as("resurrected"), cnt("churned").as("churned"))
+      .withColumn("dau",
+        col("new_users") + col("retained") + col("resurrected"))
+      .filter(col("dau") > 0)
+      .orderBy(col("day"))
+  }
+
+  /** B: activity heatmap — events bucketed by (day-of-week, hour),
+    * with distinct users and cents-exact average value. Pure integer
+    * epoch algebra (epoch day 0 = Thursday → dow 0 = Sunday), one
+    * 168-group aggregate: partial map-side combine does all the work
+    * at any scale; value sums are Σ floor(value·100) longs, so the
+    * average is order-free exact (a raw double Σ could flip the 4dp
+    * round by partition merge order). */
+  def eventsHeatmap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    ev.select(
+        expr("((((ts div 1000000000L) div 86400L) % 7) + 4) % 7")
+          .cast("int").as("dow"),
+        expr("((ts div 1000000000L) div 3600L) % 24").cast("int").as("hour"),
+        col("user_id"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .groupBy("dow", "hour")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("cents")).as("cents"))
+      .select(col("dow"), col("hour"), col("n_events"), col("n_users"),
+        round((col("cents") / 100.0) / col("n_events"), 4).as("avg_value"))
+      .orderBy(col("dow"), col("hour"))
+  }
+
+  /** B: first-order Markov transition matrix over each user's
+    * time-ordered event stream — the behavioral fingerprint behind
+    * "what do users do after a click". ONE exchange on user_id for
+    * the lag window (raw-ns `ts` order, event_id tiebreak), then a
+    * tiny (types²) aggregate; prob is an exact integer-count ratio
+    * per source state via a second, broadcast-sized window. */
+  def eventsMarkov(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = ev
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("src", lag(col("event_type"), 1).over(w))
+      .filter(col("src").isNotNull)
+    val counts = pairs.groupBy(col("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("prob",
+        round(col("n") / sum(col("n")).over(Window.partitionBy("src")), 4))
+      .orderBy(col("src"), col("dst"))
+  }
+
+  /** B: interval-union coverage — per user, the total seconds covered
+    * by the union of [ep, ep+1800) event intervals plus the merged
+    * segment count: the "how much wall-clock was this user actually
+    * engaged" metric that a naive duration Σ double-counts.
+    *
+    * Classic sweep-line as ONE window: order each user's intervals,
+    * take the running max end over STRICTLY PRECEDING rows, and the
+    * new coverage each interval contributes is end − max(start,
+    * prev_max_end), clamped at 0 (containment). All integer seconds,
+    * one exchange on user_id, groupBy reuses the partitioning. */
+  def intervalCoverage(spark: SparkSession, dir: String): DataFrame =
+    intervalCoverageOf(Tables(spark, dir).events
+      .select(col("user_id"), Tables.tsNsToSec("ts").as("ep"),
+        col("event_id")), CoverageWindowSec)
+
+  /** Core sweep over a (user_id, ep, event_id) frame. */
+  def intervalCoverageOf(iv: DataFrame, winSec: Long): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ep"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    iv.withColumn("prev_end", max(col("ep") + lit(winSec)).over(w))
+      .withColumn("contrib",
+        greatest(lit(0L), col("ep") + lit(winSec) -
+          greatest(col("ep"), coalesce(col("prev_end"), col("ep")))))
+      .withColumn("seg_start",
+        when(col("prev_end").isNull || col("ep") >= col("prev_end"), 1L)
+          .otherwise(0L))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("contrib")).as("covered_sec"),
+        sum(col("seg_start")).as("n_segments"))
+      .orderBy(col("user_id"))
+  }
+
+  /** B: revenue cohorts — customers grouped by first-order month,
+    * tracked across month indexes since that cohort month: customers
+    * active, orders placed, cents-exact revenue. The month key is
+    * pure integer algebra (year·12+month−1), the cohort assignment is
+    * a min window on the SAME o_custkey exchange the per-cohort
+    * aggregate then reuses, and revenue Σ floor(price·100) is
+    * order-free exact. cohort_month renders as yyyymm. */
+  def ordersCohort(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders.select(
+      col("o_custkey"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+        .as("mk"),
+      floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val g = o.withColumn("cohort_mk",
+      min(col("mk")).over(Window.partitionBy("o_custkey")))
+    g.groupBy(col("cohort_mk"), (col("mk") - col("cohort_mk")).as("month_index"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        sum(col("cents")).as("cents"))
+      .select(
+        (expr("cohort_mk div 12") * 100 + col("cohort_mk") % 12 + 1)
+          .cast("int").as("cohort_month"),
+        col("month_index"), col("n_customers"), col("n_orders"),
+        round(col("cents") / 100.0, 2).as("revenue"))
+      .orderBy(col("cohort_month"), col("month_index"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.SparkSuite
+
+/** `events_lifecycle` / `interval_coverage` / `events_markov` —
+  * semantics on hand fixtures plus structural invariants at sf0.001. */
+class LifecycleSpec extends SparkSuite {
+
+  test("lifecycle classifies new/retained/resurrected/churned (hand fixture)") {
+    val s = spark; import s.implicits._
+    // u1 active d1,d2,d4; u2 active d1 only; u3 active d4 only
+    val act = Seq(
+      (1L, 1L), (2L, 1L), (4L, 1L),
+      (1L, 2L),
+      (4L, 3L)
+    ).toDF("day", "user_id")
+    val out = Lifecycle.lifecycleOf(act).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // day1: u1,u2 new; nobody churns INTO day1
+    assert(out(1L) == ((2L, 0L, 0L, 0L, 2L)))
+    // day2: u1 retained; u2 churned into day2 (absent after day1)
+    assert(out(2L) == ((0L, 1L, 0L, 1L, 1L)))
+    // day3 silent: u1's churn-into-day3 is dropped (dau=0 filter)
+    assert(!out.contains(3L))
+    // day4: u1 resurrected (gap), u3 new; churn-into-day5 dropped
+    assert(out(4L) == ((1L, 0L, 1L, 0L, 2L)))
+  }
+
+  test("interval coverage merges overlaps, counts segments (hand fixture)") {
+    val s = spark; import s.implicits._
+    // win=100: u1 [0,100)+[50,150)+[300,400) → 250 sec, 2 segments;
+    // u2 duplicate instants [10,110)x2 → 100 sec, 1 segment;
+    // u3 touching [0,100)+[100,200) → 200 sec, 2 segments (ep >= prev_end)
+    val iv = Seq(
+      (1L, 0L, 1L), (1L, 50L, 2L), (1L, 300L, 3L),
+      (2L, 10L, 4L), (2L, 10L, 5L),
+      (3L, 0L, 6L), (3L, 100L, 7L)
+    ).toDF("user_id", "ep", "event_id")
+    val out = Lifecycle.intervalCoverageOf(iv, 100L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1L) == ((3L, 250L, 2L)))
+    assert(out(2L) == ((2L, 100L, 1L)))
+    assert(out(3L) == ((2L, 200L, 2L)))
+  }
+
+  test("interval coverage bounds at sf0.001: covered_sec ≤ n_events·win") {
+    val rows = Lifecycle.intervalCoverage(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, cov, seg) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(cov >= Lifecycle.CoverageWindowSec && // ≥ one window
+        cov <= n * Lifecycle.CoverageWindowSec, s"coverage out of bounds: $r")
+      assert(seg >= 1 && seg <= n)
+      assert(cov >= seg * Lifecycle.CoverageWindowSec)
+    }
+  }
+
+  test("markov probabilities sum to 1 per source at sf0.001") {
+    val rows = Lifecycle.eventsMarkov(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val p = rs.map(_.getDouble(3)).sum
+      assert(math.abs(p - 1.0) < 0.01, s"src=$src sums to $p")
+    }
+  }
+
+  test("lifecycle: dau equals per-day distinct users; single events scan") {
+    val df = Lifecycle.eventsLifecycle(spark, sfDir)
+    val rows = df.collect()
+    val ev = graft.Tables(spark, sfDir).events
+    import org.apache.spark.sql.functions._
+    val dau = ev.select(expr("(ts div 1000000000L) div 86400L").as("day"),
+        col("user_id")).distinct()
+      .groupBy("day").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(5) == dau(r.getLong(0)), s"$r"))
+    // the contribution-explode keeps the tagged frame single-lineage:
+    // exactly one parquet scan in the executed plan (tree walk — a
+    // textual count double-prints under AQE's initial-plan section)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case _: FileSourceScanExec => 1
+      case other => other.children.map(scans).sum
+    }
+    df.count() // materialize so AQE finalizes the plan
+    val n = scans(df.queryExecution.executedPlan)
+    assert(n == 1, s"expected 1 events scan, got $n")
+  }
+}
