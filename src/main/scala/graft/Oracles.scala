@@ -787,7 +787,20 @@ object Oracles {
         |  month_index, n_customers, n_orders,
         |  round(cents / 100.0, 2) AS revenue
         |FROM a
-        |ORDER BY cohort_month, month_index""".stripMargin
+        |ORDER BY cohort_month, month_index""".stripMargin,
+
+    // H pairwise Pearson correlation: one UNION ALL branch per pair
+    // (oracle-side table re-reads are irrelevant; the Spark side is a
+    // single agg pass). Pairs single-sourced from Profile.CorrCols.
+    "table_corr" -> {
+      val pairs = graft.operators.Profile.CorrCols.combinations(2)
+        .map { case Seq(a, b) => (a, b) }.toSeq
+      pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS col_x, '$b' AS col_y,
+           |  round(corr($a, $b), 4) AS r, count(*)::bigint AS n_rows
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_x, col_y")
+    }
   )
 
   /** The anomaly SQL — shared verbatim by `events_anomaly` (B-section
@@ -1340,6 +1353,31 @@ object Oracles {
          |FROM c, tot
          |WHERE n * $denom > tot.total
          |ORDER BY n DESC, gram""".stripMargin
+    },
+
+    // E RAG chunking: same non-empty whitespace tokens as text_tokens,
+    // start grid via unnest(range(0, n_tok, stride)) — geometry
+    // single-sourced from TextQueries.ChunkWin/ChunkStride.
+    "text_chunk" -> {
+      val win = graft.functions.TextQueries.ChunkWin
+      val st = graft.functions.TextQueries.ChunkStride
+      s"""WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[ \\t\\n\\x0B\\f\\r]+'),
+        |                w -> w <> '') AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n_tok
+        |      FROM d WHERE len(toks) > 0),
+        |s AS (SELECT doc_id, toks, n_tok,
+        |        unnest(range(0, n_tok, $st)) AS start_tok
+        |      FROM n)
+        |SELECT doc_id, (start_tok // $st)::int AS chunk_id,
+        |  start_tok::int AS start_tok,
+        |  least($win, n_tok - start_tok)::int AS chunk_tokens,
+        |  md5(array_to_string(
+        |    list_slice(toks, start_tok + 1, start_tok + $win), ' ')) AS chunk_md5
+        |FROM s
+        |ORDER BY doc_id, chunk_id""".stripMargin
     }
   )
 
@@ -2328,7 +2366,46 @@ object Oracles {
         |        p -> (p[1] - p[2] * scale) * (p[1] - p[2] * scale)),
         |      (x, y) -> x + y), 8) END AS sq_err
         |FROM q
-        |ORDER BY vec_id""".stripMargin
+        |ORDER BY vec_id""".stripMargin,
+
+    // D centroid-distance outliers: fixed-point integer centroid
+    // (order-free exact, grain single-sourced from
+    // Similarity.CentroidFixedScale), dist² = ‖x‖² − 2x·c + ‖c‖² with
+    // the same strict folds as the C5/D dots — bit-exact, so rank on
+    // the unrounded value agrees cross-engine.
+    "embed_outliers" -> {
+      val fx = graft.operators.Similarity.CentroidFixedScale
+      val k = graft.operators.Similarity.OutlierK
+      s"""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+        |  FROM embeddings),
+        |ex AS (SELECT vec_id, unnest(v) AS x,
+        |         generate_subscripts(v, 1) AS d
+        |       FROM e),
+        |cent AS (SELECT d, sum(floor(x * $fx)::bigint)::bigint AS s,
+        |           count(*) AS cnt
+        |         FROM ex GROUP BY 1),
+        |cl AS (SELECT list((s::double / cnt) / $fx.0 ORDER BY d) AS c
+        |       FROM cent),
+        |ccv AS (SELECT list_reduce(
+        |          list_transform(list_zip(c, c), s -> s[1] * s[2]),
+        |          (x, y) -> x + y) AS cc
+        |        FROM cl),
+        |scored AS (
+        |  SELECT vec_id,
+        |    list_reduce(list_transform(list_zip(v, v), s -> s[1] * s[2]),
+        |      (x, y) -> x + y)
+        |    - 2.0 * list_reduce(list_transform(list_zip(v, c), s -> s[1] * s[2]),
+        |      (x, y) -> x + y)
+        |    + cc AS dist2
+        |  FROM e CROSS JOIN cl CROSS JOIN ccv)
+        |SELECT * FROM (
+        |  SELECT row_number() OVER (ORDER BY dist2 DESC, vec_id)::int AS rk,
+        |    vec_id, round(dist2, 4) AS dist2
+        |  FROM scored)
+        |WHERE rk <= $k
+        |ORDER BY rk""".stripMargin
+    }
   )
 
   /** SURVEY §2F — multimodal binary plumbing. mm_decode's oracle does

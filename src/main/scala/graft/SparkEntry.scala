@@ -56,6 +56,7 @@ object SparkEntry {
     "snapshot_diff"       -> (graft.operators.Profile.snapshotDiff(_, _)),
     "table_histogram"     -> (graft.operators.Profile.tableHistogram(_, _)),
     "table_fk_check"      -> (graft.operators.Profile.tableFkCheck(_, _)),
+    "table_corr"          -> (graft.operators.Profile.tableCorr(_, _)),
     "zorder_key"          -> (graft.sources.ZOrder.zorderKey(_, _)),
     "asof_join"          -> (AsOfJoin.purchasesAsOfSignup(_, _)),
     "asof_join_forward"  -> (AsOfJoin.viewsAsOfNextPurchase(_, _)),
@@ -96,6 +97,7 @@ object SparkEntry {
     "text_typicality"    -> TextQueries.textTypicality,
     "text_pii"           -> TextQueries.textPii,
     "text_bigram_lm"     -> TextQueries.textBigramLm,
+    "text_chunk"         -> TextQueries.textChunk,
     "corpus_stats"       -> TextQueries.corpusStats,
     "corpus_ngrams"      -> TextQueries.corpusNgrams,
     "quality_deciles"    -> TextQueries.qualityDeciles,
@@ -135,6 +137,7 @@ object SparkEntry {
     "ann_pq"              -> ((s, d) => Similarity.annPq(s, d)),
     "embed_cluster"       -> (graft.operators.Cluster.embedCluster(_, _)),
     "embed_pca"           -> (graft.operators.Cluster.embedPca(_, _)),
+    "embed_outliers"      -> Similarity.embedOutliers _,
     // §2F — multimodal binary plumbing
     "mm_meta"             -> Multimodal.mmMeta,
     "mm_decode"           -> Multimodal.mmDecode,

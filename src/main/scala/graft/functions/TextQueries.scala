@@ -660,4 +660,39 @@ object TextQueries {
       md5(redacted).as("redacted_md5"),
       length(redacted).cast("int").as("redacted_len"))
   }
+
+  /** Chunking geometry for [[textChunk]] (single-sourced into the
+    * oracle): 64-token windows every 48 tokens (16-token overlap). */
+  val ChunkWin = 64
+  val ChunkStride = 48
+
+  /** E: RAG/training chunking — split each document's whitespace
+    * tokens into overlapping [[ChunkWin]]-token windows on a
+    * [[ChunkStride]] grid, emitting per chunk its span and content
+    * digest (the md5 stands in for the chunk payload so the gate
+    * hashes content without shipping text twice).
+    *
+    * Purely per-row: tokenize once, explode the start grid
+    * (`sequence` is ≤ n/stride elements), slice + digest — no
+    * shuffle at all before the output sort; chunking 100 TB is
+    * embarrassingly parallel and this plan keeps it that way. The
+    * token-array materialization is one interpreted HOF filter pass
+    * per document (same trade [[TextFunctions.tokens]] documents);
+    * the slice/concat/md5 chain stays codegen'd. */
+  def textChunk(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    d.select(col("doc_id"), T.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .select(col("doc_id"), col("toks"), col("n_tok"),
+        posexplode(sequence(lit(0), col("n_tok") - 1, lit(ChunkStride)))
+          .as(Seq("chunk_id", "start_tok")))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        least(lit(ChunkWin), col("n_tok") - col("start_tok"))
+          .as("chunk_tokens"),
+        md5(concat_ws(" ",
+          slice(col("toks"), col("start_tok") + 1, lit(ChunkWin))))
+          .as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
 }

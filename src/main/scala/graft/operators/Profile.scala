@@ -333,4 +333,39 @@ object Profile {
       .select(col("doc_id"), col("status"), col("md5_a"), col("md5_b"))
       .orderBy(col("doc_id"))
   }
+
+  /** Column pairs for [[tableCorr]] (single-sourced into the oracle):
+    * the lineitem numeric measures, each unordered pair once. */
+  val CorrCols: Seq[String] =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** H: pairwise Pearson correlation over the lineitem measures — the
+    * "are these columns redundant / is discount coupled to price"
+    * datasheet read. ONE aggregate pass computes all C(4,2)=6 `corr`
+    * aggregates plus the row count (N separate scans would re-read
+    * the table N times — the percentile-array lesson of CLAUDE.md),
+    * then a 1-row explode unpivots to the tidy (col_x, col_y, r)
+    * shape. Zero shuffles beyond the single partial-agg exchange;
+    * scan reads exactly the four measure columns.
+    *
+    * corr is the one double here whose partial-merge order differs
+    * cross-engine; it is scale-free (|r| ≤ 1, relative FP noise
+    * ~1e-13) so the 4dp round is stable — unlike covariances, whose
+    * absolute magnitude would put FP noise inside the rounding grain
+    * (measured consideration, documented not implemented). */
+  def tableCorr(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    val pairs = CorrCols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+    val aggs = pairs.map { case (a, b) =>
+      corr(col(a), col(b)).as(s"r_${a}_$b")
+    } :+ count(lit(1)).as("n_rows")
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    one.select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("col_x"), lit(b).as("col_y"),
+          round(col(s"r_${a}_$b"), 4).as("r"), col("n_rows"))
+      }: _*)).as("c"))
+      .select(col("c.col_x"), col("c.col_y"), col("c.r"),
+        col("c.n_rows").as("n_rows"))
+      .orderBy(col("col_x"), col("col_y"))
+  }
 }

@@ -362,4 +362,57 @@ object Similarity {
           col("qnrm"), col("nrm")).as("cos"))
     topK(spark, pairs, k = 5)
   }
+
+  /** Outliers reported by [[embedOutliers]]. */
+  val OutlierK = 50
+
+  /** Fixed-point grain for the [[embedOutliers]] centroid: per-dim
+    * sums of floor(x·2¹⁶) are LONGS — order-free exact, so the
+    * centroid is bit-identical cross-engine (a raw double Σ would
+    * differ in the last ulp by partition merge order and break the
+    * hash gate). 2⁻¹⁶ resolution on unit-scale components is far
+    * below any QC-relevant signal. */
+  val CentroidFixedScale = 65536L
+
+  /** D: centroid-distance outliers — the "which embeddings don't
+    * belong to this corpus" QC read (mojibake docs, wrong-model
+    * vectors, zero-padded rows all surface here first). dist² to the
+    * corpus centroid via ‖x‖² − 2x·c + ‖c‖²: each dot is the strict
+    * sequential [[graft.functions.DotProductD]] codegen fold over the
+    * bit-exact fixed-point centroid, so dist² hash-gates exactly.
+    *
+    * Scale shape: the centroid pass is ONE partial aggregate (64
+    * integer sums, map-side combined); its 64-double collect is
+    * model state, not data plane (powerDirection's precedent). The
+    * scoring pass is per-row math over the persisted frame, and the
+    * top-[[OutlierK]] cut is TakeOrderedAndProject — per-partition
+    * heaps, no global sort of the corpus. */
+  def embedOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+      .select(col("vec_id"), V.toDouble(col("embedding")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sums = e
+      .select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy("d")
+      .agg(sum(floor(col("x") * CentroidFixedScale).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .orderBy("d").collect()
+    val c: Array[Double] = sums.map(r =>
+      (r.getLong(1).toDouble / r.getLong(2)) / CentroidFixedScale.toDouble)
+    // ‖c‖² with the oracle's fold order (list_reduce from the first
+    // element; +0.0 init is IEEE-identical)
+    val cc = c.foldLeft(0.0)((acc, x) => acc + x * x)
+    val cCol = array(c.toSeq.map(lit): _*)
+    val dist2 = V.dot(col("v"), col("v")) -
+      lit(2.0) * V.dot(col("v"), cCol) + lit(cc)
+    val top = e.select(col("vec_id"), dist2.as("dist2"))
+      .orderBy(col("dist2").desc, col("vec_id"))
+      .limit(OutlierK)
+    import org.apache.spark.sql.expressions.Window
+    top
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("dist2").desc, col("vec_id"))))
+      .select(col("rk"), col("vec_id"), round(col("dist2"), 4).as("dist2"))
+      .orderBy(col("rk"))
+  }
 }

@@ -190,4 +190,32 @@ class ProfileSpec extends SparkSuite {
       }
     }
   }
+
+  test("table_corr: bounded coefficients, one scan, and an exact planted fixture") {
+    val df = Profile.tableCorr(spark, sfDir)
+    val rows = df.collect()
+    val nPairs = Profile.CorrCols.combinations(2).size
+    assert(rows.length == nPairs)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(2)) <= 1.0, s"|r|>1: $r")
+      assert(r.getLong(3) > 0)
+    }
+    // all six pairs come from ONE aggregate pass over one scan
+    df.count()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case _: FileSourceScanExec => 1
+      case other => other.children.map(scans).sum
+    }
+    assert(scans(df.queryExecution.executedPlan) == 1)
+    // exact-correlation sanity on a hand frame: y = 2x → r = 1
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.corr
+    val r = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0))
+      .toDF("x", "y").agg(corr($"x", $"y")).collect()(0).getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
 }

@@ -211,4 +211,25 @@ class SimilaritySpec extends SparkSuite {
     assert(!plan.contains("HashAggregate"),
       s"per-row stats must not aggregate:\n$plan")
   }
+
+  test("embed_outliers: contiguous ranks, descending dist², driver recompute") {
+    val rows = Similarity.embedOutliers(spark, sfDir).collect()
+    assert(rows.length == Similarity.OutlierK)
+    rows.zipWithIndex.foreach { case (r, i) => assert(r.getInt(0) == i + 1) }
+    val d = rows.map(_.getDouble(2))
+    assert(d.zip(d.tail).forall { case (a, b) => a >= b }, "dist² not descending")
+    assert(d.forall(_ >= 0.0), "a squared distance cannot be negative")
+    // independent recompute: plain double centroid (no fixed point) —
+    // the 2⁻¹⁶ quantization shifts dist² well below 1e-3
+    val vecs = graft.Tables(spark, sfDir).embeddings.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    val dim = vecs.head._2.length
+    val cent = Array.tabulate(dim)(j => vecs.values.map(_(j)).sum / vecs.size)
+    rows.foreach { r =>
+      val v = vecs(r.getLong(1))
+      val dd = v.indices.map(j => (v(j) - cent(j)) * (v(j) - cent(j))).sum
+      assert(math.abs(dd - r.getDouble(2)) < 1e-3, s"row $r recompute $dd")
+    }
+  }
 }
