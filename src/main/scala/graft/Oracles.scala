@@ -800,6 +800,43 @@ object Oracles {
            |  round(corr($a, $b), 4) AS r, count(*)::bigint AS n_rows
            |FROM lineitem""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_x, col_y")
+    },
+
+    // B/C iterative graph: integer fixed-point PageRank, the same
+    // recurrence as Graph.graphPagerank unrolled as one CTE stage per
+    // round (constants single-sourced from Graph.Pr*). All integral
+    // div/sum — exact at any iteration count.
+    "graph_pagerank" -> {
+      val iters = graft.operators.Graph.PrIters
+      val scale = graft.operators.Graph.PrScale
+      val k = graft.operators.Graph.PrTopK
+      val head =
+        s"""WITH li AS (SELECT l_orderkey AS k, l_partkey AS p FROM lineitem),
+           |edges AS (SELECT DISTINCT a.p AS src, b.p AS dst
+           |          FROM li a JOIN li b ON a.k = b.k AND a.p <> b.p),
+           |deg AS (SELECT src, count(*)::bigint AS deg FROM edges GROUP BY 1),
+           |nn AS (SELECT count(*)::bigint AS n FROM deg),
+           |bb AS (SELECT ($scale // n) AS q0,
+           |              (15 * ($scale // n)) // 100 AS b FROM nn),
+           |r0 AS (SELECT src AS node, (SELECT q0 FROM bb) AS q FROM deg)""".stripMargin
+      val loops = (1 to iters).map { i =>
+        s""",
+           |r$i AS (
+           |  SELECT e.dst AS node,
+           |    ((SELECT b FROM bb) + (85 * sum(r${i - 1}.q // d.deg)) // 100)::bigint AS q
+           |  FROM edges e
+           |  JOIN r${i - 1} ON r${i - 1}.node = e.src
+           |  JOIN deg d ON d.src = e.src
+           |  GROUP BY e.dst)""".stripMargin
+      }.mkString
+      head + loops +
+        s"""
+           |SELECT * FROM (
+           |  SELECT row_number() OVER (ORDER BY r.q DESC, r.node)::int AS rk,
+           |    r.node AS part, d.deg, r.q
+           |  FROM r$iters r JOIN deg d ON d.src = r.node)
+           |WHERE rk <= $k
+           |ORDER BY rk""".stripMargin
     }
   )
 
@@ -1378,7 +1415,26 @@ object Oracles {
         |    list_slice(toks, start_tok + 1, start_tok + $win), ' ')) AS chunk_md5
         |FROM s
         |ORDER BY doc_id, chunk_id""".stripMargin
-    }
+    },
+
+    // E character entropy: integer char counts, entropy fold over the
+    // count list sorted by character — accumulation order pinned, so
+    // the double hash-gates exactly (ASCII corpus: regexp char
+    // extraction ≡ Spark's split-by-empty).
+    "text_entropy" ->
+      raw"""WITH ch AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS c
+        |  FROM documents),
+        |cc AS (SELECT doc_id, c, count(*)::bigint AS n
+        |       FROM ch GROUP BY 1, 2),
+        |l AS (SELECT doc_id, list(n ORDER BY c) AS ns, sum(n)::bigint AS tot
+        |      FROM cc GROUP BY 1)
+        |SELECT doc_id, tot::int AS n_chars, len(ns)::int AS n_distinct,
+        |  round(-list_reduce(
+        |    list_transform(ns, x -> (x / tot) * log2(x / tot)),
+        |    (a, b) -> a + b), 4) AS entropy
+        |FROM l
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** Shared inverted-shingle-index CTE chain over `src` (must expose

@@ -98,6 +98,7 @@ object SparkEntry {
     "text_pii"           -> TextQueries.textPii,
     "text_bigram_lm"     -> TextQueries.textBigramLm,
     "text_chunk"         -> TextQueries.textChunk,
+    "text_entropy"       -> TextQueries.textEntropy,
     "corpus_stats"       -> TextQueries.corpusStats,
     "corpus_ngrams"      -> TextQueries.corpusNgrams,
     "quality_deciles"    -> TextQueries.qualityDeciles,
@@ -112,6 +113,7 @@ object SparkEntry {
     "dedup_embed_cosine"  -> Dedup.dedupEmbedCosine,
     "dedup_semantic"      -> Dedup.dedupSemantic,
     "dedup_components"    -> Dedup.dedupComponents,
+    "graph_pagerank"      -> (graft.operators.Graph.graphPagerank(_, _)),
     "dedup_incremental"   -> (graft.operators.Incremental.dedupIncremental(_, _)),
     "sample_stratified"   -> (graft.operators.Sampling.sampleStratified(_, _)),
     "sample_exact_k"      -> (graft.operators.Sampling.sampleExactK(_, _)),

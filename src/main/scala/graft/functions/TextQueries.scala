@@ -679,6 +679,40 @@ object TextQueries {
     * token-array materialization is one interpreted HOF filter pass
     * per document (same trade [[TextFunctions.tokens]] documents);
     * the slice/concat/md5 chain stays codegen'd. */
+  /** E: character-level Shannon entropy per document — the cheap
+    * gibberish/compression-ratio proxy (mojibake and base64 blobs
+    * score high, boilerplate scores low) every corpus QC pass runs.
+    *
+    * Exactness: per-(doc, char) counts are integers; the entropy fold
+    * runs over the count list SORTED BY CHARACTER, so the double
+    * accumulation order is pinned cross-engine (a groupBy-sum of
+    * p·log p terms would merge in partition order and break the
+    * gate). The explode/split/count pipeline is all codegen'd —
+    * only the final ≤ alphabet-size fold per doc is interpreted.
+    * Scale: map-side combine collapses the char explosion to
+    * ~alphabet rows per doc before the one exchange. */
+  def textEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val counts = d
+      .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+      .filter(col("c") =!= "")
+      .groupBy(col("doc_id"), col("c"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("c"), col("n")))).as("cn"),
+        sum(col("n")).as("tot"))
+      .select(col("doc_id"),
+        col("tot").cast("int").as("n_chars"),
+        size(col("cn")).as("n_distinct"),
+        round(-aggregate(
+          transform(col("cn"),
+            s => (s.getField("n") / col("tot")) *
+              log2(s.getField("n") / col("tot"))),
+          lit(0.0), (acc, x) => acc + x), 4).as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
   def textChunk(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables(spark, dir).documents
     d.select(col("doc_id"), T.tokens(col("text")).as("toks"))

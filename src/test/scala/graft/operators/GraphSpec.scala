@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSuite
+
+/** `graph_pagerank` — hand-fixture structure, mass conservation, and
+  * the integer-exactness contract at sf0.001. */
+class GraphSpec extends SparkSuite {
+
+  test("hub node out-ranks leaves on a path graph (hand fixture)") {
+    val s = spark; import s.implicits._
+    // groups {1,2} and {2,3}: path 1–2–3; node 2 is the hub
+    val li = Seq((10L, 1L), (10L, 2L), (20L, 2L), (20L, 3L))
+      .toDF("k", "p")
+    val out = Graph.pagerankOf(li).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L)._1 == 1 && out(2L)._1 == 2 && out(3L)._1 == 1)
+    assert(out(2L)._2 > out(1L)._2, s"hub must out-rank a leaf: $out")
+    // symmetric leaves get identical integer ranks
+    assert(out(1L)._2 == out(3L)._2)
+  }
+
+  test("mass is conserved up to integral-division dust at sf0.001") {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables(spark, sfDir).lineitem
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+    val ranks = Graph.pagerankOf(li)
+    val agg = ranks.agg(sum("q"), count(lit(1))).collect()(0)
+    val (mass, n) = (agg.getLong(0), agg.getLong(1))
+    assert(mass <= Graph.PrScale)
+    // per round each node sheds < 100 units at each of its two
+    // integral divisions, plus the q0 remainder
+    val slack = Graph.PrIters.toLong * 200L * n + n * 100L
+    assert(mass >= Graph.PrScale - slack, s"mass $mass, n $n")
+    ranks.collect().foreach(r => assert(r.getLong(2) > 0))
+  }
+
+  test("query entry: contiguous ranks, descending q, deterministic rerun") {
+    val r1 = Graph.graphPagerank(spark, sfDir).collect()
+    assert(r1.length == Graph.PrTopK)
+    r1.zipWithIndex.foreach { case (r, i) => assert(r.getInt(0) == i + 1) }
+    val qs = r1.map(_.getLong(3))
+    assert(qs.zip(qs.tail).forall { case (a, b) => a >= b })
+    val r2 = Graph.graphPagerank(spark, sfDir).collect()
+    assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq,
+      "integer pagerank must be bit-deterministic")
+  }
+}
