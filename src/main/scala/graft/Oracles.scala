@@ -725,21 +725,25 @@ object Oracles {
         |FROM e GROUP BY dow, hour
         |ORDER BY dow, hour""".stripMargin,
 
-    // B Markov transitions: raw-µs ts order with event_id tiebreak
-    // (same total order as Spark's epoch-nanos long), integer-count
-    // probability ratio per source state.
-    "events_markov" ->
+    // B transition dwell times: raw-µs ts order with event_id
+    // tiebreak (same total order as Spark's epoch-nanos long), gaps
+    // as exact epoch-second integers; mean = Σ/n division, p90 =
+    // quantile_cont (bit-equal to Spark percentile interpolation).
+    "events_dwell" ->
       """WITH p AS (
         |  SELECT user_id, event_type AS dst,
         |    lag(event_type) OVER (
-        |      PARTITION BY user_id ORDER BY ts, event_id) AS src
-        |  FROM events),
-        |c AS (
-        |  SELECT src, dst, count(*)::bigint AS n
-        |  FROM p WHERE src IS NOT NULL GROUP BY src, dst)
-        |SELECT src, dst, n,
-        |  round(n / sum(n) OVER (PARTITION BY src), 4) AS prob
-        |FROM c
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS src,
+        |    epoch(date_trunc('second', ts))::bigint -
+        |      lag(epoch(date_trunc('second', ts))::bigint) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events)
+        |SELECT src, dst, count(*)::bigint AS n,
+        |  round(sum(gap)::bigint / count(*), 4) AS avg_gap_sec,
+        |  round(quantile_cont(gap, 0.9), 4) AS p90_gap_sec,
+        |  max(gap)::bigint AS max_gap_sec
+        |FROM p WHERE src IS NOT NULL
+        |GROUP BY src, dst
         |ORDER BY src, dst""".stripMargin,
 
     // B interval-union coverage: the same strictly-preceding running

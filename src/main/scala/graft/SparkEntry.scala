@@ -74,7 +74,7 @@ object SparkEntry {
     "events_sequences"   -> (graft.operators.Funnel.eventsSequences(_, _)),
     "events_lifecycle"   -> (graft.operators.Lifecycle.eventsLifecycle(_, _)),
     "events_heatmap"     -> (graft.operators.Lifecycle.eventsHeatmap(_, _)),
-    "events_markov"      -> (graft.operators.Lifecycle.eventsMarkov(_, _)),
+    "events_dwell"       -> (graft.operators.Lifecycle.eventsDwell(_, _)),
     "interval_coverage"  -> (graft.operators.Lifecycle.intervalCoverage(_, _)),
     "orders_cohort"      -> (graft.operators.Lifecycle.ordersCohort(_, _)),
     // §2A — MapReduce engine pipelines

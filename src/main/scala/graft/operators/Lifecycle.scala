@@ -104,24 +104,32 @@ object Lifecycle {
       .orderBy(col("dow"), col("hour"))
   }
 
-  /** B: first-order Markov transition matrix over each user's
-    * time-ordered event stream — the behavioral fingerprint behind
-    * "what do users do after a click". ONE exchange on user_id for
-    * the lag window (raw-ns `ts` order, event_id tiebreak), then a
-    * tiny (types²) aggregate; prob is an exact integer-count ratio
-    * per source state via a second, broadcast-sized window. */
-  def eventsMarkov(spark: SparkSession, dir: String): DataFrame = {
+  /** B: transition dwell times — for each src→dst event-type
+    * transition, how long users linger before making it (count, mean
+    * gap, p90 gap, max gap in seconds): the "time to convert"
+    * companion to events_pathing's pure transition COUNTS/probability
+    * matrix (which this deliberately does not duplicate).
+    *
+    * ONE exchange on user_id for the lag window (raw-ns `ts` order,
+    * event_id tiebreak — gaps then reduce to exact epoch-second
+    * integers), then a tiny (types²) aggregate: mean is an integer
+    * Σ/n correctly-rounded division, p90 one percentile sketch per
+    * group (interpolation bit-equal to quantile_cont — the
+    * mix_curriculum proof). */
+  def eventsDwell(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir).events
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val pairs = ev
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        Tables.tsNsToSec("ts").as("ep"))
       .withColumn("src", lag(col("event_type"), 1).over(w))
+      .withColumn("gap", col("ep") - lag(col("ep"), 1).over(w))
       .filter(col("src").isNotNull)
-    val counts = pairs.groupBy(col("src"), col("event_type").as("dst"))
-      .agg(count(lit(1)).as("n"))
-    counts
-      .withColumn("prob",
-        round(col("n") / sum(col("n")).over(Window.partitionBy("src")), 4))
+    pairs.groupBy(col("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("gap")) / count(lit(1)), 4).as("avg_gap_sec"),
+        round(percentile(col("gap"), lit(0.9)), 4).as("p90_gap_sec"),
+        max(col("gap")).as("max_gap_sec"))
       .orderBy(col("src"), col("dst"))
   }
 

@@ -58,13 +58,23 @@ class LifecycleSpec extends SparkSuite {
     }
   }
 
-  test("markov probabilities sum to 1 per source at sf0.001") {
-    val rows = Lifecycle.eventsMarkov(spark, sfDir).collect()
+  test("dwell gaps are ordered: 0 ≤ avg ≤ p90 ≤ max; n totals match pathing") {
+    val rows = Lifecycle.eventsDwell(spark, sfDir).collect()
     assert(rows.nonEmpty)
-    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
-      val p = rs.map(_.getDouble(3)).sum
-      assert(math.abs(p - 1.0) < 0.01, s"src=$src sums to $p")
+    rows.foreach { r =>
+      val (n, avg, p90, mx) =
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getLong(5))
+      assert(n > 0)
+      assert(avg >= 0.0 && avg <= mx + 1e-9, s"$r")
+      assert(p90 >= 0.0 && p90 <= mx + 1e-9, s"$r")
     }
+    // every consecutive pair contributes exactly once: Σn equals the
+    // corpus event count minus one per user with ≥1 event
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables(spark, sfDir).events
+    val total = ev.count()
+    val users = ev.select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(rows.map(_.getLong(2)).sum == total - users)
   }
 
   test("lifecycle: dau equals per-day distinct users; single events scan") {
@@ -78,18 +88,22 @@ class LifecycleSpec extends SparkSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     rows.foreach(r => assert(r.getLong(5) == dau(r.getLong(0)), s"$r"))
     // the contribution-explode keeps the tagged frame single-lineage:
-    // exactly one parquet scan in the executed plan (tree walk — a
-    // textual count double-prints under AQE's initial-plan section)
+    // exactly one source leaf in the executed plan (tree walk — a
+    // textual count double-prints under AQE's initial-plan section;
+    // in a shared-session suite a matching cached plan may substitute
+    // the parquet scan, so in-memory leaves count as the source too)
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     def scans(p: SparkPlan): Int = p match {
       case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
       case q: QueryStageExec => scans(q.plan)
       case _: FileSourceScanExec => 1
+      case _: InMemoryTableScanExec => 1
       case other => other.children.map(scans).sum
     }
     df.count() // materialize so AQE finalizes the plan
     val n = scans(df.queryExecution.executedPlan)
-    assert(n == 1, s"expected 1 events scan, got $n")
+    assert(n == 1, s"expected 1 events source leaf, got $n")
   }
 }

@@ -32,12 +32,15 @@ class PlanContractSpec extends SparkSuite {
   //    in-plan bucketization pass.
   //  - table_histogram: same 1-row shape — each column's min/max
   //    stats row broadcast into the binning pass.
-  //  - events_rfm: same 1-row shape twice — the corpus max-epoch row
-  //    and the quintile-boundaries row broadcast into the scorer.
+  //  - events_rfm / stream_rfm: same 1-row shape twice — the corpus
+  //    max-epoch row and the quintile-boundaries row broadcast into
+  //    the shared rfmScore stage (the stream twin scores the same
+  //    frame in batch mode).
   private val boundedBroadcastOk =
     Set("ann_bruteforce", "q14_scalar_subquery", "text_tfidf",
       "text_typicality", "corpus_stats", "text_bm25", "stream_bm25",
-      "mix_curriculum", "zorder_key", "table_histogram", "events_rfm")
+      "mix_curriculum", "zorder_key", "table_histogram", "events_rfm",
+      "stream_rfm")
 
   test("no query plans a cartesian or unbounded nested-loop join") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
