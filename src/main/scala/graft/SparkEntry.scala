@@ -145,6 +145,7 @@ object SparkEntry {
     "mm_decode"           -> Multimodal.mmDecode,
     "mm_wavstats"        -> (Multimodal.mmWavStats(_, _)),
     "mm_framesample"      -> Multimodal.mmFramesample,
+    "mm_phash"            -> (Multimodal.mmPhash(_, _)),
     "mm_resize"           -> ((s, d) => Multimodal.mmResizeQuery(s, d)),
     // §2G — streaming (batch-equivalent entries; stream path in specs)
     "stream_window_agg"   -> Streams.streamWindowAgg,

@@ -564,7 +564,15 @@ object Multimodal {
     * Construction is codegen'd builtins (hex/lpad/repeat/unhex) for
     * the headers plus one per-partition map for the PNG encode. */
   def mmResizeQuery(spark: SparkSession, dir: String,
-      maxSide: Int = ResizeOracleMaxSide): DataFrame = {
+      maxSide: Int = ResizeOracleMaxSide): DataFrame =
+    resizeCore(synthImageBlobs(spark, dir), maxSide)
+
+  /** The synthesized image corpus of [[mmResizeQuery]] (and
+    * [[mmPhash]]): deterministic well-formed BMP/PNG blobs derived
+    * from the documents table by the construction rule both DuckDB
+    * twins re-derive in hex space. */
+  private[multimodal] def synthImageBlobs(spark: SparkSession,
+      dir: String): Dataset[MmBlob] = {
     import spark.implicits._
     def le32(v: String): String =
       s"concat(lpad(hex(($v) % 256), 2, '0'), " +
@@ -608,14 +616,87 @@ object Multimodal {
           // non-image payloads the routing must drop
           "WHEN 'raw' THEN cast(text AS binary) " +
           "ELSE cast(null AS binary) END AS content")
-    val blobs = imgs.as[SynthImg].mapPartitions { it =>
+    imgs.as[SynthImg].mapPartitions { it =>
       it.map { r =>
         if (r.kind == "png")
           MmBlob(r.doc_id, encodePng(r.w, r.h, unhexBytes(r.px_hex), r.doc_id))
         else MmBlob(r.doc_id, r.content)
       }
     }
-    resizeCore(blobs, maxSide)
+  }
+
+  /** Average-hash grid side: 8×8 = 64 bits. */
+  val PhashSide = 8
+
+  /** One image's average-hash row. */
+  final case class Phashed(doc_id: Long, width: Int, height: Int,
+    phash: String, n_ones: Int)
+
+  /** The per-blob decode→8×8 NN downsample→average-hash kernel:
+    * gray(i) = r+g+b of the i-th grid sample (row-major), bit i set
+    * iff gray(i)·64 > Σ gray — pure integer algebra on REAL decoded
+    * pixels (same decode eligibility as [[resizeTo]]; ineligible or
+    * non-image blobs drop). The hash is emitted as a 64-char '0'/'1'
+    * string: exactly comparable cross-engine, no sign-bit contract. */
+  private[multimodal] def phashOf(b: MmBlob): Option[Phashed] = {
+    val d = decodeHeader(b)
+    val out = for {
+      w <- d.width; h0 <- d.height
+      h = math.abs(h0)
+      if d.ok && w > 0 && h > 0
+    } yield {
+      val a = b.content
+      val stride = (w.toLong * 3 + 3) / 4 * 4
+      val pixOff = if (a.length >= 34) leS32(a, 10) else -1
+      val isNN = d.format == "bmp" && d.bit_depth.contains(24) &&
+        a.length >= 54 && leS32(a, 30) == 0 && pixOff >= 54 &&
+        pixOff + stride * h <= a.length
+      val pngPx: Option[Array[Byte]] =
+        if (d.format == "png") pngPixels(a).map(_._3) else None
+      if (isNN || pngPx.isDefined) {
+        val s = PhashSide
+        val grid = pngPx match {
+          case Some(px) => nnSample(px, 0, w * 3, w, h, s, s)
+          case None     => nnSample(a, pixOff, stride.toInt, w, h, s, s)
+        }
+        val grays = Array.tabulate(s * s) { i =>
+          (grid(3 * i) & 0xFF) + (grid(3 * i + 1) & 0xFF) +
+            (grid(3 * i + 2) & 0xFF)
+        }
+        val total = grays.foldLeft(0L)(_ + _)
+        val bits = grays.map(g => if (g.toLong * (s * s) > total) '1' else '0')
+        Some(Phashed(b.doc_id, w, h, new String(bits),
+          bits.count(_ == '1')))
+      } else None
+    }
+    out.flatten
+  }
+
+  /** F5: perceptual image dedup — the average-hash (aHash) grouping
+    * pass an image-corpus pipeline runs before training (exact
+    * byte-level dedup misses re-encodes; aHash buckets visually
+    * identical frames): decode REAL pixels, 8×8 NN downsample,
+    * 64-bit brightness hash, then duplicate groups by exact hash
+    * with a canonical min-id representative.
+    *
+    * Scale shape: the decode+hash is the same per-partition
+    * codec-batch map as mmDecode (no shuffle), and the grouping is
+    * ONE exchange on the 64-bit hash — at 100 TB this is exact-dedup
+    * on a derived key, the C1 shape. A hamming-≤k band join
+    * (dedup_simhash's pigeonhole) is the documented near-dup dial;
+    * the exact-bucket form IS the oracle gate. */
+  def mmPhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ph = synthImageBlobs(spark, dir)
+      .mapPartitions(it => it.flatMap(phashOf))
+      .toDF()
+    val w = Window.partitionBy("phash")
+    ph.withColumn("rep_id", min(col("doc_id")).over(w))
+      .withColumn("grp_n", count(lit(1)).over(w))
+      .select(col("doc_id"), col("width"), col("height"), col("phash"),
+        col("n_ones"), col("rep_id"), col("grp_n"))
+      .orderBy(col("doc_id"))
   }
 
   private def unhexBytes(s: String): Array[Byte] = {

@@ -558,4 +558,39 @@ class MultimodalSpec extends SparkSuite {
         p.length == 2 && p(0).toLong * p(1) < 0))
     }
   }
+
+  test("phash: flat image hashes to zeros; a half-bright split hashes its half") {
+    import graft.multimodal.Multimodal.{phashOf, MmBlob}
+    // uniform gray: every sample equals the mean — strict > never
+    // fires, all 64 bits are 0
+    val flat = phashOf(MmBlob(1L, fullBmp(16, 16, _ => 100.toByte))).get
+    assert(flat.phash == "0" * 64 && flat.n_ones == 0)
+    assert(flat.width == 16 && flat.height == 16)
+    // top half bright (BMP rows are stored bottom-up: stored first
+    // half = image BOTTOM): rows 0..7 of the stored grid are dark,
+    // 8..15 bright → 32 ones in the stored-order hash
+    val stride = (16 * 3 + 3) / 4 * 4
+    val split = phashOf(MmBlob(2L, fullBmp(16, 16,
+      i => if (i / stride < 8) 10.toByte else 200.toByte))).get
+    assert(split.n_ones == 32, s"got ${split.n_ones}")
+    assert(split.phash.take(32) == "0" * 32 && split.phash.drop(32) == "1" * 32)
+    // identical pixels ⇒ identical hash; brightness shift preserved
+    val again = phashOf(MmBlob(3L, fullBmp(16, 16,
+      i => if (i / stride < 8) 10.toByte else 200.toByte))).get
+    assert(again.phash == split.phash)
+  }
+
+  test("mm_phash groups: rep_id is the min doc of each hash bucket at sf0.001") {
+    val rows = Multimodal.mmPhash(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byHash = rows.groupBy(_.getString(3))
+    byHash.foreach { case (_, rs) =>
+      val ids = rs.map(_.getLong(0))
+      rs.foreach { r =>
+        assert(r.getLong(5) == ids.min, s"rep mismatch: $r")
+        assert(r.getLong(6) == ids.length.toLong)
+        assert(r.getInt(4) == r.getString(3).count(_ == '1'))
+      }
+    }
+  }
 }
