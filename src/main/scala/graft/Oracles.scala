@@ -2878,6 +2878,10 @@ object Oracles {
     // stage reproduce B's events_rfm exactly — same SQL.
     "stream_rfm" -> relational("events_rfm"),
 
+    // G19 online interval coverage: the constant-width sweep frontier
+    // reproduces B's interval_coverage exactly — same SQL.
+    "stream_coverage" -> relational("interval_coverage"),
+
     // G17 composed ingest gate: replayed feed (re-crawls under a
     // 3·5·7-aligned id offset draw the same PII gates, different PII
     // values) → E11 scrub (shared aug/red CTEs) → E2 quality floor

@@ -165,7 +165,8 @@ object SparkEntry {
     "stream_bm25"         -> Streams.streamBm25,
     "stream_decontaminate" -> Streams.streamDecontaminate,
     "stream_curate"       -> Streams.streamCurate,
-    "stream_rfm"          -> Streams.streamRfm
+    "stream_rfm"          -> Streams.streamRfm,
+    "stream_coverage"     -> Streams.streamCoverage
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

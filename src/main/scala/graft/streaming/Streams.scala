@@ -1136,6 +1136,68 @@ object Streams {
       .toDF("user_id", "last_ep", "freq", "cents")
   }
 
+  // ----- G19: online interval-union coverage -----------------------
+
+  /** One event for the coverage stream. */
+  final case class CovEv(user_id: Long, ep: Long, event_id: Long)
+  /** Per-user sweep state (public for the state encoder): the
+    * frontier end plus three running totals — never history. */
+  final case class CovAcc(cur_end: Long, n_events: Long,
+    covered: Long, segments: Long)
+
+  /** G19 core: B's interval_coverage sweep-line maintained online.
+    * Because interval width is constant, the batch query's "max end
+    * over strictly preceding rows" is just the PREVIOUS FRONTIER —
+    * so the whole union-coverage state is four longs per user. Each
+    * call folds its (sorted) events into the frontier: a new
+    * interval either starts a segment past the frontier or extends
+    * it by its uncovered suffix; integers throughout. In-order
+    * event-time replay is the same contract as the other stateful
+    * twins (a pre-frontier straggler would need the batch form).
+    * One updated snapshot row per user per active batch. */
+  def covFn(user: Long, evs: Iterator[CovEv],
+      state: GroupState[CovAcc]): Iterator[(Long, Long, Long, Long)] = {
+    val es = evs.toVector.sortBy(e => (e.ep, e.event_id))
+    if (es.isEmpty) return Iterator.empty
+    var acc = state.getOption.getOrElse(CovAcc(Long.MinValue, 0L, 0L, 0L))
+    es.foreach { e =>
+      val end = e.ep + CoverageWin
+      acc =
+        if (acc.n_events == 0L || e.ep >= acc.cur_end)
+          CovAcc(end, acc.n_events + 1, acc.covered + CoverageWin,
+            acc.segments + 1)
+        else
+          CovAcc(math.max(acc.cur_end, end), acc.n_events + 1,
+            acc.covered + math.max(0L, end - acc.cur_end), acc.segments)
+    }
+    state.update(acc)
+    Iterator((user, acc.n_events, acc.covered, acc.segments))
+  }
+
+  /** Interval width — single-sourced from the batch operator. */
+  def CoverageWin: Long = graft.operators.Lifecycle.CoverageWindowSec
+
+  /** Shared stateful coverage stage (batch or streaming). */
+  def covStateful(evs: Dataset[CovEv]): DataFrame = {
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        covFn)
+      .toDF("user_id", "n_events", "covered_sec", "n_segments")
+  }
+
+  /** G19 batch entry: each user's history in one call ⇒ the full
+    * sweep — output identical to B's interval_coverage, same SQL
+    * oracle. */
+  def streamCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evs = Tables(spark, dir).events
+      .select(col("user_id"), Tables.tsNsToSec("ts").as("ep"),
+        col("event_id"))
+      .as[CovEv]
+    covStateful(evs).orderBy(col("user_id"))
+  }
+
   /** G18 batch entry: metrics via the stateful path (each user's
     * history in one call ⇒ the per-user aggregate), then the SHARED
     * scoring stage — output identical to B's events_rfm, same SQL

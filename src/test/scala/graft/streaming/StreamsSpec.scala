@@ -1095,4 +1095,38 @@ class StreamsSpec extends SparkSuite {
         "fixture must exercise multi-batch accumulation")
     } finally query.stop()
   }
+
+  test("streaming coverage: frontier carries across batches, equals batch sweep") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    val evs = graft.Tables(spark, sfDir).events
+      .selectExpr("user_id", "ts div 1000000000 AS ep", "event_id")
+      .as[Streams.CovEv].collect().sortBy(e => (e.ep, e.event_id))
+    val expected = graft.operators.Lifecycle
+      .intervalCoverage(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val stream = MemoryStream[Streams.CovEv]
+    val query = Streams.covStateful(stream.toDS())
+      .writeStream.format("memory").queryName("cov")
+      .outputMode("append").start()
+    try {
+      // time-ordered replay in 4 batches: overlapping intervals WILL
+      // straddle batch boundaries, so the frontier must carry
+      evs.grouped(math.max(1, evs.length / 4)).foreach { b =>
+        stream.addData(b.toSeq); query.processAllAvailable()
+      }
+      val got = s.table("cov").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1).map { case (u, rows) =>
+          u -> { val fin = rows.maxBy(_._2); (fin._2, fin._3, fin._4) }
+        }
+      assert(got.keySet == expected.keySet)
+      got.foreach { case (u, t) => assert(t == expected(u), s"user $u") }
+      val emissions = s.table("cov").collect()
+        .groupBy(_.getLong(0)).values.map(_.length)
+      assert(emissions.exists(_ > 1),
+        "fixture must exercise multi-batch accumulation")
+    } finally query.stop()
+  }
 }
