@@ -793,6 +793,62 @@ object Oracles {
         |FROM a
         |ORDER BY cohort_month, month_index""".stripMargin,
 
+    // B Pareto/ABC: integer-cents cumulative fold over the per-customer
+    // aggregate; the A/B/C cut is pure integer algebra (2·cum ≤ total,
+    // 5·cum ≤ 4·total) so no double threshold can flake cross-engine.
+    "orders_pareto" ->
+      """WITH c AS (
+        |  SELECT o_custkey AS cust_key,
+        |    sum(floor(o_totalprice * 100)::bigint) AS rev_cents
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT sum(rev_cents) AS total_cents FROM c),
+        |w AS (
+        |  SELECT cust_key, rev_cents,
+        |    sum(rev_cents) OVER (ORDER BY rev_cents DESC, cust_key
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+        |  FROM c)
+        |SELECT cust_key,
+        |  round(rev_cents / 100.0, 2) AS revenue,
+        |  round(cum_cents::double / total_cents, 4) AS cum_share,
+        |  CASE WHEN cum_cents * 2 <= total_cents THEN 'A'
+        |       WHEN cum_cents * 5 <= total_cents * 4 THEN 'B'
+        |       ELSE 'C' END AS pareto_class
+        |FROM w, t
+        |ORDER BY revenue DESC, cust_key""".stripMargin,
+
+    // B EWMA forecast: α = 1/2 halvings over the day-sorted count
+    // prefix (strict sequential fold — DuckDB's seedless list_reduce
+    // == Spark's aggregate seeded with the first element), e_{d-1}
+    // reconstructed exactly as 2·e_d − n_d. 1-based i here ↔ Spark's
+    // 0-based pos + 1; both fold the same i-element prefix.
+    "events_ewma" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    (epoch(date_trunc('second', ts))::bigint // 86400) AS day
+        |  FROM events),
+        |d AS (SELECT event_type, day, count(*) AS n FROM e GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type,
+        |    list(day ORDER BY day) AS ds,
+        |    list(n ORDER BY day) AS ns
+        |  FROM d GROUP BY 1),
+        |x AS (
+        |  SELECT event_type, ds, ns,
+        |    unnest(range(1, len(ns) + 1)) AS i
+        |  FROM s),
+        |f AS (
+        |  SELECT event_type, ds[i] AS day, ns[i] AS n, i,
+        |    list_reduce(list_transform(ns[1:i], v -> v::double),
+        |                (x, y) -> (x + y) / 2.0) AS ewma
+        |  FROM x)
+        |SELECT event_type, day, n::bigint AS n,
+        |  round(ewma, 4) AS ewma,
+        |  CASE WHEN i = 1 THEN NULL
+        |       ELSE round(n::double - (ewma * 2 - n::double), 4)
+        |  END AS resid
+        |FROM f
+        |ORDER BY event_type, day""".stripMargin,
+
     // H pairwise Pearson correlation: one UNION ALL branch per pair
     // (oracle-side table re-reads are irrelevant; the Spark side is a
     // single agg pass). Pairs single-sourced from Profile.CorrCols.
@@ -1370,6 +1426,70 @@ object Oracles {
          |  FROM c)
          |WHERE rk <= $k
          |ORDER BY lang, rk""".stripMargin
+    },
+
+    // E vocabulary profile: all counts integer, both ratios divide the
+    // same integers (::double numerator pins double division in both
+    // engines).
+    "text_hapax" ->
+      raw"""WITH toks AS (
+         |  SELECT source,
+         |    unnest(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+         |                       w -> w <> '')) AS term
+         |  FROM documents),
+         |tf AS (SELECT source, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |d AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+         |v AS (
+         |  SELECT source, sum(tf) AS n_tokens, count(*) AS vocab,
+         |    sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS hapax
+         |  FROM tf GROUP BY 1)
+         |SELECT v.source, d.n_docs::int AS n_docs,
+         |  v.n_tokens::bigint AS n_tokens, v.vocab::bigint AS vocab,
+         |  v.hapax::bigint AS hapax,
+         |  round(v.vocab::double / v.n_tokens, 4) AS ttr,
+         |  round(v.hapax::double / v.vocab, 4) AS hapax_ratio
+         |FROM v JOIN d ON v.source = d.source
+         |ORDER BY v.source""".stripMargin,
+
+    // E collocations: rational lift (no ln — textBm25's exactness
+    // discipline); numerator/denominator multiply in the same
+    // left-assoc order as the Spark expression, rank on the unrounded
+    // double with bigram tiebreak.
+    "text_collocations" -> {
+      val minC = graft.functions.TextQueries.CollocMinCount
+      val k = graft.functions.TextQueries.CollocTopK
+      raw"""WITH uni AS (
+         |  SELECT term, count(*) AS c FROM (
+         |    SELECT unnest(list_filter(
+         |      string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+         |      w -> w <> '')) AS term
+         |    FROM documents)
+         |  GROUP BY term),
+         |t AS (
+         |  SELECT list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+         |                     w -> w <> '') AS s
+         |  FROM documents),
+         |bg AS (
+         |  SELECT unnest(list_transform(range(1, len(s)),
+         |                               i -> s[i] || ' ' || s[i + 1])) AS bigram
+         |  FROM t WHERE len(s) >= 2),
+         |bi AS (
+         |  SELECT bigram, count(*) AS c_xy FROM bg
+         |  GROUP BY bigram HAVING count(*) >= $minC),
+         |tot AS (SELECT (SELECT sum(c) FROM uni) AS n_uni,
+         |               (SELECT count(*) FROM bg) AS n_bi),
+         |l AS (
+         |  SELECT bi.bigram, bi.c_xy, ux.c AS c_x, uy.c AS c_y,
+         |    (bi.c_xy::double * n_uni * n_uni) /
+         |      (n_bi::double * ux.c * uy.c) AS lift
+         |  FROM bi
+         |  JOIN uni ux ON ux.term = string_split(bi.bigram, ' ')[1]
+         |  JOIN uni uy ON uy.term = string_split(bi.bigram, ' ')[2]
+         |  CROSS JOIN tot),
+         |top AS (SELECT * FROM l ORDER BY lift DESC, bigram LIMIT $k)
+         |SELECT bigram, c_xy::bigint AS c_xy, c_x::bigint AS c_x,
+         |  c_y::bigint AS c_y, round(lift, 4) AS lift
+         |FROM top ORDER BY bigram""".stripMargin
     },
 
     // Heavy-hitter bigrams above the exact 1/ShareDenom corpus share.
@@ -2384,6 +2504,36 @@ object Oracles {
         |WHERE rk <= 5
         |ORDER BY q_id, rk""".stripMargin,
 
+    // D8 k-NN graph: ordered-pair re-derivation of the Spark side's
+    // mirrored unordered pairs — per-element products commute
+    // bit-exactly and the fold order (index order) is shared, so the
+    // (b→a) direction DuckDB computes equals the (a→b) value Spark
+    // mirrors. Rank on the unrounded cos with n_id tiebreak, both
+    // engines.
+    "embed_knn_graph" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce(
+        |      list_transform(list_zip(v, v), s -> s[1] * s[2]),
+        |      (x, y) -> x + y)) AS nrm
+        |  FROM e),
+        |pairs AS (
+        |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+        |    list_reduce(
+        |      list_transform(list_zip(a.v, b.v), s -> s[1] * s[2]),
+        |      (x, y) -> x + y) / (a.nrm * b.nrm) AS cos
+        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id)
+        |SELECT q_id, n_id, rk::int AS rk, round(cos, 4) AS cos FROM (
+        |  SELECT q_id, n_id, cos,
+        |    row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY cos DESC, n_id) AS rk
+        |  FROM pairs)
+        |WHERE rk <= 5
+        |ORDER BY q_id, rk""".stripMargin,
+
     // Int8 quantization digest. The quantized value is spelled as the
     // SAME floor algebra QuantStatsI8 generates — floor(|y| + 0.5)
     // with the sign restored, never an engine round() — and scale is
@@ -2881,6 +3031,11 @@ object Oracles {
     // G19 online interval coverage: the constant-width sweep frontier
     // reproduces B's interval_coverage exactly — same SQL.
     "stream_coverage" -> relational("interval_coverage"),
+
+    // G20 online heavy hitters: exact per-gram running counts + the
+    // read-side integer cut reproduce E's ngram_blocklist exactly —
+    // same SQL.
+    "stream_hitters" -> text("ngram_blocklist"),
 
     // G17 composed ingest gate: replayed feed (re-crawls under a
     // 3·5·7-aligned id offset draw the same PII gates, different PII

@@ -75,8 +75,10 @@ object SparkEntry {
     "events_lifecycle"   -> (graft.operators.Lifecycle.eventsLifecycle(_, _)),
     "events_heatmap"     -> (graft.operators.Lifecycle.eventsHeatmap(_, _)),
     "events_dwell"       -> (graft.operators.Lifecycle.eventsDwell(_, _)),
+    "events_ewma"        -> (graft.operators.Lifecycle.eventsEwma(_, _)),
     "interval_coverage"  -> (graft.operators.Lifecycle.intervalCoverage(_, _)),
     "orders_cohort"      -> (graft.operators.Lifecycle.ordersCohort(_, _)),
+    "orders_pareto"      -> (graft.operators.Lifecycle.ordersPareto(_, _)),
     // §2A — MapReduce engine pipelines
     "mr_wordcount"       -> MrQueries.mrWordcount,
     "mr_sum"             -> MrQueries.mrSum,
@@ -100,6 +102,8 @@ object SparkEntry {
     "text_chunk"         -> TextQueries.textChunk,
     "text_entropy"       -> TextQueries.textEntropy,
     "corpus_stats"       -> TextQueries.corpusStats,
+    "text_hapax"         -> TextQueries.textHapax,
+    "text_collocations"  -> TextQueries.textCollocations,
     "corpus_ngrams"      -> TextQueries.corpusNgrams,
     "quality_deciles"    -> TextQueries.qualityDeciles,
     "ngram_blocklist"    -> (graft.operators.HeavyHitters.ngramBlocklist(_, _)),
@@ -140,6 +144,7 @@ object SparkEntry {
     "embed_cluster"       -> (graft.operators.Cluster.embedCluster(_, _)),
     "embed_pca"           -> (graft.operators.Cluster.embedPca(_, _)),
     "embed_outliers"      -> Similarity.embedOutliers _,
+    "embed_knn_graph"     -> (Similarity.embedKnnGraph(_, _)),
     // §2F — multimodal binary plumbing
     "mm_meta"             -> Multimodal.mmMeta,
     "mm_decode"           -> Multimodal.mmDecode,
@@ -166,7 +171,8 @@ object SparkEntry {
     "stream_decontaminate" -> Streams.streamDecontaminate,
     "stream_curate"       -> Streams.streamCurate,
     "stream_rfm"          -> Streams.streamRfm,
-    "stream_coverage"     -> Streams.streamCoverage
+    "stream_coverage"     -> Streams.streamCoverage,
+    "stream_hitters"      -> Streams.streamHitters
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -729,4 +729,86 @@ object TextQueries {
           .as("chunk_md5"))
       .orderBy(col("doc_id"), col("chunk_id"))
   }
+
+  /** E: vocabulary profile per source — token count, vocabulary size,
+    * hapax legomena (tokens seen exactly once), type-token ratio and
+    * hapax share. The lexical-richness datasheet a corpus audit reads
+    * to spot template spam (low TTR) or OCR noise (high hapax share)
+    * per ingest source.
+    *
+    * Exactness: all counts are integers; the two ratios divide the
+    * same integers in both engines. Shape: ONE token explode →
+    * map-side-combined groupBy(source, term) — the only big exchange
+    * is on the (source, term) key, the per-source rollup and the
+    * tiny docs-per-source agg ride on |vocab|- and |docs|-sized
+    * frames. No windows, no collects. */
+  def textHapax(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val tf = d.select(col("source"),
+        explode(split(col("text"), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docs = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    tf.groupBy(col("source"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("tf") === 1L, 1L).otherwise(0L)).as("hapax"))
+      .join(docs, Seq("source"))
+      .select(col("source"),
+        col("n_docs").cast("int").as("n_docs"),
+        col("n_tokens"), col("vocab"), col("hapax"),
+        round(col("vocab") / col("n_tokens"), 4).as("ttr"),
+        round(col("hapax") / col("vocab"), 4).as("hapax_ratio"))
+      .orderBy(col("source"))
+  }
+
+  /** Minimum bigram count for [[textCollocations]] (single-sourced
+    * into the oracle): rarer pairs have unstable lift. */
+  val CollocMinCount = 5
+  /** Collocations reported per corpus. */
+  val CollocTopK = 30
+
+  /** E: collocation mining — bigrams that co-occur more than token
+    * frequencies predict, ranked by pointwise-lift
+    * `p(xy) / (p(x)·p(y))` (the argument of PMI's log — monotone in
+    * PMI, kept rational so the rank and the hash gate are exact; the
+    * same no-`ln` discipline as [[textBm25]]'s idf). The standard
+    * phrase-discovery pass (word2vec-style phrase joining, stopword
+    * discovery) over a training corpus.
+    *
+    * Shape: the unigram and bigram counts are two map-side-combined
+    * explodes of one corpus scan ([[WordNgrams]] generates both token
+    * streams); the lift join brokers bigram rows to their two
+    * unigram counts via two equi-joins on the token key — at corpus
+    * scale both sides are |vocab|-bounded aggregates, tiny next to
+    * the scan. Top-k via TakeOrderedAndProject (no global sort). */
+  def textCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val uni = d.select(explode(WordNgrams(col("text"), 1)).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val bi = d.select(explode(WordNgrams(col("text"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= CollocMinCount)
+      .withColumn("x", split(col("bigram"), " ").getItem(0))
+      .withColumn("y", split(col("bigram"), " ").getItem(1))
+    val totals = uni.agg(sum(col("c")).as("n_uni"))
+      .crossJoin(d.select(explode(WordNgrams(col("text"), 2)).as("b"))
+        .agg(count(lit(1)).as("n_bi")))
+    val lift = bi
+      .join(uni.select(col("term"), col("c").as("c_x")), col("x") === col("term"))
+      .drop("term")
+      .join(uni.select(col("term"), col("c").as("c_y")), col("y") === col("term"))
+      .drop("term")
+      .crossJoin(broadcast(totals))
+      .withColumn("lift",
+        (col("c_xy").cast("double") * col("n_uni") * col("n_uni")) /
+          (col("n_bi").cast("double") * col("c_x") * col("c_y")))
+    lift
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(CollocTopK)
+      .select(col("bigram"), col("c_xy"), col("c_x"), col("c_y"),
+        round(col("lift"), 4).as("lift"))
+      .orderBy(col("bigram"))
+  }
 }

@@ -193,4 +193,86 @@ object Lifecycle {
         round(col("cents") / 100.0, 2).as("revenue"))
       .orderBy(col("cohort_month"), col("month_index"))
   }
+
+  /** B: Pareto / ABC revenue concentration — customers ranked by
+    * lifetime revenue, cumulative share of total, classified A
+    * (first half of revenue), B (up to 80%), C (tail). The classic
+    * "which 20% of customers drive 80% of revenue" datasheet
+    * (reference users chain a sum-by-customer job into a sort step;
+    * here it is one plan).
+    *
+    * Exactness: revenue in integer cents (Σ bigint is order-free), and
+    * the A/B/C cut compares `2·cum ≤ total` / `5·cum ≤ 4·total` in
+    * pure integer algebra — no double threshold can flake. The
+    * cumulative sum is an ordered integer fold over the aggregated
+    * per-customer frame (|customers| rows, thousands — the global
+    * window runs on the post-agg frame, never on raw orders; at 100 TB
+    * the orders scan is the only big stage and it aggregates
+    * map-side). Total joins back via a 1-row broadcast. */
+  /** B: one-step-ahead EWMA forecast per event type — daily counts
+    * smoothed with α = 1/2 (`e_d = (n_d + e_{d-1})/2`, seeded with the
+    * first day), plus the forecast residual `n_d − e_{d-1}` — the
+    * classic "is today's volume off trend" monitor a pipeline runs per
+    * source/type (events_anomaly is the z-score twin; this is the
+    * trend-following one).
+    *
+    * Exactness: α = 1/2 makes every smoothing step an exact double
+    * halving, and the fold runs over the day-sorted count list (a
+    * strict sequential fold, the CLAUDE.md contract), so each e_d and
+    * the reconstruction `e_{d-1} = 2·e_d − n_d` (exact: `2·e_d` IS
+    * `e_{d-1} + n_d`) are bit-identical cross-engine. The O(D²)
+    * per-position prefix folds run over the per-type aggregated
+    * series (D ≈ days, tiny); the only data-sized stage is the ONE
+    * map-side-combined groupBy(type, day) of the scan. */
+  def eventsEwma(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .select(col("event_type"),
+        expr("(ts div 1000000000L) div 86400L").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val series = daily.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("s"))
+      .withColumn("ns",
+        transform(col("s"), x => x.getField("n").cast("double")))
+    series
+      .select(col("event_type"), col("ns"),
+        posexplode(col("s")).as(Seq("i", "dn")))
+      .select(col("event_type"), col("ns"), col("i"),
+        col("dn.day").as("day"), col("dn.n").as("n"))
+      .withColumn("ewma",
+        aggregate(slice(col("ns"), lit(2), col("i")),
+          element_at(col("ns"), 1),
+          (acc, x) => (acc + x) / lit(2.0)))
+      .select(col("event_type"), col("day"), col("n"),
+        round(col("ewma"), 4).as("ewma"),
+        when(col("i") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            col("n").cast("double") -
+              (col("ewma") * 2 - col("n").cast("double")), 4))
+          .as("resid"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  def ordersPareto(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables(spark, dir).orders
+      .select(col("o_custkey").as("cust_key"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("cust_key")
+      .agg(sum(col("cents")).as("rev_cents"))
+    val total = perCust.agg(sum(col("rev_cents")).as("total_cents"))
+    val w = Window.orderBy(col("rev_cents").desc, col("cust_key"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perCust
+      .withColumn("cum_cents", sum(col("rev_cents")).over(w))
+      .crossJoin(broadcast(total))
+      .select(
+        col("cust_key"),
+        round(col("rev_cents") / 100.0, 2).as("revenue"),
+        round(col("cum_cents").cast("double") / col("total_cents"), 4)
+          .as("cum_share"),
+        when(col("cum_cents") * 2 <= col("total_cents"), "A")
+          .when(col("cum_cents") * 5 <= col("total_cents") * 4, "B")
+          .otherwise("C").as("pareto_class"))
+      .orderBy(col("revenue").desc, col("cust_key"))
+  }
 }

@@ -415,4 +415,51 @@ object Similarity {
       .select(col("rk"), col("vec_id"), round(col("dist2"), 4).as("dist2"))
       .orderBy(col("rk"))
   }
+
+  /** Blocks for [[embedKnnGraph]]'s all-pairs stage — same dial as
+    * [[Dedup.CosineBlocks]]: B(B+1)/2 bounded-memory tasks, shuffle
+    * ~(B+1)·n rows. */
+  val KnnBlocks = 8
+
+  /** Neighbors per vector in [[embedKnnGraph]]. */
+  val KnnK = 5
+
+  /** D8: exact k-NN graph — every vector's [[KnnK]] nearest neighbors
+    * by cosine, the substrate for SemDeDup-style cluster pruning,
+    * kNN-classification QC, and graph-based diversity selection over
+    * an embedding corpus. Exact all-pairs organized for a cluster:
+    * the same block-pair equi-join as [[Dedup.dedupEmbedCosine]]
+    * (bounded task memory, no broadcast, no BNLJ) computes each
+    * unordered pair's dot ONCE; the mirror to (q, n) direction is a
+    * projection, and per-query top-k goes through [[TopKByScore]] —
+    * a partial aggregate that reduces each partition to k rows
+    * before the exchange instead of shuffling all n²/2 pairs to a
+    * window. At 1e9 vectors the exact form is the oracle/refinement
+    * path; [[annLsh]]/[[annIvf]] are the approximate scale paths.
+    *
+    * Cosine is a strict sequential fold (VectorFunctions), so ranks
+    * and the hash gate are bit-stable cross-engine. */
+  def embedKnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val e = vectors(spark, dir)
+      .withColumn("blk", pmod(col("vec_id"), lit(KnnBlocks.toLong)))
+    val blocks = (0 until KnnBlocks).map(b => lit(b.toLong))
+    val left = e.withColumn("k2", explode(array(blocks: _*)))
+      .filter(col("blk") <= col("k2"))
+      .withColumnRenamed("blk", "k1")
+    val right = e.withColumn("k1", explode(array(blocks: _*)))
+      .filter(col("k1") <= col("blk"))
+      .withColumnRenamed("blk", "k2")
+    val und = left.as("a")
+      .join(right.as("b"),
+        col("a.k1") === col("b.k1") && col("a.k2") === col("b.k2") &&
+          (col("a.k1") =!= col("a.k2") || col("a.vec_id") < col("b.vec_id")))
+      .withColumn("cos",
+        V.cosineWithNorms(V.dot(col("a.v"), col("b.v")),
+          col("a.nrm"), col("b.nrm")))
+      .select(col("a.vec_id").as("u"), col("b.vec_id").as("w"),
+        col("cos"))
+    val directed = und.select(col("u").as("q_id"), col("w").as("n_id"), col("cos"))
+      .union(und.select(col("w").as("q_id"), col("u").as("n_id"), col("cos")))
+    topK(spark, directed, k = KnnK)
+  }
 }

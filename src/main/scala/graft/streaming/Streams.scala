@@ -1229,4 +1229,63 @@ object Streams {
         col("quality"))
       .orderBy(col("doc_id"))
   }
+
+  // ----- G20: online heavy hitters (ngram blocklist twin) ----------
+
+  /** One bigram occurrence for the hitters stream. */
+  final case class GramEv(gram: String)
+  /** Per-gram running count (public for the state encoder). */
+  final case class HitAcc(cnt: Long)
+
+  /** G20 core: exact per-gram running counts maintained online —
+    * the counting half of E's ngram_blocklist. State is ONE long per
+    * distinct gram (vocabulary-bounded, the standard streaming-count
+    * trade: the batch form's Misra-Gries sketch caps memory at the
+    * cost of a second exact pass; online, hot grams are touched
+    * every batch so idle-key timeout eviction is the production
+    * dial). Addition commutes, so late batches only advance the
+    * snapshot. One updated count row per gram per batch that saw it. */
+  def hitFn(gram: String, evs: Iterator[GramEv],
+      state: GroupState[HitAcc]): Iterator[(String, Long)] = {
+    val add = evs.size.toLong
+    if (add == 0L) return Iterator.empty
+    val next = HitAcc(state.getOption.map(_.cnt).getOrElse(0L) + add)
+    state.update(next)
+    Iterator((gram, next.cnt))
+  }
+
+  /** Shared stateful counting stage (batch or streaming). */
+  def hitStateful(grams: Dataset[GramEv]): DataFrame = {
+    import grams.sparkSession.implicits._
+    grams.groupByKey(_.gram)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        hitFn)
+      .toDF("gram", "n")
+  }
+
+  /** Read-side blocklist cut over a count snapshot — the exact
+    * integer `n · denom > total` cut and share of E's blocklist,
+    * computed on read (the stream maintains counts; corpus-total
+    * state is a 1-row broadcast at read time, the rfmScore pattern). */
+  def hitterCut(counts: DataFrame, denom: Long): DataFrame = {
+    val total = counts.agg(sum(col("n")).as("total"))
+    counts.crossJoin(broadcast(total))
+      .filter(col("n") * denom > col("total"))
+      .select(col("gram"), col("n"),
+        round(col("n") / col("total"), 6).as("share"))
+      .orderBy(col("n").desc, col("gram"))
+  }
+
+  /** G20 batch entry: every occurrence through the stateful counter
+    * (one call per gram ⇒ final exact counts), then the read-side
+    * cut — output identical to E's ngram_blocklist, same SQL oracle. */
+  def streamHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = Tables(spark, dir).documents
+      .select(explode(
+        graft.functions.WordNgrams(col("text"), 2)).as("gram"))
+      .as[GramEv]
+    hitterCut(hitStateful(grams),
+      graft.operators.HeavyHitters.ShareDenom)
+  }
 }

@@ -106,4 +106,56 @@ class LifecycleSpec extends SparkSuite {
     val n = scans(df.queryExecution.executedPlan)
     assert(n == 1, s"expected 1 events source leaf, got $n")
   }
+
+  test("pareto: cents-exact classes, cumulative share monotone") {
+    val rows = Lifecycle.ordersPareto(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // independent recompute of the integer-cents classification
+    val o = graft.Tables(spark, sfDir).orders.collect()
+      .map(r => r.getLong(1) -> math.floor(r.getDouble(3) * 100).toLong)
+    val rev = o.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val total = rev.values.sum
+    val order = rev.toSeq.sortBy { case (k, v) => (-v, k) }
+    var cum = 0L
+    val expect = order.map { case (k, v) =>
+      cum += v
+      k -> (v, if (cum * 2 <= total) "A"
+               else if (cum * 5 <= total * 4) "B" else "C")
+    }.toMap
+    assert(rows.length == expect.size)
+    var prevShare = 0.0
+    rows.foreach { r =>
+      val (k, share, cls) = (r.getLong(0), r.getDouble(2), r.getString(3))
+      assert(cls == expect(k)._2, s"class mismatch for $k")
+      assert(share >= prevShare, "cum_share must be non-decreasing")
+      prevShare = share
+    }
+    assert(math.abs(rows.last.getDouble(2) - 1.0) < 1e-9)
+    assert(Set("A", "B", "C").subsetOf(rows.map(_.getString(3)).toSet),
+      "fixture must exercise all three classes")
+  }
+
+  test("ewma: halving recurrence and residual reconstruction") {
+    val rows = Lifecycle.eventsEwma(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // independent sequential recompute from the raw daily counts
+    val daily = graft.Tables(spark, sfDir).events
+      .selectExpr("event_type", "(ts div 1000000000L) div 86400L AS day")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val byType = rows.groupBy(_.getString(0))
+    byType.foreach { case (tpe, trs) =>
+      var e = Double.NaN
+      trs.sortBy(_.getLong(1)).zipWithIndex.foreach { case (r, i) =>
+        val n = r.getLong(2)
+        assert(n == daily((tpe, r.getLong(1))), s"count mismatch $r")
+        val prev = e
+        e = if (i == 0) n.toDouble else (e + n) / 2.0
+        assert(math.abs(r.getDouble(3) - e) < 1e-4, s"ewma mismatch $r")
+        if (i == 0) assert(r.isNullAt(4))
+        else assert(math.abs(r.getDouble(4) - (n - prev)) < 1e-4,
+          s"residual mismatch $r")
+      }
+    }
+  }
 }

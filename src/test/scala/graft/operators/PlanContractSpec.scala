@@ -36,11 +36,18 @@ class PlanContractSpec extends SparkSuite {
   //    max-epoch row and the quintile-boundaries row broadcast into
   //    the shared rfmScore stage (the stream twin scores the same
   //    frame in batch mode).
+  //  - orders_pareto: same 1-row shape — the total-cents aggregate
+  //    broadcast into the per-customer share/class projection.
+  //  - text_collocations: same 1-row shape — the (n_uni, n_bi)
+  //    corpus-totals row broadcast into the lift scorer.
+  //  - stream_hitters: same 1-row shape — the snapshot-total row
+  //    broadcast into the read-side blocklist cut.
   private val boundedBroadcastOk =
     Set("ann_bruteforce", "q14_scalar_subquery", "text_tfidf",
       "text_typicality", "corpus_stats", "text_bm25", "stream_bm25",
       "mix_curriculum", "zorder_key", "table_histogram", "events_rfm",
-      "stream_rfm")
+      "stream_rfm", "orders_pareto", "text_collocations",
+      "stream_hitters")
 
   test("no query plans a cartesian or unbounded nested-loop join") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -232,4 +232,29 @@ class SimilaritySpec extends SparkSuite {
       assert(math.abs(dd - r.getDouble(2)) < 1e-3, s"row $r recompute $dd")
     }
   }
+
+  test("knn graph: complete, ranked, and equal to brute force on the query set") {
+    val g = Similarity.embedKnnGraph(spark, sfDir).collect()
+    val n = graft.Tables(spark, sfDir).embeddings.count()
+    // every vector gets exactly K ranked neighbors
+    val byQ = g.groupBy(_.getLong(0))
+    assert(byQ.size == n)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(2)).sorted.toSeq == (1 to Similarity.KnnK),
+        s"ranks broken for $q")
+      val cs = rows.sortBy(_.getInt(2)).map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
+        s"cos not descending for $q")
+      assert(rows.forall(_.getLong(1) != q), "self listed as neighbor")
+    }
+    // the block-pair + mirror path must agree with the broadcast
+    // brute-force path on the shared query set (vec_id < 10)
+    val bf = Similarity.annBruteforce(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> (r.getLong(1), r.getDouble(3)))
+      .toMap
+    g.filter(_.getLong(0) < 10).foreach { r =>
+      val exp = bf((r.getLong(0), r.getInt(2)))
+      assert((r.getLong(1), r.getDouble(3)) == exp, s"mismatch vs brute force: $r")
+    }
+  }
 }

@@ -1129,4 +1129,41 @@ class StreamsSpec extends SparkSuite {
         "fixture must exercise multi-batch accumulation")
     } finally query.stop()
   }
+
+  test("streaming hitters: cross-batch counts + read-side cut equal batch blocklist") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    val docs = graft.Tables(spark, sfDir).documents.collect()
+      .map(_.getString(1)).toSeq
+    val grams = docs.flatMap { t =>
+      val w = t.split("\\s+").filter(_.nonEmpty)
+      w.zip(w.drop(1)).map(p => Streams.GramEv(p._1 + " " + p._2))
+    }
+    val expected = graft.operators.HeavyHitters
+      .ngramBlocklist(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val stream = MemoryStream[Streams.GramEv]
+    val query = Streams.hitStateful(stream.toDS())
+      .writeStream.format("memory").queryName("hit")
+      .outputMode("append").start()
+    try {
+      grams.grouped(math.max(1, grams.length / 4)).foreach { b =>
+        stream.addData(b); query.processAllAvailable()
+      }
+      // final snapshot per gram (counts are monotone) → read-side cut
+      val fin = s.table("hit").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).map { case (g, rs) => g -> rs.map(_._2).max }
+      val cut = Streams.hitterCut(
+        fin.toSeq.toDF("gram", "n"),
+        graft.operators.HeavyHitters.ShareDenom).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(cut == expected, "read-side cut over the online counts " +
+        "must equal the batch blocklist")
+      val emissions = s.table("hit").collect()
+        .groupBy(_.getString(0)).values.map(_.length)
+      assert(emissions.exists(_ > 1),
+        "fixture must exercise multi-batch accumulation")
+    } finally query.stop()
+  }
 }
