@@ -816,6 +816,18 @@ object Oracles {
         |FROM w, t
         |ORDER BY revenue DESC, cust_key""".stripMargin,
 
+    // B custom-operator demo: the TopKPerKey heap plan must equal the
+    // window-rank form it replaces (rank on (price DESC, orderkey) —
+    // a total order, so both engines and both plans agree exactly).
+    "topk_per_key" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3
+        |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin,
+
     // B EWMA forecast: α = 1/2 halvings over the day-sorted count
     // prefix (strict sequential fold — DuckDB's seedless list_reduce
     // == Spark's aggregate seeded with the first element), e_{d-1}

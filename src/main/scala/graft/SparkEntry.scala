@@ -58,6 +58,7 @@ object SparkEntry {
     "table_fk_check"      -> (graft.operators.Profile.tableFkCheck(_, _)),
     "table_corr"          -> (graft.operators.Profile.tableCorr(_, _)),
     "zorder_key"          -> (graft.sources.ZOrder.zorderKey(_, _)),
+    "topk_per_key"        -> (graft.plans.TopK.topkPerKey(_, _)),
     "asof_join"          -> (AsOfJoin.purchasesAsOfSignup(_, _)),
     "asof_join_forward"  -> (AsOfJoin.viewsAsOfNextPurchase(_, _)),
     "range_join"         -> (graft.operators.RangeJoin.eventsInWindows(_, _)),
