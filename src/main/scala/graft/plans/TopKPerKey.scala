@@ -142,10 +142,13 @@ object TopKPerKeyStrategy extends SparkStrategy {
 }
 
 /** `spark.sql.extensions=graft.plans.GraftExtensions` — the cluster
-  * registration path (spark-defaults / session builder). */
+  * registration path (spark-defaults / session builder): the planner
+  * strategy plus the [[RankFilterToTopK]] rewrite, so the idiomatic
+  * window-rank-filter form plans as the heap operator automatically. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+    ext.injectOptimizerRule(_ => RankFilterToTopK)
     ()
   }
 }
