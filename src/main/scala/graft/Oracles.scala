@@ -828,6 +828,69 @@ object Oracles {
         |WHERE rk <= 3
         |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin,
 
+    // B decorrelated correlated subquery: the above-own-average flag
+    // is pure integer algebra (cents·n > Σ) — a double `price > avg`
+    // can flip on rows equal to a non-representable mean.
+    "orders_above_avg" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS cust_key,
+        |    floor(o_totalprice * 100)::bigint AS cents
+        |  FROM orders),
+        |w AS (
+        |  SELECT cust_key, cents,
+        |    count(*) OVER (PARTITION BY cust_key) AS n,
+        |    sum(cents) OVER (PARTITION BY cust_key) AS tot
+        |  FROM o),
+        |a AS (
+        |  SELECT cust_key, count(*) AS n_orders,
+        |    sum(CASE WHEN cents * n > tot THEN 1 ELSE 0 END) AS n_above,
+        |    max(round(tot / (n * 100.0), 4)) AS avg_price
+        |  FROM w GROUP BY 1)
+        |SELECT cust_key, n_orders::bigint AS n_orders,
+        |  n_above::bigint AS n_above, avg_price,
+        |  round(n_above::double / n_orders, 4) AS share_above
+        |FROM a ORDER BY cust_key""".stripMargin,
+
+    // B gaps-and-islands: mk − row_number is constant within a run of
+    // consecutive active months; all integer.
+    "orders_streaks" ->
+      """WITH m AS (
+        |  SELECT DISTINCT o_custkey AS cust_key,
+        |    (year(o_orderdate) * 12 + month(o_orderdate) - 1)::int AS mk
+        |  FROM orders),
+        |i AS (
+        |  SELECT cust_key,
+        |    mk - row_number() OVER (PARTITION BY cust_key ORDER BY mk) AS isl
+        |  FROM m),
+        |g AS (SELECT cust_key, isl, count(*) AS len FROM i GROUP BY 1, 2)
+        |SELECT cust_key, sum(len)::bigint AS n_months,
+        |  count(*)::bigint AS n_streaks, max(len)::bigint AS max_streak
+        |FROM g GROUP BY 1
+        |ORDER BY cust_key""".stripMargin,
+
+    // B time-weighted average: Σ cents·dur and Σ dur exact integers
+    // off one user window; the final division is the only double.
+    // Single-event users have no dwell → NULL twap.
+    "events_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch(date_trunc('second', ts))::bigint AS ep,
+        |    event_id, floor(value * 100)::bigint AS cents
+        |  FROM events),
+        |d AS (
+        |  SELECT user_id, cents,
+        |    lead(ep) OVER (PARTITION BY user_id
+        |                   ORDER BY ep, event_id) - ep AS dur
+        |  FROM e),
+        |a AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    coalesce(sum(dur), 0) AS dur_sec, sum(cents * dur) AS wsum
+        |  FROM d GROUP BY 1)
+        |SELECT user_id, n_events::bigint AS n_events,
+        |  dur_sec::bigint AS dur_sec,
+        |  CASE WHEN dur_sec = 0 THEN NULL
+        |       ELSE round(wsum / (dur_sec * 100.0), 4) END AS twap
+        |FROM a ORDER BY user_id""".stripMargin,
+
     // B EWMA forecast: α = 1/2 halvings over the day-sorted count
     // prefix (strict sequential fold — DuckDB's seedless list_reduce
     // == Spark's aggregate seeded with the first element), e_{d-1}
@@ -3048,6 +3111,10 @@ object Oracles {
     // read-side integer cut reproduce E's ngram_blocklist exactly —
     // same SQL.
     "stream_hitters" -> text("ngram_blocklist"),
+
+    // G21 online EWMA trend: the day-rollover fold emits the same
+    // halving sequence as B's events_ewma prefix folds — same SQL.
+    "stream_ewma" -> relational("events_ewma"),
 
     // G17 composed ingest gate: replayed feed (re-crawls under a
     // 3·5·7-aligned id offset draw the same PII gates, different PII

@@ -80,6 +80,9 @@ object SparkEntry {
     "interval_coverage"  -> (graft.operators.Lifecycle.intervalCoverage(_, _)),
     "orders_cohort"      -> (graft.operators.Lifecycle.ordersCohort(_, _)),
     "orders_pareto"      -> (graft.operators.Lifecycle.ordersPareto(_, _)),
+    "orders_above_avg"   -> (graft.operators.Lifecycle.ordersAboveAvg(_, _)),
+    "orders_streaks"     -> (graft.operators.Lifecycle.ordersStreaks(_, _)),
+    "events_twap"        -> (graft.operators.Lifecycle.eventsTwap(_, _)),
     // §2A — MapReduce engine pipelines
     "mr_wordcount"       -> MrQueries.mrWordcount,
     "mr_sum"             -> MrQueries.mrSum,
@@ -173,7 +176,8 @@ object SparkEntry {
     "stream_curate"       -> Streams.streamCurate,
     "stream_rfm"          -> Streams.streamRfm,
     "stream_coverage"     -> Streams.streamCoverage,
-    "stream_hitters"      -> Streams.streamHitters
+    "stream_hitters"      -> Streams.streamHitters,
+    "stream_ewma"         -> Streams.streamEwma
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -253,6 +253,86 @@ object Lifecycle {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** B: the correlated-subquery idiom, decorrelated — "orders above
+    * the CUSTOMER'S OWN average" (`WHERE price > (SELECT avg(price)
+    * ... WHERE same customer)`). The classic way users write it is a
+    * correlated scalar subquery; the scalable plan is ONE exchange on
+    * o_custkey with a window aggregate and a per-row flag — this
+    * entry pins that decorrelation.
+    *
+    * Exactness: the above-average compare is `cents·n > Σcents` —
+    * pure integer algebra (a `price > avg` double compare can flip on
+    * rows equal to a non-representable mean). Share divides the same
+    * integers. */
+  def ordersAboveAvg(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+      .select(col("o_custkey").as("cust_key"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("cust_key"))
+    o.withColumn("n", count(lit(1)).over(w))
+      .withColumn("tot", sum(col("cents")).over(w))
+      .groupBy(col("cust_key"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("cents") * col("n") > col("tot"), 1L).otherwise(0L))
+          .as("n_above"),
+        max(round(col("tot") / (col("n") * 100.0), 4)).as("avg_price"))
+      .select(col("cust_key"), col("n_orders"), col("n_above"),
+        col("avg_price"),
+        round(col("n_above") / col("n_orders"), 4).as("share_above"))
+      .orderBy(col("cust_key"))
+  }
+
+  /** B: gaps-and-islands — per customer, runs of CONSECUTIVE months
+    * with at least one order (the "streak" datasheet: engagement
+    * continuity, churn risk). The classic island key `mk − rank` is
+    * constant within a run of consecutive months; everything is
+    * integer algebra on the same yyyymm-free month key as
+    * [[ordersCohort]], and the rank window + island rollup + customer
+    * rollup all ride ONE o_custkey exchange. */
+  def ordersStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val months = Tables(spark, dir).orders
+      .select(col("o_custkey").as("cust_key"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .as("mk"))
+      .distinct()
+    val w = Window.partitionBy(col("cust_key")).orderBy(col("mk"))
+    months
+      .withColumn("isl", col("mk") - row_number().over(w))
+      .groupBy(col("cust_key"), col("isl"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("cust_key"))
+      .agg(sum(col("len")).as("n_months"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("max_streak"))
+      .orderBy(col("cust_key"))
+  }
+
+  /** B: time-weighted average value per user (TWAP) — each event's
+    * value holds until the next event; the duration-weighted mean is
+    * the honest "average level" for irregular telemetry (a plain avg
+    * over-weights bursts). Σ cents·dur and Σ dur are exact integers
+    * (cents = floor(value·100), dur = epoch-second gaps off ONE
+    * user_id window exchange); the final division is the only double.
+    * Single-event users have no dwell time → NULL twap. */
+  def eventsTwap(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+      .select(col("user_id"), Tables.tsNsToSec("ts").as("ep"),
+        col("event_id"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ep"), col("event_id"))
+    e.withColumn("dur", lead(col("ep"), 1).over(w) - col("ep"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        coalesce(sum(col("dur")), lit(0L)).as("dur_sec"),
+        sum(col("cents") * col("dur")).as("wsum"))
+      .select(col("user_id"), col("n_events"), col("dur_sec"),
+        when(col("dur_sec") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("wsum") / (col("dur_sec") * 100.0), 4))
+          .as("twap"))
+      .orderBy(col("user_id"))
+  }
+
   def ordersPareto(spark: SparkSession, dir: String): DataFrame = {
     val perCust = Tables(spark, dir).orders
       .select(col("o_custkey").as("cust_key"),

@@ -1276,6 +1276,85 @@ object Streams {
       .orderBy(col("n").desc, col("gram"))
   }
 
+  // ----- G21: online EWMA trend (events_ewma twin) -----------------
+
+  /** One event for the EWMA stream (pre-bucketed to its epoch day). */
+  final case class DayEv(event_type: String, day: Long)
+  /** Per-type trend state (public for the state encoder): the open
+    * day, its running count, the smoothed level, and whether a level
+    * exists yet — never history. */
+  final case class EwmaAcc(day: Long, n: Long, ewma: Double, hasPrev: Boolean)
+  /** One finalized day. */
+  final case class EwmaOut(event_type: String, day: Long, n: Long,
+      ewma: Double, resid: Option[Double])
+
+  /** G21 core: B's events_ewma α=1/2 recurrence folded one day at a
+    * time. A day finalizes when a later day arrives: e' = first day ?
+    * n : (e + n)/2 — the SAME double halving sequence as the batch
+    * prefix fold, so finalized rows are bit-identical; resid = n − e
+    * (what the batch form reconstructs as n − (2e′ − n), exactly).
+    * In-order event-time replay is the stateful-twin contract;
+    * `flush` closes the still-open day (batch mode / end of stream). */
+  def ewmaFold(tpe: String, days: Seq[Long], st: Option[EwmaAcc],
+      flush: Boolean): (Vector[EwmaOut], EwmaAcc) = {
+    var acc = st.getOrElse(EwmaAcc(Long.MinValue, 0L, 0.0, false))
+    val out = Vector.newBuilder[EwmaOut]
+    def roll(): Unit = if (acc.n > 0) {
+      val e = if (!acc.hasPrev) acc.n.toDouble else (acc.ewma + acc.n) / 2.0
+      val resid = if (!acc.hasPrev) None else Some(acc.n.toDouble - acc.ewma)
+      out += EwmaOut(tpe, acc.day, acc.n, e, resid)
+      acc = EwmaAcc(acc.day, 0L, e, true)
+    }
+    days.foreach { d =>
+      if (acc.n == 0L && !acc.hasPrev) acc = EwmaAcc(d, 1L, 0.0, false)
+      else if (d == acc.day && acc.n > 0L) acc = acc.copy(n = acc.n + 1)
+      else { roll(); acc = EwmaAcc(d, 1L, acc.ewma, acc.hasPrev) }
+    }
+    if (flush) roll()
+    (out.result(), acc)
+  }
+
+  /** G21 stateful stage: finalized-day rows as later days arrive. */
+  def ewmaFn(tpe: String, evs: Iterator[DayEv],
+      state: GroupState[EwmaAcc]): Iterator[EwmaOut] = {
+    val ds = evs.map(_.day).toVector.sorted
+    if (ds.isEmpty) return Iterator.empty
+    val (out, acc) = ewmaFold(tpe, ds, state.getOption, flush = false)
+    state.update(acc)
+    out.iterator
+  }
+
+  /** G21 streaming stage (spec-driven; batch mode goes through
+    * [[streamEwma]]'s flushing fold so the final open day appears). */
+  def ewmaStateful(evs: Dataset[DayEv]): DataFrame = {
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        ewmaFn)
+      .toDF()
+  }
+
+  /** G21 batch entry: full history per type through the SAME fold,
+    * with the tail day flushed — output identical to B's events_ewma,
+    * same SQL oracle. */
+  def streamEwma(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val raw = Tables(spark, dir).events
+      .select(col("event_type"),
+        expr("(ts div 1000000000L) div 86400L").as("day"))
+      .as[DayEv]
+      .groupByKey(_.event_type)
+      .flatMapGroups { (tpe: String, it: Iterator[DayEv]) =>
+        ewmaFold(tpe, it.map(_.day).toVector.sorted, None, flush = true)
+          ._1.iterator
+      }
+      .toDF()
+    raw.select(col("event_type"), col("day"), col("n"),
+        round(col("ewma"), 4).as("ewma"),
+        round(col("resid"), 4).as("resid"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** G20 batch entry: every occurrence through the stateful counter
     * (one call per gram ⇒ final exact counts), then the read-side
     * cut — output identical to E's ngram_blocklist, same SQL oracle. */

@@ -135,6 +135,70 @@ class LifecycleSpec extends SparkSuite {
       "fixture must exercise all three classes")
   }
 
+  test("above-avg: integer flag matches a direct recompute") {
+    val rows = Lifecycle.ordersAboveAvg(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val o = graft.Tables(spark, sfDir).orders.collect()
+      .map(r => r.getLong(1) -> math.floor(r.getDouble(3) * 100).toLong)
+    val byCust = o.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    rows.foreach { r =>
+      val cents = byCust(r.getLong(0))
+      val (n, tot) = (cents.length.toLong, cents.sum)
+      assert(r.getLong(1) == n, s"n_orders $r")
+      assert(r.getLong(2) == cents.count(c => c * n > tot).toLong,
+        s"n_above $r")
+      assert(math.abs(r.getDouble(3) - tot.toDouble / (n * 100.0)) < 1e-3,
+        s"avg_price $r")
+    }
+    // the flag is meaningful: above-average orders are a strict
+    // minority-to-majority split, never all or none, on real data
+    assert(rows.exists(r => r.getLong(2) > 0 && r.getLong(2) < r.getLong(1)))
+  }
+
+  test("streaks: islands of consecutive months (hand recompute)") {
+    val rows = Lifecycle.ordersStreaks(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val o = graft.Tables(spark, sfDir).orders
+      .selectExpr("o_custkey",
+        "cast(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS int) AS mk")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).distinct
+    val byCust = o.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    rows.foreach { r =>
+      val mks = byCust(r.getLong(0))
+      var lens = List(1)
+      mks.zip(mks.tail).foreach { case (a, b) =>
+        if (b == a + 1) lens = (lens.head + 1) :: lens.tail
+        else lens = 1 :: lens
+      }
+      assert(r.getLong(1) == mks.length.toLong, s"n_months $r")
+      assert(r.getLong(2) == lens.length.toLong, s"n_streaks $r")
+      assert(r.getLong(3) == lens.max.toLong, s"max_streak $r")
+    }
+  }
+
+  test("twap: duration-weighted mean reconciles; single-event users NULL") {
+    val rows = Lifecycle.eventsTwap(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val evs = graft.Tables(spark, sfDir).events
+      .selectExpr("user_id", "ts div 1000000000 AS ep", "event_id",
+        "cast(floor(value * 100) AS long) AS cents").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byUser = evs.groupBy(_._1)
+    rows.foreach { r =>
+      val es = byUser(r.getLong(0)).sortBy(e => (e._2, e._3))
+      assert(r.getLong(1) == es.length.toLong, s"n_events $r")
+      if (es.length == 1) assert(r.isNullAt(3), s"single-event twap $r")
+      else {
+        val durs = es.zip(es.tail).map { case (a, b) => (a._4, b._2 - a._2) }
+        val (wsum, dsum) = (durs.map(p => p._1 * p._2).sum, durs.map(_._2).sum)
+        assert(r.getLong(2) == dsum, s"dur_sec $r")
+        if (dsum == 0) assert(r.isNullAt(3))
+        else assert(math.abs(r.getDouble(3) - wsum.toDouble / (dsum * 100.0)) < 1e-3,
+          s"twap $r")
+      }
+    }
+  }
+
   test("ewma: halving recurrence and residual reconstruction") {
     val rows = Lifecycle.eventsEwma(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -1166,4 +1166,51 @@ class StreamsSpec extends SparkSuite {
         "fixture must exercise multi-batch accumulation")
     } finally query.stop()
   }
+
+  test("streaming ewma: day rollovers across batches equal the batch trend") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    val days = graft.Tables(spark, sfDir).events
+      .selectExpr("event_type", "(ts div 1000000000) div 86400 AS day")
+      .as[Streams.DayEv].collect().sortBy(_.day)
+    // batch reference INCLUDING the flushed final day
+    val expected = graft.operators.Lifecycle.eventsEwma(spark, sfDir)
+      .collect().map { r =>
+        (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getDouble(3),
+            if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      }.toMap
+    val sentinelDay = days.map(_.day).max + 1000
+    val stream = MemoryStream[Streams.DayEv]
+    val query = Streams.ewmaStateful(stream.toDS())
+      .writeStream.format("memory").queryName("ewma")
+      .outputMode("append").start()
+    try {
+      // day-ordered replay in 5 batches: days WILL straddle batch
+      // boundaries, so open-day counts must carry in state
+      days.grouped(math.max(1, days.length / 5)).foreach { b =>
+        stream.addData(b.toSeq); query.processAllAvailable()
+      }
+      // one sentinel per type closes the last real day
+      stream.addData(days.map(_.event_type).distinct.toSeq
+        .map(t => Streams.DayEv(t, sentinelDay)))
+      query.processAllAvailable()
+      val got = s.table("ewma").collect()
+        .filter(_.getLong(1) < sentinelDay)
+        .map { r =>
+          (r.getString(0), r.getLong(1)) ->
+            ((r.getLong(2), r.getDouble(3),
+              if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+        }.toMap
+      assert(got.keySet == expected.keySet)
+      got.foreach { case (k, (n, e, resid)) =>
+        val (en, ee, eresid) = expected(k)
+        assert(n == en, s"count $k")
+        assert(math.abs(e - ee) < 1e-4, s"ewma $k: $e vs $ee")
+        assert(resid.isDefined == eresid.isDefined, s"resid null-ness $k")
+        resid.zip(eresid).foreach { case (a, b) =>
+          assert(math.abs(a - b) < 1e-4, s"resid $k") }
+      }
+    } finally query.stop()
+  }
 }
