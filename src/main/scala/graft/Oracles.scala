@@ -891,6 +891,28 @@ object Oracles {
         |       ELSE round(wsum / (dur_sec * 100.0), 4) END AS twap
         |FROM a ORDER BY user_id""".stripMargin,
 
+    // B rolling distinct users: uniques don't add, so wau is the
+    // contribute-forward explode (each active (user, day) visible to
+    // the next 7 days) + one distinct per target day. Window width
+    // single-sourced from Lifecycle.RollingWindowDays.
+    "events_rolling_uniques" -> {
+      val wnd = graft.operators.Lifecycle.RollingWindowDays
+      s"""WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    (epoch(date_trunc('second', ts))::bigint // 86400) AS day
+        |  FROM events),
+        |d AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+        |tg AS (
+        |  SELECT user_id, day + g.g AS day
+        |  FROM ud CROSS JOIN (SELECT unnest(range(0, $wnd)) AS g) g),
+        |w AS (SELECT day, count(DISTINCT user_id) AS wau_7
+        |      FROM tg GROUP BY 1)
+        |SELECT d.day, d.dau::bigint AS dau, w.wau_7::bigint AS wau_7,
+        |  round(d.dau::double / w.wau_7, 4) AS stickiness
+        |FROM d JOIN w ON d.day = w.day
+        |ORDER BY d.day""".stripMargin
+    },
+
     // B EWMA forecast: α = 1/2 halvings over the day-sorted count
     // prefix (strict sequential fold — DuckDB's seedless list_reduce
     // == Spark's aggregate seeded with the first element), e_{d-1}
@@ -3115,6 +3137,10 @@ object Oracles {
     // G21 online EWMA trend: the day-rollover fold emits the same
     // halving sequence as B's events_ewma prefix folds — same SQL.
     "stream_ewma" -> relational("events_ewma"),
+
+    // G22 online TWAP: the six-long hold-period state reproduces B's
+    // events_twap integral exactly — same SQL.
+    "stream_twap" -> relational("events_twap"),
 
     // G17 composed ingest gate: replayed feed (re-crawls under a
     // 3·5·7-aligned id offset draw the same PII gates, different PII

@@ -83,6 +83,7 @@ object SparkEntry {
     "orders_above_avg"   -> (graft.operators.Lifecycle.ordersAboveAvg(_, _)),
     "orders_streaks"     -> (graft.operators.Lifecycle.ordersStreaks(_, _)),
     "events_twap"        -> (graft.operators.Lifecycle.eventsTwap(_, _)),
+    "events_rolling_uniques" -> (graft.operators.Lifecycle.eventsRollingUniques(_, _)),
     // §2A — MapReduce engine pipelines
     "mr_wordcount"       -> MrQueries.mrWordcount,
     "mr_sum"             -> MrQueries.mrSum,
@@ -177,7 +178,8 @@ object SparkEntry {
     "stream_rfm"          -> Streams.streamRfm,
     "stream_coverage"     -> Streams.streamCoverage,
     "stream_hitters"      -> Streams.streamHitters,
-    "stream_ewma"         -> Streams.streamEwma
+    "stream_ewma"         -> Streams.streamEwma,
+    "stream_twap"         -> Streams.streamTwap
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

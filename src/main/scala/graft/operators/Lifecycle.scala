@@ -333,6 +333,39 @@ object Lifecycle {
       .orderBy(col("user_id"))
   }
 
+  /** Rolling-uniques window width in days (single-sourced into the
+    * oracle): wau = distinct users over the trailing week. */
+  val RollingWindowDays = 7
+
+  /** B: rolling distinct users — per active day, DAU plus the
+    * trailing-7-day distinct-user count (WAU) and the DAU/WAU
+    * stickiness ratio. Distinct-over-sliding-window does NOT
+    * decompose into window sums (uniques don't add), so the exact
+    * form is the contribute-forward explode: each (user, day)
+    * activity row feeds the 7 target days it is visible to, then ONE
+    * distinct count per target day. 7× amplification of the
+    * |users|·|days|-deduped frame (not of raw events) is the honest
+    * exact cost; the approximate scale path is an HLL sketch per day
+    * merged over the window (q12_approx_distinct's family). All
+    * counts integer; the ratio divides the same integers. */
+  def eventsRollingUniques(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables(spark, dir).events
+      .select(col("user_id"),
+        expr("(ts div 1000000000L) div 86400L").as("day"))
+      .distinct()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"),
+          col("day") + (RollingWindowDays - 1))).as("day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("wau_7"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau_7"),
+        round(col("dau") / col("wau_7"), 4).as("stickiness"))
+      .orderBy(col("day"))
+  }
+
   def ordersPareto(spark: SparkSession, dir: String): DataFrame = {
     val perCust = Tables(spark, dir).orders
       .select(col("o_custkey").as("cust_key"),

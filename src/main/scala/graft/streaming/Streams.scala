@@ -1276,6 +1276,69 @@ object Streams {
       .orderBy(col("n").desc, col("gram"))
   }
 
+  // ----- G22: online TWAP (events_twap twin) -----------------------
+
+  /** One event for the TWAP stream. */
+  final case class TwapEv(user_id: Long, ep: Long, event_id: Long, cents: Long)
+  /** Per-user running TWAP state (public for the state encoder): the
+    * held (last) sample plus three exact integer accumulators. */
+  final case class TwapAcc(lastEp: Long, lastEvId: Long, lastCents: Long,
+      n: Long, dur: Long, wsum: Long)
+
+  /** G22 core: B's events_twap maintained online — each event closes
+    * the previous sample's hold period (`dur += ep − lastEp`,
+    * `wsum += lastCents·gap`, exact integers), then becomes the held
+    * sample. State is SIX longs per user, never history. One updated
+    * snapshot row per user per active batch; the division to the
+    * double TWAP happens on read ([[Tables]]-style cents discipline,
+    * the rfmScore read-side pattern). In-order replay contract. */
+  def twapFn(user: Long, evs: Iterator[TwapEv],
+      state: GroupState[TwapAcc]): Iterator[(Long, Long, Long, Long)] = {
+    val es = evs.toVector.sortBy(e => (e.ep, e.event_id))
+    if (es.isEmpty) return Iterator.empty
+    var acc = state.getOption.getOrElse(
+      TwapAcc(Long.MinValue, 0L, 0L, 0L, 0L, 0L))
+    es.foreach { e =>
+      acc =
+        if (acc.n == 0L)
+          TwapAcc(e.ep, e.event_id, e.cents, 1L, 0L, 0L)
+        else {
+          val gap = e.ep - acc.lastEp
+          TwapAcc(e.ep, e.event_id, e.cents, acc.n + 1,
+            acc.dur + gap, acc.wsum + acc.lastCents * gap)
+        }
+    }
+    state.update(acc)
+    Iterator((user, acc.n, acc.dur, acc.wsum))
+  }
+
+  /** Shared stateful TWAP stage (batch or streaming). */
+  def twapStateful(evs: Dataset[TwapEv]): DataFrame = {
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        twapFn)
+      .toDF("user_id", "n_events", "dur_sec", "wsum")
+  }
+
+  /** G22 batch entry: each user's history in one call ⇒ the full
+    * integral — output identical to B's events_twap, same SQL
+    * oracle. */
+  def streamTwap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evs = Tables(spark, dir).events
+      .select(col("user_id"), Tables.tsNsToSec("ts").as("ep"),
+        col("event_id"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .as[TwapEv]
+    twapStateful(evs)
+      .select(col("user_id"), col("n_events"), col("dur_sec"),
+        when(col("dur_sec") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("wsum") / (col("dur_sec") * 100.0), 4))
+          .as("twap"))
+      .orderBy(col("user_id"))
+  }
+
   // ----- G21: online EWMA trend (events_ewma twin) -----------------
 
   /** One event for the EWMA stream (pre-bucketed to its epoch day). */

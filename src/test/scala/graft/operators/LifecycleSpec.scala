@@ -199,6 +199,27 @@ class LifecycleSpec extends SparkSuite {
     }
   }
 
+  test("rolling uniques: trailing-week distinct recompute; wau ≥ dau") {
+    val rows = Lifecycle.eventsRollingUniques(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ud = graft.Tables(spark, sfDir).events
+      .selectExpr("user_id", "(ts div 1000000000) div 86400 AS day")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDay = ud.groupBy(_._2)
+    rows.foreach { r =>
+      val d = r.getLong(0)
+      val dau = byDay(d).map(_._1).distinct.length
+      val wau = ud.filter(p => p._2 <= d &&
+        p._2 > d - Lifecycle.RollingWindowDays).map(_._1).distinct.length
+      assert(r.getLong(1) == dau.toLong, s"dau $r")
+      assert(r.getLong(2) == wau.toLong, s"wau $r")
+      assert(r.getLong(2) >= r.getLong(1), "wau must dominate dau")
+      assert(math.abs(r.getDouble(3) - dau.toDouble / wau) < 1e-3)
+    }
+    // only active days appear
+    assert(rows.length == byDay.size)
+  }
+
   test("ewma: halving recurrence and residual reconstruction") {
     val rows = Lifecycle.eventsEwma(spark, sfDir).collect()
     assert(rows.nonEmpty)

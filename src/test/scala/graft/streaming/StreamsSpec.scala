@@ -1167,6 +1167,50 @@ class StreamsSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("streaming twap: hold periods straddling batches equal the batch integral") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    val evs = graft.Tables(spark, sfDir).events
+      .selectExpr("user_id", "ts div 1000000000 AS ep", "event_id",
+        "cast(floor(value * 100) AS long) AS cents")
+      .as[Streams.TwapEv].collect().sortBy(e => (e.ep, e.event_id))
+    val expected = graft.operators.Lifecycle.eventsTwap(spark, sfDir)
+      .collect().map { r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      }.toMap
+    val stream = MemoryStream[Streams.TwapEv]
+    val query = Streams.twapStateful(stream.toDS())
+      .writeStream.format("memory").queryName("twap")
+      .outputMode("append").start()
+    try {
+      evs.grouped(math.max(1, evs.length / 4)).foreach { b =>
+        stream.addData(b.toSeq); query.processAllAvailable()
+      }
+      val got = s.table("twap").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1).map { case (u, rows) =>
+          val fin = rows.maxBy(_._2) // n_events is monotone
+          u -> ((fin._2, fin._3,
+            if (fin._3 == 0L) None
+            else Some(BigDecimal(fin._4.toDouble / (fin._3 * 100.0))
+              .setScale(4, BigDecimal.RoundingMode.HALF_EVEN).toDouble)))
+        }
+      assert(got.keySet == expected.keySet)
+      got.foreach { case (u, (n, dur, twap)) =>
+        val (en, edur, etwap) = expected(u)
+        assert(n == en && dur == edur, s"user $u counts")
+        assert(twap.isDefined == etwap.isDefined, s"user $u twap null-ness")
+        twap.zip(etwap).foreach { case (a, b) =>
+          assert(math.abs(a - b) < 1e-3, s"user $u twap") }
+      }
+      val emissions = s.table("twap").collect()
+        .groupBy(_.getLong(0)).values.map(_.length)
+      assert(emissions.exists(_ > 1),
+        "fixture must exercise multi-batch accumulation")
+    } finally query.stop()
+  }
+
   test("streaming ewma: day rollovers across batches equal the batch trend") {
     val s = spark; import s.implicits._
     implicit val sq = s.sqlContext
