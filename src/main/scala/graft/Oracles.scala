@@ -2008,6 +2008,25 @@ object Oracles {
 
     "sample_stratified" -> stratifiedSampleSql,
 
+    // J10 importance sampling: keep iff 16-bit md5 bucket <
+    // floor(quality·65536) — integer compare (DuckDB's 0x-cast vs
+    // Spark's conv(,16,10)), quality single-sourced via qualityExpr.
+    "sample_importance" -> {
+      val seed = graft.operators.Sampling.ImportanceSeed
+      val scale = graft.operators.Sampling.ImportanceScale
+      "WITH " + qualityBaseCte("documents") + ",\n" +
+      s"""s AS (
+         |  SELECT doc_id, lang,
+         |    ('0x' || substr(md5('$seed' || doc_id::varchar), 1, 4))::bigint
+         |      AS bucket,
+         |    floor(($qualityExpr) * $scale)::bigint AS thr,
+         |    round($qualityExpr, 4) AS quality
+         |  FROM q_base)
+         |SELECT doc_id, lang, bucket, thr, quality
+         |FROM s WHERE bucket < thr
+         |ORDER BY doc_id""".stripMargin
+    },
+
     // J10 balanced batches: per-lang salted-md5 rank mod B. Salt and
     // B single-sourced from Sampling.
     "mix_balanced_batches" -> {

@@ -125,6 +125,7 @@ object SparkEntry {
     "graph_pagerank"      -> (graft.operators.Graph.graphPagerank(_, _)),
     "dedup_incremental"   -> (graft.operators.Incremental.dedupIncremental(_, _)),
     "sample_stratified"   -> (graft.operators.Sampling.sampleStratified(_, _)),
+    "sample_importance"   -> (graft.operators.Sampling.sampleImportance(_, _)),
     "sample_exact_k"      -> (graft.operators.Sampling.sampleExactK(_, _)),
     "mix_balanced_batches" -> (graft.operators.Sampling.mixBalancedBatches(_, _)),
     "pack_sequences"      -> (graft.operators.Sampling.packSequences(_, _)),

