@@ -913,6 +913,50 @@ object Oracles {
         |ORDER BY d.day""".stripMargin
     },
 
+    // B A/B readout: integer exposure/moment counts; means, sample
+    // variances and the Welch z mirror the Spark expression tree
+    // op-for-op (÷ × − and IEEE-correctly-rounded sqrt are
+    // deterministic cross-engine), so z hash-gates exactly.
+    "events_abtest" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c,
+        |    (user_id % 2 = 0) AS va
+        |  FROM events GROUP BY user_id),
+        |r AS (
+        |  SELECT
+        |    sum(CASE WHEN va THEN 1 ELSE 0 END) AS n_a,
+        |    sum(CASE WHEN va THEN c ELSE 0 END) AS s_a,
+        |    sum(CASE WHEN va THEN c * c ELSE 0 END) AS q_a,
+        |    sum(CASE WHEN NOT va THEN 1 ELSE 0 END) AS n_b,
+        |    sum(CASE WHEN NOT va THEN c ELSE 0 END) AS s_b,
+        |    sum(CASE WHEN NOT va THEN c * c ELSE 0 END) AS q_b
+        |  FROM u)
+        |SELECT n_a::bigint AS n_a, s_a::bigint AS purchases_a,
+        |  round(s_a::double / n_a, 4) AS mean_a,
+        |  n_b::bigint AS n_b, s_b::bigint AS purchases_b,
+        |  round(s_b::double / n_b, 4) AS mean_b,
+        |  round((s_a::double / n_a - s_b::double / n_b) /
+        |    sqrt(((q_a - s_a::double * s_a / n_a) / (n_a - 1)) / n_a +
+        |         ((q_b - s_b::double * s_b / n_b) / (n_b - 1)) / n_b), 4) AS z
+        |FROM r""".stripMargin,
+
+    // H FD discovery: branch per ordered pair, each count an exact
+    // integer; fd_holds is integer equality. Pairs single-sourced
+    // from Profile.FdCols.
+    "table_fds" -> {
+      val cols = graft.operators.Profile.FdCols
+      val fdPairs = for { a <- cols; b <- cols if a != b } yield (a, b)
+      fdPairs.map { case (a, b) =>
+        s"""SELECT '$a' AS det, '$b' AS dep,
+           |  (SELECT count(DISTINCT $a) FROM orders)::bigint AS n_det,
+           |  (SELECT count(*) FROM (SELECT DISTINCT $a, $b FROM orders))::bigint
+           |    AS n_pairs,
+           |  (SELECT count(*) FROM (SELECT DISTINCT $a, $b FROM orders)) =
+           |    (SELECT count(DISTINCT $a) FROM orders) AS fd_holds""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY det, dep")
+    },
+
     // B EWMA forecast: α = 1/2 halvings over the day-sorted count
     // prefix (strict sequential fold — DuckDB's seedless list_reduce
     // == Spark's aggregate seeded with the first element), e_{d-1}
@@ -1366,6 +1410,21 @@ object Oracles {
         |              / (len(w) - 1), 4) AS bigram_dup_ratio
         |FROM toks WHERE len(w) >= 2
         |ORDER BY doc_id""".stripMargin,
+
+    // Cross-doc duplicated-shingle fraction: sh0 (per-doc-distinct
+    // 3-shingles) shared with the dedup family; df window counts
+    // docs per shingle. Spark counts distinct shingle HASHES — equal
+    // to these string counts absent a 64-bit collision; the division
+    // is the only double.
+    "text_boilerplate" ->
+      s"""WITH ${shingleDistinctCtes("documents")},
+        |dfed AS (
+        |  SELECT doc_id, count(*) OVER (PARTITION BY s) AS df FROM sh0)
+        |SELECT doc_id, count(*)::bigint AS n_shingles,
+        |  sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::bigint AS n_dup,
+        |  round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::double
+        |        / count(*), 4) AS dup_frac
+        |FROM dfed GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // PII scrub over the deterministically augmented corpus: both
     // engines build the identical pii_text (integer algebra on

@@ -56,6 +56,7 @@ object SparkEntry {
     "snapshot_diff"       -> (graft.operators.Profile.snapshotDiff(_, _)),
     "table_histogram"     -> (graft.operators.Profile.tableHistogram(_, _)),
     "table_fk_check"      -> (graft.operators.Profile.tableFkCheck(_, _)),
+    "table_fds"           -> (graft.operators.Profile.tableFds(_, _)),
     "table_corr"          -> (graft.operators.Profile.tableCorr(_, _)),
     "zorder_key"          -> (graft.sources.ZOrder.zorderKey(_, _)),
     "topk_per_key"        -> (graft.plans.TopK.topkPerKey(_, _)),
@@ -84,6 +85,7 @@ object SparkEntry {
     "orders_streaks"     -> (graft.operators.Lifecycle.ordersStreaks(_, _)),
     "events_twap"        -> (graft.operators.Lifecycle.eventsTwap(_, _)),
     "events_rolling_uniques" -> (graft.operators.Lifecycle.eventsRollingUniques(_, _)),
+    "events_abtest"      -> (graft.operators.Lifecycle.eventsAbtest(_, _)),
     // §2A — MapReduce engine pipelines
     "mr_wordcount"       -> MrQueries.mrWordcount,
     "mr_sum"             -> MrQueries.mrSum,
@@ -100,6 +102,7 @@ object SparkEntry {
     "text_tfidf"         -> TextQueries.textTfidf,
     "text_bm25"          -> TextQueries.textBm25,
     "text_repetition"    -> TextQueries.textRepetition,
+    "text_boilerplate"   -> TextQueries.textBoilerplate,
     "text_oov"           -> TextQueries.textOov,
     "text_typicality"    -> TextQueries.textTypicality,
     "text_pii"           -> TextQueries.textPii,

@@ -535,6 +535,43 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** E13: cross-document duplicated-shingle fraction — the
+    * corpus-level boilerplate signal next to E6's within-doc
+    * repetition (the Gopher/RefinedWeb "fraction of n-grams also seen
+    * elsewhere" read): per doc, how many of its distinct 3-word
+    * shingles occur in at least one OTHER document. High dup_frac =
+    * template/boilerplate text; the ranking input to a
+    * remove-duplicated-passages curation stage.
+    *
+    * Shape: [[ShingleHashes]] (one generated loop per row) explodes
+    * the per-doc-distinct shingle set map-side; document frequency is
+    * a count window over the shingle key — ONE hash exchange on `s`
+    * (a groupBy-then-join-back would pay the same exchange twice AND
+    * re-scan documents, the Catalyst-no-subtree-dedup trap) — then
+    * one doc_id groupBy of integer conditional sums. Since the set is
+    * per-doc distinct, df = #docs containing the shingle, so the
+    * boilerplate test is `df >= 2`. Hot shingles skew the window
+    * partition at corpus scale; the df≤cap cut dedup's inverted index
+    * applies (Dedup.NgramDfMax) is the mitigation there — this
+    * profiler deliberately keeps the exact tail. Counts are distinct
+    * HASH counts (== string counts absent a 64-bit collision; the
+    * oracle counts strings); the single division is the only double
+    * ⇒ full hash gate. */
+  def textBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(spark, dir).documents
+    val sh = d.select(col("doc_id"),
+      explode(ShingleHashes(col("text"), 3)).as("s"))
+    sh.withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_shingles"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_shingles"), 4)
+          .as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** E12: bigram-LM conditional typicality — the sequel to E8
     * text_typicality's unigram signal: how predictable is each
     * document's WORD ORDER under the corpus bigram statistics? A doc

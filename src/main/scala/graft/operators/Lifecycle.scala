@@ -366,6 +366,51 @@ object Lifecycle {
       .orderBy(col("day"))
   }
 
+  /** B: two-variant experiment readout — users deterministically
+    * split by id parity, metric = purchases per user, one datasheet
+    * row with per-variant exposure/total counts, means, and the
+    * two-sample (Welch) z statistic on the mean difference. The "did
+    * the experiment move the metric" read every product analytics
+    * stack ships. (A binary-conversion variant is degenerate on this
+    * corpus — every user purchases, so the pooled variance is 0 and
+    * z is 0/0, which ANSI mode rightly rejects; a count metric never
+    * collapses.)
+    *
+    * Exactness: per-variant n, Σc and Σc² are exact integers; the
+    * means, sample variances and z mirror the oracle's expression
+    * tree operation-for-operation — every step (÷, ×, −, and
+    * IEEE-correctly-rounded sqrt) is deterministic cross-engine, so
+    * even the z statistic full hash-gates. One scan → per-user count
+    * (map-side combined) → a 1-row conditional aggregate. */
+  def eventsAbtest(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables(spark, dir).events
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("c"))
+      .withColumn("va", col("user_id") % 2 === 0)
+    val row = users.agg(
+      sum(when(col("va"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("va"), col("c")).otherwise(0L)).as("s_a"),
+      sum(when(col("va"), col("c") * col("c")).otherwise(0L)).as("q_a"),
+      sum(when(!col("va"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(!col("va"), col("c")).otherwise(0L)).as("s_b"),
+      sum(when(!col("va"), col("c") * col("c")).otherwise(0L)).as("q_b"))
+    val meanA = col("s_a").cast("double") / col("n_a")
+    val meanB = col("s_b").cast("double") / col("n_b")
+    // sample variance via the exact integer moments: (Σc² − (Σc)²/n)/(n−1)
+    val varA = (col("q_a") - col("s_a").cast("double") * col("s_a") /
+      col("n_a")) / (col("n_a") - 1)
+    val varB = (col("q_b") - col("s_b").cast("double") * col("s_b") /
+      col("n_b")) / (col("n_b") - 1)
+    val z = (meanA - meanB) /
+      sqrt(varA / col("n_a") + varB / col("n_b"))
+    row.select(col("n_a"), col("s_a").as("purchases_a"),
+      round(meanA, 4).as("mean_a"),
+      col("n_b"), col("s_b").as("purchases_b"),
+      round(meanB, 4).as("mean_b"),
+      round(z, 4).as("z"))
+  }
+
   def ordersPareto(spark: SparkSession, dir: String): DataFrame = {
     val perCust = Tables(spark, dir).orders
       .select(col("o_custkey").as("cust_key"),

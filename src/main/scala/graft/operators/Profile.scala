@@ -368,4 +368,41 @@ object Profile {
         col("c.n_rows").as("n_rows"))
       .orderBy(col("col_x"), col("col_y"))
   }
+
+  /** Columns scanned for functional dependencies (orders: the unique
+    * key makes o_orderkey→* hold while every other direction fails —
+    * the discovered set is non-trivial in both directions). */
+  val FdCols: Seq[String] =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+  /** H: functional-dependency discovery — for every ordered column
+    * pair (det → dep), does each determinant value map to exactly one
+    * dependent value? The key-inference / normalization-audit pass a
+    * data profiler runs before trusting joins (`fd_holds` ⟺
+    * |distinct(det, dep)| = |distinct det|; the difference counts the
+    * violating determinant-pair surplus). All integer equality — no
+    * tolerance.
+    *
+    * Shape (the tableCorr lesson): ONE aggregate pass computes all 4
+    * per-column and 12 per-pair distinct counts (N separate
+    * scans/groupBys would re-read the table N times); Spark plans the
+    * multi-distinct agg as one Expand + partial aggregate. A 1-row
+    * explode unpivots to the tidy (det, dep, …) shape. */
+  def tableFds(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+    val fdPairs = for { a <- FdCols; b <- FdCols if a != b } yield (a, b)
+    val aggs = FdCols.map(c => countDistinct(col(c)).as(s"d_$c")) ++
+      fdPairs.map { case (a, b) =>
+        countDistinct(struct(col(a), col(b))).as(s"p_${a}_$b")
+      }
+    val one = o.agg(aggs.head, aggs.tail: _*)
+    one.select(explode(array(fdPairs.map { case (a, b) =>
+        struct(lit(a).as("det"), lit(b).as("dep"),
+          col(s"d_$a").as("n_det"), col(s"p_${a}_$b").as("n_pairs"),
+          (col(s"p_${a}_$b") === col(s"d_$a")).as("fd_holds"))
+      }: _*)).as("c"))
+      .select(col("c.det"), col("c.dep"), col("c.n_det"),
+        col("c.n_pairs"), col("c.fd_holds"))
+      .orderBy(col("det"), col("dep"))
+  }
 }

@@ -109,6 +109,32 @@ class TextFunctionsSpec extends SparkSuite {
       s"repetition scoring must not shuffle data:\n$plan")
   }
 
+  test("boilerplate: cross-doc shingle overlap on fixtures; invariants at sf") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("boil").toString
+    Seq(
+      (1L, "x y z x y z"), // distinct shingles {xyz, yzx, zxy}
+      (2L, "x y z q r"),   // {xyz, yzq, zqr} — shares xyz with doc 1
+      (3L, "p q r s"),     // {pqr, qrs} — no overlap
+      (4L, "x y")          // < 3 tokens → no shingles, excluded
+    ).toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val out = TextQueries.textBoilerplate(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((3L, 1L, 0.3333)))
+    assert(out(2L) == ((3L, 1L, 0.3333)))
+    assert(out(3L) == ((2L, 0L, 0.0)))
+
+    val sf = TextQueries.textBoilerplate(spark, sfDir).collect()
+    assert(sf.nonEmpty)
+    sf.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
   test("quality_deciles: balanced dense buckets, ordered disjoint score ranges") {
     val rows = TextQueries.qualityDeciles(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2),

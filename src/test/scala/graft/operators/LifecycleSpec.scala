@@ -199,6 +199,30 @@ class LifecycleSpec extends SparkSuite {
     }
   }
 
+  test("abtest: one row, counts and z reconcile with a direct recompute") {
+    val rows = Lifecycle.eventsAbtest(spark, sfDir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    // purchases per user, recomputed driver-side
+    val perUser = graft.Tables(spark, sfDir).events.collect()
+      .map(x => (x.getLong(2), x.getString(3)))
+      .groupBy(_._1).view
+      .mapValues(_.count(_._2 == "purchase").toLong).toMap
+    val (a, b) = perUser.partition(_._1 % 2 == 0)
+    assert(r.getLong(0) == a.size.toLong && r.getLong(3) == b.size.toLong)
+    val (sa, sb) = (a.values.sum, b.values.sum)
+    assert(r.getLong(1) == sa && r.getLong(4) == sb)
+    val (mA, mB) = (sa.toDouble / a.size, sb.toDouble / b.size)
+    assert(math.abs(r.getDouble(2) - mA) < 1e-3)
+    assert(math.abs(r.getDouble(5) - mB) < 1e-3)
+    def svar(xs: Iterable[Long]): Double = {
+      val n = xs.size; val m = xs.sum.toDouble / n
+      xs.map(x => (x - m) * (x - m)).sum / (n - 1)
+    }
+    val z = (mA - mB) / math.sqrt(svar(a.values) / a.size + svar(b.values) / b.size)
+    assert(math.abs(r.getDouble(6) - z) < 1e-3, s"z ${r.getDouble(6)} vs $z")
+  }
+
   test("rolling uniques: trailing-week distinct recompute; wau ≥ dau") {
     val rows = Lifecycle.eventsRollingUniques(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -218,4 +218,43 @@ class ProfileSpec extends SparkSuite {
       .toDF("x", "y").agg(corr($"x", $"y")).collect()(0).getDouble(0)
     assert(math.abs(r - 1.0) < 1e-12)
   }
+
+  test("table_fds: key FDs hold, reverse directions fail, counts reconcile") {
+    val rows = Profile.tableFds(spark, sfDir).collect()
+    val n = Profile.FdCols.size
+    assert(rows.length == n * (n - 1))
+    val o = graft.Tables(spark, sfDir).orders
+      .select(Profile.FdCols.map(org.apache.spark.sql.functions.col): _*)
+      .collect()
+      .map(r => Profile.FdCols.indices.map(r.get).toVector)
+    val idx = Profile.FdCols.zipWithIndex.toMap
+    rows.foreach { r =>
+      val (det, dep) = (r.getString(0), r.getString(1))
+      val dv = o.map(_(idx(det))).distinct.length
+      val pv = o.map(v => (v(idx(det)), v(idx(dep)))).distinct.length
+      assert(r.getLong(2) == dv.toLong, s"n_det $r")
+      assert(r.getLong(3) == pv.toLong, s"n_pairs $r")
+      assert(r.getBoolean(4) == (dv == pv), s"fd_holds $r")
+    }
+    val holds = rows.filter(_.getBoolean(4))
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // the unique key determines everything; no other column
+    // determines the key back
+    Profile.FdCols.filter(_ != "o_orderkey").foreach { c =>
+      assert(holds.contains(("o_orderkey", c)), s"o_orderkey -> $c")
+      assert(!holds.contains((c, "o_orderkey")), s"$c -> o_orderkey")
+    }
+    // one Expand-based single scan, not a scan per pair
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = Profile.tableFds(spark, sfDir)
+    df.count()
+    def scans2(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => scans2(a.executedPlan)
+      case q: QueryStageExec => scans2(q.plan)
+      case _: FileSourceScanExec => 1
+      case other => other.children.map(scans2).sum
+    }
+    assert(scans2(df.queryExecution.executedPlan) == 1)
+  }
 }
