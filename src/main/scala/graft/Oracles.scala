@@ -1007,6 +1007,37 @@ object Oracles {
     // recurrence as Graph.graphPagerank unrolled as one CTE stage per
     // round (constants single-sourced from Graph.Pr*). All integral
     // div/sum — exact at any iteration count.
+    // Triangle counting: degree-ordered orientation (row-value
+    // comparison == Spark's struct order), two equi-join closure,
+    // per-node role union. All integer ⇒ full hash gate.
+    "graph_triangles" ->
+      """WITH li AS (SELECT l_orderkey AS k, l_partkey AS p FROM lineitem),
+        |und AS (SELECT DISTINCT a.p AS src, b.p AS dst
+        |        FROM li a JOIN li b ON a.k = b.k AND a.p < b.p),
+        |deg AS (SELECT n, count(*)::bigint AS deg FROM (
+        |          SELECT src AS n FROM und UNION ALL SELECT dst AS n FROM und)
+        |        GROUP BY n),
+        |o AS (SELECT
+        |    CASE WHEN (da.deg, und.src) < (db.deg, und.dst)
+        |         THEN und.src ELSE und.dst END AS a,
+        |    CASE WHEN (da.deg, und.src) < (db.deg, und.dst)
+        |         THEN und.dst ELSE und.src END AS b
+        |  FROM und
+        |  JOIN deg da ON da.n = und.src
+        |  JOIN deg db ON db.n = und.dst),
+        |tri AS (SELECT o1.a AS x, o1.b AS y, o2.b AS z
+        |        FROM o o1 JOIN o o2 ON o2.a = o1.b
+        |        JOIN o o3 ON o3.a = o1.a AND o3.b = o2.b),
+        |cnt AS (SELECT n, count(*)::bigint AS n_tri FROM (
+        |          SELECT x AS n FROM tri UNION ALL
+        |          SELECT y AS n FROM tri UNION ALL
+        |          SELECT z AS n FROM tri)
+        |        GROUP BY n)
+        |SELECT deg.n AS node, deg.deg,
+        |  coalesce(cnt.n_tri, 0)::bigint AS n_tri
+        |FROM deg LEFT JOIN cnt ON cnt.n = deg.n
+        |ORDER BY node""".stripMargin,
+
     "graph_pagerank" -> {
       val iters = graft.operators.Graph.PrIters
       val scale = graft.operators.Graph.PrScale

@@ -126,6 +126,7 @@ object SparkEntry {
     "dedup_semantic"      -> Dedup.dedupSemantic,
     "dedup_components"    -> Dedup.dedupComponents,
     "graph_pagerank"      -> (graft.operators.Graph.graphPagerank(_, _)),
+    "graph_triangles"     -> (graft.operators.Graph.graphTriangles(_, _)),
     "dedup_incremental"   -> (graft.operators.Incremental.dedupIncremental(_, _)),
     "sample_stratified"   -> (graft.operators.Sampling.sampleStratified(_, _)),
     "sample_importance"   -> (graft.operators.Sampling.sampleImportance(_, _)),

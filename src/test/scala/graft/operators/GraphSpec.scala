@@ -35,6 +35,41 @@ class GraphSpec extends SparkSuite {
     ranks.collect().foreach(r => assert(r.getLong(2) > 0))
   }
 
+  test("triangles: hand fixture — K3, bridge, K4") {
+    val s = spark; import s.implicits._
+    // order 10 → K3 {1,2,3}; order 20 → bridge 3–4;
+    // order 30 → K3 {4,5,6}; order 40 → K4 {7,8,9,10}
+    val li = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (20L, 3L), (20L, 4L),
+      (30L, 4L), (30L, 5L), (30L, 6L),
+      (40L, 7L), (40L, 8L), (40L, 9L), (40L, 10L)
+    ).toDF("k", "p")
+    val out = Graph.trianglesOf(li).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.keySet == (1L to 10L).toSet)
+    assert(out(1L) == ((2L, 1L)) && out(2L) == ((2L, 1L)))
+    assert(out(3L) == ((3L, 1L)) && out(4L) == ((3L, 1L)))
+    assert(out(5L) == ((2L, 1L)) && out(6L) == ((2L, 1L)))
+    // K4: every node deg 3, in C(3,2)=3 triangles
+    (7L to 10L).foreach(n => assert(out(n) == ((3L, 3L)), s"node $n"))
+  }
+
+  test("triangles: sf invariants — role sum divisible by 3, deg bound, deterministic") {
+    val r1 = Graph.graphTriangles(spark, sfDir).collect()
+    assert(r1.nonEmpty)
+    var total = 0L
+    r1.foreach { r =>
+      val (deg, tri) = (r.getLong(1), r.getLong(2))
+      assert(tri <= deg * (deg - 1) / 2, s"node ${r.getLong(0)}")
+      total += tri
+    }
+    assert(total % 3 == 0, s"each triangle counted in 3 roles: $total")
+    assert(total > 0, "co-purchase graph at sf0.001 should close triangles")
+    val r2 = Graph.graphTriangles(spark, sfDir).collect()
+    assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq)
+  }
+
   test("query entry: contiguous ranks, descending q, deterministic rerun") {
     val r1 = Graph.graphPagerank(spark, sfDir).collect()
     assert(r1.length == Graph.PrTopK)
