@@ -913,6 +913,34 @@ object Oracles {
         |ORDER BY d.day""".stripMargin
     },
 
+    // B basket mining: distinct-membership self-join with the same
+    // A-priori item prune; confidences/lift are single divisions of
+    // integer products, mirrored op-for-op. s single-sourced from
+    // Lifecycle.BasketMinOrders.
+    "orders_basket" -> {
+      val s = graft.operators.Lifecycle.BasketMinOrders
+      s"""WITH b AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+         |           FROM lineitem),
+         |n AS (SELECT count(DISTINCT k)::bigint AS n_orders FROM b),
+         |supp AS (SELECT p, count(*)::bigint AS n_item FROM b
+         |         GROUP BY p HAVING count(*) >= $s),
+         |fb AS (SELECT b.k, b.p FROM b JOIN supp ON supp.p = b.p),
+         |pairs AS (
+         |  SELECT a.p AS pa, b2.p AS pb, count(*)::bigint AS n_ab
+         |  FROM fb a JOIN fb b2 ON a.k = b2.k AND a.p < b2.p
+         |  GROUP BY 1, 2 HAVING count(*) >= $s)
+         |SELECT pa AS part_a, pb AS part_b, n_ab,
+         |  sa.n_item AS n_a, sb.n_item AS n_b,
+         |  round(n_ab::double / sa.n_item, 4) AS conf_ab,
+         |  round(n_ab::double / sb.n_item, 4) AS conf_ba,
+         |  round((n_ab * (SELECT n_orders FROM n))::double /
+         |        (sa.n_item * sb.n_item), 4) AS lift
+         |FROM pairs
+         |JOIN supp sa ON sa.p = pa
+         |JOIN supp sb ON sb.p = pb
+         |ORDER BY part_a, part_b""".stripMargin
+    },
+
     // B A/B readout: integer exposure/moment counts; means, sample
     // variances and the Welch z mirror the Spark expression tree
     // op-for-op (÷ × − and IEEE-correctly-rounded sqrt are

@@ -411,6 +411,55 @@ object Lifecycle {
       round(z, 4).as("z"))
   }
 
+  /** Pair min-support for [[ordersBasket]] (items AND pairs must hit
+    * it — the A-priori downward-closure prune, single-sourced into
+    * the oracle). */
+  val BasketMinOrders = 2
+
+  /** B: market-basket association mining — part pairs co-purchased in
+    * ≥ [[BasketMinOrders]] orders, with both confidences and lift
+    * (the "customers who bought A also bought B" rule miner; lift > 1
+    * = genuinely coupled, not just both popular). events_cooccurrence
+    * reads the 5-type event alphabet; this is the same algebra at
+    * CATALOG scale where the item set itself is huge — hence the
+    * A-priori prune: a pair in ≥ s orders needs both items in ≥ s
+    * orders, so infrequent items drop BEFORE the self-join and the
+    * pair fan-out is bounded by frequent-basket width, not raw width.
+    * Joins shuffle on natural keys (k, then the pair); the item
+    * support table re-joins for the metrics (broadcast-eligible at
+    * these SFs, plain equi-join at catalog scale — NOT forced).
+    * Baskets persisted (4 refs). All counts exact integers; the
+    * confidences and lift are single divisions of integer products,
+    * mirrored op-for-op ⇒ full hash gate. */
+  def ordersBasket(spark: SparkSession, dir: String): DataFrame =
+    basketOf(Tables(spark, dir).lineitem
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("p")))
+
+  /** Core pair miner over any (k, p) membership frame. */
+  def basketOf(li: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val b = li.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val nOrders = b.select(col("k")).distinct().count()
+    val supp = b.groupBy(col("p")).agg(count(lit(1)).as("n_item"))
+      .filter(col("n_item") >= BasketMinOrders)
+    val fb = b.join(supp.select(col("p")), Seq("p")).select("k", "p")
+    val pairs = fb.select(col("k"), col("p").as("pa"))
+      .join(fb.select(col("k"), col("p").as("pb")), Seq("k"))
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= BasketMinOrders)
+    pairs
+      .join(supp.select(col("p").as("pa"), col("n_item").as("n_a")), Seq("pa"))
+      .join(supp.select(col("p").as("pb"), col("n_item").as("n_b")), Seq("pb"))
+      .select(col("pa").as("part_a"), col("pb").as("part_b"),
+        col("n_ab"), col("n_a"), col("n_b"),
+        round(col("n_ab").cast("double") / col("n_a"), 4).as("conf_ab"),
+        round(col("n_ab").cast("double") / col("n_b"), 4).as("conf_ba"),
+        round((col("n_ab") * lit(nOrders)).cast("double") /
+          (col("n_a") * col("n_b")), 4).as("lift"))
+      .orderBy(col("part_a"), col("part_b"))
+  }
+
   def ordersPareto(spark: SparkSession, dir: String): DataFrame = {
     val perCust = Tables(spark, dir).orders
       .select(col("o_custkey").as("cust_key"),

@@ -223,6 +223,40 @@ class LifecycleSpec extends SparkSuite {
     assert(math.abs(r.getDouble(6) - z) < 1e-3, s"z ${r.getDouble(6)} vs $z")
   }
 
+  test("basket: fixture rules — support cut, confidences, lift") {
+    val s = spark; import s.implicits._
+    // orders: 1{A,B,C} 2{A,B} 3{A,C} 4{D}; N=4
+    val li = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 30L),
+      (4L, 40L)
+    ).toDF("k", "p")
+    val out = Lifecycle.basketOf(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
+    // (B,C) co-occur once → cut; D infrequent → pruned pre-join
+    assert(out.keySet == Set((10L, 20L), (10L, 30L)))
+    // n_ab=2, n_a=3, n_b=2: conf 2/3, 1.0; lift 2·4/(3·2)
+    assert(out((10L, 20L)) == ((2L, 3L, 2L, 0.6667, 1.0, 1.3333)))
+    assert(out((10L, 30L)) == ((2L, 3L, 2L, 0.6667, 1.0, 1.3333)))
+  }
+
+  test("basket: sf invariants — bounds and rule sanity") {
+    val rows = Lifecycle.ordersBasket(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nab, na, nb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nab >= Lifecycle.BasketMinOrders)
+      assert(nab <= math.min(na, nb))
+      assert(r.getDouble(5) > 0 && r.getDouble(5) <= 1.0)
+      assert(r.getDouble(6) > 0 && r.getDouble(6) <= 1.0)
+      assert(r.getDouble(7) > 0)
+      assert(r.getLong(0) < r.getLong(1))
+    }
+  }
+
   test("rolling uniques: trailing-week distinct recompute; wau ≥ dau") {
     val rows = Lifecycle.eventsRollingUniques(spark, sfDir).collect()
     assert(rows.nonEmpty)
