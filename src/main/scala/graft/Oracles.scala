@@ -3278,6 +3278,7 @@ object Oracles {
     // G22 online TWAP: the six-long hold-period state reproduces B's
     // events_twap integral exactly — same SQL.
     "stream_twap" -> relational("events_twap"),
+    "stream_abtest" -> relational("events_abtest"),
 
     // G17 composed ingest gate: replayed feed (re-crawls under a
     // 3·5·7-aligned id offset draw the same PII gates, different PII

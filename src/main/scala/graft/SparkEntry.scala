@@ -185,7 +185,8 @@ object SparkEntry {
     "stream_coverage"     -> Streams.streamCoverage,
     "stream_hitters"      -> Streams.streamHitters,
     "stream_ewma"         -> Streams.streamEwma,
-    "stream_twap"         -> Streams.streamTwap
+    "stream_twap"         -> Streams.streamTwap,
+    "stream_abtest"       -> Streams.streamAbtest
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -382,12 +382,19 @@ object Lifecycle {
     * IEEE-correctly-rounded sqrt) is deterministic cross-engine, so
     * even the z statistic full hash-gates. One scan → per-user count
     * (map-side combined) → a 1-row conditional aggregate. */
-  def eventsAbtest(spark: SparkSession, dir: String): DataFrame = {
-    val users = Tables(spark, dir).events
+  def eventsAbtest(spark: SparkSession, dir: String): DataFrame =
+    abtestScore(Tables(spark, dir).events
       .groupBy(col("user_id"))
       .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
-        .as("c"))
-      .withColumn("va", col("user_id") % 2 === 0)
+        .as("c")))
+
+  /** The experiment-scoring stage over any (user_id, c) per-user
+    * metric frame — shared verbatim by the batch entry above and the
+    * G23 online twin ([[graft.streaming.Streams.streamAbtest]]),
+    * which maintains c in per-user state and scores the snapshot on
+    * read. */
+  def abtestScore(users0: DataFrame): DataFrame = {
+    val users = users0.withColumn("va", col("user_id") % 2 === 0)
     val row = users.agg(
       sum(when(col("va"), 1L).otherwise(0L)).as("n_a"),
       sum(when(col("va"), col("c")).otherwise(0L)).as("s_a"),

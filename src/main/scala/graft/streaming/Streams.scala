@@ -1321,6 +1321,57 @@ object Streams {
       .toDF("user_id", "n_events", "dur_sec", "wsum")
   }
 
+  // ----- G23: online A/B readout (events_abtest twin) --------------
+
+  /** One event for the A/B stream: purch = 1 iff a purchase. */
+  final case class AbEv(user_id: Long, purch: Long)
+  /** Per-user purchase-count state (public for the state encoder). */
+  final case class AbAcc(c: Long)
+
+  /** G23 core: the per-user experiment metric (purchases per exposed
+    * user) maintained online. State is ONE long per user; addition
+    * commutes, so replay order is free (unlike the hold-period
+    * twins). Every event marks exposure — a user's first batch emits
+    * a (user, 0) row even with no purchases, exactly the batch
+    * groupBy's semantics. One updated snapshot row per user per
+    * active batch; the variant split and the Welch z happen on read
+    * over the snapshot ([[graft.operators.Lifecycle.abtestScore]],
+    * the rfmScore read-side pattern), because the z statistic is a
+    * ratio of corpus aggregates — maintaining it per-event would
+    * re-derive the same 1-row agg the read pays anyway. */
+  def abFn(user: Long, evs: Iterator[AbEv],
+      state: GroupState[AbAcc]): Iterator[(Long, Long)] = {
+    var n = 0L
+    var add = 0L
+    evs.foreach { e => n += 1L; add += e.purch }
+    if (n == 0L) return Iterator.empty
+    val next = AbAcc(state.getOption.map(_.c).getOrElse(0L) + add)
+    state.update(next)
+    Iterator((user, next.c))
+  }
+
+  /** Shared stateful metric stage (batch or streaming). */
+  def abStateful(evs: Dataset[AbEv]): DataFrame = {
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        abFn)
+      .toDF("user_id", "c")
+  }
+
+  /** G23 batch entry: each user's history in one call ⇒ the final
+    * per-user metric — scored output identical to B's events_abtest,
+    * same SQL oracle. */
+  def streamAbtest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evs = Tables(spark, dir).events
+      .select(col("user_id"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("purch"))
+      .as[AbEv]
+    graft.operators.Lifecycle.abtestScore(abStateful(evs))
+  }
+
   /** G22 batch entry: each user's history in one call ⇒ the full
     * integral — output identical to B's events_twap, same SQL
     * oracle. */

@@ -1167,6 +1167,38 @@ class StreamsSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("streaming abtest: snapshot scored on read equals the batch readout") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    val evs = graft.Tables(spark, sfDir).events
+      .selectExpr("user_id",
+        "CASE WHEN event_type = 'purchase' THEN 1L ELSE 0L END AS purch")
+      .as[Streams.AbEv].collect()
+    val expected = graft.operators.Lifecycle.eventsAbtest(spark, sfDir)
+      .collect().head
+    val stream = MemoryStream[Streams.AbEv]
+    val query = Streams.abStateful(stream.toDS())
+      .writeStream.format("memory").queryName("abt")
+      .outputMode("append").start()
+    try {
+      evs.grouped(math.max(1, evs.length / 4)).foreach { b =>
+        stream.addData(b.toSeq); query.processAllAvailable()
+      }
+      // final snapshot per user (c is monotone) → read-side scoring
+      val fin = s.table("abt").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (u, rs) => (u, rs.map(_._2).max) }
+      val got = graft.operators.Lifecycle.abtestScore(
+        fin.toSeq.toDF("user_id", "c")).collect().head
+      assert(got.toString == expected.toString,
+        s"online snapshot scored != batch readout:\n$got\n$expected")
+      val emissions = s.table("abt").collect()
+        .groupBy(_.getLong(0)).values.map(_.length)
+      assert(emissions.exists(_ > 1),
+        "fixture must exercise multi-batch accumulation")
+    } finally query.stop()
+  }
+
   test("streaming twap: hold periods straddling batches equal the batch integral") {
     val s = spark; import s.implicits._
     implicit val sq = s.sqlContext
