@@ -913,6 +913,36 @@ object Oracles {
         |ORDER BY d.day""".stripMargin
     },
 
+    // B daily-grid LOCF resample: per-day last sample via named-struct
+    // max (DuckDB row order == Spark struct order), dense grid via
+    // range unnest, carry via IGNORE NULLS last_value. All integer.
+    "events_resample" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch(date_trunc('second', ts))::bigint AS ep,
+        |    event_id, floor(value * 100)::bigint AS cents
+        |  FROM events),
+        |d AS (SELECT user_id, ep // 86400 AS day, ep, event_id, cents
+        |      FROM e),
+        |agg AS (
+        |  SELECT user_id, day, count(*)::bigint AS n_events,
+        |    max({'ep': ep, 'eid': event_id, 'cents': cents}).cents
+        |      AS last_cents
+        |  FROM d GROUP BY 1, 2),
+        |rng AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |        FROM agg GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day
+        |         FROM rng),
+        |j AS (
+        |  SELECT g.user_id, g.day,
+        |    coalesce(a.n_events, 0)::bigint AS n_events, a.last_cents
+        |  FROM grid g LEFT JOIN agg a USING (user_id, day))
+        |SELECT user_id, day, n_events,
+        |  last_value(last_cents IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS locf_cents
+        |FROM j ORDER BY user_id, day""".stripMargin,
+
     // B basket mining: distinct-membership self-join with the same
     // A-priori item prune; confidences/lift are single divisions of
     // integer products, mirrored op-for-op. s single-sourced from

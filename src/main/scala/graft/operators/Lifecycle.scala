@@ -418,6 +418,53 @@ object Lifecycle {
       round(z, 4).as("z"))
   }
 
+  /** B: resample each user's irregular event stream onto a dense
+    * daily grid with last-observation-carried-forward gap-fill — the
+    * regularization pass that turns raw telemetry into the
+    * fixed-step series every downstream model/forecast consumes
+    * (events_twap integrates the irregular stream; this EMITS the
+    * regular one). Per user × calendar day from their first to last
+    * active day: that day's event count (0 on gap days) and the
+    * carried last sample in exact integer cents, tiebroken by
+    * (ep, event_id).
+    *
+    * Shape: one (user, day) groupBy picks each active day's last
+    * sample as max(struct(ep, event_id, cents)) — lexicographic
+    * struct order == DuckDB's row order, no second pass; the grid
+    * explode is bounded by span/user (30 days here, never a row
+    * explosion); the LOCF is one ignoreNulls last() window per user
+    * over ≤ span rows. Every exchange keys on user_id (+day) — the
+    * natural key at any scale. `agg` is persisted (2 refs: range +
+    * join — the no-subtree-dedup trap). All integers ⇒ full hash
+    * gate. */
+  def eventsResample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val ev = Tables(spark, dir).events.select(
+        col("user_id"),
+        Tables.tsNsToSec("ts").as("ep"),
+        col("event_id"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .withColumn("day", expr("ep div 86400"))
+    val agg = ev.groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        max(struct(col("ep"), col("event_id"), col("cents"))).as("lastE"))
+      .select(col("user_id"), col("day"), col("n_events"),
+        col("lastE.cents").as("last_cents"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val grid = agg.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(agg, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("last_cents"), ignoreNulls = true).over(w)
+          .as("locf_cents"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   /** Pair min-support for [[ordersBasket]] (items AND pairs must hit
     * it — the A-priori downward-closure prune, single-sourced into
     * the oracle). */

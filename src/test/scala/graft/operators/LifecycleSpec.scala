@@ -223,6 +223,48 @@ class LifecycleSpec extends SparkSuite {
     assert(math.abs(r.getDouble(6) - z) < 1e-3, s"z ${r.getDouble(6)} vs $z")
   }
 
+  test("resample: LOCF fixture — gap days carry the last sample") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rs").toString
+    def ns(day: Long, sec: Long): Long = (day * 86400L + sec) * 1000000000L
+    Seq(
+      // user 1: two events day 0 (last = eid 11, 2.50), gap days 1-2,
+      // one event day 3
+      (1L, 10L, ns(0, 100), 1.00),
+      (1L, 11L, ns(0, 200), 2.50),
+      (1L, 12L, ns(3, 50), 7.25),
+      // user 2: single active day
+      (2L, 20L, ns(5, 10), 3.00)
+    ).toDF("user_id", "event_id", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Lifecycle.eventsResample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet ==
+      Set((1L, 0L), (1L, 1L), (1L, 2L), (1L, 3L), (2L, 5L)))
+    assert(out((1L, 0L)) == ((2L, 250L)))
+    assert(out((1L, 1L)) == ((0L, 250L)))   // carried
+    assert(out((1L, 2L)) == ((0L, 250L)))   // carried
+    assert(out((1L, 3L)) == ((1L, 725L)))
+    assert(out((2L, 5L)) == ((1L, 300L)))
+  }
+
+  test("resample: sf invariants — dense contiguous grid, event mass conserved") {
+    val rows = Lifecycle.eventsResample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      val days = rs.map(_._2).sorted
+      assert(days.last - days.head + 1 == days.length, s"user $u grid dense")
+      assert(days.distinct.length == days.length)
+    }
+    // locf never null once the grid starts; gap days exist in corpus
+    assert(rows.exists(_._3 == 0L), "sf0.001 has gap days")
+    val total = rows.map(_._3).sum
+    val nEvents = graft.Tables(spark, sfDir).events.count()
+    assert(total == nEvents, "per-day counts must sum to the corpus")
+  }
+
   test("basket: fixture rules — support cut, confidences, lift") {
     val s = spark; import s.implicits._
     // orders: 1{A,B,C} 2{A,B} 3{A,C} 4{D}; N=4
