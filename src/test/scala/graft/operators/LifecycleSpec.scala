@@ -223,6 +223,40 @@ class LifecycleSpec extends SparkSuite {
     assert(math.abs(r.getDouble(6) - z) < 1e-3, s"z ${r.getDouble(6)} vs $z")
   }
 
+  test("changepoint: planted level shift lands on the last pre-shift day") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cp").toString
+    def ns(day: Long, sec: Long): Long = (day * 86400L + sec) * 1000000000L
+    // type a: 1/day on days 0-3, then 5/day on days 4-7 (level shift)
+    val rows =
+      (0L to 3L).map(d => ("a", ns(d, 10))) ++
+      (4L to 7L).flatMap(d => (1L to 5L).map(i => ("a", ns(d, i)))) ++
+      // type b: flat 2/day on days 0-2 → dev 0 everywhere, earliest day
+      (0L to 2L).flatMap(d => Seq(("b", ns(d, 1)), ("b", ns(d, 2))))
+    rows.toDF("event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Lifecycle.eventsChangepoint(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4),
+          r.getDouble(5)))).toMap
+    // N=8, S=24: peak |8·prefix − i·24| = 64 at day 3, negative side
+    assert(out("a") == ((8L, 24L, 3L, -1, 8.0)))
+    // flat series: dev 0, earliest-day tiebreak, side 0
+    assert(out("b") == ((3L, 6L, 0L, 0, 0.0)))
+  }
+
+  test("changepoint: sf invariants — one row per type, cp inside the span") {
+    val rows = Lifecycle.eventsChangepoint(spark, sfDir).collect()
+    val types = graft.Tables(spark, sfDir).events
+      .select("event_type").distinct().count()
+    assert(rows.length == types)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1L && r.getLong(2) > 0L)
+      assert(Set(-1, 0, 1).contains(r.getInt(4)))
+      assert(r.getDouble(5) >= 0.0)
+    }
+  }
+
   test("resample: LOCF fixture — gap days carry the last sample") {
     val s = spark; import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("rs").toString
