@@ -3346,6 +3346,9 @@ object Oracles {
     // events_twap integral exactly — same SQL.
     "stream_twap" -> relational("events_twap"),
     "stream_abtest" -> relational("events_abtest"),
+    // G24 online top-k: the heap-operator state twin — same
+    // row_number window SQL as the custom-plan batch entry.
+    "stream_topk" -> relational("topk_per_key"),
 
     // G17 composed ingest gate: replayed feed (re-crawls under a
     // 3·5·7-aligned id offset draw the same PII gates, different PII

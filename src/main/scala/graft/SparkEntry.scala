@@ -188,7 +188,8 @@ object SparkEntry {
     "stream_hitters"      -> Streams.streamHitters,
     "stream_ewma"         -> Streams.streamEwma,
     "stream_twap"         -> Streams.streamTwap,
-    "stream_abtest"       -> Streams.streamAbtest
+    "stream_abtest"       -> Streams.streamAbtest,
+    "stream_topk"         -> Streams.streamTopk
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1321,6 +1321,69 @@ object Streams {
       .toDF("user_id", "n_events", "dur_sec", "wsum")
   }
 
+  // ----- G24: online top-k per key (TopKPerKey twin) ---------------
+
+  /** One order for the top-k stream. */
+  final case class TopEv(prio: String, okey: Long, price: Double)
+  /** Per-key held top-k (public for the state encoder): parallel
+    * arrays sorted by (price desc, okey asc), plus the monotone
+    * processed count the read side uses to pick the final snapshot. */
+  final case class TopAcc(n: Long, prices: Array[Double], keys: Array[Long])
+
+  /** Top-k held per key, single-sourced with the batch registry
+    * entry's k ([[graft.plans.TopK.topkPerKey]]). */
+  val TopStreamK = 3
+
+  /** G24 core: the custom TopKPerKey physical operator's heap — ≤ k
+    * (order, price) pairs per key — maintained as streaming state:
+    * the partial-heap in the batch plan IS the state update rule
+    * online (selection, not sorting; insertion into ≤ k entries per
+    * event). State is 2k+1 scalars per key regardless of history;
+    * insertion commutes, so replay order is free. Emits the held
+    * top-k snapshot per key per active batch. */
+  def topkFn(prio: String, evs: Iterator[TopEv],
+      state: GroupState[TopAcc]): Iterator[(String, Long, Long, Double)] = {
+    var acc = state.getOption.getOrElse(
+      TopAcc(0L, Array.emptyDoubleArray, Array.emptyLongArray))
+    var held = acc.prices.zip(acc.keys).toVector
+    var n = acc.n
+    var touched = false
+    evs.foreach { e =>
+      touched = true; n += 1L
+      held = ((e.price, e.okey) +: held)
+        .sortBy { case (p, k) => (-p, k) }
+        .take(TopStreamK)
+    }
+    if (!touched) return Iterator.empty
+    state.update(TopAcc(n, held.map(_._1).toArray, held.map(_._2).toArray))
+    held.iterator.map { case (p, k) => (prio, n, k, p) }
+  }
+
+  /** Shared stateful top-k stage (batch or streaming). */
+  def topkStateful(evs: Dataset[TopEv]): DataFrame = {
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.prio)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        topkFn)
+      .toDF("o_orderpriority", "n_seen", "o_orderkey", "o_totalprice")
+  }
+
+  /** G24 batch entry: each key's history in one call ⇒ the final held
+    * heap — output identical to B's topk_per_key custom-operator
+    * entry, same row_number-window SQL oracle. */
+  def streamTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evs = Tables(spark, dir).orders
+      .select(col("o_orderpriority").as("prio"),
+        col("o_orderkey").as("okey"), col("o_totalprice").as("price"))
+      .as[TopEv]
+    topkStateful(evs)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        col("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("o_totalprice").desc,
+        col("o_orderkey"))
+  }
+
   // ----- G23: online A/B readout (events_abtest twin) --------------
 
   /** One event for the A/B stream: purch = 1 iff a purchase. */

@@ -1167,6 +1167,41 @@ class StreamsSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("streaming topk: held heaps across batches equal the batch operator") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    val evs = graft.Tables(spark, sfDir).orders
+      .selectExpr("o_orderpriority AS prio", "o_orderkey AS okey",
+        "o_totalprice AS price")
+      .as[Streams.TopEv].collect()
+    val expected = graft.plans.TopK.topkPerKey(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val stream = MemoryStream[Streams.TopEv]
+    val query = Streams.topkStateful(stream.toDS())
+      .writeStream.format("memory").queryName("topk")
+      .outputMode("append").start()
+    try {
+      evs.grouped(math.max(1, evs.length / 4)).foreach { b =>
+        stream.addData(b.toSeq); query.processAllAvailable()
+      }
+      // final snapshot per key = the rows at its max n_seen
+      val all = s.table("topk").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3)))
+      val got = all.groupBy(_._1).iterator.flatMap { case (_, rs) =>
+        val maxN = rs.map(_._2).max
+        rs.filter(_._2 == maxN).map(r => (r._1, r._3, r._4))
+      }.toSet
+      assert(got == expected,
+        "final held heaps must equal the custom batch operator")
+      // per-key n_seen totals must cover the whole input
+      val seen = all.groupBy(_._1).values.map(_.map(_._2).max).sum
+      assert(seen == evs.length.toLong, "every order must be processed")
+      assert(all.groupBy(_._1).values.exists(_.map(_._2).distinct.size > 1),
+        "fixture must exercise multi-batch accumulation")
+    } finally query.stop()
+  }
+
   test("streaming abtest: snapshot scored on read equals the batch readout") {
     val s = spark; import s.implicits._
     implicit val sq = s.sqlContext
