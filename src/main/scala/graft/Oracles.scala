@@ -1880,6 +1880,53 @@ object Oracles {
     * asymmetric decontaminate chain, so the shingle definition and
     * df cut are single-sourced. `sfx` renames the CTEs so two chains
     * can coexist in one composed query (see curate_train). */
+  /** The shared PQ code chain — e → cents → cd → codes → qd →
+    * pq_pairs(q_id, n_id, score): the ADC-scored candidate stream,
+    * consumed by `ann_pq` (top-5 straight off the codes) and
+    * `ann_rerank` (top-R cut, then exact refine). Mirrors
+    * Similarity.pqPairs; same Knuth-hash codebook seeds, first-max
+    * sub-dot assignment (row_number d DESC, c_idx), score folded
+    * over list(d ORDER BY m) == Spark's fixed d_0+…+d_15 tree.
+    * (`def`, not `val`: consumed by object vals declared earlier.) */
+  private def pqPairCtes: String = {
+    val mul = graft.operators.Similarity.IvfHashMul
+    val mod = graft.operators.Similarity.IvfHashMod
+    val m = graft.operators.Similarity.PqSub
+    val sd = 64 / m
+    s"""e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+      |  FROM embeddings),
+      |cents AS (
+      |  SELECT row_number() OVER (
+      |      ORDER BY (vec_id * $mul) % $mod, vec_id) AS c_idx,
+      |    v AS cv
+      |  FROM e
+      |  ORDER BY (vec_id * $mul) % $mod, vec_id
+      |  LIMIT 16),
+      |cd AS (
+      |  SELECT e.vec_id, t.m, c.c_idx,
+      |    list_reduce(
+      |      list_transform(
+      |        list_zip(e.v[t.m*$sd+1 : t.m*$sd+$sd],
+      |                 c.cv[t.m*$sd+1 : t.m*$sd+$sd]),
+      |        s -> s[1] * s[2]),
+      |      (x, y) -> x + y) AS d
+      |  FROM e, range(0, $m) t(m), cents c),
+      |codes AS (
+      |  SELECT vec_id, m, c_idx AS code FROM (
+      |    SELECT vec_id, m, c_idx,
+      |      row_number() OVER (PARTITION BY vec_id, m
+      |                         ORDER BY d DESC, c_idx) AS rn
+      |    FROM cd) WHERE rn = 1),
+      |qd AS (SELECT vec_id AS q_id, m, c_idx, d FROM cd WHERE vec_id < 10),
+      |pq_pairs AS (
+      |  SELECT q.q_id, x.vec_id AS n_id,
+      |    list_reduce(list(q.d ORDER BY q.m), (a, b) -> a + b) AS score
+      |  FROM codes x JOIN qd q ON q.m = x.m AND q.c_idx = x.code
+      |  WHERE x.vec_id <> q.q_id
+      |  GROUP BY q.q_id, x.vec_id)""".stripMargin
+  }
+
   /** Cut-free prefix (toks→sh0: distinct shingles, no df cut) — the
     * train side of the ingest-time decontaminate oracle uses exactly
     * this and nothing more (an unbounded train stream has no knowable
@@ -2734,48 +2781,49 @@ object Oracles {
     // the exact left-fold order of the Spark side's fixed d_0+…+d_15
     // expression tree, so the FP sum cannot drift. Sub-slices are
     // 64/PqSub dims of the 64-dim embeddings (PqSub = 16, 4-dim slices).
-    "ann_pq" -> {
-      val mul = graft.operators.Similarity.IvfHashMul
-      val mod = graft.operators.Similarity.IvfHashMod
-      val m = graft.operators.Similarity.PqSub
-      val sd = 64 / m
-      s"""WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
-        |  FROM embeddings),
-        |cents AS (
-        |  SELECT row_number() OVER (
-        |      ORDER BY (vec_id * $mul) % $mod, vec_id) AS c_idx,
-        |    v AS cv
-        |  FROM e
-        |  ORDER BY (vec_id * $mul) % $mod, vec_id
-        |  LIMIT 16),
-        |cd AS (
-        |  SELECT e.vec_id, t.m, c.c_idx,
-        |    list_reduce(
-        |      list_transform(
-        |        list_zip(e.v[t.m*$sd+1 : t.m*$sd+$sd],
-        |                 c.cv[t.m*$sd+1 : t.m*$sd+$sd]),
-        |        s -> s[1] * s[2]),
-        |      (x, y) -> x + y) AS d
-        |  FROM e, range(0, $m) t(m), cents c),
-        |codes AS (
-        |  SELECT vec_id, m, c_idx AS code FROM (
-        |    SELECT vec_id, m, c_idx,
-        |      row_number() OVER (PARTITION BY vec_id, m
-        |                         ORDER BY d DESC, c_idx) AS rn
-        |    FROM cd) WHERE rn = 1),
-        |qd AS (SELECT vec_id AS q_id, m, c_idx, d FROM cd WHERE vec_id < 10),
-        |pairs AS (
-        |  SELECT q.q_id, x.vec_id AS n_id,
-        |    list_reduce(list(q.d ORDER BY q.m), (a, b) -> a + b) AS score
-        |  FROM codes x JOIN qd q ON q.m = x.m AND q.c_idx = x.code
-        |  WHERE x.vec_id <> q.q_id
-        |  GROUP BY q.q_id, x.vec_id)
+    "ann_pq" ->
+      s"""WITH ${pqPairCtes}
         |SELECT q_id, n_id, rk::int AS rk, round(score, 4) AS score FROM (
         |  SELECT q_id, n_id, score,
         |    row_number() OVER (PARTITION BY q_id
         |                       ORDER BY score DESC, n_id) AS rk
-        |  FROM pairs)
+        |  FROM pq_pairs)
+        |WHERE rk <= 5
+        |ORDER BY q_id, rk""".stripMargin,
+
+    // Two-stage retrieval: the PQ chain nominates top-R per query
+    // (same ADC ordering), then only those candidates are re-scored
+    // with the exact ann_bruteforce cosine fold and cut to top-5.
+    // R single-sourced from Similarity.RerankR.
+    "ann_rerank" -> {
+      val r = graft.operators.Similarity.RerankR
+      s"""WITH ${pqPairCtes},
+        |cand AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id,
+        |      row_number() OVER (PARTITION BY q_id
+        |                         ORDER BY score DESC, n_id) AS rk
+        |    FROM pq_pairs)
+        |  WHERE rk <= $r),
+        |nv AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce(
+        |      list_transform(list_zip(v, v), s -> s[1] * s[2]),
+        |      (x, y) -> x + y)) AS nrm
+        |  FROM e),
+        |rr AS (
+        |  SELECT c.q_id, c.n_id,
+        |    list_reduce(
+        |      list_transform(list_zip(q.v, x.v), s -> s[1] * s[2]),
+        |      (x2, y2) -> x2 + y2) / (q.nrm * x.nrm) AS cos
+        |  FROM cand c
+        |  JOIN nv x ON x.vec_id = c.n_id
+        |  JOIN nv q ON q.vec_id = c.q_id)
+        |SELECT q_id, n_id, rk::int AS rk, round(cos, 4) AS cos FROM (
+        |  SELECT q_id, n_id, cos,
+        |    row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY cos DESC, n_id) AS rk
+        |  FROM rr)
         |WHERE rk <= 5
         |ORDER BY q_id, rk""".stripMargin
     },

@@ -154,6 +154,7 @@ object SparkEntry {
     "ann_lsh"             -> Similarity.annLsh,
     "ann_ivf"             -> ((s, d) => Similarity.annIvf(s, d)),
     "ann_pq"              -> ((s, d) => Similarity.annPq(s, d)),
+    "ann_rerank"          -> (Similarity.annRerank(_, _)),
     "embed_cluster"       -> (graft.operators.Cluster.embedCluster(_, _)),
     "embed_pca"           -> (graft.operators.Cluster.embedPca(_, _)),
     "embed_outliers"      -> Similarity.embedOutliers _,

@@ -259,7 +259,15 @@ object Similarity {
     * force is property-tested in SimilaritySpec. */
   val PqSub = 16
 
-  def annPq(spark: SparkSession, dir: String, nCode: Int = 16): DataFrame = {
+  def annPq(spark: SparkSession, dir: String, nCode: Int = 16): DataFrame =
+    topK(spark, pqPairs(spark, dir, nCode), k = 5)
+      .withColumnRenamed("cos", "score")
+
+  /** The full PQ-scored candidate stream (q_id, n_id, cos = ADC
+    * score) — shared by [[annPq]] (top-5 straight off the codes) and
+    * [[annRerank]] (top-R candidate cut, then exact refine). */
+  private def pqPairs(spark: SparkSession, dir: String,
+      nCode: Int = 16): DataFrame = {
     val e = vectors(spark, dir)
     val cents: Array[Seq[Double]] = e
       .withColumn("h", expr(s"(vec_id * $IvfHashMul) % $IvfHashMod"))
@@ -313,10 +321,41 @@ object Similarity {
     val score = (0 until PqSub).map(mi =>
       element_at(element_at(col("q.qd"), mi + 1),
         col(s"code_$mi").cast("int"))).reduce(_ + _)
-    val pairs = scored.filter(col("vec_id") =!= col("q.q_id"))
+    scored.filter(col("vec_id") =!= col("q.q_id"))
       .select(col("q.q_id").as("q_id"), col("vec_id").as("n_id"),
         score.as("cos"))
-    topK(spark, pairs, k = 5).withColumnRenamed("cos", "score")
+  }
+
+  /** Candidate depth for [[annRerank]] (single-sourced into the
+    * oracle). */
+  val RerankR = 50
+
+  /** D5: two-stage retrieval — PQ candidates, exact refine. The
+    * production pattern every compressed vector store runs: the
+    * 8-byte-code ADC scan nominates top-[[RerankR]] candidates per
+    * query ([[pqPairs]] — floats never touched), then ONLY those
+    * R rows per query are re-scored with the exact cosine and cut to
+    * the final top-5 — fixing the quantization error of the codes at
+    * the cost of R float-vector reads per query instead of N. The
+    * candidate id list is Q·R rows and BROADCASTS to the refine join
+    * (the full-scan probe side never shuffles); at 1e9 vectors the
+    * refine is a point-lookup join on vec_id against the (bucketed /
+    * sorted) vector store. Same exact-fold cosine as ann_bruteforce ⇒
+    * full hash gate (the oracle replays the code chain + the cut +
+    * the refine op-for-op). */
+  def annRerank(spark: SparkSession, dir: String): DataFrame = {
+    val cand = topK(spark, pqPairs(spark, dir), RerankR)
+      .select(col("q_id"), col("n_id"))
+    val base = vectors(spark, dir)
+    val qVecs = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val pairs = base.join(broadcast(cand), col("vec_id") === col("n_id"))
+      .join(broadcast(qVecs), Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        V.cosineWithNorms(V.dot(col("qv"), col("v")),
+          col("qnrm"), col("nrm")).as("cos"))
+    topK(spark, pairs, k = 5)
   }
 
   /** D2: hyperplane-LSH bucketed top-5 — the 100 TB path. 64

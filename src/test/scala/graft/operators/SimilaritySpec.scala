@@ -67,6 +67,32 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.2, s"PQ recall@5 too low: $recall")
   }
 
+  test("rerank recall@5 beats raw PQ; exact scores match brute force on hits") {
+    val bfRows = Similarity.annBruteforce(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3)))
+    val bf = bfRows.map(_._1).toSet
+    val pq = Similarity.annPq(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rr = Similarity.annRerank(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3)))
+    val rrSet = rr.map(_._1).toSet
+    val (recallRr, recallPq) =
+      ((bf & rrSet).size.toDouble / bf.size, (bf & pq).size.toDouble / bf.size)
+    // the refine's whole purpose: exact scoring of the R-deep
+    // candidate pool must not lose to the raw code ordering
+    assert(recallRr >= recallPq,
+      s"rerank recall $recallRr < pq recall $recallPq")
+    assert(recallRr >= 0.5, s"rerank recall@5 too low: $recallRr")
+    // where rerank and brute force agree on a pair, the exact cosine
+    // must be identical (same fold, same rounding)
+    val bfMap = bfRows.toMap
+    rr.filter(p => bfMap.contains(p._1)).foreach { case (k, c) =>
+      assert(c == bfMap(k), s"pair $k cosine drift") }
+    // 5 rows per query, ranks contiguous
+    val perQ = rr.map(_._1._1).groupBy(identity).values.map(_.length)
+    assert(perQ.forall(_ == 5))
+  }
+
   test("PQ plan: literal ADC lookup — zero joins, exactly one " +
       "exchange (the top-k partial agg)") {
     val q = Similarity.annPq(spark, sfDir)
