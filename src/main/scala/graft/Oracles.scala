@@ -913,6 +913,40 @@ object Oracles {
         |ORDER BY d.day""".stripMargin
     },
 
+    // B backlog: interval-stabbing deltas (+1 start day, −1 last-ship
+    // day) prefix-summed over the dense global day grid; lineless
+    // orders never close. All integer.
+    "orders_backlog" ->
+      """WITH starts AS (
+        |  SELECT datediff('day', DATE '1970-01-01', o_orderdate)::bigint
+        |      AS day,
+        |    count(*)::bigint AS opened
+        |  FROM orders GROUP BY 1),
+        |lastship AS (
+        |  SELECT l_orderkey,
+        |    max(datediff('day', DATE '1970-01-01', l_shipdate))::bigint
+        |      AS cday
+        |  FROM lineitem GROUP BY 1),
+        |closes AS (SELECT cday, count(*)::bigint AS closed
+        |           FROM lastship GROUP BY 1),
+        |deltas AS (
+        |  SELECT coalesce(s.day, c.cday) AS day,
+        |    coalesce(s.opened, 0)::bigint AS opened,
+        |    coalesce(c.closed, 0)::bigint AS closed
+        |  FROM starts s FULL JOIN closes c ON c.cday = s.day),
+        |rng AS (SELECT min(day) AS d0, max(day) AS d1 FROM deltas),
+        |grid AS (SELECT unnest(range(d0, d1 + 1)) AS day FROM rng),
+        |j AS (
+        |  SELECT g.day, coalesce(d.opened, 0)::bigint AS opened,
+        |    coalesce(d.closed, 0)::bigint AS closed
+        |  FROM grid g LEFT JOIN deltas d USING (day))
+        |SELECT day, opened, closed,
+        |  (sum(opened) OVER w - sum(closed) OVER w)::bigint AS backlog
+        |FROM j
+        |WINDOW w AS (ORDER BY day
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin,
+
     // B CUSUM change point: integer argmax of N·prefix − i·S over the
     // dense per-type day grid (struct max == Spark), the single
     // division only in the reported magnitude.

@@ -89,6 +89,7 @@ object SparkEntry {
     "orders_basket"      -> (graft.operators.Lifecycle.ordersBasket(_, _)),
     "events_resample"    -> (graft.operators.Lifecycle.eventsResample(_, _)),
     "events_changepoint" -> (graft.operators.Lifecycle.eventsChangepoint(_, _)),
+    "orders_backlog"     -> (graft.operators.Lifecycle.ordersBacklog(_, _)),
     // §2A — MapReduce engine pipelines
     "mr_wordcount"       -> MrQueries.mrWordcount,
     "mr_sum"             -> MrQueries.mrSum,

@@ -465,6 +465,54 @@ object Lifecycle {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** B: open-order backlog time series — per calendar day's
+    * END-OF-DAY snapshot, how many orders have been placed but not
+    * yet fully shipped (an order closes on its LAST l_shipdate, so
+    * it leaves the backlog in that day's snapshot; orders with no
+    * lineitems never close — the honest unshipped semantics).
+    * The ops "are we falling behind" read, and the classic
+    * interval-stabbing problem: emit +1 at each start day and −1
+    * after each close day, then one prefix sum over the dense day
+    * grid — never a per-day × per-order join (which is O(days·orders)
+    * and the naive formulation's trap).
+    *
+    * Shape: one orders groupBy(day) for starts; one lineitem
+    * groupBy(orderkey) max-ship + groupBy(day) for closes; the dense
+    * grid is a 1-row sequence explode bounded by the calendar span.
+    * The cumulative window is GLOBAL-ordered — safe by construction
+    * because the frame is one row per day (the span, ~2.4k rows,
+    * NOT the data size); at warehouse scale the same prefix runs as
+    * a two-phase per-partition scan. All integers ⇒ full hash gate. */
+  def ordersBacklog(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val starts = t.orders
+      .select(datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+        .as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("opened"))
+    val closes = t.lineitem
+      .select(col("l_orderkey"),
+        datediff(col("l_shipdate"), lit("1970-01-01")).cast("long")
+          .as("sday"))
+      .groupBy(col("l_orderkey")).agg(max(col("sday")).as("cday"))
+      .groupBy(col("cday")).agg(count(lit(1)).as("closed"))
+    val deltas = starts.join(closes, col("day") === col("cday"), "full")
+      .select(coalesce(col("day"), col("cday")).as("day"),
+        coalesce(col("opened"), lit(0L)).as("opened"),
+        coalesce(col("closed"), lit(0L)).as("closed"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grid = deltas.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(deltas, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("opened"), lit(0L)).as("opened"),
+        coalesce(col("closed"), lit(0L)).as("closed"))
+      .withColumn("backlog",
+        sum(col("opened")).over(w) - sum(col("closed")).over(w))
+      .orderBy(col("day"))
+  }
+
   /** B: CUSUM change-point detection — for each event_type, the
     * calendar day where the cumulative deviation of the daily count
     * from its span mean peaks (the "when did the regime shift"

@@ -223,6 +223,43 @@ class LifecycleSpec extends SparkSuite {
     assert(math.abs(r.getDouble(6) - z) < 1e-3, s"z ${r.getDouble(6)} vs $z")
   }
 
+  test("backlog: end-of-day snapshots on a hand fixture, lineless order stays open") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bl").toString
+    def d(day: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(1970, 1, 1).plusDays(day).atStartOfDay())
+    Seq((1L, d(0)), (2L, d(1)), (3L, d(2)))
+      .toDF("o_orderkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, d(1)), (1L, d(3)), (2L, d(1)))
+      .toDF("l_orderkey", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = Lifecycle.ordersBacklog(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L))
+    assert(out(0L) == ((1L, 0L, 1L)))
+    assert(out(1L) == ((1L, 1L, 1L)))   // order 2 opens and closes
+    assert(out(2L) == ((1L, 0L, 2L)))
+    assert(out(3L) == ((0L, 1L, 1L)))   // order 3 (lineless) remains
+  }
+
+  test("backlog: sf invariants — nonneg, mass conserved, lineless residue") {
+    val rows = Lifecycle.ordersBacklog(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val days = rows.map(_._1)
+    assert(days.last - days.head + 1 == days.length, "dense grid")
+    rows.foreach(r => assert(r._4 >= 0L, s"negative backlog at $r"))
+    val t = graft.Tables(spark, sfDir)
+    val nOrders = t.orders.count()
+    val nWithLines = t.lineitem.select("l_orderkey").distinct().count()
+    assert(rows.map(_._2).sum == nOrders)
+    assert(rows.map(_._3).sum == nWithLines)
+    assert(rows.last._4 == nOrders - nWithLines,
+      "final backlog = forever-open lineless orders")
+  }
+
   test("changepoint: planted level shift lands on the last pre-shift day") {
     val s = spark; import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("cp").toString
