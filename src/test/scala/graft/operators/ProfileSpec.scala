@@ -244,17 +244,22 @@ class ProfileSpec extends SparkSuite {
       assert(holds.contains(("o_orderkey", c)), s"o_orderkey -> $c")
       assert(!holds.contains((c, "o_orderkey")), s"$c -> o_orderkey")
     }
-    // one Expand-based single scan, not a scan per pair
+    // one 2-column-pruned scan per pair branch (the table_profile
+    // shape; the single-pass Expand ×16 alternative measured 2.5×
+    // slower — see the operator doc)
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     val df = Profile.tableFds(spark, sfDir)
     df.count()
-    def scans2(p: SparkPlan): Int = p match {
+    def scans2(p: SparkPlan): Seq[FileSourceScanExec] = p match {
       case a: AdaptiveSparkPlanExec => scans2(a.executedPlan)
       case q: QueryStageExec => scans2(q.plan)
-      case _: FileSourceScanExec => 1
-      case other => other.children.map(scans2).sum
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans2)
     }
-    assert(scans2(df.queryExecution.executedPlan) == 1)
+    val scans = scans2(df.queryExecution.executedPlan)
+    assert(scans.length == n * (n - 1))
+    scans.foreach(f => assert(f.requiredSchema.fields.length == 2,
+      s"branch scan must prune to its 2 columns: ${f.requiredSchema}"))
   }
 }
