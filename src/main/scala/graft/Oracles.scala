@@ -3230,6 +3230,46 @@ object Oracles {
         |FROM smp
         |ORDER BY doc_id""".stripMargin,
 
+    // F6: silence runs re-derived from the WAV construction rule —
+    // position islands (i − row_number) over the silent samples of
+    // the per-sample comprehension; τ single-sourced.
+    "mm_silence" -> {
+      val tau = graft.multimodal.Multimodal.SilenceTau
+      raw"""WITH base AS (
+        |  SELECT doc_id, text || ' ' AS t,
+        |    (1 + (doc_id * 11) % 300)::int AS n,
+        |    (8000 * (1 + doc_id % 4))::int AS sample_rate
+        |  FROM documents
+        |  WHERE doc_id % 9 <> 4),
+        |smp AS (
+        |  SELECT doc_id, sample_rate, n,
+        |    [ ((ascii(t[((i-1) % len(t)) + 1]) * 167 + (i-1) * 31)
+        |        % 32768) - 16384
+        |      FOR i IN range(1, n + 1) ] AS s
+        |  FROM base),
+        |u AS (
+        |  SELECT doc_id,
+        |    unnest([{'i': i, 'v': s[i]} FOR i IN range(1, n + 1)]) AS e
+        |  FROM smp),
+        |sil AS (SELECT doc_id, e.i AS i FROM u WHERE abs(e.v) < $tau),
+        |isl AS (
+        |  SELECT doc_id,
+        |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        |  FROM sil),
+        |runs AS (SELECT doc_id, count(*) AS len
+        |         FROM isl GROUP BY doc_id, grp),
+        |agg AS (
+        |  SELECT doc_id, sum(len)::bigint AS n_silent,
+        |    count(*)::int AS n_runs, max(len)::int AS max_run
+        |  FROM runs GROUP BY 1)
+        |SELECT s.doc_id, s.sample_rate, s.n AS n_samples,
+        |  coalesce(a.n_silent, 0)::bigint AS n_silent,
+        |  coalesce(a.n_runs, 0)::int AS n_runs,
+        |  coalesce(a.max_run, 0)::int AS max_run
+        |FROM smp s LEFT JOIN agg a USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin
+    },
+
     "mm_resize" -> {
       // single-sourced from the operator constant, like SubstrK /
       // PackBudget / AnomalySpikeZ — a changed maxSide cannot

@@ -164,6 +164,7 @@ object SparkEntry {
     "mm_meta"             -> Multimodal.mmMeta,
     "mm_decode"           -> Multimodal.mmDecode,
     "mm_wavstats"        -> (Multimodal.mmWavStats(_, _)),
+    "mm_silence"         -> (Multimodal.mmSilence(_, _)),
     "mm_framesample"      -> Multimodal.mmFramesample,
     "mm_phash"            -> (Multimodal.mmPhash(_, _)),
     "mm_resize"           -> ((s, d) => Multimodal.mmResizeQuery(s, d)),

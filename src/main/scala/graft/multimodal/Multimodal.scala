@@ -776,12 +776,12 @@ object Multimodal {
     "RIFF".getBytes("US-ASCII") ++ le32b(body.length) ++ body
   }
 
-  /** Parse a RIFF/WAVE blob by WALKING its chunk list (fmt then data,
-    * arbitrary chunks in between, even-byte padding honored) and fold
-    * the PCM16 stream into exact integer statistics in one pass.
-    * Non-WAV or malformed payloads yield None. */
-  private[multimodal] def wavStatsOf(b: MmBlob): Option[WavStats] = {
-    val a = b.content
+  /** Locate the mono PCM16 payload by WALKING the RIFF chunk list
+    * (fmt then data, arbitrary chunks in between, even-byte padding
+    * honored): (sample_rate, data offset, n_samples). Non-WAV or
+    * malformed payloads yield None. Shared by the stats and silence
+    * folds — one chunk-walk definition. */
+  private def wavPcmLocate(a: Array[Byte]): Option[(Int, Int, Int)] = {
     if (a.length < 12 ||
         !(a(0) == 'R' && a(1) == 'I' && a(2) == 'F' && a(3) == 'F') ||
         !(a(8) == 'W' && a(9) == 'A' && a(10) == 'V' && a(11) == 'E'))
@@ -802,30 +802,102 @@ object Multimodal {
       } else if (id == "data") {
         if (rate < 0 || bits != 16 || channels != 1) return None
         val n = len / 2
-        var sum = 0L
-        var sumSq = 0L
-        var mn = Int.MaxValue
-        var mx = Int.MinValue
-        var zc = 0
-        var prev = 0
-        var i = 0
-        while (i < n) {
-          val p = off + 8 + i * 2
-          val s = ((a(p + 1) << 8) | (a(p) & 0xFF)).toShort.toInt
-          sum += s
-          sumSq += s.toLong * s
-          if (s < mn) mn = s
-          if (s > mx) mx = s
-          if (i > 0 && prev.toLong * s < 0) zc += 1
-          prev = s
-          i += 1
-        }
         if (n == 0) return None
-        return Some(WavStats(b.doc_id, rate, n, sum, mn, mx, sumSq, zc))
+        return Some((rate, off + 8, n))
       }
       off += 8 + len + (len & 1) // chunks are even-byte aligned
     }
     None
+  }
+
+  /** PCM16 LE sample i at payload offset `base`. */
+  @inline private def pcm16(a: Array[Byte], base: Int, i: Int): Int =
+    ((a(base + i * 2 + 1) << 8) | (a(base + i * 2) & 0xFF)).toShort.toInt
+
+  /** Fold the located PCM16 stream into exact integer statistics in
+    * one pass. */
+  private[multimodal] def wavStatsOf(b: MmBlob): Option[WavStats] =
+    wavPcmLocate(b.content).map { case (rate, base, n) =>
+      val a = b.content
+      var sum = 0L
+      var sumSq = 0L
+      var mn = Int.MaxValue
+      var mx = Int.MinValue
+      var zc = 0
+      var prev = 0
+      var i = 0
+      while (i < n) {
+        val s = pcm16(a, base, i)
+        sum += s
+        sumSq += s.toLong * s
+        if (s < mn) mn = s
+        if (s > mx) mx = s
+        if (i > 0 && prev.toLong * s < 0) zc += 1
+        prev = s
+        i += 1
+      }
+      WavStats(b.doc_id, rate, n, sum, mn, mx, sumSq, zc)
+    }
+
+  // ----- F7: silence segmentation (VAD-lite) -----------------------
+
+  final case class WavSilence(doc_id: Long, sample_rate: Int,
+      n_samples: Int, n_silent: Long, n_runs: Int, max_run: Int)
+
+  /** Amplitude floor: |s| < τ ⇒ silent (≈ −12 dBFS on int16;
+    * single-sourced into the oracle). */
+  val SilenceTau = 4096
+
+  /** Run-length silence fold over the located PCM16 stream: total
+    * silent samples, maximal-run count, longest run — one pass,
+    * exact integers. */
+  private[multimodal] def wavSilenceOf(b: MmBlob): Option[WavSilence] =
+    wavPcmLocate(b.content).map { case (rate, base, n) =>
+      val a = b.content
+      var nSil = 0L
+      var nRuns = 0
+      var maxRun = 0
+      var cur = 0
+      var i = 0
+      while (i < n) {
+        val s = pcm16(a, base, i)
+        if (math.abs(s) < SilenceTau) {
+          if (cur == 0) nRuns += 1
+          cur += 1
+          nSil += 1L
+          if (cur > maxRun) maxRun = cur
+        } else cur = 0
+        i += 1
+      }
+      WavSilence(b.doc_id, rate, n, nSil, nRuns, maxRun)
+    }
+
+  /** F7 oracle-gated entry: silence/activity segmentation — the
+    * VAD-lite pass an audio-curation pipeline runs to drop dead air
+    * and window speech (run lengths are the segment boundaries).
+    * Same synthesized REAL-container corpus and router as
+    * [[mmWavStats]] (junk chunks must be walked, raw-text rows
+    * dropped); the run fold is gaps-and-islands over the signal,
+    * done in the same one-pass decode. The DuckDB twin re-derives
+    * the runs from the construction rule (position islands over the
+    * per-sample comprehension), so the real parse must land on the
+    * same integers: full hash gate. Map-only, zero shuffles before
+    * the presentation sort. */
+  def mmSilence(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feed = Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+    feed.mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val blob =
+            if (id % 9 == 4) MmBlob(id, text.getBytes("UTF-8")) // raw
+            else MmBlob(id, synthWav(id, text))
+          wavSilenceOf(blob)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
   }
 
   /** F5 oracle-gated entry: sample-domain audio statistics — the

@@ -559,6 +559,56 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("wavSilenceOf run structure on a crafted sample stream") {
+    def le16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    // loud | silent×2 | loud | silent×3 (tail run), τ = 4096
+    val samples = Seq(5000, 100, -200, -5000, 0, 4095, -4095)
+    val pcm = samples.flatMap(s => le16(s & 0xFFFF)).toArray
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++
+      le16(1) ++ le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)
+    val data = "data".getBytes("US-ASCII") ++ le32(pcm.length) ++ pcm
+    val body = "WAVE".getBytes("US-ASCII") ++ fmt ++ data
+    val wav = "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    val st = Multimodal.wavSilenceOf(Multimodal.MmBlob(1, wav)).get
+    assert(st.n_samples == 7)
+    assert(st.n_silent == 5L)
+    assert(st.n_runs == 2)
+    assert(st.max_run == 3)
+    // raw text still rejected
+    assert(Multimodal.wavSilenceOf(
+      Multimodal.MmBlob(1, "just text".getBytes)).isEmpty)
+  }
+
+  test("mm_silence matches a per-doc construction-rule run recompute") {
+    val texts = graft.Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = Multimodal.mmSilence(spark, sfDir).collect()
+    assert(got.map(_.getLong(0)).toSet == texts.keySet.filter(_ % 9 != 4))
+    var sawRun = false
+    got.take(50).foreach { r =>
+      val id = r.getLong(0)
+      val t = texts(id) + " "
+      val n = (1 + (id * 11) % 300).toInt
+      val ss = (0 until n).map(i =>
+        ((t.charAt(i % t.length).toInt * 167 + i * 31) % 32768) - 16384)
+      val silent = ss.map(s => math.abs(s) < Multimodal.SilenceTau)
+      val runs = silent.foldLeft(List.empty[Int]) {
+        case (acc, true) if acc.nonEmpty && acc.head > 0 => (acc.head + 1) :: acc.tail
+        case (acc, true) => 1 :: acc
+        case (acc, false) => 0 :: acc
+      }.filter(_ > 0)
+      assert(r.getInt(2) == n)
+      assert(r.getLong(3) == silent.count(identity).toLong)
+      assert(r.getInt(4) == runs.length)
+      assert(r.getInt(5) == (if (runs.isEmpty) 0 else runs.max))
+      if (runs.length > 1) sawRun = true
+    }
+    assert(sawRun, "corpus must exercise multi-run docs")
+  }
+
   test("phash: flat image hashes to zeros; a half-bright split hashes its half") {
     import graft.multimodal.Multimodal.{phashOf, MmBlob}
     // uniform gray: every sample equals the mean — strict > never
