@@ -913,6 +913,37 @@ object Oracles {
         |ORDER BY d.day""".stripMargin
     },
 
+    // B seasonality: χ² vs uniform reduced to (k·Σo² − N²)/N — integer
+    // numerator, one division; peaks via struct max, earliest-bin
+    // tiebreak. dow 0 = Monday ((epoch_day + 3) % 7).
+    "events_seasonality" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    epoch(date_trunc('second', ts))::bigint AS ep
+        |  FROM events),
+        |d AS (SELECT event_type, ((ep // 86400) + 3) % 7 AS dow,
+        |        (ep // 3600) % 24 AS hour
+        |      FROM e),
+        |c0 AS (SELECT event_type, dow, hour, count(*)::bigint AS c
+        |       FROM d GROUP BY 1, 2, 3),
+        |dw AS (SELECT event_type, dow, sum(c)::bigint AS c
+        |       FROM c0 GROUP BY 1, 2),
+        |hr AS (SELECT event_type, hour, sum(c)::bigint AS c
+        |       FROM c0 GROUP BY 1, 2),
+        |da AS (SELECT event_type, sum(c) AS n, sum(c * c) AS s2,
+        |         max({'c': c, 'negb': -dow}) AS pk
+        |       FROM dw GROUP BY 1),
+        |ha AS (SELECT event_type, sum(c * c) AS s2,
+        |         max({'c': c, 'negb': -hour}) AS pk
+        |       FROM hr GROUP BY 1)
+        |SELECT da.event_type, da.n::bigint AS n,
+        |  (-(da.pk.negb))::int AS peak_dow,
+        |  round((7 * da.s2 - da.n * da.n)::double / da.n, 4) AS chi2_dow,
+        |  (-(ha.pk.negb))::int AS peak_hour,
+        |  round((24 * ha.s2 - da.n * da.n)::double / da.n, 4) AS chi2_hour
+        |FROM da JOIN ha USING (event_type)
+        |ORDER BY da.event_type""".stripMargin,
+
     // B backlog: interval-stabbing deltas (+1 start day, −1 last-ship
     // day) prefix-summed over the dense global day grid; lineless
     // orders never close. All integer.

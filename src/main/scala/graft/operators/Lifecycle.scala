@@ -465,6 +465,50 @@ object Lifecycle {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** B: seasonality profile — per event_type, the day-of-week and
+    * hour-of-day shape of the volume: peak bin (earliest-bin
+    * tiebreak) and the χ² uniformity statistic per dimension (χ² ≈ 0
+    * = flat traffic; large = strongly diurnal/weekly — the signal a
+    * scheduler or anomaly baseline reads before assuming uniform
+    * arrival).
+    *
+    * Exactness: with uniform expected e = N/k, χ² = Σ(o−e)²/e
+    * algebraically reduces to (k·Σo² − N²)/N — integer numerator,
+    * ONE division (the only double, mirrored op-for-op); the peak is
+    * max(struct(cnt, −bin)), no FP anywhere else. Zero-count bins
+    * drop out of Σo² unchanged, so the sparse groupBy IS the dense
+    * answer — no grid fill needed.
+    *
+    * Shape: ONE event scan → one (type, dow, hour) groupBy (≤ 5·7·24
+    * rows — the cube trick: both marginal profiles re-aggregate the
+    * tiny cube instead of re-scanning events, the no-subtree-dedup
+    * discipline), then two marginal rollups and a 1-row-per-type
+    * join. */
+  def eventsSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val cube0 = Tables(spark, dir).events
+      .select(col("event_type"), Tables.tsNsToSec("ts").as("ep"))
+      .withColumn("dow", expr("((ep div 86400) + 3) % 7"))
+      .withColumn("hour", expr("(ep div 3600) % 24"))
+      .groupBy(col("event_type"), col("dow"), col("hour"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def marginal(bin: String, k: Int) = cube0
+      .groupBy(col("event_type"), col(bin))
+      .agg(sum(col("c")).as("c"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n"), sum(col("c") * col("c")).as("s2"),
+        max(struct(col("c"), (-col(bin)).as("negb"))).as("pk"))
+      .select(col("event_type"), col("n"),
+        (-col("pk.negb")).cast("int").as(s"peak_$bin"),
+        round((lit(k.toLong) * col("s2") - col("n") * col("n"))
+          .cast("double") / col("n"), 4).as(s"chi2_$bin"))
+    marginal("dow", 7).as("d")
+      .join(marginal("hour", 24).drop("n").as("h"), Seq("event_type"))
+      .select(col("event_type"), col("n"), col("peak_dow"),
+        col("chi2_dow"), col("peak_hour"), col("chi2_hour"))
+      .orderBy(col("event_type"))
+  }
+
   /** B: open-order backlog time series — per calendar day's
     * END-OF-DAY snapshot, how many orders have been placed but not
     * yet fully shipped (an order closes on its LAST l_shipdate, so

@@ -223,6 +223,36 @@ class LifecycleSpec extends SparkSuite {
     assert(math.abs(r.getDouble(6) - z) < 1e-3, s"z ${r.getDouble(6)} vs $z")
   }
 
+  test("seasonality: peaked vs flat fixtures, exact chi-square algebra") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sea").toString
+    def ns(day: Long, hour: Long): Long = (day * 86400L + hour * 3600L + 1L) * 1000000000L
+    // epoch day 4 = Monday (day 0 = Thursday); dow = (day+3) % 7
+    val rows =
+      (1 to 3).map(_ => ("a", ns(4, 2))) ++              // all Monday 02h
+      (4L to 10L).map(d => ("b", ns(d, 0)))              // one per dow, 00h
+    rows.toDF("event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Lifecycle.eventsSeasonality(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2),
+        r.getDouble(3), r.getInt(4), r.getDouble(5)))).toMap
+    // a: χ²_dow = (7·9−9)/3 = 18; χ²_hour = (24·9−9)/3 = 69
+    assert(out("a") == ((3L, 0, 18.0, 2, 69.0)))
+    // b: flat dow ⇒ 0 with earliest-bin peak; all hour-0 ⇒ (24·49−49)/7
+    assert(out("b") == ((7L, 0, 0.0, 0, 161.0)))
+  }
+
+  test("seasonality: sf invariants — mass, ranges, nonneg chi2") {
+    val rows = Lifecycle.eventsSeasonality(spark, sfDir).collect()
+    val n = graft.Tables(spark, sfDir).events.count()
+    assert(rows.map(_.getLong(1)).sum == n)
+    rows.foreach { r =>
+      assert(r.getInt(2) >= 0 && r.getInt(2) <= 6)
+      assert(r.getInt(4) >= 0 && r.getInt(4) <= 23)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(5) >= 0.0)
+    }
+  }
+
   test("backlog: end-of-day snapshots on a hand fixture, lineless order stays open") {
     val s = spark; import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("bl").toString
