@@ -3502,6 +3502,9 @@ object Oracles {
     // G24 online top-k: the heap-operator state twin — same
     // row_number window SQL as the custom-plan batch entry.
     "stream_topk" -> relational("topk_per_key"),
+    // G25 online seasonality: 31 marginal counters per type scored
+    // on read — same SQL as the batch profile.
+    "stream_seasonality" -> relational("events_seasonality"),
 
     // G17 composed ingest gate: replayed feed (re-crawls under a
     // 3·5·7-aligned id offset draw the same PII gates, different PII

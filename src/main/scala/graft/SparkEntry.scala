@@ -193,7 +193,8 @@ object SparkEntry {
     "stream_ewma"         -> Streams.streamEwma,
     "stream_twap"         -> Streams.streamTwap,
     "stream_abtest"       -> Streams.streamAbtest,
-    "stream_topk"         -> Streams.streamTopk
+    "stream_topk"         -> Streams.streamTopk,
+    "stream_seasonality"  -> Streams.streamSeasonality
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

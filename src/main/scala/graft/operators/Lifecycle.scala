@@ -492,9 +492,20 @@ object Lifecycle {
       .groupBy(col("event_type"), col("dow"), col("hour"))
       .agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def marginal(bin: String, k: Int) = cube0
-      .groupBy(col("event_type"), col(bin))
-      .agg(sum(col("c")).as("c"))
+    seasonalityScore(
+      cube0.groupBy(col("event_type"), col("dow")).agg(sum(col("c")).as("c")),
+      cube0.groupBy(col("event_type"), col("hour")).agg(sum(col("c")).as("c")))
+  }
+
+  /** The seasonality scoring stage over the two marginal count
+    * frames — dw = (event_type, dow, c), hr = (event_type, hour, c),
+    * zero-count bins optional (they drop out of Σo²) — shared
+    * verbatim by the batch entry above and the G25 online twin
+    * ([[graft.streaming.Streams.streamSeasonality]]), which
+    * maintains the 31 marginal counters in per-type state and scores
+    * the snapshot on read. */
+  def seasonalityScore(dw: DataFrame, hr: DataFrame): DataFrame = {
+    def scoreOf(m: DataFrame, bin: String, k: Int) = m
       .groupBy(col("event_type"))
       .agg(sum(col("c")).as("n"), sum(col("c") * col("c")).as("s2"),
         max(struct(col("c"), (-col(bin)).as("negb"))).as("pk"))
@@ -502,8 +513,8 @@ object Lifecycle {
         (-col("pk.negb")).cast("int").as(s"peak_$bin"),
         round((lit(k.toLong) * col("s2") - col("n") * col("n"))
           .cast("double") / col("n"), 4).as(s"chi2_$bin"))
-    marginal("dow", 7).as("d")
-      .join(marginal("hour", 24).drop("n").as("h"), Seq("event_type"))
+    scoreOf(dw, "dow", 7).as("d")
+      .join(scoreOf(hr, "hour", 24).drop("n").as("h"), Seq("event_type"))
       .select(col("event_type"), col("n"), col("peak_dow"),
         col("chi2_dow"), col("peak_hour"), col("chi2_hour"))
       .orderBy(col("event_type"))

@@ -1321,6 +1321,75 @@ object Streams {
       .toDF("user_id", "n_events", "dur_sec", "wsum")
   }
 
+  // ----- G25: online seasonality profile (events_seasonality twin) -
+
+  /** One event for the seasonality stream. */
+  final case class SeaEv(event_type: String, dow: Int, hour: Int)
+  /** Per-type marginal counters (public for the state encoder):
+    * 7 day-of-week + 24 hour-of-day longs — the FULL seasonality
+    * state is 31 counters per type, never history. */
+  final case class SeaAcc(dows: Array[Long], hours: Array[Long])
+
+  /** G25 core: the (type → dow/hour histogram) cube maintained
+    * online. Addition commutes — replay-order free; every active
+    * batch emits the nonzero bins of the held snapshot in long
+    * format (type, dim, bin, c); the χ²/peak scoring runs on READ
+    * over the snapshot via the shared
+    * [[graft.operators.Lifecycle.seasonalityScore]] stage (ratios of
+    * corpus aggregates — the abtest read-side rule). */
+  def seaFn(tp: String, evs: Iterator[SeaEv],
+      state: GroupState[SeaAcc]): Iterator[(String, String, Int, Long)] = {
+    val acc = state.getOption.getOrElse(
+      SeaAcc(new Array[Long](7), new Array[Long](24)))
+    var n = 0
+    evs.foreach { e =>
+      n += 1; acc.dows(e.dow) += 1L; acc.hours(e.hour) += 1L
+    }
+    if (n == 0) return Iterator.empty
+    state.update(acc)
+    val out = Seq.newBuilder[(String, String, Int, Long)]
+    var i = 0
+    while (i < 7) {
+      if (acc.dows(i) > 0L) out += ((tp, "dow", i, acc.dows(i))); i += 1
+    }
+    i = 0
+    while (i < 24) {
+      if (acc.hours(i) > 0L) out += ((tp, "hour", i, acc.hours(i))); i += 1
+    }
+    out.result().iterator
+  }
+
+  /** Shared stateful cube stage (batch or streaming). */
+  def seaStateful(evs: Dataset[SeaEv]): DataFrame = {
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        seaFn)
+      .toDF("event_type", "dim", "bin", "c")
+  }
+
+  /** G25 batch entry: each type's history in one call ⇒ the final
+    * marginals — scored output identical to B's events_seasonality,
+    * same SQL oracle. */
+  def streamSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evs = Tables(spark, dir).events
+      .select(col("event_type"), Tables.tsNsToSec("ts").as("ep"))
+      .selectExpr("event_type",
+        "cast(((ep div 86400) + 3) % 7 AS int) AS dow",
+        "cast((ep div 3600) % 24 AS int) AS hour")
+      .as[SeaEv]
+    // referenced by both marginal reads — persist, or the stateful
+    // pass runs twice (no-subtree-dedup)
+    val snap = seaStateful(evs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.operators.Lifecycle.seasonalityScore(
+      snap.filter(col("dim") === "dow")
+        .select(col("event_type"), col("bin").as("dow"), col("c")),
+      snap.filter(col("dim") === "hour")
+        .select(col("event_type"), col("bin").as("hour"), col("c")))
+  }
+
   // ----- G24: online top-k per key (TopKPerKey twin) ---------------
 
   /** One order for the top-k stream. */

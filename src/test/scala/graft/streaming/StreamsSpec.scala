@@ -1167,6 +1167,47 @@ class StreamsSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("streaming seasonality: counters across batches score to the batch profile") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    val evs = graft.Tables(spark, sfDir).events
+      .selectExpr("event_type",
+        "cast(((ts div 1000000000 div 86400) + 3) % 7 AS int) AS dow",
+        "cast((ts div 1000000000 div 3600) % 24 AS int) AS hour")
+      .as[Streams.SeaEv].collect()
+    val expected = graft.operators.Lifecycle.eventsSeasonality(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val stream = MemoryStream[Streams.SeaEv]
+    val query = Streams.seaStateful(stream.toDS())
+      .writeStream.format("memory").queryName("sea")
+      .outputMode("append").start()
+    try {
+      evs.grouped(math.max(1, evs.length / 4)).foreach { b =>
+        stream.addData(b.toSeq); query.processAllAvailable()
+      }
+      // final snapshot per (type, dim, bin) = max c (monotone)
+      val fin = s.table("sea").collect()
+        .map(r => ((r.getString(0), r.getString(1), r.getInt(2)),
+          r.getLong(3)))
+        .groupBy(_._1).map { case (k, rs) => (k, rs.map(_._2).max) }.toSeq
+      val snap = fin.map { case ((t, d, b), c) => (t, d, b, c) }
+        .toDF("event_type", "dim", "bin", "c")
+      val got = graft.operators.Lifecycle.seasonalityScore(
+        snap.filter($"dim" === "dow")
+          .select($"event_type", $"bin".as("dow"), $"c"),
+        snap.filter($"dim" === "hour")
+          .select($"event_type", $"bin".as("hour"), $"c"))
+        .collect().map(_.toString).toSeq
+      assert(got == expected,
+        "online snapshot scored != batch seasonality profile")
+      val emissions = s.table("sea").collect()
+        .groupBy(r => (r.getString(0), r.getString(1), r.getInt(2)))
+        .values.map(_.length)
+      assert(emissions.exists(_ > 1),
+        "fixture must exercise multi-batch accumulation")
+    } finally query.stop()
+  }
+
   test("streaming topk: held heaps across batches equal the batch operator") {
     val s = spark; import s.implicits._
     implicit val sq = s.sqlContext
