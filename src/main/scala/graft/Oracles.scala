@@ -913,6 +913,24 @@ object Oracles {
         |ORDER BY d.day""".stripMargin
     },
 
+    // B SLA datasheet: integer day latencies off the orderkey join;
+    // quantile_cont == Spark percentile (the q23 contract); threshold
+    // single-sourced from Lifecycle.SlaDays.
+    "orders_sla" -> {
+      val k = graft.operators.Lifecycle.SlaDays
+      s"""WITH lat AS (
+         |  SELECT o.o_orderpriority,
+         |    datediff('day', o.o_orderdate, l.l_shipdate)::bigint AS lat
+         |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+         |SELECT o_orderpriority, count(*)::bigint AS n_lines,
+         |  sum(CASE WHEN lat <= $k THEN 1 ELSE 0 END)::bigint AS n_ontime,
+         |  round(sum(CASE WHEN lat <= $k THEN 1 ELSE 0 END)::double
+         |        / count(*), 4) AS ontime_frac,
+         |  round(quantile_cont(lat, 0.5), 4) AS p50_days,
+         |  round(quantile_cont(lat, 0.9), 4) AS p90_days
+         |FROM lat GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
     // B seasonality: χ² vs uniform reduced to (k·Σo² − N²)/N — integer
     // numerator, one division; peaks via struct max, earliest-bin
     // tiebreak. dow 0 = Monday ((epoch_day + 3) % 7).

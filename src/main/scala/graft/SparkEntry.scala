@@ -91,6 +91,7 @@ object SparkEntry {
     "events_changepoint" -> (graft.operators.Lifecycle.eventsChangepoint(_, _)),
     "orders_backlog"     -> (graft.operators.Lifecycle.ordersBacklog(_, _)),
     "events_seasonality" -> (graft.operators.Lifecycle.eventsSeasonality(_, _)),
+    "orders_sla"         -> (graft.operators.Lifecycle.ordersSla(_, _)),
     // §2A — MapReduce engine pipelines
     "mr_wordcount"       -> MrQueries.mrWordcount,
     "mr_sum"             -> MrQueries.mrSum,

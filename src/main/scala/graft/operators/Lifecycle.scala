@@ -465,6 +465,43 @@ object Lifecycle {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** On-time threshold for [[ordersSla]], in days (single-sourced
+    * into the oracle). */
+  val SlaDays = 30
+
+  /** B: fulfilment-SLA datasheet — per order priority, line-level
+    * ship latency (l_shipdate − o_orderdate, integer days): volume,
+    * on-time share against the [[SlaDays]] threshold, and the exact
+    * p50/p90 latency (the array-percentile form — ONE per-group
+    * value map, the q23 lesson). The ops "which priority class is
+    * breaching" read.
+    *
+    * Shape: one fact-fact equi-join on the natural orderkey (both
+    * sides shuffle on it — at warehouse scale both tables are
+    * bucketed by orderkey and this is exchange-free), then one
+    * map-side-combined groupBy over the 5-value priority key. Counts
+    * and the threshold are integers; the percentile interpolation is
+    * the proven q23 cross-engine contract ⇒ full hash gate. */
+  def ordersSla(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val lat = t.lineitem.select(col("l_orderkey"), col("l_shipdate"))
+      .join(t.orders.select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority")), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+          .as("lat"))
+    lat.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("lat") <= SlaDays, 1L).otherwise(0L)).as("n_ontime"),
+        expr("percentile(lat, array(0.5D, 0.9D))").as("ps"))
+      .select(col("o_orderpriority"), col("n_lines"), col("n_ontime"),
+        round(col("n_ontime").cast("double") / col("n_lines"), 4)
+          .as("ontime_frac"),
+        round(element_at(col("ps"), 1), 4).as("p50_days"),
+        round(element_at(col("ps"), 2), 4).as("p90_days"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** B: seasonality profile — per event_type, the day-of-week and
     * hour-of-day shape of the volume: peak bin (earliest-bin
     * tiebreak) and the χ² uniformity statistic per dimension (χ² ≈ 0

@@ -223,6 +223,37 @@ class LifecycleSpec extends SparkSuite {
     assert(math.abs(r.getDouble(6) - z) < 1e-3, s"z ${r.getDouble(6)} vs $z")
   }
 
+  test("sla: latencies, threshold and percentiles reconcile with a recompute") {
+    val rows = Lifecycle.ordersSla(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val t = graft.Tables(spark, sfDir)
+    def day(r: org.apache.spark.sql.Row, i: Int): java.time.LocalDate =
+      r.get(i) match {
+        case d: java.time.LocalDateTime => d.toLocalDate
+        case ts: java.sql.Timestamp => ts.toLocalDateTime.toLocalDate
+      }
+    val lats = t.lineitem.select("l_orderkey", "l_shipdate").collect()
+      .map(r => (r.getLong(0), day(r, 1)))
+    val ords = t.orders
+      .select("o_orderkey", "o_orderdate", "o_orderpriority").collect()
+      .map(r => r.getLong(0) -> ((day(r, 1), r.getString(2)))).toMap
+    val perPrio = lats.flatMap { case (k, ship) =>
+      ords.get(k).map { case (od, prio) =>
+        (prio, java.time.temporal.ChronoUnit.DAYS.between(od, ship))
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    rows.foreach { r =>
+      val prio = r.getString(0)
+      val ls = perPrio(prio).sorted
+      assert(r.getLong(1) == ls.length.toLong)
+      assert(r.getLong(2) == ls.count(_ <= Lifecycle.SlaDays).toLong)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      // p50/p90 interpolated within the observed range, ordered
+      assert(r.getDouble(4) >= ls.head && r.getDouble(4) <= ls.last)
+      assert(r.getDouble(5) >= r.getDouble(4) && r.getDouble(5) <= ls.last)
+    }
+  }
+
   test("seasonality: peaked vs flat fixtures, exact chi-square algebra") {
     val s = spark; import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("sea").toString
