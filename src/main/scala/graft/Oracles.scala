@@ -942,7 +942,7 @@ object Oracles {
         |d AS (SELECT event_type, ((ep // 86400) + 3) % 7 AS dow,
         |        (ep // 3600) % 24 AS hour
         |      FROM e),
-        |c0 AS (SELECT event_type, dow, hour, count(*)::bigint AS c
+        |c0 AS MATERIALIZED (SELECT event_type, dow, hour, count(*)::bigint AS c
         |       FROM d GROUP BY 1, 2, 3),
         |dw AS (SELECT event_type, dow, sum(c)::bigint AS c
         |       FROM c0 GROUP BY 1, 2),
@@ -978,7 +978,7 @@ object Oracles {
         |  FROM lineitem GROUP BY 1),
         |closes AS (SELECT cday, count(*)::bigint AS closed
         |           FROM lastship GROUP BY 1),
-        |deltas AS (
+        |deltas AS MATERIALIZED (
         |  SELECT coalesce(s.day, c.cday) AS day,
         |    coalesce(s.opened, 0)::bigint AS opened,
         |    coalesce(c.closed, 0)::bigint AS closed
@@ -1004,7 +1004,7 @@ object Oracles {
         |  SELECT event_type,
         |    epoch(date_trunc('second', ts))::bigint // 86400 AS day
         |  FROM events),
-        |daily AS (SELECT event_type, day, count(*)::bigint AS c
+        |daily AS MATERIALIZED (SELECT event_type, day, count(*)::bigint AS c
         |          FROM e GROUP BY 1, 2),
         |rng AS (SELECT event_type, min(day) AS d0, max(day) AS d1
         |        FROM daily GROUP BY 1),
@@ -1043,7 +1043,7 @@ object Oracles {
         |  FROM events),
         |d AS (SELECT user_id, ep // 86400 AS day, ep, event_id, cents
         |      FROM e),
-        |agg AS (
+        |agg AS MATERIALIZED (
         |  SELECT user_id, day, count(*)::bigint AS n_events,
         |    max({'ep': ep, 'eid': event_id, 'cents': cents}).cents
         |      AS last_cents
@@ -1069,12 +1069,13 @@ object Oracles {
     // Lifecycle.BasketMinOrders.
     "orders_basket" -> {
       val s = graft.operators.Lifecycle.BasketMinOrders
-      s"""WITH b AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p
-         |           FROM lineitem),
+      s"""WITH b AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+         |  FROM lineitem),
          |n AS (SELECT count(DISTINCT k)::bigint AS n_orders FROM b),
-         |supp AS (SELECT p, count(*)::bigint AS n_item FROM b
+         |supp AS MATERIALIZED (SELECT p, count(*)::bigint AS n_item FROM b
          |         GROUP BY p HAVING count(*) >= $s),
-         |fb AS (SELECT b.k, b.p FROM b JOIN supp ON supp.p = b.p),
+         |fb AS MATERIALIZED (SELECT b.k, b.p FROM b JOIN supp ON supp.p = b.p),
          |pairs AS (
          |  SELECT a.p AS pa, b2.p AS pb, count(*)::bigint AS n_ab
          |  FROM fb a JOIN fb b2 ON a.k = b2.k AND a.p < b2.p
@@ -1190,12 +1191,12 @@ object Oracles {
     // per-node role union. All integer ⇒ full hash gate.
     "graph_triangles" ->
       """WITH li AS (SELECT l_orderkey AS k, l_partkey AS p FROM lineitem),
-        |und AS (SELECT DISTINCT a.p AS src, b.p AS dst
+        |und AS MATERIALIZED (SELECT DISTINCT a.p AS src, b.p AS dst
         |        FROM li a JOIN li b ON a.k = b.k AND a.p < b.p),
-        |deg AS (SELECT n, count(*)::bigint AS deg FROM (
+        |deg AS MATERIALIZED (SELECT n, count(*)::bigint AS deg FROM (
         |          SELECT src AS n FROM und UNION ALL SELECT dst AS n FROM und)
         |        GROUP BY n),
-        |o AS (SELECT
+        |o AS MATERIALIZED (SELECT
         |    CASE WHEN (da.deg, und.src) < (db.deg, und.dst)
         |         THEN und.src ELSE und.dst END AS a,
         |    CASE WHEN (da.deg, und.src) < (db.deg, und.dst)
@@ -1203,7 +1204,7 @@ object Oracles {
         |  FROM und
         |  JOIN deg da ON da.n = und.src
         |  JOIN deg db ON db.n = und.dst),
-        |tri AS (SELECT o1.a AS x, o1.b AS y, o2.b AS z
+        |tri AS MATERIALIZED (SELECT o1.a AS x, o1.b AS y, o2.b AS z
         |        FROM o o1 JOIN o o2 ON o2.a = o1.b
         |        JOIN o o3 ON o3.a = o1.a AND o3.b = o2.b),
         |cnt AS (SELECT n, count(*)::bigint AS n_tri FROM (
@@ -1220,18 +1221,24 @@ object Oracles {
       val iters = graft.operators.Graph.PrIters
       val scale = graft.operators.Graph.PrScale
       val k = graft.operators.Graph.PrTopK
+      // edges/deg are referenced in EVERY unrolled round and each
+      // r_i in the next — explicit MATERIALIZED, or DuckDB's inliner
+      // re-derives the 24M-pair self-join per round (measured: the
+      // sf1 oracle spilled past 79 GB of temp and died; materialized
+      // it runs in memory).
       val head =
         s"""WITH li AS (SELECT l_orderkey AS k, l_partkey AS p FROM lineitem),
-           |edges AS (SELECT DISTINCT a.p AS src, b.p AS dst
+           |edges AS MATERIALIZED (SELECT DISTINCT a.p AS src, b.p AS dst
            |          FROM li a JOIN li b ON a.k = b.k AND a.p <> b.p),
-           |deg AS (SELECT src, count(*)::bigint AS deg FROM edges GROUP BY 1),
+           |deg AS MATERIALIZED (
+           |  SELECT src, count(*)::bigint AS deg FROM edges GROUP BY 1),
            |nn AS (SELECT count(*)::bigint AS n FROM deg),
            |bb AS (SELECT ($scale // n) AS q0,
            |              (15 * ($scale // n)) // 100 AS b FROM nn),
            |r0 AS (SELECT src AS node, (SELECT q0 FROM bb) AS q FROM deg)""".stripMargin
       val loops = (1 to iters).map { i =>
         s""",
-           |r$i AS (
+           |r$i AS MATERIALIZED (
            |  SELECT e.dst AS node,
            |    ((SELECT b FROM bb) + (85 * sum(r${i - 1}.q // d.deg)) // 100)::bigint AS q
            |  FROM edges e
@@ -3290,7 +3297,7 @@ object Oracles {
         |    (8000 * (1 + doc_id % 4))::int AS sample_rate
         |  FROM documents
         |  WHERE doc_id % 9 <> 4),
-        |smp AS (
+        |smp AS MATERIALIZED (
         |  SELECT doc_id, sample_rate, n,
         |    [ ((ascii(t[((i-1) % len(t)) + 1]) * 167 + (i-1) * 31)
         |        % 32768) - 16384
