@@ -124,6 +124,27 @@ object Oracles {
     // CUBE with per-column grouping() flags (composite grouping_id
     // bit order is engine-defined; the per-column 0/1 flag is
     // SQL-standard and cross-engine).
+    // B window-distribution surface: ntile/percent_rank/cume_dist
+    // over a TOTAL order (rev_cents desc, cust_key) on the
+    // per-customer integer-cents aggregate — rank == row_number, so
+    // the rationals (rank−1)/(n−1) and rank/n agree cross-engine;
+    // round(4) erases representation noise only.
+    "q27_window_funcs" ->
+      """WITH c AS (
+        |  SELECT o_custkey AS cust_key,
+        |    sum(floor(o_totalprice * 100)::bigint) AS rev_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT cust_key,
+        |  round(rev_cents / 100.0, 2) AS revenue,
+        |  ntile(10) OVER w AS decile,
+        |  round(percent_rank() OVER w, 4) AS pct_rank,
+        |  round(cume_dist() OVER w, 4) AS cume,
+        |  round((lag(rev_cents, 1) OVER w - rev_cents) / 100.0, 2)
+        |    AS gap_above
+        |FROM c
+        |WINDOW w AS (ORDER BY rev_cents DESC, cust_key)
+        |ORDER BY revenue DESC, cust_key""".stripMargin,
+
     "q26_cube" ->
       """SELECT l_returnflag, l_linestatus,
         |  grouping(l_returnflag)::int AS g_rf,
@@ -1134,6 +1155,35 @@ object Oracles {
            |  (SELECT count(*) FROM (SELECT DISTINCT $a, $b FROM orders)) =
            |    (SELECT count(DISTINCT $a) FROM orders) AS fd_holds""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY det, dep")
+    },
+
+    // H column entropy + pairwise MI: both engines reduce to integer
+    // counts over the SAME bounded joint cube, then one mirrored FP
+    // expression per statistic (H = log2(n) − Σ c·log2(c)/n) with
+    // round(4) — the corr tolerance rule. Pairs single-sourced from
+    // Profile.EntropyCols; j materialized (7 references).
+    "table_entropy" -> {
+      val cols = graft.operators.Profile.EntropyCols
+      val pairs = cols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+      def sTerm(by: String) =
+        s"(SELECT sum(c * log2(c)) FROM (SELECT sum(c)::bigint AS c FROM j GROUP BY $by))"
+      val head =
+        s"""WITH j AS MATERIALIZED (
+           |  SELECT ${cols.mkString(", ")}, count(*)::bigint AS c
+           |  FROM lineitem GROUP BY ${(1 to cols.size).mkString(", ")})""".stripMargin
+      val blocks = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS col_x, '$b' AS col_y,
+           |  (SELECT count(*) FROM (SELECT $a, $b FROM j GROUP BY 1, 2))::bigint
+           |    AS n_xy,
+           |  round(log2(n) - ${sTerm(a)} / n, 4) AS h_x,
+           |  round(log2(n) - ${sTerm(b)} / n, 4) AS h_y,
+           |  round(log2(n) - ${sTerm(s"$a, $b")} / n, 4) AS h_xy,
+           |  round(log2(n) + (${sTerm(s"$a, $b")} - ${sTerm(a)} - ${sTerm(b)}) / n, 4)
+           |    AS mi
+           |FROM (SELECT sum(c)::bigint AS n FROM j)""".stripMargin
+      }
+      head + "\n" +
+        blocks.mkString("", "\nUNION ALL\n", "\nORDER BY col_x, col_y")
     },
 
     // B EWMA forecast: α = 1/2 halvings over the day-sorted count
@@ -3530,6 +3580,12 @@ object Oracles {
     // G25 online seasonality: 31 marginal counters per type scored
     // on read — same SQL as the batch profile.
     "stream_seasonality" -> relational("events_seasonality"),
+    // G26 online change-point: per-type daily counters scored on
+    // read by the shared CUSUM stage — same SQL as the batch scan.
+    "stream_changepoint" -> relational("events_changepoint"),
+    // G27 online backlog: per-order lifecycle state, the dense-day
+    // prefix scored on read — same SQL as the batch stabbing form.
+    "stream_backlog" -> relational("orders_backlog"),
 
     // G17 composed ingest gate: replayed feed (re-crawls under a
     // 3·5·7-aligned id offset draw the same PII gates, different PII

@@ -587,10 +587,19 @@ object Lifecycle {
           .as("sday"))
       .groupBy(col("l_orderkey")).agg(max(col("sday")).as("cday"))
       .groupBy(col("cday")).agg(count(lit(1)).as("closed"))
-    val deltas = starts.join(closes, col("day") === col("cday"), "full")
+    backlogScore(starts.join(closes, col("day") === col("cday"), "full")
       .select(coalesce(col("day"), col("cday")).as("day"),
         coalesce(col("opened"), lit(0L)).as("opened"),
-        coalesce(col("closed"), lit(0L)).as("closed"))
+        coalesce(col("closed"), lit(0L)).as("closed")))
+  }
+
+  /** Shared read-side prefix scorer over a `(day, opened, closed)`
+    * delta frame — the batch stabbing deltas above or the online
+    * lifecycle snapshot ([[graft.streaming.Streams.streamBacklog]]).
+    * Persists its input (referenced by the grid agg AND the dense
+    * join — no-subtree-dedup). */
+  def backlogScore(deltasIn: DataFrame): DataFrame = {
+    val deltas = deltasIn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grid = deltas.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(explode(sequence(col("d0"), col("d1"))).as("day"))
@@ -630,8 +639,17 @@ object Lifecycle {
       .select(col("event_type"), Tables.tsNsToSec("ts").as("ep"))
       .withColumn("day", expr("ep div 86400"))
       .select(col("event_type"), col("day"))
-    val daily = ev.groupBy(col("event_type"), col("day"))
-      .agg(count(lit(1)).as("c"))
+    changepointScore(ev.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c")))
+  }
+
+  /** Shared read-side CUSUM scorer over a `(event_type, day, c)`
+    * daily-count frame — the batch history above or the online
+    * counter snapshot ([[graft.streaming.Streams.streamChangepoint]]).
+    * Persists its input (referenced by the grid agg AND the dense
+    * join — no-subtree-dedup). */
+  def changepointScore(dailyIn: DataFrame): DataFrame = {
+    val daily = dailyIn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grid = daily.groupBy(col("event_type"))
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))

@@ -406,4 +406,53 @@ object Profile {
     }.reduce(_ unionAll _)
       .orderBy(col("det"), col("dep"))
   }
+
+  /** The entropy/MI column set — low-cardinality lineitem columns
+    * only, so the JOINT cell count is bounded (≤ 7·2·50·3 ≈ 2100
+    * cells whatever the row count; single-sourced into the oracle). */
+  val EntropyCols: Seq[String] =
+    Seq("l_linenumber", "l_linestatus", "l_quantity", "l_returnflag")
+
+  /** H: column entropy + pairwise mutual information — for every
+    * column pair, the Shannon entropies H(X), H(Y), H(X,Y) in bits
+    * and MI = H(X)+H(Y)−H(X,Y) (the "which columns actually carry /
+    * share information" datasheet read; MI ≈ 0 ⇒ independent, MI ≈
+    * min(H) ⇒ redundant — the soft-dependency complement of
+    * [[tableFds]]' hard FD test).
+    *
+    * Shape: ONE full-cardinality joint groupBy over the fact scan
+    * (cells bounded by the pinned low-cardinality column set, NOT by
+    * rows — the classic OLAP cube trick), persisted; every pair's
+    * joint and both marginals then derive from those ≤2.1k cells by
+    * tiny re-aggregations — zero further fact scans. Entropies use
+    * the count form H = log2(n) − Σ c·log2(c)/n, so only integer
+    * counts leave the aggregates and the single FP expression per
+    * statistic is mirrored op-for-op in the oracle (round(4), the
+    * corr tolerance rule). 1-row crossJoins assemble each output row
+    * (broadcast by construction). */
+  def tableEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    val joint = li.groupBy(EntropyCols.map(col): _*)
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs =
+      EntropyCols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+    pairs.map { case (a, b) =>
+      val pab = joint.groupBy(col(a), col(b)).agg(sum(col("c")).as("c"))
+      val sab = pab.agg(sum(col("c") * log2(col("c"))).as("s_xy"),
+        sum(col("c")).as("n"), count(lit(1)).as("n_xy"))
+      val sa = pab.groupBy(col(a)).agg(sum(col("c")).as("c"))
+        .agg(sum(col("c") * log2(col("c"))).as("s_x"))
+      val sb = pab.groupBy(col(b)).agg(sum(col("c")).as("c"))
+        .agg(sum(col("c") * log2(col("c"))).as("s_y"))
+      sab.crossJoin(sa).crossJoin(sb)
+        .select(lit(a).as("col_x"), lit(b).as("col_y"), col("n_xy"),
+          round(log2(col("n")) - col("s_x") / col("n"), 4).as("h_x"),
+          round(log2(col("n")) - col("s_y") / col("n"), 4).as("h_y"),
+          round(log2(col("n")) - col("s_xy") / col("n"), 4).as("h_xy"),
+          round(log2(col("n")) +
+            (col("s_xy") - col("s_x") - col("s_y")) / col("n"), 4).as("mi"))
+    }.reduce(_ unionAll _)
+      .orderBy(col("col_x"), col("col_y"))
+  }
 }

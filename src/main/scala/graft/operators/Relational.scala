@@ -439,6 +439,43 @@ object Relational {
       .orderBy(col("k"))
   }
 
+  /** Window-function distribution surface — ntile / percent_rank /
+    * cume_dist / lag over the per-customer revenue ranking (the
+    * "where does each customer sit in the distribution" read that
+    * q2 (rank), q16 (ROWS frame) and q25 (RANGE frame) don't cover).
+    *
+    * Exactness: revenue is aggregated in integer cents, and the
+    * ranking ORDER BY carries a full tiebreak (rev desc, cust_key) —
+    * a total order, so rank == row_number and percent_rank
+    * ((rank−1)/(n−1)) and cume_dist (rank/n) are the same rationals
+    * in both engines; one round(4) erases representation noise.
+    * ntile over a total order is positionally determined.
+    *
+    * Shape: one groupBy(cust) with map-side partial agg, then
+    * GLOBAL-ordered windows — safe by construction because the
+    * window frame is the per-customer AGGREGATE (one row per
+    * customer, not the order fact table); at warehouse scale the
+    * same ranking runs as a two-phase distributed sort or the
+    * percentile form switches to approx sketches (q23's scale
+    * path). */
+  def q27WindowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables(spark, dir).orders
+      .select(col("o_custkey").as("cust_key"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("cust_key"))
+      .agg(sum(col("cents")).as("rev_cents"))
+    val w = Window.orderBy(col("rev_cents").desc, col("cust_key"))
+    perCust
+      .select(col("cust_key"),
+        round(col("rev_cents") / 100.0, 2).as("revenue"),
+        ntile(10).over(w).as("decile"),
+        round(percent_rank().over(w), 4).as("pct_rank"),
+        round(cume_dist().over(w), 4).as("cume"),
+        round((lag(col("rev_cents"), 1).over(w) - col("rev_cents")) / 100.0, 2)
+          .as("gap_above"))
+      .orderBy(col("revenue").desc, col("cust_key"))
+  }
+
   /** GROUP BY CUBE — all 2^k grouping combinations in one Expand
     * pass, completing the rollup (q9) / grouping-sets (q21) / cube
     * trio. The `grouping()` flags disambiguate a NULL subtotal row

@@ -1390,6 +1390,135 @@ object Streams {
         .select(col("event_type"), col("bin").as("hour"), col("c")))
   }
 
+  // ----- G26: online change-point (events_changepoint twin) --------
+
+  /** One event for the change-point stream. */
+  final case class CpEv(event_type: String, day: Long)
+  /** Per-type daily counters (public for the state encoder):
+    * day → count. State is bounded by the type's ACTIVE-day span
+    * (calendar days, not events — the same cardinality the batch
+    * scorer's dense grid explodes); gap days hold no entry. */
+  final case class CpAcc(days: Map[Long, Long])
+
+  /** G26 core: the (type, day) count matrix maintained online.
+    * Addition commutes — replay-order free; every active batch emits
+    * the type's held (day, c) snapshot in long format; the CUSUM
+    * argmax runs on READ over the snapshot via the shared
+    * [[graft.operators.Lifecycle.changepointScore]] stage (the
+    * prefix/argmax needs the FULL dense span, so it is a corpus
+    * aggregate — the abtest read-side rule). */
+  def cpFn(tp: String, evs: Iterator[CpEv],
+      state: GroupState[CpAcc]): Iterator[(String, Long, Long)] = {
+    var m = state.getOption.map(_.days).getOrElse(Map.empty[Long, Long])
+    var n = 0
+    evs.foreach { e =>
+      n += 1; m = m.updated(e.day, m.getOrElse(e.day, 0L) + 1L)
+    }
+    if (n == 0) return Iterator.empty
+    state.update(CpAcc(m))
+    m.iterator.map { case (d, c) => (tp, d, c) }
+  }
+
+  /** Shared stateful daily-counter stage (batch or streaming). */
+  def cpStateful(evs: Dataset[CpEv]): DataFrame = {
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        cpFn)
+      .toDF("event_type", "day", "c")
+  }
+
+  /** G26 batch entry: each type's history in one call ⇒ the final
+    * daily counters — scored output identical to B's
+    * events_changepoint, same SQL oracle. */
+  def streamChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evs = Tables(spark, dir).events
+      .select(col("event_type"), Tables.tsNsToSec("ts").as("ep"))
+      .selectExpr("event_type", "ep div 86400 AS day")
+      .as[CpEv]
+    graft.operators.Lifecycle.changepointScore(cpStateful(evs))
+  }
+
+  // ----- G27: online order backlog (orders_backlog twin) -----------
+
+  /** One order-lifecycle event: kind 0 = the order placed on `day`,
+    * kind 1 = one of its lineitems shipped on `day`. */
+  final case class BklEv(okey: Long, kind: Int, day: Long)
+  /** Per-order lifecycle state (public for the state encoder):
+    * openDay (−1 until the placement arrives) and closeDay = max
+    * ship day seen so far (−1 until any ship arrives — an order
+    * closes on its LAST ship, so the running max converges to the
+    * batch close day). Set-once / max ⇒ replay-order free. */
+  final case class BklAcc(openDay: Long, closeDay: Long)
+
+  /** G27 core: per-ORDER lifecycle state — the first
+    * high-cardinality-keyed twin whose read is a corpus-level time
+    * series: each active batch emits the order's current
+    * (open, close) snapshot; the dense-grid prefix runs on READ via
+    * the shared [[graft.operators.Lifecycle.backlogScore]] stage
+    * (a prefix over ALL days is a corpus aggregate — the abtest
+    * read-side rule). State is two longs per order forever. */
+  def bklFn(okey: Long, evs: Iterator[BklEv],
+      state: GroupState[BklAcc]): Iterator[(Long, Long, Long)] = {
+    var acc = state.getOption.getOrElse(BklAcc(-1L, -1L))
+    var n = 0
+    evs.foreach { e =>
+      n += 1
+      acc =
+        if (e.kind == 0) BklAcc(math.max(acc.openDay, e.day), acc.closeDay)
+        else BklAcc(acc.openDay, math.max(acc.closeDay, e.day))
+    }
+    if (n == 0) return Iterator.empty
+    state.update(acc)
+    Iterator((okey, acc.openDay, acc.closeDay))
+  }
+
+  /** Shared stateful lifecycle stage (batch or streaming). */
+  def bklStateful(evs: Dataset[BklEv]): DataFrame = {
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.okey)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        bklFn)
+      .toDF("okey", "open_day", "close_day")
+  }
+
+  /** Read-side assembly: final per-order snapshot → per-day
+    * open/close deltas → the shared prefix scorer. Shared by the
+    * batch entry and the replayed-stream spec. */
+  def backlogOfSnapshot(snapIn: DataFrame): DataFrame = {
+    // referenced by both delta groupBys — persist, or the stateful
+    // pass runs twice (no-subtree-dedup)
+    val snap = snapIn
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val starts = snap.filter(col("open_day") >= 0L)
+      .groupBy(col("open_day").as("day"))
+      .agg(count(lit(1)).as("opened"))
+    val closes = snap.filter(col("close_day") >= 0L)
+      .groupBy(col("close_day").as("cday"))
+      .agg(count(lit(1)).as("closed"))
+    graft.operators.Lifecycle.backlogScore(
+      starts.join(closes, col("day") === col("cday"), "full")
+        .select(coalesce(col("day"), col("cday")).as("day"),
+          coalesce(col("opened"), lit(0L)).as("opened"),
+          coalesce(col("closed"), lit(0L)).as("closed")))
+  }
+
+  /** G27 batch entry: each order's full lifecycle in one call ⇒ the
+    * final (open, close) snapshot — scored output identical to B's
+    * orders_backlog, same SQL oracle. */
+  def streamBacklog(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val opens = t.orders.select(col("o_orderkey").as("okey"),
+      lit(0).as("kind"),
+      datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("day"))
+    val ships = t.lineitem.select(col("l_orderkey").as("okey"),
+      lit(1).as("kind"),
+      datediff(col("l_shipdate"), lit("1970-01-01")).cast("long").as("day"))
+    backlogOfSnapshot(bklStateful(opens.unionAll(ships).as[BklEv]))
+  }
+
   // ----- G24: online top-k per key (TopKPerKey twin) ---------------
 
   /** One order for the top-k stream. */

@@ -42,12 +42,17 @@ class PlanContractSpec extends SparkSuite {
   //    corpus-totals row broadcast into the lift scorer.
   //  - stream_hitters: same 1-row shape — the snapshot-total row
   //    broadcast into the read-side blocklist cut.
+  //  - table_entropy: same 1-row shape three times per pair — the
+  //    (s_xy, n) / s_x / s_y single-row aggregates crossJoined to
+  //    assemble each pair's output row; every side is an aggregate
+  //    of the bounded joint cube (≤2.1k cells by the pinned
+  //    low-cardinality column set).
   private val boundedBroadcastOk =
     Set("ann_bruteforce", "q14_scalar_subquery", "text_tfidf",
       "text_typicality", "corpus_stats", "text_bm25", "stream_bm25",
       "mix_curriculum", "zorder_key", "table_histogram", "events_rfm",
       "stream_rfm", "orders_pareto", "text_collocations",
-      "stream_hitters")
+      "stream_hitters", "table_entropy")
 
   test("no query plans a cartesian or unbounded nested-loop join") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

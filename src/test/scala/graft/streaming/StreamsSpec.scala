@@ -1208,6 +1208,76 @@ class StreamsSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("streaming changepoint: daily counters across batches score to the batch CUSUM") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    val evs = graft.Tables(spark, sfDir).events
+      .selectExpr("event_type", "ts div 1000000000 div 86400 AS day")
+      .as[Streams.CpEv].collect()
+    val expected = graft.operators.Lifecycle.eventsChangepoint(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val stream = MemoryStream[Streams.CpEv]
+    val query = Streams.cpStateful(stream.toDS())
+      .writeStream.format("memory").queryName("cp")
+      .outputMode("append").start()
+    try {
+      evs.grouped(math.max(1, evs.length / 4)).foreach { b =>
+        stream.addData(b.toSeq); query.processAllAvailable()
+      }
+      // final snapshot per (type, day) = max c (counts are monotone)
+      val fin = s.table("cp").collect()
+        .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+        .groupBy(_._1).map { case (k, rs) => (k, rs.map(_._2).max) }.toSeq
+      val snap = fin.map { case ((t, d), c) => (t, d, c) }
+        .toDF("event_type", "day", "c")
+      val got = graft.operators.Lifecycle.changepointScore(snap)
+        .collect().map(_.toString).toSeq
+      assert(got == expected,
+        "online snapshot scored != batch change-point output")
+      val emissions = s.table("cp").collect()
+        .groupBy(r => (r.getString(0), r.getLong(1)))
+        .values.map(_.length)
+      assert(emissions.exists(_ > 1),
+        "fixture must exercise multi-batch accumulation")
+    } finally query.stop()
+  }
+
+  test("streaming backlog: per-order lifecycle across batches scores to the batch series") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    val t = graft.Tables(spark, sfDir)
+    val evs = (t.orders.selectExpr("o_orderkey AS okey", "0 AS kind",
+        "datediff(o_orderdate, '1970-01-01')::long AS day")
+      .unionAll(t.lineitem.selectExpr("l_orderkey AS okey", "1 AS kind",
+        "datediff(l_shipdate, '1970-01-01')::long AS day")))
+      .as[Streams.BklEv].collect()
+    val expected = graft.operators.Lifecycle.ordersBacklog(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val stream = MemoryStream[Streams.BklEv]
+    val query = Streams.bklStateful(stream.toDS())
+      .writeStream.format("memory").queryName("bkl")
+      .outputMode("append").start()
+    try {
+      evs.grouped(math.max(1, evs.length / 4)).foreach { b =>
+        stream.addData(b.toSeq); query.processAllAvailable()
+      }
+      // final snapshot per order = max open/close (set-once / max)
+      val fin = s.table("bkl").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+        .groupBy(_._1).map { case (k, rs) =>
+          (k, rs.map(_._2._1).max, rs.map(_._2._2).max) }.toSeq
+      val got = Streams.backlogOfSnapshot(
+        fin.toDF("okey", "open_day", "close_day"))
+        .collect().map(_.toString).toSeq
+      assert(got == expected,
+        "online lifecycle snapshot scored != batch backlog series")
+      val emissions = s.table("bkl").collect()
+        .groupBy(_.getLong(0)).values.map(_.length)
+      assert(emissions.exists(_ > 1),
+        "fixture must exercise multi-batch accumulation")
+    } finally query.stop()
+  }
+
   test("streaming topk: held heaps across batches equal the batch operator") {
     val s = spark; import s.implicits._
     implicit val sq = s.sqlContext
