@@ -814,6 +814,41 @@ object Oracles {
         |FROM a
         |ORDER BY cohort_month, month_index""".stripMargin,
 
+    // B supplier scorecard: two-level aggregate mirrored structurally
+    // (finer (supp, order) grain first ⇒ count(*) is the distinct
+    // order count with no Expand); integer cents/counts, shares as
+    // single mirrored divisions. Late threshold single-sourced from
+    // Lifecycle.ScorecardLateDays.
+    "supplier_scorecard" -> {
+      val late = graft.operators.Lifecycle.ScorecardLateDays
+      s"""WITH f AS (
+         |  SELECT l_suppkey, l.l_orderkey,
+         |    count(*)::bigint AS lines,
+         |    sum(floor(l_extendedprice * (1 - l_discount) * 100)::bigint)
+         |      AS cents,
+         |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::bigint
+         |      AS rets,
+         |    sum(CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate)
+         |             > $late THEN 1 ELSE 0 END)::bigint AS lates,
+         |    sum(floor(l_discount * 10000 + 0.5)::bigint) AS dbp
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  GROUP BY 1, 2),
+         |s AS (
+         |  SELECT l_suppkey, count(*)::bigint AS n_orders,
+         |    sum(lines)::bigint AS n_lines, sum(cents)::bigint AS cents,
+         |    sum(rets)::bigint AS rets, sum(lates)::bigint AS lates,
+         |    sum(dbp)::bigint AS dbp
+         |  FROM f GROUP BY 1)
+         |SELECT s_suppkey, s_name, n_name, n_orders, n_lines,
+         |  round(cents / 100.0, 2) AS revenue,
+         |  round(dbp / (n_lines * 10000.0), 4) AS avg_discount,
+         |  round(rets::double / n_lines, 4) AS return_share,
+         |  round(lates::double / n_lines, 4) AS late_share
+         |FROM s JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |ORDER BY s_suppkey""".stripMargin
+    },
+
     // B Pareto/ABC: integer-cents cumulative fold over the per-customer
     // aggregate; the A/B/C cut is pure integer algebra (2·cum ≤ total,
     // 5·cum ≤ 4·total) so no double threshold can flake cross-engine.
@@ -2966,6 +3001,74 @@ object Oracles {
         |  FROM rr)
         |WHERE rk <= 5
         |ORDER BY q_id, rk""".stripMargin
+    },
+
+    // D9 MMR diversified top-k: the K-step greedy unrolled as one
+    // argmax CTE stage per pick (the pagerank unrolling precedent).
+    // Every cosine is the shared strict index-order fold, so the
+    // (rel − max sim)/2 scores are bit-identical to the Spark
+    // flatMapGroups greedy and the per-stage row_number argmax
+    // (mmr DESC, n_id) cannot flake. K/R single-sourced from
+    // Similarity.MmrK/MmrR.
+    "embed_mmr" -> {
+      val k = graft.operators.Similarity.MmrK
+      val r = graft.operators.Similarity.MmrR
+      def dotE(a: String, b: String) =
+        s"list_reduce(list_transform(list_zip($a, $b), s -> s[1] * s[2]), (x, y) -> x + y)"
+      val head =
+        s"""WITH e AS (
+           |  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+           |  FROM embeddings),
+           |n AS MATERIALIZED (
+           |  SELECT vec_id, v, sqrt(${dotE("v", "v")}) AS nrm
+           |  FROM e),
+           |q AS (SELECT * FROM n WHERE vec_id < 10),
+           |rel AS (
+           |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+           |    ${dotE("q.v", "n.v")} / (q.nrm * n.nrm) AS rel
+           |  FROM q JOIN n ON q.vec_id <> n.vec_id),
+           |cand AS MATERIALIZED (
+           |  SELECT c.q_id, c.n_id, c.rel, n.v, n.nrm FROM (
+           |    SELECT q_id, n_id, rel,
+           |      row_number() OVER (PARTITION BY q_id
+           |                         ORDER BY rel DESC, n_id) AS rk
+           |    FROM rel) c JOIN n ON c.n_id = n.vec_id
+           |  WHERE c.rk <= $r),
+           |sims AS MATERIALIZED (
+           |  SELECT a.q_id, a.n_id AS ai, b.n_id AS bi,
+           |    ${dotE("a.v", "b.v")} / (a.nrm * b.nrm) AS s
+           |  FROM cand a JOIN cand b
+           |    ON a.q_id = b.q_id AND a.n_id <> b.n_id),
+           |p1 AS (
+           |  SELECT q_id, n_id, rel, rel AS mmr FROM (
+           |    SELECT q_id, n_id, rel,
+           |      row_number() OVER (PARTITION BY q_id
+           |                         ORDER BY rel DESC, n_id) AS rk
+           |    FROM cand) WHERE rk = 1),
+           |sel1 AS (SELECT q_id, n_id FROM p1)""".stripMargin
+      val stages = (2 to k).map { t =>
+        s"""s$t AS (
+           |  SELECT c.q_id, c.n_id, c.rel, (c.rel - max(s.s)) / 2.0 AS mmr
+           |  FROM cand c
+           |  JOIN sims s ON s.q_id = c.q_id AND s.ai = c.n_id
+           |  JOIN sel${t - 1} p ON p.q_id = s.q_id AND p.n_id = s.bi
+           |  LEFT JOIN sel${t - 1} d ON d.q_id = c.q_id AND d.n_id = c.n_id
+           |  WHERE d.n_id IS NULL
+           |  GROUP BY 1, 2, 3),
+           |p$t AS (
+           |  SELECT q_id, n_id, rel, mmr FROM (
+           |    SELECT q_id, n_id, rel, mmr,
+           |      row_number() OVER (PARTITION BY q_id
+           |                         ORDER BY mmr DESC, n_id) AS rk
+           |    FROM s$t) WHERE rk = 1),
+           |sel$t AS (SELECT q_id, n_id FROM sel${t - 1}
+           |          UNION ALL SELECT q_id, n_id FROM p$t)""".stripMargin
+      }
+      val finalSel = (1 to k).map { t =>
+        s"SELECT q_id, n_id, $t AS rk, round(rel, 4) AS rel, round(mmr, 4) AS mmr FROM p$t"
+      }.mkString("\nUNION ALL\n")
+      (head +: stages).mkString(",\n") + "\n" + finalSel +
+        "\nORDER BY q_id, rk"
     },
 
     "ann_bruteforce" ->

@@ -731,6 +731,60 @@ object Lifecycle {
       .orderBy(col("part_a"), col("part_b"))
   }
 
+  /** B: per-supplier fulfilment scorecard — orders touched, lines
+    * shipped, exact-cents revenue, average discount, returned-line
+    * share and late-ship share (shipped > [[ScorecardLateDays]] days
+    * after the order date), with the supplier's nation — the vendor
+    * review datasheet.
+    *
+    * Shape: ONE fact-fact equi-join (lineitem ⋈ orders on orderkey —
+    * both sides shuffle on the key; no broadcast pretence, orders is
+    * a fact at catalog scale), then a TWO-LEVEL aggregate: first at
+    * the finer (suppkey, orderkey) grain, then per supplier with
+    * count(*) as the distinct-order count — a mixed
+    * countDistinct+sum single agg would plan an Expand doubling
+    * every fact row map-side; the two-level form is plain partial
+    * aggregation twice. The supplier/nation dims broadcast onto the
+    * AGGREGATED frame (supplier-count rows), never the fact stream.
+    * Counts/cents are integers; shares are single divisions mirrored
+    * op-for-op (round 4). */
+  val ScorecardLateDays = 90
+
+  def supplierScorecard(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val f = t.lineitem
+      .join(t.orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_suppkey"), col("l_orderkey"))
+      .agg(count(lit(1)).as("lines"),
+        sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 100).cast("long")).as("cents"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("rets"),
+        sum(when(datediff(col("l_shipdate"), col("o_orderdate"))
+          > ScorecardLateDays, 1L).otherwise(0L)).as("lates"),
+        // discount in integer basis points — a double sum re-associates
+        // differently per engine and flips the 4dp round on half
+        // boundaries (measured at sf0.1: 5/1000 suppliers off by 1e-4)
+        sum(floor(col("l_discount") * 10000 + 0.5).cast("long")).as("dbp"))
+    val s = f.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("lines")).as("n_lines"),
+        sum(col("cents")).as("cents"), sum(col("rets")).as("rets"),
+        sum(col("lates")).as("lates"), sum(col("dbp")).as("dbp"))
+    s.join(broadcast(t.supplier.select(col("s_suppkey"), col("s_name"),
+        col("s_nationkey"))), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        col("n_orders"), col("n_lines"),
+        round(col("cents") / 100.0, 2).as("revenue"),
+        round(col("dbp") / (col("n_lines") * 10000.0), 4).as("avg_discount"),
+        round(col("rets").cast("double") / col("n_lines"), 4)
+          .as("return_share"),
+        round(col("lates").cast("double") / col("n_lines"), 4)
+          .as("late_share"))
+      .orderBy(col("s_suppkey"))
+  }
+
   def ordersPareto(spark: SparkSession, dir: String): DataFrame = {
     val perCust = Tables(spark, dir).orders
       .select(col("o_custkey").as("cust_key"),

@@ -501,4 +501,98 @@ object Similarity {
       .union(und.select(col("w").as("q_id"), col("u").as("n_id"), col("cos")))
     topK(spark, directed, k = KnnK)
   }
+
+  /** MMR picks per query / candidate pool size (single-sourced into
+    * the oracle). */
+  val MmrK = 5
+  val MmrR = 20
+
+  /** One MMR candidate: exact relevance + the vector and norm the
+    * diversity term needs (public for the encoder). */
+  final case class MmrCand(q_id: Long, n_id: Long, rel: Double,
+      v: Seq[Double], nrm: Double)
+
+  /** D9: MMR (maximal-marginal-relevance) diversified top-k — rerank
+    * the brute-force candidates so each successive pick trades
+    * relevance against redundancy with what's already picked
+    * (Carbonell & Goldstein '98): pick_t = argmax over remaining of
+    * (rel − max_{s∈selected} sim(c, s)) / 2 (λ = 1/2), first pick =
+    * plain argmax rel. The retrieval-diversity read every RAG stack
+    * runs on top of ANN.
+    *
+    * Scale shape: candidate generation is the distributed part (the
+    * ann_bruteforce broadcast-scan + TopKByScore partial-agg cut to
+    * [[MmrR]] per query); the greedy is inherently sequential but
+    * runs per query over ≤ R rows inside one flatMapGroups — O(K·R)
+    * dot products per query, never corpus-sized. Exactness: every
+    * cosine is the strict index-order fold ([[graft.functions
+    * .DotProductD]] semantics, mirrored in a plain while loop), so
+    * scores are bit-identical to the oracle's unrolled K-stage
+    * argmax CTEs and the argmax cannot flake; (score desc, n_id)
+    * tiebreak both engines; round(4) on REPORTED values only. */
+  def embedMmr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = vectors(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val rel = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        V.cosineWithNorms(V.dot(col("qv"), col("v")),
+          col("qnrm"), col("nrm")).as("cos"))
+    val cand = rel.as[Scored]
+      .groupByKey(_.q_id)
+      .agg(new TopKByScore(MmrR).toColumn.name("topk"))
+      .flatMap { case (qId, hits) =>
+        hits.map { case (cos, nId) => (qId, nId, cos) } }
+      .toDF("q_id", "n_id", "rel")
+      .join(e.select(col("vec_id").as("n_id"), col("v"), col("nrm")),
+        Seq("n_id"))
+    cand.as[MmrCand].groupByKey(_.q_id)
+      .flatMapGroups { (qId: Long, it: Iterator[MmrCand]) =>
+        val cs = it.toArray.sortBy(c => (-c.rel, c.n_id))
+        val vs = cs.map(_.v.toArray)
+        // strict index-order fold — the DotProductD / list_reduce op
+        // order, so the value is bit-identical to the oracle's
+        def dot(a: Array[Double], b: Array[Double]): Double = {
+          var s = a(0) * b(0); var i = 1
+          while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+        }
+        val picked = new Array[Boolean](cs.length)
+        val sel = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val out = Seq.newBuilder[(Long, Long, Int, Double, Double)]
+        var t = 0
+        while (t < MmrK && sel.length < cs.length) {
+          var best = -1; var bestScore = 0.0
+          var i = 0
+          while (i < cs.length) {
+            if (!picked(i)) {
+              val score =
+                if (t == 0) cs(i).rel
+                else {
+                  var m = Double.NegativeInfinity
+                  sel.foreach { j =>
+                    val s = dot(vs(i), vs(j)) / (cs(i).nrm * cs(j).nrm)
+                    if (s > m) m = s
+                  }
+                  (cs(i).rel - m) / 2.0
+                }
+              if (best < 0 || score > bestScore ||
+                  (score == bestScore && cs(i).n_id < cs(best).n_id)) {
+                best = i; bestScore = score
+              }
+            }
+            i += 1
+          }
+          picked(best) = true; sel += best
+          out += ((qId, cs(best).n_id, t + 1, cs(best).rel, bestScore))
+          t += 1
+        }
+        out.result().iterator
+      }
+      .toDF("q_id", "n_id", "rk", "rel", "mmr")
+      .select(col("q_id"), col("n_id"), col("rk"),
+        round(col("rel"), 4).as("rel"), round(col("mmr"), 4).as("mmr"))
+      .orderBy(col("q_id"), col("rk"))
+  }
 }

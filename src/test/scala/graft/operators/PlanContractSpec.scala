@@ -14,6 +14,9 @@ class PlanContractSpec extends SparkSuite {
   //  - ann_bruteforce: the broadcast side is the k-query set (10
   //    rows); scoring all n×q pairs IS the operator's definition,
   //    and the O(n·q) loop is the documented exact baseline.
+  //  - embed_mmr: same n×q candidate-generation scan as
+  //    ann_bruteforce (the greedy rerank itself is a bounded
+  //    per-query flatMapGroups, no join at all).
   //  - q14_scalar_subquery: the broadcast side is a 1-row global
   //    aggregate — a broadcast scalar, O(n) total.
   //  - text_tfidf: same shape as q14 — the corpus-size N is a 1-row
@@ -52,7 +55,7 @@ class PlanContractSpec extends SparkSuite {
       "text_typicality", "corpus_stats", "text_bm25", "stream_bm25",
       "mix_curriculum", "zorder_key", "table_histogram", "events_rfm",
       "stream_rfm", "orders_pareto", "text_collocations",
-      "stream_hitters", "table_entropy")
+      "stream_hitters", "table_entropy", "embed_mmr")
 
   test("no query plans a cartesian or unbounded nested-loop join") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

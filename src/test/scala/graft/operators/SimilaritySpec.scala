@@ -283,4 +283,37 @@ class SimilaritySpec extends SparkSuite {
       assert((r.getLong(1), r.getDouble(3)) == exp, s"mismatch vs brute force: $r")
     }
   }
+
+  test("mmr: first pick is the top-1, picks are unique, and the set diversifies") {
+    val mmr = Similarity.embedMmr(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3),
+        r.getDouble(4)))
+    val bf = Similarity.annBruteforce(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    val byQ = mmr.groupBy(_._1)
+    assert(byQ.size == 10, "one MMR list per query")
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to Similarity.MmrK),
+        s"pick ranks broken for $q")
+      assert(rows.map(_._2).distinct.length == rows.length,
+        s"duplicate pick for $q")
+      // greedy step 1 has an empty selected set: pure relevance argmax
+      val first = rows.find(_._3 == 1).get
+      assert(first._2 == bf((q, 1)), s"first pick != top-1 neighbor for $q")
+      assert(first._4 == first._5, s"first pick must report mmr == rel for $q")
+      // later picks trade relevance for diversity: mmr ≤ rel (the
+      // subtracted max-sim is ≥ −1, and with unit-ish embeddings > 0)
+      rows.filter(_._3 > 1).foreach { r =>
+        assert(r._5 <= r._4, s"mmr above rel for $r")
+      }
+    }
+    // the diversity term must actually bite somewhere: at least one
+    // query's MMR pick set differs from its plain top-K prefix
+    val diverged = byQ.exists { case (q, rows) =>
+      val topk = (1 to Similarity.MmrK).map(rk => bf((q, rk))).toSet
+      rows.map(_._2).toSet != topk
+    }
+    assert(diverged,
+      "MMR equals plain top-k on every query — the diversity term is dead")
+  }
 }
