@@ -136,8 +136,14 @@ object Graph {
       .filter(col("src") =!= col("dst"))
       .select("src", "dst").distinct()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    // (src, dst, deg) once — re-read every round (one cache entry)
+    // (src, dst, deg) once — re-read every round (one cache entry).
+    // Hash-partitioned on src BEFORE the persist: every round's join
+    // keys on src, so the cached edge side already sits on the join
+    // partitioning and each round's only exchange is the |V|-row rank
+    // frame (canChangeCachedPlanOutputPartitioning keeps the cached
+    // layout visible to the planner).
     val edgesD = edges.join(deg, "src")
+      .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = edgesD.select(col("src")).distinct().count()
     val q0 = PrScale / n
@@ -148,17 +154,27 @@ object Graph {
     // apply, and paying it here was measured as pure plan overhead:
     // 10 × (persist + count job + broadcast warm-up + AQE replan)
     // ≈ 24 s at sf0.001 AND sf0.1 alike (the BASELINE.md plan-bound
-    // probe). Unrolled, each round is a broadcast-join of the tiny
-    // rank frame against the one cached edge frame feeding the next
+    // probe). Unrolled, each round is ONE equi-join of the rank frame
+    // against the cached, src-partitioned edge frame feeding the next
     // agg — a linear chain (each frame referenced exactly once, no
     // subtree duplication), executed as ONE query. Measured: 23.8 s
-    // → 7.9 s median at sf0.1 (and the sf0.001 floor fell 25 s →
-    // 3.6 s — the residual floor is the 10-stage broadcast cascade),
-    // bit-identical output.
+    // → 7.9 s median at sf0.1 when first unrolled, bit-identical
+    // output. Deliberately NO broadcast() hint on the rank side: the
+    // rank frame has one row per NODE — O(|V|) — and forcing a
+    // per-round driver collect+broadcast of it is driver OOM by
+    // construction on a billion-node graph. As a shuffle equi-join on
+    // src the per-round exchange carries only the |V|-row rank frame
+    // (the edge side reuses its cached partitioning); at toy scale
+    // AQE still converts to broadcast on its own when the frame fits
+    // — the planner keeps the choice at exactly the scale where the
+    // hint would take it away (round-11 re-time: 5.5 s median-of-7 at
+    // sf0.1, vs 7.9 s with the forced hint — the shuffle form is
+    // FASTER even at toy scale, on top of the scale-safety).
+    // GraphIterSpec pins the no-O(|V|)-broadcast contract.
     var ranks = deg.select(col("src").as("node"), lit(q0).as("q"))
     for (_ <- 1 to PrIters) {
       val prev = ranks
-      ranks = edgesD.join(broadcast(prev), edgesD("src") === prev("node"))
+      ranks = edgesD.join(prev, edgesD("src") === prev("node"))
         .select(col("dst"), expr("q div deg").as("c"))
         .groupBy("dst")
         .agg(sum(col("c")).as("s"))

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.BROADCAST
+
+import graft.SparkSuite
+
+/** Scale contract for ITERATIVE operators (fixpoint loops whose
+  * per-round frame is O(|V|) / O(|rows|)): none of them may carry a
+  * forced broadcast join hint. A `broadcast()` hint on a per-round
+  * frame that grows with the data is driver OOM by construction at
+  * cluster scale — the planner must keep the shuffle-vs-broadcast
+  * choice (AQE still converts to broadcast at toy scale when the
+  * frame genuinely fits). This pins the round-10 verdict's one named
+  * scale-killer (graph_pagerank's per-round `broadcast(prev)`) as a
+  * repo-wide invariant over every iterative registry query. */
+class GraphIterSpec extends SparkSuite {
+
+  /** Registry queries whose plan contains a data-dependent iteration
+    * (unrolled or probe-driven): the PageRank power iteration, the
+    * large-star/small-star component contraction and its consumers,
+    * and the k-means / PCA fixpoints. */
+  private val iterativeQueries = Seq(
+    "graph_pagerank", "dedup_components", "dedup_best_rep",
+    "dedup_incremental", "embed_cluster", "embed_pca", "curate_report")
+
+  private def hintedBroadcastJoins(plan: LogicalPlan): Seq[Join] =
+    plan.collect {
+      case j: Join
+          if j.hint.leftHint.exists(_.strategy.contains(BROADCAST)) ||
+            j.hint.rightHint.exists(_.strategy.contains(BROADCAST)) => j
+    }
+
+  test("no iterative operator forces a broadcast join hint") {
+    val offenders = iterativeQueries.flatMap { name =>
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      val bad = hintedBroadcastJoins(df.queryExecution.optimizedPlan)
+      if (bad.nonEmpty) Seq(s"$name: ${bad.size} hinted broadcast join(s)")
+      else Seq.empty
+    }
+    assert(offenders.isEmpty,
+      s"iterative operators forcing O(n) broadcasts:\n${offenders.mkString("\n")}")
+  }
+
+  test("pagerank per-round join keys on src against the cached edge frame") {
+    val df = graft.SparkEntry.queries("graph_pagerank")(spark, sfDir)
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    // 10 unrolled rounds + 1 final deg re-join + 2 edge-derivation
+    // joins live inside the cached subtree; at minimum the 10 rounds
+    // must be equi-joins (a non-equi round would be a cartesian).
+    assert(joins.size >= 10, s"expected the 10-round unroll, saw ${joins.size}")
+    assert(joins.forall(_.condition.isDefined),
+      "every pagerank join must be an equi-join")
+  }
+}
