@@ -425,11 +425,17 @@ object Profile {
     * rows — the classic OLAP cube trick), persisted; every pair's
     * joint and both marginals then derive from those ≤2.1k cells by
     * tiny re-aggregations — zero further fact scans. Entropies use
-    * the count form H = log2(n) − Σ c·log2(c)/n, so only integer
-    * counts leave the aggregates and the single FP expression per
-    * statistic is mirrored op-for-op in the oracle (round(4), the
-    * corr tolerance rule). 1-row crossJoins assemble each output row
-    * (broadcast by construction). */
+    * the count form H = log2(n) − Σ c·log2(c)/n: integer counts
+    * leave the aggregates and the FP expression per statistic is
+    * mirrored op-for-op in the oracle — but this is the
+    * [[tableCorr]] TOLERANCE class, not bit-exactness: Spark's log2
+    * is ln(x)/ln(2) vs DuckDB's std::log2 (ulp-level differences),
+    * and the Σ c·log2(c) sum over up to ~2.1k cells re-associates
+    * per engine, so round(4) is doing real work and a half-boundary
+    * flip is possible at larger SFs (include this query in any
+    * sf0.1/sf1 re-certification of rounding-sensitive changes).
+    * 1-row crossJoins assemble each output row (broadcast by
+    * construction). */
   def tableEntropy(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir).lineitem
     val joint = li.groupBy(EntropyCols.map(col): _*)

@@ -1401,22 +1401,27 @@ object Streams {
   final case class CpAcc(days: Map[Long, Long])
 
   /** G26 core: the (type, day) count matrix maintained online.
-    * Addition commutes — replay-order free; every active batch emits
-    * the type's held (day, c) snapshot in long format; the CUSUM
-    * argmax runs on READ over the snapshot via the shared
+    * Addition commutes — replay-order free; each active batch emits
+    * ONLY the (day, c) entries this batch touched (counts are
+    * monotone, so a max-on-read consumer reconstructs the full
+    * snapshot — StreamsSpec's replay check does exactly that), which
+    * bounds per-batch sink volume by the batch's distinct days
+    * instead of the type's whole active-day span (the round-10
+    * ADVICE: full-snapshot re-emission grew O(span) per batch). The
+    * CUSUM argmax runs on READ via the shared
     * [[graft.operators.Lifecycle.changepointScore]] stage (the
     * prefix/argmax needs the FULL dense span, so it is a corpus
     * aggregate — the abtest read-side rule). */
   def cpFn(tp: String, evs: Iterator[CpEv],
       state: GroupState[CpAcc]): Iterator[(String, Long, Long)] = {
     var m = state.getOption.map(_.days).getOrElse(Map.empty[Long, Long])
-    var n = 0
+    var touched = Set.empty[Long]
     evs.foreach { e =>
-      n += 1; m = m.updated(e.day, m.getOrElse(e.day, 0L) + 1L)
+      touched += e.day; m = m.updated(e.day, m.getOrElse(e.day, 0L) + 1L)
     }
-    if (n == 0) return Iterator.empty
+    if (touched.isEmpty) return Iterator.empty
     state.update(CpAcc(m))
-    m.iterator.map { case (d, c) => (tp, d, c) }
+    touched.iterator.map(d => (tp, d, m(d)))
   }
 
   /** Shared stateful daily-counter stage (batch or streaming). */

@@ -1211,8 +1211,13 @@ class StreamsSpec extends SparkSuite {
   test("streaming changepoint: daily counters across batches score to the batch CUSUM") {
     val s = spark; import s.implicits._
     implicit val sq = s.sqlContext
+    // day derivation goes through the Tables.tsNsToSec seam — the
+    // SAME projection streamChangepoint uses — so the fixture cannot
+    // silently diverge from the batch query if the epoch-nanos
+    // normalization contract ever changes.
     val evs = graft.Tables(spark, sfDir).events
-      .selectExpr("event_type", "ts div 1000000000 div 86400 AS day")
+      .select(col("event_type"), graft.Tables.tsNsToSec("ts").as("ep"))
+      .selectExpr("event_type", "ep div 86400 AS day")
       .as[Streams.CpEv].collect()
     val expected = graft.operators.Lifecycle.eventsChangepoint(spark, sfDir)
       .collect().map(_.toString).toSeq
