@@ -383,27 +383,48 @@ object Profile {
     * violating determinant-pair surplus). All integer equality — no
     * tolerance.
     *
-    * Shape: one branch PER PAIR, unioned (the table_profile shape) —
-    * each branch is a 2-column-pruned scan → hash-distinct →
-    * two-value agg. The "obvious" single pass with 16
-    * countDistinct(struct(..)) aggregates plans as one Expand ×16
+    * Shape (round 11): the 12 ordered-pair stats decompose into 10
+    * independent SINGLE-distinct aggregations — n_det for pair
+    * (a → b) is countDistinct(a) over the deduped (a, b) frame,
+    * which equals countDistinct(a) over the table (every a value
+    * survives the dedup), so it is a per-COLUMN stat (4 branches);
+    * n_pairs is symmetric in (a, b) (6 unordered-pair branches of
+    * countDistinct(struct(a, b))). Each branch is a pruned scan →
+    * ONE partial-agg exchange (single-distinct plans as a two-phase
+    * hash agg with map-side dedup, no Expand); the previous
+    * branch-per-ordered-pair form paid 12 × (distinct exchange +
+    * second agg exchange) = 3 stages/branch — measured 2.9 s at
+    * sf0.001 (pure stage-count floor) and 4.2 s at sf0.1, vs
+    * 0.55/0.85 s (median-of-7) for this form, identical output. The 10 one-row
+    * frames crossJoin (1-row broadcast by construction — the
+    * PlanContractSpec allow-listed shape) into a single stats row;
+    * the 12 output rows then EXPLODE from one projection of it (an
+    * N-times-referenced 1-row frame would recompute all 10 branches
+    * N times — the no-subtree-dedup trap). The "obvious" single pass
+    * with 16 countDistinct aggregates plans as one Expand ×16
     * (2.4M null-padded rows at sf0.1) whose multi-distinct partials
-    * can't use the codegen fast hashmap — measured 3.79 s median at
-    * sf0.1 vs 1.5 s for the branch form, identical output; on a
-    * columnar store the 12 narrow branch scans together read each
-    * column a constant number of times. n_det rides the deduped
-    * (det, dep) frame as countDistinct(det) — a single-distinct agg
-    * plans WITHOUT Expand. */
+    * can't use the codegen fast hashmap — measured 3.79 s at sf0.1
+    * in round 2, still rejected. */
   def tableFds(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables(spark, dir).orders
     val fdPairs = for { a <- FdCols; b <- FdCols if a != b } yield (a, b)
-    fdPairs.map { case (a, b) =>
-      o.select(col(a), col(b)).distinct()
-        .agg(count(lit(1)).as("n_pairs"),
-          countDistinct(col(a)).as("n_det"))
-        .select(lit(a).as("det"), lit(b).as("dep"), col("n_det"),
-          col("n_pairs"), (col("n_pairs") === col("n_det")).as("fd_holds"))
-    }.reduce(_ unionAll _)
+    val unordered = for {
+      i <- FdCols.indices; j <- FdCols.indices if i < j
+    } yield (FdCols(i), FdCols(j))
+    val dets = FdCols.map(a =>
+      o.agg(countDistinct(col(a)).as(s"d_$a")))
+    val pairs = unordered.map { case (a, b) =>
+      o.agg(countDistinct(struct(col(a), col(b))).as(s"p_${a}_$b")) }
+    val stats = (dets ++ pairs).reduce(_ crossJoin _)
+    def pcol(a: String, b: String) =
+      if (FdCols.indexOf(a) < FdCols.indexOf(b)) col(s"p_${a}_$b")
+      else col(s"p_${b}_$a")
+    val rows = fdPairs.map { case (a, b) =>
+      struct(lit(a).as("det"), lit(b).as("dep"),
+        col(s"d_$a").as("n_det"), pcol(a, b).as("n_pairs"),
+        (pcol(a, b) === col(s"d_$a")).as("fd_holds"))
+    }
+    stats.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
       .orderBy(col("det"), col("dep"))
   }
 

@@ -244,9 +244,12 @@ class ProfileSpec extends SparkSuite {
       assert(holds.contains(("o_orderkey", c)), s"o_orderkey -> $c")
       assert(!holds.contains((c, "o_orderkey")), s"$c -> o_orderkey")
     }
-    // one 2-column-pruned scan per pair branch (the table_profile
-    // shape; the single-pass Expand ×16 alternative measured 2.5×
-    // slower — see the operator doc)
+    // the round-11 decomposition: exactly n single-column scans (the
+    // per-column n_det branches) + C(n,2) two-column scans (the
+    // unordered n_pairs branches) — NOT n·(n-1) ordered-pair
+    // branches, and never an un-pruned full-schema scan (the
+    // single-pass Expand ×16 alternative measured 2.5× slower — see
+    // the operator doc)
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     val df = Profile.tableFds(spark, sfDir)
@@ -258,8 +261,10 @@ class ProfileSpec extends SparkSuite {
       case other => other.children.flatMap(scans2)
     }
     val scans = scans2(df.queryExecution.executedPlan)
-    assert(scans.length == n * (n - 1))
-    scans.foreach(f => assert(f.requiredSchema.fields.length == 2,
-      s"branch scan must prune to its 2 columns: ${f.requiredSchema}"))
+    assert(scans.length == n + n * (n - 1) / 2,
+      s"expected $n 1-col + ${n * (n - 1) / 2} 2-col branches, got ${scans.length}")
+    val widths = scans.map(_.requiredSchema.fields.length).sorted
+    assert(widths == Seq.fill(n)(1) ++ Seq.fill(n * (n - 1) / 2)(2),
+      s"branch scans must prune to exactly their 1 or 2 columns: $widths")
   }
 }
