@@ -365,14 +365,16 @@ object Dedup {
     * is taken in decimal(38,0) — at 10¹⁰ edges × 10⁹-scale ids a long
     * would overflow.
     *
-    * Each phase's output is eagerly checkpointed, which both
-    * materializes every partition before the previous round is freed
-    * (the take(1)-probe recompute trap — see CLAUDE.md) and truncates
-    * the logical plan: each star phase references its input 2–3
-    * times, so without truncation the lineage grows ~4^rounds and
-    * plan analysis dies long before the data does (hit in DedupSpec's
-    * 200-hop chain at round ~7; plain persist does NOT truncate
-    * lineage for analysis). Reliable `checkpoint` is used when the
+    * Each ROUND's output (the small-star frame) is eagerly
+    * checkpointed, which both materializes every partition before
+    * the previous round is freed (the take(1)-probe recompute trap —
+    * see CLAUDE.md) and truncates the logical plan: each star phase
+    * references its input 2–3 times, so without per-round truncation
+    * the lineage grows ~4^rounds and plan analysis dies long before
+    * the data does (hit in DedupSpec's 200-hop chain at round ~7;
+    * plain persist does NOT truncate lineage for analysis). The
+    * mid-round large-star frame is only persisted — see the loop
+    * comment. Reliable `checkpoint` is used when the
     * session has a checkpoint dir (the cluster configuration —
     * survives executor loss); `localCheckpoint` otherwise. Old round
     * RDDs are freed explicitly on every exit, success or failure. */
@@ -442,27 +444,41 @@ object Dedup {
         val mins = sym.groupBy(col("u"))
           .agg(min(col("v")).as("mn"))
           .select(col("u").as("c"), least(col("mn"), col("u")).as("m"))
-        val large = snap(sym.filter(col("v") > col("u"))
+        // The large phase is NOT checkpointed or probed (round-11):
+        // by monotonicity sumPrev ≥ sumLarge ≥ sumSmall, so
+        // sumSmall == sumPrev already proves BOTH phases were no-ops
+        // — probing the mid-round frame bought nothing, and a plain
+        // persist (materialized by the small phase's checkpoint job,
+        // which reads `large` twice) replaces the second checkpoint
+        // write. 4 jobs/round → 2 and one O(E) block-store write per
+        // round removed. A/B at sf0.1 measured NO latency change
+        // (3.03 → 3.01 s median-of-5 — the star shuffles dominate at
+        // toy scale); kept for the halved job count and removed
+        // per-round edge-frame write, which are the driver/IO terms
+        // that grow with cluster scale. Lineage stays bounded: each
+        // round still STARTS from a checkpointed frame, so the
+        // analysis-time blowup the per-round truncation exists for
+        // (~4^rounds) cannot re-accumulate — round-local depth is
+        // two phases.
+        val large = sym.filter(col("v") > col("u"))
           .join(mins, col("u") === col("c"))
           .select(col("v").as("u"), col("m").as("v"))
           .filter(col("u") =!= col("v"))
-          .distinct())
-        val sumLarge = probe(large)
-        free(edges, deleteFiles = true) // dead round: nothing reads it
-        edges = large
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // small-star: edges are already greater→lesser oriented, so
         // each node's smaller neighborhood is exactly its `v` rows
-        val mins2 = edges.groupBy(col("u")).agg(min(col("v")).as("m"))
-        val small = snap(edges.join(mins2, "u")
+        val mins2 = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+        val small = snap(large.join(mins2, "u")
           .select(col("v").as("u"), col("m").as("v"))
           .union(mins2.select(col("u"), col("m")))
           .filter(col("u") =!= col("v"))
           .distinct())
         val sumSmall = probe(small)
+        large.unpersist(blocking = false)
         free(edges, deleteFiles = true) // dead round: nothing reads it
         edges = small
-        converged = sumLarge.compareTo(sumPrev) == 0 &&
-          sumSmall.compareTo(sumLarge) == 0
+        converged = sumSmall.compareTo(sumPrev) == 0
         sumPrev = sumSmall
         iter += 1
       }
