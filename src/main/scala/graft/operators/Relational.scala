@@ -184,10 +184,22 @@ object Relational {
   /** Multi-column DISTINCT + count-distinct per group. */
   def q12Distinct(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir).lineitem
-    li.groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_partkey")).as("n_parts"),
-           countDistinct(col("l_suppkey")).as("n_supps"),
-           countDistinct(col("l_partkey"), col("l_suppkey")).as("n_ps"))
+    // Three SINGLE-distinct branches joined on the 3-value group key
+    // instead of one agg with three countDistincts: the multi-distinct
+    // form plans as Expand ×3 (every input row tripled and null-padded
+    // before the partial agg, no codegen fast hashmap); each branch
+    // here is a two-phase hash agg whose map side dedups before the
+    // exchange (the round-11 table_fds decomposition; A/B measured
+    // 1.66 → 1.34 s median-of-7 at sf0.1 — the (part, supp) pair
+    // branch still carries its ~600k distinct pairs through one
+    // exchange and bounds the win). The joins are 3-row ⋈ 3-row.
+    def branch(name: String, cols: Column*) =
+      li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(cols.head, cols.tail: _*).as(name))
+    branch("n_parts", col("l_partkey"))
+      .join(branch("n_supps", col("l_suppkey")), "l_returnflag")
+      .join(branch("n_ps", col("l_partkey"), col("l_suppkey")),
+        "l_returnflag")
       .orderBy(col("l_returnflag"))
   }
 

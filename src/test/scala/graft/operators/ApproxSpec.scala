@@ -40,12 +40,17 @@ class ApproxSpec extends SparkSuite {
     }
   }
 
-  test("approx count-distinct plan carries no Expand, exact carries one") {
+  test("neither count-distinct form plans an Expand") {
+    // the exact form decomposes into three single-distinct branches
+    // (round 11 — the multi-distinct agg would plan Expand ×3,
+    // tripling and null-padding every input row); the HLL variant
+    // aggregates sketches. Both must stay Expand-free.
     val exactPlan = Relational.q12Distinct(spark, sfDir)
       .queryExecution.executedPlan.toString
     val approxPlan = Relational.q12ApproxDistinct(spark, sfDir)
       .queryExecution.executedPlan.toString
-    assert(exactPlan.contains("Expand"), exactPlan)
+    assert(!exactPlan.contains("Expand"),
+      s"exact form must run single-distinct branches, not Expand:\n$exactPlan")
     assert(!approxPlan.contains("Expand"),
       s"HLL variant must aggregate sketches, not expand rows:\n$approxPlan")
   }
