@@ -72,4 +72,35 @@ object Sinks {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Idempotent per-batch parquet sink — the sink half of end-to-end
+    * exactly-once (the source half is the offset-tracked
+    * [[ReplayLog]]; reference analog: the reference's result writers
+    * deliver a job's output once per job id, mr/result_writers/
+    * file.py). Structured Streaming's foreachBatch re-delivers a
+    * batch when a crash lands between the batch's execution and its
+    * checkpoint commit; a blind append would duplicate those rows.
+    * Each batch publishes to `path/batch_id=<id>/` via
+    * write-to-hidden-tmp + ATOMIC rename: a re-delivered batch finds
+    * the directory already published and skips, a torn write leaves
+    * only a dot-prefixed tmp dir that partition discovery ignores,
+    * and a rename race (two attempts of the same batch) leaves
+    * exactly one winner. Readers take `spark.read.parquet(path)` and
+    * get `batch_id` back as a partition column for free.
+    *
+    * Returns true iff this call published the batch. */
+  def idempotentBatchWrite(df: DataFrame, batchId: Long,
+      path: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val target = new Path(root, s"batch_id=$batchId")
+    if (fs.exists(target)) return false
+    val tmp = new Path(root,
+      s".tmp-$batchId-${java.util.UUID.randomUUID().toString.take(8)}")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.rename(tmp, target)) true
+    else { fs.delete(tmp, true); false } // lost the publish race
+  }
 }
