@@ -2949,6 +2949,56 @@ object Oracles {
         |ORDER BY q_id, rk""".stripMargin
     },
 
+    // IVF + PQ composed (Similarity.annIvfPq): the ivf_assign chain
+    // supplies coarse lists AND the 16 seed vectors double as the PQ
+    // codebooks; probes replay ann_ivf's tie rule (d DESC, c_idx
+    // DESC, top-4), codes/ADC replay ann_pq's (first-max, list(d
+    // ORDER BY m) left fold), and the candidate gate is the
+    // probed-list membership join. Same FP-order contracts as both
+    // parents ⇒ full hash gate.
+    "ann_ivfpq" -> {
+      val m = graft.operators.Similarity.PqSub
+      val sd = 64 / m
+      s"""${ivfAssignCtes(nLists = 16)},
+        |cd AS (
+        |  SELECT e.vec_id, t.m, c.c_idx,
+        |    list_reduce(
+        |      list_transform(
+        |        list_zip(e.v[t.m*$sd+1 : t.m*$sd+$sd],
+        |                 c.cv[t.m*$sd+1 : t.m*$sd+$sd]),
+        |        s -> s[1] * s[2]),
+        |      (x, y) -> x + y) AS d
+        |  FROM e, range(0, $m) t(m), cents c),
+        |codes AS (
+        |  SELECT vec_id, m, c_idx AS code FROM (
+        |    SELECT vec_id, m, c_idx,
+        |      row_number() OVER (PARTITION BY vec_id, m
+        |                         ORDER BY d DESC, c_idx) AS rn
+        |    FROM cd) WHERE rn = 1),
+        |qd AS (SELECT vec_id AS q_id, m, c_idx, d FROM cd WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT vec_id AS q_id, c_idx AS list_id FROM (
+        |    SELECT vec_id, c_idx, row_number() OVER (
+        |        PARTITION BY vec_id ORDER BY d DESC, c_idx DESC) AS rn
+        |    FROM dots WHERE vec_id < 10) WHERE rn <= 4),
+        |pairs AS (
+        |  SELECT q.q_id, x.vec_id AS n_id,
+        |    list_reduce(list(q.d ORDER BY q.m), (a, b) -> a + b) AS score
+        |  FROM codes x
+        |  JOIN assigned a ON a.vec_id = x.vec_id
+        |  JOIN probes p ON p.list_id = a.list_id
+        |  JOIN qd q ON q.q_id = p.q_id AND q.m = x.m AND q.c_idx = x.code
+        |  WHERE x.vec_id <> p.q_id
+        |  GROUP BY q.q_id, x.vec_id)
+        |SELECT q_id, n_id, rk::int AS rk, round(score, 4) AS score FROM (
+        |  SELECT q_id, n_id, score,
+        |    row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY score DESC, n_id) AS rk
+        |  FROM pairs)
+        |WHERE rk <= 5
+        |ORDER BY q_id, rk""".stripMargin
+    },
+
     // PQ asymmetric-distance scoring, stage for stage with
     // Similarity.annPq: the same Knuth-hash codebook seeds (slices of
     // the IVF seed vectors), first-max sub-dot assignment (row_number

@@ -326,6 +326,100 @@ object Similarity {
         score.as("cos"))
   }
 
+  /** D12 (round 11): IVF + PQ composed — the index shape every
+    * billion-scale vector store actually ships (FAISS IVFPQ): the
+    * coarse quantizer bounds WHICH vectors are scanned (a query
+    * touches nProbe/nLists of the corpus — partition-prunable when
+    * the store is laid out by list_id), and PQ bounds the BYTES per
+    * scanned vector (8 B of codes instead of 256 B of floats).
+    * ann_ivf alone still reads full floats in the probed lists;
+    * ann_pq alone still scans every vector's codes; the composition
+    * is what makes both dials independent.
+    *
+    * Shape: ONE scan computes each vector's list assignment AND its
+    * PqSub codes (the same 16 Knuth-hash seed vectors serve as both
+    * coarse centroids and per-subspace codebooks — one driver
+    * "training" collect total); the query side is ENTIRELY
+    * driver-prepared (probe lists + ADC tables ride one
+    * constant-folded struct-array literal — the annPq round-10
+    * pattern), so scoring is a projection + array_contains filter on
+    * the codes scan with the top-k partial agg as the only exchange.
+    * Zero joins anywhere.
+    *
+    * FULLY hash-gated: the driver-side probe dots replicate
+    * DotProductD's accumulation order exactly (bit-identical to the
+    * oracle's sequential list_reduce), probe tie rule (d DESC, c_idx
+    * DESC) and assignment/code first-max rules mirror ann_ivf/ann_pq,
+    * and the ADC score is the same fixed left-fold d_0 + … + d_15.
+    * Recall vs brute force property-tested in SimilaritySpec. */
+  def annIvfPq(spark: SparkSession, dir: String,
+      nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val e = vectors(spark, dir)
+    val cents: Array[Seq[Double]] = e
+      .withColumn("h", expr(s"(vec_id * $IvfHashMul) % $IvfHashMod"))
+      .orderBy(col("h"), col("vec_id")).limit(nLists)
+      .select(col("v")).collect().map(_.getSeq[Double](0))
+    val dim = cents.head.length
+    val subDim = dim / PqSub
+    def centCol(c: Seq[Double]) = array(c.map(lit): _*)
+    def vSub(mi: Int) = slice(col("v"), mi * subDim + 1, subDim)
+    def centSub(c: Seq[Double], mi: Int) =
+      array(c.slice(mi * subDim, (mi + 1) * subDim).map(lit): _*)
+
+    // one scan: coarse list assignment (full-vector dots, first-max
+    // tie rule) + PQ codes (per-subspace dots, same rule); floats
+    // dropped after encoding — the scoring plan carries 8 B of codes
+    // + a list id per vector
+    val assigned = e
+      .withColumn("ldots",
+        array(cents.map(c => V.dot(col("v"), centCol(c))): _*))
+      .withColumn("list_id",
+        expr("array_position(ldots, array_max(ldots))"))
+      .drop("ldots")
+    val coded = (0 until PqSub).foldLeft(assigned) { (df, mi) =>
+      df.withColumn(s"ds_$mi",
+          array(cents.map(c => V.dot(vSub(mi), centSub(c, mi))): _*))
+        .withColumn(s"code_$mi",
+          expr(s"array_position(ds_$mi, array_max(ds_$mi))"))
+        .drop(s"ds_$mi")
+    }.select(col("vec_id") +: col("list_id") +:
+      (0 until PqSub).map(mi => col(s"code_$mi")): _*)
+
+    // request-side prep, all at the driver: per query the nProbe
+    // best lists (strict sequential dots — DotProductD's order — and
+    // the ann_ivf probe tie rule d DESC, c_idx DESC) and the ADC
+    // tables, shipped together as one literal
+    val qVecs: Array[(Long, Seq[Double])] = e.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("v")).orderBy(col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    def foldDot(a: Seq[Double], c: Seq[Double], from: Int, len: Int): Double = {
+      var acc = 0.0
+      var i = from
+      val end = from + len
+      while (i < end) { acc += a(i) * c(i); i += 1 }
+      acc
+    }
+    val qStructs = qVecs.map { case (qid, qv) =>
+      val probes = cents.zipWithIndex
+        .map { case (c, i) => (foldDot(qv, c, 0, dim), i + 1) }
+        .sortBy { case (d, i) => (-d, -i) }.take(nProbe).map(_._2.toLong)
+      struct(lit(qid).as("q_id"),
+        array(probes.map(lit).toIndexedSeq: _*).as("pl"),
+        array((0 until PqSub).map(mi =>
+          array(cents.map(c => lit(foldDot(qv, c, mi * subDim, subDim)))
+            : _*)): _*).as("qd"))
+    }
+    val score = (0 until PqSub).map(mi =>
+      element_at(element_at(col("q.qd"), mi + 1),
+        col(s"code_$mi").cast("int"))).reduce(_ + _)
+    val pairs = coded.withColumn("q", explode(array(qStructs.toSeq: _*)))
+      .filter(array_contains(col("q.pl"), col("list_id")))
+      .filter(col("vec_id") =!= col("q.q_id"))
+      .select(col("q.q_id").as("q_id"), col("vec_id").as("n_id"),
+        score.as("cos"))
+    topK(spark, pairs, k = 5).withColumnRenamed("cos", "score")
+  }
+
   /** Candidate depth for [[annRerank]] (single-sourced into the
     * oracle). */
   val RerankR = 50

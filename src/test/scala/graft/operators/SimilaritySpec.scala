@@ -67,6 +67,34 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.2, s"PQ recall@5 too low: $recall")
   }
 
+  test("IVF+PQ recall@5 vs brute force; scores agree with raw PQ on shared hits") {
+    val bf = Similarity.annBruteforce(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = Similarity.annIvfPq(spark, sfDir).collect()
+    val ipq = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & ipq).size.toDouble / bf.size
+    // compounds the IVF probe miss AND the PQ code distortion on
+    // unclustered synthetic vectors (both parents' worst case) — the
+    // floor guards a broken compose, not a quality bar (random top-5
+    // of 500 would land near 1%)
+    assert(recall >= 0.1, s"IVF+PQ recall@5 too low: $recall")
+    // per-query well-formedness
+    rows.groupBy(_.getLong(0)).foreach { case (q, hits) =>
+      assert(hits.length <= 5, s"query $q returned ${hits.length} rows")
+      assert(hits.map(_.getInt(2)).sorted.toSeq == (1 to hits.length),
+        s"query $q ranks not contiguous")
+    }
+    // the ADC algebra is the SAME as ann_pq's — on any (q, n) pair
+    // both operators emit, the scores must agree bit-for-bit
+    val pqScores = Similarity.annPq(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    val shared = rows.flatMap { r =>
+      pqScores.get((r.getLong(0), r.getLong(1))).map(_ -> r.getDouble(3))
+    }
+    assert(shared.nonEmpty, "expected some overlap with raw PQ top-5")
+    shared.foreach { case (a, b) => assert(a == b, s"ADC score drift: $a vs $b") }
+  }
+
   test("rerank recall@5 beats raw PQ; exact scores match brute force on hits") {
     val bfRows = Similarity.annBruteforce(spark, sfDir).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3)))
