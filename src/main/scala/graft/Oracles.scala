@@ -2415,6 +2415,24 @@ object Oracles {
 
     "sample_stratified" -> stratifiedSampleSql,
 
+    // J11 deterministic holdout split: same md5-hex fate function as
+    // the stratified sampler (lowercase-hex string compare IS the
+    // 16-bit numeric compare), fences single-sourced from Sampling.
+    "sample_split" -> {
+      val seed = graft.operators.Sampling.SplitSeed
+      val tr = graft.operators.Sampling.SplitTrainMax
+      val va = graft.operators.Sampling.SplitValMax
+      s"""SELECT doc_id, lang, bucket,
+         |  CASE WHEN bucket < '$tr' THEN 'train'
+         |       WHEN bucket < '$va' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (
+         |  SELECT doc_id, lang,
+         |    substr(md5('$seed' || doc_id::varchar), 1, 4) AS bucket
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+
     // J10 importance sampling: keep iff 16-bit md5 bucket <
     // floor(quality·65536) — integer compare (DuckDB's 0x-cast vs
     // Spark's conv(,16,10)), quality single-sourced via qualityExpr.

@@ -527,4 +527,39 @@ object Sampling {
       .filter(col("bucket") < col("thr"))
       .orderBy(col("doc_id"))
   }
+
+  /** Salt for [[sampleSplit]] — an independent draw from every other
+    * sampling salt (the same salt would correlate the holdout with a
+    * sampling decision). */
+  val SplitSeed = "graft-split-11:"
+
+  /** Hex fate boundaries: bucket < e666 → train (0xe666/0x10000 =
+    * 58982/65536 ≈ 0.8999), < f333 → val (0xf333−0xe666 = 3277/65536
+    * ≈ 0.0500), else test (≈ 0.0500). */
+  val SplitTrainMax = "e666"
+  val SplitValMax = "f333"
+
+  /** J11 (round 11): deterministic train/val/test holdout split —
+    * the assignment every training pipeline makes before anything
+    * else, and the one that must NEVER drift: a document that
+    * migrates from test to train between runs silently contaminates
+    * every evaluation after it. Membership is a pure function of
+    * doc_id (first 16 md5 bits of salt ‖ doc_id against fixed hex
+    * fences), so the split is bit-reproducible cross-engine, stable
+    * under repartitioning/re-ingestion, and new documents land in
+    * splits at the same ≈90/5/5 rates without moving ANY existing
+    * document — the property a random/row_number split cannot give.
+    * Zero-shuffle fate function (the [[sampleStratified]] discipline,
+    * plan-asserted in SamplingSpec); downstream consumers filter on
+    * `split` as one predicate. Full hash gate (md5-hex compare is
+    * integer-free and identical in DuckDB). */
+  def sampleSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang"),
+        hashBucket(col("doc_id"), SplitSeed).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < SplitTrainMax, "train")
+          .when(col("bucket") < SplitValMax, "val")
+          .otherwise("test"))
+      .orderBy(col("doc_id"))
 }

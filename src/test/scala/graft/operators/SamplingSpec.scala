@@ -457,4 +457,34 @@ class SamplingSpec extends SparkSuite {
     assert(plan.contains("WindowGroupLimit"),
       s"expected WindowGroupLimit in:\n$plan")
   }
+
+  test("sample_split: total disjoint cover at sane rates, pure fate " +
+      "function data plane") {
+    val d = graft.Tables(spark, sfDir).documents
+    val out = Sampling.sampleSplit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+    // every document lands in exactly one split
+    assert(out.length.toLong === d.count(), "one row per doc")
+    assert(out.map(_._1).distinct.length === out.length)
+    val byS = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byS.keySet === Set("train", "val", "test"))
+    val n = out.length.toDouble
+    assert(byS("train") / n > 0.85 && byS("train") / n < 0.94,
+      s"train share off nominal 0.90: $byS")
+    for (s <- Seq("val", "test"))
+      assert(byS(s) / n > 0.02 && byS(s) / n < 0.09,
+        s"$s share off nominal 0.05: $byS")
+    // determinism across independent plans
+    val again = Sampling.sampleSplit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+    assert(again.toSeq === out.toSeq)
+    // same data-plane contract as sample_stratified: scan + project,
+    // the presentation orderBy's range exchange is the only shuffle
+    val plan = Sampling.sampleSplit(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("HashAggregate"),
+      s"split must stay a per-row fate function:\n$plan")
+    assert(!plan.contains("hashpartitioning"),
+      s"unexpected hash shuffle:\n$plan")
+  }
 }
