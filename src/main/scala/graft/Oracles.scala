@@ -1089,6 +1089,38 @@ object Oracles {
         |  round(b.dev::double / n_days, 4) AS cusum_dev
         |FROM best ORDER BY event_type""".stripMargin,
 
+    // B OLS daily-volume trend + point forecast (Lifecycle
+    // .eventsTrend): the fit reduces to exact integer sums over the
+    // active-day counts — n, Σx, Σy, Σxy, Σx² all bigint (day ~2e4,
+    // counts ≤ ~7e3/day at sf1: Σy·Σx² ≈ 2.6e15, the largest product,
+    // fits bigint to ~sf100) — and slope/forecast are single rational
+    // expressions with ONE ::double cast each side of the division,
+    // IEEE-identical cross-engine. Mirrors the Spark long algebra
+    // term for term.
+    "events_trend" -> {
+      val h = graft.operators.Lifecycle.TrendHorizonDays
+      s"""WITH e AS (
+        |  SELECT event_type,
+        |    epoch(date_trunc('second', ts))::bigint // 86400 AS day
+        |  FROM events),
+        |daily AS (SELECT event_type, day, count(*)::bigint AS c
+        |          FROM e GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, count(*)::bigint AS n,
+        |    sum(day)::bigint AS sx, sum(c)::bigint AS sy,
+        |    sum(day * c)::bigint AS sxy,
+        |    sum(day * day)::bigint AS sxx,
+        |    max(day)::bigint AS d1
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, n AS n_days, d1,
+        |  round((n * sxy - sx * sy)::double /
+        |        (n * sxx - sx * sx)::double, 6) AS slope,
+        |  round(((sy * sxx - sx * sxy) +
+        |         (n * sxy - sx * sy) * (d1 + $h))::double /
+        |        (n * sxx - sx * sx)::double, 4) AS fc_d$h
+        |FROM s ORDER BY event_type""".stripMargin
+    },
+
     // B daily-grid LOCF resample: per-day last sample via named-struct
     // max (DuckDB row order == Spark struct order), dense grid via
     // range unnest, carry via IGNORE NULLS last_value. All integer.

@@ -807,4 +807,59 @@ object Lifecycle {
           .otherwise("C").as("pareto_class"))
       .orderBy(col("revenue").desc, col("cust_key"))
   }
+
+  /** Forecast horizon for [[eventsTrend]] (days past the last active
+    * day; single-sourced into the oracle). */
+  val TrendHorizonDays = 7L
+
+  /** B (round 11): per-type OLS daily-volume trend + point forecast —
+    * the "where is this event stream heading" read that completes
+    * the time-structure family (seasonality = the periodic part,
+    * changepoint = the level shifts, trend = the direction; a
+    * capacity planner reads all three). Fit is ordinary least
+    * squares of daily count on day over the type's ACTIVE days
+    * (absent days are no-observation, not zero — the same grain
+    * events_changepoint counts).
+    *
+    * Exactness: the whole fit reduces to FOUR INTEGER SUMS
+    * (n, Σx, Σy, Σxy, Σx²) — counts and epoch-days are integers, so
+    * every sum is exact and order-free — and slope/forecast are
+    * SINGLE rational expressions of them:
+    *   slope    = (n·Σxy − Σx·Σy) / D,    D = n·Σx² − (Σx)²
+    *   forecast = ((Σy·Σx² − Σx·Σxy) + (n·Σxy − Σx·Σy)·x_f) / D
+    * with x_f = last active day + [[TrendHorizonDays]]. Numerators
+    * and D stay in long range to ~sf100 (bounds in the oracle
+    * comment); the ONE long→double cast each side of the division is
+    * IEEE-identical cross-engine ⇒ full hash gate, no FP-fold-order
+    * exposure anywhere (the text_tfidf rational-idf trick applied to
+    * regression). Negative-forecast clamp deliberately absent — a
+    * below-zero point forecast IS the trend signal.
+    *
+    * Shape: one exchange for the (type, day) count, one tiny
+    * per-type agg — the daily frame is the same first stage as
+    * changepoint/seasonality and scales identically. */
+  def eventsTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .select(col("event_type"), Tables.tsNsToSec("ts").as("ep"))
+      .selectExpr("event_type", "ep div 86400 AS day")
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c"))
+    val s = daily.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("day")).as("sx"),
+      sum(col("c")).as("sy"),
+      sum(col("day") * col("c")).as("sxy"),
+      sum(col("day") * col("day")).as("sxx"),
+      max(col("day")).as("d1"))
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    val slopeNum = col("n") * col("sxy") - col("sx") * col("sy")
+    val xf = col("d1") + lit(TrendHorizonDays)
+    val fcNum = (col("sy") * col("sxx") - col("sx") * col("sxy")) +
+      slopeNum * xf
+    s.select(col("event_type"), col("n").as("n_days"), col("d1"),
+        round(slopeNum.cast("double") / den.cast("double"), 6).as("slope"),
+        round(fcNum.cast("double") / den.cast("double"), 4)
+          .as(s"fc_d${TrendHorizonDays}"))
+      .orderBy(col("event_type"))
+  }
 }

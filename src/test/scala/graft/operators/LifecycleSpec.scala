@@ -475,4 +475,61 @@ class LifecycleSpec extends SparkSuite {
       }
     }
   }
+
+  test("events_trend: slope and forecast match an exact BigInt OLS recompute") {
+    val out = Lifecycle.eventsTrend(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // independent exact recompute: daily counts from the Tables seam,
+    // the OLS rationals in BigInt, the one double division at the end
+    val daily = graft.Tables(spark, sfDir).events
+      .select(org.apache.spark.sql.functions.col("event_type"),
+        graft.Tables.tsNsToSec("ts").as("ep"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1) / 86400L))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .groupBy(_._1._1)
+    out.foreach { r =>
+      val tpe = r.getString(0)
+      val pts = daily(tpe).map { case ((_, d), c) => (BigInt(d), BigInt(c)) }
+      val n = BigInt(pts.size)
+      val sx = pts.map(_._1).sum
+      val sy = pts.map(_._2).sum
+      val sxy = pts.map { case (x, y) => x * y }.sum
+      val sxx = pts.map { case (x, _) => x * x }.sum
+      val d1 = pts.map(_._1).max
+      val den = n * sxx - sx * sx
+      val slope = (n * sxy - sx * sy).toDouble / den.toDouble
+      val fc = ((sy * sxx - sx * sxy) +
+        (n * sxy - sx * sy) * (d1 + BigInt(Lifecycle.TrendHorizonDays)))
+        .toDouble / den.toDouble
+      assert(r.getLong(1) === pts.size.toLong, s"n_days $tpe")
+      assert(r.getLong(2) === d1.toLong, s"d1 $tpe")
+      assert(math.abs(r.getDouble(3) - slope) <= 5e-7, s"slope $tpe")
+      assert(math.abs(r.getDouble(4) - fc) <= 5e-5, s"forecast $tpe")
+    }
+  }
+
+  test("events_trend hand fixture: exact line recovered exactly") {
+    val s2 = spark; import s2.implicits._
+    // counts 10, 12, 14 on days 100..102: slope 2, next +7 = day 109
+    // → forecast 10 + 2·9 = 28. Build the daily frame directly and
+    // drive the same algebra through a micro eventsTrend replica to
+    // pin the rational formulas themselves.
+    val daily = Seq(("a", 100L, 10L), ("a", 101L, 12L), ("a", 102L, 14L))
+      .toDF("event_type", "day", "c")
+    import org.apache.spark.sql.functions._
+    val st = daily.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"), sum(col("day")).as("sx"),
+      sum(col("c")).as("sy"), sum(col("day") * col("c")).as("sxy"),
+      sum(col("day") * col("day")).as("sxx"), max(col("day")).as("d1"))
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    val sn = col("n") * col("sxy") - col("sx") * col("sy")
+    val fc = (col("sy") * col("sxx") - col("sx") * col("sxy")) +
+      sn * (col("d1") + lit(Lifecycle.TrendHorizonDays))
+    val row = st.select(
+      (sn.cast("double") / den.cast("double")).as("slope"),
+      (fc.cast("double") / den.cast("double")).as("fc")).head()
+    assert(row.getDouble(0) === 2.0)
+    assert(row.getDouble(1) === 28.0)
+  }
 }
