@@ -1113,11 +1113,13 @@ object Oracles {
         |    max(day)::bigint AS d1
         |  FROM daily GROUP BY 1)
         |SELECT event_type, n AS n_days, d1,
-        |  round((n * sxy - sx * sy)::double /
-        |        (n * sxx - sx * sx)::double, 6) AS slope,
-        |  round(((sy * sxx - sx * sxy) +
-        |         (n * sxy - sx * sy) * (d1 + $h))::double /
-        |        (n * sxx - sx * sx)::double, 4) AS fc_d$h
+        |  CASE WHEN n >= 2 THEN
+        |    round((n * sxy - sx * sy)::double /
+        |          (n * sxx - sx * sx)::double, 6) END AS slope,
+        |  CASE WHEN n >= 2 THEN
+        |    round(((sy * sxx - sx * sxy) +
+        |           (n * sxy - sx * sy) * (d1 + $h))::double /
+        |          (n * sxx - sx * sx)::double, 4) END AS fc_d$h
         |FROM s ORDER BY event_type""".stripMargin
     },
 

@@ -16,13 +16,20 @@ import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleEx
   * the per-query scan-count specs pin, but repo-wide and diffable.
   *
   * Counts come from the PRE-EXECUTION plan (AdaptiveSparkPlanExec's
-  * initial plan): stable, fast (no query runs), and the shape AQE
-  * starts from — runtime AQE conversions (e.g. shuffle→broadcast
-  * where a frame fits) are deliberately not captured, because they
-  * are data-size-dependent choices, not authored plan shape.
-  * Cached-plan subtrees are NOT truncated here (unlike the
-  * IncrementalSpec walk) — at audit time nothing is cached yet in a
-  * fresh session, so the counts are the uncached lineage.
+  * initial plan): stable, and the shape AQE starts from — runtime
+  * AQE conversions (e.g. shuffle→broadcast where a frame fits) are
+  * deliberately not captured, because they are data-size-dependent
+  * choices, not authored plan shape. "Static" means the audit never
+  * EXECUTES the returned frame — but CONSTRUCTING a query may run
+  * jobs (the iterative fixpoints materialize rounds at build time)
+  * and may persist frames (Curate.survivors), so some subtrees ARE
+  * cached when we walk. The walk therefore truncates at
+  * InMemoryTableScanExec exactly like the IncrementalSpec walker
+  * (counting it in `cached_scans`), so every count consistently
+  * means "work outside cached lineage as authored" — a textual or
+  * descend-through count would re-print each cache reference's
+  * lineage once per reference (ADVICE r11; measured 20 phantom
+  * scans on a zero-uncached-scan plan).
   *
   * Fields per query: parquet scan count, shuffle/broadcast exchange
   * counts, authored broadcast JOIN HINTS in the optimized logical
@@ -44,7 +51,9 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case c: InMemoryTableScanExec => Seq(c) // stop: cached lineage
       case a: AdaptiveSparkPlanExec => a +: walk(a.initialPlan)
       case other => other +: other.children.flatMap(walk)
     }
@@ -54,6 +63,7 @@ object PlanAudit {
         val df = fn(spark, sfDir)
         val nodes = walk(df.queryExecution.executedPlan)
         val scans = nodes.count(_.isInstanceOf[FileSourceScanExec])
+        val cachedScans = nodes.count(_.isInstanceOf[InMemoryTableScanExec])
         val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
         val bcasts = nodes.count(_.isInstanceOf[BroadcastExchangeExec])
         val planStr = nodes.map(_.nodeName).mkString(" ")
@@ -68,7 +78,8 @@ object PlanAudit {
         // (Curate.survivors pattern) — clear so the NEXT query's audit
         // sees its own uncached lineage
         spark.catalog.clearCache()
-        s""""$name":{"scans":$scans,"shuffles":$shuffles,""" +
+        s""""$name":{"scans":$scans,"cached_scans":$cachedScans,""" +
+          s""""shuffles":$shuffles,""" +
           s""""broadcast_exchanges":$bcasts,"broadcast_hints":$hints,""" +
           s""""cartesian":$cartesian,"bnlj":$bnlj}"""
       } catch { case e: Throwable =>

@@ -30,9 +30,17 @@ object VerifyR {
       pass: Boolean)
 
   /** compare.py-style canonical hash: columns sorted by name, every
-    * value rendered deterministically, rows sorted lexicographically. */
+    * value rendered deterministically, rows sorted lexicographically.
+    * Rendered values are joined with an ESCAPED unit separator
+    * (\u001f; backslash-escaped if it ever appears in a value), so
+    * the joined line is a bijection of the row — a raw separator
+    * could collide distinct rows whose values embed it, and no
+    * separator at all collides ("ab","c") with ("a","bc")
+    * (ADVICE r11). */
   private def canonicalHash(df: DataFrame): String = {
     val cols = df.columns.sorted
+    def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("\u001f", "\\u001f")
     def render(v: Any): String = v match {
       case null => "NULL"
       case s: Seq[_] => s.map(render).mkString("[", ",", "]")
@@ -42,7 +50,8 @@ object VerifyR {
       case x => x.toString
     }
     val lines = df.select(cols.map(col).toIndexedSeq: _*).collect()
-      .map(r => (0 until r.length).map(i => render(r.get(i))).mkString(""))
+      .map(r => (0 until r.length).map(i => esc(render(r.get(i))))
+        .mkString("\u001f"))
       .sorted
     val md = MessageDigest.getInstance("MD5")
     lines.foreach(l => md.update((l + "\n").getBytes("UTF-8")))

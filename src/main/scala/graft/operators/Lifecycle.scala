@@ -856,9 +856,16 @@ object Lifecycle {
     val xf = col("d1") + lit(TrendHorizonDays)
     val fcNum = (col("sy") * col("sxx") - col("sx") * col("sxy")) +
       slopeNum * xf
+    // n = 1 (one active day) ⇒ den = 0: an OLS line is undefined, so
+    // slope/forecast are NULL — guarded identically in the oracle
+    // (DuckDB's x/0 is not IEEE Infinity, so the unguarded form would
+    // diverge exactly on degenerate types; ADVICE r11).
     s.select(col("event_type"), col("n").as("n_days"), col("d1"),
-        round(slopeNum.cast("double") / den.cast("double"), 6).as("slope"),
-        round(fcNum.cast("double") / den.cast("double"), 4)
+        when(col("n") >= 2,
+          round(slopeNum.cast("double") / den.cast("double"), 6))
+          .as("slope"),
+        when(col("n") >= 2,
+          round(fcNum.cast("double") / den.cast("double"), 4))
           .as(s"fc_d${TrendHorizonDays}"))
       .orderBy(col("event_type"))
   }

@@ -67,20 +67,38 @@ object ReplayLog {
     start + records.length
   }
 
-  /** Segments as (startOffset, path), ascending. */
+  /** Segments as (startOffset, path), ascending. The listing stream
+    * is closed in finally — this runs on every micro-batch trigger
+    * (latestOffset/planInputPartitions), so a leaked stream is a
+    * leaked directory fd per trigger. */
   private[sources] def segments(dir: String): Seq[(Long, String)] = {
     val d = Paths.get(dir)
     if (!Files.isDirectory(d)) return Seq.empty
-    Files.list(d).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".log"))
-      .map(p => (p.getFileName.toString.stripSuffix(".log").toLong,
-        p.toString))
-      .toSeq.sortBy(_._1)
+    val listing = Files.list(d)
+    try {
+      listing.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".log"))
+        .map(p => (p.getFileName.toString.stripSuffix(".log").toLong,
+          p.toString))
+        .toSeq.sortBy(_._1)
+    } finally listing.close()
   }
 
-  /** Count of lines in a segment file. */
+  /** Per-segment record counts. Segments are immutable once written
+    * (CREATE_NEW, single-writer contract), so a length read once is
+    * valid for the file's lifetime — caching makes per-trigger batch
+    * planning listing-only driver I/O instead of re-reading every
+    * segment's full bytes each trigger (O(log size) per batch
+    * otherwise, which contradicts the "driver never holds record
+    * data" scale shape). One long per segment ever planned — the
+    * same order of driver state as Kafka topic metadata. */
+  private val segLenCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Count of lines in a segment file (cached — see [[segLenCache]]). */
   private[sources] def segLen(path: String): Long =
-    Files.readAllBytes(Paths.get(path)).count(_ == '\n').toLong
+    segLenCache.computeIfAbsent(path,
+      p => Files.readAllBytes(Paths.get(p)).count(_ == '\n').toLong)
 
   /** Total records ever appended (the next record's offset). */
   def endOffset(dir: String): Long =

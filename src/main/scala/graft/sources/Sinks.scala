@@ -81,12 +81,19 @@ object Sinks {
     * batch when a crash lands between the batch's execution and its
     * checkpoint commit; a blind append would duplicate those rows.
     * Each batch publishes to `path/batch_id=<id>/` via
-    * write-to-hidden-tmp + ATOMIC rename: a re-delivered batch finds
-    * the directory already published and skips, a torn write leaves
-    * only a dot-prefixed tmp dir that partition discovery ignores,
-    * and a rename race (two attempts of the same batch) leaves
-    * exactly one winner. Readers take `spark.read.parquet(path)` and
-    * get `batch_id` back as a partition column for free.
+    * write-to-hidden-tmp + rename: a re-delivered batch finds the
+    * directory already published and skips, a torn write leaves
+    * only a dot-prefixed tmp dir that partition discovery ignores.
+    * A rename RACE needs one more check than `rename`'s boolean:
+    * on several Hadoop filesystems (incl. the local and HDFS
+    * contracts) rename moves src INTO an existing destination
+    * directory instead of failing, so a losing concurrent attempt
+    * can get `true` back while its tmp dir lands dot-prefix-nested
+    * under the winner's `batch_id=<id>/`. We detect that exact
+    * outcome after the rename (our tmp dir's name nested under the
+    * target), delete the nested loser, and report the race as lost
+    * (ADVICE r11). Readers take `spark.read.parquet(path)` and get
+    * `batch_id` back as a partition column for free.
     *
     * Returns true iff this call published the batch. */
   def idempotentBatchWrite(df: DataFrame, batchId: Long,
@@ -100,7 +107,14 @@ object Sinks {
     val tmp = new Path(root,
       s".tmp-$batchId-${java.util.UUID.randomUUID().toString.take(8)}")
     df.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.rename(tmp, target)) true
-    else { fs.delete(tmp, true); false } // lost the publish race
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, true); return false // lost the publish race
+    }
+    val nested = new Path(target, tmp.getName)
+    if (fs.exists(nested)) {
+      // rename-into-existing: the batch was already published by a
+      // concurrent winner and our dir nested under it — lost race.
+      fs.delete(nested, true); false
+    } else true
   }
 }
