@@ -2966,6 +2966,44 @@ object Oracles {
       |    FROM dots) WHERE rn = 1)""".stripMargin
   }
 
+  /** [[ivfAssignCtes]] with the CORPUS-SCALED cell count of
+    * Similarity.knnGraphIvf: nLists = greatest(minLists, ⌊√n⌋),
+    * computed from count(*) OVER () in the cents CTE — the same
+    * one-count index sizing the Spark side runs. IEEE sqrt is
+    * correctly rounded, so the floored double is identical
+    * cross-engine. Everything else is the shared chain verbatim. */
+  private def ivfAssignCtesScaled(minLists: Int): String = {
+    val mul = graft.operators.Similarity.IvfHashMul
+    val mod = graft.operators.Similarity.IvfHashMod
+    s"""WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, v,
+      |    sqrt(list_reduce(
+      |      list_transform(list_zip(v, v), s -> s[1] * s[2]),
+      |      (x, y) -> x + y)) AS nrm
+      |  FROM e),
+      |cents AS (
+      |  SELECT c_idx, cv FROM (
+      |    SELECT row_number() OVER (
+      |        ORDER BY (vec_id * $mul) % $mod, vec_id) AS c_idx,
+      |      v AS cv, count(*) OVER () AS n_vec
+      |    FROM e)
+      |  WHERE c_idx <= greatest($minLists, floor(sqrt(n_vec))::bigint)),
+      |dots AS (
+      |  SELECT n.vec_id, c.c_idx,
+      |    list_reduce(
+      |      list_transform(list_zip(n.v, c.cv), s -> s[1] * s[2]),
+      |      (x, y) -> x + y) AS d
+      |  FROM n CROSS JOIN cents c),
+      |assigned AS (
+      |  SELECT vec_id, c_idx AS list_id FROM (
+      |    SELECT vec_id, c_idx, row_number() OVER (
+      |        PARTITION BY vec_id ORDER BY d DESC, c_idx) AS rn
+      |    FROM dots) WHERE rn = 1)""".stripMargin
+  }
+
   /** SURVEY §2D — similarity search (ann_lsh is rows-only +
     * recall-property-tested). */
   val similarity: Map[String, String] = Map(
@@ -2998,6 +3036,40 @@ object Oracles {
         |                       ORDER BY cos DESC, n_id) AS rk
         |  FROM pairs)
         |WHERE rk <= 5
+        |ORDER BY q_id, rk""".stripMargin
+    },
+
+    // D10 IVF-bounded kNN graph (Similarity.knnGraphIvf): ann_ivf's
+    // oracle with EVERY vector as a query (no vec_id < 10 cut) — the
+    // same ivf_assign chain, probe tie rule (d DESC, c_idx DESC,
+    // top-KnnGraphProbe), sequential-fold cosines, and (cos DESC,
+    // n_id) rank tiebreak, so the deterministic cell cut carries a
+    // full hash gate (the dedup_semantic precedent).
+    "knn_graph_ivf" -> {
+      val p = graft.operators.Similarity.KnnGraphProbe
+      val k = graft.operators.Similarity.KnnK
+      s"""${ivfAssignCtesScaled(graft.operators.Similarity.KnnGraphLists)},
+        |probes AS (
+        |  SELECT vec_id AS q_id, c_idx AS list_id FROM (
+        |    SELECT vec_id, c_idx, row_number() OVER (
+        |        PARTITION BY vec_id ORDER BY d DESC, c_idx DESC) AS rn
+        |    FROM dots) WHERE rn <= $p),
+        |pairs AS (
+        |  SELECT p.q_id, a.vec_id AS n_id,
+        |    list_reduce(
+        |      list_transform(list_zip(q.v, x.v), s -> s[1] * s[2]),
+        |      (u, w) -> u + w) / (q.nrm * x.nrm) AS cos
+        |  FROM probes p
+        |  JOIN assigned a ON a.list_id = p.list_id
+        |  JOIN n x ON x.vec_id = a.vec_id
+        |  JOIN n q ON q.vec_id = p.q_id
+        |  WHERE a.vec_id <> p.q_id)
+        |SELECT q_id, n_id, rk::int AS rk, round(cos, 4) AS cos FROM (
+        |  SELECT q_id, n_id, cos,
+        |    row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY cos DESC, n_id) AS rk
+        |  FROM pairs)
+        |WHERE rk <= $k
         |ORDER BY q_id, rk""".stripMargin
     },
 

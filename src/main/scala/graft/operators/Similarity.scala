@@ -596,6 +596,92 @@ object Similarity {
     topK(spark, directed, k = KnnK)
   }
 
+  /** Floor on [[knnGraphIvf]]'s cell count and its probe width
+    * (single-sourced into the oracle). nLists itself SCALES with the
+    * corpus — max([[KnnGraphLists]], ⌊√n⌋): a fixed cell count keeps
+    * pair work at n²·nProbe/nLists (measured 102 s at sf1 with 16
+    * cells — quadratic, the thing this operator exists to avoid),
+    * while √n cells balance assignment (n·√n dots) and pair work
+    * (n·nProbe·√n cosines) at Θ(n^1.5) — the standard IVF sizing.
+    * ⌊√n⌋ is cross-engine exact: IEEE-754 sqrt is correctly rounded,
+    * so both engines floor the same double. */
+  val KnnGraphLists = 16
+
+  /** Probe width — fixed, so total work stays Θ(n^1.5·nProbe). On
+    * UNCLUSTERED vectors (this synthetic corpus — IVF's worst case)
+    * recall tracks probed candidate mass ≈ nProbe/√n (measured
+    * 4→0.30, 6→0.39, 8→0.47 at sf0.1); real embedding corpora
+    * cluster, concentrating true neighbors in the top probed cells.
+    * 8 buys the worst case ~0.5 recall at 2× the nProbe=4 work. */
+  val KnnGraphProbe = 8
+
+  /** The scaled cell count for a corpus of `n` vectors. */
+  def knnGraphNLists(n: Long): Int =
+    math.max(KnnGraphLists, math.floor(math.sqrt(n.toDouble)).toInt)
+
+  /** D10: IVF-cell-bounded approximate k-NN graph — the corpus-wide
+    * neighbor substrate (SemDeDup pruning, diversity selection,
+    * kNN-QC) in a form that survives 100 TB. [[embedKnnGraph]] is the
+    * exact O(n²) reference path; this is its scale twin: every vector
+    * is assigned to its best-cosine IVF cell ([[ivfAssigned]]'s
+    * deterministic quantizer — the SAME Knuth-hash seed/first-max
+    * rules as [[annIvf]]/[[Dedup.dedupSemantic]], so the cell
+    * structure cannot drift between operators) and probes its
+    * [[KnnGraphProbe]] best cells (the [[annIvf]] probe tie rule:
+    * d DESC, c_idx DESC); candidates are an equi-join on list_id, so
+    * pair work is n·nProbe·(n/nLists) instead of n². nLists =
+    * max(16, ⌊√n⌋) IN the query (the one-count "size the index" step
+    * every IVF build runs), so cells stay ≈√n-sized and total work is
+    * Θ(n^1.5·nProbe) — measured 102 → ~11 s at sf1 when the dial went
+    * from fixed-16 to √n. At true cluster scale the literal-centroid
+    * dot becomes a broadcast join against the k-row centroid frame
+    * (same list structure); the literal form is [[annIvf]]'s
+    * documented driver-trained-quantizer shape.
+    *
+    * Scale shape: the assigned+probed frame is computed in ONE scan +
+    * ONE centroid-dot pass, persisted, and feeds BOTH join sides from
+    * the cache (Catalyst does not dedup repeated subtrees —
+    * SimilaritySpec walks the plan and asserts one uncached scan). No
+    * broadcast hint on either side: both grow with the corpus (the
+    * [[embedKnnGraph]]-vs-pagerank lesson — AQE may still broadcast
+    * from runtime stats when a side genuinely fits). Per-query top-k
+    * is the [[TopKByScore]] partial agg: k rows per partition cross
+    * the exchange, not the candidate stream. Skewed cells are AQE
+    * skew-join territory — the join is a plain equi-join, so the
+    * runtime split applies.
+    *
+    * FULLY hash-gated (the [[Dedup.dedupSemantic]] precedent): the
+    * cell cut is deterministic — quantizer seed is integer algebra,
+    * dots are strict sequential folds (bit-identical, CLAUDE.md),
+    * assignment/probe tie rules are mirrored in the oracle, rank
+    * tiebreak (cos DESC, n_id) both engines. Recall vs the exact
+    * graph is property-tested in SimilaritySpec. */
+  def knnGraphIvf(spark: SparkSession, dir: String,
+      nProbe: Int = KnnGraphProbe): DataFrame = {
+    val nLists = knnGraphNLists(
+      Tables(spark, dir).embeddings.count())
+    val (e, dots) = ivfBase(spark, dir, nLists)
+    val base = e.withColumn("dots", dots)
+      .withColumn("list_id", expr("array_position(dots, array_max(dots))"))
+      .withColumn("probes", slice(reverse(array_sort(
+        zip_with(col("dots"),
+          sequence(lit(1), lit(nLists)).cast("array<double>"),
+          (d, i) => struct(d.as("d"), i.as("i"))))), 1, nProbe))
+      .select(col("vec_id"), col("v"), col("nrm"), col("list_id"),
+        expr("transform(probes, p -> cast(p.i as long))").as("probes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val index = base.select(col("list_id"), col("vec_id").as("n_id"),
+      col("v"), col("nrm"))
+    val queries = base.select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), explode(col("probes")).as("list_id"))
+    val pairs = index.join(queries, Seq("list_id"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        V.cosineWithNorms(V.dot(col("qv"), col("v")),
+          col("qnrm"), col("nrm")).as("cos"))
+    topK(spark, pairs, k = KnnK)
+  }
+
   /** MMR picks per query / candidate pool size (single-sourced into
     * the oracle). */
   val MmrK = 5

@@ -55,6 +55,49 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.4, s"IVF recall@5 too low: $recall")
   }
 
+  test("knn_graph_ivf: recall vs exact graph; one uncached scan; no broadcast hint") {
+    // recall of the IVF-bounded graph against the exact O(n²) graph —
+    // the property that certifies the scale twin actually approximates
+    // the capability it replaces (corpus-wide, not a 10-query set)
+    val exact = Similarity.embedKnnGraph(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val df = Similarity.knnGraphIvf(spark, sfDir)
+    val approx = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // 8-probe over max(16,⌊√n⌋) cells on unclustered synthetic
+    // vectors (IVF's worst case — recall tracks probed candidate
+    // mass; measured 0.47 at sf0.1). Floor guards a broken cell cut,
+    // not a quality bar for the pathological data.
+    assert(recall >= 0.4, s"knn_graph_ivf recall too low: $recall")
+
+    // both join sides derive from ONE persisted assignment frame:
+    // exactly one parquet scan outside cached lineage (the quantizer
+    // training collect), ≥2 cache reads (index + probe side)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def walk(p: SparkPlan): (Int, Int) = p match {
+      case _: InMemoryTableScanExec => (0, 1)
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case _: FileSourceScanExec => (1, 0)
+      case other =>
+        val cs = other.children.map(walk)
+        (cs.map(_._1).sum, cs.map(_._2).sum)
+    }
+    val (parquetScans, memScans) = walk(df.queryExecution.executedPlan)
+    assert(parquetScans == 0,
+      s"expected 0 parquet scans outside the cache, got $parquetScans")
+    assert(memScans >= 2,
+      s"expected >=2 cache reads (index + probe sides), got $memScans")
+
+    // no authored broadcast hint: both sides grow with the corpus
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val hints = df.queryExecution.optimizedPlan.collect {
+      case h: ResolvedHint => h }
+    assert(hints.isEmpty, s"corpus-growing frames must not carry broadcast hints: $hints")
+  }
+
   test("PQ recall@5 vs brute force on real embeddings") {
     val bf = Similarity.annBruteforce(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
