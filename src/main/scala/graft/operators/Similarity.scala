@@ -326,6 +326,45 @@ object Similarity {
         score.as("cos"))
   }
 
+  /** The IVFPQ coded store: one scan computes every vector's coarse
+    * list assignment AND its [[PqSub]] codes — `(vec_id, list_id,
+    * code_0 … code_{PqSub-1})`, 8 B of codes + a list id per vector,
+    * floats dropped after encoding. This is the frame a production
+    * store PERSISTS `partitionBy("list_id")`: a query reading its
+    * nProbe probed lists then touches nProbe/nLists of the
+    * directories via partition pruning — SinksSpec writes this store
+    * through [[graft.sources.Sinks.writePartitioned]] and asserts
+    * PartitionFilters prunes the scan to exactly nProbe directories,
+    * which is the claim that makes IVFPQ's "scan fraction" dial real
+    * at 100 TB. Shared by [[annIvfPq]] (in-plan form). */
+  def ivfPqCodedStore(spark: SparkSession, dir: String,
+      nLists: Int = 16): DataFrame = {
+    val e = vectors(spark, dir)
+    val cents: Array[Seq[Double]] = e
+      .withColumn("h", expr(s"(vec_id * $IvfHashMul) % $IvfHashMod"))
+      .orderBy(col("h"), col("vec_id")).limit(nLists)
+      .select(col("v")).collect().map(_.getSeq[Double](0))
+    val subDim = cents.head.length / PqSub
+    def centCol(c: Seq[Double]) = array(c.map(lit): _*)
+    def vSub(mi: Int) = slice(col("v"), mi * subDim + 1, subDim)
+    def centSub(c: Seq[Double], mi: Int) =
+      array(c.slice(mi * subDim, (mi + 1) * subDim).map(lit): _*)
+    val assigned = e
+      .withColumn("ldots",
+        array(cents.map(c => V.dot(col("v"), centCol(c))): _*))
+      .withColumn("list_id",
+        expr("array_position(ldots, array_max(ldots))"))
+      .drop("ldots")
+    (0 until PqSub).foldLeft(assigned) { (df, mi) =>
+      df.withColumn(s"ds_$mi",
+          array(cents.map(c => V.dot(vSub(mi), centSub(c, mi))): _*))
+        .withColumn(s"code_$mi",
+          expr(s"array_position(ds_$mi, array_max(ds_$mi))"))
+        .drop(s"ds_$mi")
+    }.select(col("vec_id") +: col("list_id") +:
+      (0 until PqSub).map(mi => col(s"code_$mi")): _*)
+  }
+
   /** D12 (round 11): IVF + PQ composed — the index shape every
     * billion-scale vector store actually ships (FAISS IVFPQ): the
     * coarse quantizer bounds WHICH vectors are scanned (a query
@@ -361,29 +400,12 @@ object Similarity {
       .select(col("v")).collect().map(_.getSeq[Double](0))
     val dim = cents.head.length
     val subDim = dim / PqSub
-    def centCol(c: Seq[Double]) = array(c.map(lit): _*)
-    def vSub(mi: Int) = slice(col("v"), mi * subDim + 1, subDim)
-    def centSub(c: Seq[Double], mi: Int) =
-      array(c.slice(mi * subDim, (mi + 1) * subDim).map(lit): _*)
 
     // one scan: coarse list assignment (full-vector dots, first-max
     // tie rule) + PQ codes (per-subspace dots, same rule); floats
     // dropped after encoding — the scoring plan carries 8 B of codes
     // + a list id per vector
-    val assigned = e
-      .withColumn("ldots",
-        array(cents.map(c => V.dot(col("v"), centCol(c))): _*))
-      .withColumn("list_id",
-        expr("array_position(ldots, array_max(ldots))"))
-      .drop("ldots")
-    val coded = (0 until PqSub).foldLeft(assigned) { (df, mi) =>
-      df.withColumn(s"ds_$mi",
-          array(cents.map(c => V.dot(vSub(mi), centSub(c, mi))): _*))
-        .withColumn(s"code_$mi",
-          expr(s"array_position(ds_$mi, array_max(ds_$mi))"))
-        .drop(s"ds_$mi")
-    }.select(col("vec_id") +: col("list_id") +:
-      (0 until PqSub).map(mi => col(s"code_$mi")): _*)
+    val coded = ivfPqCodedStore(spark, dir, nLists)
 
     // request-side prep, all at the driver: per query the nProbe
     // best lists (strict sequential dots — DotProductD's order — and

@@ -46,6 +46,99 @@ class SinksSpec extends SparkSuite {
       === expected)
   }
 
+  test("avro round-trips losslessly (primitives, date, nulls)") {
+    val src = orders // long, long, string, double, date
+    val path = s"$tmp/rt-avro"
+    AvroIo.write(src, path)
+    assert(new java.io.File(path).listFiles().map(_.getName)
+      .exists(_.endsWith(".avro")), "expected avro container files")
+    val back = AvroIo.read(spark, path, src.schema)
+    assert(back.schema === src.schema, "avro: schema drift")
+    assert(back.orderBy("o_orderkey").collect().toSeq
+      === src.orderBy("o_orderkey").collect().toSeq, "avro: data drift")
+  }
+
+  test("avro round-trips arrays, timestamps, binary and null fields") {
+    import java.sql.Timestamp
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType, nullable = true),
+      org.apache.spark.sql.types.StructField("blob",
+        org.apache.spark.sql.types.BinaryType, nullable = true),
+      org.apache.spark.sql.types.StructField("vec",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false),
+        nullable = true),
+      org.apache.spark.sql.types.StructField("tag",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, Timestamp.valueOf("2024-03-01 12:34:56.789123"),
+        Array[Byte](1, 2, 3), Seq(1.5f, -2.25f), "a"),
+      org.apache.spark.sql.Row(2L, null, null, null, null),
+      org.apache.spark.sql.Row(3L, Timestamp.valueOf("1969-12-31 23:59:59.000001"),
+        Array.empty[Byte], Seq.empty[Float], ""))
+    val src = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val path = s"$tmp/rt-avro-typed"
+    AvroIo.write(src, path)
+    val back = AvroIo.read(spark, path, schema)
+    assert(back.schema === schema)
+    val exp = src.collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))
+        .map(_.asInstanceOf[Array[Byte]].toSeq), Option(r.get(3)), Option(r.get(4))))
+    val got = back.collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))
+        .map(_.asInstanceOf[Array[Byte]].toSeq), Option(r.get(3)), Option(r.get(4))))
+    assert(got.toSeq === exp.toSeq)
+  }
+
+  test("IVFPQ coded store partitioned by list_id prunes to nProbe directories") {
+    // the claim that makes ann_ivfpq's "scan fraction" dial real at
+    // 100 TB: lay the coded store out by list_id and a query's probe
+    // set reads nProbe of nLists directories — partition pruning, not
+    // a full scan + filter
+    val nLists = 16
+    val nProbe = 4
+    val path = s"$tmp/ivfpq-store"
+    val coded = graft.operators.Similarity.ivfPqCodedStore(spark, sfDir, nLists)
+    Sinks.writePartitioned(coded, path, Sinks.Parquet, Seq("list_id"))
+    val dirs = new java.io.File(path).listFiles().map(_.getName)
+      .filter(_.startsWith("list_id=")).sorted
+    assert(dirs.length > nProbe,
+      s"store should span more lists than one probe set: ${dirs.mkString(",")}")
+
+    val probeLists = Seq(2L, 5L, 9L, 14L).filter(l =>
+      dirs.contains(s"list_id=$l")) // a deterministic probe set that exists
+    assert(probeLists.length == nProbe, s"probe set incomplete: $probeLists")
+    val back = spark.read.parquet(path)
+      .filter(col("list_id").isin(probeLists: _*))
+    back.collect() // finalize AQE so the scan node is the executed one
+
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(back.queryExecution.executedPlan)
+    assert(scan.length == 1, s"expected one scan, got ${scan.length}")
+    assert(scan.head.partitionFilters.nonEmpty,
+      s"list_id filter must reach PartitionFilters:\n${scan.head}")
+    val selected = scan.head.selectedPartitions.partitionCount
+    assert(selected == nProbe,
+      s"pruning must select exactly $nProbe of ${dirs.length} list dirs, read $selected")
+
+    // and the pruned read returns exactly the probed lists' rows
+    val expected = coded.filter(col("list_id").isin(probeLists: _*))
+      .orderBy("vec_id").collect().toSeq
+    assert(back.select(coded.columns.map(col).toIndexedSeq: _*)
+      .orderBy("vec_id").collect().toSeq === expected)
+  }
+
   test("co-bucketed tables join with zero exchanges") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
