@@ -155,6 +155,80 @@ class ReplayLogSpec extends SparkSuite {
     assert(spark.read.parquet(out).count() === 3)
   }
 
+  test("registry pipeline end-to-end: replay source -> stream_pii transform " +
+      "-> idempotent sink, exactly-once across a crash redelivery") {
+    // the full ingest path a production deploy runs — not a toy
+    // projection: replaylog source feeding the REGISTRY transform
+    // (stream_pii's detection+redaction core, TextQueries.piiScanOf)
+    // into the idempotent parquet sink, with the same checkpoint
+    // tamper as the exactly-once test above.
+    import org.apache.spark.sql.functions.col
+    val dir = tmp("rlog")
+    val cp = tmp("rlog-cp")
+    val out = tmp("rlog-out")
+
+    val docs = Seq(
+      "reach me at alice@example.com or 555-123-4567 today",
+      "server 10.0.0.1 rotated; ping bob@test.org",
+      "no pii in this one at all",
+      "dual contact: c@d.io and 192.168.1.9")
+
+    def pipeline(df: DataFrame): DataFrame =
+      graft.functions.TextQueries.piiScanOf(
+        df.select(col("offset").as("doc_id"), col("value").as("pii_text")))
+
+    def run(checkpoint: String): Unit = {
+      val q = spark.readStream.format("replaylog").load(dir)
+        .writeStream
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          Sinks.idempotentBatchWrite(pipeline(df), id, out); ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    ReplayLog.append(dir, docs.take(2))
+    run(cp)
+    // crash: drop the last commit marker (+ its .crc) so the batch is
+    // re-delivered, restart from a copied checkpoint (same-JVM cache)
+    val commits = new java.io.File(s"$cp/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.nonEmpty)
+    assert(commits.last.delete())
+    val crc = new java.io.File(s"$cp/commits/.${commits.last.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+    val cp2 = tmp("rlog-cp2")
+    import java.nio.file.{Files, Paths}
+    val (src, dst) = (Paths.get(cp), Paths.get(cp2))
+    Files.walk(src).forEach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+    ReplayLog.append(dir, docs.drop(2))
+    run(cp2)
+
+    // exactly-once THROUGH the transform: output = the batch-side
+    // piiScanOf over the full log, no duplicates, no gaps
+    val batchSide = pipeline(spark.read.format("replaylog").load(dir))
+    val expected = batchSide
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val got = spark.read.parquet(out)
+      .select(batchSide.columns.map(col).toIndexedSeq: _*)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(got.length === docs.length,
+      s"re-delivered batch must not duplicate transformed rows: ${got.length}")
+    assert(got.toSeq === expected.toSeq)
+    // and the transform actually fired: PII was detected and redacted
+    val flags = spark.read.parquet(out)
+      .select("doc_id", "has_pii").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags === Map(0L -> true, 1L -> true, 2L -> false, 3L -> true))
+  }
+
   test("a micro-batch reads only its offset range, one partition per segment") {
     val stream = new ReplayLogMicroBatchStream("/nonexistent")
     val dir = tmp("rlog")
