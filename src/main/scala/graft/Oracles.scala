@@ -3073,6 +3073,58 @@ object Oracles {
         |ORDER BY q_id, rk""".stripMargin
     },
 
+    // D11 semantic clusters (Similarity.semanticClusters): the
+    // knn_graph_ivf chain verbatim → τ filter on the ROUNDED cosine
+    // (roundDuck ↔ round, bit-exact, so the edge set cannot flake) →
+    // the dedup_components recursive-reach component CTEs. Cluster
+    // rep = min vec_id reachable, sizes per rep.
+    "semantic_clusters" -> {
+      val p = graft.operators.Similarity.KnnGraphProbe
+      val k = graft.operators.Similarity.KnnK
+      val tau = graft.operators.Dedup.SemTau
+      val base = ivfAssignCtesScaled(
+        graft.operators.Similarity.KnnGraphLists)
+      s"""WITH RECURSIVE ${base.stripPrefix("WITH ")},
+        |probes AS (
+        |  SELECT vec_id AS q_id, c_idx AS list_id FROM (
+        |    SELECT vec_id, c_idx, row_number() OVER (
+        |        PARTITION BY vec_id ORDER BY d DESC, c_idx DESC) AS rn
+        |    FROM dots) WHERE rn <= $p),
+        |pairs AS (
+        |  SELECT p.q_id, a.vec_id AS n_id,
+        |    list_reduce(
+        |      list_transform(list_zip(q.v, x.v), s -> s[1] * s[2]),
+        |      (u, w) -> u + w) / (q.nrm * x.nrm) AS cos
+        |  FROM probes p
+        |  JOIN assigned a ON a.list_id = p.list_id
+        |  JOIN n x ON x.vec_id = a.vec_id
+        |  JOIN n q ON q.vec_id = p.q_id
+        |  WHERE a.vec_id <> p.q_id),
+        |knn AS (
+        |  SELECT q_id, n_id, round(cos, 4) AS cos FROM (
+        |    SELECT q_id, n_id, cos,
+        |      row_number() OVER (PARTITION BY q_id
+        |                         ORDER BY cos DESC, n_id) AS rk
+        |    FROM pairs)
+        |  WHERE rk <= $k),
+        |g AS (SELECT q_id, n_id FROM knn WHERE cos >= $tau),
+        |edges AS (
+        |  SELECT q_id AS src, n_id AS dst FROM g
+        |  UNION
+        |  SELECT n_id, q_id FROM g),
+        |reach AS (
+        |  SELECT DISTINCT src AS node, src AS lbl FROM edges
+        |  UNION
+        |  SELECT e.dst AS node, r.lbl AS lbl
+        |  FROM reach r JOIN edges e ON e.src = r.node),
+        |comp AS (SELECT node, min(lbl) AS cluster_rep FROM reach GROUP BY node)
+        |SELECT c.node AS vec_id, c.cluster_rep, s.n_members
+        |FROM comp c
+        |JOIN (SELECT cluster_rep, count(*) AS n_members
+        |      FROM comp GROUP BY cluster_rep) s USING (cluster_rep)
+        |ORDER BY vec_id""".stripMargin
+    },
+
     // IVF + PQ composed (Similarity.annIvfPq): the ivf_assign chain
     // supplies coarse lists AND the 16 seed vectors double as the PQ
     // codebooks; probes replay ann_ivf's tie rule (d DESC, c_idx

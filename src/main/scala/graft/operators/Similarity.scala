@@ -704,6 +704,42 @@ object Similarity {
     topK(spark, pairs, k = KnnK)
   }
 
+  /** D11 (round 12): semantic clusters — connected components over
+    * the τ-thresholded [[knnGraphIvf]] edges, i.e. the cluster step
+    * SemDeDup actually runs on its neighbor graph, composed entirely
+    * from scale-safe parts: the Θ(n^1.5) approximate graph supplies
+    * the edges (τ = [[Dedup.SemTau]], the same near-dup threshold as
+    * dedup_semantic — single-sourced), and [[Dedup.componentLabels]]'
+    * large-star/small-star contraction labels them in O(log d)
+    * rounds (per-round shuffle joins, full-action convergence probe,
+    * no O(|V|) broadcast — the GraphIterSpec contract). Where
+    * dedup_semantic clusters only WITHIN a cell (its drop rule is
+    * local by design), this stitches near-dup chains ACROSS cells
+    * through shared members — the corpus-wide cluster view.
+    *
+    * The τ filter compares the ROUNDED (4 dp, roundDuck — bit-exact
+    * cross-engine) cosine the graph reports, so the edge set is
+    * deterministic and the composition carries a FULL hash gate: the
+    * knn CTE chain feeds the same recursive-reach components the
+    * dedup_components oracle uses. Output: one row per CLUSTERED
+    * vector (singletons are implicit), its cluster rep (= min vec_id
+    * in the component) and the cluster size. */
+  def semanticClusters(spark: SparkSession, dir: String): DataFrame = {
+    val edges = knnGraphIvf(spark, dir)
+      .filter(col("cos") >= Dedup.SemTau)
+      .select(col("q_id").as("doc_a"), col("n_id").as("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labels = Dedup.componentLabels(edges)
+    val sizes = labels.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_members"))
+    val out = labels.join(sizes, "lbl")
+      .select(col("node").as("vec_id"), col("lbl").as("cluster_rep"),
+        col("n_members"))
+      .orderBy(col("vec_id"))
+    edges.unpersist()
+    out
+  }
+
   /** MMR picks per query / candidate pool size (single-sourced into
     * the oracle). */
   val MmrK = 5

@@ -22,7 +22,8 @@ class GraphIterSpec extends SparkSuite {
     * and the k-means / PCA fixpoints. */
   private val iterativeQueries = Seq(
     "graph_pagerank", "dedup_components", "dedup_best_rep",
-    "dedup_incremental", "embed_cluster", "embed_pca", "curate_report")
+    "dedup_incremental", "embed_cluster", "embed_pca", "curate_report",
+    "semantic_clusters")
 
   private def hintedBroadcastJoins(plan: LogicalPlan): Seq[Join] =
     plan.collect {

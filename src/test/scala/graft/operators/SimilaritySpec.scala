@@ -98,6 +98,32 @@ class SimilaritySpec extends SparkSuite {
     assert(hints.isEmpty, s"corpus-growing frames must not carry broadcast hints: $hints")
   }
 
+  test("semantic_clusters: valid partition of the τ-thresholded knn graph") {
+    val edges = Similarity.knnGraphIvf(spark, sfDir)
+      .filter(col("cos") >= Dedup.SemTau)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rows = Similarity.semanticClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rep = rows.map(t => t._1 -> t._2).toMap
+
+    // exactly the edge-touched nodes are clustered
+    assert(rep.keySet === edges.flatMap(e => Seq(e._1, e._2)).toSet)
+    // every τ-edge's endpoints land in the same cluster
+    edges.foreach { case (a, b) =>
+      assert(rep(a) === rep(b), s"edge ($a,$b) split across clusters") }
+    // rep = min member of its cluster; sizes consistent
+    rows.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(members.map(_._1).min === lbl,
+        s"cluster $lbl rep is not the min member")
+      assert(members.map(_._3).distinct.toSeq === Seq(members.length.toLong),
+        s"cluster $lbl sizes inconsistent")
+    }
+    // and clusters are maximal: no τ-edge connects two different reps
+    // (already implied by the per-edge check above — kept explicit so
+    // a future edge-direction bug fails loudly here, not in the hash)
+    assert(edges.forall { case (a, b) => rep(a) == rep(b) })
+  }
+
   test("PQ recall@5 vs brute force on real embeddings") {
     val bf = Similarity.annBruteforce(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
