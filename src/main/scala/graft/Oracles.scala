@@ -3004,6 +3004,74 @@ object Oracles {
       |    FROM dots) WHERE rn = 1)""".stripMargin
   }
 
+  /** The full knn_graph_ivf CTE chain, shared verbatim by the
+    * knn_graph_ivf and semantic_clusters oracles (the same
+    * no-drift rule as [[ivfAssignCtes]]): scaled-cell assignment →
+    * per-vector probes (d DESC, c_idx DESC, top-KnnGraphProbe) →
+    * IVF candidate cosines → round-0 top-k id cut (UNROUNDED
+    * strict-fold cosines, (cos DESC, n_id) tiebreak — bit-identical
+    * to the Spark TopKByScore cut) → the ONE NN-descent refinement
+    * round (candidates = knn0 ∪ neighbors-of-neighbors ∪ reversed,
+    * set-union = Spark's distinct) → exact rescore → final `knn`
+    * (q_id, n_id, rk, cos unrounded). The candidate union is
+    * SELECT DISTINCT over UNION ALL arms, NOT a chained UNION: this
+    * chain is embedded in semantic_clusters' WITH RECURSIVE block,
+    * and DuckDB's recursive parser mishandles a multi-arm UNION CTE
+    * there — measured 60 097 → 64 374 cand rows (dedup lost), which
+    * inflates ranks in the re-cut and silently drops true edges; a
+    * DISTINCT-over-subquery body has no top-level UNION and is
+    * immune in both contexts. (`def`: consumed by object vals.) */
+  private def knnGraphCtes: String = {
+    val p = graft.operators.Similarity.KnnGraphProbe
+    val k = graft.operators.Similarity.KnnK
+    s"""${ivfAssignCtesScaled(graft.operators.Similarity.KnnGraphLists)},
+      |probes AS (
+      |  SELECT vec_id AS q_id, c_idx AS list_id FROM (
+      |    SELECT vec_id, c_idx, row_number() OVER (
+      |        PARTITION BY vec_id ORDER BY d DESC, c_idx DESC) AS rn
+      |    FROM dots) WHERE rn <= $p),
+      |pairs AS (
+      |  SELECT p.q_id, a.vec_id AS n_id,
+      |    list_reduce(
+      |      list_transform(list_zip(q.v, x.v), s -> s[1] * s[2]),
+      |      (u, w) -> u + w) / (q.nrm * x.nrm) AS cos
+      |  FROM probes p
+      |  JOIN assigned a ON a.list_id = p.list_id
+      |  JOIN n x ON x.vec_id = a.vec_id
+      |  JOIN n q ON q.vec_id = p.q_id
+      |  WHERE a.vec_id <> p.q_id),
+      |knn0 AS (
+      |  SELECT q_id, n_id FROM (
+      |    SELECT q_id, n_id,
+      |      row_number() OVER (PARTITION BY q_id
+      |                         ORDER BY cos DESC, n_id) AS rk
+      |    FROM pairs)
+      |  WHERE rk <= $k),
+      |cand AS (
+      |  SELECT DISTINCT q_id, n_id FROM (
+      |    SELECT q_id, n_id FROM knn0
+      |    UNION ALL
+      |    SELECT a.q_id, b.n_id FROM knn0 a JOIN knn0 b ON b.q_id = a.n_id
+      |    WHERE b.n_id <> a.q_id
+      |    UNION ALL
+      |    SELECT n_id, q_id FROM knn0)),
+      |rescored AS (
+      |  SELECT c.q_id, c.n_id,
+      |    list_reduce(
+      |      list_transform(list_zip(q.v, x.v), s -> s[1] * s[2]),
+      |      (u, w) -> u + w) / (q.nrm * x.nrm) AS cos
+      |  FROM cand c
+      |  JOIN n q ON q.vec_id = c.q_id
+      |  JOIN n x ON x.vec_id = c.n_id),
+      |knn AS (
+      |  SELECT q_id, n_id, rk, cos FROM (
+      |    SELECT q_id, n_id, cos,
+      |      row_number() OVER (PARTITION BY q_id
+      |                         ORDER BY cos DESC, n_id) AS rk
+      |    FROM rescored)
+      |  WHERE rk <= $k)""".stripMargin
+  }
+
   /** SURVEY §2D — similarity search (ann_lsh is rows-only +
     * recall-property-tested). */
   val similarity: Map[String, String] = Map(
@@ -3043,71 +3111,26 @@ object Oracles {
     // oracle with EVERY vector as a query (no vec_id < 10 cut) — the
     // same ivf_assign chain, probe tie rule (d DESC, c_idx DESC,
     // top-KnnGraphProbe), sequential-fold cosines, and (cos DESC,
-    // n_id) rank tiebreak, so the deterministic cell cut carries a
-    // full hash gate (the dedup_semantic precedent).
-    "knn_graph_ivf" -> {
-      val p = graft.operators.Similarity.KnnGraphProbe
-      val k = graft.operators.Similarity.KnnK
-      s"""${ivfAssignCtesScaled(graft.operators.Similarity.KnnGraphLists)},
-        |probes AS (
-        |  SELECT vec_id AS q_id, c_idx AS list_id FROM (
-        |    SELECT vec_id, c_idx, row_number() OVER (
-        |        PARTITION BY vec_id ORDER BY d DESC, c_idx DESC) AS rn
-        |    FROM dots) WHERE rn <= $p),
-        |pairs AS (
-        |  SELECT p.q_id, a.vec_id AS n_id,
-        |    list_reduce(
-        |      list_transform(list_zip(q.v, x.v), s -> s[1] * s[2]),
-        |      (u, w) -> u + w) / (q.nrm * x.nrm) AS cos
-        |  FROM probes p
-        |  JOIN assigned a ON a.list_id = p.list_id
-        |  JOIN n x ON x.vec_id = a.vec_id
-        |  JOIN n q ON q.vec_id = p.q_id
-        |  WHERE a.vec_id <> p.q_id)
-        |SELECT q_id, n_id, rk::int AS rk, round(cos, 4) AS cos FROM (
-        |  SELECT q_id, n_id, cos,
-        |    row_number() OVER (PARTITION BY q_id
-        |                       ORDER BY cos DESC, n_id) AS rk
-        |  FROM pairs)
-        |WHERE rk <= $k
-        |ORDER BY q_id, rk""".stripMargin
-    },
+    // n_id) rank tiebreak — plus the ONE NN-descent refinement round
+    // the Spark side runs (knn0 cut → candidate union → exact
+    // rescore → re-cut; every stage deterministic), so the chain
+    // carries a full hash gate (the dedup_semantic precedent).
+    "knn_graph_ivf" ->
+      s"""$knnGraphCtes
+        |SELECT q_id, n_id, rk::int AS rk, round(cos, 4) AS cos
+        |FROM knn
+        |ORDER BY q_id, rk""".stripMargin,
 
     // D11 semantic clusters (Similarity.semanticClusters): the
-    // knn_graph_ivf chain verbatim → τ filter on the ROUNDED cosine
-    // (roundDuck ↔ round, bit-exact, so the edge set cannot flake) →
-    // the dedup_components recursive-reach component CTEs. Cluster
-    // rep = min vec_id reachable, sizes per rep.
+    // knn_graph_ivf chain verbatim (incl. its NN-descent refinement
+    // round) → τ filter on the ROUNDED cosine (roundDuck ↔ round,
+    // bit-exact, so the edge set cannot flake) → the dedup_components
+    // recursive-reach component CTEs. Cluster rep = min vec_id
+    // reachable, sizes per rep.
     "semantic_clusters" -> {
-      val p = graft.operators.Similarity.KnnGraphProbe
-      val k = graft.operators.Similarity.KnnK
       val tau = graft.operators.Dedup.SemTau
-      val base = ivfAssignCtesScaled(
-        graft.operators.Similarity.KnnGraphLists)
-      s"""WITH RECURSIVE ${base.stripPrefix("WITH ")},
-        |probes AS (
-        |  SELECT vec_id AS q_id, c_idx AS list_id FROM (
-        |    SELECT vec_id, c_idx, row_number() OVER (
-        |        PARTITION BY vec_id ORDER BY d DESC, c_idx DESC) AS rn
-        |    FROM dots) WHERE rn <= $p),
-        |pairs AS (
-        |  SELECT p.q_id, a.vec_id AS n_id,
-        |    list_reduce(
-        |      list_transform(list_zip(q.v, x.v), s -> s[1] * s[2]),
-        |      (u, w) -> u + w) / (q.nrm * x.nrm) AS cos
-        |  FROM probes p
-        |  JOIN assigned a ON a.list_id = p.list_id
-        |  JOIN n x ON x.vec_id = a.vec_id
-        |  JOIN n q ON q.vec_id = p.q_id
-        |  WHERE a.vec_id <> p.q_id),
-        |knn AS (
-        |  SELECT q_id, n_id, round(cos, 4) AS cos FROM (
-        |    SELECT q_id, n_id, cos,
-        |      row_number() OVER (PARTITION BY q_id
-        |                         ORDER BY cos DESC, n_id) AS rk
-        |    FROM pairs)
-        |  WHERE rk <= $k),
-        |g AS (SELECT q_id, n_id FROM knn WHERE cos >= $tau),
+      s"""WITH RECURSIVE ${knnGraphCtes.stripPrefix("WITH ")},
+        |g AS (SELECT q_id, n_id FROM knn WHERE round(cos, 4) >= $tau),
         |edges AS (
         |  SELECT q_id AS src, n_id AS dst FROM g
         |  UNION
