@@ -2467,6 +2467,46 @@ object Oracles {
          |ORDER BY doc_id""".stripMargin
     },
 
+    // J12 leakage-safe split: the J11 fate function keyed on
+    // coalesce(near-dup component rep, doc_id) — components via the
+    // shared C2/C6 CTE chain (ngramPairCtes + componentCtes, the
+    // dedup_components algebra verbatim), so cluster membership
+    // cannot drift between the split and the dedup report.
+    "sample_leakage_split" -> {
+      val seed = graft.operators.Sampling.SplitSeed
+      val tr = graft.operators.Sampling.SplitTrainMax
+      val va = graft.operators.Sampling.SplitValMax
+      s"""WITH RECURSIVE ${ngramPairCtes("documents")},
+         |$componentCtes,
+         |r AS (
+         |  SELECT d.doc_id, d.lang,
+         |    coalesce(c.rep_doc, d.doc_id) AS rep_doc
+         |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+         |b AS (
+         |  SELECT doc_id, lang, rep_doc,
+         |    substr(md5('$seed' || rep_doc::varchar), 1, 4) AS bucket
+         |  FROM r)
+         |SELECT doc_id, lang, rep_doc, bucket,
+         |  CASE WHEN bucket < '$tr' THEN 'train'
+         |       WHEN bucket < '$va' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // J13 soft dedup: 1/multiplicity weight over exact-dup groups;
+    // count window is exact integer algebra, reciprocal rounds via
+    // round ↔ roundDuck. 1.0::double keeps the division IEEE (bare
+    // 1.0 is DECIMAL in DuckDB — different quotient algebra).
+    "mix_soft_dedup" ->
+      """SELECT doc_id, lang, n_dups,
+        |  round(1.0::double / n_dups, 6) AS weight
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    count(*) OVER (PARTITION BY md5(text)) AS n_dups
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
     // J10 importance sampling: keep iff 16-bit md5 bucket <
     // floor(quality·65536) — integer compare (DuckDB's 0x-cast vs
     // Spark's conv(,16,10)), quality single-sourced via qualityExpr.

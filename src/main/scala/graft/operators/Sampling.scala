@@ -562,4 +562,72 @@ object Sampling {
           .when(col("bucket") < SplitValMax, "val")
           .otherwise("test"))
       .orderBy(col("doc_id"))
+
+  /** J12 (round 12): LEAKAGE-SAFE holdout split — [[sampleSplit]]'s
+    * fate function keyed on the near-dup CLUSTER representative
+    * instead of the document itself, so every member of a duplicate
+    * cluster lands in the SAME split. A per-doc split (J11) leaks:
+    * two near-identical documents can straddle train/test, and the
+    * eval then scores memorization (Lee et al. '22 measured this on
+    * C4 — dedup-unaware splits inflate held-out likelihood). Cluster
+    * membership is the C2 shingle-Jaccard pair graph contracted by
+    * the C6 large-star/small-star rounds (shared code — the split
+    * agrees with dedup_components by construction); unclustered docs
+    * (the vast majority) fall through `coalesce` to their own id,
+    * so they get EXACTLY the J11 assignment (same salt/fences —
+    * property-tested in SamplingSpec). Scale shape: the contraction
+    * is O(log d) bounded-round (cluster members only, a small
+    * fraction of the corpus); the corpus-wide part is one LEFT join
+    * of documents against the (node, lbl) labels — shuffle on
+    * doc_id — then the zero-shuffle fate projection. Full hash gate
+    * (components + md5-hex fences both proven oracle algebra). */
+  def sampleLeakageSplit(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramPairsOf(Tables(spark, dir).documents)
+      .select(col("doc_a"), col("doc_b"))
+      .persist()
+    val labels = Dedup.componentLabels(pairs)
+      .withColumnRenamed("node", "doc_id")
+    val out = Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("lbl"), col("doc_id")).as("rep_doc"))
+      .withColumn("bucket", hashBucket(col("rep_doc"), SplitSeed))
+      .withColumn("split",
+        when(col("bucket") < SplitTrainMax, "train")
+          .when(col("bucket") < SplitValMax, "val")
+          .otherwise("test"))
+      .orderBy(col("doc_id"))
+    pairs.unpersist()
+    out
+  }
+
+  /** J13 (round 12): SOFT dedup — weight every document by the
+    * reciprocal of its exact-duplicate multiplicity instead of
+    * dropping copies (the "count each unique text once in
+    * expectation" reweighting; Muennighoff et al. '23 show repeated
+    * data degrades at high epoch counts — downweighting is the
+    * continuous knob between keep-all and C1's keep-one). Emits the
+    * sampling weight a mixer multiplies into its draw rate, so dup
+    * clusters contribute one document's worth of gradient mass
+    * regardless of copy count. ONE shuffle: a count window over the
+    * md5(text) hash partition (AQE splits a pathological mega-dup's
+    * skew); no join, no second pass. Full hash gate — count(*) OVER
+    * is exact integer algebra and the reciprocal rounds via
+    * roundDuck on both engines. */
+  def mixSoftDedup(spark: SparkSession, dir: String): DataFrame =
+    mixSoftDedupOf(Tables(spark, dir).documents)
+
+  /** [[mixSoftDedup]] over any (doc_id, lang, text) frame — split out
+    * so the weighting is fixture-testable (the shipped corpus has no
+    * exact dups below sf0.1; SamplingSpec plants some). */
+  private[operators] def mixSoftDedupOf(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    d.select(col("doc_id"), col("lang"), md5(col("text")).as("text_hash"))
+      .withColumn("n_dups",
+        count(lit(1)).over(Window.partitionBy("text_hash")))
+      .select(col("doc_id"), col("lang"), col("n_dups"),
+        round(lit(1.0) / col("n_dups"), 6).as("weight"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -487,4 +487,58 @@ class SamplingSpec extends SparkSuite {
     assert(!plan.contains("hashpartitioning"),
       s"unexpected hash shuffle:\n$plan")
   }
+
+  test("sample_leakage_split: no near-dup cluster straddles splits; " +
+      "singletons keep the sample_split assignment") {
+    // (doc_id, rep_doc, split)
+    val out = Sampling.sampleLeakageSplit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(4)))
+    assert(out.map(_._1).distinct.length === out.length, "one row per doc")
+    val byRep = out.groupBy(_._2)
+    // the leakage-safety contract: one split per cluster
+    byRep.foreach { case (rep, members) =>
+      assert(members.map(_._3).distinct.length === 1,
+        s"cluster $rep straddles splits: ${members.toSeq}")
+    }
+    // non-vacuous: the corpus has multi-member near-dup clusters
+    assert(byRep.exists(_._2.length > 1),
+      "no multi-member clusters at this sf — test is vacuous")
+    // unclustered docs fall through to their own id = the exact J11
+    // assignment (same salt + fences)
+    val j11 = Sampling.sampleSplit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(3))).toMap
+    val singles = out.filter(t => t._1 == t._2 && byRep(t._2).length == 1)
+    assert(singles.nonEmpty)
+    singles.foreach { case (id, _, s) =>
+      assert(j11(id) === s, s"singleton $id diverged from sample_split")
+    }
+  }
+
+  test("mix_soft_dedup: weight is 1/multiplicity; dup-group mass " +
+      "sums to one document") {
+    import spark.implicits._
+    // fixture with planted exact dups (the shipped corpus has none
+    // below sf0.1): 3 copies, 2 copies, and a unique text
+    val d = Seq(
+      (1L, "en", "aaa bbb"), (2L, "en", "aaa bbb"), (3L, "de", "aaa bbb"),
+      (4L, "en", "ccc ddd"), (5L, "en", "ccc ddd"),
+      (6L, "fr", "eee")).toDF("doc_id", "lang", "text")
+    val out = Sampling.mixSoftDedupOf(d).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out.map(t => (t._1, t._2)) ===
+      Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 2L), (5L, 2L), (6L, 1L)))
+    out.foreach { case (_, n, w) =>
+      assert(math.abs(w - 1.0 / n) < 5e-7, s"weight off 1/$n: $w")
+    }
+    // total mass = one document per unique text (3 groups), up to
+    // the 6-decimal rounding of 1/3
+    assert(math.abs(out.map(_._3).sum - 3.0) < 1e-4)
+
+    // on the real corpus: one row per doc, weights in (0,1], and the
+    // degenerate no-dup case collapses to all-ones (dedup_exact's
+    // n_dups=1 everywhere at this sf)
+    val corpus = Sampling.mixSoftDedup(spark, sfDir).collect()
+    assert(corpus.length === 500)
+    assert(corpus.forall(r => r.getDouble(3) > 0 && r.getDouble(3) <= 1.0))
+  }
 }
