@@ -3147,6 +3147,54 @@ object Oracles {
         |ORDER BY q_id, rk""".stripMargin
     },
 
+    // D12 recall@5 eval (Similarity.annRecallEval): the ann_ivf and
+    // ann_bruteforce chains verbatim (same folds, same UNROUNDED
+    // rank cuts), intersected per query — both id sets are already
+    // hash-certified algebra, so the count + ratio gate exactly.
+    "ann_recall_eval" ->
+      s"""${ivfAssignCtes(nLists = 16)},
+        |probes AS (
+        |  SELECT vec_id AS q_id, c_idx AS list_id FROM (
+        |    SELECT vec_id, c_idx, row_number() OVER (
+        |        PARTITION BY vec_id ORDER BY d DESC, c_idx DESC) AS rn
+        |    FROM dots WHERE vec_id < 10) WHERE rn <= 4),
+        |ipairs AS (
+        |  SELECT p.q_id, a.vec_id AS n_id,
+        |    list_reduce(
+        |      list_transform(list_zip(q.v, x.v), s -> s[1] * s[2]),
+        |      (u, w) -> u + w) / (q.nrm * x.nrm) AS cos
+        |  FROM probes p
+        |  JOIN assigned a ON a.list_id = p.list_id
+        |  JOIN n x ON x.vec_id = a.vec_id
+        |  JOIN n q ON q.vec_id = p.q_id
+        |  WHERE a.vec_id <> p.q_id),
+        |ivf AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY cos DESC, n_id) AS rk
+        |    FROM ipairs) WHERE rk <= 5),
+        |epairs AS (
+        |  SELECT q.vec_id AS q_id, x.vec_id AS n_id,
+        |    list_reduce(
+        |      list_transform(list_zip(q.v, x.v), s -> s[1] * s[2]),
+        |      (u, w) -> u + w) / (q.nrm * x.nrm) AS cos
+        |  FROM n q JOIN n x ON q.vec_id <> x.vec_id
+        |  WHERE q.vec_id < 10),
+        |exact AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY cos DESC, n_id) AS rk
+        |    FROM epairs) WHERE rk <= 5),
+        |hits AS (
+        |  SELECT e.q_id, count(*) AS c
+        |  FROM exact e JOIN ivf i ON i.q_id = e.q_id AND i.n_id = e.n_id
+        |  GROUP BY 1)
+        |SELECT q.q_id, coalesce(h.c, 0) AS n_hits,
+        |  round(coalesce(h.c, 0)::double / 5.0, 4) AS recall
+        |FROM (SELECT DISTINCT q_id FROM exact) q
+        |LEFT JOIN hits h ON h.q_id = q.q_id
+        |ORDER BY q.q_id""".stripMargin,
+
     // D10 IVF-bounded kNN graph (Similarity.knnGraphIvf): ann_ivf's
     // oracle with EVERY vector as a query (no vec_id < 10 cut) — the
     // same ivf_assign chain, probe tie rule (d DESC, c_idx DESC,

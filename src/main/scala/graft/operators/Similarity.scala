@@ -778,6 +778,33 @@ object Similarity {
     out
   }
 
+  /** D12 (round 12): ANN index-quality evaluation as a first-class
+    * query — recall@5 of the IVF path ([[annIvf]], nProbe=4) against
+    * the exact answer ([[annBruteforce]]) per query vector. This is
+    * the measurement loop every ANN deployment runs when tuning the
+    * nProbe/nLists dial: recompute on a query sample after each
+    * index build, alert when recall drifts. Both arms are the
+    * registry operators verbatim (single-sourced — the eval can
+    * never measure a different index than the one served); the eval
+    * itself is one equi-join on (q_id, n_id) + a count per query —
+    * work proportional to Q·k, trivially distributed, the exact arm
+    * being the expensive one exactly as in production (run it on a
+    * Q-row query SAMPLE, not the corpus; Q=10 here). Full hash gate:
+    * both arms are hash-certified chains, the intersection count is
+    * integer algebra, and the recall ratio rounds via roundDuck. */
+  def annRecallEval(spark: SparkSession, dir: String): DataFrame = {
+    val exact = annBruteforce(spark, dir).select(col("q_id"), col("n_id"))
+    val approx = annIvf(spark, dir).select(col("q_id"), col("n_id"))
+    val hits = exact.join(approx, Seq("q_id", "n_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+    exact.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall",
+        round(col("n_hits").cast("double") / lit(5.0), 4))
+      .orderBy(col("q_id"))
+  }
+
   /** MMR picks per query / candidate pool size (single-sourced into
     * the oracle). */
   val MmrK = 5

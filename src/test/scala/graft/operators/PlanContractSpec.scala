@@ -17,6 +17,10 @@ class PlanContractSpec extends SparkSuite {
   //  - embed_mmr: same n×q candidate-generation scan as
   //    ann_bruteforce (the greedy rerank itself is a bounded
   //    per-query flatMapGroups, no join at all).
+  //  - ann_recall_eval: reuses the ann_bruteforce arm verbatim as
+  //    its exact ground truth — the same bounded 10-row query-set
+  //    broadcast (the eval's own joins are equi-joins on
+  //    (q_id, n_id)).
   //  - q14_scalar_subquery: the broadcast side is a 1-row global
   //    aggregate — a broadcast scalar, O(n) total.
   //  - text_tfidf: same shape as q14 — the corpus-size N is a 1-row
@@ -58,7 +62,8 @@ class PlanContractSpec extends SparkSuite {
       "text_typicality", "corpus_stats", "text_bm25", "stream_bm25",
       "mix_curriculum", "zorder_key", "table_histogram", "events_rfm",
       "stream_rfm", "orders_pareto", "text_collocations",
-      "stream_hitters", "table_entropy", "embed_mmr", "table_fds")
+      "stream_hitters", "table_entropy", "embed_mmr", "table_fds",
+      "ann_recall_eval")
 
   test("no query plans a cartesian or unbounded nested-loop join") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -55,6 +55,28 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.4, s"IVF recall@5 too low: $recall")
   }
 
+  test("ann_recall_eval agrees with a direct per-query set intersection") {
+    val eval = Similarity.annRecallEval(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(eval.map(_._1).toSeq === (0L to 9L), "one row per query vector")
+    val bf = Similarity.annBruteforce(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = Similarity.annIvf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    eval.foreach { case (q, n, rec) =>
+      val expect = (bf(q) & ivf.getOrElse(q, Set.empty[Long])).size
+      assert(n === expect.toLong, s"q=$q n_hits")
+      assert(math.abs(rec - expect / 5.0) < 1e-9, s"q=$q recall")
+    }
+    // the eval's corpus-level mean is the number the IVF recall test
+    // above gates — they must agree, since both read the same arms
+    val mean = eval.map(_._3).sum / eval.length
+    val direct = eval.map(_._2).sum / (5.0 * eval.length)
+    assert(math.abs(mean - direct) < 1e-6)
+  }
+
   test("knn_graph_ivf: recall vs exact graph; one uncached scan; no broadcast hint") {
     // recall of the IVF-bounded graph against the exact O(n²) graph —
     // the property that certifies the scale twin actually approximates
