@@ -3872,59 +3872,88 @@ object Oracles {
     // brightness sums, bit i set iff gray·64 > Σ gray, then exact
     // hash groups. The 256-row LUT turns hex byte pairs into ints.
     "mm_phash" ->
-      """WITH base AS (
-        |  SELECT doc_id, text,
-        |    1 + (doc_id * 7) % 40 AS w,
-        |    1 + (doc_id * 13) % 32 AS h,
-        |    CASE WHEN doc_id % 11 = 0 THEN 'raw'
-        |         WHEN doc_id % 3 = 0 THEN 'png' ELSE 'bmp' END AS kind,
-        |    ((w * 3 + 3) // 4) * 4 AS stride,
-        |    hex(encode(text)) || '00' AS p2
-        |  FROM documents),
-        |pix AS (
-        |  SELECT *,
-        |    CASE WHEN kind = 'bmp' THEN stride ELSE w * 3 END AS rowbytes,
-        |    CASE kind
-        |      WHEN 'bmp' THEN substr(
-        |        repeat(p2, ((stride * h * 2 + length(p2) - 1) // length(p2))::int),
-        |        1, (stride * h * 2)::int)
-        |      WHEN 'png' THEN substr(
-        |        repeat(p2, ((w * h * 6 + length(p2) - 1) // length(p2))::int),
-        |        1, (w * h * 6)::int)
-        |    END AS px
-        |  FROM base WHERE kind <> 'raw'),
-        |lut AS (SELECT lpad(hex(t.g), 2, '0') AS hx, t.g AS v
-        |        FROM range(0, 256) t(g)),
-        |samp AS (
-        |  SELECT p.doc_id, (ty.g * 8 + tx.g)::int AS i,
-        |    substr(p.px, ((((ty.g * p.h) // 8) * p.rowbytes + ((tx.g * p.w) // 8) * 3) * 2 + 1)::int, 2) AS b1,
-        |    substr(p.px, ((((ty.g * p.h) // 8) * p.rowbytes + ((tx.g * p.w) // 8) * 3) * 2 + 3)::int, 2) AS b2,
-        |    substr(p.px, ((((ty.g * p.h) // 8) * p.rowbytes + ((tx.g * p.w) // 8) * 3) * 2 + 5)::int, 2) AS b3
-        |  FROM pix p
-        |  CROSS JOIN range(0, 8) ty(g) CROSS JOIN range(0, 8) tx(g)),
-        |vals AS (
-        |  SELECT s.doc_id, s.i, l1.v + l2.v + l3.v AS gray
-        |  FROM samp s
-        |  JOIN lut l1 ON l1.hx = s.b1
-        |  JOIN lut l2 ON l2.hx = s.b2
-        |  JOIN lut l3 ON l3.hx = s.b3),
-        |tot AS (SELECT doc_id, sum(gray)::bigint AS total
-        |        FROM vals GROUP BY 1),
-        |ph AS (
-        |  SELECT v.doc_id,
-        |    string_agg(CASE WHEN v.gray * 64 > t.total THEN '1' ELSE '0' END,
-        |      '' ORDER BY v.i) AS phash,
-        |    sum(CASE WHEN v.gray * 64 > t.total THEN 1 ELSE 0 END)::int AS n_ones
-        |  FROM vals v JOIN tot t USING (doc_id) GROUP BY v.doc_id),
-        |g AS (
+      ("WITH " + phashCtes + ",\n" +
+      """g AS (
         |  SELECT ph.*, min(doc_id) OVER (PARTITION BY phash) AS rep_id,
         |    count(*) OVER (PARTITION BY phash)::bigint AS grp_n
         |  FROM ph)
         |SELECT g.doc_id, p.w::int AS width, p.h::int AS height,
         |  g.phash, g.n_ones, g.rep_id, g.grp_n
         |FROM g JOIN pix p USING (doc_id)
-        |ORDER BY g.doc_id""".stripMargin
+        |ORDER BY g.doc_id""".stripMargin),
+
+    // F8 perceptual near-dup pairs: same phash chain, then the
+    // 4×16-bit-band pigeonhole join (band match = substring equality
+    // in bit-string space) and DuckDB's exact hamming() verify —
+    // mirrors the Spark side's conv/xor/bit_count algebra exactly
+    // because both compare the identical 64-char '0'/'1' string.
+    "mm_neardup" ->
+      ("WITH " + phashCtes + ",\n" +
+      s"""b AS (
+        |  SELECT doc_id, phash, r.g AS band,
+        |    substr(phash, (1 + 16 * r.g)::int, 16) AS bv
+        |  FROM ph CROSS JOIN range(0, 4) r(g)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+        |    a.phash AS pa, c.phash AS pb
+        |  FROM b a JOIN b c
+        |    ON a.band = c.band AND a.bv = c.bv AND a.doc_id < c.doc_id)
+        |SELECT doc_a, doc_b, hamming(pa, pb)::int AS hamming
+        |FROM cand WHERE hamming(pa, pb) <= ${graft.multimodal.Multimodal.NeardupHamTau}
+        |ORDER BY doc_a, doc_b""".stripMargin)
   )
+
+  /** The shared phash derivation — the synthesized-image corpus in hex
+    * space through the 8×8 average-hash bit string, ending in
+    * `ph(doc_id, phash, n_ones)` (and `pix` for dims). Consumed
+    * verbatim by `mm_phash` (exact groups) and `mm_neardup` (banded
+    * hamming pairs) so "the hash both queries see" has one
+    * definition. */
+  private def phashCtes: String =
+    """base AS (
+      |  SELECT doc_id, text,
+      |    1 + (doc_id * 7) % 40 AS w,
+      |    1 + (doc_id * 13) % 32 AS h,
+      |    CASE WHEN doc_id % 11 = 0 THEN 'raw'
+      |         WHEN doc_id % 3 = 0 THEN 'png' ELSE 'bmp' END AS kind,
+      |    ((w * 3 + 3) // 4) * 4 AS stride,
+      |    hex(encode(text)) || '00' AS p2
+      |  FROM documents),
+      |pix AS (
+      |  SELECT *,
+      |    CASE WHEN kind = 'bmp' THEN stride ELSE w * 3 END AS rowbytes,
+      |    CASE kind
+      |      WHEN 'bmp' THEN substr(
+      |        repeat(p2, ((stride * h * 2 + length(p2) - 1) // length(p2))::int),
+      |        1, (stride * h * 2)::int)
+      |      WHEN 'png' THEN substr(
+      |        repeat(p2, ((w * h * 6 + length(p2) - 1) // length(p2))::int),
+      |        1, (w * h * 6)::int)
+      |    END AS px
+      |  FROM base WHERE kind <> 'raw'),
+      |lut AS (SELECT lpad(hex(t.g), 2, '0') AS hx, t.g AS v
+      |        FROM range(0, 256) t(g)),
+      |samp AS (
+      |  SELECT p.doc_id, (ty.g * 8 + tx.g)::int AS i,
+      |    substr(p.px, ((((ty.g * p.h) // 8) * p.rowbytes + ((tx.g * p.w) // 8) * 3) * 2 + 1)::int, 2) AS b1,
+      |    substr(p.px, ((((ty.g * p.h) // 8) * p.rowbytes + ((tx.g * p.w) // 8) * 3) * 2 + 3)::int, 2) AS b2,
+      |    substr(p.px, ((((ty.g * p.h) // 8) * p.rowbytes + ((tx.g * p.w) // 8) * 3) * 2 + 5)::int, 2) AS b3
+      |  FROM pix p
+      |  CROSS JOIN range(0, 8) ty(g) CROSS JOIN range(0, 8) tx(g)),
+      |vals AS (
+      |  SELECT s.doc_id, s.i, l1.v + l2.v + l3.v AS gray
+      |  FROM samp s
+      |  JOIN lut l1 ON l1.hx = s.b1
+      |  JOIN lut l2 ON l2.hx = s.b2
+      |  JOIN lut l3 ON l3.hx = s.b3),
+      |tot AS (SELECT doc_id, sum(gray)::bigint AS total
+      |        FROM vals GROUP BY 1),
+      |ph AS (
+      |  SELECT v.doc_id,
+      |    string_agg(CASE WHEN v.gray * 64 > t.total THEN '1' ELSE '0' END,
+      |      '' ORDER BY v.i) AS phash,
+      |    sum(CASE WHEN v.gray * 64 > t.total THEN 1 ELSE 0 END)::int AS n_ones
+      |  FROM vals v JOIN tot t USING (doc_id) GROUP BY v.doc_id)""".stripMargin
 
   /** SURVEY §2G — streaming jobs, verified through their batch form
     * (same transform; stream path is ScalaTest-driven). */

@@ -699,6 +699,72 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Hamming radius for [[mmNeardup]] — with 4 bands of 16 bits, the
+    * pigeonhole guarantees every pair at distance ≤ 3 shares a band,
+    * so the banded join is COMPLETE for this τ (not LSH-approximate).
+    * Shared with the DuckDB oracle. */
+  val NeardupHamTau = 3
+
+  /** F8: perceptual image NEAR-dup pairs — the hamming-≤τ band join
+    * that [[mmPhash]]'s doc names as the near-dup dial, closed into a
+    * first-class query: catches re-encodes and minor edits whose
+    * average-hash differs in a few bits, which the exact-bucket
+    * grouping of mm_phash misses by construction. Same decode+hash
+    * per-partition map (no shuffle), then [[graft.operators.Dedup]]'s
+    * simhash pigeonhole verbatim in bit-string space: the 64-bit hash
+    * splits into 4×16-bit bands (substring equality = band equality),
+    * candidates are a plain equi-join on (band, value), and the exact
+    * verify is integer `bit_count(xor)` over the banded words — all
+    * codegen'd builtins. Unlike dedup_simhash (whose native 64-bit
+    * hash has no SQL twin → rows-only [R]), the phash is re-derivable
+    * in hex space, so this is the repo's first FULLY hash-gated
+    * hamming near-dup operator.
+    *
+    * SCALE ROUTE: identical routing note to dedup_simhash — the
+    * pigeonhole colludes ~n²/2¹⁶ candidate pairs regardless of
+    * similarity, and phash bits are brightness-correlated, so
+    * degenerate bands (all-dark/all-light images) form the heavy
+    * buckets. The production dial is a band-frequency cut (the
+    * shingle df≤50 precedent) that trades the τ≤3 completeness
+    * guarantee for linear growth; the complete form IS the oracle
+    * gate here, and the phash frame is persisted once feeding both
+    * join sides (no double decode — the no-subtree-dedup rule). */
+  def mmNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ph = synthImageBlobs(spark, dir)
+      .mapPartitions(it => it.flatMap(phashOf))
+      .toDF()
+      .select(col("doc_id"), col("phash"))
+    neardupCore(ph)
+  }
+
+  /** Core banded-hamming pair join over any (doc_id, phash) frame —
+    * split out so the spec can drive planted bit-string fixtures. */
+  private[multimodal] def neardupCore(phashed: DataFrame): DataFrame = {
+    val words = (0 until 4).map(b =>
+      conv(substring(col("phash"), 1 + 16 * b, 16), 2, 10)
+        .cast("long").as(s"w$b"))
+    val ph = phashed
+      .select(col("doc_id") +: words: _*)
+      .persist()
+    val banded = ph.select(col("doc_id"), col("w0"), col("w1"),
+      col("w2"), col("w3"),
+      posexplode(array(col("w0"), col("w1"), col("w2"), col("w3")))
+        .as(Seq("band", "bv")))
+    val ham = (0 until 4).map(b =>
+      bit_count(col(s"a.w$b").bitwiseXOR(col(s"b.w$b"))))
+      .reduce(_ + _)
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        ham.cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= NeardupHamTau)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   private def unhexBytes(s: String): Array[Byte] = {
     val out = new Array[Byte](s.length / 2)
     var i = 0

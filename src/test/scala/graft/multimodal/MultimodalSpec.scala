@@ -643,4 +643,48 @@ class MultimodalSpec extends SparkSuite {
       }
     }
   }
+
+  test("mm_neardup: planted fixture hits exactly the hamming<=3 pairs") {
+    import spark.implicits._
+    val base = ("01" * 32).toCharArray
+    def flip(bits: Int*): String = {
+      val c = base.clone(); bits.foreach(b => c(b) = if (c(b) == '0') '1' else '0')
+      new String(c)
+    }
+    // 1: base; 2: d=1; 3: d=3 (spread over three bands); 4: d=4 (one
+    // per band — shares NO band with base, correctly absent even
+    // though pigeonhole can't see it); 5: exact dup of base;
+    // 6: d=2 vs base => d=3 vs doc 2's flipped bit? keep simple: far hash
+    val ph = Seq(
+      (1L, new String(base)), (2L, flip(5)), (3L, flip(0, 17, 40)),
+      (4L, flip(3, 19, 35, 51)), (5L, new String(base)),
+      (6L, flip((0 until 16): _*))).toDF("doc_id", "phash")
+    val got = Multimodal.neardupCore(ph)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute-force truth over all pairs
+    val rows = Seq((1L, new String(base)), (2L, flip(5)),
+      (3L, flip(0, 17, 40)), (4L, flip(3, 19, 35, 51)),
+      (5L, new String(base)), (6L, flip((0 until 16): _*)))
+    val want = (for {
+      (a, pa) <- rows; (b, pb) <- rows if a < b
+      d = pa.zip(pb).count { case (x, y) => x != y } if d <= 3
+    } yield (a, b, d)).toSet
+    assert(want.contains((1L, 2L, 1)) && want.contains((1L, 5L, 0)) &&
+      want.contains((1L, 3L, 3)))
+    assert(!want.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("mm_neardup corpus: complete vs all-pairs hamming<=3 over mm_phash at sf0.001") {
+    val hashes = Multimodal.mmPhash(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+    val want = (for {
+      (a, pa) <- hashes; (b, pb) <- hashes if a < b
+      d = pa.zip(pb).count { case (x, y) => x != y } if d <= 3
+    } yield (a, b, d)).toSet
+    val got = Multimodal.mmNeardup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want)
+    assert(got.nonEmpty, "corpus must produce at least the exact-dup pairs")
+  }
 }
