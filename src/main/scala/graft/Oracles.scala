@@ -1774,22 +1774,8 @@ object Oracles {
     // end. Bigram derivation identical to corpus_ngrams; docs with
     // < 2 tokens vanish through the inner join in both engines.
     "text_bigram_lm" ->
-      raw"""WITH t AS (
-         |  SELECT doc_id,
-         |    list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
-         |                w -> w <> '') AS s
-         |  FROM documents),
-         |occ AS (
-         |  SELECT doc_id,
-         |    unnest(list_transform(range(1, len(s)),
-         |                          i -> s[i] || ' ' || s[i + 1])) AS bigram,
-         |    unnest(list_transform(range(1, len(s)), i -> s[i])) AS w1
-         |  FROM t WHERE len(s) >= 2),
-         |big AS (SELECT bigram, count(*) AS cnt2 FROM occ GROUP BY bigram),
-         |uni AS (
-         |  SELECT tok, count(*) AS cnt1 FROM (
-         |    SELECT unnest(s) AS tok FROM t) GROUP BY tok)
-         |SELECT occ.doc_id, count(*)::int AS n_bigrams,
+      ("WITH " + bigramLmCtes + "\n" +
+      """SELECT occ.doc_id, count(*)::int AS n_bigrams,
          |  sum(cnt2)::bigint AS sum_bigram_cnt,
          |  sum(cnt1)::bigint AS sum_prefix_cnt,
          |  sum(CASE WHEN cnt2 = 1 THEN 1 ELSE 0 END)::int AS n_unique_bigrams,
@@ -1798,7 +1784,30 @@ object Oracles {
          |JOIN big USING (bigram)
          |JOIN uni ON uni.tok = occ.w1
          |GROUP BY occ.doc_id
-         |ORDER BY occ.doc_id""".stripMargin,
+         |ORDER BY occ.doc_id""".stripMargin),
+
+    // E23 CCNet head/middle/tail: the same bigram-LM chain reduced to
+    // the per-doc typicality ratio, then ntile(3) over the per-lang
+    // (typicality desc, doc_id) total order — pure rank algebra, no
+    // quantile interpolation in the gate.
+    "quality_lm_buckets" ->
+      ("WITH " + bigramLmCtes + "\n" +
+      """, lm AS (
+         |  SELECT occ.doc_id,
+         |    round(sum(cnt2)::bigint / sum(cnt1)::bigint, 6) AS cond_typicality
+         |  FROM occ
+         |  JOIN big USING (bigram)
+         |  JOIN uni ON uni.tok = occ.w1
+         |  GROUP BY occ.doc_id),
+         |s AS (
+         |  SELECT lm.doc_id, d.lang, lm.cond_typicality,
+         |    ntile(3) OVER (PARTITION BY d.lang
+         |      ORDER BY lm.cond_typicality DESC, lm.doc_id) AS b
+         |  FROM lm JOIN documents d USING (doc_id))
+         |SELECT doc_id, lang, cond_typicality,
+         |  CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+         |    ELSE 'tail' END AS bucket
+         |FROM s ORDER BY doc_id""".stripMargin),
 
     "text_pii" -> piiSql,
 
@@ -2062,6 +2071,28 @@ object Oracles {
     * the text_quality and curate_corpus oracles can never drift apart
     * (they previously re-inlined the same formula twice). Mirrors
     * graft.functions.TextFunctions op-for-op. */
+  /** The bigram-LM corpus passes — whitespace tokens, per-occurrence
+    * bigrams with their prefix word, corpus bigram and unigram counts —
+    * ending in `occ(doc_id, bigram, w1)`, `big(bigram, cnt2)`,
+    * `uni(tok, cnt1)`. Shared verbatim by `text_bigram_lm` and
+    * `quality_lm_buckets` so both gate one LM definition. */
+  private def bigramLmCtes: String =
+    raw"""t AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+         |                w -> w <> '') AS s
+         |  FROM documents),
+         |occ AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(s)),
+         |                          i -> s[i] || ' ' || s[i + 1])) AS bigram,
+         |    unnest(list_transform(range(1, len(s)), i -> s[i])) AS w1
+         |  FROM t WHERE len(s) >= 2),
+         |big AS (SELECT bigram, count(*) AS cnt2 FROM occ GROUP BY bigram),
+         |uni AS (
+         |  SELECT tok, count(*) AS cnt1 FROM (
+         |    SELECT unnest(s) AS tok FROM t) GROUP BY tok)""".stripMargin
+
   private def qualityBaseCte(src: String): String =
     raw"""q_base AS (
          |  SELECT doc_id, text, lang,

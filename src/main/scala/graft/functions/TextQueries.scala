@@ -443,6 +443,43 @@ object TextQueries {
       .orderBy(col("source"), col("lang"))
   }
 
+  /** E23: CCNet-style per-language LM buckets (Wenzek et al.,
+    * LREC'20) — rank each language's documents by the corpus
+    * bigram-LM signal and cut into equal thirds: head (most typical
+    * under the LM — CCNet's lowest-perplexity tier, the part kept
+    * for training), middle, tail. The signal is [[bigramLmOf]]'s
+    * cond_typicality — a ratio of two integer sums, monotone in the
+    * doc's average conditional bigram probability, i.e. the no-`ln`
+    * stand-in for LM perplexity (text_tfidf's exactness discipline) —
+    * so ordering by it IS ordering by perplexity, without a
+    * library-dependent log in the gate. Buckets are ntile(3) over
+    * the TOTAL order (typicality desc, doc_id): pure integer rank
+    * algebra, cross-engine identical (quality_deciles' proven ntile
+    * parity), no quantile interpolation anywhere. Docs with no
+    * bigram (< 2 tokens) carry no LM signal and drop, exactly as in
+    * text_bigram_lm.
+    *
+    * Scale: the LM passes are text_bigram_lm's (word-count-shaped,
+    * shuffle-parallel); the cut is ONE lang exchange + per-lang
+    * sort — quality_deciles' exact-rank cost class, shards sorting
+    * in parallel. The 100 TB dashboard route is histogram/KLL fences
+    * (q23_approx_percentiles); this is the exact form the curation
+    * decision runs. */
+  def qualityLmBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(spark, dir).documents
+    val lm = bigramLmOf(d.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("cond_typicality"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("cond_typicality").desc, col("doc_id"))
+    lm.join(d.select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("b", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("cond_typicality"),
+        when(col("b") === 1, "head").when(col("b") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** E2 adjunct: decile bucketing of the quality score per language —
     * the "rank the corpus into quality tiers" step a curation recipe
     * reads before choosing its floor (curate's MinQuality is exactly

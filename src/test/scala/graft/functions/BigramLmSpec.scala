@@ -45,4 +45,29 @@ class BigramLmSpec extends SparkSuite {
     assert(rows.map(_.getDouble(5)).distinct.length > 1,
       "cond_typicality is constant across the corpus")
   }
+
+  test("quality_lm_buckets: exact tercile recompute + ±1 balance per lang") {
+    val rows = TextQueries.qualityLmBuckets(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getString(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      // recompute ntile(3) over (typicality desc, doc_id asc)
+      val ordered = rs.sortBy(t => (-t._3, t._1))
+      val n = ordered.length
+      val expect = ordered.zipWithIndex.map { case (t, i) =>
+        // SQL ntile: first (n mod 3) buckets get ceil(n/3) rows
+        val big = n % 3; val base = n / 3
+        val b = if (i < big * (base + 1)) i / (base + 1)
+                else big + (i - big * (base + 1)) / base
+        t._1 -> Seq("head", "middle", "tail")(b)
+      }.toMap
+      rs.foreach { t =>
+        assert(t._4 == expect(t._1),
+          s"$lang doc ${t._1}: got ${t._4}, want ${expect(t._1)}") }
+      // tercile sizes differ by at most one
+      val sizes = rs.groupBy(_._4).view.mapValues(_.length).values.toSeq
+      assert(sizes.max - sizes.min <= 1, s"$lang sizes $sizes")
+    }
+  }
 }
