@@ -1809,6 +1809,46 @@ object Oracles {
          |    ELSE 'tail' END AS bucket
          |FROM s ORDER BY doc_id""".stripMargin),
 
+    // E24 Gopher-style ruleset: every rule input is an integer
+    // aggregate of the (doc_id, w) term-frequency table; each ratio
+    // is ONE bigint/bigint division and every flag compares the
+    // unrounded double — thresholds interpolated from the same Scala
+    // constants the Spark side reads.
+    "quality_gopher_rules" -> {
+      val Q = graft.functions.TextQueries
+      raw"""WITH tf AS (
+         |  SELECT doc_id, w, count(*) AS c FROM (
+         |    SELECT doc_id,
+         |      unnest(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+         |                         w -> w <> '')) AS w
+         |    FROM documents) GROUP BY doc_id, w),
+         |per AS (
+         |  SELECT doc_id, sum(c)::bigint AS n_tok,
+         |    count(*)::bigint AS n_distinct, max(c)::bigint AS top_c,
+         |    sum(length(w) * c)::bigint AS n_chars_tok,
+         |    sum(CASE WHEN w IN ('the','a','is','of') THEN 1 ELSE 0
+         |        END)::bigint AS n_stop_kinds
+         |  FROM tf GROUP BY doc_id)
+         |SELECT doc_id, n_tok::int AS n_tok, n_distinct::int AS n_distinct,
+         |  round(n_chars_tok / n_tok, 4) AS mean_word_len,
+         |  round(n_distinct / n_tok, 4) AS distinct_ratio,
+         |  round(top_c / n_tok, 4) AS top_token_ratio,
+         |  n_stop_kinds::int AS n_stop_kinds,
+         |  (n_tok >= ${Q.GopherTokMin} AND n_tok <= ${Q.GopherTokMax}) AS r_len,
+         |  (n_chars_tok / n_tok >= ${Q.GopherWlenMin}
+         |    AND n_chars_tok / n_tok <= ${Q.GopherWlenMax}) AS r_wlen,
+         |  (n_distinct / n_tok >= ${Q.GopherDivMin}) AS r_div,
+         |  (top_c / n_tok <= ${Q.GopherRepMax}) AS r_rep,
+         |  (n_stop_kinds >= ${Q.GopherStopMin}) AS r_stop,
+         |  ((n_tok >= ${Q.GopherTokMin} AND n_tok <= ${Q.GopherTokMax})
+         |    AND (n_chars_tok / n_tok >= ${Q.GopherWlenMin}
+         |         AND n_chars_tok / n_tok <= ${Q.GopherWlenMax})
+         |    AND (n_distinct / n_tok >= ${Q.GopherDivMin})
+         |    AND (top_c / n_tok <= ${Q.GopherRepMax})
+         |    AND (n_stop_kinds >= ${Q.GopherStopMin})) AS pass
+         |FROM per ORDER BY doc_id""".stripMargin
+    },
+
     "text_pii" -> piiSql,
 
     // The G14 stream entry is the same stateless per-row scrub

@@ -480,6 +480,73 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** quality_gopher_rules thresholds — a Gopher-style (Rae et al.
+    * 2021, public) heuristic ruleset, re-ranged for this corpus's
+    * observed distributions (single-line lowercase text, no
+    * punctuation/digits, 10–99 tokens): the symbol/bullet/ellipsis
+    * rules of the paper are degenerate here, so the repetition
+    * family (distinct-token ratio, top-token share) stands in —
+    * exactly the signals Gopher's repetition section uses. */
+  val GopherTokMin = 30
+  val GopherTokMax = 80
+  val GopherWlenMin = 4.0
+  val GopherWlenMax = 5.0
+  val GopherDivMin = 0.45
+  val GopherRepMax = 0.10
+  val GopherStopMin = 2
+
+  /** E24: Gopher-style document quality ruleset — per-doc boolean
+    * rule flags plus the conjunction `pass`, the classic pre-training
+    * quality gate (length band, mean-word-length band, lexical
+    * diversity floor, top-token-share cap, stopword-kind floor).
+    *
+    * Shape: word-count-shaped and fully shuffle-parallel — ONE token
+    * explode → map-side-combined groupBy(doc_id, w), then the per-doc
+    * rollup rides a second partial-agg exchange on doc_id; every rule
+    * input (Σc, #distinct, max c, Σlen·c, stopword kinds) comes out
+    * of that single pass, so no row-level interpreted HOF and no
+    * second scan of documents. Exactness: all aggregates are
+    * integers; each ratio is ONE bigint/bigint division mirrored
+    * op-for-op in the oracle, and every flag compares the unrounded
+    * double — bit-identical cross-engine ⇒ full hash gate. */
+  def qualityGopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRulesOf(Tables(spark, dir).documents)
+
+  /** Core ruleset over any (doc_id, text) frame. */
+  def gopherRulesOf(d: DataFrame): DataFrame = {
+    val tf = d.select(col("doc_id"),
+        explode(split(col("text"), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    val per = tf.groupBy(col("doc_id")).agg(
+      sum(col("c")).as("n_tok"),
+      count(lit(1)).as("n_distinct"),
+      max(col("c")).as("top_c"),
+      sum(length(col("w")) * col("c")).as("n_chars_tok"),
+      sum(when(col("w").isInCollection(T.EnStopwords), 1).otherwise(0))
+        .as("n_stop_kinds"))
+    val meanW = col("n_chars_tok") / col("n_tok")
+    val divR = col("n_distinct") / col("n_tok")
+    val topR = col("top_c") / col("n_tok")
+    val rLen = col("n_tok") >= GopherTokMin && col("n_tok") <= GopherTokMax
+    val rWlen = meanW >= GopherWlenMin && meanW <= GopherWlenMax
+    val rDiv = divR >= GopherDivMin
+    val rRep = topR <= GopherRepMax
+    val rStop = col("n_stop_kinds") >= GopherStopMin
+    per.select(
+        col("doc_id"),
+        col("n_tok").cast("int").as("n_tok"),
+        col("n_distinct").cast("int").as("n_distinct"),
+        round(meanW, 4).as("mean_word_len"),
+        round(divR, 4).as("distinct_ratio"),
+        round(topR, 4).as("top_token_ratio"),
+        col("n_stop_kinds").cast("int").as("n_stop_kinds"),
+        rLen.as("r_len"), rWlen.as("r_wlen"), rDiv.as("r_div"),
+        rRep.as("r_rep"), rStop.as("r_stop"),
+        (rLen && rWlen && rDiv && rRep && rStop).as("pass"))
+      .orderBy(col("doc_id"))
+  }
+
   /** E2 adjunct: decile bucketing of the quality score per language —
     * the "rank the corpus into quality tiers" step a curation recipe
     * reads before choosing its floor (curate's MinQuality is exactly
