@@ -1809,6 +1809,29 @@ object Oracles {
          |    ELSE 'tail' END AS bucket
          |FROM s ORDER BY doc_id""".stripMargin),
 
+    // E25 Flesch readability: every literal forced ::double (DuckDB
+    // otherwise evaluates the literal terms in DECIMAL — measured
+    // 279/500 bit-mismatches); bands compare the unrounded double.
+    "text_readability" ->
+      raw"""WITH g AS (
+         |  SELECT doc_id,
+         |    len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+         |                    w -> w <> '')) AS n_tok,
+         |    len(regexp_extract_all(text, '[aeiou]+')) AS n_syl
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, n_tok, n_syl,
+         |    206.835::double - 1.015::double * n_tok
+         |      - 84.6::double * (n_syl / n_tok) AS flesch
+         |  FROM g WHERE n_tok > 0)
+         |SELECT doc_id, n_tok::int AS n_tok, n_syl::int AS n_syllable_runs,
+         |  round(n_syl / n_tok, 4) AS syl_per_word,
+         |  round(flesch, 4) AS flesch,
+         |  CASE WHEN flesch >= 60.0::double THEN 'easy'
+         |       WHEN flesch >= 30.0::double THEN 'medium'
+         |       ELSE 'hard' END AS band
+         |FROM f ORDER BY doc_id""".stripMargin,
+
     // E24 Gopher-style ruleset: every rule input is an integer
     // aggregate of the (doc_id, w) term-frequency table; each ratio
     // is ONE bigint/bigint division and every flag compares the

@@ -547,6 +547,42 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** E25: Flesch-style readability scoring — the classic
+    * reading-ease formula over whitespace words and vowel-run
+    * "syllables" (the standard no-dictionary syllable estimate:
+    * maximal [aeiou]+ runs), with the corpus's one-sentence docs
+    * making words-per-sentence = the doc's token count. A corpus
+    * difficulty signal a curation mix reads next to quality/LM
+    * typicality.
+    *
+    * Shape: zero-shuffle scan+project — both counts are codegen'd
+    * regexp_count passes. Exactness: the formula is three double
+    * literal multiplies and two subtractions mirrored op-for-op; the
+    * oracle forces `::double` on every literal (DuckDB otherwise
+    * computes the literal terms in DECIMAL and diverges — measured
+    * 279/500 bit-mismatches without the casts), and the band
+    * thresholds compare the identical unrounded double ⇒ full hash
+    * gate. */
+  def textReadability(spark: SparkSession, dir: String): DataFrame =
+    readabilityOf(Tables(spark, dir).documents)
+
+  /** Core readability projection over any (doc_id, text) frame. */
+  def readabilityOf(d: DataFrame): DataFrame = {
+    val nTok = T.wsTokenCount(col("text"))
+    val nSyl = regexp_count(col("text"), lit("[aeiou]+"))
+    val flesch = lit(206.835) - lit(1.015) * nTok -
+      lit(84.6) * (nSyl / nTok)
+    d.filter(nTok > 0)
+      .select(col("doc_id"),
+        nTok.as("n_tok"),
+        nSyl.as("n_syllable_runs"),
+        round(nSyl / nTok, 4).as("syl_per_word"),
+        round(flesch, 4).as("flesch"),
+        when(flesch >= 60.0, "easy").when(flesch >= 30.0, "medium")
+          .otherwise("hard").as("band"))
+      .orderBy(col("doc_id"))
+  }
+
   /** E2 adjunct: decile bucketing of the quality score per language —
     * the "rank the corpus into quality tiers" step a curation recipe
     * reads before choosing its floor (curate's MinQuality is exactly
