@@ -1336,6 +1336,43 @@ object Oracles {
         |FROM deg LEFT JOIN cnt ON cnt.n = deg.n
         |ORDER BY node""".stripMargin,
 
+    // Link prediction: wedges fan out from capped-degree centers
+    // only (constants single-sourced from Graph.Link*/RaScale); the
+    // RA score is an order-free integer sum (// = integral div), the
+    // Jaccard is one bigint/bigint division, and the top-k cut is a
+    // total order — full hash gate.
+    "graph_link_predict" -> {
+      val G = graft.operators.Graph
+      raw"""WITH li AS (SELECT l_orderkey AS k, l_partkey AS p FROM lineitem),
+         |und AS MATERIALIZED (SELECT DISTINCT a.p AS src, b.p AS dst
+         |        FROM li a JOIN li b ON a.k = b.k AND a.p < b.p),
+         |deg AS MATERIALIZED (SELECT n, count(*)::bigint AS deg FROM (
+         |          SELECT src AS n FROM und UNION ALL SELECT dst AS n FROM und)
+         |        GROUP BY n),
+         |ec AS MATERIALIZED (
+         |  SELECT e.c, e.m, deg.deg AS cdeg FROM (
+         |    SELECT src AS c, dst AS m FROM und
+         |    UNION ALL SELECT dst AS c, src AS m FROM und) e
+         |  JOIN deg ON deg.n = e.c AND deg.deg <= ${G.LinkDegCap}),
+         |scored AS (
+         |  SELECT x.m AS pa, y.m AS pb, count(*)::bigint AS cn,
+         |    sum(${G.RaScale} // x.cdeg)::bigint AS ra_fp
+         |  FROM ec x JOIN ec y ON x.c = y.c AND x.m < y.m
+         |  GROUP BY pa, pb),
+         |newp AS (
+         |  SELECT s.* FROM scored s
+         |  WHERE NOT EXISTS (SELECT 1 FROM und
+         |                    WHERE und.src = s.pa AND und.dst = s.pb))
+         |SELECT pa AS node_a, pb AS node_b, cn::int AS cn,
+         |  da.deg::int AS deg_a, db.deg::int AS deg_b,
+         |  round(cn / (da.deg + db.deg - cn), 6) AS jaccard, ra_fp
+         |FROM newp
+         |JOIN deg da ON da.n = pa
+         |JOIN deg db ON db.n = pb
+         |ORDER BY cn DESC, ra_fp DESC, node_a, node_b
+         |LIMIT ${G.LinkTopK}""".stripMargin
+    },
+
     "graph_pagerank" -> {
       val iters = graft.operators.Graph.PrIters
       val scale = graft.operators.Graph.PrScale

@@ -113,6 +113,92 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  // Shadows functions.round: DuckDB-exact binary rounding (OracleMath).
+  private def round(c: org.apache.spark.sql.Column, scale: Int):
+      org.apache.spark.sql.Column =
+    graft.functions.OracleMath.roundDuck(c, scale)
+
+  /** Centers with degree > this contribute no wedges — the hub cut
+    * that bounds wedge work to Σ_{deg≤cap} deg² ≤ cap·|E| (linear in
+    * edges for the fixed cap), the same Zipfian-tail discipline as
+    * dedup's df≤50 posting-list cut. Hubs are also the WEAKEST
+    * link-prediction evidence (resource-allocation/Adamic-Adar
+    * downweight them toward zero), so the cut approximates the score
+    * it feeds. */
+  val LinkDegCap = 80
+
+  /** Reported top-k predicted links. */
+  val LinkTopK = 100
+
+  /** Fixed-point scale for the resource-allocation sum (1.0 ≡ 1e12):
+    * Σ_c (RaScale div deg(c)) is an order-free INTEGER sum — the
+    * pagerank determinism discipline — so the score hash-gates
+    * exactly where a double Σ 1/deg would flake on add order. */
+  val RaScale = 1000000000000L
+
+  /** B: link prediction over the co-purchase graph — for every
+    * non-adjacent part pair, how strongly their shared neighborhoods
+    * predict a future co-purchase: selective common-neighbor count
+    * (centers of degree ≤ [[LinkDegCap]]), fixed-point
+    * resource-allocation score, and the capped-numerator Jaccard.
+    * Top-[[LinkTopK]] by (cn desc, ra_fp desc, a, b) — a total
+    * order, so the cut is deterministic cross-engine.
+    *
+    * Scale: the wedge self-join fans out ONLY from capped centers
+    * (Σ deg² ≤ cap·|E|); the candidate groupBy and the two degree
+    * joins are shuffle-on-natural-key; the final cut is
+    * TakeOrderedAndProject, never a global sort. All scores are
+    * integers or one division of integers ⇒ full hash gate. */
+  def graphLinkPredict(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+    linkPredictOf(li)
+  }
+
+  /** Top predicted links over any (k, p) membership frame. */
+  def linkPredictOf(li: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val a = li.select(col("k"), col("p").as("src"))
+    val b = li.select(col("k"), col("p").as("dst"))
+    // und referenced twice (wedge source + adjacency anti-join) and
+    // deg three times — persist both or Catalyst recomputes the
+    // whole edge derivation per reference (no-subtree-dedup).
+    val und = a.join(b, "k").filter(col("src") < col("dst"))
+      .select("src", "dst").distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(col("src").as("n"))
+      .unionAll(und.select(col("dst").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e = und.select(col("src").as("c"), col("dst").as("m"))
+      .unionAll(und.select(col("dst").as("c"), col("src").as("m")))
+    val ec = e.join(
+      deg.filter(col("deg") <= LinkDegCap)
+        .select(col("n").as("c"), col("deg").as("cdeg")), Seq("c"))
+    val pairs = ec.select(col("c"), col("cdeg"), col("m").as("pa"))
+      .join(ec.select(col("c"), col("m").as("pb")), Seq("c"))
+      .filter(col("pa") < col("pb"))
+    val scored = pairs.groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr(s"${RaScale}L div cdeg")).as("ra_fp"))
+    val newPairs = scored.join(und,
+      scored("pa") === und("src") && scored("pb") === und("dst"),
+      "left_anti")
+    newPairs
+      .join(deg.select(col("n").as("pa"), col("deg").as("deg_a")), Seq("pa"))
+      .join(deg.select(col("n").as("pb"), col("deg").as("deg_b")), Seq("pb"))
+      .select(col("pa").as("node_a"), col("pb").as("node_b"),
+        col("cn").cast("int").as("cn"),
+        col("deg_a").cast("int").as("deg_a"),
+        col("deg_b").cast("int").as("deg_b"),
+        round(col("cn") / (col("deg_a") + col("deg_b") - col("cn")), 6)
+          .as("jaccard"),
+        col("ra_fp"))
+      .orderBy(col("cn").desc, col("ra_fp").desc,
+        col("node_a"), col("node_b"))
+      .limit(LinkTopK)
+  }
+
   def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir).lineitem
       .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
