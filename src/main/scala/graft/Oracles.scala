@@ -1226,6 +1226,34 @@ object Oracles {
       }.mkString("", "\nUNION ALL\n", "\nORDER BY det, dep")
     },
 
+    // H Benford first-digit audit: digit = first char of the integer
+    // part's decimal string (integer-exact, no pow/log); expected
+    // probabilities are the SAME double literals the Spark plan
+    // embeds (Profile.BenfordP), ::double-forced so DuckDB never
+    // routes them through DECIMAL.
+    "table_benford" -> {
+      val ps = graft.operators.Profile.BenfordP.zipWithIndex
+        .map { case (p, i) => s"(${i + 1}, ${p}::double)" }
+        .mkString(", ")
+      raw"""WITH obs AS (
+         |  SELECT substring(floor(x)::bigint::varchar, 1, 1)::int AS digit,
+         |    count(*)::bigint AS n_obs
+         |  FROM (SELECT l_extendedprice AS x FROM lineitem
+         |        WHERE l_extendedprice >= 1.0)
+         |  GROUP BY digit),
+         |d(digit, p) AS (VALUES $ps),
+         |j AS (
+         |  SELECT d.digit, coalesce(obs.n_obs, 0)::bigint AS n_obs, d.p
+         |  FROM d LEFT JOIN obs USING (digit)),
+         |t AS (SELECT *, (sum(n_obs) OVER ())::bigint AS total FROM j)
+         |SELECT digit, n_obs,
+         |  round(n_obs / total, 6) AS obs_share,
+         |  round(p, 6) AS benford_p,
+         |  round((n_obs - p * total) * (n_obs - p * total) / (p * total), 4)
+         |    AS chi2_term
+         |FROM t ORDER BY digit""".stripMargin
+    },
+
     // H column entropy + pairwise MI: both engines reduce to integer
     // counts over the SAME bounded joint cube, then one mirrored FP
     // expression per statistic (H = log2(n) − Σ c·log2(c)/n) with

@@ -482,4 +482,55 @@ object Profile {
     }.reduce(_ unionAll _)
       .orderBy(col("col_x"), col("col_y"))
   }
+
+  /** Benford leading-digit probabilities log10(1+1/d), d = 1..9 —
+    * computed ONCE here and interpolated into BOTH the Spark plan
+    * and the oracle SQL as the same double literals, so no
+    * cross-engine log10 sits in the gate (library log10 is not
+    * guaranteed correctly rounded). */
+  val BenfordP: Seq[Double] = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
+  /** H: Benford's-law first-digit audit of a monetary column — the
+    * classic fabricated-data / unit-mixing tripwire a profiling pass
+    * runs on any new numeric feed: observed leading-digit shares of
+    * lineitem's extended price vs the Benford expectation, with the
+    * per-digit χ² contribution (large terms name the suspect
+    * digits).
+    *
+    * Shape: one column-pruned scan → 9-row groupBy (two-phase
+    * partial agg — the count shuffle carries ≤ 9 rows per map task);
+    * the dense 1..9 axis joins on the 9-row frame and the total is
+    * an order-free integer window sum over those 9 rows. Leading
+    * digit = first char of the integer part's decimal string —
+    * integer-exact in both engines (no pow/log in the digit path).
+    * χ² terms mirror op-for-op with `::double`-forced literals ⇒
+    * full hash gate. */
+  def tableBenford(spark: SparkSession, dir: String): DataFrame =
+    benfordOf(Tables(spark, dir).lineitem
+      .select(col("l_extendedprice").as("x")))
+
+  /** Benford audit over any single-column (x: double) frame. */
+  def benfordOf(vals: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = vals.sparkSession
+    val obs = vals.filter(col("x") >= 1.0)
+      .select(substring(floor(col("x")).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val digits = spark.range(1, 10)
+      .select(col("id").cast("int").as("digit"),
+        element_at(array(BenfordP.map(lit): _*), col("id").cast("int"))
+          .as("p"))
+    val exp = col("p") * col("total")
+    digits.join(obs, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        col("p"))
+      .withColumn("total", sum(col("n_obs")).over(Window.partitionBy()))
+      .select(col("digit"), col("n_obs"),
+        round(col("n_obs") / col("total"), 6).as("obs_share"),
+        round(col("p"), 6).as("benford_p"),
+        round((col("n_obs") - exp) * (col("n_obs") - exp) / exp, 4)
+          .as("chi2_term"))
+      .orderBy(col("digit"))
+  }
 }

@@ -267,4 +267,38 @@ class ProfileSpec extends SparkSuite {
     assert(widths == Seq.fill(n)(1) ++ Seq.fill(n * (n - 1) / 2)(2),
       s"branch scans must prune to exactly their 1 or 2 columns: $widths")
   }
+
+  test("table_benford: planted fixture, dense digit axis, probability mass") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    // 4 ones-digit values, 2 nines, sub-1.0 filtered, digit 2..8 absent
+    val vals = Seq(1.5, 19.99, 123.0, 1000000.25, 9.1, 94.2, 0.4)
+      .toDF("x")
+    val rows = Profile.benfordOf(vals).collect()
+    assert(rows.length === 9, "dense 1..9 axis even with absent digits")
+    val byDigit = rows.map(r => r.getInt(0) ->
+      ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(byDigit(1) === ((4L, 0.666667)))
+    assert(byDigit(9) === ((2L, 0.333333)))
+    (2 to 8).foreach(d => assert(byDigit(d)._1 === 0L, s"digit $d"))
+    // benford_p column carries the exact reference mass (sums to 1)
+    val pSum = Profile.BenfordP.sum
+    assert(math.abs(pSum - 1.0) < 1e-12)
+    // an absent digit still pays its full expected chi2 term:
+    // (0 - p*6)^2 / (p*6) = p*6
+    val r2 = rows.find(_.getInt(0) == 2).get
+    val exp2 = Profile.BenfordP(1) * 6
+    assert(math.abs(r2.getDouble(4) - exp2) < 1e-3)
+
+    // corpus: shares sum to 1, all digits present at sf0.001
+    val corpus = Profile.tableBenford(spark, sfDir).collect()
+    assert(corpus.length === 9)
+    val n = corpus.map(_.getLong(1)).sum
+    assert(n > 0)
+    corpus.foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+      assert(r.getDouble(4) >= 0.0)
+    }
+    assert(math.abs(corpus.map(_.getDouble(2)).sum - 1.0) < 1e-3)
+  }
 }
