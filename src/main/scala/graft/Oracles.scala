@@ -1254,6 +1254,31 @@ object Oracles {
          |FROM t ORDER BY digit""".stripMargin
     },
 
+    // H robust outliers: quantile_cont ≡ Spark percentile
+    // (q23-proven); score literals ::double-forced and the threshold
+    // compares the unrounded double; mad > 0 guards the
+    // div-by-zero IEEE/NULL divergence identically on both sides.
+    "table_outliers" -> {
+      val P = graft.operators.Profile
+      raw"""WITH e AS (SELECT event_id, event_type, value FROM events),
+         |med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+         |        FROM e GROUP BY event_type),
+         |mad AS (SELECT e.event_type,
+         |          quantile_cont(abs(value - med), 0.5) AS mad
+         |        FROM e JOIN med USING (event_type)
+         |        GROUP BY e.event_type)
+         |SELECT event_id, e.event_type,
+         |  round(value, 6) AS value,
+         |  round(med, 4) AS med,
+         |  round(mad, 4) AS mad,
+         |  round(${P.MadK}::double * (value - med) / mad, 4) AS robust_z
+         |FROM e JOIN med USING (event_type) JOIN mad USING (event_type)
+         |WHERE mad > 0.0
+         |  AND abs(${P.MadK}::double * (value - med) / mad)
+         |        > ${P.MadZThreshold}::double
+         |ORDER BY event_id""".stripMargin
+    },
+
     // H column entropy + pairwise MI: both engines reduce to integer
     // counts over the SAME bounded joint cube, then one mirrored FP
     // expression per statistic (H = log2(n) − Σ c·log2(c)/n) with

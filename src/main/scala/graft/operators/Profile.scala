@@ -483,6 +483,54 @@ object Profile {
       .orderBy(col("col_x"), col("col_y"))
   }
 
+  /** Robust-z outlier threshold (Iglewicz–Hoban modified z-score:
+    * 0.6745·(x − median)/MAD, flag |z| > 3.5). */
+  val MadZThreshold = 3.5
+  val MadK = 0.6745
+
+  /** H: robust outlier detection over the events value stream —
+    * per-event-type median/MAD modified z-scores, reporting every
+    * row whose |z| exceeds [[MadZThreshold]]. The
+    * heavy-tail tripwire a profiling pass runs where mean/stddev
+    * would be dragged by the very outliers it hunts.
+    *
+    * Shape: THREE column-pruned passes over the fact — median per
+    * type, MAD per type, then the score filter — the honest minimum
+    * for two dependent order statistics (each stat frame is k rows,
+    * broadcast onto the next pass; no fact-sized persist, no
+    * fact-sized shuffle: `percentile` partial-aggregates map-side).
+    * Exact per-group percentile carries the per-group value map —
+    * the 100 TB dashboard route is approx_percentile (KLL,
+    * q23_approx precedent); this is the exact form the audit runs.
+    * Exactness: percentile ≡ quantile_cont (q23-proven), the score
+    * is one mirrored FP expression with ::double-forced literals,
+    * and the threshold compares the unrounded double; mad > 0
+    * guards the div-by-zero IEEE/NULL divergence identically on
+    * both sides ⇒ full hash gate. */
+  def tableOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+      .select(col("event_id"), col("event_type"), col("value"))
+    madOutliersOf(e)
+  }
+
+  /** Robust outliers over any (event_id, event_type, value) frame. */
+  def madOutliersOf(e: DataFrame): DataFrame = {
+    val med = e.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5D)").as("med"))
+    val mad = e.join(med, "event_type")
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(abs(value - med), 0.5D)").as("mad"))
+    val z = lit(MadK) * (col("value") - col("med")) / col("mad")
+    e.join(med, "event_type").join(mad, "event_type")
+      .filter(col("mad") > 0.0 && abs(z) > MadZThreshold)
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 6).as("value"),
+        round(col("med"), 4).as("med"),
+        round(col("mad"), 4).as("mad"),
+        round(z, 4).as("robust_z"))
+      .orderBy(col("event_id"))
+  }
+
   /** Benford leading-digit probabilities log10(1+1/d), d = 1..9 —
     * computed ONCE here and interpolated into BOTH the Spark plan
     * and the oracle SQL as the same double literals, so no

@@ -301,4 +301,28 @@ class ProfileSpec extends SparkSuite {
     }
     assert(math.abs(corpus.map(_.getDouble(2)).sum - 1.0) < 1e-3)
   }
+
+  test("table_outliers: planted extreme flagged, bulk suppressed") {
+    val s = spark; import s.implicits._
+    // 9 values tight around 10 (median 10, MAD 1) + one at 1000:
+    // z(1000) = 0.6745*990 ≈ 668; z of the bulk ≤ 0.6745*2/1 < 3.5
+    val vals = (1L to 9L).map(i => (i, "a", 8.0 + (i % 5))) :+
+      ((100L, "a", 1000.0))
+    val e = vals.toDF("event_id", "event_type", "value")
+    val rows = Profile.madOutliersOf(e).collect()
+    assert(rows.length === 1, rows.mkString(";"))
+    assert(rows.head.getLong(0) === 100L)
+    assert(rows.head.getDouble(5) > 100.0)
+
+    // a constant group (MAD = 0) must emit nothing, not a div-by-zero
+    val const = (1L to 5L).map(i => (i, "c", 7.0)).toDF(
+      "event_id", "event_type", "value")
+    assert(Profile.madOutliersOf(const).collect().isEmpty)
+
+    // corpus: every reported |z| above threshold, none missed below
+    val out = Profile.tableOutliers(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(math.abs(r.getDouble(5)) > 3.4999,
+      s"event ${r.getLong(0)} z ${r.getDouble(5)}"))
+  }
 }
