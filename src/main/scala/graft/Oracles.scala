@@ -2597,6 +2597,36 @@ object Oracles {
     // visible NULL-vs-0.0 row diff against VecStatsD's (0, 0, 0),
     // never as an oracle crash. is_unit compares the UNROUNDED norm
     // against the single-sourced tolerance.
+    // D drift monitor: all cross-row reduction is integer (fixed-
+    // point component sums, integral-div means — DuckDB // truncates
+    // toward zero exactly like Spark div, verified on negatives);
+    // the only FP ops are two correctly-rounded sqrts and one
+    // division, mirrored op-for-op.
+    "embed_drift" -> {
+      val sc = graft.operators.Similarity.DriftScale
+      raw"""WITH comps AS (
+         |  SELECT label, unnest(range(0, len(embedding))) AS d,
+         |    unnest(list_transform(embedding,
+         |      x -> floor(x::double * $sc)::bigint)) AS q
+         |  FROM embeddings),
+         |bysum AS (
+         |  SELECT label, d, sum(q)::bigint AS s, count(*)::bigint AS n
+         |  FROM comps GROUP BY label, d),
+         |labmean AS (SELECT label, d, s // n AS m, n FROM bysum),
+         |gmean AS (
+         |  SELECT d, sum(s)::bigint // sum(n)::bigint AS g
+         |  FROM bysum GROUP BY d),
+         |dots AS (
+         |  SELECT label, sum(m * g)::bigint AS dot,
+         |    sum(m * m)::bigint AS nl, sum(g * g)::bigint AS ng,
+         |    max(n) AS n_vecs
+         |  FROM labmean JOIN gmean USING (d) GROUP BY label)
+         |SELECT label, n_vecs::int AS n_vecs,
+         |  round(sqrt(nl) / $sc, 6) AS centroid_norm,
+         |  round(dot / (sqrt(nl) * sqrt(ng)), 6) AS cos_to_global
+         |FROM dots ORDER BY label""".stripMargin
+    },
+
     "embed_stats" -> {
       val tol = graft.operators.Similarity.UnitNormTol
       s"""WITH e AS (

@@ -75,6 +75,64 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Fixed-point scale for [[embedDrift]]'s centroid algebra:
+    * component q = floor(x·1e6) — with unit vectors and 64 dims,
+    * per-dim mean ≤ 1e6, so every dot/norm term ≤ 1e12 and the
+    * 64-term sums stay ≤ 6.4e13 ≪ 2⁵³ (exact in long AND in the
+    * double conversions both engines make). */
+  val DriftScale = 1000000L
+
+  /** D: per-label embedding drift — how far each label's mean
+    * direction sits from the corpus mean direction (cosine of the
+    * label centroid to the global centroid), plus the centroid's
+    * norm: the dataset-shift monitor an embedding pipeline runs per
+    * ingest source/epoch before trusting a new batch (cos ≈ 1 =
+    * same direction as the corpus; low cos = the label drifted).
+    *
+    * Exactness: a cross-row double mean would flake on add order, so
+    * ALL cross-row reduction is integer: components quantize per row
+    * to floor(x·1e6), per-(label, dim) sums are order-free bigint
+    * adds, means are integral `div`, and the dot/norm sums over the
+    * 64 fixed-point means are again exact integers — cosine is
+    * scale-invariant, so the fixed-point grid cancels. The only FP
+    * ops are two correctly-rounded sqrts and one division, mirrored
+    * op-for-op ⇒ full hash gate.
+    *
+    * Shape: ONE fact scan → posexplode (64 rows/vector) →
+    * map-side-combined groupBy(label, dim); everything downstream
+    * rides k·64-row frames (persisted — referenced by both the
+    * per-label and global branches; tiny but its LINEAGE is the
+    * whole scan, the no-subtree-dedup rule). */
+  def embedDrift(spark: SparkSession, dir: String): DataFrame =
+    driftOf(Tables(spark, dir).embeddings)
+
+  /** Core drift monitor over any (label, embedding) frame. */
+  def driftOf(e: DataFrame): DataFrame = {
+    val comps = e.select(col("label"),
+        posexplode(V.toDouble(col("embedding"))).as(Seq("d", "x")))
+      .select(col("label"), col("d"),
+        floor(col("x") * DriftScale).cast("long").as("q"))
+    val bySum = comps.groupBy(col("label"), col("d"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labMean = bySum.select(col("label"), col("d"),
+      expr("s div n").as("m"), col("n"))
+    val glob = bySum.groupBy(col("d"))
+      .agg(sum(col("s")).as("gs"), sum(col("n")).as("gn"))
+      .select(col("d"), expr("gs div gn").as("g"))
+    val dots = labMean.join(glob, "d")
+      .groupBy(col("label"))
+      .agg(sum(col("m") * col("g")).as("dot"),
+        sum(col("m") * col("m")).as("nl"),
+        sum(col("g") * col("g")).as("ng"),
+        max(col("n")).as("n_vecs"))
+    dots.select(col("label"), col("n_vecs").cast("int").as("n_vecs"),
+        round(sqrt(col("nl")) / DriftScale, 6).as("centroid_norm"),
+        round(col("dot") / (sqrt(col("nl")) * sqrt(col("ng"))), 6)
+          .as("cos_to_global"))
+      .orderBy(col("label"))
+  }
+
   /** D6: per-embedding int8 quantization digest — the "compress
     * vectors to int8 before the ANN store" pass. One generated loop
     * per row ([[graft.functions.QuantStatsI8]]: max|x| → scale →
