@@ -4096,6 +4096,20 @@ object Oracles {
         |FROM g JOIN pix p USING (doc_id)
         |ORDER BY g.doc_id""".stripMargin),
 
+    // F9 gradient-hash dedup: the shared pixel CTEs through the 9×8
+    // difference-hash chain (bit = horizontal gradient sign), then
+    // mm_phash's exact-group window verbatim.
+    "mm_dhash" ->
+      ("WITH " + dhashCtes + ",\n" +
+      """g AS (
+        |  SELECT dh.*, min(doc_id) OVER (PARTITION BY dhash) AS rep_id,
+        |    count(*) OVER (PARTITION BY dhash)::bigint AS grp_n
+        |  FROM dh)
+        |SELECT g.doc_id, p.w::int AS width, p.h::int AS height,
+        |  g.dhash, g.n_ones, g.rep_id, g.grp_n
+        |FROM g JOIN pix p USING (doc_id)
+        |ORDER BY g.doc_id""".stripMargin),
+
     // F8 perceptual near-dup pairs: same phash chain, then the
     // 4×16-bit-band pigeonhole join (band match = substring equality
     // in bit-string space) and DuckDB's exact hamming() verify —
@@ -4123,7 +4137,11 @@ object Oracles {
     * verbatim by `mm_phash` (exact groups) and `mm_neardup` (banded
     * hamming pairs) so "the hash both queries see" has one
     * definition. */
-  private def phashCtes: String =
+  /** The synthesized-image pixel plane in hex space — base dims/kind
+    * routing, the cycled pixel payload, and the hex→byte LUT. Shared
+    * by the phash AND dhash chains so "the pixels every image hash
+    * sees" has one definition. */
+  private def imgPixCtes: String =
     """base AS (
       |  SELECT doc_id, text,
       |    1 + (doc_id * 7) % 40 AS w,
@@ -4146,8 +4164,10 @@ object Oracles {
       |    END AS px
       |  FROM base WHERE kind <> 'raw'),
       |lut AS (SELECT lpad(hex(t.g), 2, '0') AS hx, t.g AS v
-      |        FROM range(0, 256) t(g)),
-      |samp AS (
+      |        FROM range(0, 256) t(g))""".stripMargin
+
+  private def phashCtes: String = imgPixCtes + ",\n" +
+    """samp AS (
       |  SELECT p.doc_id, (ty.g * 8 + tx.g)::int AS i,
       |    substr(p.px, ((((ty.g * p.h) // 8) * p.rowbytes + ((tx.g * p.w) // 8) * 3) * 2 + 1)::int, 2) AS b1,
       |    substr(p.px, ((((ty.g * p.h) // 8) * p.rowbytes + ((tx.g * p.w) // 8) * 3) * 2 + 3)::int, 2) AS b2,
@@ -4168,6 +4188,34 @@ object Oracles {
       |      '' ORDER BY v.i) AS phash,
       |    sum(CASE WHEN v.gray * 64 > t.total THEN 1 ELSE 0 END)::int AS n_ones
       |  FROM vals v JOIN tot t USING (doc_id) GROUP BY v.doc_id)""".stripMargin
+
+  /** The difference-hash chain over [[imgPixCtes]] — 9×8 NN samples
+    * (x-grid of 9: (tx·w)//9), per-row horizontal gradient signs,
+    * ending in `dh(doc_id, dhash, n_ones)`. Mirrors
+    * Multimodal.dhashOf (DhashW=9, DhashH=8). */
+  private def dhashCtes: String = imgPixCtes + ",\n" +
+    """dsamp AS (
+      |  SELECT p.doc_id, ty.g AS ty, tx.g AS tx,
+      |    substr(p.px, ((((ty.g * p.h) // 8) * p.rowbytes + ((tx.g * p.w) // 9) * 3) * 2 + 1)::int, 2) AS b1,
+      |    substr(p.px, ((((ty.g * p.h) // 8) * p.rowbytes + ((tx.g * p.w) // 9) * 3) * 2 + 3)::int, 2) AS b2,
+      |    substr(p.px, ((((ty.g * p.h) // 8) * p.rowbytes + ((tx.g * p.w) // 9) * 3) * 2 + 5)::int, 2) AS b3
+      |  FROM pix p
+      |  CROSS JOIN range(0, 8) ty(g) CROSS JOIN range(0, 9) tx(g)),
+      |dvals AS (
+      |  SELECT s.doc_id, s.ty, s.tx, l1.v + l2.v + l3.v AS gray
+      |  FROM dsamp s
+      |  JOIN lut l1 ON l1.hx = s.b1
+      |  JOIN lut l2 ON l2.hx = s.b2
+      |  JOIN lut l3 ON l3.hx = s.b3),
+      |dh AS (
+      |  SELECT a.doc_id,
+      |    string_agg(CASE WHEN a.gray < b.gray THEN '1' ELSE '0' END,
+      |      '' ORDER BY a.ty, a.tx) AS dhash,
+      |    sum(CASE WHEN a.gray < b.gray THEN 1 ELSE 0 END)::int AS n_ones
+      |  FROM dvals a JOIN dvals b
+      |    ON b.doc_id = a.doc_id AND b.ty = a.ty AND b.tx = a.tx + 1
+      |  WHERE a.tx < 8
+      |  GROUP BY a.doc_id)""".stripMargin
 
   /** SURVEY §2G — streaming jobs, verified through their batch form
     * (same transform; stream path is ScalaTest-driven). */

@@ -699,6 +699,86 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Difference-hash grid: 9 samples per row × 8 rows → 64
+    * horizontal-gradient bits. */
+  val DhashW = 9
+  val DhashH = 8
+
+  /** One image's difference-hash row. */
+  final case class Dhashed(doc_id: Long, width: Int, height: Int,
+    dhash: String, n_ones: Int)
+
+  /** The per-blob decode→9×8 NN downsample→difference-hash kernel:
+    * bit (y,x) set iff gray(y,x) < gray(y,x+1) — the horizontal
+    * GRADIENT sign, invariant to the global brightness/contrast
+    * shifts that move every average-hash ([[phashOf]]) bit through
+    * the shared mean at once. Same decode eligibility as phashOf;
+    * pure integer algebra on real decoded pixels; emitted as a
+    * 64-char '0'/'1' string (no sign-bit contract). */
+  private[multimodal] def dhashOf(b: MmBlob): Option[Dhashed] = {
+    val d = decodeHeader(b)
+    val out = for {
+      w <- d.width; h0 <- d.height
+      h = math.abs(h0)
+      if d.ok && w > 0 && h > 0
+    } yield {
+      val a = b.content
+      val stride = (w.toLong * 3 + 3) / 4 * 4
+      val pixOff = if (a.length >= 34) leS32(a, 10) else -1
+      val isNN = d.format == "bmp" && d.bit_depth.contains(24) &&
+        a.length >= 54 && leS32(a, 30) == 0 && pixOff >= 54 &&
+        pixOff + stride * h <= a.length
+      val pngPx: Option[Array[Byte]] =
+        if (d.format == "png") pngPixels(a).map(_._3) else None
+      if (isNN || pngPx.isDefined) {
+        val grid = pngPx match {
+          case Some(px) => nnSample(px, 0, w * 3, w, h, DhashW, DhashH)
+          case None => nnSample(a, pixOff, stride.toInt, w, h, DhashW, DhashH)
+        }
+        val grays = Array.tabulate(DhashW * DhashH) { i =>
+          (grid(3 * i) & 0xFF) + (grid(3 * i + 1) & 0xFF) +
+            (grid(3 * i + 2) & 0xFF)
+        }
+        val bits = new Array[Char]((DhashW - 1) * DhashH)
+        var y = 0; var i = 0
+        while (y < DhashH) {
+          var x = 0
+          while (x < DhashW - 1) {
+            bits(i) =
+              if (grays(y * DhashW + x) < grays(y * DhashW + x + 1)) '1'
+              else '0'
+            i += 1; x += 1
+          }
+          y += 1
+        }
+        Some(Dhashed(b.doc_id, w, h, new String(bits),
+          bits.count(_ == '1')))
+      } else None
+    }
+    out.flatten
+  }
+
+  /** F9: gradient-hash image dedup — [[mmPhash]]'s grouping pass on
+    * the difference hash: catches the re-encode class the
+    * average-hash misses (uniform brightness/contrast shifts flip
+    * aHash bits en masse but leave every horizontal gradient sign
+    * intact). Same scale shape as mm_phash: per-partition
+    * decode+hash map (no shuffle), ONE exchange on the 64-bit hash
+    * for the duplicate groups. */
+  def mmDhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dh = synthImageBlobs(spark, dir)
+      .mapPartitions(it => it.flatMap(dhashOf))
+      .toDF()
+    val w = Window.partitionBy("dhash")
+    dh.withColumn("rep_id", min(col("doc_id")).over(w))
+      .withColumn("grp_n", count(lit(1)).over(w))
+      .select(col("doc_id"), col("width"), col("height"), col("dhash"),
+        col("n_ones"), col("rep_id"), col("grp_n"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Hamming radius for [[mmNeardup]] — with 4 bands of 16 bits, the
     * pigeonhole guarantees every pair at distance ≤ 3 shares a band,
     * so the banded join is COMPLETE for this τ (not LSH-approximate).
