@@ -1354,6 +1354,27 @@ object Oracles {
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_x, col_y")
     },
 
+    // C entity resolution: pair work over the distinct-name domain;
+    // the length band is a complete blocking filter for edit
+    // distance ≤ τ; levenshtein is the same unit-cost DP in both
+    // engines — exact integer.
+    "er_blocking" -> {
+      val tau = graft.operators.EntityRes.ErTau
+      raw"""WITH n AS (
+         |  SELECT p_name AS name, length(p_name)::int AS len,
+         |    count(*)::bigint AS n
+         |  FROM part GROUP BY p_name),
+         |cand AS (
+         |  SELECT a.name AS name_a, b.name AS name_b,
+         |    a.len AS len_a, b.len AS len_b, a.n AS n_a, b.n AS n_b
+         |  FROM n a JOIN n b
+         |    ON a.name < b.name AND abs(a.len - b.len) <= $tau)
+         |SELECT name_a, name_b, len_a, len_b, n_a, n_b,
+         |  levenshtein(name_a, name_b)::int AS dist
+         |FROM cand WHERE levenshtein(name_a, name_b) <= $tau
+         |ORDER BY name_a, name_b""".stripMargin
+    },
+
     // B/C iterative graph: integer fixed-point PageRank, the same
     // recurrence as Graph.graphPagerank unrolled as one CTE stage per
     // round (constants single-sourced from Graph.Pr*). All integral
