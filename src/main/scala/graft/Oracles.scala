@@ -1126,6 +1126,40 @@ object Oracles {
     // B daily-grid LOCF resample: per-day last sample via named-struct
     // max (DuckDB row order == Spark struct order), dense grid via
     // range unnest, carry via IGNORE NULLS last_value. All integer.
+    // B lag-k autocorrelation: all six aggregates are order-free
+    // integer sums over the dense zero-filled day grid; each converts
+    // to double ONCE and the Pearson expression mirrors the Spark
+    // plan op-for-op (the ::double hops also dodge bigint overflow).
+    "events_autocorr" -> {
+      val maxLag = graft.operators.Lifecycle.AutocorrMaxLag
+      raw"""WITH daily AS MATERIALIZED (
+         |  SELECT epoch(date_trunc('second', ts))::bigint // 86400 AS day,
+         |    count(*)::bigint AS v
+         |  FROM events GROUP BY day),
+         |rng AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+         |series AS MATERIALIZED (
+         |  SELECT g.day, coalesce(daily.v, 0)::bigint AS v
+         |  FROM (SELECT unnest(range(d0, d1 + 1)) AS day FROM rng) g
+         |  LEFT JOIN daily USING (day)),
+         |stats AS (
+         |  SELECT l.lag, count(*)::bigint AS n,
+         |    sum(x.v)::bigint AS sx, sum(y.v)::bigint AS sy,
+         |    sum(x.v * x.v)::bigint AS sxx, sum(y.v * y.v)::bigint AS syy,
+         |    sum(x.v * y.v)::bigint AS sxy
+         |  FROM (SELECT unnest(range(1, ${maxLag + 1})) AS lag) l
+         |  JOIN series y ON true
+         |  JOIN series x ON x.day = y.day + l.lag
+         |  GROUP BY l.lag)
+         |SELECT lag::int AS lag, n::int AS n,
+         |  round((n::double * sxy - sx::double * sy)
+         |    / (sqrt(n::double * sxx - sx::double * sx)
+         |       * sqrt(n::double * syy - sy::double * sy)), 6) AS r
+         |FROM stats
+         |WHERE (n::double * sxx - sx::double * sx) > 0.0
+         |  AND (n::double * syy - sy::double * sy) > 0.0
+         |ORDER BY lag""".stripMargin
+    },
+
     "events_resample" ->
       """WITH e AS (
         |  SELECT user_id, epoch(date_trunc('second', ts))::bigint AS ep,

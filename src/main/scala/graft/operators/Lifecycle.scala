@@ -838,6 +838,67 @@ object Lifecycle {
     * Shape: one exchange for the (type, day) count, one tiny
     * per-type agg — the daily frame is the same first stage as
     * changepoint/seasonality and scales identically. */
+  /** Autocorrelation lags reported by [[eventsAutocorr]]. */
+  val AutocorrMaxLag = 7
+
+  /** B: lag-k autocorrelation of the daily event-volume series,
+    * k = 1..[[AutocorrMaxLag]] — the "does volume today predict
+    * volume k days out" read that complements events_seasonality's
+    * day-of-week profile (a weekly cycle shows as an r spike at
+    * k = 7) and events_trend's OLS drift.
+    *
+    * Shape: ONE fact scan → per-day integer counts (map-side
+    * combined), dense zero-filled day grid (gap days are real zero
+    * observations), both persisted; the 7 lag branches are
+    * equi-joins + 1-row aggregates over the |days|-row series —
+    * bounded by the calendar, not the data, at any corpus size.
+    * Exactness: every aggregate (n, Σx, Σy, Σxx, Σyy, Σxy) is an
+    * order-free INTEGER sum; each is converted to double ONCE and
+    * the Pearson expression is mirrored op-for-op (the ::double
+    * hops also dodge bigint overflow at extreme volumes); zero
+    * variance filters identically on both sides ⇒ full hash gate. */
+  def eventsAutocorr(spark: SparkSession, dir: String): DataFrame =
+    autocorrOf(Tables(spark, dir).events
+      .select(Tables.tsNsToSec("ts").as("ep"))
+      .selectExpr("ep div 86400 AS day"))
+
+  /** Lag-k Pearson autocorrelation over any (day) observation frame
+    * (one row per observation; days with no rows are zero-filled). */
+  def autocorrOf(obs: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val daily = obs
+      .groupBy(col("day")).agg(count(lit(1)).as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val series = daily
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("v"), lit(0L)).as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    (1 to AutocorrMaxLag).map { k =>
+      val x = series.select(col("day"), col("v").as("x"))
+      val y = series.select((col("day") + k).as("day"), col("v").as("y"))
+      x.join(y, "day")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(lit(k).as("lag"), col("n").cast("int").as("n"),
+          (col("n").cast("double") * col("sxy") -
+            col("sx").cast("double") * col("sy")).as("cov"),
+          (col("n").cast("double") * col("sxx") -
+            col("sx").cast("double") * col("sx")).as("vx"),
+          (col("n").cast("double") * col("syy") -
+            col("sy").cast("double") * col("sy")).as("vy"))
+        .filter(col("vx") > 0.0 && col("vy") > 0.0)
+        .select(col("lag"), col("n"),
+          round(col("cov") / (sqrt(col("vx")) * sqrt(col("vy"))), 6)
+            .as("r"))
+    }.reduce(_ unionAll _)
+      .orderBy(col("lag"))
+  }
+
   def eventsTrend(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables(spark, dir).events
       .select(col("event_type"), Tables.tsNsToSec("ts").as("ep"))
