@@ -2776,6 +2776,34 @@ object Oracles {
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
+    // J14 in-batch negatives: 32-bit md5 batch bucket mod the scaled
+    // batch count (DuckDB 0x-cast vs Spark conv(,16,10)); the
+    // per-anchor cut orders by a second fixed-width-hex draw —
+    // lexical compare = numeric compare, all integers.
+    "sample_negatives" -> {
+      val S = graft.operators.Sampling
+      raw"""WITH e AS (SELECT vec_id, label FROM embeddings),
+         |nb AS (SELECT greatest(1, count(*) // ${S.NegBatchTarget})::bigint
+         |         AS n_batches FROM e),
+         |b AS (
+         |  SELECT vec_id, label,
+         |    ('0x' || substr(md5('${S.NegSeed}' || vec_id::varchar), 1, 8))::bigint
+         |      % n_batches AS batch
+         |  FROM e, nb),
+         |pairs AS (
+         |  SELECT a.vec_id AS anchor, a.label AS anchor_label,
+         |    c.vec_id AS negative, c.label AS neg_label, a.batch
+         |  FROM b a JOIN b c ON a.batch = c.batch AND a.label <> c.label),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY anchor
+         |    ORDER BY md5('${S.NegRankSeed}' || anchor::varchar || ':'
+         |                 || negative::varchar), negative) AS rn
+         |  FROM pairs)
+         |SELECT anchor, anchor_label, negative, neg_label, batch, rn
+         |FROM ranked WHERE rn <= ${S.NegK}
+         |ORDER BY anchor, rn""".stripMargin
+    },
+
     // J10 importance sampling: keep iff 16-bit md5 bucket <
     // floor(quality·65536) — integer compare (DuckDB's 0x-cast vs
     // Spark's conv(,16,10)), quality single-sourced via qualityExpr.

@@ -618,6 +618,59 @@ object Sampling {
   def mixSoftDedup(spark: SparkSession, dir: String): DataFrame =
     mixSoftDedupOf(Tables(spark, dir).documents)
 
+  /** Salts, batch-size target and per-anchor negative count for
+    * [[sampleNegatives]] (each J draw salts independently). */
+  val NegSeed = "graft-negbatch-13:"
+  val NegRankSeed = "graft-negrank-17:"
+  val NegBatchTarget = 32
+  val NegK = 4
+
+  /** J14: in-batch negative sampling — the contrastive-training pair
+    * generator: vectors land in salted-md5 batches of
+    * ~[[NegBatchTarget]], every different-label pair within a batch
+    * is a candidate negative, and each anchor keeps its
+    * [[NegK]] rank-salted negatives — deterministic, re-runnable,
+    * independent of every other J draw.
+    *
+    * Scale: the batch COUNT scales as n div target (the
+    * knn_graph_ivf in-query-dial lesson — a fixed batch count would
+    * make in-batch pair work quadratic), so batch size ~ the target
+    * constant and pair work stays linear; n rides a 1-row count
+    * aggregate crossJoin (the PlanContractSpec-allowlisted
+    * broadcast-scalar shape). The per-anchor cut is a rank-≤-k
+    * window over the (rank-hash, negative) total order —
+    * WindowGroupLimit pre-cuts map-side. Hashes are fixed-width
+    * lowercase hex (lexical compare = numeric compare) and every
+    * output is an integer/string ⇒ full hash gate. */
+  def sampleNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, dir).embeddings.select(col("vec_id"), col("label"))
+    val nB = e.agg(greatest(lit(1L),
+      expr(s"count(1) div $NegBatchTarget")).as("n_batches"))
+    val b = e.crossJoin(nB)
+      .select(col("vec_id"), col("label"),
+        (conv(substring(md5(concat(lit(NegSeed),
+            col("vec_id").cast("string")).cast("binary")), 1, 8), 16, 10)
+          .cast("long") % col("n_batches")).as("batch"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = b.as("a").join(b.as("b"),
+        col("a.batch") === col("b.batch") &&
+          col("a.label") =!= col("b.label"))
+      .select(col("a.vec_id").as("anchor"),
+        col("a.label").as("anchor_label"),
+        col("b.vec_id").as("negative"), col("b.label").as("neg_label"),
+        col("a.batch").as("batch"))
+    val w = Window.partitionBy(col("anchor"))
+      .orderBy(md5(concat(lit(NegRankSeed), col("anchor").cast("string"),
+        lit(":"), col("negative").cast("string")).cast("binary")),
+        col("negative"))
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= NegK)
+      .select(col("anchor"), col("anchor_label"), col("negative"),
+        col("neg_label"), col("batch"), col("rn"))
+      .orderBy(col("anchor"), col("rn"))
+  }
+
   /** [[mixSoftDedup]] over any (doc_id, lang, text) frame — split out
     * so the weighting is fixture-testable (the shipped corpus has no
     * exact dups below sf0.1; SamplingSpec plants some). */

@@ -57,13 +57,16 @@ class PlanContractSpec extends SparkSuite {
   //  - table_fds: same 1-row shape — the 10 single-distinct count
   //    aggregates (4 per-column + 6 unordered-pair) crossJoined into
   //    one stats row the 12 output rows explode from.
+  //  - sample_negatives: same 1-row shape — the scaled batch-count
+  //    dial (count div 32) rides a 1-row aggregate crossJoin into
+  //    the bucket projection.
   private val boundedBroadcastOk =
     Set("ann_bruteforce", "q14_scalar_subquery", "text_tfidf",
       "text_typicality", "corpus_stats", "text_bm25", "stream_bm25",
       "mix_curriculum", "zorder_key", "table_histogram", "events_rfm",
       "stream_rfm", "orders_pareto", "text_collocations",
       "stream_hitters", "table_entropy", "embed_mmr", "table_fds",
-      "ann_recall_eval")
+      "ann_recall_eval", "sample_negatives")
 
   test("no query plans a cartesian or unbounded nested-loop join") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
