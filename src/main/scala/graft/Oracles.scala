@@ -1288,6 +1288,59 @@ object Oracles {
          |FROM t ORDER BY digit""".stripMargin
     },
 
+    // H two-sample KS: integer cumulative CDFs over ordered distinct
+    // values; each D factor converts to double once (mirrored), max
+    // is order-free, and the α=0.05 coefficient is the same double
+    // literal on both sides (no cross-engine ln).
+    "table_ks" -> {
+      val P = graft.operators.Profile
+      val ts = P.KsTypes
+      val pairs =
+        for { i <- ts.indices; j <- ts.indices if i < j }
+          yield (ts(i), ts(j))
+      val condCols = ts.map(t =>
+        s"sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END)::bigint AS c_$t")
+        .mkString(",\n    ")
+      val cumCols = ts.map(t =>
+        s"(sum(c_$t) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED " +
+          s"PRECEDING AND CURRENT ROW))::bigint AS cum_$t")
+        .mkString(",\n    ")
+      val totCols = ts.map(t => s"sum(c_$t)::bigint AS n_$t").mkString(", ")
+      val dnCols = pairs.map { case (a, b) =>
+        s"max(abs(cum_$a::double * n_$b - cum_$b::double * n_$a)) " +
+          s"AS dn_${a}_$b"
+      }.mkString(",\n    ")
+      val arms = pairs.map { case (a, b) =>
+        s"SELECT '$a' AS type_a, '$b' AS type_b, n_$a AS n_a, " +
+          s"n_$b AS n_b, dn_${a}_$b AS dn FROM dmax, totals"
+      }.mkString("\n  UNION ALL\n  ")
+      raw"""WITH counts AS MATERIALIZED (
+         |  SELECT value,
+         |    $condCols
+         |  FROM events GROUP BY value),
+         |cum AS (
+         |  SELECT value,
+         |    $cumCols
+         |  FROM counts),
+         |totals AS MATERIALIZED (SELECT $totCols FROM counts),
+         |dmax AS MATERIALIZED (
+         |  SELECT
+         |    $dnCols
+         |  FROM cum, totals),
+         |pair_rows AS (
+         |  $arms)
+         |SELECT type_a, type_b, n_a, n_b,
+         |  round(dn / (n_a::double * n_b), 6) AS d,
+         |  round(${P.KsCrit05}::double
+         |    * sqrt((n_a::double + n_b) / (n_a::double * n_b)), 6)
+         |    AS crit_05,
+         |  (dn / (n_a::double * n_b)) > (${P.KsCrit05}::double
+         |    * sqrt((n_a::double + n_b) / (n_a::double * n_b)))
+         |    AS significant
+         |FROM pair_rows
+         |ORDER BY type_a, type_b""".stripMargin
+    },
+
     // H robust outliers: quantile_cont ≡ Spark percentile
     // (q23-proven); score literals ::double-forced and the threshold
     // compares the unrounded double; mad > 0 guards the

@@ -483,6 +483,88 @@ object Profile {
       .orderBy(col("col_x"), col("col_y"))
   }
 
+  /** The segment alphabet for [[tableKs]] (the generator's five
+    * event types, pinned — single-sourced into the oracle). */
+  val KsTypes: Seq[String] =
+    Seq("click", "error", "purchase", "signup", "view")
+
+  /** KS critical-value coefficient at α = 0.05 (the classic
+    * asymptotic c(α) = √(−ln(α/2)/2) ≈ 1.3581, inlined as the same
+    * double literal on both sides — no cross-engine ln). */
+  val KsCrit05 = 1.3581015157406195
+
+  /** H: two-sample Kolmogorov–Smirnov drift test between every pair
+    * of event-type segments over the value column — "did this
+    * segment's value distribution shift" with a significance flag,
+    * the distribution-drift tripwire beside table_outliers'
+    * per-row tails.
+    *
+    * Exactness: the empirical CDFs are INTEGER cumulative counts
+    * over the ordered distinct values; the D statistic maxes
+    * |cum_a·N_b − cum_b·N_a| with each factor converted to double
+    * ONCE (mirrored — the double hop also dodges bigint overflow at
+    * extreme N), and max is order-free ⇒ full hash gate. The 10
+    * output rows EXPLODE from one array of structs in one
+    * projection (the table_fds lesson — K references to a 1-row
+    * frame recompute upstream K times).
+    *
+    * Shape: one fact scan → per-(value) conditional-count groupBy
+    * (persisted: cum + totals both read it), ONE global-order
+    * cumulative window over the distinct-value frame — the honest
+    * exact-CDF cost (distinct values of the metric, not rows; the
+    * 100 TB dashboard route is a fixed histogram grid). Totals ride
+    * a 1-row crossJoin (allowlisted broadcast-scalar shape). */
+  def tableKs(spark: SparkSession, dir: String): DataFrame =
+    ksOf(Tables(spark, dir).events.select(col("event_type"), col("value")),
+      KsTypes)
+
+  /** All-pairs KS over any (event_type, value) frame and alphabet. */
+  def ksOf(e: DataFrame, KsTypes: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    def cCol(t: String) =
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"c_$t")
+    val counts = e.groupBy(col("value"))
+      .agg(cCol(KsTypes.head), KsTypes.tail.map(cCol): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val w = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.select(col("value") +:
+      KsTypes.map(t => sum(col(s"c_$t")).over(w).as(s"cum_$t")): _*)
+    val totals = counts.agg(
+      sum(col(s"c_${KsTypes.head}")).as(s"n_${KsTypes.head}"),
+      KsTypes.tail.map(t => sum(col(s"c_$t")).as(s"n_$t")): _*)
+    val pairs = for {
+      i <- KsTypes.indices; j <- KsTypes.indices if i < j
+    } yield (KsTypes(i), KsTypes(j))
+    val dmax = cum.crossJoin(totals).agg(
+      max(abs(col(s"cum_${pairs.head._1}").cast("double") *
+            col(s"n_${pairs.head._2}") -
+          col(s"cum_${pairs.head._2}").cast("double") *
+            col(s"n_${pairs.head._1}")))
+        .as(s"dn_${pairs.head._1}_${pairs.head._2}"),
+      pairs.tail.map { case (a, b) =>
+        max(abs(col(s"cum_$a").cast("double") * col(s"n_$b") -
+            col(s"cum_$b").cast("double") * col(s"n_$a")))
+          .as(s"dn_${a}_$b")
+      }: _*)
+    val rows = dmax.crossJoin(totals).select(explode(array(
+      pairs.map { case (a, b) =>
+        struct(lit(a).as("type_a"), lit(b).as("type_b"),
+          col(s"n_$a").as("n_a"), col(s"n_$b").as("n_b"),
+          col(s"dn_${a}_$b").as("dn"))
+      }: _*)).as("p"))
+    val nA = col("p.n_a").cast("double")
+    val nB = col("p.n_b").cast("double")
+    val d = col("p.dn") / (nA * nB)
+    val crit = lit(KsCrit05) * sqrt((nA + nB) / (nA * nB))
+    rows.select(col("p.type_a").as("type_a"), col("p.type_b").as("type_b"),
+        col("p.n_a").as("n_a"), col("p.n_b").as("n_b"),
+        round(d, 6).as("d"), round(crit, 6).as("crit_05"),
+        (d > crit).as("significant"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** Robust-z outlier threshold (Iglewicz–Hoban modified z-score:
     * 0.6745·(x − median)/MAD, flag |z| > 3.5). */
   val MadZThreshold = 3.5

@@ -60,13 +60,16 @@ class PlanContractSpec extends SparkSuite {
   //  - sample_negatives: same 1-row shape — the scaled batch-count
   //    dial (count div 32) rides a 1-row aggregate crossJoin into
   //    the bucket projection.
+  //  - table_ks: same 1-row shape twice — the per-type totals row
+  //    crossJoined into the cumulative-CDF max pass, and the 1-row
+  //    D-stat frame crossJoined back for the 10-pair explode.
   private val boundedBroadcastOk =
     Set("ann_bruteforce", "q14_scalar_subquery", "text_tfidf",
       "text_typicality", "corpus_stats", "text_bm25", "stream_bm25",
       "mix_curriculum", "zorder_key", "table_histogram", "events_rfm",
       "stream_rfm", "orders_pareto", "text_collocations",
       "stream_hitters", "table_entropy", "embed_mmr", "table_fds",
-      "ann_recall_eval", "sample_negatives")
+      "ann_recall_eval", "sample_negatives", "table_ks")
 
   test("no query plans a cartesian or unbounded nested-loop join") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

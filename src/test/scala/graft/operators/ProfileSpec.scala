@@ -325,4 +325,35 @@ class ProfileSpec extends SparkSuite {
     out.foreach(r => assert(math.abs(r.getDouble(5)) > 3.4999,
       s"event ${r.getLong(0)} z ${r.getDouble(5)}"))
   }
+
+  test("table_ks: exact hand-CDF fixture, identical samples read D = 0") {
+    val s = spark; import s.implicits._
+    // a = {1,1,2}, b = {2,3,3}: cum_a = 2,3,3; cum_b = 0,1,3 →
+    // D_num = max(6,6,0) = 6, D = 6/9 = 0.666667; crit(3,3) ≈ 1.1089
+    val e = (Seq(("a", 1.0), ("a", 1.0), ("a", 2.0),
+      ("b", 2.0), ("b", 3.0), ("b", 3.0)) ++
+      Seq(("c", 1.0), ("c", 1.0), ("c", 2.0))) // c duplicates a
+      .toDF("event_type", "value")
+    val rows = Profile.ksOf(e, Seq("a", "b", "c")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = rows(("a", "b"))
+    assert(ab.getLong(2) === 3L && ab.getLong(3) === 3L)
+    assert(ab.getDouble(4) === 0.666667)
+    val expCrit = Profile.KsCrit05 * math.sqrt(6.0 / 9.0)
+    assert(math.abs(ab.getDouble(5) - expCrit) < 1e-5)
+    assert(!ab.getBoolean(6), "small-n fixture cannot be significant")
+    // identical distributions → D exactly 0
+    assert(rows(("a", "c")).getDouble(4) === 0.0)
+    assert(rows(("b", "c")).getDouble(4) === 0.666667)
+
+    // corpus: 10 pairs, D in [0,1], crit consistent with n
+    val corpus = Profile.tableKs(spark, sfDir).collect()
+    assert(corpus.length === 10)
+    corpus.foreach { r =>
+      val d = r.getDouble(4)
+      assert(d >= 0.0 && d <= 1.0)
+      assert(r.getBoolean(6) === (d > r.getDouble(5) - 1e-9) ||
+        math.abs(d - r.getDouble(5)) < 1e-5)
+    }
+  }
 }
