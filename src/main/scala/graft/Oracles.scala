@@ -1288,6 +1288,31 @@ object Oracles {
          |FROM t ORDER BY digit""".stripMargin
     },
 
+    // H Gini: every sum an order-free integer (cents, row_number
+    // ranks over the (total, custkey) total order), one final
+    // mirrored double expression.
+    "table_gini" ->
+      """WITH pc AS (
+        |  SELECT o.o_custkey,
+        |    sum(floor(l_extendedprice * (1 - l_discount) * 100)::bigint)
+        |      ::bigint AS cents
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY o.o_custkey),
+        |rk AS (
+        |  SELECT c.c_mktsegment, pc.cents,
+        |    row_number() OVER (PARTITION BY c.c_mktsegment
+        |      ORDER BY pc.cents, c.c_custkey) AS rk
+        |  FROM pc JOIN customer c ON pc.o_custkey = c.c_custkey),
+        |agg AS (
+        |  SELECT c_mktsegment, count(*)::bigint AS n,
+        |    sum(cents)::bigint AS s0, sum(rk * cents)::bigint AS s1
+        |  FROM rk GROUP BY c_mktsegment)
+        |SELECT c_mktsegment AS segment, n::int AS n_customers,
+        |  s0 AS total_cents,
+        |  round((2.0::double * s1 - (n + 1)::double * s0)
+        |    / (n::double * s0), 6) AS gini
+        |FROM agg ORDER BY segment""".stripMargin,
+
     // H two-sample KS: integer cumulative CDFs over ordered distinct
     // values; each D factor converts to double once (mirrored), max
     // is order-free, and the α=0.05 coefficient is the same double

@@ -483,6 +483,52 @@ object Profile {
       .orderBy(col("col_x"), col("col_y"))
   }
 
+  /** H: Gini coefficient of customer spend per market segment — the
+    * revenue-concentration datasheet read beside orders_pareto's
+    * top-share cut (Gini ≈ 0 egalitarian, → 1 winner-take-all).
+    * Formula on the sorted per-customer cent totals x_1 ≤ … ≤ x_n:
+    * G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx), every sum an order-free
+    * INTEGER (cents + row_number ranks over the (total, custkey)
+    * total order), converted to double ONCE in the final mirrored
+    * expression ⇒ full hash gate.
+    *
+    * Shape: fact-fact equi-join (lineitem ⋈ orders on orderkey) →
+    * per-customer cents (two-phase agg) → the customer dim broadcast
+    * onto the aggregated frame → ONE per-segment rank window (shards
+    * sort in parallel) → 5-row aggregate. */
+  def tableGini(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val perCust = t.lineitem
+      .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * 100).cast("long")).as("cents"))
+    giniOf(perCust.join(
+      t.customer.select(col("c_custkey"), col("c_mktsegment")),
+      col("o_custkey") === col("c_custkey")))
+  }
+
+  /** Per-segment Gini over any (c_mktsegment, c_custkey, cents)
+    * frame. */
+  def giniOf(seg: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("cents"), col("c_custkey"))
+    seg.withColumn("rk", row_number().over(w))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s0"),
+        sum(col("rk") * col("cents")).as("s1"))
+      .select(col("c_mktsegment").as("segment"),
+        col("n").cast("int").as("n_customers"),
+        col("s0").as("total_cents"),
+        round((lit(2.0) * col("s1") - (col("n") + lit(1)).cast("double")
+          * col("s0")) / (col("n").cast("double") * col("s0")), 6)
+          .as("gini"))
+      .orderBy(col("segment"))
+  }
+
   /** The segment alphabet for [[tableKs]] (the generator's five
     * event types, pinned — single-sourced into the oracle). */
   val KsTypes: Seq[String] =

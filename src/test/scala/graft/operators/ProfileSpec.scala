@@ -356,4 +356,24 @@ class ProfileSpec extends SparkSuite {
         math.abs(d - r.getDouble(5)) < 1e-5)
     }
   }
+
+  test("table_gini: equal spend reads 0, one-winner reads (n-1)/n") {
+    val s = spark; import s.implicits._
+    val seg = (
+      (1L to 4L).map(i => ("EQ", i, 100L)) ++
+      (1L to 3L).map(i => ("WIN", i, 0L)) :+ (("WIN", 4L, 1000L))
+    ).toDF("c_mktsegment", "c_custkey", "cents")
+    val rows = Profile.giniOf(seg).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(rows("EQ") === 0.0)
+    assert(rows("WIN") === 0.75) // (n-1)/n with n = 4
+
+    val corpus = Profile.tableGini(spark, sfDir).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      val g = r.getDouble(3)
+      assert(g >= 0.0 && g < 1.0, s"${r.getString(0)}: $g")
+      assert(r.getInt(1) > 0 && r.getLong(2) > 0)
+    }
+  }
 }
