@@ -2059,41 +2059,34 @@ object Oracles {
     // aggregate of the (doc_id, w) term-frequency table; each ratio
     // is ONE bigint/bigint division and every flag compares the
     // unrounded double — thresholds interpolated from the same Scala
-    // constants the Spark side reads.
-    "quality_gopher_rules" -> {
-      val Q = graft.functions.TextQueries
-      raw"""WITH tf AS (
-         |  SELECT doc_id, w, count(*) AS c FROM (
-         |    SELECT doc_id,
-         |      unnest(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
-         |                         w -> w <> '')) AS w
-         |    FROM documents) GROUP BY doc_id, w),
-         |per AS (
-         |  SELECT doc_id, sum(c)::bigint AS n_tok,
-         |    count(*)::bigint AS n_distinct, max(c)::bigint AS top_c,
-         |    sum(length(w) * c)::bigint AS n_chars_tok,
-         |    sum(CASE WHEN w IN ('the','a','is','of') THEN 1 ELSE 0
-         |        END)::bigint AS n_stop_kinds
-         |  FROM tf GROUP BY doc_id)
-         |SELECT doc_id, n_tok::int AS n_tok, n_distinct::int AS n_distinct,
+    // constants the Spark side reads. CTEs + rule predicates shared
+    // verbatim with the G28 streaming gate (one rule definition).
+    "quality_gopher_rules" ->
+      ("WITH " + gopherCtes + "\n" +
+      s"""SELECT doc_id, n_tok::int AS n_tok, n_distinct::int AS n_distinct,
          |  round(n_chars_tok / n_tok, 4) AS mean_word_len,
          |  round(n_distinct / n_tok, 4) AS distinct_ratio,
          |  round(top_c / n_tok, 4) AS top_token_ratio,
          |  n_stop_kinds::int AS n_stop_kinds,
-         |  (n_tok >= ${Q.GopherTokMin} AND n_tok <= ${Q.GopherTokMax}) AS r_len,
-         |  (n_chars_tok / n_tok >= ${Q.GopherWlenMin}
-         |    AND n_chars_tok / n_tok <= ${Q.GopherWlenMax}) AS r_wlen,
-         |  (n_distinct / n_tok >= ${Q.GopherDivMin}) AS r_div,
-         |  (top_c / n_tok <= ${Q.GopherRepMax}) AS r_rep,
-         |  (n_stop_kinds >= ${Q.GopherStopMin}) AS r_stop,
-         |  ((n_tok >= ${Q.GopherTokMin} AND n_tok <= ${Q.GopherTokMax})
-         |    AND (n_chars_tok / n_tok >= ${Q.GopherWlenMin}
-         |         AND n_chars_tok / n_tok <= ${Q.GopherWlenMax})
-         |    AND (n_distinct / n_tok >= ${Q.GopherDivMin})
-         |    AND (top_c / n_tok <= ${Q.GopherRepMax})
-         |    AND (n_stop_kinds >= ${Q.GopherStopMin})) AS pass
-         |FROM per ORDER BY doc_id""".stripMargin
-    },
+         |  ($gopherRuleLen) AS r_len,
+         |  ($gopherRuleWlen) AS r_wlen,
+         |  ($gopherRuleDiv) AS r_div,
+         |  ($gopherRuleRep) AS r_rep,
+         |  ($gopherRuleStop) AS r_stop,
+         |  ($gopherRuleAll) AS pass
+         |FROM per ORDER BY doc_id""".stripMargin),
+
+    // G28 ingest gate: the same CTEs/predicates, pass-filtered — the
+    // stateless streaming twin admits exactly the batch keep set.
+    "stream_quality_gate" ->
+      ("WITH " + gopherCtes + "\n" +
+      s"""SELECT doc_id, n_tok::int AS n_tok, n_distinct::int AS n_distinct,
+         |  round(n_chars_tok / n_tok, 4) AS mean_word_len,
+         |  round(n_distinct / n_tok, 4) AS distinct_ratio,
+         |  round(top_c / n_tok, 4) AS top_token_ratio,
+         |  n_stop_kinds::int AS n_stop_kinds
+         |FROM per WHERE $gopherRuleAll
+         |ORDER BY doc_id""".stripMargin),
 
     "text_pii" -> piiSql,
 
@@ -2378,6 +2371,43 @@ object Oracles {
          |uni AS (
          |  SELECT tok, count(*) AS cnt1 FROM (
          |    SELECT unnest(s) AS tok FROM t) GROUP BY tok)""".stripMargin
+
+  /** The E24/G28 Gopher rule chain — per-doc term frequencies and
+    * the five integer rule inputs, ending in `per`. (`def`, not
+    * `val`: consumed by object vals declared earlier.) */
+  private def gopherCtes: String =
+    raw"""tf AS (
+       |  SELECT doc_id, w, count(*) AS c FROM (
+       |    SELECT doc_id,
+       |      unnest(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+       |                         w -> w <> '')) AS w
+       |    FROM documents) GROUP BY doc_id, w),
+       |per AS (
+       |  SELECT doc_id, sum(c)::bigint AS n_tok,
+       |    count(*)::bigint AS n_distinct, max(c)::bigint AS top_c,
+       |    sum(length(w) * c)::bigint AS n_chars_tok,
+       |    sum(CASE WHEN w IN ('the','a','is','of') THEN 1 ELSE 0
+       |        END)::bigint AS n_stop_kinds
+       |  FROM tf GROUP BY doc_id)""".stripMargin
+
+  private def gopherRuleLen: String = {
+    val Q = graft.functions.TextQueries
+    s"n_tok >= ${Q.GopherTokMin} AND n_tok <= ${Q.GopherTokMax}"
+  }
+  private def gopherRuleWlen: String = {
+    val Q = graft.functions.TextQueries
+    s"n_chars_tok / n_tok >= ${Q.GopherWlenMin}" +
+      s" AND n_chars_tok / n_tok <= ${Q.GopherWlenMax}"
+  }
+  private def gopherRuleDiv: String =
+    s"n_distinct / n_tok >= ${graft.functions.TextQueries.GopherDivMin}"
+  private def gopherRuleRep: String =
+    s"top_c / n_tok <= ${graft.functions.TextQueries.GopherRepMax}"
+  private def gopherRuleStop: String =
+    s"n_stop_kinds >= ${graft.functions.TextQueries.GopherStopMin}"
+  private def gopherRuleAll: String =
+    s"($gopherRuleLen) AND ($gopherRuleWlen) AND ($gopherRuleDiv)" +
+      s" AND ($gopherRuleRep) AND ($gopherRuleStop)"
 
   private def qualityBaseCte(src: String): String =
     raw"""q_base AS (

@@ -842,6 +842,31 @@ object Streams {
   def streamPii(spark: SparkSession, dir: String): DataFrame =
     graft.functions.TextQueries.textPii(spark, dir)
 
+  /** G28 transform + batch entry: ingest-time Gopher quality gate —
+    * the streaming twin of E24 `quality_gopher_rules` reduced to its
+    * production use (admit only passing docs at ingest, before they
+    * land in the lake). The per-row form
+    * ([[graft.functions.TextQueries.gopherRulesRowOf]]) computes all
+    * five rule inputs in native generated loops / regexp_count
+    * passes — no explode, no groupBy — so the streaming plan is
+    * scan → project: STATELESS, no state store, no watermark,
+    * bit-identical to the batch rules under any micro-batching
+    * (StreamsSpec drives a real MemoryStream and asserts zero state
+    * operators; GopherRulesSpec proves row-form == agg-form on the
+    * corpus). Shares the E24 oracle CTEs with the pass-filter
+    * applied. */
+  def streamQualityGate(spark: SparkSession, dir: String): DataFrame =
+    qualityGateTransform(graft.Tables(spark, dir).documents)
+      .orderBy(col("doc_id"))
+
+  /** The stream-or-batch gate: kept docs with their rule inputs. */
+  def qualityGateTransform(docs: DataFrame): DataFrame =
+    graft.functions.TextQueries.gopherRulesRowOf(docs)
+      .filter(col("pass"))
+      .select(col("doc_id"), col("n_tok"), col("n_distinct"),
+        col("mean_word_len"), col("distinct_ratio"),
+        col("top_token_ratio"), col("n_stop_kinds"))
+
   /** G15 transform: ingest-time eval-set decontamination — the
     * stream-static twin of C9 `decontaminate` (quarantine a training
     * doc the moment it arrives if it contains ≥ Tau of any eval doc's

@@ -29,6 +29,16 @@ class GopherRulesSpec extends SparkSuite {
     }
   }
 
+  test("per-row form equals the aggregate form column for column") {
+    import org.apache.spark.sql.functions.col
+    val d = graft.Tables(spark, sfDir).documents
+    val agg = TextQueries.gopherRulesOf(d).collect().toSeq
+    val row = TextQueries.gopherRulesRowOf(d)
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(row === agg,
+      "native per-row rule inputs must reproduce the explode+groupBy form")
+  }
+
   test("fixture: exact rule inputs from a hand-counted doc") {
     val s = spark; import s.implicits._
     // tokens = [the, cat, cat, of, the, big]: n_tok=6,

@@ -553,6 +553,34 @@ class StreamsSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("stateless quality gate through a real stream equals the batch gate") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    val expected = Streams.streamQualityGate(spark, sfDir).collect().toSeq
+    val rows = graft.Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val stream = MemoryStream[(Long, String)]
+    val streamed = Streams.qualityGateTransform(
+      stream.toDF().toDF("doc_id", "text"))
+    val query = streamed.writeStream.format("memory")
+      .queryName("qgate").outputMode("append").start()
+    try {
+      // uneven batches, shuffled arrival: a per-row gate cannot care
+      // how the stream is chopped
+      val shuffled = new scala.util.Random(47).shuffle(rows.toSeq)
+      shuffled.grouped(math.max(1, shuffled.length / 5)).foreach { b =>
+        stream.addData(b)
+        query.processAllAvailable()
+      }
+      val got = s.table("qgate").orderBy("doc_id").collect().toSeq
+      assert(got === expected)
+      val p = query.lastProgress
+      assert(p == null || p.stateOperators.isEmpty,
+        "ingest quality gate must hold no streaming state")
+    } finally query.stop()
+  }
+
   test("stateless PII scrub through a real stream equals the batch scrub") {
     val s = spark; import s.implicits._
     implicit val sq = s.sqlContext
