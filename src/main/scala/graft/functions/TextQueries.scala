@@ -584,42 +584,41 @@ object TextQueries {
   }
 
   /** The same five rule inputs computed PER ROW — no explode, no
-    * groupBy, no state: distinct tokens via the native
-    * [[graft.functions.ShingleHashes]] loop (distinct hashes ==
-    * distinct strings modulo 2⁻⁶⁴ collisions — the text_repetition
-    * contract), top multiplicity via the native
-    * [[graft.functions.MaxTokenMult]] loop, the rest codegen'd
-    * regexp_count passes. Identical integer inputs ⇒ identical
+    * groupBy, no state: ONE generated loop
+    * ([[graft.functions.GopherStats]]) produces every input —
+    * token count, distinct-STRING count, top multiplicity, token
+    * chars, stopword kinds — where the column-expression form paid
+    * eight text passes. Identical integer inputs ⇒ identical
     * flags/ratios to [[gopherRulesOf]] (GopherRulesSpec proves
     * column-for-column equality on the corpus). This is the form
     * the STREAMING gate runs: a stateless scan → project that is
     * bit-identical under any micro-batching. */
   def gopherRulesRowOf(d: DataFrame): DataFrame = {
-    val nTok = T.wsTokenCount(col("text"))
-    val nDistinct = size(graft.functions.ShingleHashes(col("text"), 1))
-    val topC = graft.functions.MaxTokenMult(col("text"))
-    val nCharsTok =
-      (length(col("text")) - regexp_count(col("text"), lit("\\s")))
-        .cast("long")
-    val nStop = T.EnStopwords.map(w =>
-      when(T.tokenCountIn(col("text"), Seq(w)) > 0, 1).otherwise(0))
-      .reduce(_ + _)
-    val meanW = nCharsTok / nTok.cast("long")
-    val divR = nDistinct.cast("long") / nTok.cast("long")
-    val topR = topC.cast("long") / nTok.cast("long")
-    val rLen = nTok >= GopherTokMin && nTok <= GopherTokMax
+    val st = graft.functions.GopherStats(col("text"))
+    val withStats = d.select(col("doc_id"), st.as("st"))
+      .select(col("doc_id"),
+        element_at(col("st"), 1).as("n_tok"),
+        element_at(col("st"), 2).as("n_distinct"),
+        element_at(col("st"), 3).as("top_c"),
+        element_at(col("st"), 4).as("n_chars_tok"),
+        element_at(col("st"), 5).as("n_stop_kinds"))
+      .filter(col("n_tok") > 0)
+    val meanW = col("n_chars_tok") / col("n_tok")
+    val divR = col("n_distinct") / col("n_tok")
+    val topR = col("top_c") / col("n_tok")
+    val rLen = col("n_tok") >= GopherTokMin && col("n_tok") <= GopherTokMax
     val rWlen = meanW >= GopherWlenMin && meanW <= GopherWlenMax
     val rDiv = divR >= GopherDivMin
     val rRep = topR <= GopherRepMax
-    val rStop = nStop >= GopherStopMin
-    d.filter(nTok > 0).select(
+    val rStop = col("n_stop_kinds") >= GopherStopMin
+    withStats.select(
       col("doc_id"),
-      nTok.as("n_tok"),
-      nDistinct.as("n_distinct"),
+      col("n_tok").cast("int").as("n_tok"),
+      col("n_distinct").cast("int").as("n_distinct"),
       round(meanW, 4).as("mean_word_len"),
       round(divR, 4).as("distinct_ratio"),
       round(topR, 4).as("top_token_ratio"),
-      nStop.as("n_stop_kinds"),
+      col("n_stop_kinds").cast("int").as("n_stop_kinds"),
       rLen.as("r_len"), rWlen.as("r_wlen"), rDiv.as("r_div"),
       rRep.as("r_rep"), rStop.as("r_stop"),
       (rLen && rWlen && rDiv && rRep && rStop).as("pass"))

@@ -847,8 +847,8 @@ object Streams {
     * production use (admit only passing docs at ingest, before they
     * land in the lake). The per-row form
     * ([[graft.functions.TextQueries.gopherRulesRowOf]]) computes all
-    * five rule inputs in native generated loops / regexp_count
-    * passes — no explode, no groupBy — so the streaming plan is
+    * five rule inputs in ONE generated loop (GopherStats) — no
+    * explode, no groupBy, no repeated text passes — so the streaming plan is
     * scan → project: STATELESS, no state store, no watermark,
     * bit-identical to the batch rules under any micro-batching
     * (StreamsSpec drives a real MemoryStream and asserts zero state
