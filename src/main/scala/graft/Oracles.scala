@@ -510,6 +510,52 @@ object Oracles {
         |FROM m WHERE tag = 0
         |ORDER BY view_id""".stripMargin,
 
+    // NEAREST as-of: both window frames over one (partition, order)
+    // spec; same-instant counts as prior, |Δ| ties resolve prior —
+    // the choice compares raw µs gaps (order-equivalent to Spark's
+    // ×1000 nano gaps, ties included).
+    "asof_join_nearest" ->
+      """WITH u AS (
+        |  SELECT event_id, user_id, ts,
+        |    NULL::bigint AS p_id, NULL::timestamp AS p_ts, 1 AS tag
+        |  FROM events WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT event_id, user_id, ts,
+        |    event_id AS p_id, ts AS p_ts, 0 AS tag
+        |  FROM events WHERE event_type = 'purchase'),
+        |m AS (
+        |  SELECT *,
+        |    last_value(p_id IGNORE NULLS) OVER wb AS prev_id,
+        |    last_value(p_ts IGNORE NULLS) OVER wb AS prev_ts,
+        |    first_value(p_id IGNORE NULLS) OVER wf AS next_id,
+        |    first_value(p_ts IGNORE NULLS) OVER wf AS next_ts
+        |  FROM u
+        |  WINDOW
+        |    wb AS (PARTITION BY user_id ORDER BY ts, tag, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY user_id ORDER BY ts, tag, event_id
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+        |c AS (
+        |  SELECT *,
+        |    (prev_ts IS NOT NULL AND (next_ts IS NULL OR
+        |       (ts - prev_ts) <= (next_ts - ts))) AS pick_prev
+        |  FROM m WHERE tag = 1)
+        |SELECT event_id AS view_id, user_id,
+        |  epoch(date_trunc('second', ts))::bigint AS view_sec,
+        |  CASE WHEN pick_prev THEN prev_id ELSE next_id END
+        |    AS nearest_purchase_id,
+        |  epoch(date_trunc('second',
+        |    CASE WHEN pick_prev THEN prev_ts ELSE next_ts END))::bigint
+        |    AS nearest_sec,
+        |  abs(epoch(date_trunc('second',
+        |      CASE WHEN pick_prev THEN prev_ts ELSE next_ts END))::bigint
+        |    - epoch(date_trunc('second', ts))::bigint) AS gap_s,
+        |  CASE WHEN pick_prev THEN 'prev'
+        |       WHEN next_ts IS NOT NULL THEN 'next'
+        |       ELSE NULL END AS direction
+        |FROM c
+        |ORDER BY view_id""".stripMargin,
+
     // RANGE frame over the numeric ORDER BY value: ties are peers in
     // both engines, so the frame sets agree row for row.
     "q25_range_window" ->

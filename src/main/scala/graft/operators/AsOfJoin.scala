@@ -59,6 +59,66 @@ object AsOfJoin {
     * Window node. DuckDB's ASOF is backward-only, so the oracle runs
     * the identical window algebra instead — which also pins the tie
     * rule explicitly. */
+  /** NEAREST as-of join — the third member of the family
+    * (backward / forward / nearest): for each view, the user's
+    * closest purchase in EITHER direction. A same-instant purchase
+    * counts as prior (gap 0), and an exact |Δ| tie resolves to the
+    * prior side — one total rule, pinned in the oracle. Same
+    * union + ordered-window merge, both frames over ONE
+    * (partition, order) spec, so Catalyst plans a single Window
+    * node and the cost stays ONE user_id exchange + per-partition
+    * sort (two inequality joins + argmin would be O(|V|·|P|) per
+    * user). The direction choice compares raw epoch-nano gaps —
+    * integer algebra, and order-equivalent to the oracle's µs
+    * comparisons (×1000 preserves order and ties). */
+  def viewsAsOfNearestPurchase(spark: SparkSession, dir: String): DataFrame =
+    nearestOf(Tables(spark, dir).events)
+
+  /** Nearest merge over any normalized (event_id, user_id, ts-nanos,
+    * event_type) frame. */
+  def nearestOf(ev: DataFrame): DataFrame = {
+    // purchases sort BEFORE views at equal ts → a same-instant
+    // purchase lands in the view's preceding frame (counts as prior)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        lit(null).cast("long").as("p_id"),
+        lit(null).cast("long").as("p_ts"), lit(1).as("tag"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_id").as("p_id"), col("ts").as("p_ts"), lit(0).as("tag"))
+    val wb = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val m = views.unionByName(purchases)
+      .withColumn("prev_id", last(col("p_id"), ignoreNulls = true).over(wb))
+      .withColumn("prev_ts", last(col("p_ts"), ignoreNulls = true).over(wb))
+      .withColumn("next_id", first(col("p_id"), ignoreNulls = true).over(wf))
+      .withColumn("next_ts", first(col("p_ts"), ignoreNulls = true).over(wf))
+      .filter(col("tag") === 1)
+    val pickPrev = col("prev_ts").isNotNull &&
+      (col("next_ts").isNull ||
+        (col("ts") - col("prev_ts")) <= (col("next_ts") - col("ts")))
+    m.withColumn("near_ts",
+        when(pickPrev, col("prev_ts")).otherwise(col("next_ts")))
+      .withColumn("near_id",
+        when(pickPrev, col("prev_id")).otherwise(col("next_id")))
+      .withColumn("direction",
+        when(pickPrev, lit("prev"))
+          .when(col("next_ts").isNotNull, lit("next"))
+          .otherwise(lit(null).cast("string")))
+      .select(col("event_id").as("view_id"), col("user_id"),
+        Tables.tsNsToSec("ts").as("view_sec"),
+        col("near_id").as("nearest_purchase_id"),
+        Tables.tsNsToSec("near_ts").as("nearest_sec"),
+        abs(Tables.tsNsToSec("near_ts") - Tables.tsNsToSec("ts"))
+          .as("gap_s"),
+        col("direction"))
+      .orderBy(col("view_id"))
+  }
+
   def viewsAsOfNextPurchase(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir).events
     // tag: views sort BEFORE purchases at equal ts, so a same-instant
