@@ -1334,6 +1334,17 @@ object Oracles {
          |FROM t ORDER BY digit""".stripMargin
     },
 
+    // H sequence-gap audit: pure integer adjacency over the distinct
+    // key set (the oracle may use the plain global lead; the Spark
+    // side buckets — identical output by construction).
+    "table_seq_gaps" ->
+      """WITH k AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+        |g AS (SELECT k, lead(k) OVER (ORDER BY k) AS nk FROM k)
+        |SELECT k + 1 AS gap_start, nk - 1 AS gap_end,
+        |  nk - k - 1 AS gap_len
+        |FROM g WHERE nk - k > 1
+        |ORDER BY gap_start""".stripMargin,
+
     // H Gini: every sum an order-free integer (cents, row_number
     // ranks over the (total, custkey) total order), one final
     // mirrored double expression.

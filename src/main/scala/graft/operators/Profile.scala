@@ -709,4 +709,49 @@ object Profile {
           .as("chi2_term"))
       .orderBy(col("digit"))
   }
+
+  /** Bucket width for [[tableSeqGaps]]' two-level adjacency scan —
+    * keys within a bucket sort locally; only one (min,max) row per
+    * bucket crosses the global stage. */
+  val SeqGapBucket = 4096L
+
+  /** H: sequence-gap audit of a surrogate-key column — which key
+    * ranges inside [min, max] are absent. Run on the distinct
+    * l_orderkey set it surfaces every order with NO lineitems (253
+    * real gaps at sf0.01): the referential-completeness check a feed
+    * audit runs beside table_fk_check's dangling-key direction.
+    *
+    * Scale shape: "adjacent key" is NOT computed with a global-order
+    * window (single-partition sort — dead at 100 TB). Keys bucket by
+    * k / 4096: in-bucket gaps come from a lead window PARTITIONED by
+    * bucket (all shards sort in parallel), cross-bucket and
+    * whole-missing-bucket gaps from a lead over the per-bucket
+    * (min, max) aggregate — n/4096 rows, metadata-sized at any
+    * scale. Pure integer algebra end to end ⇒ full hash gate. */
+  def tableSeqGaps(spark: SparkSession, dir: String): DataFrame =
+    seqGapsOf(Tables(spark, dir).lineitem
+      .select(col("l_orderkey").as("k")).distinct())
+
+  /** Gap rows (gap_start, gap_end, gap_len) over any distinct
+    * single-column (k: long) frame, ascending. */
+  def seqGapsOf(keys: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = keys.withColumn("b", floor(col("k") / SeqGapBucket))
+    val wIn = Window.partitionBy(col("b")).orderBy(col("k"))
+    val inBucket = b
+      .withColumn("nk", lead(col("k"), 1).over(wIn))
+      .filter(col("nk") - col("k") > 1)
+      .select((col("k") + 1).as("gap_start"), (col("nk") - 1).as("gap_end"))
+    val spans = b.groupBy(col("b"))
+      .agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+    val wSp = Window.orderBy(col("b"))
+    val acrossBucket = spans
+      .withColumn("nlo", lead(col("lo"), 1).over(wSp))
+      .filter(col("nlo") - col("hi") > 1)
+      .select((col("hi") + 1).as("gap_start"), (col("nlo") - 1).as("gap_end"))
+    inBucket.unionAll(acrossBucket)
+      .select(col("gap_start"), col("gap_end"),
+        (col("gap_end") - col("gap_start") + 1).as("gap_len"))
+      .orderBy(col("gap_start"))
+  }
 }

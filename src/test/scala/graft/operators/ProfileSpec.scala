@@ -376,4 +376,30 @@ class ProfileSpec extends SparkSuite {
       assert(r.getInt(1) > 0 && r.getLong(2) > 0)
     }
   }
+
+  test("table_seq_gaps: in-bucket, boundary and whole-missing-bucket " +
+    "gaps all surface; bucketed == global-lead recompute") {
+    val s = spark; import s.implicits._
+    // 4095|4097 straddle the 4096 boundary (across-bucket branch);
+    // 100 -> 9000 spans ALL of bucket 1 (whole-missing-bucket case);
+    // 1,2,5 has the plain in-bucket gap (3,4).
+    val keys = Seq(1L, 2L, 5L, 100L, 4095L, 4097L, 9000L).toDF("k")
+    val got = Profile.seqGapsOf(keys).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (3L, 4L, 2L), (6L, 99L, 94L), (101L, 4094L, 3994L),
+      (4096L, 4096L, 1L), (4098L, 8999L, 4902L)))
+
+    // corpus: bucketed result == the naive single-window recompute
+    val keysC = graft.Tables(spark, sfDir).lineitem
+      .select(col("l_orderkey").as("k")).distinct()
+    val gaps = Profile.tableSeqGaps(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("k"))
+    val naive = keysC.withColumn("nk", lead(col("k"), 1).over(w))
+      .filter(col("nk") - col("k") > 1)
+      .select(col("k") + 1, col("nk") - 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(gaps == naive && gaps.nonEmpty)
+  }
 }
