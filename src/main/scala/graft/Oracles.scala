@@ -155,6 +155,26 @@ object Oracles {
         |ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST,
         |         l_linestatus ASC NULLS FIRST""".stripMargin,
 
+    // B skyline: the oracle uses the global-window dominance form
+    // (fine single-node); the Spark side buckets — identical output
+    // by construction. Pure integer algebra (cents, size).
+    "part_skyline" ->
+      """WITH p AS (
+        |  SELECT p_partkey, floor(p_retailprice * 100 + 0.5)::bigint
+        |      AS cents,
+        |    p_size::bigint AS size
+        |  FROM part),
+        |w AS (
+        |  SELECT p_partkey, cents, size,
+        |    max(size) OVER (ORDER BY cents RANGE BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING) AS m_in,
+        |    max(size) OVER (PARTITION BY cents) AS m_eq
+        |  FROM p)
+        |SELECT p_partkey, cents AS price_cents, size::int AS p_size
+        |FROM w
+        |WHERE coalesce(m_in, -1) < size AND m_eq = size
+        |ORDER BY price_cents, p_size, p_partkey""".stripMargin,
+
     // H7 FK integrity: one left-outer probe + one aggregate per
     // edge, orphan = non-null key with no parent. Edges
     // single-sourced from Profile.FkEdges; sums cast off DuckDB's

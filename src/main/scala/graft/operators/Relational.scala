@@ -511,4 +511,62 @@ object Relational {
                col("l_returnflag").asc_nulls_first,
                col("l_linestatus").asc_nulls_first)
   }
+
+  /** Price-bucket width (in cents) for [[partSkyline]]'s two-level
+    * dominance scan. The price DOMAIN is fixed (doesn't grow with
+    * row count), so a fixed bucket width keeps the per-bucket summary
+    * frame metadata-sized at any data scale — unlike LSH/IVF dials,
+    * which must scale with n (see knn_graph_ivf). */
+  val SkylineBucketCents = 1000L
+
+  /** B: 2-D skyline (Pareto frontier) of parts — every part no other
+    * part strictly dominates on (price low, size high): the
+    * "efficient frontier" query pattern (börzsönyi et al.), the
+    * multi-objective cousin of q2's per-key top-k. q dominates p iff
+    * q.price ≤ p.price ∧ q.size ≥ p.size ∧ (q.price < p.price ∨
+    * q.size > p.size); duplicates on both axes survive (neither
+    * strictly dominates).
+    *
+    * Scale shape: dominance is decided WITHOUT a global-order window
+    * (single-partition sort — dead at 100 TB). Prices (as exact
+    * integer cents) bucket by cents/1000: within a bucket the
+    * strictly-cheaper running max(size) is a bucket-PARTITIONED
+    * range window (shards sort in parallel); across buckets the
+    * threshold is a prefix-max over the per-bucket max(size)
+    * aggregate — a ~100-row frame at any scale — broadcast-joined
+    * back. Equal-price strict-size dominance is a (bucket, cents)
+    * partitioned max. Pure integer algebra ⇒ full hash gate. */
+  def partSkyline(spark: SparkSession, dir: String): DataFrame =
+    skylineOf(Tables(spark, dir).part
+      .select(col("p_partkey"),
+        floor(col("p_retailprice") * 100 + 0.5).cast("long").as("cents"),
+        col("p_size").cast("long").as("size")))
+
+  /** Skyline over any (p_partkey, cents minimize, size maximize)
+    * frame. */
+  def skylineOf(p: DataFrame): DataFrame = {
+    val b = p.withColumn("b", floor(col("cents") / SkylineBucketCents))
+    // strictly-cheaper max size WITHIN the bucket (range window on
+    // the exact integer cents — excludes price ties by bound −1)
+    val wIn = Window.partitionBy(col("b")).orderBy(col("cents"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    // same-price strictly-larger size (ties on price)
+    val wEq = Window.partitionBy(col("b"), col("cents"))
+    // strictly-cheaper max size from ALL lower buckets: prefix max
+    // over the tiny per-bucket summary, joined back on bucket id
+    val perBucket = b.groupBy(col("b")).agg(max(col("size")).as("bmax"))
+    val wPre = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = perBucket
+      .select(col("b"), max(col("bmax")).over(wPre).as("pmax"))
+    b.join(broadcast(prefix), Seq("b"))
+      .withColumn("m_in", max(col("size")).over(wIn))
+      .withColumn("m_eq", max(col("size")).over(wEq))
+      .filter(coalesce(col("m_in"), lit(Long.MinValue)) < col("size") &&
+        coalesce(col("pmax"), lit(Long.MinValue)) < col("size") &&
+        col("m_eq") === col("size"))
+      .select(col("p_partkey"), col("cents").as("price_cents"),
+        col("size").cast("int").as("p_size"))
+      .orderBy(col("price_cents"), col("p_size"), col("p_partkey"))
+  }
 }
