@@ -622,6 +622,28 @@ object Oracles {
         |GROUP BY a.anchor_id
         |ORDER BY a.anchor_id""".stripMargin,
 
+    // Keyed symmetric band join — DuckDB's hash join on user_id with
+    // the band as a residual filter; the Spark side is the ≤3-bin
+    // exploded equi-join (RangeJoin.bandJoinAgg). Width tracks
+    // RangeJoin.BandSec. LEFT join keeps zero-match purchases
+    // (count over e.sec counts matches only; min of none = NULL).
+    "events_band_join" ->
+      s"""WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch(date_trunc('second', ts))::bigint AS sec
+        |  FROM events),
+        |p AS (SELECT event_id AS purchase_id, user_id, sec FROM ev
+        |      WHERE event_type = 'purchase'),
+        |e AS (SELECT user_id, sec FROM ev WHERE event_type = 'error')
+        |SELECT p.purchase_id, p.user_id,
+        |  count(e.sec)::bigint AS n_errors,
+        |  min(abs(e.sec - p.sec))::bigint AS min_gap_sec
+        |FROM p LEFT JOIN e
+        |  ON p.user_id = e.user_id
+        |  AND abs(e.sec - p.sec) <= ${graft.operators.RangeJoin.BandSec}
+        |GROUP BY 1, 2
+        |ORDER BY purchase_id""".stripMargin,
+
     "events_sessionize" ->
       ("WITH " + sessionCte + "\n" +
       """SELECT user_id, session_id, n_events,

@@ -77,4 +77,64 @@ object RangeJoin {
       .select(col("event_id").as("anchor_id"), col("e_sec").as("a_sec"))
     rangeJoinAgg(anchors, ev.drop("event_type"), WindowSec)
   }
+
+  /** Band half-width for [[eventsBandJoin]]: ±5 minutes. */
+  val BandSec: Long = 300L
+
+  /** Keyed symmetric band join + per-anchor aggregate: for each left
+    * row, every right row of the SAME key within `|Δt| <= w`,
+    * folded to (count, min |Δt|). The three variants of "join on
+    * time proximity" now cover: asof_join (nearest one side),
+    * range_join (all in a one-sided window, unkeyed), and this —
+    * all within a symmetric band, keyed, zero-match rows retained.
+    *
+    * Scale shape: same binned equi-join discipline as
+    * [[rangeJoinAgg]] — a direct `abs(l−r) <= w` join is a BNLJ.
+    * Left rows explode to the ≤3 width-w bins covering
+    * `[t−w, t+w]`; right rows map to their single bin, so each
+    * true pair meets EXACTLY once (no post-join dedup) and the join
+    * is a plain (key, bin) shuffle equi-join AQE can skew-split.
+    * Zero-match anchors come back via one left join of the
+    * aggregate onto the anchor frame (anchor_id equi-join). All
+    * integer algebra ⇒ full hash gate.
+    *
+    * @param anchors (anchor_id: long, key: long, a_sec: long)
+    * @param points  (key: long, p_sec: long)
+    */
+  def bandJoinAgg(anchors: DataFrame, points: DataFrame, w: Long): DataFrame = {
+    val binnedAnchors = anchors.select(
+      col("anchor_id"), col("key"), col("a_sec"),
+      explode(sequence(expr(s"(a_sec - ${w}L) div ${w}L"),
+                       expr(s"(a_sec + ${w}L) div ${w}L"))).as("bin"))
+    val binnedPoints = points
+      .select(col("key"), col("p_sec"), expr(s"p_sec div ${w}L").as("bin"))
+    val matched = binnedAnchors
+      .join(binnedPoints, Seq("key", "bin"))
+      .filter(abs(col("p_sec") - col("a_sec")) <= lit(w))
+      .groupBy(col("anchor_id"))
+      .agg(count(lit(1)).as("n_in_band"),
+           min(abs(col("p_sec") - col("a_sec"))).as("min_gap_sec"))
+    anchors.join(matched, Seq("anchor_id"), "left")
+      .select(col("anchor_id"), col("key"),
+        coalesce(col("n_in_band"), lit(0L)).as("n_in_band"),
+        col("min_gap_sec"))
+      .orderBy(col("anchor_id"))
+  }
+
+  /** `events_band_join` query entry: for every purchase, the error
+    * events of the same user within ±5 minutes — the "what went
+    * wrong around this conversion" proximity scan. */
+  def eventsBandJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              Tables.tsNsToSec("ts").as("sec"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("anchor_id"), col("user_id").as("key"),
+        col("sec").as("a_sec"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("key"), col("sec").as("p_sec"))
+    bandJoinAgg(purchases, errors, BandSec)
+      .select(col("anchor_id").as("purchase_id"), col("key").as("user_id"),
+        col("n_in_band").as("n_errors"), col("min_gap_sec"))
+  }
 }

@@ -109,4 +109,60 @@ class RangeJoinSpec extends SparkSuite {
     val scans = "Scan parquet".r.findAllIn(plan).length
     assert(scans == 2, s"expected exactly 2 parquet scans, got $scans:\n$plan")
   }
+
+  test("band join: closed ±w edges, keyed, each pair once, zero-match " +
+    "anchors kept (fixture)") {
+    val s = spark; import s.implicits._
+    val w = 300L
+    val anchors = Seq(
+      (1L, 7L, 1000L),  // matches at Δ = -300, 0, +300; 299+Δ excluded
+      (2L, 7L, 5000L),  // zero matches → retained with n = 0, NULL gap
+      (3L, 8L, 1000L)   // same times as anchor 1 but other key → 1 match
+    ).toDF("anchor_id", "key", "a_sec")
+    val points = Seq(
+      (7L, 700L),   // Δ = -300 → in (closed edge)
+      (7L, 699L),   // Δ = -301 → out
+      (7L, 1000L),  // Δ = 0    → in
+      (7L, 1300L),  // Δ = +300 → in (closed edge; also a bin boundary)
+      (7L, 1301L),  // Δ = +301 → out
+      (8L, 1299L)   // other key, Δ = 299 → in for anchor 3 only
+    ).toDF("key", "p_sec")
+    val got = RangeJoin.bandJoinAgg(anchors, points, w).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(got(1L) == ((3L, 0L)), s"anchor 1: $got")
+    assert(got(2L) == ((0L, -1L)), s"anchor 2 (zero-match): $got")
+    assert(got(3L) == ((1L, 299L)), s"anchor 3: $got")
+  }
+
+  test("band join: binned == naive inequality join at sf0.001, and " +
+    "plans an equi-join") {
+    val q = RangeJoin.eventsBandJoin(spark, sfDir)
+    val ev = Tables(spark, sfDir).events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              Tables.tsNsToSec("ts").as("sec"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("u"), col("sec").as("a_sec"))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("u2"), col("sec").as("p_sec"))
+    val naive = p.join(e, col("u") === col("u2") &&
+        abs(col("p_sec") - col("a_sec")) <= lit(RangeJoin.BandSec), "left")
+      .groupBy(col("purchase_id"))
+      .agg(count(col("p_sec")).as("n"), min(abs(col("p_sec") - col("a_sec"))))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val got = q.collect()
+      .map(r => (r.getLong(0), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(got.nonEmpty && got == naive)
+    assert(got.exists(_._2 == 0L), "want at least one zero-match anchor")
+
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") &&
+           !plan.contains("CartesianProduct"),
+      s"band join must not plan a nested loop:\n$plan")
+  }
 }
