@@ -2187,6 +2187,44 @@ object Oracles {
          |FROM per WHERE $gopherRuleAll
          |ORDER BY doc_id""".stripMargin),
 
+    // E26 rule ablation: same CTEs/predicates; per-rule kill and
+    // unique-kill counts off ONE aggregate, shares one bigint/bigint
+    // division each.
+    "quality_rule_ablation" -> {
+      val preds = Seq(
+        "div" -> gopherRuleDiv, "len" -> gopherRuleLen,
+        "rep" -> gopherRuleRep, "stop" -> gopherRuleStop,
+        "wlen" -> gopherRuleWlen)
+      val flagCols = preds.map { case (n, p) =>
+        s"CASE WHEN NOT ($p) THEN 1 ELSE 0 END AS f_$n" }
+        .mkString(",\n    ")
+      val allF = preds.map { case (n, _) => s"f_$n" }.mkString(" + ")
+      val sumCols = preds.map { case (n, _) =>
+        s"sum(f_$n)::bigint AS k_$n,\n    " +
+          s"sum(CASE WHEN f_$n = 1 AND $allF = 1 THEN 1 ELSE 0 " +
+          s"END)::bigint AS u_$n" }.mkString(",\n    ")
+      val arms = preds.map { case (n, _) =>
+        s"SELECT 'r_$n' AS rule, k_$n AS n_fail, u_$n AS n_unique_fail," +
+          s" n_docs, n_pass FROM s" }.mkString("\n  UNION ALL ")
+      "WITH " + gopherCtes + ",\n" +
+        s"""fl AS (
+           |  SELECT doc_id,
+           |    $flagCols
+           |  FROM per),
+           |s AS (
+           |  SELECT count(*)::bigint AS n_docs,
+           |    sum(CASE WHEN $allF = 0 THEN 1 ELSE 0 END)::bigint AS n_pass,
+           |    $sumCols
+           |  FROM fl),
+           |u AS (
+           |  $arms)
+           |SELECT rule, n_fail, n_unique_fail,
+           |  round(n_fail / n_docs, 6) AS fail_share,
+           |  round(n_unique_fail / n_docs, 6) AS unique_fail_share,
+           |  n_docs, n_pass
+           |FROM u ORDER BY rule""".stripMargin
+    },
+
     "text_pii" -> piiSql,
 
     // The G14 stream entry is the same stateless per-row scrub

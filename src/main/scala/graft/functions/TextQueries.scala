@@ -1029,4 +1029,49 @@ object TextQueries {
         round(col("lift"), 4).as("lift"))
       .orderBy(col("bigram"))
   }
+
+  /** E26: per-rule ablation of the Gopher quality gate — for each of
+    * the five rules, how many docs it kills (n_fail) and how many it
+    * ALONE kills (n_unique_fail: the rule's marginal yield — drop it
+    * and exactly these docs come back). The report a curation owner
+    * reads before tuning any threshold: a rule with large n_fail but
+    * near-zero n_unique_fail is redundant with the others; a rule
+    * owning most unique kills is the gate.
+    *
+    * Shape: the per-row rule form ([[gopherRulesRowOf]] — one
+    * generated loop, zero shuffles) → ONE global aggregate (12
+    * integer sums ride one 1-row exchange) → the 5 output rows
+    * EXPLODE from one array of structs in ONE projection (the
+    * table_fds lesson: K references to a 1-row frame recompute
+    * upstream K times). All counts integers; the two shares are one
+    * bigint/bigint division each, mirrored ⇒ full hash gate. */
+  def qualityRuleAblation(spark: SparkSession, dir: String): DataFrame =
+    ruleAblationOf(Tables(spark, dir).documents)
+
+  /** Core ablation over any (doc_id, text) frame. */
+  def ruleAblationOf(d: DataFrame): DataFrame = {
+    val rules = Seq("r_div", "r_len", "r_rep", "r_stop", "r_wlen")
+    val flags = gopherRulesRowOf(d).select(
+      rules.map(r => (!col(r)).cast("long").as(s"f_$r")) :+
+        col("pass").cast("long").as("p"): _*)
+    val nFailTotal = rules.map(r => col(s"f_$r")).reduce(_ + _)
+    val aggCols =
+      Seq(count(lit(1)).as("n_docs"), sum(col("p")).as("n_pass")) ++
+        rules.map(r => sum(col(s"f_$r")).as(s"k_$r")) ++
+        rules.map(r => sum(when(col(s"f_$r") === 1L &&
+          nFailTotal === 1L, 1L).otherwise(0L)).as(s"u_$r"))
+    val agg = flags.agg(aggCols.head, aggCols.tail: _*)
+    agg.select(
+        explode(array(rules.map(r => struct(
+          lit(r).as("rule"), col(s"k_$r").as("n_fail"),
+          col(s"u_$r").as("n_unique_fail"))): _*)).as("x"),
+        col("n_docs"), col("n_pass"))
+      .select(col("x.rule").as("rule"), col("x.n_fail").as("n_fail"),
+        col("x.n_unique_fail").as("n_unique_fail"),
+        round(col("x.n_fail") / col("n_docs"), 6).as("fail_share"),
+        round(col("x.n_unique_fail") / col("n_docs"), 6)
+          .as("unique_fail_share"),
+        col("n_docs"), col("n_pass"))
+      .orderBy(col("rule"))
+  }
 }

@@ -60,4 +60,26 @@ class GopherRulesSpec extends SparkSuite {
     assert(r.getBoolean(11))                        // r_stop: 2 >= 2
     assert(!r.getBoolean(12))                       // pass
   }
+
+  test("quality_rule_ablation == per-row recompute from the rule flags") {
+    val flags = TextQueries.qualityGopherRules(spark, sfDir).collect()
+      .map(r => (r.getBoolean(9), r.getBoolean(7), r.getBoolean(10),
+        r.getBoolean(11), r.getBoolean(8)))   // div, len, rep, stop, wlen
+    val names = Seq("r_div", "r_len", "r_rep", "r_stop", "r_wlen")
+    val nDocs = flags.length.toLong
+    val nPass = flags.count(f => f._1 && f._2 && f._3 && f._4 && f._5).toLong
+    val got = TextQueries.qualityRuleAblation(spark, sfDir).collect()
+    assert(got.map(_.getString(0)).toSeq == names)
+    got.foreach { r =>
+      val i = names.indexOf(r.getString(0))
+      val fails = flags.map(f =>
+        Seq(f._1, f._2, f._3, f._4, f._5).map(b => if (b) 0 else 1))
+      val k = fails.count(_(i) == 1).toLong
+      val u = fails.count(f => f(i) == 1 && f.sum == 1).toLong
+      assert(r.getLong(1) == k, s"${r.getString(0)} n_fail")
+      assert(r.getLong(2) == u, s"${r.getString(0)} n_unique_fail")
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(5) == nDocs && r.getLong(6) == nPass)
+    }
+  }
 }
