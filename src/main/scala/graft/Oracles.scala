@@ -2187,6 +2187,52 @@ object Oracles {
          |FROM per WHERE $gopherRuleAll
          |ORDER BY doc_id""".stripMargin),
 
+    // E27 Zipf fit: top-100 head is a total order (count DESC, token
+    // ASC); the five OLS sums are seedless list_reduce folds in rank
+    // order mirroring Spark's aggregate HOF element-for-element;
+    // round(4) erases last-ulp libm log2 noise.
+    "corpus_zipf" -> {
+      val k = graft.functions.TextQueries.ZipfTopK
+      raw"""WITH t AS (
+         |  SELECT unnest(list_filter(
+         |    string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+         |    w -> w <> '')) AS w
+         |  FROM documents),
+         |top AS (
+         |  SELECT w, count(*)::bigint AS c FROM t GROUP BY w
+         |  ORDER BY c DESC, w LIMIT $k),
+         |one AS (
+         |  SELECT list(struct_pack(c := c, w := w)
+         |      ORDER BY c DESC, w) AS arr,
+         |    count(*)::bigint AS k
+         |  FROM top),
+         |sums AS (
+         |  SELECT k, arr,
+         |    list_reduce(list_transform(range(1, k + 1),
+         |      i -> log2(i)), (a, b) -> a + b) AS sx,
+         |    list_reduce(list_transform(range(1, k + 1),
+         |      i -> log2(arr[i].c)), (a, b) -> a + b) AS sy,
+         |    list_reduce(list_transform(range(1, k + 1),
+         |      i -> log2(i) * log2(i)), (a, b) -> a + b) AS sxx,
+         |    list_reduce(list_transform(range(1, k + 1),
+         |      i -> log2(i) * log2(arr[i].c)), (a, b) -> a + b) AS sxy,
+         |    list_reduce(list_transform(range(1, k + 1),
+         |      i -> log2(arr[i].c) * log2(arr[i].c)), (a, b) -> a + b)
+         |      AS syy
+         |  FROM one)
+         |SELECT k::int AS n_ranks, arr[1].w AS top_token,
+         |  arr[1].c AS top_count,
+         |  round((k::double * sxy - sx * sy)
+         |    / (k::double * sxx - sx * sx), 4) AS zipf_slope,
+         |  round((sy - ((k::double * sxy - sx * sy)
+         |      / (k::double * sxx - sx * sx)) * sx) / k::double, 4)
+         |    AS intercept,
+         |  round((k::double * sxy - sx * sy) * (k::double * sxy - sx * sy)
+         |    / ((k::double * sxx - sx * sx)
+         |       * (k::double * syy - sy * sy)), 4) AS r2
+         |FROM sums""".stripMargin
+    },
+
     // E26 rule ablation: same CTEs/predicates; per-rule kill and
     // unique-kill counts off ONE aggregate, shares one bigint/bigint
     // division each.

@@ -1030,6 +1030,65 @@ object TextQueries {
       .orderBy(col("bigram"))
   }
 
+  /** Vocabulary head size for [[corpusZipf]]'s fit — the classic
+    * Zipf regime; a FIXED cut, so the fit frame is 100 rows at any
+    * corpus scale (the head ranks are the stable part of the law;
+    * the tail is where Zipf breaks anyway). */
+  val ZipfTopK = 100
+
+  /** E27: Zipf's-law fit of the corpus rank-frequency curve — OLS of
+    * log2(count) on log2(rank) over the top-100 tokens: slope (≈ −1
+    * for natural language; |slope| far off flags synthetic/spun
+    * text), intercept, and r² (how law-like the corpus is). The
+    * corpus-level cousin of text_entropy's per-doc signal, read
+    * beside corpus_stats when qualifying a new source.
+    *
+    * Shape: one token explode → map-side-combined groupBy(w) → a
+    * top-100 TakeOrderedAndProject (no global sort materialization)
+    * → ONE 100-element row. Exactness: the five OLS sums are STRICT
+    * SEQUENTIAL folds in rank order (aggregate HOF ↔ seedless
+    * list_reduce, 0.0+x₁ bit-equal to x₁ — the text_entropy
+    * pattern); log2 on both engines with round(4) erasing last-ulp
+    * libm noise; the fit algebra mirrors op-for-op ⇒ full hash
+    * gate. Interpreted-HOF cost is 100 elements on ONE row — not a
+    * hot loop. */
+  def corpusZipf(spark: SparkSession, dir: String): DataFrame =
+    zipfOf(Tables(spark, dir).documents)
+
+  /** Core Zipf fit over any (text) frame. */
+  def zipfOf(d: DataFrame): DataFrame = {
+    val top = d.select(explode(split(col("text"), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(ZipfTopK)
+    // (−c, w) sort key: ascending sort_array == (count desc, token asc)
+    val one = top.agg(sort_array(collect_list(
+      struct((-col("c")).as("negc"), col("w")))).as("arr"))
+      .withColumn("k", size(col("arr")))
+    val xs = transform(sequence(lit(1), col("k")), i => log2(i))
+    val ys = transform(col("arr"), s => log2(-s.getField("negc")))
+    def fsum(a: org.apache.spark.sql.Column) =
+      aggregate(a, lit(0.0), (acc, x) => acc + x)
+    val kd = col("k").cast("double")
+    val withSums = one.select(col("k"), col("arr"),
+      fsum(xs).as("sx"), fsum(ys).as("sy"),
+      fsum(transform(xs, x => x * x)).as("sxx"),
+      fsum(zip_with(xs, ys, (x, y) => x * y)).as("sxy"),
+      fsum(transform(ys, y => y * y)).as("syy"))
+    val den = kd * col("sxx") - col("sx") * col("sx")
+    val slope = (kd * col("sxy") - col("sx") * col("sy")) / den
+    withSums.select(
+      col("k").as("n_ranks"),
+      element_at(col("arr"), 1).getField("w").as("top_token"),
+      (-element_at(col("arr"), 1).getField("negc")).as("top_count"),
+      round(slope, 4).as("zipf_slope"),
+      round((col("sy") - slope * col("sx")) / kd, 4).as("intercept"),
+      round((kd * col("sxy") - col("sx") * col("sy")) *
+          (kd * col("sxy") - col("sx") * col("sy")) /
+          (den * (kd * col("syy") - col("sy") * col("sy"))), 4)
+        .as("r2"))
+  }
+
   /** E26: per-rule ablation of the Gopher quality gate — for each of
     * the five rules, how many docs it kills (n_fail) and how many it
     * ALONE kills (n_unique_fail: the rule's marginal yield — drop it

@@ -1,0 +1,46 @@
+package graft.functions
+
+import graft.SparkSuite
+
+/** [[TextQueries.zipfOf]] — OLS algebra against a driver-side
+  * recompute on a hand multiset, and corpus sanity bounds. */
+class ZipfSpec extends SparkSuite {
+
+  test("fixture: fit matches a driver-side OLS recompute exactly") {
+    val s = spark; import s.implicits._
+    // counts 8,4,2,1 -> ranks 1..4 (tokens tie-broken lexically)
+    val words =
+      Seq.fill(8)("aa") ++ Seq.fill(4)("bb") ++
+        Seq.fill(2)("cc") ++ Seq.fill(1)("dd")
+    val d = Seq(words.mkString(" ")).toDF("text")
+    val r = TextQueries.zipfOf(d).collect().head
+    assert(r.getInt(0) == 4 && r.getString(1) == "aa" && r.getLong(2) == 8L)
+
+    val log2 = (v: Double) => math.log(v) / math.log(2.0)
+    val xs = (1 to 4).map(i => log2(i.toDouble))
+    val ys = Seq(8L, 4L, 2L, 1L).map(c => log2(c.toDouble))
+    val k = 4.0
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxx = xs.map(x => x * x).sum
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val syy = ys.map(y => y * y).sum
+    val slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    val icpt = (sy - slope * sx) / k
+    val r2 = math.pow(k * sxy - sx * sy, 2) /
+      ((k * sxx - sx * sx) * (k * syy - sy * sy))
+    assert(math.abs(r.getDouble(3) - slope) < 1e-3)
+    assert(math.abs(r.getDouble(4) - icpt) < 1e-3)
+    assert(math.abs(r.getDouble(5) - r2) < 1e-3)
+    // counts halve as rank doubles -> slope near -1.5 (3 decades of y
+    // over 2 of x), r2 high but not 1 (x grid isn't geometric in rank)
+    assert(r.getDouble(3) < 0.0 && r.getDouble(5) > 0.9)
+  }
+
+  test("corpus: slope negative, r2 in (0,1], head is the rank-1 token") {
+    val r = TextQueries.corpusZipf(spark, sfDir).collect().head
+    assert(r.getInt(0) > 10)
+    assert(r.getLong(2) > 0L)
+    assert(r.getDouble(3) < 0.0, s"zipf slope ${r.getDouble(3)}")
+    assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+  }
+}
