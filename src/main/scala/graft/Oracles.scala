@@ -1376,6 +1376,47 @@ object Oracles {
          |FROM t ORDER BY digit""".stripMargin
     },
 
+    // H Cramér's V: integer contingency cells, margins as window
+    // sums over the cells, χ² a strict sequential list_reduce fold
+    // in (x,y) order mirroring the Spark aggregate HOF; expected
+    // counts go double BEFORE the ri·cj product (mirrored). Zero
+    // cells' χ² mass recovered analytically: fold((n-e)²/e − e) + n
+    // (Σ_zero e = n − Σ_exist e) — no densifying cross join.
+    "table_cramers_v" -> {
+      val blocks = graft.operators.Profile.CramersPairs.map {
+        case (a, b) =>
+          s"""SELECT '$a' AS col_x, '$b' AS col_y, n, dof,
+             |  round(chi2, 4) AS chi2,
+             |  round(sqrt(chi2 / (n * least_rc)), 6) AS cramers_v
+             |FROM (
+             |  SELECT max(n)::bigint AS n,
+             |    ((count(DISTINCT x) - 1) * (count(DISTINCT y) - 1))::int
+             |      AS dof,
+             |    least(count(DISTINCT x) - 1, count(DISTINCT y) - 1)
+             |      AS least_rc,
+             |    list_reduce(list(term ORDER BY x, y), (u, v) -> u + v)
+             |      + max(n)::bigint AS chi2
+             |  FROM (
+             |    SELECT x, y, n,
+             |      (nij - (ri::double * cj) / n)
+             |        * (nij - (ri::double * cj) / n)
+             |        / ((ri::double * cj) / n)
+             |        - (ri::double * cj) / n AS term
+             |    FROM (
+             |      SELECT x, y, nij,
+             |        sum(nij) OVER (PARTITION BY x)::bigint AS ri,
+             |        sum(nij) OVER (PARTITION BY y)::bigint AS cj,
+             |        sum(nij) OVER ()::bigint AS n
+             |      FROM (SELECT $a AS x, $b AS y, count(*)::bigint AS nij
+             |            FROM src GROUP BY 1, 2))))""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH src AS (
+         |  SELECT o_orderpriority, o_orderstatus, c_mktsegment
+         |  FROM orders JOIN customer ON o_custkey = c_custkey)
+         |$blocks
+         |ORDER BY col_x, col_y""".stripMargin
+    },
+
     // H sequence-gap audit: pure integer adjacency over the distinct
     // key set (the oracle may use the plain global lead; the Spark
     // side buckets — identical output by construction).

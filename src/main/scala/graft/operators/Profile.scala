@@ -710,6 +710,70 @@ object Profile {
       .orderBy(col("digit"))
   }
 
+  /** Column pairs for [[tableCramersV]] — categorical columns of the
+    * orders ⋈ customer frame (single-sourced into the oracle). */
+  val CramersPairs: Seq[(String, String)] = Seq(
+    ("c_mktsegment", "o_orderpriority"),
+    ("c_mktsegment", "o_orderstatus"),
+    ("o_orderpriority", "o_orderstatus"))
+
+  /** H: Cramér's V association between categorical column pairs —
+    * the categorical companion to table_corr (numeric Pearson) and
+    * table_fds (exact determinism): V ∈ [0,1] from the χ² of the
+    * contingency table, the "are these labels independent" datasheet
+    * read before trusting a stratification or suspecting leakage.
+    *
+    * Shape per pair: fact scan → (a,b) two-phase groupBy to the ≤
+    * |A|·|B| cell frame; margins/total are window sums OVER THE
+    * CELLS (metadata-sized — never the fact rows); χ² is a STRICT
+    * SEQUENTIAL fold over the (a,b)-sorted cell terms (aggregate
+    * HOF ↔ list_reduce, the text_entropy pattern — ≤25 elements on
+    * one row). ZERO cells (label pairs never co-occurring) carry
+    * χ² mass eᵢⱼ that the sparse cell frame can't fold — recovered
+    * analytically, no densifying cross join: Σ_zero e = n − Σ_exist
+    * e, so χ² = fold((nᵢⱼ−e)²/e − e) + n (ProfileSpec's functional-
+    * dependence fixture reads exactly 1 only with this term).
+    * Expected counts convert to double BEFORE the rᵢ·cⱼ product
+    * (mirrored; also dodges bigint overflow at extreme n). sqrt is
+    * IEEE-exact cross-engine ⇒ full hash gate. Three branches
+    * unioned (column-pruned scans — the table_corr discipline). */
+  def tableCramersV(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val src = t.orders
+      .join(broadcast(t.customer
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+    CramersPairs.map { case (a, b) => cramersOf(src, a, b) }
+      .reduce(_ unionAll _)
+      .orderBy(col("col_x"), col("col_y"))
+  }
+
+  /** One Cramér's-V row for columns (a, b) of `src`. */
+  def cramersOf(src: DataFrame, a: String, b: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = src.groupBy(col(a).as("x"), col(b).as("y"))
+      .agg(count(lit(1)).as("nij"))
+    val e = (col("ri").cast("double") * col("cj")) / col("n")
+    val m = cells
+      .withColumn("ri", sum(col("nij")).over(Window.partitionBy(col("x"))))
+      .withColumn("cj", sum(col("nij")).over(Window.partitionBy(col("y"))))
+      .withColumn("n", sum(col("nij")).over(Window.partitionBy()))
+      .withColumn("term", (col("nij") - e) * (col("nij") - e) / e - e)
+    val one = m.agg(
+      sort_array(collect_list(struct(col("x"), col("y"), col("term"))))
+        .as("terms"),
+      max(col("n")).as("n"),
+      size(collect_set(col("x"))).as("r"),
+      size(collect_set(col("y"))).as("c"))
+    val chi2 = aggregate(transform(col("terms"), s => s.getField("term")),
+      lit(0.0), (acc, x) => acc + x) + col("n")
+    one.select(lit(a).as("col_x"), lit(b).as("col_y"), col("n"),
+      ((col("r") - 1) * (col("c") - 1)).as("dof"),
+      round(chi2, 4).as("chi2"),
+      round(sqrt(chi2 / (col("n") * least(col("r") - 1, col("c") - 1))), 6)
+        .as("cramers_v"))
+  }
+
   /** Bucket width for [[tableSeqGaps]]' two-level adjacency scan —
     * keys within a bucket sort locally; only one (min,max) row per
     * bucket crosses the global stage. */

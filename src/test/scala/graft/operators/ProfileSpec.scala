@@ -377,6 +377,25 @@ class ProfileSpec extends SparkSuite {
     }
   }
 
+  test("table_cramers_v: functional dependence reads 1, perfect " +
+    "independence reads 0; corpus rows in [0,1]") {
+    val s = spark; import s.implicits._
+    val dep = Seq.fill(3)(("a", "p")) ++ Seq.fill(3)(("b", "q"))
+    val r1 = Profile.cramersOf(dep.toDF("u", "v"), "u", "v").collect().head
+    assert(r1.getDouble(5) === 1.0 && r1.getInt(3) == 1)
+    val ind = Seq(("a", "p"), ("a", "q"), ("b", "p"), ("b", "q"))
+    val r0 = Profile.cramersOf(ind.toDF("u", "v"), "u", "v").collect().head
+    assert(r0.getDouble(4) === 0.0 && r0.getDouble(5) === 0.0)
+
+    val corpus = Profile.tableCramersV(spark, sfDir).collect()
+    assert(corpus.length == Profile.CramersPairs.length)
+    corpus.foreach { r =>
+      val v = r.getDouble(5)
+      assert(v >= 0.0 && v <= 1.0, s"${r.getString(0)}x${r.getString(1)}: $v")
+      assert(r.getDouble(4) >= 0.0 && r.getInt(3) >= 1)
+    }
+  }
+
   test("table_seq_gaps: in-bucket, boundary and whole-missing-bucket " +
     "gaps all surface; bucketed == global-lead recompute") {
     val s = spark; import s.implicits._
