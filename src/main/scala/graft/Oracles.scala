@@ -1898,29 +1898,12 @@ object Oracles {
         |FROM q_base
         |ORDER BY doc_id""".stripMargin),
 
-    "text_langid" ->
-      """SELECT doc_id, s_en::int AS s_en, s_de::int AS s_de,
-        |  s_es::int AS s_es, s_fr::int AS s_fr,
-        |  pred_lang, lang AS true_lang,
-        |  (pred_lang = lang) AS is_match
-        |FROM (
-        |  SELECT *,
-        |    CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
-        |         WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
-        |         WHEN s_es >= s_fr THEN 'es'
-        |         ELSE 'fr' END AS pred_lang
-        |  FROM (
-        |    SELECT doc_id, lang,
-        |      len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
-        |          w -> w IN ('the','a','is','of'))) AS s_en,
-        |      len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
-        |          w -> w IN ('der','die','und'))) AS s_de,
-        |      len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
-        |          w -> w IN ('el','los','y'))) AS s_es,
-        |      len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
-        |          w -> w IN ('le','les','et'))) AS s_fr
-        |    FROM documents))
-        |ORDER BY doc_id""".stripMargin,
+    "text_langid" -> langidSql,
+
+    // The G29 stream entry is the same stateless per-row classifier
+    // (bit-identical under any micro-batching), so it shares E3's
+    // oracle verbatim — the stream_pii precedent.
+    "stream_langid" -> langidSql,
 
     "text_fingerprint" ->
       """SELECT doc_id,
@@ -2599,6 +2582,32 @@ object Oracles {
   /** The E24/G28 Gopher rule chain — per-doc term frequencies and
     * the five integer rule inputs, ending in `per`. (`def`, not
     * `val`: consumed by object vals declared earlier.) */
+  /** E3 language-ID SQL — shared verbatim by `text_langid` and its
+    * stateless streaming twin `stream_langid`. */
+  private def langidSql: String =
+    """SELECT doc_id, s_en::int AS s_en, s_de::int AS s_de,
+      |  s_es::int AS s_es, s_fr::int AS s_fr,
+      |  pred_lang, lang AS true_lang,
+      |  (pred_lang = lang) AS is_match
+      |FROM (
+      |  SELECT *,
+      |    CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+      |         WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+      |         WHEN s_es >= s_fr THEN 'es'
+      |         ELSE 'fr' END AS pred_lang
+      |  FROM (
+      |    SELECT doc_id, lang,
+      |      len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+      |          w -> w IN ('the','a','is','of'))) AS s_en,
+      |      len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+      |          w -> w IN ('der','die','und'))) AS s_de,
+      |      len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+      |          w -> w IN ('el','los','y'))) AS s_es,
+      |      len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+      |          w -> w IN ('le','les','et'))) AS s_fr
+      |    FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
   private def gopherCtes: String =
     raw"""tf AS (
        |  SELECT doc_id, w, count(*) AS c FROM (

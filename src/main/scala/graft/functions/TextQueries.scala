@@ -45,8 +45,15 @@ object TextQueries {
 
   /** E3: language-ID heuristic — marker-word hit counts per candidate
     * language, argmax with a deterministic tiebreak (en>de>es>fr). */
-  def textLangid(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables(spark, dir).documents
+  def textLangid(spark: SparkSession, dir: String): DataFrame =
+    langidScanOf(Tables(spark, dir).documents).orderBy(col("doc_id"))
+
+  /** The per-row language-ID projection over any (doc_id, text,
+    * lang) frame — a pure scan → project (codegen'd marker-token
+    * counts, no shuffle, no state), so it doubles as the STREAMING
+    * classify-at-ingest transform (stream_langid): bit-identical
+    * under any micro-batching or arrival order. */
+  def langidScanOf(d: DataFrame): DataFrame = {
     val scores: Seq[(String, Column)] = T.LangMarkers.map {
       case (lang, words) => lang -> T.tokenCountIn(col("text"), words)
     }
@@ -61,7 +68,6 @@ object TextQueries {
         pred.as("pred_lang"),
         col("lang").as("true_lang"),
         (pred === col("lang")).as("is_match"))
-      .orderBy(col("doc_id"))
   }
 
   /** E4: document fingerprint — rolling polynomial hash. */

@@ -859,6 +859,19 @@ object Streams {
     qualityGateTransform(graft.Tables(spark, dir).documents)
       .orderBy(col("doc_id"))
 
+  /** G29 batch entry: ingest-time language ID — E3 text_langid's
+    * per-row marker-count classifier applied as docs arrive (route/
+    * tag by language BEFORE landing, the shape multilingual ingest
+    * actually needs). The transform
+    * ([[graft.functions.TextQueries.langidScanOf]]) is a pure
+    * scan → project (codegen'd token counts, no shuffle): STATELESS
+    * — no state store, no watermark — and bit-identical to the
+    * batch classifier under any micro-batching or arrival order
+    * (StreamsSpec drives a real MemoryStream and asserts zero state
+    * operators). Shares E3's SQL oracle. */
+  def streamLangid(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.TextQueries.textLangid(spark, dir)
+
   /** The stream-or-batch gate: kept docs with their rule inputs. */
   def qualityGateTransform(docs: DataFrame): DataFrame =
     graft.functions.TextQueries.gopherRulesRowOf(docs)

@@ -581,6 +581,36 @@ class StreamsSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("stateless language ID through a real stream equals the batch " +
+    "classifier") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    import graft.functions.TextQueries
+    val expected = Streams.streamLangid(spark, sfDir).collect().toSeq
+    val rows = graft.Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text"), col("lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val stream = MemoryStream[(Long, String, String)]
+    val streamed = TextQueries.langidScanOf(
+      stream.toDF().toDF("doc_id", "text", "lang"))
+    val query = streamed.writeStream.format("memory")
+      .queryName("langid").outputMode("append").start()
+    try {
+      // uneven batches, shuffled arrival: per-row classification
+      // cannot care how the stream is chopped
+      val shuffled = new scala.util.Random(59).shuffle(rows.toSeq)
+      shuffled.grouped(math.max(1, shuffled.length / 5)).foreach { b =>
+        stream.addData(b)
+        query.processAllAvailable()
+      }
+      val got = s.table("langid").orderBy("doc_id").collect().toSeq
+      assert(got === expected)
+      val p = query.lastProgress
+      assert(p == null || p.stateOperators.isEmpty,
+        "ingest language ID must hold no streaming state")
+    } finally query.stop()
+  }
+
   test("stateless PII scrub through a real stream equals the batch scrub") {
     val s = spark; import s.implicits._
     implicit val sq = s.sqlContext
