@@ -4520,6 +4520,41 @@ object Oracles {
         |FROM g JOIN pix p USING (doc_id)
         |ORDER BY g.doc_id""".stripMargin),
 
+    // F10 channel stats: the shared pixel CTEs, then whole-image
+    // per-channel integer sums (fixed 32×40×3 ranges cut by the
+    // per-image dims) and per-pixel gray min/max; each mean is one
+    // bigint/bigint division mirroring Spark's long/long.
+    "mm_colorstats" ->
+      ("WITH " + imgPixCtes + ",\n" +
+      """pv AS (
+        |  SELECT p.doc_id, y.g AS y, x.g AS x, c.g AS c, l.v
+        |  FROM pix p
+        |  CROSS JOIN range(0, 32) y(g)
+        |  CROSS JOIN range(0, 40) x(g)
+        |  CROSS JOIN range(0, 3) c(g)
+        |  JOIN lut l ON l.hx = substr(p.px,
+        |    ((y.g * p.rowbytes + x.g * 3 + c.g) * 2 + 1)::int, 2)
+        |  WHERE y.g < p.h AND x.g < p.w),
+        |chan AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN c = 0 THEN v ELSE 0 END)::bigint AS s0,
+        |    sum(CASE WHEN c = 1 THEN v ELSE 0 END)::bigint AS s1,
+        |    sum(CASE WHEN c = 2 THEN v ELSE 0 END)::bigint AS s2
+        |  FROM pv GROUP BY doc_id),
+        |g AS (SELECT doc_id, y, x, sum(v)::bigint AS gray
+        |      FROM pv GROUP BY 1, 2, 3),
+        |gm AS (SELECT doc_id, min(gray)::int AS min_gray,
+        |         max(gray)::int AS max_gray
+        |       FROM g GROUP BY 1)
+        |SELECT b.doc_id, b.w::int AS width, b.h::int AS height,
+        |  (b.w * b.h)::bigint AS n_px,
+        |  round(c.s0 / (b.w * b.h), 4) AS mean_c0,
+        |  round(c.s1 / (b.w * b.h), 4) AS mean_c1,
+        |  round(c.s2 / (b.w * b.h), 4) AS mean_c2,
+        |  gm.min_gray, gm.max_gray
+        |FROM pix b JOIN chan c USING (doc_id) JOIN gm USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin),
+
     // F9 gradient-hash dedup: the shared pixel CTEs through the 9×8
     // difference-hash chain (bit = horizontal gradient sign), then
     // mm_phash's exact-group window verbatim.

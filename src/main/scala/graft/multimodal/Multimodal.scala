@@ -779,6 +779,88 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** One image's channel-statistics row. */
+  final case class ColorStats(doc_id: Long, width: Int, height: Int,
+    n_px: Long, sum_c0: Long, sum_c1: Long, sum_c2: Long,
+    min_gray: Int, max_gray: Int)
+
+  /** The per-blob decode→full-pixel channel-sum kernel: integer sums
+    * of each byte-position channel (c0/c1/c2 — the file's channel
+    * order; the synthetic corpus has no semantic RGB/BGR contract)
+    * over EVERY pixel, plus min/max of the per-pixel gray (c0+c1+c2).
+    * Same decode eligibility as [[phashOf]]/[[dhashOf]]; BMP stride
+    * padding bytes are skipped; orientation (top-down negative-h
+    * BMPs) cannot matter — the sums are whole-image. */
+  private[multimodal] def colorStatsOf(b: MmBlob): Option[ColorStats] = {
+    val d = decodeHeader(b)
+    val out = for {
+      w <- d.width; h0 <- d.height
+      h = math.abs(h0)
+      if d.ok && w > 0 && h > 0
+    } yield {
+      val a = b.content
+      val stride = (w.toLong * 3 + 3) / 4 * 4
+      val pixOff = if (a.length >= 34) leS32(a, 10) else -1
+      val isNN = d.format == "bmp" && d.bit_depth.contains(24) &&
+        a.length >= 54 && leS32(a, 30) == 0 && pixOff >= 54 &&
+        pixOff + stride * h <= a.length
+      val pngPx: Option[Array[Byte]] =
+        if (d.format == "png") pngPixels(a).map(_._3) else None
+      if (isNN || pngPx.isDefined) {
+        val (px, off, rowBytes) = pngPx match {
+          case Some(p) => (p, 0, w * 3)
+          case None    => (a, pixOff, stride.toInt)
+        }
+        var s0 = 0L; var s1 = 0L; var s2 = 0L
+        var gMin = Int.MaxValue; var gMax = Int.MinValue
+        var y = 0
+        while (y < h) {
+          var x = 0
+          val base = off + y * rowBytes
+          while (x < w) {
+            val c0 = px(base + 3 * x) & 0xFF
+            val c1 = px(base + 3 * x + 1) & 0xFF
+            val c2 = px(base + 3 * x + 2) & 0xFF
+            s0 += c0; s1 += c1; s2 += c2
+            val g = c0 + c1 + c2
+            if (g < gMin) gMin = g
+            if (g > gMax) gMax = g
+            x += 1
+          }
+          y += 1
+        }
+        Some(ColorStats(b.doc_id, w, h, w.toLong * h, s0, s1, s2,
+          gMin, gMax))
+      } else None
+    }
+    out.flatten
+  }
+
+  /** F10: per-image channel statistics — the datasheet pass an
+    * image-corpus pipeline runs before training: per-channel means
+    * and the gray dynamic range (min/max of c0+c1+c2, 0..765), the
+    * signals that flag black/blank frames (range ≈ 0), washed-out
+    * captures, and channel-dead sensors before any model sees them.
+    *
+    * Scale shape: same per-partition codec-batch map as mmDecode —
+    * NO shuffle at all on the stats path (the per-doc row is final
+    * at decode time); the only exchange is the output sort. All
+    * sums integers; each mean is ONE bigint/bigint division,
+    * mirrored ⇒ full hash gate (the DuckDB twin re-derives every
+    * pixel byte in hex space, as mm_phash/mm_dhash do). */
+  def mmColorstats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cs = synthImageBlobs(spark, dir)
+      .mapPartitions(it => it.flatMap(colorStatsOf))
+      .toDF()
+    cs.select(col("doc_id"), col("width"), col("height"), col("n_px"),
+        round(col("sum_c0") / col("n_px"), 4).as("mean_c0"),
+        round(col("sum_c1") / col("n_px"), 4).as("mean_c1"),
+        round(col("sum_c2") / col("n_px"), 4).as("mean_c2"),
+        col("min_gray"), col("max_gray"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Hamming radius for [[mmNeardup]] — with 4 bands of 16 bits, the
     * pigeonhole guarantees every pair at distance ≤ 3 shares a band,
     * so the banded join is COMPLETE for this τ (not LSH-approximate).
