@@ -117,4 +117,36 @@ object Sinks {
       fs.delete(nested, true); false
     } else true
   }
+
+  /** Small-file compaction: rewrite a parquet dataset into
+    * ~`targetBytes` output files. The housekeeping pass every
+    * long-lived 100 TB table needs — streaming sinks and
+    * fine-grained partitionBy layouts accrete kilobyte files whose
+    * per-file open/footer cost eventually dominates scans (and whose
+    * count strains the namenode/listing path).
+    *
+    * Shape: the output file count is planned DRIVER-SIDE from the
+    * file listing (bytes only — no data read), then the rewrite is
+    * `coalesce(n)` — a NARROW repartition that concatenates input
+    * splits into n output tasks with ZERO shuffle (a
+    * `repartition(n)` would pay a full exchange of every byte for
+    * marginally better balance; compaction jobs at scale take the
+    * free version). Row contents and schema pass through untouched.
+    *
+    * Returns (input file count, planned output file count). */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long): (Int, Int) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    import org.apache.hadoop.fs.Path
+    val in = new Path(inPath)
+    val fs = in.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(in)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val totalBytes = files.map(_.getLen).sum
+    val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inPath)
+      .coalesce(n)
+      .write.mode("overwrite").parquet(outPath)
+    (files.length, n)
+  }
 }

@@ -167,4 +167,32 @@ class SinksSpec extends SparkSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     }
   }
+
+  test("compact merges small files losslessly and plans no shuffle") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-compact").toString
+    val frag = s"$base/frag"; val out = s"$base/out"
+    val docs = graft.Tables(spark, sfDir).documents
+    docs.repartition(16).write.parquet(frag)     // fragment: 16 files
+    val fragFiles = new java.io.File(frag).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(fragFiles == 16)
+    val totalBytes = new java.io.File(frag).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val (nIn, nOut) = Sinks.compact(spark, frag, out, totalBytes / 4 + 1)
+    assert(nIn == 16 && nOut <= 4 && nOut >= 1)
+    val outFiles = new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(outFiles == nOut)
+    // lossless: same rows, same schema
+    val got = spark.read.parquet(out)
+    assert(got.schema == spark.read.parquet(frag).schema)
+    assert(got.orderBy("doc_id").collect().toSeq ===
+      docs.orderBy("doc_id").collect().toSeq)
+    // the rewrite must be narrow: no Exchange in the coalesce plan
+    val plan = spark.read.parquet(frag).coalesce(4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"compaction rewrite must not shuffle:\n$plan")
+  }
 }
