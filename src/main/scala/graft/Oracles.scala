@@ -1185,6 +1185,33 @@ object Oracles {
     // expressions with ONE ::double cast each side of the division,
     // IEEE-identical cross-engine. Mirrors the Spark long algebra
     // term for term.
+    // B inter-arrival stats: integer lead gaps off one
+    // (user, type) window; ONE quantile_cont array call (the q23
+    // shared-buffer / interpolation-bit-equality pattern); mean is
+    // one bigint/bigint division.
+    "events_interarrival" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch(date_trunc('second', ts))::bigint AS ep
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type,
+        |    lead(ep) OVER (PARTITION BY user_id, event_type
+        |                   ORDER BY ep, event_id) - ep AS gap
+        |  FROM ev),
+        |a AS (
+        |  SELECT event_type, count(*)::bigint AS n_gaps,
+        |    sum(gap)::bigint AS total_gap_s,
+        |    quantile_cont(gap, [0.5, 0.9]) AS q,
+        |    max(gap)::bigint AS max_gap_s
+        |  FROM g WHERE gap IS NOT NULL GROUP BY event_type)
+        |SELECT event_type, n_gaps, total_gap_s,
+        |  round(total_gap_s / n_gaps, 4) AS mean_gap_s,
+        |  round(q[1], 4) AS p50_gap_s,
+        |  round(q[2], 4) AS p90_gap_s,
+        |  max_gap_s
+        |FROM a ORDER BY event_type""".stripMargin,
+
     "events_trend" -> {
       val h = graft.operators.Lifecycle.TrendHorizonDays
       s"""WITH e AS (
@@ -1374,6 +1401,31 @@ object Oracles {
          |  round((n_obs - p * total) * (n_obs - p * total) / (p * total), 4)
          |    AS chi2_term
          |FROM t ORDER BY digit""".stripMargin
+    },
+
+    // H k-anonymity: per-QI class sizes then a 1-row rollup, one
+    // branch per QI set; pure integer counts + one division.
+    "table_kanon" -> {
+      val P = graft.operators.Profile
+      val blocks = P.KanonQis.map { qi =>
+        val cols = qi.mkString(", ")
+        s"""SELECT '${qi.mkString(",")}' AS qi,
+           |  sum(cls)::bigint AS n_rows, count(*)::bigint AS n_classes,
+           |  min(cls)::bigint AS min_class,
+           |  (min(cls) >= ${P.KanonK}) AS k_anonymous,
+           |  sum(CASE WHEN cls < ${P.KanonK} THEN cls ELSE 0
+           |      END)::bigint AS n_rows_at_risk,
+           |  round(sum(CASE WHEN cls < ${P.KanonK} THEN cls ELSE 0
+           |      END)::bigint / sum(cls)::bigint, 6) AS risk_share
+           |FROM (SELECT count(*)::bigint AS cls FROM src
+           |      GROUP BY $cols)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH src AS (
+         |  SELECT o_orderpriority, o_orderstatus, c_mktsegment,
+         |    c_nationkey
+         |  FROM orders JOIN customer ON o_custkey = c_custkey)
+         |$blocks
+         |ORDER BY qi""".stripMargin
     },
 
     // H Cramér's V: integer contingency cells, margins as window
@@ -2211,6 +2263,75 @@ object Oracles {
          |FROM per WHERE $gopherRuleAll
          |ORDER BY doc_id""".stripMargin),
 
+    // E28 Heaps fit: prefix sums over 10 doc-id-decile buckets (V
+    // from per-token first-doc, N from per-doc counts — no per-prefix
+    // rescan), then the zipf-style sequential OLS folds; degenerate
+    // fits (zero x-variance) NULL-guarded identically.
+    "corpus_heaps" -> {
+      val p = graft.functions.TextQueries.HeapsPoints
+      raw"""WITH t AS (
+         |  SELECT doc_id, unnest(list_filter(
+         |    string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+         |    w -> w <> '')) AS w
+         |  FROM documents),
+         |mx AS (SELECT max(doc_id) AS mx FROM documents),
+         |pk AS (
+         |  SELECT least($p, (doc_id * $p // (mx + 1)) + 1) AS k,
+         |    sum(n)::bigint AS toks
+         |  FROM (SELECT doc_id, count(*)::bigint AS n FROM t
+         |        GROUP BY doc_id), mx
+         |  GROUP BY 1),
+         |fk AS (
+         |  SELECT least($p, (fd * $p // (mx + 1)) + 1) AS k,
+         |    count(*)::bigint AS newv
+         |  FROM (SELECT min(doc_id) AS fd FROM t GROUP BY w), mx
+         |  GROUP BY 1),
+         |ax AS (SELECT g + 1 AS k FROM range(0, $p) r(g)),
+         |cp AS (
+         |  SELECT ax.k,
+         |    (sum(coalesce(pk.toks, 0)) OVER (ORDER BY ax.k))::bigint
+         |      AS nn,
+         |    (sum(coalesce(fk.newv, 0)) OVER (ORDER BY ax.k))::bigint
+         |      AS vv
+         |  FROM ax LEFT JOIN pk USING (k) LEFT JOIN fk USING (k)),
+         |one AS (
+         |  SELECT list(struct_pack(k := k, nn := nn, vv := vv)
+         |      ORDER BY k) AS arr,
+         |    count(*)::bigint AS m
+         |  FROM cp WHERE nn >= 1),
+         |sums AS (
+         |  SELECT m, arr,
+         |    list_reduce(list_transform(range(1, m + 1),
+         |      i -> log2(arr[i].nn)), (a, b) -> a + b) AS sx,
+         |    list_reduce(list_transform(range(1, m + 1),
+         |      i -> log2(arr[i].vv)), (a, b) -> a + b) AS sy,
+         |    list_reduce(list_transform(range(1, m + 1),
+         |      i -> log2(arr[i].nn) * log2(arr[i].nn)), (a, b) -> a + b)
+         |      AS sxx,
+         |    list_reduce(list_transform(range(1, m + 1),
+         |      i -> log2(arr[i].nn) * log2(arr[i].vv)), (a, b) -> a + b)
+         |      AS sxy,
+         |    list_reduce(list_transform(range(1, m + 1),
+         |      i -> log2(arr[i].vv) * log2(arr[i].vv)), (a, b) -> a + b)
+         |      AS syy
+         |  FROM one)
+         |SELECT m::int AS n_points,
+         |  arr[m::int].nn AS total_tokens, arr[m::int].vv AS vocab,
+         |  CASE WHEN abs(m::double * sxx - sx * sx) > 1e-9 THEN
+         |    round((m::double * sxy - sx * sy)
+         |      / (m::double * sxx - sx * sx), 4) + 0.0 END AS heaps_beta,
+         |  CASE WHEN abs(m::double * sxx - sx * sx) > 1e-9 THEN
+         |    round((sy - ((m::double * sxy - sx * sy)
+         |        / (m::double * sxx - sx * sx)) * sx) / m::double, 4)
+         |      + 0.0 END AS heaps_log2k,
+         |  CASE WHEN abs(m::double * sxx - sx * sx) > 1e-9
+         |        AND abs(m::double * syy - sy * sy) > 1e-9 THEN
+         |    round((m::double * sxy - sx * sy) * (m::double * sxy - sx * sy)
+         |      / ((m::double * sxx - sx * sx)
+         |         * (m::double * syy - sy * sy)), 4) + 0.0 END AS r2
+         |FROM sums""".stripMargin
+    },
+
     // E27 Zipf fit: top-100 head is a total order (count DESC, token
     // ASC); the five OLS sums are seedless list_reduce folds in rank
     // order mirroring Spark's aggregate HOF element-for-element;
@@ -2949,6 +3070,32 @@ object Oracles {
         |FROM pairs
         |WHERE dot / (na * nb) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // C12 semantic decontamination: eval = the fixed vec_id prefix,
+    // strict-fold dots, divisor order train·eval, threshold on the
+    // unrounded double — mirrors Decontaminate.decontaminateSemantic.
+    "decontaminate_semantic" -> {
+      val D = graft.operators.Decontaminate
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+         |  FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, v,
+         |    sqrt(list_reduce(
+         |      list_transform(list_zip(v, v), s -> s[1] * s[2]),
+         |      (x, y) -> x + y)) AS nrm
+         |  FROM e),
+         |p AS (
+         |  SELECT t.vec_id AS train_id, q.vec_id AS eval_id,
+         |    list_reduce(
+         |      list_transform(list_zip(t.v, q.v), s -> s[1] * s[2]),
+         |      (x, y) -> x + y) / (t.nrm * q.nrm) AS cos
+         |  FROM n t JOIN n q
+         |    ON q.vec_id < ${D.EvalVecIds} AND t.vec_id >= ${D.EvalVecIds})
+         |SELECT train_id, eval_id, round(cos, 4) AS cos
+         |FROM p WHERE cos >= ${D.SemTau}
+         |ORDER BY train_id, eval_id""".stripMargin
+    },
 
     // SemDeDup: the shared IVF quantizer CTEs pin the cell structure
     // to Similarity.ivfAssigned exactly; pairs exist only within a

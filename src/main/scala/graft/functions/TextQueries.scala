@@ -1095,6 +1095,94 @@ object TextQueries {
         .as("r2"))
   }
 
+  /** Checkpoint count for [[corpusHeaps]] — the vocab-growth curve is
+    * sampled at 10 doc-id deciles. */
+  val HeapsPoints = 10
+
+  /** E28: Heaps'-law fit of vocabulary growth — OLS of log2(vocab)
+    * on log2(tokens) across 10 corpus-prefix checkpoints: β ≈ 0.4–0.6
+    * for natural language, β → 0 for fixed-vocabulary synthetic/spun
+    * text (vocab saturates — exactly what this corpus's token soup
+    * shows), the companion diagnostic to corpus_zipf's slope.
+    *
+    * Shape: the growth curve needs NO per-prefix rescan — V(d) =
+    * #tokens whose FIRST doc (min doc_id per token, one groupBy) ≤ d
+    * and N(d) = Σ per-doc counts ≤ d, so each checkpoint is a prefix
+    * sum over a 10-row bucket aggregate (docs bucket by
+    * doc_id·10/(max+1); two map-side-combined groupBys total). The
+    * OLS sums are strict sequential folds in checkpoint order over
+    * ONE 10-element row (zipf pattern); degenerate fits (zero
+    * x-variance) emit NULL, guarded identically in the oracle ⇒
+    * full hash gate. */
+  def corpusHeaps(spark: SparkSession, dir: String): DataFrame =
+    heapsOf(spark, Tables(spark, dir).documents)
+
+  /** Core Heaps fit over any (doc_id, text) frame. */
+  def heapsOf(spark: SparkSession, d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nP = HeapsPoints
+    val tok = d.select(col("doc_id"),
+        explode(split(col("text"), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val mx = d.agg(max(col("doc_id")).as("mx"))
+    def bucket(idCol: org.apache.spark.sql.Column) =
+      least(lit(nP.toLong), floor(idCol * nP / (col("mx") + 1)) + 1)
+    val perBucketToks = tok.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(mx))
+      .groupBy(bucket(col("doc_id")).as("k"))
+      .agg(sum(col("n")).as("toks"))
+    val perBucketVocab = tok.groupBy(col("w"))
+      .agg(min(col("doc_id")).as("fd"))
+      .crossJoin(broadcast(mx))
+      .groupBy(bucket(col("fd")).as("k"))
+      .agg(count(lit(1)).as("newv"))
+    val axis = spark.range(1, nP + 1).select(col("id").as("k"))
+    val wCum = Window.orderBy(col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cps = axis
+      .join(perBucketToks, Seq("k"), "left")
+      .join(perBucketVocab, Seq("k"), "left")
+      .select(col("k"),
+        sum(coalesce(col("toks"), lit(0L))).over(wCum).as("nn"),
+        sum(coalesce(col("newv"), lit(0L))).over(wCum).as("vv"))
+      .filter(col("nn") >= 1)
+    val one = cps.agg(sort_array(collect_list(
+        struct(col("k"), col("nn"), col("vv")))).as("arr"))
+      .withColumn("m", size(col("arr")))
+    val xs = transform(col("arr"), s => log2(s.getField("nn")))
+    val ys = transform(col("arr"), s => log2(s.getField("vv")))
+    def fsum(a: org.apache.spark.sql.Column) =
+      aggregate(a, lit(0.0), (acc, x) => acc + x)
+    val md = col("m").cast("double")
+    val withSums = one.select(col("m"), col("arr"),
+      fsum(xs).as("sx"), fsum(ys).as("sy"),
+      fsum(transform(xs, x => x * x)).as("sxx"),
+      fsum(zip_with(xs, ys, (x, y) => x * y)).as("sxy"),
+      fsum(transform(ys, y => y * y)).as("syy"))
+    val den = md * col("sxx") - col("sx") * col("sx")
+    val deny = md * col("syy") - col("sy") * col("sy")
+    val num = md * col("sxy") - col("sx") * col("sy")
+    val slope = num / den
+    // Degenerate-variance guards use an EPSILON, not == 0: the two
+    // engines' libm log2 differ in the last ulp, and the m·s − s·s
+    // cancellation amplifies that into ±tiny (sign-flipping) values
+    // exactly when the true variance is zero (constant vocab). The
+    // `+ 0.0` normalizes a rounded −0.0 to +0.0 (IEEE) — both
+    // mirrored in the oracle.
+    val eps = 1e-9
+    withSums.select(
+      col("m").as("n_points"),
+      element_at(col("arr"), col("m")).getField("nn").as("total_tokens"),
+      element_at(col("arr"), col("m")).getField("vv").as("vocab"),
+      when(abs(den) > eps, round(slope, 4) + lit(0.0)).as("heaps_beta"),
+      when(abs(den) > eps,
+        round((col("sy") - slope * col("sx")) / md, 4) + lit(0.0))
+        .as("heaps_log2k"),
+      when(abs(den) > eps && abs(deny) > eps,
+        round(num * num / (den * deny), 4) + lit(0.0)).as("r2"))
+  }
+
   /** E26: per-rule ablation of the Gopher quality gate — for each of
     * the five rules, how many docs it kills (n_fail) and how many it
     * ALONE kills (n_unique_fail: the rule's marginal yield — drop it

@@ -78,4 +78,50 @@ object Decontaminate {
         round(col("contain"), 4).as("contain"))
       .orderBy(col("eval_doc"), col("train_doc"))
   }
+
+  /** The held-out benchmark embedding set for
+    * [[decontaminateSemantic]]: a FIXED id prefix (10 vectors at any
+    * scale — benchmarks don't grow with the corpus), the same
+    * bounded-query-set convention as ann_bruteforce. */
+  val EvalVecIds = 10L
+
+  /** Cosine threshold above which a training vector counts as a
+    * semantic leak of an eval vector (sized to the synthetic
+    * embeddings' neighbor structure: ~40 flagged pairs per sf). */
+  val SemTau = 0.3
+
+  /** C12: SEMANTIC decontamination — the embedding-space axis of
+    * benchmark hygiene beside this file's n-gram containment:
+    * paraphrased or translated eval material shares no shingles but
+    * sits next to the eval doc in embedding space, so the leak check
+    * must also run on vectors (the practice GPT-4/Llama tech
+    * reports describe as embedding-similarity decontamination).
+    * Flags every (train, eval) pair with cosine ≥ [[SemTau]].
+    *
+    * Scale shape: the eval side is a FIXED-size broadcast (10 rows
+    * at any corpus scale), so the scan is ONE pass over train
+    * vectors with a k-bounded nested-loop probe — the
+    * ann_bruteforce shape, in PlanContractSpec's bounded-BNLJ
+    * class. Dots are strict sequential folds (native [[DotProductD]]
+    * codegen — no interpreted HOF in the hot path); threshold
+    * compares the unrounded double, divisor order (train·eval)
+    * mirrored ⇒ full hash gate. */
+  def decontaminateSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val V = graft.functions.VectorFunctions
+    val e = Tables(spark, dir).embeddings
+      .select(col("vec_id"), V.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", V.norm(col("v")))
+    val eval = e.filter(col("vec_id") < EvalVecIds)
+      .select(col("vec_id").as("eval_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val train = e.filter(col("vec_id") >= EvalVecIds)
+    val cos = V.cosineWithNorms(V.dot(col("v"), col("qv")),
+      col("nrm"), col("qnrm"))
+    train.join(broadcast(eval))
+      .withColumn("cos", cos)
+      .filter(col("cos") >= SemTau)
+      .select(col("vec_id").as("train_id"), col("eval_id"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy(col("train_id"), col("eval_id"))
+  }
 }

@@ -930,4 +930,43 @@ object Lifecycle {
           .as(s"fc_d${TrendHorizonDays}"))
       .orderBy(col("event_type"))
   }
+
+  /** B: inter-arrival time distribution per event type — the gap
+    * statistics (mean / p50 / p90 / max of the per-user time between
+    * consecutive same-type events) that size session timeouts,
+    * watermark delays and anomaly baselines: a p90 gap above the
+    * sessionize threshold means sessions are being split; a p90 far
+    * beyond a stream watermark means late data is being dropped.
+    *
+    * Shape: ONE (user_id, event_type) window exchange for the lead
+    * gaps, then a 5-key two-phase aggregate. The exact per-type
+    * quantiles ride ONE percentile(array) call (shared buffer —
+    * CLAUDE.md: N separate percentile aggregates each build their
+    * own per-group value map); mean is one bigint/bigint division ⇒
+    * full hash gate (Spark percentile interpolates exactly like
+    * DuckDB quantile_cont on integer-spaced values). */
+  def eventsInterarrival(spark: SparkSession, dir: String): DataFrame =
+    interarrivalOf(Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        Tables.tsNsToSec("ts").as("ep")))
+
+  /** Core over any (user_id, event_id, event_type, ep) frame. */
+  def interarrivalOf(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ep"), col("event_id"))
+    e.withColumn("gap", lead(col("ep"), 1).over(w) - col("ep"))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap")).as("total_gap_s"),
+        percentile(col("gap"), array(lit(0.5), lit(0.9))).as("q"),
+        max(col("gap")).as("max_gap_s"))
+      .select(col("event_type"), col("n_gaps"), col("total_gap_s"),
+        round(col("total_gap_s") / col("n_gaps"), 4).as("mean_gap_s"),
+        round(element_at(col("q"), 1), 4).as("p50_gap_s"),
+        round(element_at(col("q"), 2), 4).as("p90_gap_s"),
+        col("max_gap_s"))
+      .orderBy(col("event_type"))
+  }
 }

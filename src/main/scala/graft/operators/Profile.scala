@@ -710,6 +710,53 @@ object Profile {
       .orderBy(col("digit"))
   }
 
+  /** k threshold for [[tableKanon]] — classes smaller than this are
+    * re-identification risks (the conventional k=5 release bar). */
+  val KanonK = 5L
+
+  /** Quasi-identifier sets audited by [[tableKanon]] (single-sourced
+    * into the oracle). */
+  val KanonQis: Seq[Seq[String]] = Seq(
+    Seq("c_mktsegment", "o_orderpriority"),
+    Seq("c_mktsegment", "o_orderpriority", "o_orderstatus"),
+    Seq("c_nationkey", "c_mktsegment"))
+
+  /** H: k-anonymity audit — for each quasi-identifier set, how many
+    * equivalence classes the release would form, the smallest class,
+    * and how many rows sit in classes below k=5 (re-identifiable
+    * under linkage attack). The privacy datasheet a release review
+    * reads BEFORE any export — the measurement half of k-anonymity
+    * (generalization/suppression to fix failures is policy, not an
+    * operator).
+    *
+    * Shape per QI set: one column-pruned fact scan → two-phase
+    * groupBy to the class-size frame (≤ Π|domain| rows) → a 1-row
+    * rollup; three branches unioned (the table_corr discipline).
+    * Pure integer counts + one mirrored bigint/bigint division ⇒
+    * full hash gate. */
+  def tableKanon(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val src = t.orders
+      .join(broadcast(t.customer
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+    KanonQis.map { qi =>
+      src.groupBy(qi.map(col): _*)
+        .agg(count(lit(1)).as("cls"))
+        .agg(count(lit(1)).as("n_classes"),
+          sum(col("cls")).as("n_rows"),
+          min(col("cls")).as("min_class"),
+          sum(when(col("cls") < KanonK, col("cls")).otherwise(0L))
+            .as("n_rows_at_risk"))
+        .select(lit(qi.mkString(",")).as("qi"), col("n_rows"),
+          col("n_classes"), col("min_class"),
+          (col("min_class") >= KanonK).as("k_anonymous"),
+          col("n_rows_at_risk"),
+          round(col("n_rows_at_risk") / col("n_rows"), 6).as("risk_share"))
+    }.reduce(_ unionAll _)
+      .orderBy(col("qi"))
+  }
+
   /** Column pairs for [[tableCramersV]] — categorical columns of the
     * orders ⋈ customer frame (single-sourced into the oracle). */
   val CramersPairs: Seq[(String, String)] = Seq(

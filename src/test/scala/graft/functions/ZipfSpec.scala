@@ -43,4 +43,32 @@ class ZipfSpec extends SparkSuite {
     assert(r.getDouble(3) < 0.0, s"zipf slope ${r.getDouble(3)}")
     assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
   }
+
+  test("heaps fixture: exact V = N^0.5 curve recovers beta 0.5, r2 1") {
+    val s = spark; import s.implicits._
+    // cumulative (tokens, vocab) = (4,2),(16,4),(64,8),(256,16):
+    // every checkpoint sits exactly on log2 V = 0.5 · log2 N
+    def doc(nToks: Int, vocab: Seq[String]) =
+      (0 until nToks).map(i => vocab(i % vocab.size)).mkString(" ")
+    val v = (0 until 16).map(i => s"w$i")
+    val d = Seq(
+      (0L, doc(4, v.slice(0, 2))),
+      (1L, doc(12, v.slice(0, 4))),
+      (2L, doc(48, v.slice(0, 8))),
+      (3L, doc(192, v.slice(0, 16)))
+    ).toDF("doc_id", "text")
+    val r = TextQueries.heapsOf(spark, d).collect().head
+    assert(r.getInt(0) == 10)
+    assert(r.getLong(1) == 256L && r.getLong(2) == 16L)
+    assert(r.getDouble(3) === 0.5, s"beta ${r.getDouble(3)}")
+    assert(r.getDouble(5) === 1.0, s"r2 ${r.getDouble(5)}")
+  }
+
+  test("heaps corpus: saturating synthetic vocab reads a LOW beta") {
+    val r = TextQueries.corpusHeaps(spark, sfDir).collect().head
+    assert(r.getInt(0) > 0 && r.getLong(1) > 0 && r.getLong(2) > 0)
+    val beta = r.getDouble(3)
+    // token-soup corpus: vocabulary saturates in the first decile
+    assert(beta >= 0.0 && beta < 0.3, s"beta $beta")
+  }
 }

@@ -42,4 +42,27 @@ class DecontaminateSpec extends SparkSuite {
       assert(c >= Decontaminate.Tau && c <= 1.0 + 1e-9, s"bad contain $c")
     }
   }
+
+  test("semantic: flagged pairs == a driver-side exact cosine recompute") {
+    val rows = graft.Tables(spark, sfDir).embeddings.collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    val evals = rows.filter(_._1 < Decontaminate.EvalVecIds)
+    val train = rows.filter(_._1 >= Decontaminate.EvalVecIds)
+    def nrm(v: Array[Double]) =
+      math.sqrt(v.map(x => x * x).sum)
+    val want = (for {
+      (tid, tv) <- train; (qid, qv) <- evals
+      cos = tv.zip(qv).map { case (a, b) => a * b }.sum /
+        (nrm(tv) * nrm(qv))
+      if cos >= Decontaminate.SemTau
+    } yield (tid, qid)).toSet
+    val got = Decontaminate.decontaminateSemantic(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty,
+      s"got ${got.size} pairs, want ${want.size}")
+    // eval ids never on the train side
+    assert(got.forall { case (t, q) =>
+      t >= Decontaminate.EvalVecIds && q < Decontaminate.EvalVecIds })
+  }
 }

@@ -532,4 +532,25 @@ class LifecycleSpec extends SparkSuite {
     assert(row.getDouble(0) === 2.0)
     assert(row.getDouble(1) === 28.0)
   }
+
+  test("events_interarrival: hand gaps, per-user-per-type windows, " +
+    "interpolated p90") {
+    val s = spark; import s.implicits._
+    // user 1 type A at 0,10,30 -> gaps 10,20; user 2 type A at
+    // 100,105 -> gap 5; the single type-B event contributes nothing.
+    val ev = Seq(
+      (1L, 1L, "A", 0L), (1L, 2L, "A", 10L), (1L, 3L, "A", 30L),
+      (2L, 4L, "A", 100L), (2L, 5L, "A", 105L),
+      (1L, 6L, "B", 50L)
+    ).toDF("user_id", "event_id", "event_type", "ep")
+    val got = Lifecycle.interarrivalOf(ev).collect()
+    assert(got.length == 1 && got.head.getString(0) == "A")
+    val r = got.head
+    assert(r.getLong(1) == 3L && r.getLong(2) == 35L)
+    assert(math.abs(r.getDouble(3) - 35.0 / 3) < 1e-3)
+    assert(r.getDouble(4) === 10.0)          // p50 of [5,10,20]
+    // p90: index 0.9·(3−1) = 1.8 -> 10 + 0.8·(20−10) = 18
+    assert(r.getDouble(5) === 18.0)
+    assert(r.getLong(6) == 20L)
+  }
 }

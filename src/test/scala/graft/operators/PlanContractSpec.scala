@@ -63,13 +63,19 @@ class PlanContractSpec extends SparkSuite {
   //  - table_ks: same 1-row shape twice — the per-type totals row
   //    crossJoined into the cumulative-CDF max pass, and the 1-row
   //    D-stat frame crossJoined back for the 10-pair explode.
+  //  - decontaminate_semantic: the broadcast side is the FIXED
+  //    10-vector eval set (benchmarks don't grow with the corpus) —
+  //    the ann_bruteforce bounded-query-set class.
+  //  - corpus_heaps: same 1-row shape — the max-doc-id row
+  //    crossJoin-broadcast into the two bucket projections.
   private val boundedBroadcastOk =
     Set("ann_bruteforce", "q14_scalar_subquery", "text_tfidf",
       "text_typicality", "corpus_stats", "text_bm25", "stream_bm25",
       "mix_curriculum", "zorder_key", "table_histogram", "events_rfm",
       "stream_rfm", "orders_pareto", "text_collocations",
       "stream_hitters", "table_entropy", "embed_mmr", "table_fds",
-      "ann_recall_eval", "sample_negatives", "table_ks")
+      "ann_recall_eval", "sample_negatives", "table_ks",
+      "decontaminate_semantic", "corpus_heaps")
 
   test("no query plans a cartesian or unbounded nested-loop join") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -377,6 +377,34 @@ class ProfileSpec extends SparkSuite {
     }
   }
 
+  test("table_kanon: class accounting consistent with a driver-side " +
+    "recompute on every QI set") {
+    val src = graft.Tables(spark, sfDir).orders
+      .join(graft.Tables(spark, sfDir).customer,
+        col("o_custkey") === col("c_custkey"))
+      .select("c_mktsegment", "o_orderpriority", "o_orderstatus",
+        "c_nationkey")
+      .collect()
+    val got = Profile.tableKanon(spark, sfDir).collect()
+    assert(got.length == Profile.KanonQis.length)
+    got.foreach { r =>
+      val qi = r.getString(0).split(",").toSeq
+      val classes = src.groupBy(row =>
+        qi.map(c => row.get(row.fieldIndex(c))).mkString("|"))
+        .map(_._2.length.toLong)
+      assert(r.getLong(1) == classes.sum, s"$qi n_rows")
+      assert(r.getLong(2) == classes.size.toLong, s"$qi n_classes")
+      assert(r.getLong(3) == classes.min, s"$qi min_class")
+      val atRisk = classes.filter(_ < Profile.KanonK).sum
+      assert(r.getLong(5) == atRisk, s"$qi n_rows_at_risk")
+      assert(r.getBoolean(4) == (classes.min >= Profile.KanonK))
+    }
+    // the 3-column QI must be at least as risky as its 2-column prefix
+    val byQi = got.map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(byQi("c_mktsegment,o_orderpriority,o_orderstatus") >=
+      byQi("c_mktsegment,o_orderpriority"))
+  }
+
   test("table_cramers_v: functional dependence reads 1, perfect " +
     "independence reads 0; corpus rows in [0,1]") {
     val s = spark; import s.implicits._
