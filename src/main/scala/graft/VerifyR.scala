@@ -7,9 +7,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{HashFunctions => H, VectorFunctions}
-import graft.operators.{Cluster, Dedup, Relational, Similarity}
+import graft.operators.{Cluster, Dedup, Graph, Relational, Similarity}
 
-/** Machine-auditable verdicts for the 8 `[R]` registry entries — the
+/** Machine-auditable verdicts for the 9 `[R]` registry entries — the
   * sketch/LSH/FP-iteration queries the DuckDB oracle cannot hash-gate
   * (SURVEY §5). Each gets the SAME property contracts its ScalaTest
   * spec enforces (ApproxSpec / DedupSpec / SimilaritySpec /
@@ -254,10 +254,60 @@ object VerifyR {
           maxDev <= 5e-5))
     }
 
+    // ---- graph_kcore: set-equality vs an exact sequential peel
+    // (the textbook min-degree removal) over the same co-purchase
+    // edges, rebuilt driver-side.
+    {
+      val li = Tables(spark, sfDir).lineitem
+        .select(col("l_orderkey"), col("l_partkey")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val adj = scala.collection.mutable.Map
+        .empty[Long, scala.collection.mutable.Set[Long]]
+      li.groupBy(_._1).values.foreach { grp =>
+        val ps = grp.map(_._2).distinct
+        for (i <- ps.indices; j <- i + 1 until ps.size) {
+          adj.getOrElseUpdate(ps(i),
+            scala.collection.mutable.Set.empty) += ps(j)
+          adj.getOrElseUpdate(ps(j),
+            scala.collection.mutable.Set.empty) += ps(i)
+        }
+      }
+      val deg = scala.collection.mutable.Map(
+        adj.toSeq.map { case (n, s) => n -> s.size }: _*)
+      val remaining = scala.collection.mutable.Set(adj.keys.toSeq: _*)
+      val core = scala.collection.mutable.Map.empty[Long, Long]
+      var k = 0
+      while (remaining.nonEmpty) {
+        val mind = remaining.iterator.map(deg).min
+        if (mind > k) k = mind
+        val queue = scala.collection.mutable.Queue(
+          remaining.filter(deg(_) <= k).toSeq: _*)
+        while (queue.nonEmpty) {
+          val v = queue.dequeue()
+          if (remaining.remove(v)) {
+            core(v) = k.toLong
+            adj(v).foreach { u =>
+              if (remaining.contains(u)) {
+                deg(u) -= 1
+                if (deg(u) <= k) queue.enqueue(u)
+              }
+            }
+          }
+        }
+      }
+      val got = Graph.graphKcore(spark, sfDir).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val equal = got == core.toMap
+      results("graph_kcore") = Seq(
+        Prop("nodes_present", got.size.toDouble, ">= 1", got.nonEmpty),
+        Prop("coreness_equals_exact_peel",
+          if (equal) 1.0 else 0.0, "== 1 (map equality)", equal))
+    }
+
     // ---- double-run determinism for every [R] entry
     val rNames = Seq("q23_approx_percentiles", "q12_approx_distinct",
       "dedup_minhash_lsh", "dedup_simhash", "stream_neardup", "ann_lsh",
-      "embed_cluster", "embed_pca")
+      "embed_cluster", "embed_pca", "graph_kcore")
     val doubleRun = rNames.map(n => n -> doubleRunEqual(spark, sfDir, n)).toMap
 
     def jn(d: Double): String =

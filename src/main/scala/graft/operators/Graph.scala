@@ -270,4 +270,92 @@ object Graph {
     ranks.join(deg, ranks("node") === deg("src"))
       .select(col("node"), col("deg"), col("q"))
   }
+
+  /** Safety bound on [[kcoreOf]]'s h-index rounds (convergence is
+    * typically < 10 on real graphs; the throw is the
+    * componentLabels non-convergence discipline). */
+  val KcoreMaxIters = 60
+
+  /** B: k-core decomposition of the co-purchase graph — every node's
+    * CORENESS (the largest k such that the node survives in the
+    * subgraph where everyone keeps ≥ k neighbors), the standard
+    * density peel that separates load-bearing catalog clusters from
+    * tail attachments (and, on web/spam graphs, farms from organic
+    * neighborhoods). Completes the graph family: triangles = local
+    * density, pagerank = centrality, components = connectivity,
+    * kcore = cohesion depth.
+    *
+    * Algorithm: the h-index fixpoint (Lü et al. 2016, "The H-index
+    * of a network node") — c₀(v) = deg(v); each round replaces c(v)
+    * with the H-INDEX of its neighbors' values (the largest h with
+    * ≥ h neighbors at ≥ h); the sequence is pointwise monotone
+    * decreasing and converges exactly to the coreness. Distributed
+    * shape: each round is ONE equi-join (adjacency ⋈ values on nbr)
+    * + ONE per-node sort window + ONE groupBy — all
+    * shuffle-on-natural-key, no O(|V|) broadcast (GraphIterSpec),
+    * per-round checkpoint + FULL-action Σc probe (monotone ⇒
+    * unchanged sum == converged; the componentLabels discipline),
+    * replaced round frames eagerly unpersisted. The h-index off the
+    * sort window is max(min(rank, value)) — deterministic under
+    * ties (equal values occupy interchangeable rank positions).
+    *
+    * No cross-engine oracle: a converging fixpoint is the
+    * WITH-RECURSIVE shape DuckDB 1.0 can't express without the
+    * reach-explosion (CLAUDE.md) — rows-only [R] gate; VerifyR
+    * proves set-equality vs an exact sequential peel plus the
+    * double-run hash. */
+  def graphKcore(spark: SparkSession, dir: String): DataFrame =
+    kcoreOf(Tables(spark, dir).lineitem
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("p")))
+
+  /** (node, deg, coreness) over any (k, p) membership frame — same
+    * undirected shared-k graph as [[trianglesOf]]/[[pagerankOf]]. */
+  def kcoreOf(li: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    val spark = li.sparkSession
+    val a = li.select(col("k"), col("p").as("src"))
+    val b = li.select(col("k"), col("p").as("dst"))
+    val und = a.join(b, "k").filter(col("src") < col("dst"))
+      .select("src", "dst").distinct()
+    val adj = und.unionAll(und.select(col("dst"), col("src")))
+      .toDF("node", "nbr")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def snap(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    def freeRdd(df: DataFrame): Unit =
+      df.queryExecution.logical.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(blocking = false))
+    def probe(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+    val deg0 = snap(adj.groupBy(col("node")).agg(count(lit(1)).as("c")))
+    var c = deg0
+    var sumPrev = probe(c)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < KcoreMaxIters) {
+      val w = Window.partitionBy(col("node")).orderBy(col("cn").desc)
+      val next = snap(adj
+        .join(c.select(col("node").as("nbr"), col("c").as("cn")), "nbr")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .groupBy(col("node"))
+        .agg(max(least(col("rk"), col("cn"))).as("c")))
+      val s = probe(next)
+      if (c ne deg0) freeRdd(c)
+      converged = s == sumPrev
+      sumPrev = s
+      c = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kcore did not converge in $KcoreMaxIters h-index rounds")
+    val out = deg0.select(col("node"), col("c").as("deg"))
+      .join(c.select(col("node"), col("c").as("coreness")), Seq("node"))
+      .orderBy(col("node"))
+    adj.unpersist(blocking = false)
+    out
+  }
 }

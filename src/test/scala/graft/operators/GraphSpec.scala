@@ -1,9 +1,11 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSuite
 
-/** `graph_pagerank` — hand-fixture structure, mass conservation, and
-  * the integer-exactness contract at sf0.001. */
+/** `graph_pagerank` / `graph_kcore` — hand-fixture structure, mass
+  * conservation, and the exactness contracts at sf0.001. */
 class GraphSpec extends SparkSuite {
 
   test("hub node out-ranks leaves on a path graph (hand fixture)") {
@@ -79,5 +81,51 @@ class GraphSpec extends SparkSuite {
     val r2 = Graph.graphPagerank(spark, sfDir).collect()
     assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq,
       "integer pagerank must be bit-deterministic")
+  }
+
+  test("kcore: hand fixture — K4 with a two-hop tail") {
+    val s = spark; import s.implicits._
+    // k=100 makes {1,2,3,4} a clique; 4–5 and 5–6 hang off it.
+    // Cores: the K4 nodes peel at 3; 5 and 6 peel at 1 (node 6 has
+    // degree 1, and removing it strands 5 at degree 1 too).
+    val li = Seq(
+      (100L, 1L), (100L, 2L), (100L, 3L), (100L, 4L),
+      (101L, 4L), (101L, 5L),
+      (102L, 5L), (102L, 6L)
+    ).toDF("k", "p")
+    val got = Graph.kcoreOf(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (1L, 3L, 3L), (2L, 3L, 3L), (3L, 3L, 3L), (4L, 4L, 3L),
+      (5L, 2L, 1L), (6L, 1L, 1L)))
+  }
+
+  test("kcore: sf invariants — coreness ≤ deg, max-core subgraph " +
+    "has min degree ≥ k_max, deterministic rerun") {
+    val r1 = Graph.graphKcore(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(r1.nonEmpty)
+    r1.foreach { case (n, d, c) =>
+      assert(c >= 1 && c <= d, s"node $n: coreness $c vs deg $d") }
+    val kMax = r1.map(_._3).max
+    val coreNodes = r1.filter(_._3 == kMax).map(_._1).toSet
+    assert(coreNodes.size > kMax, "a k-core needs > k nodes")
+    // induced-degree check on the max core
+    val li = graft.Tables(spark, sfDir).lineitem
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.size)
+        yield (ps(i), ps(j))
+    }.toSet
+    coreNodes.foreach { n =>
+      val indDeg = coreNodes.count(m => m != n &&
+        (edges.contains((math.min(n, m), math.max(n, m)))))
+      assert(indDeg >= kMax, s"node $n induced degree $indDeg < $kMax")
+    }
+    val r2 = Graph.graphKcore(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(r1.toSeq == r2.toSeq, "kcore must be deterministic")
   }
 }
