@@ -52,4 +52,39 @@ class EntityResSpec extends SparkSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       "length-band blocking must not plan a BNLJ")
   }
+
+  test("resolve: transitive chain merges into one entity, isolates " +
+    "stand alone (fixture)") {
+    val s = spark; import s.implicits._
+    // aaaaaa ~ aaaaab ~ aaabbb chain: ends are 3 edits apart via the
+    // middle (aaaaaa→aaabbb directly IS 3 ≤ τ too, but
+    // zaaaaa ~ aaaaaa only reaches aaabbb transitively: dist 4 > τ).
+    val rows = Seq("aaaaaa", "aaaaab", "aaabbb", "zaaaaa",
+      "completely-different", "aaaaaa").toDF("name")
+    val got = EntityRes.erResolveOf(rows).collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got.size == 5)
+    // one entity holds the whole chain incl. zaaaaa (via aaaaaa)
+    Seq("aaaaaa", "aaaaab", "aaabbb", "zaaaaa").foreach { n =>
+      assert(got(n)._1 == "aaaaaa", s"$n -> ${got(n)._1}") }
+    assert(got("aaaaaa")._2 == 2L)                 // duplicate row count
+    assert(got("aaaaaa")._3 == 4L && got("aaaaaa")._4 == 5L)
+    assert(got("completely-different")._1 == "completely-different")
+    assert(got("completely-different")._3 == 1L)
+  }
+
+  test("resolve corpus: groups partition names; every matched pair " +
+    "shares a rep; rep is the group min") {
+    val ent = EntityRes.partErResolve(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ent.nonEmpty)
+    val pairs = EntityRes.partEr(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    pairs.foreach { case (a, b) =>
+      assert(ent(a) == ent(b), s"pair ($a, $b) split across entities") }
+    ent.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.keys.min == rep, s"rep $rep is not the group min") }
+  }
 }
