@@ -683,4 +683,44 @@ object Sampling {
         round(lit(1.0) / col("n_dups"), 6).as("weight"))
       .orderBy(col("doc_id"))
   }
+
+  /** Train fraction of the time axis for [[sampleTimeSplit]] (the
+    * cutoff is the 0.8 quantile of event seconds). */
+  val TimeSplitQ = 0.8
+
+  /** Embargo gap between train and test, in days — events inside it
+    * belong to neither side. (Sized to the corpus: the event axis
+    * spans 30 days, so the P80 cutoff leaves ~6 days; a 2-day purge
+    * keeps a real test side at every sf.) */
+  val TimeSplitEmbargoDays = 2L
+
+  /** J15: TIME-based train/test split with an embargo — the
+    * backtesting discipline for anything with temporal leakage
+    * (user behavior, market-like series): train = everything up to
+    * the 80th-percentile timestamp T, test = everything after
+    * T + 2 days, the embargo window between them DROPPED so
+    * slow-moving label/feature leakage across the boundary (the
+    * purged split of de Prado's backtesting literature) cannot
+    * reach the test side. Complements J11 (hash fate) and J12
+    * (duplicate-cluster fate): the third leakage axis is TIME.
+    *
+    * Shape: one scan → a 1-row percentile aggregate crossJoin-
+    * broadcast (the mix_curriculum class in PlanContractSpec) →
+    * zero-shuffle assignment projection. The cutoff is Spark
+    * `percentile` on integer epoch seconds — interpolation
+    * bit-equal to DuckDB quantile_cont (q23 precedent); boundaries
+    * compare the unrounded double ⇒ full hash gate. */
+  def sampleTimeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"),
+        Tables.tsNsToSec("ts").as("ep"))
+    val cut = e.agg(percentile(col("ep"), lit(TimeSplitQ)).as("t_cut"))
+    val testFrom = col("t_cut") + lit(TimeSplitEmbargoDays * 86400L)
+    e.crossJoin(broadcast(cut))
+      .select(col("event_id"), col("user_id"), col("ep"),
+        when(col("ep") <= col("t_cut"), "train")
+          .when(col("ep") > testFrom, "test")
+          .otherwise("embargo").as("split"))
+      .orderBy(col("event_id"))
+  }
 }

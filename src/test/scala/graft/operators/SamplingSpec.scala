@@ -541,4 +541,23 @@ class SamplingSpec extends SparkSuite {
     assert(corpus.length === 500)
     assert(corpus.forall(r => r.getDouble(3) > 0 && r.getDouble(3) <= 1.0))
   }
+
+  test("sample_time_split: ~80/20 around an embargoed boundary; " +
+    "splits partition events; no train event after any test event") {
+    val rows = Sampling.sampleTimeSplit(spark, sfDir).collect()
+      .map(r => (r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    val byS = rows.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(byS.keySet.subsetOf(Set("train", "test", "embargo")))
+    val n = rows.length.toDouble
+    val trainShare = byS("train").length / n
+    assert(trainShare >= 0.75 && trainShare <= 0.85, s"train $trainShare")
+    // the embargo really separates the sides by >= 7 days
+    val maxTrain = byS("train").max
+    val minTest = byS("test").min
+    assert(minTest - maxTrain >= Sampling.TimeSplitEmbargoDays * 86400L
+      - 86400L, s"gap ${minTest - maxTrain}")
+    byS.getOrElse("embargo", Array.empty[Long]).foreach { e =>
+      assert(e > maxTrain && e < minTest) }
+  }
 }
