@@ -271,10 +271,27 @@ object Graph {
       .select(col("node"), col("deg"), col("q"))
   }
 
-  /** Safety bound on [[kcoreOf]]'s h-index rounds (convergence is
-    * typically < 10 on real graphs; the throw is the
-    * componentLabels non-convergence discipline). */
-  val KcoreMaxIters = 60
+  /** Safety bound on [[kcoreOf]]'s h-index rounds. NOT a small
+    * constant: h-index convergence is bounded by the graph's
+    * "erosion depth" — a path of 1-core nodes hanging off a dense
+    * region sheds ONE node per round from each end, so a chain of
+    * length L needs ~L/2 rounds (measured: sf0.001 converges in 5,
+    * sf1's percolated co-purchase tail needs 60+). 512 covers any
+    * physically plausible erosion depth; the throw is the
+    * componentLabels non-convergence discipline. */
+  val KcoreMaxIters = 512
+
+  /** Frontier size below which [[kcoreWithRounds]] attempts the
+    * driver tail finish (the erosion regime — round count, not data,
+    * is the cost there). */
+  val KcoreTailFrontier = 20000L
+
+  /** Caps on the collected periphery subgraph (nodes / in-S edges):
+    * the driver tail finish is the quantizer-training class of
+    * driver work, never a data-plane collect — an over-cap periphery
+    * falls back to the distributed rounds. */
+  val KcoreTailMaxNodes = 500000L
+  val KcoreTailMaxEdges = 5000000
 
   /** B: k-core decomposition of the co-purchase graph — every node's
     * CORENESS (the largest k such that the node survives in the
@@ -290,14 +307,21 @@ object Graph {
     * with the H-INDEX of its neighbors' values (the largest h with
     * ≥ h neighbors at ≥ h); the sequence is pointwise monotone
     * decreasing and converges exactly to the coreness. Distributed
-    * shape: each round is ONE equi-join (adjacency ⋈ values on nbr)
-    * + ONE per-node sort window + ONE groupBy — all
-    * shuffle-on-natural-key, no O(|V|) broadcast (GraphIterSpec),
-    * per-round checkpoint + FULL-action Σc probe (monotone ⇒
-    * unchanged sum == converged; the componentLabels discipline),
-    * replaced round frames eagerly unpersisted. The h-index off the
-    * sort window is max(min(rank, value)) — deterministic under
-    * ties (equal values occupy interchangeable rank positions).
+    * shape: DELTA iteration — each round recomputes h only for
+    * nodes ADJACENT to the last round's changed set (a node's
+    * h-index can't move unless a neighbor's value did), so round
+    * cost is O(deg(frontier)), not O(|E|): the erosion tail (a
+    * 1-core chain shedding one node per round — the regime that
+    * makes the ROUND COUNT large, measured 60+ rounds on sf1's
+    * percolated co-purchase tail vs 5 at sf0.001) costs a few rows
+    * per round instead of a full-graph join. All equi-joins on
+    * natural keys + one per-affected-node sort window, no O(|V|)
+    * broadcast (GraphIterSpec), per-round checkpoint + FULL-action
+    * frontier count as the convergence probe (empty frontier ==
+    * fixpoint; the componentLabels discipline), replaced round
+    * frames eagerly unpersisted. The h-index off the sort window is
+    * max(min(rank, value)) — deterministic under ties (equal values
+    * occupy interchangeable rank positions).
     *
     * No cross-engine oracle: a converging fixpoint is the
     * WITH-RECURSIVE shape DuckDB 1.0 can't express without the
@@ -310,7 +334,10 @@ object Graph {
 
   /** (node, deg, coreness) over any (k, p) membership frame — same
     * undirected shared-k graph as [[trianglesOf]]/[[pagerankOf]]. */
-  def kcoreOf(li: DataFrame): DataFrame = {
+  def kcoreOf(li: DataFrame): DataFrame = kcoreWithRounds(li)._1
+
+  /** [[kcoreOf]] plus the h-index round count it converged in. */
+  def kcoreWithRounds(li: DataFrame): (DataFrame, Int) = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel
     val spark = li.sparkSession
@@ -328,34 +355,148 @@ object Graph {
       df.queryExecution.logical.collectFirst {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
       }.foreach(_.unpersist(blocking = false))
-    def probe(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
     val deg0 = snap(adj.groupBy(col("node")).agg(count(lit(1)).as("c")))
+    // DELTA iteration: a node's h-index can only change when a
+    // NEIGHBOR's value changed, so each round recomputes h ONLY for
+    // nodes adjacent to the previous round's changed set. Round cost
+    // is O(deg(frontier)), not O(|E|) — the erosion tail (a chain
+    // shedding one node per round, the regime that makes the round
+    // COUNT large) then costs a few rows per round instead of a
+    // full-graph join, which is what keeps a large round count
+    // affordable at scale. Convergence = empty frontier (the count
+    // is a full action on the checkpointed frontier frame).
     var c = deg0
-    var sumPrev = probe(c)
+    var changed = snap(deg0.select(col("node")))
+    var nChanged = changed.count()
+    // driver-tail trigger scales with the graph so small corpora
+    // still exercise the distributed rounds (|V|/10 floor)
+    val tailTrigger = math.min(KcoreTailFrontier, nChanged / 10)
     var iter = 0
-    var converged = false
-    while (!converged && iter < KcoreMaxIters) {
-      val w = Window.partitionBy(col("node")).orderBy(col("cn").desc)
-      val next = snap(adj
-        .join(c.select(col("node").as("nbr"), col("c").as("cn")), "nbr")
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .groupBy(col("node"))
-        .agg(max(least(col("rk"), col("cn"))).as("c")))
-      val s = probe(next)
-      if (c ne deg0) freeRdd(c)
-      converged = s == sumPrev
-      sumPrev = s
-      c = next
-      iter += 1
+    while (nChanged > 0L && iter < KcoreMaxIters) {
+      // DRIVER TAIL FINISH: once the frontier is small, the cascade
+      // is the slow erosion regime (one chain hop per round — the
+      // round count, not the data, is the cost). h-index updates are
+      // a MONOTONE fixpoint, so any asynchronous update order
+      // converges to the same coreness: collect the low-value
+      // periphery S = {c ≤ max frontier value} with out-of-S
+      // neighbors CLAMPED to B (exact for computing any h ≤ B),
+      // run its cascade to stability on the driver in one shot, and
+      // let the next distributed round re-check the S boundary —
+      // global convergence (empty frontier) is still the only exit.
+      // Caps below keep the collect to the quantizer-training class
+      // of driver work; an over-cap periphery falls back to the
+      // distributed rounds.
+      if (nChanged <= tailTrigger) {
+        val b = changed.join(c, Seq("node"))
+          .agg(max(col("c"))).head().getLong(0)
+        val s = c.filter(col("c") <= b)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val sCount = s.count()
+        if (sCount <= KcoreTailMaxNodes) {
+          val sEdges = adj
+            .join(s.select(col("node")), Seq("node"))
+            .join(s.select(col("node").as("nbr")), Seq("nbr"))
+            .select(col("node"), col("nbr")).collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+          if (sEdges.length <= KcoreTailMaxEdges) {
+            val cur = scala.collection.mutable.Map(
+              s.collect().map(r => r.getLong(0) -> r.getLong(1)): _*)
+            val inDeg = scala.collection.mutable.Map
+              .empty[Long, Int].withDefaultValue(0)
+            sEdges.foreach { case (u, _) => inDeg(u) += 1 }
+            // out-of-S neighbor count = full degree − in-S degree;
+            // every such neighbor has value > B, which for any h ≤ B
+            // is equivalent to value == B (the clamp's exactness)
+            val degMap = deg0.join(s.select(col("node")), Seq("node"))
+              .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+            val nbrs = sEdges.groupBy(_._1).map { case (k, v) =>
+              k -> v.map(_._2) }
+            val queue = scala.collection.mutable.Queue(cur.keys.toSeq: _*)
+            val queued = scala.collection.mutable.Set(cur.keys.toSeq: _*)
+            val changedS = scala.collection.mutable.Set.empty[Long]
+            while (queue.nonEmpty) {
+              val v = queue.dequeue(); queued -= v
+              val outN = (degMap(v) - inDeg(v)).toInt
+              val vals = nbrs.getOrElse(v, Array.empty[Long])
+                .map(u => math.min(cur(u), b)) ++
+                Array.fill(outN)(b)
+              java.util.Arrays.sort(vals)
+              var h = 0L
+              var i = vals.length - 1
+              while (i >= 0) {
+                val rank = vals.length - i
+                val m = math.min(rank.toLong, vals(i))
+                if (m > h) h = m
+                i -= 1
+              }
+              if (h < cur(v)) {
+                cur(v) = h; changedS += v
+                nbrs.getOrElse(v, Array.empty[Long]).foreach { u =>
+                  if (!queued.contains(u)) { queue.enqueue(u); queued += u }
+                }
+              }
+            }
+            if (changedS.nonEmpty) {
+              // merge driver results; the pending frontier STAYS
+              // pending (its out-of-S neighbors still need the
+              // distributed recheck below) and the driver-changed
+              // nodes join it
+              val updates = spark.createDataFrame(
+                spark.sparkContext.parallelize(
+                  changedS.toSeq.map(n => (n, cur(n))), 4))
+                .toDF("node", "cNew")
+              val nextC = snap(c.join(updates, Seq("node"), "left")
+                .select(col("node"),
+                  coalesce(col("cNew"), col("c")).as("c")))
+              val nextChanged = snap(changed
+                .unionAll(updates.select(col("node"))).distinct())
+              if (c ne deg0) freeRdd(c)
+              freeRdd(changed)
+              c = nextC
+              changed = nextChanged
+              nChanged = changed.count()
+            }
+            if (sys.env.contains("GRAFT_KCORE_TRACE"))
+              println(s"[kcore] round=$iter driver-tail S=$sCount " +
+                s"merged=${changedS.size}")
+          }
+        }
+        s.unpersist(blocking = false)
+      }
+      {
+        val affected = adj
+          .join(changed.withColumnRenamed("node", "nbr"), "nbr")
+          .select(col("node")).distinct()
+        val w = Window.partitionBy(col("node")).orderBy(col("cn").desc)
+        val hNew = adj.join(affected, Seq("node"))
+          .join(c.select(col("node").as("nbr"), col("c").as("cn")), "nbr")
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .groupBy(col("node"))
+          .agg(max(least(col("rk"), col("cn"))).as("h"))
+        val merged = snap(c.join(hNew, Seq("node"), "left")
+          .select(col("node"), col("c"),
+            least(col("c"), coalesce(col("h"), col("c"))).as("c2")))
+        val nextChanged = snap(merged
+          .filter(col("c2") =!= col("c")).select(col("node")))
+        val next = snap(merged.select(col("node"), col("c2").as("c")))
+        nChanged = nextChanged.count()
+        if (sys.env.contains("GRAFT_KCORE_TRACE"))
+          println(s"[kcore] round=$iter frontier=$nChanged")
+        if (c ne deg0) freeRdd(c)
+        freeRdd(changed)
+        freeRdd(merged)
+        c = next
+        changed = nextChanged
+        iter += 1
+      }
     }
-    if (!converged)
+    if (nChanged > 0L)
       throw new IllegalStateException(
         s"kcore did not converge in $KcoreMaxIters h-index rounds")
     val out = deg0.select(col("node"), col("c").as("deg"))
       .join(c.select(col("node"), col("c").as("coreness")), Seq("node"))
       .orderBy(col("node"))
     adj.unpersist(blocking = false)
-    out
+    (out, iter)
   }
 }

@@ -16,7 +16,8 @@ class EntrySpec extends SparkSuite {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // ann_ivf left this set in round 8 (integer-algebra quantizer
     // seed made it fully hash-gatable)
-    val declared = Set("q23_approx_percentiles", "q12_approx_distinct",
+    val declared = Set("graph_kcore",
+      "q23_approx_percentiles", "q12_approx_distinct",
       "dedup_minhash_lsh", "dedup_simhash", "ann_lsh",
       "embed_cluster", "embed_pca", "stream_neardup")
     assert(rowsOnly == declared,

@@ -23,7 +23,8 @@ class GraphIterSpec extends SparkSuite {
   private val iterativeQueries = Seq(
     "graph_pagerank", "dedup_components", "dedup_best_rep",
     "dedup_incremental", "embed_cluster", "embed_pca", "curate_report",
-    "semantic_clusters", "sample_leakage_split", "graph_kcore")
+    "semantic_clusters", "sample_leakage_split", "graph_kcore",
+    "er_resolve")
 
   private def hintedBroadcastJoins(plan: LogicalPlan): Seq[Join] =
     plan.collect {
