@@ -1679,6 +1679,40 @@ object Oracles {
          |ORDER BY name_a, name_b""".stripMargin
     },
 
+    // C entity resolution (merge half): the er_blocking pair chain
+    // closed into components by the componentCtes reach shape —
+    // safe here because edit-variant clusters are tiny (never the
+    // percolation case, CLAUDE.md) — min-name rep, window rollups.
+    "er_resolve" -> {
+      val tau = graft.operators.EntityRes.ErTau
+      raw"""WITH RECURSIVE nm AS (
+         |  SELECT p_name AS name, count(*)::bigint AS n_rows
+         |  FROM part GROUP BY p_name),
+         |p AS (
+         |  SELECT a.name AS name_a, b.name AS name_b
+         |  FROM nm a JOIN nm b
+         |    ON a.name < b.name
+         |    AND abs(length(a.name) - length(b.name)) <= $tau
+         |    AND levenshtein(a.name, b.name) <= $tau),
+         |edges AS (
+         |  SELECT name_a AS src, name_b AS dst FROM p
+         |  UNION ALL
+         |  SELECT name_b, name_a FROM p),
+         |reach AS (
+         |  SELECT DISTINCT name AS node, name AS lbl FROM nm
+         |  UNION
+         |  SELECT e.dst AS node, r.lbl AS lbl
+         |  FROM reach r JOIN edges e ON e.src = r.node),
+         |comp AS (SELECT node, min(lbl) AS rep FROM reach GROUP BY node),
+         |g AS (
+         |  SELECT c.node AS name, c.rep, nm.n_rows
+         |  FROM comp c JOIN nm ON nm.name = c.node)
+         |SELECT name, rep AS entity_rep, n_rows,
+         |  (count(*) OVER (PARTITION BY rep))::bigint AS grp_names,
+         |  (sum(n_rows) OVER (PARTITION BY rep))::bigint AS grp_rows
+         |FROM g ORDER BY name""".stripMargin
+    },
+
     // B/C iterative graph: integer fixed-point PageRank, the same
     // recurrence as Graph.graphPagerank unrolled as one CTE stage per
     // round (constants single-sourced from Graph.Pr*). All integral
@@ -3209,6 +3243,25 @@ object Oracles {
     // J11 deterministic holdout split: same md5-hex fate function as
     // the stratified sampler (lowercase-hex string compare IS the
     // 16-bit numeric compare), fences single-sourced from Sampling.
+    // J14 time split: one quantile_cont cutoff (interpolation
+    // bit-equal to Spark percentile on integer seconds), boundary
+    // compares on the unrounded double, embargo fences mirrored.
+    "sample_time_split" -> {
+      val S = graft.operators.Sampling
+      s"""WITH ev AS (
+         |  SELECT event_id, user_id,
+         |    epoch(date_trunc('second', ts))::bigint AS ep
+         |  FROM events),
+         |c AS (SELECT quantile_cont(ep, ${S.TimeSplitQ}) AS t_cut FROM ev)
+         |SELECT event_id, user_id, ep,
+         |  CASE WHEN ep <= t_cut THEN 'train'
+         |       WHEN ep > t_cut + ${S.TimeSplitEmbargoDays * 86400L}
+         |         THEN 'test'
+         |       ELSE 'embargo' END AS split
+         |FROM ev, c
+         |ORDER BY event_id""".stripMargin
+    },
+
     "sample_split" -> {
       val seed = graft.operators.Sampling.SplitSeed
       val tr = graft.operators.Sampling.SplitTrainMax
@@ -4667,40 +4720,43 @@ object Oracles {
         |FROM g JOIN pix p USING (doc_id)
         |ORDER BY g.doc_id""".stripMargin),
 
-    // F10 channel stats: the shared pixel CTEs, then whole-image
-    // per-channel integer sums (fixed 32×40×3 ranges cut by the
-    // per-image dims) and per-pixel gray min/max; each mean is one
-    // bigint/bigint division mirroring Spark's long/long.
+    // F10 channel stats: the shared pixel CTEs, then ONE row per
+    // pixel with all three channel bytes parsed inline via the
+    // '0x'-prefix hex cast (exact integer parse — the per-channel
+    // lut-join form measured a pathological >10 min plan at sf0.1),
+    // one grouping pass; each mean is one bigint/bigint division
+    // mirroring Spark's long/long.
     "mm_colorstats" ->
       ("WITH " + imgPixCtes + ",\n" +
       """pv AS (
-        |  SELECT p.doc_id, y.g AS y, x.g AS x, c.g AS c, l.v
+        |  SELECT p.doc_id, p.w, p.h,
+        |    ('0x' || substr(p.px,
+        |      ((y.g * p.rowbytes + x.g * 3) * 2 + 1)::int, 2))::bigint
+        |      AS c0,
+        |    ('0x' || substr(p.px,
+        |      ((y.g * p.rowbytes + x.g * 3) * 2 + 3)::int, 2))::bigint
+        |      AS c1,
+        |    ('0x' || substr(p.px,
+        |      ((y.g * p.rowbytes + x.g * 3) * 2 + 5)::int, 2))::bigint
+        |      AS c2
         |  FROM pix p
         |  CROSS JOIN range(0, 32) y(g)
         |  CROSS JOIN range(0, 40) x(g)
-        |  CROSS JOIN range(0, 3) c(g)
-        |  JOIN lut l ON l.hx = substr(p.px,
-        |    ((y.g * p.rowbytes + x.g * 3 + c.g) * 2 + 1)::int, 2)
         |  WHERE y.g < p.h AND x.g < p.w),
-        |chan AS (
-        |  SELECT doc_id,
-        |    sum(CASE WHEN c = 0 THEN v ELSE 0 END)::bigint AS s0,
-        |    sum(CASE WHEN c = 1 THEN v ELSE 0 END)::bigint AS s1,
-        |    sum(CASE WHEN c = 2 THEN v ELSE 0 END)::bigint AS s2
-        |  FROM pv GROUP BY doc_id),
-        |g AS (SELECT doc_id, y, x, sum(v)::bigint AS gray
-        |      FROM pv GROUP BY 1, 2, 3),
-        |gm AS (SELECT doc_id, min(gray)::int AS min_gray,
-        |         max(gray)::int AS max_gray
-        |       FROM g GROUP BY 1)
-        |SELECT b.doc_id, b.w::int AS width, b.h::int AS height,
-        |  (b.w * b.h)::bigint AS n_px,
-        |  round(c.s0 / (b.w * b.h), 4) AS mean_c0,
-        |  round(c.s1 / (b.w * b.h), 4) AS mean_c1,
-        |  round(c.s2 / (b.w * b.h), 4) AS mean_c2,
-        |  gm.min_gray, gm.max_gray
-        |FROM pix b JOIN chan c USING (doc_id) JOIN gm USING (doc_id)
-        |ORDER BY b.doc_id""".stripMargin),
+        |agg AS (
+        |  SELECT doc_id, max(w)::int AS width, max(h)::int AS height,
+        |    count(*)::bigint AS n_px,
+        |    sum(c0)::bigint AS s0, sum(c1)::bigint AS s1,
+        |    sum(c2)::bigint AS s2,
+        |    min(c0 + c1 + c2)::int AS min_gray,
+        |    max(c0 + c1 + c2)::int AS max_gray
+        |  FROM pv GROUP BY doc_id)
+        |SELECT doc_id, width, height, n_px,
+        |  round(s0 / n_px, 4) AS mean_c0,
+        |  round(s1 / n_px, 4) AS mean_c1,
+        |  round(s2 / n_px, 4) AS mean_c2,
+        |  min_gray, max_gray
+        |FROM agg ORDER BY doc_id""".stripMargin),
 
     // F9 gradient-hash dedup: the shared pixel CTEs through the 9×8
     // difference-hash chain (bit = horizontal gradient sign), then

@@ -68,6 +68,8 @@ class PlanContractSpec extends SparkSuite {
   //    the ann_bruteforce bounded-query-set class.
   //  - corpus_heaps: same 1-row shape — the max-doc-id row
   //    crossJoin-broadcast into the two bucket projections.
+  //  - sample_time_split: same 1-row shape — the quantile-cutoff row
+  //    crossJoin-broadcast into the assignment projection.
   private val boundedBroadcastOk =
     Set("ann_bruteforce", "q14_scalar_subquery", "text_tfidf",
       "text_typicality", "corpus_stats", "text_bm25", "stream_bm25",
@@ -75,7 +77,7 @@ class PlanContractSpec extends SparkSuite {
       "stream_rfm", "orders_pareto", "text_collocations",
       "stream_hitters", "table_entropy", "embed_mmr", "table_fds",
       "ann_recall_eval", "sample_negatives", "table_ks",
-      "decontaminate_semantic", "corpus_heaps")
+      "decontaminate_semantic", "corpus_heaps", "sample_time_split")
 
   test("no query plans a cartesian or unbounded nested-loop join") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
