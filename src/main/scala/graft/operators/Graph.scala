@@ -281,6 +281,12 @@ object Graph {
     * componentLabels non-convergence discipline. */
   val KcoreMaxIters = 512
 
+  /** Unrolled bulk h-rounds executed lazily as ONE query before the
+    * probe-driven loop (the measured bulk-convergence knee; the loop
+    * exit is still the empty frontier, so the count only trades
+    * materializations for plan depth, never correctness). */
+  val KcoreBulkRounds = 8
+
   /** Frontier size below which [[kcoreWithRounds]] attempts the
     * driver tail finish (the erosion regime — round count, not data,
     * is the cost there). */
@@ -349,13 +355,26 @@ object Graph {
       .toDF("node", "nbr")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
-    def snap(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+    // every live round checkpoint is tracked; retireAllBut frees the
+    // replaced ones (deg0 is always kept — the output reads it)
+    val live = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def snap(df: DataFrame): DataFrame = {
+      val out = if (reliable) df.checkpoint() else df.localCheckpoint()
+      live += out
+      out
+    }
     def freeRdd(df: DataFrame): Unit =
       df.queryExecution.logical.collectFirst {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
       }.foreach(_.unpersist(blocking = false))
     val deg0 = snap(adj.groupBy(col("node")).agg(count(lit(1)).as("c")))
+    def retireAllBut(keep: DataFrame*): Unit = {
+      val keepSet = keep.toSet + deg0
+      live.filterNot(keepSet.contains).foreach(freeRdd)
+      val kept = live.filter(keepSet.contains)
+      live.clear()
+      live ++= kept
+    }
     // DELTA iteration: a node's h-index can only change when a
     // NEIGHBOR's value changed, so each round recomputes h ONLY for
     // nodes adjacent to the previous round's changed set. Round cost
@@ -365,13 +384,41 @@ object Graph {
     // full-graph join, which is what keeps a large round count
     // affordable at scale. Convergence = empty frontier (the count
     // is a full action on the checkpointed frontier frame).
-    var c = deg0
-    var changed = snap(deg0.select(col("node")))
+    // BULK phase: the first rounds touch nearly every node anyway
+    // (measured frontier 19.5k→1.3k over 10 rounds at sf0.1), so
+    // per-round materialization there is pure overhead — unroll
+    // [[KcoreBulkRounds]] full h-updates LAZILY as one chained query
+    // (the pagerank lazy-unroll pattern: one execution, one
+    // checkpoint) and let the probe-driven delta loop below finish.
+    // Correctness is unroll-count independent: the loop still exits
+    // only on an empty frontier.
+    def hRound(cc: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("node")).orderBy(col("cn").desc)
+      adj.join(cc.select(col("node").as("nbr"), col("c").as("cn")), "nbr")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .groupBy(col("node"))
+        .agg(max(least(col("rk"), col("cn"))).as("c"))
+    }
+    // cPre feeds BOTH the final h-round and the change-detection
+    // join — persist it or the 7-stage prefix executes twice
+    // (no-subtree-dedup, CLAUDE.md)
+    val cPre = (1 until KcoreBulkRounds).foldLeft(deg0: DataFrame) {
+      (cc, _) => hRound(cc) }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bulk = snap(hRound(cPre)
+      .join(cPre.select(col("node"), col("c").as("cPrev")), Seq("node"))
+      .select(col("node"),
+        least(col("c"), col("cPrev")).as("c"), col("cPrev")))
+    cPre.unpersist(blocking = false)
+    var c: DataFrame = bulk.select(col("node"), col("c"))
+    var changed: DataFrame =
+      bulk.filter(col("c") =!= col("cPrev")).select(col("node"))
     var nChanged = changed.count()
+    val nNodes = deg0.count()
     // driver-tail trigger scales with the graph so small corpora
     // still exercise the distributed rounds (|V|/10 floor)
-    val tailTrigger = math.min(KcoreTailFrontier, nChanged / 10)
-    var iter = 0
+    val tailTrigger = math.min(KcoreTailFrontier, nNodes / 10)
+    var iter = KcoreBulkRounds
     while (nChanged > 0L && iter < KcoreMaxIters) {
       // DRIVER TAIL FINISH: once the frontier is small, the cascade
       // is the slow erosion regime (one chain hop per round — the
@@ -450,11 +497,10 @@ object Graph {
                   coalesce(col("cNew"), col("c")).as("c")))
               val nextChanged = snap(changed
                 .unionAll(updates.select(col("node"))).distinct())
-              if (c ne deg0) freeRdd(c)
-              freeRdd(changed)
               c = nextC
               changed = nextChanged
               nChanged = changed.count()
+              retireAllBut(nextC, nextChanged)
             }
             if (sys.env.contains("GRAFT_KCORE_TRACE"))
               println(s"[kcore] round=$iter driver-tail S=$sCount " +
@@ -473,19 +519,20 @@ object Graph {
           .withColumn("rk", row_number().over(w).cast("long"))
           .groupBy(col("node"))
           .agg(max(least(col("rk"), col("cn"))).as("h"))
+        // ONE checkpoint per round; next values, the frontier and the
+        // count probe are all cheap projections/scans OF that frame
+        // (lineage stays depth-1 off the checkpoint) — three snaps
+        // per round measured 23.9 s at sf0.1, all fixed job cost.
         val merged = snap(c.join(hNew, Seq("node"), "left")
           .select(col("node"), col("c"),
             least(col("c"), coalesce(col("h"), col("c"))).as("c2")))
-        val nextChanged = snap(merged
-          .filter(col("c2") =!= col("c")).select(col("node")))
-        val next = snap(merged.select(col("node"), col("c2").as("c")))
+        val nextChanged = merged
+          .filter(col("c2") =!= col("c")).select(col("node"))
         nChanged = nextChanged.count()
         if (sys.env.contains("GRAFT_KCORE_TRACE"))
           println(s"[kcore] round=$iter frontier=$nChanged")
-        if (c ne deg0) freeRdd(c)
-        freeRdd(changed)
-        freeRdd(merged)
-        c = next
+        retireAllBut(merged)
+        c = merged.select(col("node"), col("c2").as("c"))
         changed = nextChanged
         iter += 1
       }
