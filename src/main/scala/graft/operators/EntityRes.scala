@@ -97,7 +97,20 @@ object EntityRes {
     def freeRdd(df: DataFrame): Unit =
       df.queryExecution.logical.collectFirst {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-      }.foreach(_.unpersist(blocking = false))
+      }.foreach { rdd =>
+        rdd.unpersist(blocking = false)
+        // delete retired rounds' reliable checkpoint FILES too — the
+        // Graph.kcore freeRdd discipline (otherwise one O(|V|) frame
+        // per round accretes on disk for the application lifetime)
+        rdd.getCheckpointFile.foreach { f =>
+          try {
+            val p = new org.apache.hadoop.fs.Path(f)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+            ()
+          } catch { case _: Throwable => () } // best-effort cleanup
+        }
+      }
     var lbl = snap(names.select(col("name").as("node"),
       col("name").as("lbl")))
     var iter = 0

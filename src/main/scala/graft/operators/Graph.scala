@@ -342,8 +342,14 @@ object Graph {
     * undirected shared-k graph as [[trianglesOf]]/[[pagerankOf]]. */
   def kcoreOf(li: DataFrame): DataFrame = kcoreWithRounds(li)._1
 
-  /** [[kcoreOf]] plus the h-index round count it converged in. */
-  def kcoreWithRounds(li: DataFrame): (DataFrame, Int) = {
+  /** [[kcoreOf]] plus the h-index round count it converged in.
+    * `tailMaxNodes`/`tailMaxEdges` override the driver-tail caps
+    * (test seam — GraphSpec's over-cap fixture pins the distributed
+    * fallback with a tiny edge cap). */
+  def kcoreWithRounds(
+      li: DataFrame,
+      tailMaxNodes: Long = KcoreTailMaxNodes,
+      tailMaxEdges: Long = KcoreTailMaxEdges): (DataFrame, Int) = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel
     val spark = li.sparkSession
@@ -366,7 +372,22 @@ object Graph {
     def freeRdd(df: DataFrame): Unit =
       df.queryExecution.logical.collectFirst {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-      }.foreach(_.unpersist(blocking = false))
+      }.foreach { rdd =>
+        rdd.unpersist(blocking = false)
+        // retired rounds' RELIABLE checkpoint FILES are dead weight:
+        // without deleting them a 60+-round run accretes one
+        // materialized O(|V|) frame per round on disk for the
+        // application lifetime (getCheckpointFile is None for local
+        // checkpoints — block-only, already freed by unpersist)
+        rdd.getCheckpointFile.foreach { f =>
+          try {
+            val p = new org.apache.hadoop.fs.Path(f)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+            ()
+          } catch { case _: Throwable => () } // best-effort cleanup
+        }
+      }
     val deg0 = snap(adj.groupBy(col("node")).agg(count(lit(1)).as("c")))
     def retireAllBut(keep: DataFrame*): Unit = {
       val keepSet = keep.toSet + deg0
@@ -439,13 +460,24 @@ object Graph {
         val s = c.filter(col("c") <= b)
           .persist(StorageLevel.MEMORY_AND_DISK)
         val sCount = s.count()
-        if (sCount <= KcoreTailMaxNodes) {
-          val sEdges = adj
+        if (sCount <= tailMaxNodes) {
+          // Edge cap is checked with a FULL action BEFORE collecting:
+          // coreness ≤ B does NOT bound degree (a star center has
+          // coreness 1 and unbounded degree), so the in-S edge list
+          // must be counted distributed-side first — collect-then-
+          // check would materialize the over-cap case on the driver,
+          // the exact OOM the cap exists to refuse. Over-cap → fall
+          // through to the distributed round below (always correct,
+          // just slower per erosion hop).
+          val sEdgesDf = adj
             .join(s.select(col("node")), Seq("node"))
             .join(s.select(col("node").as("nbr")), Seq("nbr"))
-            .select(col("node"), col("nbr")).collect()
-            .map(r => (r.getLong(0), r.getLong(1)))
-          if (sEdges.length <= KcoreTailMaxEdges) {
+            .select(col("node"), col("nbr"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          val nSEdges = sEdgesDf.count()
+          if (nSEdges <= tailMaxEdges) {
+            val sEdges = sEdgesDf.collect()
+              .map(r => (r.getLong(0), r.getLong(1)))
             val cur = scala.collection.mutable.Map(
               s.collect().map(r => r.getLong(0) -> r.getLong(1)): _*)
             val inDeg = scala.collection.mutable.Map
@@ -505,7 +537,10 @@ object Graph {
             if (sys.env.contains("GRAFT_KCORE_TRACE"))
               println(s"[kcore] round=$iter driver-tail S=$sCount " +
                 s"merged=${changedS.size}")
-          }
+          } else if (sys.env.contains("GRAFT_KCORE_TRACE"))
+            println(s"[kcore] round=$iter driver-tail SKIPPED " +
+              s"(in-S edges=$nSEdges > cap $tailMaxEdges)")
+          sEdgesDf.unpersist(blocking = false)
         }
         s.unpersist(blocking = false)
       }

@@ -100,6 +100,37 @@ class GraphSpec extends SparkSuite {
       (5L, 2L, 1L), (6L, 1L, 1L)))
   }
 
+  test("kcore: over-cap driver tail falls back to distributed rounds") {
+    val s = spark; import s.implicits._
+    // 60-node path (erosion regime: sheds one node per end per
+    // round, ~30 h-rounds — far past the 8 bulk rounds, so the loop
+    // attempts the driver tail every round). tailMaxEdges=0 refuses
+    // the collect BEFORE materializing it; the distributed rounds
+    // must then converge on their own to the same coreness.
+    val n = 60
+    val li = (1 until n).flatMap(i =>
+      Seq((i.toLong, i.toLong), (i.toLong, (i + 1).toLong)))
+      .toDF("k", "p")
+    val (dfCapped, roundsCapped) =
+      Graph.kcoreWithRounds(li, tailMaxEdges = 0L)
+    val capped = dfCapped.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    capped.foreach { case (node, d, c) =>
+      assert(c == 1L, s"path coreness must be 1, node $node got $c")
+      assert(d == (if (node == 1L || node == n.toLong) 1L else 2L),
+        s"node $node deg $d")
+    }
+    // bulk alone cannot finish a 60-node path — proves the refused
+    // tail actually fell back to live distributed rounds
+    assert(roundsCapped > Graph.KcoreBulkRounds,
+      s"expected distributed fallback rounds, got $roundsCapped")
+    // identical output with the driver tail allowed (default caps)
+    val viaTail = Graph.kcoreOf(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaTail == capped,
+      "tail and distributed paths must agree (monotone fixpoint)")
+  }
+
   test("kcore: sf invariants — coreness ≤ deg, max-core subgraph " +
     "has min degree ≥ k_max, deterministic rerun") {
     val r1 = Graph.graphKcore(spark, sfDir).collect()
