@@ -3131,23 +3131,36 @@ object Oracles {
          |ORDER BY train_id, eval_id""".stripMargin
     },
 
-    // SemDeDup: the shared IVF quantizer CTEs pin the cell structure
-    // to Similarity.ivfAssigned exactly; pairs exist only within a
-    // cell (lo < hi), a vector is dropped iff some smaller-id
-    // same-cell neighbor clears τ, rep = the smallest such neighbor.
-    // Same strict-fold cosine (and divisor order lo·hi) as C5.
+    // SemDeDup: the scaled IVF quantizer CTEs pin the cell structure
+    // to Similarity.ivfBase at nLists = max(SemLists, ⌊√n⌋) exactly
+    // (the knn_graph_ivf dial); candidates are MULTI-PROBED — every
+    // vector's SemProbe best cells (d DESC, c_idx DESC — the
+    // knn_graph_ivf probe tie rule), a pair qualifies when any probed
+    // cell coincides (DISTINCT: a pair can meet in up to p cells). A
+    // vector is dropped iff some smaller-id candidate clears τ, rep =
+    // the smallest such neighbor. Same strict-fold cosine (and
+    // divisor order lo·hi) as C5.
     "dedup_semantic" -> {
       val tau = graft.operators.Dedup.SemTau
-      s"""${ivfAssignCtes(graft.operators.Dedup.SemLists)},
+      val p = graft.operators.Dedup.SemProbe
+      s"""${ivfAssignCtesScaled(graft.operators.Dedup.SemLists)},
+        |probes AS (
+        |  SELECT vec_id, c_idx AS cell FROM (
+        |    SELECT vec_id, c_idx, row_number() OVER (
+        |        PARTITION BY vec_id ORDER BY d DESC, c_idx DESC) AS rn
+        |    FROM dots) WHERE rn <= $p),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS lo, b.vec_id AS hi
+        |  FROM probes a JOIN probes b
+        |    ON b.cell = a.cell AND a.vec_id < b.vec_id),
         |pr AS (
-        |  SELECT a.vec_id AS lo, b.vec_id AS hi,
+        |  SELECT lo, hi,
         |    list_reduce(
         |      list_transform(list_zip(na.v, nb.v), s -> s[1] * s[2]),
         |      (x, y) -> x + y) / (na.nrm * nb.nrm) AS cos
-        |  FROM assigned a
-        |  JOIN assigned b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
-        |  JOIN n na ON na.vec_id = a.vec_id
-        |  JOIN n nb ON nb.vec_id = b.vec_id),
+        |  FROM cand
+        |  JOIN n na ON na.vec_id = lo
+        |  JOIN n nb ON nb.vec_id = hi),
         |drops AS (
         |  SELECT hi AS vec_id, min(lo) AS rep_id,
         |    count(*)::int AS n_smaller_near
@@ -3805,8 +3818,10 @@ object Oracles {
 
   /** The deterministic IVF coarse-quantizer CTE chain, ending in
     * `n(vec_id, v, nrm)` and `assigned(vec_id, list_id)` — shared
-    * verbatim by the ann_ivf and dedup_semantic oracles so the cell
-    * structure cannot drift between them. Mirrors
+    * verbatim by the fixed-cell ANN oracles (ann_ivf/ann_pq family)
+    * so the cell structure cannot drift between them
+    * (dedup_semantic moved to [[ivfAssignCtesScaled]] in round 13
+    * alongside knn_graph_ivf). Mirrors
     * Similarity.ivfBase/ivfAssigned stage for stage: Knuth-hash
     * quantizer seed (integer algebra — the reason it isn't xxhash64),
     * strict sequential-fold dot products (bit-identical per

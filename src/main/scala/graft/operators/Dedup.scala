@@ -568,39 +568,97 @@ object Dedup {
     * (strict sequential folds), so the boundary cannot flake. */
   val SemTau = 0.4
 
-  /** Number of IVF cells for [[dedupSemantic]] (single-sourced into
-    * the oracle's centroid LIMIT). */
+  /** FLOOR on [[dedupSemantic]]'s IVF cell count (single-sourced into
+    * the oracle) — the actual count scales as max(SemLists, ⌊√n⌋)
+    * via [[Similarity.knnGraphNLists]], the bucketed-dial discipline
+    * (CLAUDE.md): a fixed cell count leaves pair work quadratic. */
   val SemLists = 16
 
+  /** Probe width for [[dedupSemantic]] (single-sourced into the
+    * oracle): candidate pairs come from every vector's SemProbe
+    * best-cosine cells, not just its argmax cell, so two near-dups
+    * straddling a cell boundary are still compared whenever ANY of
+    * their top-probed cells coincide. Pair work stays
+    * Θ(p²·n²/nLists) = Θ(p²·n^1.5) at the √n cell count. */
+  val SemProbe = 4
+
   /** C10: SemDeDup-style semantic dedup — cluster the embedding space
-    * with [[Similarity.ivfAssigned]]'s deterministic coarse quantizer,
-    * then compare pairs ONLY within a cell: a vector is dropped iff a
-    * smaller-id vector in its own cell sits at cosine ≥ [[SemTau]]
-    * (rep = the smallest such neighbor — a local rule; transitive
-    * closure across cells is [[dedupComponents]]' job, and C5 is the
-    * exhaustive-pair exact form this approximates).
+    * with the deterministic IVF coarse quantizer ([[Similarity
+    * .ivfBase]] — the same Knuth-hash seed / first-max rules as
+    * ann_ivf and knn_graph_ivf, so the cell structure cannot drift
+    * between operators), then compare MULTI-PROBED candidate pairs:
+    * each vector probes its [[SemProbe]] best-cosine cells (the
+    * knn_graph_ivf probe tie rule, d DESC then cell DESC), a
+    * candidate pair is any (lo < hi) sharing at least one probed
+    * cell (deduped — a pair can meet in up to p cells), and a vector
+    * is dropped iff a smaller-id candidate sits at cosine ≥
+    * [[SemTau]] (rep = the smallest such neighbor — a local rule;
+    * transitive closure across cells is [[dedupComponents]]' job,
+    * and C5 is the exhaustive-pair exact form this approximates).
+    * The argmax-only (p=1) form missed every near-dup pair whose
+    * endpoints land in different cells with no shared member;
+    * multi-probe closes most of that gap deterministically
+    * (SemanticDedupSpec pins that cross-cell misses strictly shrink
+    * vs p=1).
     *
     * This is the 100 TB shape of embedding dedup: candidate
-    * generation is an equi-join on list_id, so per-pair work is
-    * Σ|cell|² instead of n² — with k cells of balanced size that is
-    * n²/k, and k is the dial (≈√n cells in production; the quantizer
-    * "training" stays a k-row collect). The assignment frame is
-    * persisted once and feeds both join sides from the cache (one
+    * generation is an equi-join on the probed cell id, so per-pair
+    * work is p²·Σ|cell|²/... ≈ p²·n²/nLists — and nLists SCALES as
+    * max([[SemLists]], ⌊√n⌋) in the query (the knn_graph_ivf dial:
+    * ⌊√n⌋ is bit-identical cross-engine because IEEE sqrt is
+    * correctly rounded), so total work is Θ(p²·n^1.5), never
+    * quadratic. The assignment+probes frame is persisted once and
+    * feeds both join sides AND the output spine from the cache (one
     * scan + one centroid-dot pass total — Catalyst does not dedup
     * repeated subtrees; SemanticDedupSpec walks the plan). The
-    * drop rule reads only same-cell pairs, so the output is exactly
-    * reproducible in SQL — unlike banded-LSH candidate cuts, the
-    * cell cut is deterministic, which is what lets a *semantic*
-    * (approximate-by-construction) dedup carry a FULL hash gate. */
-  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
-    val assigned = Similarity.ivfAssigned(spark, dir, SemLists)
+    * probed-cell cut is deterministic — unlike banded-LSH candidate
+    * cuts — which is what lets a *semantic* (approximate-by-
+    * construction) dedup carry a FULL hash gate. */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
+    dedupSemanticProbed(spark, dir, SemProbe)
+
+  /** The probed assignment frame `(vec_id, v, nrm, list_id, probes)`
+    * at the scaled cell count — the quantizer+probe stage of
+    * [[dedupSemanticProbed]], exposed so SemanticDedupSpec can
+    * verify candidate reachability against the very frame the
+    * operator joins on. */
+  private[operators] def semanticAssigned(spark: SparkSession,
+      dir: String, probe: Int): DataFrame = {
+    val nLists = Similarity.knnGraphNLists(
+      Tables(spark, dir).embeddings.count())
+    val (e, dots) = Similarity.ivfBase(spark, dir, nLists)
+    e.withColumn("dots", dots)
+      .withColumn("list_id", expr("array_position(dots, array_max(dots))"))
+      .withColumn("probes", slice(reverse(array_sort(
+        zip_with(col("dots"),
+          sequence(lit(1), lit(nLists)).cast("array<double>"),
+          (d, i) => struct(d.as("d"), i.as("i"))))), 1, probe))
+      .select(col("vec_id"), col("v"), col("nrm"), col("list_id"),
+        expr("transform(probes, p -> cast(p.i as long))").as("probes"))
+  }
+
+  /** [[dedupSemantic]] at an explicit probe width (test seam — the
+    * p=1 form is the argmax-only baseline SemanticDedupSpec measures
+    * the multi-probe shrink against). */
+  private[operators] def dedupSemanticProbed(spark: SparkSession,
+      dir: String, probe: Int): DataFrame = {
+    val assigned = semanticAssigned(spark, dir, probe)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val lo = assigned.select(col("list_id"), col("vec_id").as("lo"),
-      col("v").as("lv"), col("nrm").as("lnrm"))
-    val hi = assigned.select(col("list_id"), col("vec_id").as("hi"),
-      col("v").as("rv"), col("nrm").as("rnrm"))
-    val pairs = lo.join(hi, Seq("list_id"))
-      .filter(col("lo") < col("hi"))
+    // candidate ids first, vectors re-joined after the DISTINCT — the
+    // dedup shuffles 2-long rows, not embedding payloads
+    val probed = assigned
+      .select(col("vec_id"), explode(col("probes")).as("cell"))
+    val cand = probed.as("a")
+      .join(probed.as("b"), col("a.cell") === col("b.cell") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("lo"), col("b.vec_id").as("hi"))
+      .distinct()
+    val vecs = assigned.select(col("vec_id"), col("v"), col("nrm"))
+    val pairs = cand
+      .join(vecs.select(col("vec_id").as("lo"), col("v").as("lv"),
+        col("nrm").as("lnrm")), Seq("lo"))
+      .join(vecs.select(col("vec_id").as("hi"), col("v").as("rv"),
+        col("nrm").as("rnrm")), Seq("hi"))
       .withColumn("cos", V.cosineWithNorms(V.dot(col("lv"), col("rv")),
         col("lnrm"), col("rnrm")))
       .filter(col("cos") >= SemTau)

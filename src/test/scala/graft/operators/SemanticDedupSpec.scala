@@ -6,12 +6,13 @@ import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
 
 import graft.SparkSuite
 
-/** `dedup_semantic` — SemDeDup cell-bounded near-dup semantics and
-  * the one-scan cache contract. */
+/** `dedup_semantic` — SemDeDup multi-probed cell-bounded near-dup
+  * semantics, the multi-probe shrink property, and the one-scan
+  * cache contract. */
 class SemanticDedupSpec extends SparkSuite {
 
-  test("drops are a subset of the exact C5 pair graph, reps are " +
-      "same-cell smaller-id neighbors, structure is total") {
+  test("drops are a subset of the exact C5 pair graph, reps share a " +
+      "probed cell with their drop, structure is total") {
     val out = Dedup.dedupSemantic(spark, sfDir).collect()
     val all = graft.Tables(spark, sfDir).embeddings.count()
     assert(out.length.toLong === all, "every vector must appear once")
@@ -30,22 +31,47 @@ class SemanticDedupSpec extends SparkSuite {
 
     // every (rep, dropped) pair is a genuine cos ≥ τ pair: it must
     // appear in the exhaustive C5 pair list (τ values are equal), and
-    // both endpoints must share a cell
+    // the endpoints must share at least one PROBED cell (the
+    // candidate-generation contract)
     val exact = Dedup.dedupEmbedCosine(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probesOf = Dedup.semanticAssigned(spark, sfDir, Dedup.SemProbe)
+      .select("vec_id", "probes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
     val dropped = out.filter(!_.getBoolean(2))
     dropped.foreach { r =>
-      val (id, cell, rep) = (r.getLong(0), r.getLong(1), r.getLong(3))
+      val (id, rep) = (r.getLong(0), r.getLong(3))
       assert(exact.contains((rep, id)),
         s"($rep,$id) not in the exact pair graph")
-      assert(byId(rep)._1 === cell, s"rep $rep not in $id's cell $cell")
+      assert(probesOf(rep).intersect(probesOf(id)).nonEmpty,
+        s"rep $rep shares no probed cell with $id")
     }
-    // and the cell cut is real: strictly fewer drops than C5 pairs
-    // would imply if every pair were considered (some exact pairs
-    // straddle cells)
+    // and the cell cut is real: some exact pairs straddle argmax
+    // cells, which is exactly what multi-probe exists to recover
     val crossCell = exact.exists { case (a, b) => byId(a)._1 != byId(b)._1 }
     assert(crossCell,
       "fixture must contain cross-cell exact pairs for the cut to matter")
+  }
+
+  test("multi-probe strictly shrinks cross-cell exact-pair misses " +
+      "vs the argmax-only (p=1) form") {
+    // Σ n_smaller_near counts exactly the exact-τ pairs the candidate
+    // cut covered (candidates are deduped and the τ/cosine algebra
+    // matches C5 bit-for-bit), so misses = |exact| − Σ n_smaller_near.
+    val nExact = Dedup.dedupEmbedCosine(spark, sfDir).count()
+    def misses(p: Int): Long = {
+      val covered = Dedup.dedupSemanticProbed(spark, sfDir, p)
+        .agg(org.apache.spark.sql.functions.sum("n_smaller_near"))
+        .head().getLong(0)
+      nExact - covered
+    }
+    val miss1 = misses(1)
+    val missP = misses(Dedup.SemProbe)
+    assert(miss1 > 0,
+      "fixture must make the argmax-only form miss cross-cell pairs")
+    assert(missP < miss1,
+      s"multi-probe (p=${Dedup.SemProbe}) must strictly shrink misses: " +
+        s"p=1 missed $miss1, p=${Dedup.SemProbe} missed $missP")
   }
 
   test("assignment frame is computed once: both join sides read the " +
@@ -69,6 +95,7 @@ class SemanticDedupSpec extends SparkSuite {
       s"all data-plane reads must come from the persisted assignment, " +
         s"saw $uncached uncached scans")
     assert(cachedReads >= 3,
-      s"lo side, hi side and the spine must read the cache, saw $cachedReads")
+      s"probe sides, vector sides and the spine must read the cache, " +
+        s"saw $cachedReads")
   }
 }
