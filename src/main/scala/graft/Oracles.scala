@@ -4062,6 +4062,44 @@ object Oracles {
         |FROM knn
         |ORDER BY q_id, rk""".stripMargin,
 
+    // D13 corpus-wide graph recall (Similarity.knnGraphRecall): the
+    // knn_graph_ivf chain verbatim as the approx arm, the
+    // embed_knn_graph all-pairs chain verbatim as the exact arm, hit
+    // counting = an id-pair equi-join (pure integer algebra), one
+    // rounded mean division. Single summary row.
+    "knn_graph_recall" -> {
+      val k = graft.operators.Similarity.KnnK
+      s"""$knnGraphCtes,
+        |xpairs AS (
+        |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+        |    list_reduce(
+        |      list_transform(list_zip(a.v, b.v), s -> s[1] * s[2]),
+        |      (x, y) -> x + y) / (a.nrm * b.nrm) AS cos
+        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+        |xknn AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id,
+        |      row_number() OVER (PARTITION BY q_id
+        |                         ORDER BY cos DESC, n_id) AS rk
+        |    FROM xpairs)
+        |  WHERE rk <= $k),
+        |ghits AS (
+        |  SELECT x.q_id, count(*)::bigint AS h
+        |  FROM xknn x JOIN knn a ON a.q_id = x.q_id AND a.n_id = x.n_id
+        |  GROUP BY x.q_id),
+        |perq AS (
+        |  SELECT coalesce(h.h, 0)::bigint AS h
+        |  FROM (SELECT DISTINCT q_id FROM xknn) q
+        |  LEFT JOIN ghits h ON h.q_id = q.q_id)
+        |SELECT count(*)::bigint AS n_queries, $k AS k,
+        |  sum(h)::bigint AS sum_hits,
+        |  round(sum(h)::double / (count(*) * $k), 4) AS mean_recall,
+        |  min(h)::bigint AS min_hits,
+        |  sum(CASE WHEN h = $k THEN 1 ELSE 0 END)::bigint AS n_full,
+        |  sum(CASE WHEN h = 0 THEN 1 ELSE 0 END)::bigint AS n_zero
+        |FROM perq""".stripMargin
+    },
+
     // D11 semantic clusters (Similarity.semanticClusters): the
     // knn_graph_ivf chain verbatim (incl. its NN-descent refinement
     // round) → τ filter on the ROUNDED cosine (roundDuck ↔ round,

@@ -863,6 +863,43 @@ object Similarity {
       .orderBy(col("q_id"))
   }
 
+  /** D13 (round 13): corpus-wide kNN-graph recall@[[KnnK]] as a
+    * REGISTRY number — [[knnGraphIvf]] measured against
+    * [[embedKnnGraph]] (the exact O(n²) reference) over EVERY
+    * vector, not the 10-query ann sample [[annRecallEval]] covers.
+    * The r12 verdict's 0.686 worst-case figure lived in a doc
+    * comment and a toy-scale spec; this makes recall regressions as
+    * visible round-over-round as latency ones (BASELINE.md records
+    * the sf0.1 value). Both arms are the registry operators verbatim
+    * (single-sourced — the eval can never measure a different graph
+    * than the one served); the exact arm is the expensive one by
+    * design — corpus-wide recall IS an n² measurement, run it when
+    * (re)tuning the nProbe/nLists dials, not per-batch. Output is
+    * ONE summary row: hit counting is integer algebra (join on id
+    * pairs + counts), the only FP op is the final mean division,
+    * rounded via roundDuck — trivially hash-gated. */
+  def knnGraphRecall(spark: SparkSession, dir: String): DataFrame = {
+    val k = KnnK
+    val exact = embedKnnGraph(spark, dir).select(col("q_id"), col("n_id"))
+    val approx = knnGraphIvf(spark, dir).select(col("q_id"), col("n_id"))
+    val hits = exact.join(approx, Seq("q_id", "n_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("h"))
+    val perQ = exact.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(coalesce(col("h"), lit(0L)).as("h"))
+    perQ.agg(
+        count(lit(1)).as("n_queries"),
+        sum(col("h")).as("sum_hits"),
+        min(col("h")).as("min_hits"),
+        sum(when(col("h") === k, lit(1L)).otherwise(lit(0L))).as("n_full"),
+        sum(when(col("h") === 0, lit(1L)).otherwise(lit(0L))).as("n_zero"))
+      .select(col("n_queries"), lit(k).as("k"), col("sum_hits"),
+        round(col("sum_hits").cast("double") /
+          (col("n_queries") * lit(k.toLong)).cast("double"), 4)
+          .as("mean_recall"),
+        col("min_hits"), col("n_full"), col("n_zero"))
+  }
+
   /** MMR picks per query / candidate pool size (single-sourced into
     * the oracle). */
   val MmrK = 5

@@ -77,6 +77,29 @@ class SimilaritySpec extends SparkSuite {
     assert(math.abs(mean - direct) < 1e-6)
   }
 
+  test("knn_graph_recall summary agrees with a direct arm intersection") {
+    val row = Similarity.knnGraphRecall(spark, sfDir).collect()
+    assert(row.length === 1, "one summary row")
+    val r = row(0)
+    val exact = Similarity.embedKnnGraph(spark, sfDir).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val approx = Similarity.knnGraphIvf(spark, sfDir).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val hitsByQ = exact.groupBy(_._1).view
+      .mapValues(_.count(approx.contains)).toMap
+    val (nQ, sumHits) = (hitsByQ.size, hitsByQ.values.sum)
+    assert(r.getLong(0) === nQ.toLong, "n_queries")
+    assert(r.getInt(1) === Similarity.KnnK, "k")
+    assert(r.getLong(2) === sumHits.toLong, "sum_hits")
+    assert(math.abs(r.getDouble(3) -
+      sumHits.toDouble / (Similarity.KnnK.toDouble * nQ)) < 1e-4,
+      "mean_recall (4 dp)")
+    assert(r.getLong(4) === hitsByQ.values.min.toLong, "min_hits")
+    assert(r.getLong(5) ===
+      hitsByQ.values.count(_ == Similarity.KnnK).toLong, "n_full")
+    assert(r.getLong(6) === hitsByQ.values.count(_ == 0).toLong, "n_zero")
+  }
+
   test("knn_graph_ivf: recall vs exact graph; one uncached scan; no broadcast hint") {
     // recall of the IVF-bounded graph against the exact O(n²) graph —
     // the property that certifies the scale twin actually approximates
