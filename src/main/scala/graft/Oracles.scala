@@ -2369,7 +2369,9 @@ object Oracles {
     // E27 Zipf fit: top-100 head is a total order (count DESC, token
     // ASC); the five OLS sums are seedless list_reduce folds in rank
     // order mirroring Spark's aggregate HOF element-for-element;
-    // round(4) erases last-ulp libm log2 noise.
+    // round(4) erases last-ulp libm log2 noise. Degenerate-variance
+    // eps guards (k=1: den=0 ⇒ 0/0) mirror heapsOf's — both engines
+    // agree on NULL instead of diverging on NaN semantics.
     "corpus_zipf" -> {
       val k = graft.functions.TextQueries.ZipfTopK
       raw"""WITH t AS (
@@ -2401,14 +2403,18 @@ object Oracles {
          |  FROM one)
          |SELECT k::int AS n_ranks, arr[1].w AS top_token,
          |  arr[1].c AS top_count,
-         |  round((k::double * sxy - sx * sy)
-         |    / (k::double * sxx - sx * sx), 4) AS zipf_slope,
-         |  round((sy - ((k::double * sxy - sx * sy)
-         |      / (k::double * sxx - sx * sx)) * sx) / k::double, 4)
-         |    AS intercept,
-         |  round((k::double * sxy - sx * sy) * (k::double * sxy - sx * sy)
-         |    / ((k::double * sxx - sx * sx)
-         |       * (k::double * syy - sy * sy)), 4) AS r2
+         |  CASE WHEN abs(k::double * sxx - sx * sx) > 1e-9 THEN
+         |    round((k::double * sxy - sx * sy)
+         |      / (k::double * sxx - sx * sx), 4) + 0.0 END AS zipf_slope,
+         |  CASE WHEN abs(k::double * sxx - sx * sx) > 1e-9 THEN
+         |    round((sy - ((k::double * sxy - sx * sy)
+         |        / (k::double * sxx - sx * sx)) * sx) / k::double, 4)
+         |      + 0.0 END AS intercept,
+         |  CASE WHEN abs(k::double * sxx - sx * sx) > 1e-9
+         |        AND abs(k::double * syy - sy * sy) > 1e-9 THEN
+         |    round((k::double * sxy - sx * sy) * (k::double * sxy - sx * sy)
+         |      / ((k::double * sxx - sx * sx)
+         |         * (k::double * syy - sy * sy)), 4) + 0.0 END AS r2
          |FROM sums""".stripMargin
     },
 

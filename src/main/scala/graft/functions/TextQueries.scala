@@ -1082,17 +1082,27 @@ object TextQueries {
       fsum(zip_with(xs, ys, (x, y) => x * y)).as("sxy"),
       fsum(transform(ys, y => y * y)).as("syy"))
     val den = kd * col("sxx") - col("sx") * col("sx")
-    val slope = (kd * col("sxy") - col("sx") * col("sy")) / den
+    val deny = kd * col("syy") - col("sy") * col("sy")
+    val num = kd * col("sxy") - col("sx") * col("sy")
+    val slope = num / den
+    // heapsOf's degenerate-variance guard (ADVICE r12): a single
+    // distinct token gives k=1 ⇒ den=0 and a 0/0 slope/r2 — Spark
+    // yields NaN where DuckDB's double 0/0 differs, breaking the
+    // compare instead of agreeing on NULL. Epsilon, not == 0, for
+    // the same last-ulp libm-log2 cancellation reason as heapsOf;
+    // `+ 0.0` normalizes a rounded −0.0 (both mirrored in the
+    // oracle).
+    val eps = 1e-9
     withSums.select(
       col("k").as("n_ranks"),
       element_at(col("arr"), 1).getField("w").as("top_token"),
       (-element_at(col("arr"), 1).getField("negc")).as("top_count"),
-      round(slope, 4).as("zipf_slope"),
-      round((col("sy") - slope * col("sx")) / kd, 4).as("intercept"),
-      round((kd * col("sxy") - col("sx") * col("sy")) *
-          (kd * col("sxy") - col("sx") * col("sy")) /
-          (den * (kd * col("syy") - col("sy") * col("sy"))), 4)
-        .as("r2"))
+      when(abs(den) > eps, round(slope, 4) + lit(0.0)).as("zipf_slope"),
+      when(abs(den) > eps,
+        round((col("sy") - slope * col("sx")) / kd, 4) + lit(0.0))
+        .as("intercept"),
+      when(abs(den) > eps && abs(deny) > eps,
+        round(num * num / (den * deny), 4) + lit(0.0)).as("r2"))
   }
 
   /** Checkpoint count for [[corpusHeaps]] — the vocab-growth curve is

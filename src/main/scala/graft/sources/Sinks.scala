@@ -125,27 +125,54 @@ object Sinks {
     * per-file open/footer cost eventually dominates scans (and whose
     * count strains the namenode/listing path).
     *
-    * Shape: the output file count is planned DRIVER-SIDE from the
-    * file listing (bytes only — no data read), then the rewrite is
-    * `coalesce(n)` — a NARROW repartition that concatenates input
-    * splits into n output tasks with ZERO shuffle (a
-    * `repartition(n)` would pay a full exchange of every byte for
-    * marginally better balance; compaction jobs at scale take the
-    * free version). Row contents and schema pass through untouched.
+    * Shape: the output file count is planned DRIVER-SIDE from a
+    * RECURSIVE file listing (bytes only — no data read; recursion
+    * because a partitionBy layout keeps its data files in key=value
+    * subdirectories, where a top-level listing sees nothing, plans
+    * n=1 and silently coalesces the dataset into one task — ADVICE
+    * r12), then the rewrite is `coalesce(n)` — a NARROW repartition
+    * that concatenates input splits into n output tasks with ZERO
+    * shuffle (a `repartition(n)` would pay a full exchange of every
+    * byte for marginally better balance; compaction jobs at scale
+    * take the free version). Row contents and schema pass through
+    * untouched; a partitioned input compacts into a FLAT layout with
+    * its partition columns materialized as ordinary data columns
+    * (re-partition the output with [[writePartitioned]] if the
+    * pruning layout must survive).
     *
-    * Returns (input file count, planned output file count). */
+    * `n` is clamped to the reader's split-packed partition count:
+    * coalesce cannot RAISE parallelism, so an unclamped plan would
+    * report more files than the write produces (ADVICE r12).
+    *
+    * Returns (input file count, output file count). */
   def compact(spark: SparkSession, inPath: String, outPath: String,
       targetBytes: Long): (Int, Int) = {
     require(targetBytes > 0, "targetBytes must be positive")
     import org.apache.hadoop.fs.Path
     val in = new Path(inPath)
     val fs = in.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(in)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val files = {
+      val it = fs.listFiles(in, true)
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) {
+        val s = it.next()
+        val name = s.getPath.getName
+        // hidden/marker files (_SUCCESS, .tmp-*, .crc) are skipped the
+        // same way Spark's own FileIndex skips them
+        if (s.isFile && name.endsWith(".parquet") &&
+            !name.startsWith("_") && !name.startsWith("."))
+          buf += s
+      }
+      buf.toArray
+    }
+    require(files.nonEmpty, s"no parquet data files found under $inPath")
     val totalBytes = files.map(_.getLen).sum
-    val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    spark.read.parquet(inPath)
-      .coalesce(n)
+    val df = spark.read.parquet(inPath)
+    val n = math.min(
+      math.max(1L, (totalBytes + targetBytes - 1) / targetBytes),
+      df.rdd.getNumPartitions.toLong).toInt
+    df.coalesce(n)
       .write.mode("overwrite").parquet(outPath)
     (files.length, n)
   }

@@ -36,6 +36,18 @@ class ZipfSpec extends SparkSuite {
     assert(r.getDouble(3) < 0.0 && r.getDouble(5) > 0.9)
   }
 
+  test("degenerate corpus (one distinct token) emits NULL fit, not NaN") {
+    val s = spark; import s.implicits._
+    // k=1 rank: sx=sxx=0 ⇒ den=0 — the 0/0 case the heapsOf-style
+    // eps guard (ADVICE r12) must turn into NULL in BOTH engines
+    val d = Seq("aa aa aa", "aa aa").toDF("text")
+    val r = TextQueries.zipfOf(d).collect().head
+    assert(r.getInt(0) == 1 && r.getString(1) == "aa" && r.getLong(2) == 5L)
+    assert(r.isNullAt(3), s"slope must be NULL, got ${r.get(3)}")
+    assert(r.isNullAt(4), s"intercept must be NULL, got ${r.get(4)}")
+    assert(r.isNullAt(5), s"r2 must be NULL, got ${r.get(5)}")
+  }
+
   test("corpus: slope negative, r2 in (0,1], head is the rank-1 token") {
     val r = TextQueries.corpusZipf(spark, sfDir).collect().head
     assert(r.getInt(0) > 10)

@@ -195,4 +195,50 @@ class SinksSpec extends SparkSuite {
     assert(!plan.contains("Exchange"),
       s"compaction rewrite must not shuffle:\n$plan")
   }
+
+  test("compact sees a partitionBy layout's files (recursive listing) " +
+      "and keeps every row") {
+    // the ADVICE-r12 case: data files live in key=value SUBDIRECTORIES,
+    // where the old top-level listing found zero files, planned n=1
+    // from totalBytes=0 and reported a wrong (0, 1)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-compact-part").toString
+    val frag = s"$base/frag"; val out = s"$base/out"
+    val docs = graft.Tables(spark, sfDir).documents
+      .withColumn("lang_p", org.apache.spark.sql.functions.col("lang"))
+    docs.repartition(4).write.partitionBy("lang_p").parquet(frag)
+    assert(new java.io.File(frag).listFiles()
+      .count(_.getName.endsWith(".parquet")) == 0,
+      "fixture must keep all data files below partition dirs")
+    val nested = new java.io.File(frag).listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .count(_.getName.endsWith(".parquet"))
+    assert(nested > 1, "fixture needs multiple nested data files")
+    val (nIn, nOut) = Sinks.compact(spark, frag, out, Long.MaxValue)
+    assert(nIn == nested, s"recursive listing must count the $nested " +
+      s"nested data files, got $nIn")
+    assert(nOut == 1, "everything fits one target file")
+    val got = spark.read.parquet(out)
+    // partition column survives as an ordinary data column
+    assert(got.columns.contains("lang_p"))
+    assert(got.select("doc_id", "lang_p").orderBy("doc_id").collect().toSeq ===
+      docs.select("doc_id", "lang_p").orderBy("doc_id").collect().toSeq)
+  }
+
+  test("compact clamps the plan to the reader's split packing " +
+      "(reported count == written count)") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-compact-clamp").toString
+    val frag = s"$base/frag"; val out = s"$base/out"
+    graft.Tables(spark, sfDir).documents.coalesce(1).write.parquet(frag)
+    // targetBytes=1 asks for one file per byte; the reader packs the
+    // single input file into far fewer splits — the clamp keeps the
+    // returned n equal to what coalesce can actually produce
+    val (nIn, nOut) = Sinks.compact(spark, frag, out, 1L)
+    assert(nIn == 1)
+    val outFiles = new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(outFiles == nOut,
+      s"planned $nOut files but wrote $outFiles")
+  }
 }
