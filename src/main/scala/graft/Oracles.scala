@@ -5022,6 +5022,14 @@ object Oracles {
     // halving sequence as B's events_ewma prefix folds — same SQL.
     "stream_ewma" -> relational("events_ewma"),
 
+    // G30 online inter-arrival gaps: the per-(user,type) last-seen
+    // fold emits exactly the lead() window's gap set — same SQL as
+    // B's events_interarrival.
+    "stream_interarrival" -> relational("events_interarrival"),
+    // G31 online daily counters + lag autocorr: UTC 1-day windows ==
+    // `ep div 86400`, the lag-OLS read stage is shared — same SQL.
+    "stream_autocorr" -> relational("events_autocorr"),
+
     // G22 online TWAP: the six-long hold-period state reproduces B's
     // events_twap integral exactly — same SQL.
     "stream_twap" -> relational("events_twap"),

@@ -864,11 +864,16 @@ object Lifecycle {
 
   /** Lag-k Pearson autocorrelation over any (day) observation frame
     * (one row per observation; days with no rows are zero-filled). */
-  def autocorrOf(obs: DataFrame): DataFrame = {
+  def autocorrOf(obs: DataFrame): DataFrame =
+    autocorrOfDaily(obs.groupBy(col("day")).agg(count(lit(1)).as("v")))
+
+  /** [[autocorrOf]]'s read stage over a PRE-AGGREGATED (day, v)
+    * daily-count frame — shared with the streaming twin
+    * (stream_autocorr maintains the day counters online and scores
+    * lags here on read). */
+  def autocorrOfDaily(dailyIn: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val daily = obs
-      .groupBy(col("day")).agg(count(lit(1)).as("v"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val daily = dailyIn.persist(StorageLevel.MEMORY_AND_DISK)
     val series = daily
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(explode(sequence(col("d0"), col("d1"))).as("day"))

@@ -1785,4 +1785,114 @@ object Streams {
     hitterCut(hitStateful(grams),
       graft.operators.HeavyHitters.ShareDenom)
   }
+
+  // ----- G30: online inter-arrival gaps (events_interarrival twin) --
+
+  /** One event keyed by (user, type) for the gap stream. */
+  final case class GapEv(user_id: Long, event_id: Long,
+      event_type: String, ep: Long)
+  /** Per-(user,type) state: the last seen event's (ep, event_id) —
+    * one pair per live key, never history (public for the state
+    * encoder). */
+  final case class GapAcc(ep: Long, event_id: Long)
+  /** One closed gap. */
+  final case class GapOut(event_type: String, gap: Long)
+
+  /** G30 core: fold a (ep, event_id)-sorted run of ONE (user, type)
+    * key's events over the last-seen state, emitting one gap per
+    * consecutive pair — exactly the lead() window's gap set, so the
+    * read-side summary is bit-identical to B's events_interarrival.
+    * In-order event-time replay is the stateful-twin contract. */
+  def gapFold(evs: Seq[GapEv], st: Option[GapAcc])
+      : (Vector[GapOut], Option[GapAcc]) = {
+    var last = st
+    val out = Vector.newBuilder[GapOut]
+    evs.foreach { e =>
+      last.foreach(l => out += GapOut(e.event_type, e.ep - l.ep))
+      last = Some(GapAcc(e.ep, e.event_id))
+    }
+    (out.result(), last)
+  }
+
+  /** G30 stateful stage: gaps close as the next same-key event
+    * arrives; state is ONE (ep, event_id) pair per live key. */
+  def gapFn(key: (Long, String), evs: Iterator[GapEv],
+      state: GroupState[GapAcc]): Iterator[GapOut] = {
+    val sorted = evs.toVector.sortBy(e => (e.ep, e.event_id))
+    if (sorted.isEmpty) return Iterator.empty
+    val (out, acc) = gapFold(sorted, state.getOption)
+    acc.foreach(state.update)
+    out.iterator
+  }
+
+  /** G30 streaming stage (spec-driven). */
+  def gapStateful(evs: Dataset[GapEv]): DataFrame = {
+    import evs.sparkSession.implicits._
+    evs.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(gapFn)
+      .toDF()
+  }
+
+  /** G30 batch entry: every gap through the SAME fold (per-key sort =
+    * the in-order replay), then the read-side percentile summary —
+    * output identical to B's events_interarrival, same SQL oracle.
+    * Scale shape: one (user, type) keyed exchange (the same key grain
+    * as the batch lead() window), per-key runs are session-sized;
+    * the summary is a 5-key two-phase agg with ONE percentile(array)
+    * buffer (CLAUDE.md). */
+  def streamInterarrival(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gaps = Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        Tables.tsNsToSec("ts").as("ep"))
+      .as[GapEv]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroups { (_: (Long, String), it: Iterator[GapEv]) =>
+        gapFold(it.toVector.sortBy(e => (e.ep, e.event_id)), None)
+          ._1.iterator
+      }
+      .toDF()
+    gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap")).as("total_gap_s"),
+        percentile(col("gap"), array(lit(0.5), lit(0.9))).as("q"),
+        max(col("gap")).as("max_gap_s"))
+      .select(col("event_type"), col("n_gaps"), col("total_gap_s"),
+        round(col("total_gap_s") / col("n_gaps"), 4).as("mean_gap_s"),
+        round(element_at(col("q"), 1), 4).as("p50_gap_s"),
+        round(element_at(col("q"), 2), 4).as("p90_gap_s"),
+        col("max_gap_s"))
+      .orderBy(col("event_type"))
+  }
+
+  // ----- G31: online daily counters + lag autocorr (events_autocorr
+  // twin) ------------------------------------------------------------
+
+  /** G31 shared stage: daily activity counters off the 1-day tumbling
+    * window of the event time. Under the repo's UTC session contract
+    * the window start divides exactly by 86 400 s, so the day bucket
+    * equals B's `ep div 86400` integer algebra. A streaming caller
+    * derives and watermarks `ep_ts` ITSELF (the windowAggTransform
+    * pass-through contract) — append mode then finalizes a day
+    * counter when the watermark passes, which is exactly the online
+    * shape of this monitor: bounded state (open windows only), one
+    * row per closed day. */
+  def dayCountTransform(events: DataFrame): DataFrame =
+    (if (events.columns.contains("ep_ts")) events
+     else events.withColumn("ep_ts",
+       Tables.tsNsToSec("ts").cast("timestamp")))
+      .groupBy(window(col("ep_ts"), "1 day"))
+      .agg(count(lit(1)).as("v"))
+      .select(expr("unix_timestamp(window.start) div 86400").as("day"),
+        col("v"))
+
+  /** G31 batch entry: the windowed day counters scored by the SAME
+    * lag-OLS read stage as B's events_autocorr — identical output,
+    * same SQL oracle. The lag scoring runs on read over the closed-
+    * day table (≤ thousands of rows for years of data), never inside
+    * the stream. */
+  def streamAutocorr(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Lifecycle.autocorrOfDaily(
+      dayCountTransform(Tables(spark, dir).events))
 }

@@ -1498,4 +1498,84 @@ class StreamsSpec extends SparkSuite {
       }
     } finally query.stop()
   }
+
+  test("batch stream_interarrival equals the lead-window events_interarrival") {
+    val got = Streams.streamInterarrival(spark, sfDir).collect().toSeq
+    val batch = graft.operators.Lifecycle.eventsInterarrival(spark, sfDir)
+      .collect().toSeq
+    assert(got.map(_.toString) === batch.map(_.toString),
+      "stateful gap fold (batch mode) must equal the window form")
+  }
+
+  test("streaming inter-arrival: gaps close across batches and equal " +
+      "the lead-window gap multiset") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    // batch reference: the per-(user,type) lead() gaps
+    val evs = graft.Tables(spark, sfDir).events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        graft.Tables.tsNsToSec("ts").as("ep"))
+      .as[Streams.GapEv].collect()
+    val expected = evs.groupBy(e => (e.user_id, e.event_type)).toSeq
+      .flatMap { case (_, run) =>
+        val sorted = run.sortBy(e => (e.ep, e.event_id))
+        sorted.zip(sorted.tail).map { case (a, b) =>
+          (b.event_type, b.ep - a.ep) }
+      }.groupBy(identity).view.mapValues(_.size).toMap
+    val stream = MemoryStream[Streams.GapEv]
+    val query = Streams.gapStateful(stream.toDS())
+      .writeStream.format("memory").queryName("gaps")
+      .outputMode("append").start()
+    try {
+      // ep-ordered replay in 4 batches: most keys' consecutive events
+      // straddle batch boundaries, so the last-seen state must carry
+      evs.sortBy(e => (e.ep, e.event_id))
+        .grouped(math.max(1, evs.length / 4)).foreach { b =>
+          stream.addData(b.toSeq); query.processAllAvailable()
+        }
+      val got = s.table("gaps").as[Streams.GapOut].collect()
+        .map(g => (g.event_type, g.gap))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(got === expected,
+        "streamed gap multiset must equal the lead-window gaps")
+    } finally query.stop()
+  }
+
+  test("batch stream_autocorr equals events_autocorr") {
+    val got = Streams.streamAutocorr(spark, sfDir).collect().toSeq
+    val batch = graft.operators.Lifecycle.eventsAutocorr(spark, sfDir)
+      .collect().toSeq
+    assert(got.map(_.toString) === batch.map(_.toString),
+      "windowed day counters + shared read stage must equal the batch form")
+  }
+
+  test("streaming autocorr: watermarked day counters finalize in " +
+      "append mode and match the batch day counts") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    val evs = graft.Tables(spark, sfDir).events
+      .select(graft.Tables.tsNsToSec("ts").as("ep")).as[Long]
+      .collect().sorted
+    val batchDays = evs.map(_ / 86400L).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val sentinel = evs.max + 30L * 86400 // 30 days clears any watermark
+    val stream = MemoryStream[Long]
+    val streamed = Streams.dayCountTransform(
+      stream.toDF().toDF("ep")
+        .withColumn("ep_ts", col("ep").cast("timestamp"))
+        .withWatermark("ep_ts", "1 hour"))
+    val query = streamed.writeStream.format("memory")
+      .queryName("daycnt").outputMode("append").start()
+    try {
+      evs.grouped(math.max(1, evs.length / 3)).foreach { b =>
+        stream.addData(b.toSeq); query.processAllAvailable()
+      }
+      stream.addData(Seq(sentinel)); query.processAllAvailable()
+      val got = s.table("daycnt").collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .filter(_._1 < sentinel / 86400L).toMap
+      assert(got === batchDays,
+        "append-mode finalized day counters must equal the batch counts")
+    } finally query.stop()
+  }
 }
