@@ -1748,6 +1748,44 @@ object Oracles {
         |FROM deg LEFT JOIN cnt ON cnt.n = deg.n
         |ORDER BY node""".stripMargin,
 
+    // Degree assortativity (Newman 2002): six EXACT integer sums
+    // over the symmetric degree-joined edge list (order-free), then
+    // the Pearson assembly casts each sum to double ONCE and
+    // combines in FP — identical operands + correctly rounded IEEE
+    // ops ⇒ bit-identical cross-engine even where m·Σd² would
+    // overflow int64. Regular graphs (exact-zero variance) → NULL,
+    // same CASE both engines.
+    "graph_assortativity" ->
+      """WITH li AS (SELECT l_orderkey AS k, l_partkey AS p FROM lineitem),
+        |und AS MATERIALIZED (SELECT DISTINCT a.p AS src, b.p AS dst
+        |        FROM li a JOIN li b ON a.k = b.k AND a.p < b.p),
+        |adj AS MATERIALIZED (
+        |  SELECT src AS u, dst AS v FROM und
+        |  UNION ALL SELECT dst, src FROM und),
+        |deg AS MATERIALIZED (
+        |  SELECT u AS node, count(*)::bigint AS d FROM adj GROUP BY 1),
+        |sc AS (
+        |  SELECT du.d AS du, dv.d AS dv
+        |  FROM adj JOIN deg du ON du.node = adj.u
+        |           JOIN deg dv ON dv.node = adj.v),
+        |s AS (
+        |  SELECT count(*)::bigint AS m,
+        |    sum(du)::bigint AS su, sum(dv)::bigint AS sv,
+        |    sum(du * dv)::bigint AS suv,
+        |    sum(du * du)::bigint AS suu,
+        |    sum(dv * dv)::bigint AS svv
+        |  FROM sc),
+        |n AS (SELECT count(*)::bigint AS n_nodes FROM deg)
+        |SELECT n_nodes, m // 2 AS n_edges,
+        |  CASE WHEN (m::double * suu::double - su::double * su::double) > 0
+        |        AND (m::double * svv::double - sv::double * sv::double) > 0
+        |  THEN round(
+        |    (m::double * suv::double - su::double * sv::double) /
+        |    (sqrt(m::double * suu::double - su::double * su::double) *
+        |     sqrt(m::double * svv::double - sv::double * sv::double)), 6)
+        |  END AS assortativity
+        |FROM s, n""".stripMargin,
+
     // Link prediction: wedges fan out from capped-degree centers
     // only (constants single-sourced from Graph.Link*/RaScale); the
     // RA score is an order-free integer sum (// = integral div), the
@@ -2969,6 +3007,30 @@ object Oracles {
          |SELECT doc_a, doc_b, round(jac, 4) AS jac
          |FROM pairs_j
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // C15 containment pairs: the SAME shared shingle chain (df cut
+    // included) as C2; only the final ratio differs — |A∩B|/|A| and
+    // /|B| on identical integer operands, τ on the unrounded greater
+    // direction (both engines compute the identical division).
+    "dedup_containment" -> {
+      val tau = graft.operators.Dedup.ContainTau
+      s"""WITH ${shingleCtes("documents")},
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pr AS (
+         |  SELECT doc_a, doc_b,
+         |    c::double / sa.n AS c_ab, c::double / sb.n AS c_ba
+         |  FROM inter
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, round(c_ab, 4) AS contain_ab,
+         |  round(c_ba, 4) AS contain_ba
+         |FROM pr WHERE greatest(c_ab, c_ba) >= $tau
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
 
     // Same algebra as Dedup.dedupSubstring: k-grams via k-1 leads over
     // per-doc position order, corpus-wide occurrence count >= 2,

@@ -106,6 +106,54 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Containment threshold for [[dedupContainment]] (single-sourced
+    * into the oracle). */
+  val ContainTau = 0.8
+
+  /** C15 (round 13): asymmetric shingle CONTAINMENT pairs — the
+    * doc-in-doc detector Jaccard structurally misses. A short
+    * document fully quoted inside a long one (boilerplate-wrapped
+    * rehosts, quote farms, template-inflated copies — the standard
+    * web-corpus contamination shapes) has near-zero Jaccard (the
+    * union is dominated by the long side) but containment
+    * C(A,B) = |A∩B|/|A| ≈ 1 from the short side. Emits every pair
+    * where EITHER direction's containment clears [[ContainTau]],
+    * with both ratios, so the consumer can distinguish symmetric
+    * near-dups (both high — also caught by C2) from true
+    * engulfment (one high, one low — only caught here).
+    *
+    * Scale shape: identical to the C2 pair chain — the SAME df-cut
+    * inverted shingle index ([[shingleIndexOf]]; the shingle
+    * definition and df≤50 cut cannot drift between C2, C12 and this
+    * operator on either engine side), intersection counts via the
+    * shared-shingle equi-join, sizes joined back. Only the final
+    * ratio differs: |A∩B|/|A| and /|B| instead of /|A∪B|. Both
+    * divisions are single FP ops on identical integer operands ⇒
+    * full hash gate. */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    containmentPairsOf(Tables(spark, dir).documents)
+
+  /** Same containment chain over any (doc_id, text) frame. */
+  private[operators] def containmentPairsOf(d: DataFrame): DataFrame = {
+    val sh = shingleIndexOf(d)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("c_ab", col("c").cast("double") / col("sa.n"))
+      .withColumn("c_ba", col("c").cast("double") / col("sb.n"))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= ContainTau)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("c_ab"), 4).as("contain_ab"),
+        round(col("c_ba"), 4).as("contain_ba"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** C3: MinHash(64) + banded LSH (16 bands × 4 rows): candidate pairs
     * are docs sharing any band bucket; est_jaccard = matching
     * signature positions / 64. P(candidate | J) = 1-(1-J⁴)¹⁶ — ≥0.9998

@@ -581,4 +581,66 @@ object Graph {
     adj.unpersist(blocking = false)
     (out, iter)
   }
+
+  /** B (round 13): degree assortativity of the co-purchase graph —
+    * the Pearson correlation of endpoint degrees over the symmetric
+    * edge list (Newman 2002, "Assortative mixing in networks"): r > 0
+    * means hubs link to hubs (social-graph mixing), r < 0 means hubs
+    * link to leaves (star/hub-and-spoke catalogs — the typical
+    * co-purchase shape). Completes the graph-stats family: triangles
+    * = local density, pagerank = centrality, kcore = cohesion depth,
+    * components = connectivity, assortativity = degree MIXING.
+    *
+    * Scale shape: one distinct-edge build (the shared trianglesOf/
+    * pagerankOf/kcoreOf graph), one degree aggregate, two equi-joins
+    * to attach endpoint degrees, ONE global aggregate row. The
+    * undirected edge frame is persisted — it feeds the mirror union
+    * AND (via adj) the degree aggregate and both join sides
+    * (no-subtree-dedup). All six correlation sums are EXACT integer
+    * aggregates (order-free, overflow-safe: Σd³-scale terms stay
+    * far under 2⁶³); the Pearson assembly then casts each sum to
+    * double ONCE and combines in FP — identical operands + correctly
+    * rounded IEEE ops ⇒ bit-identical cross-engine even where
+    * m·Σd² would overflow int64. Degenerate (regular) graphs have
+    * exactly-zero variance ⇒ NULL, same CASE in the oracle ⇒ full
+    * hash gate. */
+  def graphAssortativity(spark: SparkSession, dir: String): DataFrame =
+    assortativityOf(Tables(spark, dir).lineitem
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("p")))
+
+  /** Single-row (n_nodes, n_edges, assortativity) over any (k, p)
+    * membership frame. */
+  def assortativityOf(li: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val a = li.select(col("k"), col("p").as("src"))
+    val b = li.select(col("k"), col("p").as("dst"))
+    val und = a.join(b, "k").filter(col("src") < col("dst"))
+      .select("src", "dst").distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val adj = und.unionAll(und.select(col("dst"), col("src")))
+      .toDF("u", "v")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = adj.groupBy(col("u").as("node")).agg(count(lit(1)).as("d"))
+    val scored = adj
+      .join(deg.select(col("node").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), Seq("v"))
+    val stats = scored.agg(
+      count(lit(1)).as("m"),
+      sum(col("du")).as("su"), sum(col("dv")).as("sv"),
+      sum(col("du") * col("dv")).as("suv"),
+      sum(col("du") * col("du")).as("suu"),
+      sum(col("dv") * col("dv")).as("svv"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val md = col("m").cast("double")
+    val vu = md * col("suu").cast("double") -
+      col("su").cast("double") * col("su").cast("double")
+    val vv = md * col("svv").cast("double") -
+      col("sv").cast("double") * col("sv").cast("double")
+    val covn = md * col("suv").cast("double") -
+      col("su").cast("double") * col("sv").cast("double")
+    stats.crossJoin(nNodes)
+      .select(col("n_nodes"), expr("m div 2").as("n_edges"),
+        when(vu > 0.0 && vv > 0.0,
+          round(covn / (sqrt(vu) * sqrt(vv)), 6)).as("assortativity"))
+  }
 }

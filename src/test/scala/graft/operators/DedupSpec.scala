@@ -314,6 +314,37 @@ class DedupSpec extends SparkSuite {
       s"expected 0 parquet scans outside the cache, got $parquetScans")
   }
 
+  test("containment catches engulfment pairs Jaccard misses; ratios " +
+      "match a driver-side recompute") {
+    val s = spark; import s.implicits._
+    // doc 1 (12 tokens) is fully QUOTED inside doc 2 (60 tokens):
+    // containment from the short side = 1.0, Jaccard ≈ 10/58 ≈ 0.17 —
+    // below C2's 0.5 τ, the structural miss this operator exists for.
+    val short = (1 to 12).map(i => s"q$i").mkString(" ")
+    val long = ((1 to 25).map(i => s"pre$i") ++ (1 to 12).map(i => s"q$i")
+      ++ (1 to 23).map(i => s"post$i")).mkString(" ")
+    val noise = (1 to 30).map(i => s"z$i").mkString(" ")
+    val d = Seq((1L, short), (2L, long), (3L, noise)).toDF("doc_id", "text")
+    val got = Dedup.containmentPairsOf(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length === 1, s"exactly the engulfment pair: ${got.toSeq}")
+    val (a, b, cab, cba) = got.head
+    assert((a, b) === ((1L, 2L)))
+    // driver recompute: shingle sets, intersection / each side
+    def sh(t: String) = t.split("\\s+").filter(_.nonEmpty)
+      .sliding(3).map(_.mkString(" ")).toSet
+    val (sa, sb) = (sh(short), sh(long))
+    val inter = sa.intersect(sb).size.toDouble
+    assert(math.abs(cab - inter / sa.size) < 1e-4, "contain_ab")
+    assert(math.abs(cba - inter / sb.size) < 1e-4, "contain_ba")
+    assert(cab === 1.0, "short side fully contained")
+    assert(cba < 0.5, "long side is NOT mostly the quote")
+    assert(jaccard(short, long) < 0.5,
+      "fixture must be invisible to the C2 Jaccard cut")
+    // and the Jaccard operator indeed misses it
+    assert(Dedup.ngramPairsOf(d).collect().isEmpty)
+  }
+
   test("components equal a driver-side union-find over the pair graph") {
     val pairs = Dedup.dedupNgramJaccard(spark, sfDir)
       .select("doc_a", "doc_b").collect()

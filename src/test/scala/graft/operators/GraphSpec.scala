@@ -100,6 +100,45 @@ class GraphSpec extends SparkSuite {
       (5L, 2L, 1L), (6L, 1L, 1L)))
   }
 
+  test("assortativity: star is maximally disassortative, path matches " +
+      "a driver OLS recompute, regular graph is NULL") {
+    val s = spark; import s.implicits._
+    // star: center 0 linked to 8 leaves (one order per spoke) — every
+    // edge joins deg-8 to deg-1 nodes ⇒ r = −1 exactly
+    val star = (1 to 8).flatMap(i =>
+      Seq((i.toLong, 0L), (i.toLong, i.toLong))).toDF("k", "p")
+    val rs = Graph.assortativityOf(star).collect().head
+    assert(rs.getLong(0) === 9L && rs.getLong(1) === 8L)
+    assert(math.abs(rs.getDouble(2) - (-1.0)) < 1e-9, s"star r=${rs.get(2)}")
+
+    // triangle (3-regular on degrees 2,2,2): zero degree variance ⇒
+    // the Pearson r is undefined — NULL, never NaN
+    val tri = Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L), (3L, 3L),
+      (3L, 1L)).toDF("k", "p")
+    val rt = Graph.assortativityOf(tri).collect().head
+    assert(rt.getLong(0) === 3L && rt.getLong(1) === 3L)
+    assert(rt.isNullAt(2), s"regular graph must be NULL, got ${rt.get(2)}")
+
+    // path 1-2-3-4: driver-side Pearson over the 6 directed (du,dv)
+    // pairs
+    val path = Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L),
+      (3L, 3L), (3L, 4L)).toDF("k", "p")
+    val rp = Graph.assortativityOf(path).collect().head
+    val degs = Map(1L -> 1.0, 2L -> 2.0, 3L -> 2.0, 4L -> 1.0)
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val pairs = es.flatMap { case (u, v) =>
+      Seq((degs(u), degs(v)), (degs(v), degs(u))) }
+    val m = pairs.length.toDouble
+    val (su, sv) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+    val suv = pairs.map(p => p._1 * p._2).sum
+    val suu = pairs.map(p => p._1 * p._1).sum
+    val svv = pairs.map(p => p._2 * p._2).sum
+    val expect = (m * suv - su * sv) /
+      (math.sqrt(m * suu - su * su) * math.sqrt(m * svv - sv * sv))
+    assert(math.abs(rp.getDouble(2) - expect) < 1e-6,
+      s"path r=${rp.get(2)} vs $expect")
+  }
+
   test("kcore: over-cap driver tail falls back to distributed rounds") {
     val s = spark; import s.implicits._
     // 60-node path (erosion regime: sheds one node per end per
