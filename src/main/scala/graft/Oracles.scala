@@ -2404,6 +2404,53 @@ object Oracles {
          |FROM sums""".stripMargin
     },
 
+    // E30 source-pair Jensen–Shannon divergence: count frame + k-row
+    // per-source totals; H(P)/H(Q) in the count form, H(M) as the
+    // per-pair union sum — the table_entropy tolerance class (engine
+    // log2 ulps + sum re-association absorbed by round(4)); every
+    // per-term expression mirrored op-for-op (divisions before the
+    // /2, coalesce-to-0 on the absent side).
+    "corpus_jsd" ->
+      raw"""WITH t AS (
+         |  SELECT source, unnest(list_filter(
+         |    string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+         |    w -> w <> '')) AS w
+         |  FROM documents),
+         |cnt AS (
+         |  SELECT source, w, count(*)::bigint AS c FROM t GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT source, sum(c)::bigint AS n, count(*)::bigint AS v,
+         |    sum(c * log2(c)) AS slc
+         |  FROM cnt GROUP BY 1),
+         |pr AS (
+         |  SELECT a.source AS sa, a.n AS na, a.v AS va, a.slc AS slca,
+         |    b.source AS sb, b.n AS nb, b.v AS vb, b.slc AS slcb
+         |  FROM tot a JOIN tot b ON a.source < b.source),
+         |uw AS (
+         |  SELECT p.sa, p.sb, p.na, p.nb, p.va, p.vb, p.slca, p.slcb,
+         |    c.w,
+         |    sum(CASE WHEN c.source = p.sa THEN c.c END) AS c1,
+         |    sum(CASE WHEN c.source = p.sb THEN c.c END) AS c2
+         |  FROM pr p JOIN cnt c ON c.source IN (p.sa, p.sb)
+         |  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9),
+         |hm AS (
+         |  SELECT sa, sb, na, nb, va, vb, slca, slcb,
+         |    -sum(((coalesce(c1, 0)::double / na +
+         |           coalesce(c2, 0)::double / nb) / 2.0) *
+         |      log2((coalesce(c1, 0)::double / na +
+         |            coalesce(c2, 0)::double / nb) / 2.0)) AS h_m,
+         |    sum(CASE WHEN c1 IS NOT NULL AND c2 IS NOT NULL
+         |        THEN 1 ELSE 0 END)::bigint AS v_shared
+         |  FROM uw GROUP BY 1, 2, 3, 4, 5, 6, 7, 8)
+         |SELECT sa AS source_a, sb AS source_b,
+         |  na AS n_tokens_a, nb AS n_tokens_b,
+         |  va AS vocab_a, vb AS vocab_b, v_shared,
+         |  round(log2(na) - slca / na, 4) AS h_a,
+         |  round(log2(nb) - slcb / nb, 4) AS h_b,
+         |  round(h_m - ((log2(na) - slca / na) +
+         |               (log2(nb) - slcb / nb)) / 2.0, 4) AS jsd
+         |FROM hm ORDER BY source_a, source_b""".stripMargin,
+
     // E27 Zipf fit: top-100 head is a total order (count DESC, token
     // ASC); the five OLS sums are seedless list_reduce folds in rank
     // order mirroring Spark's aggregate HOF element-for-element;

@@ -1105,6 +1105,98 @@ object TextQueries {
         round(num * num / (den * deny), 4) + lit(0.0)).as("r2"))
   }
 
+  /** E30 (round 13): pairwise Jensen–Shannon divergence between the
+    * SOURCES' token distributions — the domain-shift read behind
+    * mixture design: two sources with near-zero JSD are
+    * interchangeable in a mix (reweighting between them buys no
+    * diversity), a high-JSD source is the one worth upsampling;
+    * the same number monitors drift when a source is re-crawled.
+    * JSD(P,Q) = H(M) − (H(P)+H(Q))/2, M = (P+Q)/2, log2 ⇒ ∈ [0,1].
+    *
+    * Scale shape: ONE scan → one (source, token) map-side-combined
+    * groupBy (the count frame, persisted — it feeds every pair);
+    * per-source totals/entropy sums are a k-row aggregate (sources
+    * are the bounded mix_* dial set — the k-row driver collect is
+    * quantizer-training class, never data-plane); each pair is a
+    * full-outer equi-join of two vocab-sized slices of the cached
+    * count frame + a 1-row aggregate. Pair count k(k−1)/2 with k
+    * bounded ⇒ corpus-linear total work.
+    *
+    * Exactness class: H(P)/H(Q) use the count form (integer sums,
+    * one division); the H(M) sum is per-token FP over the pair's
+    * vocab union and RE-ASSOCIATES per engine — the table_entropy
+    * TOLERANCE class, not bit-exactness (round(4) does real work;
+    * include in sf0.1/sf1 re-certification of rounding-sensitive
+    * changes). Every per-term expression is mirrored op-for-op. */
+  def corpusJsd(spark: SparkSession, dir: String): DataFrame =
+    jsdOf(Tables(spark, dir).documents)
+
+  /** Core JSD over any (source, text) frame. */
+  def jsdOf(d: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val cnt = d
+      .select(col("source"), explode(split(col("text"), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tot = cnt.groupBy(col("source"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("v"),
+        sum(col("c") * log2(col("c"))).as("slc"))
+    val srcs = tot.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+      .sortBy(_._1)
+    // Pair metadata rides a tiny broadcast frame — NOT one query
+    // branch per pair: k sources give k(k−1)/2 pairs, and a
+    // per-pair join would make the PLAN quadratic in k (190 joins
+    // at k=20). Instead each pair is doubled into per-SIDE rows, the
+    // count frame equi-joins on its source (every word row fans out
+    // to its source's k−1 pairs — data k·|cnt|, bounded), and one
+    // (pair, word) groupBy pivots the two sides into c1/c2: the
+    // whole query is TWO shuffles at any k.
+    val s = cnt.sparkSession
+    import s.implicits._
+    if (srcs.length < 2)
+      return s.range(0).select(
+        lit("").as("source_a"), lit("").as("source_b"),
+        lit(0L).as("n_tokens_a"), lit(0L).as("n_tokens_b"),
+        lit(0L).as("vocab_a"), lit(0L).as("vocab_b"),
+        lit(0L).as("v_shared"),
+        lit(0.0).as("h_a"), lit(0.0).as("h_b"), lit(0.0).as("jsd"))
+    val pairMeta = (for {
+      i <- srcs.indices; j <- i + 1 until srcs.length
+    } yield {
+      val (s1, n1, v1, slc1) = srcs(i)
+      val (s2, n2, v2, slc2) = srcs(j)
+      Seq((s1, s1, n1, v1, slc1, s2, n2, v2, slc2),
+        (s2, s1, n1, v1, slc1, s2, n2, v2, slc2))
+    }).flatten
+      .toDF("src", "sa", "na", "va", "slca", "sb", "nb", "vb", "slcb")
+    val uw = cnt.join(broadcast(pairMeta), col("source") === col("src"))
+      .groupBy(col("sa"), col("sb"), col("na"), col("nb"), col("va"),
+        col("vb"), col("slca"), col("slcb"), col("w"))
+      .agg(sum(when(col("source") === col("sa"), col("c"))).as("c1"),
+        sum(when(col("source") === col("sb"), col("c"))).as("c2"))
+    // m > 0 on every (pair, word) row (the word occurs in at least
+    // one side), so m·log2(m) never sees 0
+    val m = (coalesce(col("c1"), lit(0L)).cast("double") / col("na") +
+      coalesce(col("c2"), lit(0L)).cast("double") / col("nb")) / lit(2.0)
+    val hA = log2(col("na")) - col("slca") / col("na")
+    val hB = log2(col("nb")) - col("slcb") / col("nb")
+    uw.groupBy(col("sa"), col("sb"), col("na"), col("nb"), col("va"),
+        col("vb"), col("slca"), col("slcb"))
+      .agg((-sum(m * log2(m))).as("h_m"),
+        sum(when(col("c1").isNotNull && col("c2").isNotNull, lit(1L))
+          .otherwise(lit(0L))).as("v_shared"))
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("na").as("n_tokens_a"), col("nb").as("n_tokens_b"),
+        col("va").as("vocab_a"), col("vb").as("vocab_b"),
+        col("v_shared"),
+        round(hA, 4).as("h_a"), round(hB, 4).as("h_b"),
+        round(col("h_m") - (hA + hB) / lit(2.0), 4).as("jsd"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Checkpoint count for [[corpusHeaps]] — the vocab-growth curve is
     * sampled at 10 doc-id deciles. */
   val HeapsPoints = 10
