@@ -1212,6 +1212,72 @@ object Oracles {
         |  max_gap_s
         |FROM a ORDER BY event_type""".stripMargin,
 
+    // B first-order Markov transition matrix (Lifecycle
+    // .eventsMarkov): adjacency from one per-user lead over the
+    // unique (ep, event_id) total order; bigint counts; ONE
+    // bigint/bigint IEEE division per row ⇒ full hash gate.
+    "events_markov" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch(date_trunc('second', ts))::bigint AS ep
+        |  FROM events),
+        |pairs AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ep, event_id) AS to_type
+        |  FROM ev),
+        |m AS (
+        |  SELECT from_type, to_type, count(*)::bigint AS n
+        |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(n / sum(n) OVER (PARTITION BY from_type), 4) AS p_next
+        |FROM m ORDER BY from_type, to_type""".stripMargin,
+
+    // B Kaplan-Meier signup→purchase survival (Lifecycle
+    // .eventsSurvival): n_risk is exact integer algebra; the
+    // product limit is exp∘Σln over the SAME (day-ordered) running
+    // frame in both engines — sequential fold, so only libm ulps
+    // differ: the table_entropy tolerance class under round(4).
+    "events_survival" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    epoch(date_trunc('second', ts))::bigint AS ep
+        |  FROM events),
+        |su AS (SELECT user_id, min(ep) AS t0 FROM ev
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |pu AS (
+        |  SELECT s.user_id, min(e.ep) AS tp
+        |  FROM su s JOIN ev e ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ep >= s.t0
+        |  GROUP BY 1),
+        |mx AS (SELECT max(ep) AS tmax FROM ev),
+        |subj AS (
+        |  SELECT CASE WHEN p.tp IS NOT NULL
+        |           THEN (p.tp - s.t0) // 86400
+        |           ELSE (m.tmax - s.t0) // 86400 END AS day,
+        |    CASE WHEN p.tp IS NOT NULL THEN 1 ELSE 0 END AS died
+        |  FROM su s LEFT JOIN pu p USING (user_id) CROSS JOIN mx m),
+        |byday AS (
+        |  SELECT day, sum(died)::bigint AS d,
+        |    sum(1 - died)::bigint AS c
+        |  FROM subj GROUP BY 1),
+        |r AS (
+        |  SELECT day, d,
+        |    sum(d + c) OVER () -
+        |      coalesce(sum(d + c) OVER (ORDER BY day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |        0) AS n_risk
+        |  FROM byday)
+        |SELECT day, n_risk, d AS n_deaths,
+        |  round(CASE WHEN max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+        |      OVER w = 1 THEN 0.0
+        |    ELSE exp(sum(ln(CASE WHEN d = n_risk THEN 1.0
+        |      ELSE 1 - d / n_risk END)) OVER w) END, 4) AS survival
+        |FROM r WHERE d > 0
+        |WINDOW w AS (ORDER BY day
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin,
+
     "events_trend" -> {
       val h = graft.operators.Lifecycle.TrendHorizonDays
       s"""WITH e AS (
@@ -1468,6 +1534,150 @@ object Oracles {
          |$blocks
          |ORDER BY col_x, col_y""".stripMargin
     },
+
+    // H PSI drift (Profile.tablePsi): pure integer fixed-width
+    // binning off global min/max, Laplace shares = one IEEE division
+    // each, RUNNING ordered psi sum (sequential fold both engines);
+    // ln is the table_entropy ulp class under round(6).
+    "table_psi" -> {
+      val b = graft.operators.Profile.PsiBins
+      s"""WITH src AS (
+         |  SELECT floor(o_totalprice * 100)::bigint AS cents,
+         |    datediff('day', DATE '1970-01-01', o_orderdate)::bigint
+         |      AS day
+         |  FROM orders),
+         |st AS (SELECT min(day) AS dmin, max(day) AS dmax,
+         |    min(cents) AS cmin, max(cents) AS cmax FROM src),
+         |counts AS (
+         |  SELECT least($b - 1, ((cents - cmin) * $b)
+         |      // (cmax - cmin + 1)) AS bin,
+         |    sum(CASE WHEN day <= (dmin + dmax) // 2 THEN 1 ELSE 0
+         |      END)::bigint AS n_ref,
+         |    sum(CASE WHEN day <= (dmin + dmax) // 2 THEN 0 ELSE 1
+         |      END)::bigint AS n_cur
+         |  FROM src CROSS JOIN st GROUP BY 1),
+         |grid AS (
+         |  SELECT g.bin, cmin + (g.bin * (cmax - cmin + 1)) // $b
+         |      AS bin_lo_cents,
+         |    coalesce(n_ref, 0)::bigint AS n_ref,
+         |    coalesce(n_cur, 0)::bigint AS n_cur
+         |  FROM (SELECT unnest(range(0, $b)) AS bin) g
+         |  CROSS JOIN st LEFT JOIN counts ON counts.bin = g.bin),
+         |p AS (
+         |  SELECT bin, bin_lo_cents, n_ref, n_cur,
+         |    (n_ref + 1) / (sum(n_ref) OVER () + $b) AS p_ref,
+         |    (n_cur + 1) / (sum(n_cur) OVER () + $b) AS p_cur
+         |  FROM grid)
+         |SELECT bin, bin_lo_cents, n_ref, n_cur,
+         |  round(p_ref, 6) AS p_ref, round(p_cur, 6) AS p_cur,
+         |  round((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_term,
+         |  round(sum((p_cur - p_ref) * ln(p_cur / p_ref)) OVER (
+         |    ORDER BY bin
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         |    AS psi_cum
+         |FROM p ORDER BY bin""".stripMargin
+    },
+
+    // H mutual information (Profile.tableMutualInfo): same cells /
+    // window-margins / strict-ordered-fold shape as table_cramers_v;
+    // MI term = (nij/n)·ln(nij·n / (ri·cj)), all bigint operands, one
+    // IEEE division per factor; ln ulp class under round(6).
+    "table_mutual_info" -> {
+      val blocks = graft.operators.Profile.CramersPairs.map {
+        case (a, b) =>
+          s"""SELECT '$a' AS col_x, '$b' AS col_y, n, r, c,
+             |  round(mi, 6) AS mi_nats,
+             |  CASE WHEN least(r, c) > 1
+             |    THEN round(mi / ln(least(r, c)::double), 6) END AS nmi
+             |FROM (
+             |  SELECT max(n)::bigint AS n,
+             |    count(DISTINCT x)::int AS r, count(DISTINCT y)::int AS c,
+             |    list_reduce(list(term ORDER BY x, y), (u, v) -> u + v)
+             |      AS mi
+             |  FROM (
+             |    SELECT x, y,
+             |      (nij / n) * ln((nij * n) / (ri * cj)) AS term, n
+             |    FROM (
+             |      SELECT x, y, nij,
+             |        sum(nij) OVER (PARTITION BY x)::bigint AS ri,
+             |        sum(nij) OVER (PARTITION BY y)::bigint AS cj,
+             |        sum(nij) OVER ()::bigint AS n
+             |      FROM (SELECT $a AS x, $b AS y, count(*)::bigint AS nij
+             |            FROM src GROUP BY 1, 2))))""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH src AS (
+         |  SELECT o_orderpriority, o_orderstatus, c_mktsegment
+         |  FROM orders JOIN customer ON o_custkey = c_custkey)
+         |$blocks
+         |ORDER BY col_x, col_y""".stripMargin
+    },
+
+    // H type-2 SCD history (Scd.scd2History): change flags via lag
+    // over the unique (day, o_orderkey) total order, versions a
+    // running integer sum, bounds min/lead — pure integer/string
+    // algebra ⇒ full hash gate.
+    "scd2_history" ->
+      """WITH src AS (
+        |  SELECT o_custkey AS k, o_orderpriority AS attr,
+        |    datediff('day', DATE '1970-01-01', o_orderdate)::bigint
+        |      AS day,
+        |    o_orderkey AS seq
+        |  FROM orders),
+        |chg AS (
+        |  SELECT k, attr, day, seq,
+        |    CASE WHEN lag(attr) OVER w IS NULL
+        |      OR lag(attr) OVER w <> attr THEN 1 ELSE 0 END AS c
+        |  FROM src WINDOW w AS (PARTITION BY k ORDER BY day, seq)),
+        |runs AS (
+        |  SELECT k, attr, day,
+        |    sum(c) OVER (PARTITION BY k ORDER BY day, seq
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      ::bigint AS version
+        |  FROM chg),
+        |hist AS (
+        |  SELECT k, version, min(attr) AS attr,
+        |    min(day) AS valid_from_day, count(*)::bigint AS n_orders
+        |  FROM runs GROUP BY k, version)
+        |SELECT k AS cust_key, version, attr, valid_from_day,
+        |  lead(valid_from_day) OVER wv AS valid_to_day, n_orders,
+        |  (lead(valid_from_day) OVER wv IS NULL) AS is_current
+        |FROM hist WINDOW wv AS (PARTITION BY k ORDER BY version)
+        |ORDER BY cust_key, version""".stripMargin,
+
+    // H changelog merge (Scd.cdcMerge): snapshot = last event at or
+    // before the integer corpus midpoint, final = last overall (both
+    // row_number over the unique (ep, event_id) desc order); MERGE
+    // ops insert/update/unchanged with the error-tombstone DELETE
+    // rule mirrored. Integer algebra ⇒ full hash gate.
+    "cdc_merge" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch(date_trunc('second', ts))::bigint AS ep
+        |  FROM events),
+        |mid AS (SELECT (min(ep) + max(ep)) // 2 AS mid FROM ev),
+        |snap AS (
+        |  SELECT user_id, event_type AS snap_status, ep AS snap_ep
+        |  FROM (
+        |    SELECT e.*, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ep DESC, event_id DESC) AS rn
+        |    FROM ev e CROSS JOIN mid WHERE ep <= mid)
+        |  WHERE rn = 1),
+        |lastv AS (
+        |  SELECT user_id, event_type AS status, ep AS last_ep
+        |  FROM (
+        |    SELECT e.*, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ep DESC, event_id DESC) AS rn
+        |    FROM ev e)
+        |  WHERE rn = 1),
+        |m AS (
+        |  SELECT l.user_id, l.status, l.last_ep,
+        |    CASE WHEN s.snap_ep IS NULL THEN 'insert'
+        |         WHEN l.last_ep > s.snap_ep THEN 'update'
+        |         ELSE 'unchanged' END AS op
+        |  FROM lastv l LEFT JOIN snap s ON l.user_id = s.user_id)
+        |SELECT user_id, status, last_ep, op FROM m
+        |WHERE NOT (op = 'update' AND status = 'error')
+        |ORDER BY user_id""".stripMargin,
 
     // H sequence-gap audit: pure integer adjacency over the distinct
     // key set (the oracle may use the plain global lead; the Spark

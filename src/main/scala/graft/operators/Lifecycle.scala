@@ -974,4 +974,106 @@ object Lifecycle {
         col("max_gap_s"))
       .orderBy(col("event_type"))
   }
+
+  /** B: first-order Markov transition matrix over per-user event
+    * streams — P(next event type | current type) with transition
+    * counts. (Reference surface: JobX users chain a map step keying
+    * consecutive log lines with a reduce counting pairs —
+    * job_engine.py's map/reduce over sorted per-user logs; here the
+    * adjacency comes from ONE lead window.) The matrix is the
+    * sequence-model read behind events_pathing's top paths: a high
+    * self-loop means bursty repetition, a high type→'error' column
+    * is the UX regression signal, and row entropy feeds
+    * session-simulation generators.
+    *
+    * Shape: ONE user_id window exchange for the lead (total order by
+    * (ep, event_id) — unique, deterministic), a (from,to) two-phase
+    * aggregate (≤ |types|² rows), then a row-total window on that
+    * metadata-sized matrix. Counts are bigint; the probability is one
+    * bigint/bigint IEEE division ⇒ full hash gate. */
+  def eventsMarkov(spark: SparkSession, dir: String): DataFrame =
+    markovOf(Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        Tables.tsNsToSec("ts").as("ep")))
+
+  /** Core over any (user_id, event_id, event_type, ep) frame. */
+  def markovOf(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ep"), col("event_id"))
+    e.withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_from",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n") / col("n_from"), 4).as("p_next"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** B: Kaplan-Meier survival curve of signup→purchase conversion
+    * time — the right-censored time-to-event estimate a plain
+    * mean-days-to-convert gets wrong (users who never purchased are
+    * censored at the corpus end, not dropped: dropping them biases
+    * conversion time low by exactly the slow cohort). Each output row
+    * is a death day: subjects still at risk, conversions that day,
+    * and the KM product-limit survival S(t).
+    *
+    * Shape: two per-user aggregates (first signup; first purchase at
+    * or after it) joined on user_id, censor time from a 1-row max
+    * broadcast, then day-grain windows on the collapsed duration
+    * frame — bounded by the calendar span, not the row count, at any
+    * SF (the events_trend discipline). n_risk is exact integer
+    * algebra; the product limit rides exp∘Σln over the SAME ordered
+    * frame in both engines (sequential running sum — CLAUDE.md FP
+    * fold discipline), so the only cross-engine bits are libm ln/exp
+    * ulps: the documented table_entropy tolerance class under
+    * round(4). */
+  def eventsSurvival(spark: SparkSession, dir: String): DataFrame =
+    survivalOf(Tables(spark, dir).events
+      .select(col("user_id"), col("event_type"),
+        Tables.tsNsToSec("ts").as("ep")))
+
+  /** Core over any (user_id, event_type, ep) frame. */
+  def survivalOf(e: DataFrame): DataFrame = {
+    val su = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ep")).as("t0"))
+    val pu = su.join(
+        e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ep")), Seq("user_id"))
+      .filter(col("ep") >= col("t0"))
+      .groupBy(col("user_id")).agg(min(col("ep")).as("tp"))
+    val tmax = e.agg(max(col("ep")).as("tmax"))
+    val subj = su.join(pu, Seq("user_id"), "left")
+      .crossJoin(broadcast(tmax))
+      .select(
+        when(col("tp").isNotNull, expr("(tp - t0) div 86400L"))
+          .otherwise(expr("(tmax - t0) div 86400L")).as("day"),
+        when(col("tp").isNotNull, lit(1L)).otherwise(lit(0L)).as("died"))
+    val byday = subj.groupBy(col("day"))
+      .agg(sum(col("died")).as("d"), sum(lit(1L) - col("died")).as("c"))
+    val wPrev = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byday
+      .withColumn("n_total", sum(col("d") + col("c")).over(
+        Window.partitionBy()))
+      .withColumn("n_risk", col("n_total") -
+        coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+      .filter(col("d") > 0)
+      // d == n_risk (every remaining subject converts) makes the KM
+      // factor exactly 0: guard the log's argument to 1 and zero the
+      // product via a cumulative flag — DuckDB's ln(0) is a hard
+      // error, Spark's a silent NULL; both dodge it identically.
+      .withColumn("survival",
+        when(max((col("d") === col("n_risk")).cast("int")).over(wCum) === 1,
+          lit(0.0))
+          .otherwise(exp(sum(log(
+            when(col("d") === col("n_risk"), lit(1.0))
+              .otherwise(lit(1.0) - col("d") / col("n_risk")))).over(wCum))))
+      .select(col("day"), col("n_risk"), col("d").as("n_deaths"),
+        round(col("survival"), 4).as("survival"))
+      .orderBy(col("day"))
+  }
 }

@@ -865,4 +865,125 @@ object Profile {
         (col("gap_end") - col("gap_start") + 1).as("gap_len"))
       .orderBy(col("gap_start"))
   }
+
+  /** Fixed-width bin count for [[tablePsi]] (single-sourced into the
+    * oracle). */
+  val PsiBins = 20
+
+  /** H: population stability index of order value between the early
+    * and late half of the order history — the tabular drift monitor
+    * (embed_drift's companion for plain columns): PSI < 0.1 is
+    * stable, 0.1–0.25 drifting, > 0.25 a distribution break that
+    * should block a model refresh or a mix re-weighting. Per-bin
+    * rows carry both period shares and the PSI contribution; the
+    * last row's running total IS the index.
+    *
+    * Shape: one 1-row min/max stats pass (persisted — referenced by
+    * both the binning pass and the bin grid; CLAUDE.md: Catalyst
+    * does not dedup repeated subtrees) + one binning scan into a
+    * B-row aggregate; everything after is windows on the B-row
+    * frame. Binning is pure integer algebra (fixed-width cents bins
+    * off global min/max — no quantile edges, so no cross-engine
+    * interpolation contract), Laplace-smoothed shares are one IEEE
+    * division each, and the PSI total is a RUNNING ordered sum
+    * (sequential fold in both engines — never a whole-frame FP sum);
+    * ln is the table_entropy ulp class under round(6). */
+  def tablePsi(spark: SparkSession, dir: String): DataFrame =
+    psiOf(Tables(spark, dir).orders
+      .select(floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long")
+          .as("day")))
+
+  /** Core over any (cents: long, day: long) frame. */
+  def psiOf(src: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = PsiBins
+    val stats = src.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"),
+      min(col("cents")).as("cmin"), max(col("cents")).as("cmax")).persist()
+    val counts = src.crossJoin(broadcast(stats))
+      .select(
+        (col("day") <= expr("(dmin + dmax) div 2")).as("is_ref"),
+        least(lit(b - 1L),
+          expr(s"((cents - cmin) * $b) div (cmax - cmin + 1)")).as("bin"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("is_ref"), 0L).otherwise(1L)).as("n_cur"))
+    // empty bins still contribute their smoothed-share term: join the
+    // counts onto the full static grid.
+    val grid = src.sparkSession.range(b).select(col("id").as("bin"))
+      .crossJoin(broadcast(stats))
+    val full = grid.join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        expr(s"cmin + (bin * (cmax - cmin + 1)) div $b").as("bin_lo_cents"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val wCum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val term = (col("p_cur") - col("p_ref")) *
+      log(col("p_cur") / col("p_ref"))
+    full
+      .withColumn("p_ref", (col("n_ref") + lit(1L)) /
+        (sum(col("n_ref")).over(Window.partitionBy()) + lit(b.toLong)))
+      .withColumn("p_cur", (col("n_cur") + lit(1L)) /
+        (sum(col("n_cur")).over(Window.partitionBy()) + lit(b.toLong)))
+      .select(col("bin"), col("bin_lo_cents"), col("n_ref"), col("n_cur"),
+        round(col("p_ref"), 6).as("p_ref"),
+        round(col("p_cur"), 6).as("p_cur"),
+        round(term, 6).as("psi_term"),
+        round(sum(term).over(wCum), 6).as("psi_cum"))
+      .orderBy(col("bin"))
+  }
+
+  /** H: mutual information between categorical column pairs — the
+    * information-theoretic companion to table_cramers_v on the same
+    * contingency cells: MI in nats plus the ln(min(r,c))-normalized
+    * NMI ∈ [0,1], the redundancy read ("does knowing segment tell me
+    * priority") that picks stratification keys and flags leaky
+    * features before training.
+    *
+    * Shape per pair (the cramersOf discipline): fact scan → two-phase
+    * groupBy to ≤ |A|·|B| cells; margins/total are window sums OVER
+    * THE CELLS; MI is a STRICT sequential fold over the (x,y)-sorted
+    * cell terms (collect_list∘sort_array + aggregate here,
+    * list_reduce ORDER BY there — CLAUDE.md FP fold discipline), so
+    * the only cross-engine bits are ln ulps: round(6) tolerance
+    * class. All integer products fit bigint (nij·n ≤ n² ≈ 2e14 at
+    * sf10). */
+  def tableMutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val src = t.orders
+      .join(broadcast(t.customer
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+    CramersPairs.map { case (a, b) => mutualInfoOf(src, a, b) }
+      .reduce(_ unionAll _)
+      .orderBy(col("col_x"), col("col_y"))
+  }
+
+  /** One mutual-information row for columns (a, b) of `src`. */
+  def mutualInfoOf(src: DataFrame, a: String, b: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = src.groupBy(col(a).as("x"), col(b).as("y"))
+      .agg(count(lit(1)).as("nij"))
+    val m = cells
+      .withColumn("ri", sum(col("nij")).over(Window.partitionBy(col("x"))))
+      .withColumn("cj", sum(col("nij")).over(Window.partitionBy(col("y"))))
+      .withColumn("n", sum(col("nij")).over(Window.partitionBy()))
+      .withColumn("term", (col("nij") / col("n")) *
+        log((col("nij") * col("n")) / (col("ri") * col("cj"))))
+    val one = m.agg(
+      sort_array(collect_list(struct(col("x"), col("y"), col("term"))))
+        .as("terms"),
+      max(col("n")).as("n"),
+      size(collect_set(col("x"))).as("r"),
+      size(collect_set(col("y"))).as("c"))
+    val mi = aggregate(transform(col("terms"), s => s.getField("term")),
+      lit(0.0), (acc, x) => acc + x)
+    one.select(lit(a).as("col_x"), lit(b).as("col_y"), col("n"),
+      col("r"), col("c"),
+      round(mi, 6).as("mi_nats"),
+      when(least(col("r"), col("c")) > 1,
+        round(mi / log(least(col("r"), col("c")).cast("double")), 6))
+        .as("nmi"))
+  }
 }

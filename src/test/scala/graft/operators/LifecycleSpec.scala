@@ -553,4 +553,76 @@ class LifecycleSpec extends SparkSuite {
     assert(r.getDouble(5) === 18.0)
     assert(r.getLong(6) == 20L)
   }
+
+  test("markov transition matrix: counts, row-normalized probabilities " +
+    "(hand fixture)") {
+    val s = spark; import s.implicits._
+    // u1: A→B→A; u2: A→A. Rows: A→B 1, B→A 1, A→A 1 ⇒ from A the
+    // row splits 0.5/0.5; no transition OUT of the final events.
+    val ev = Seq(
+      (1L, 1L, "A", 0L), (1L, 2L, "B", 10L), (1L, 3L, "A", 20L),
+      (2L, 4L, "A", 0L), (2L, 5L, "A", 5L)
+    ).toDF("user_id", "event_id", "event_type", "ep")
+    val got = Lifecycle.markovOf(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.size == 3)
+    assert(got(("A", "A")) == ((1L, 0.5)))
+    assert(got(("A", "B")) == ((1L, 0.5)))
+    assert(got(("B", "A")) == ((1L, 1.0)))
+  }
+
+  test("markov rows sum to 1 per from_type at sf0.001") {
+    val rows = Lifecycle.eventsMarkov(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byFrom = rows.groupBy(_.getString(0))
+    byFrom.foreach { case (f, rs) =>
+      val p = rs.map(_.getDouble(3)).sum
+      assert(math.abs(p - 1.0) < 1e-2, s"row $f sums to $p") // round(4)·k slack
+    }
+  }
+
+  test("kaplan-meier survival: censoring keeps n_risk honest " +
+    "(hand fixture)") {
+    val s = spark; import s.implicits._
+    // 4 signups at ep=0. u1 converts day 0 (ep 10), u2 day 2
+    // (ep 2·86400), u3/u4 never (censored at tmax ep=4·86400 → day 4).
+    // KM: day 0: n=4, d=1, S=0.75; day 2: n=3, d=1, S=0.75·(2/3)=0.5.
+    val ev = Seq(
+      (1L, "signup", 0L), (2L, "signup", 0L),
+      (3L, "signup", 0L), (4L, "signup", 0L),
+      (1L, "purchase", 10L), (2L, "purchase", 2L * 86400L),
+      (3L, "view", 4L * 86400L), (4L, "view", 4L * 86400L)
+    ).toDF("user_id", "event_type", "ep")
+    val got = Lifecycle.survivalOf(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.size == 2)
+    assert(got(0L) == ((4L, 1L, 0.75)))
+    assert(got(2L) == ((3L, 1L, 0.5)))
+  }
+
+  test("kaplan-meier survival: full-conversion final day hits exactly 0") {
+    val s = spark; import s.implicits._
+    // both subjects convert on day 1 → d = n_risk, S = 0 (the
+    // ln(0)-guard path in both engines).
+    val ev = Seq(
+      (1L, "signup", 0L), (2L, "signup", 0L),
+      (1L, "purchase", 86400L), (2L, "purchase", 86400L)
+    ).toDF("user_id", "event_type", "ep")
+    val got = Lifecycle.survivalOf(ev).collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(1) == 2L && got.head.getLong(2) == 2L)
+    assert(got.head.getDouble(3) == 0.0)
+  }
+
+  test("survival is monotone non-increasing in (0,1] at sf0.001") {
+    val rows = Lifecycle.eventsSurvival(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val s = rows.map(_.getDouble(3))
+    assert(s.zip(s.tail).forall { case (a, b) => b <= a })
+    assert(s.forall(x => x >= 0.0 && x < 1.0))
+    // purchases-before-signup never count: every duration ≥ 0
+    assert(rows.map(_.getLong(0)).forall(_ >= 0L))
+  }
 }

@@ -449,4 +449,55 @@ class ProfileSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(gaps == naive && gaps.nonEmpty)
   }
+
+  test("table_psi: identical periods ≈ 0, a shifted period flags; " +
+    "running total is order-exact") {
+    val s = spark; import s.implicits._
+    // same cents multiset in both halves → every bin share pair equal
+    // → psi exactly 0 (Laplace keeps each term finite)
+    val same = (0 until 200).flatMap { i =>
+      Seq((i * 10L, 0L), (i * 10L, 100L)) // day 0 = ref, 100 = cur
+    }.toDF("cents", "day")
+    val psiSame = Profile.psiOf(same).collect()
+    assert(psiSame.length == Profile.PsiBins)
+    assert(psiSame.map(_.getDouble(6)).forall(_ == 0.0))
+    assert(psiSame.last.getDouble(7) == 0.0)
+
+    // current period mass moved to the top bin → big positive index
+    val shifted = ((0 until 200).map(i => (i.toLong, 0L)) ++
+      (0 until 200).map(_ => (10000L, 100L))).toDF("cents", "day")
+    val psiShift = Profile.psiOf(shifted).collect()
+    assert(psiShift.last.getDouble(7) > 0.25, // the "break" band
+      s"psi=${psiShift.last.getDouble(7)}")
+    // per-bin counts conserve the input
+    assert(psiShift.map(_.getLong(2)).sum == 200L)
+    assert(psiShift.map(_.getLong(3)).sum == 200L)
+  }
+
+  test("table_mutual_info: functional dependence hits nmi=1, " +
+    "independence hits 0") {
+    val s = spark; import s.implicits._
+    // y = f(x), both uniform on 2 values → MI = H = ln 2, NMI = 1
+    val dep = (0 until 100).map(i => (s"x${i % 2}", s"y${i % 2}"))
+      .toDF("a", "b")
+    val gotDep = Profile.mutualInfoOf(dep, "a", "b").collect().head
+    assert(math.abs(gotDep.getDouble(5) - math.log(2)) < 1e-6)
+    assert(gotDep.getDouble(6) == 1.0)
+
+    // independent uniform 2×2 → every cell nij·n = ri·cj → MI = 0
+    val ind = (0 until 100).map(i => (s"x${i % 2}", s"y${(i / 2) % 2}"))
+      .toDF("a", "b")
+    val gotInd = Profile.mutualInfoOf(ind, "a", "b").collect().head
+    assert(gotInd.getDouble(5) == 0.0)
+  }
+
+  test("table_mutual_info at sf0.001: MI ≥ 0, NMI ∈ [0,1]") {
+    val rows = Profile.tableMutualInfo(spark, sfDir).collect()
+    assert(rows.length == Profile.CramersPairs.length)
+    rows.foreach { r =>
+      assert(r.getDouble(5) >= -1e-9, s"negative MI: $r") // round(6) slack
+      if (!r.isNullAt(6))
+        assert(r.getDouble(6) >= -1e-9 && r.getDouble(6) <= 1.0)
+    }
+  }
 }
