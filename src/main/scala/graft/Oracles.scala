@@ -3655,6 +3655,39 @@ object Oracles {
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
+    // J DSIR importance weights (Sampling.mixDsir): add-1 unigram
+    // log-ratio vs the 'en' target slice; one double product per
+    // side, one IEEE division, one ln per token; per-doc sum is a
+    // STRICT pos-ordered list_reduce fold ↔ Spark's aggregate HOF;
+    // ln ulp class under round(4).
+    "mix_dsir" -> {
+      val lang = graft.operators.Sampling.DsirTargetLang
+      raw"""WITH toks AS (
+         |  SELECT doc_id, is_t,
+         |    unnest(range(1, len(ws) + 1)) AS pos, unnest(ws) AS w
+         |  FROM (
+         |    SELECT doc_id, lang = '$lang' AS is_t,
+         |      list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+         |                  x -> x <> '') AS ws
+         |    FROM documents)),
+         |model AS (
+         |  SELECT w, sum(CASE WHEN is_t THEN 1 ELSE 0 END)::bigint AS ct,
+         |    count(*)::bigint AS cr
+         |  FROM toks GROUP BY 1),
+         |tot AS (SELECT sum(ct)::bigint AS nt, sum(cr)::bigint AS nr,
+         |    count(*)::bigint AS v FROM model),
+         |terms AS (
+         |  SELECT doc_id, pos,
+         |    ln(((ct + 1)::double * (nr + v)) /
+         |       ((cr + 1)::double * (nt + v))) AS term
+         |  FROM toks JOIN model USING (w) CROSS JOIN tot)
+         |SELECT doc_id, count(*)::bigint AS n_tokens,
+         |  round(list_reduce(list(term ORDER BY pos), (a, b) -> a + b),
+         |    4) AS dsir_logratio
+         |FROM terms GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
+    },
+
     // J14 in-batch negatives: 32-bit md5 batch bucket mod the scaled
     // batch count (DuckDB 0x-cast vs Spark conv(,16,10)); the
     // per-anchor cut orders by a second fixed-width-hex draw —

@@ -723,4 +723,60 @@ object Sampling {
           .otherwise("embargo").as("split"))
       .orderBy(col("event_id"))
   }
+
+  /** Target language whose documents define [[mixDsir]]'s target
+    * distribution (single-sourced into the oracle). */
+  val DsirTargetLang = "en"
+
+  /** J: DSIR importance weights (Xie et al. '23, Data Selection with
+    * Importance Resampling) — score every document by how much more
+    * likely its unigrams are under the TARGET distribution (the 'en'
+    * slice) than under the RAW corpus: log w(x) = Σ_tokens
+    * [ln p̂_t(w) − ln p̂_r(w)], add-1 smoothed over the shared
+    * vocabulary. The weight is the draw-rate multiplier a mixer uses
+    * to importance-resample raw data toward a target domain —
+    * positive = target-like, negative = out-of-domain; mix_sources /
+    * mix_temperature consume exactly this column.
+    *
+    * Shape: the unigram model is ONE token-level groupBy persisted
+    * (vocabulary-bounded — the dedup inverted-index discipline), its
+    * totals a 1-row broadcast; scoring re-explodes the corpus and
+    * equi-joins token counts — two pruned document scans, no
+    * all-pairs, no global sort. Each token term is ONE double
+    * product per side, one IEEE division, one ln (double conversion
+    * BEFORE the product: (ct+1)·(Nr+V) overflows bigint at extreme
+    * corpus sizes — the cramers_v discipline); the per-doc sum is a
+    * STRICT position-ordered sequential fold (aggregate HOF ↔
+    * list_reduce ORDER BY pos — CLAUDE.md FP fold discipline) ⇒ ln
+    * ulp class under round(4), full hash gate. */
+  def mixDsir(spark: SparkSession, dir: String): DataFrame =
+    dsirOf(Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"),
+        (col("lang") === DsirTargetLang).as("is_t")))
+
+  /** Core over any (doc_id, text, is_t) frame. */
+  def dsirOf(docs: DataFrame): DataFrame = {
+    def toks =
+      docs.select(col("doc_id"), col("is_t"),
+        posexplode(split(col("text"), "\\s+")).as(Seq("pos", "w")))
+    val model = toks.groupBy(col("w"))
+      .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+      .persist()
+    val tot = model.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"),
+      count(lit(1)).as("v"))
+    val term = log(
+      ((col("ct") + lit(1L)).cast("double") * (col("nr") + col("v"))) /
+        ((col("cr") + lit(1L)).cast("double") * (col("nt") + col("v"))))
+    toks.join(model, Seq("w")).crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("pos"), term.as("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sort_array(collect_list(struct(col("pos"), col("term"))))
+          .as("terms"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(aggregate(transform(col("terms"), s => s.getField("term")),
+          lit(0.0), (acc, x) => acc + x), 4).as("dsir_logratio"))
+      .orderBy(col("doc_id"))
+  }
 }

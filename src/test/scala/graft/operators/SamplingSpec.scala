@@ -560,4 +560,38 @@ class SamplingSpec extends SparkSuite {
     byS.getOrElse("embargo", Array.empty[Long]).foreach { e =>
       assert(e > maxTrain && e < minTest) }
   }
+
+  test("mix_dsir: target-only vocabulary scores positive, raw-only " +
+    "negative; exact add-1 recompute (hand fixture)") {
+    val s = spark; import s.implicits._
+    // target docs say "aa", raw-only docs say "bb": ct(aa)=2,cr(aa)=2;
+    // ct(bb)=0,cr(bb)=2; Nt=2, Nr=4, V=2.
+    val docs = Seq(
+      (1L, "aa aa", true), (2L, "bb bb", false)
+    ).toDF("doc_id", "text", "is_t")
+    val got = Sampling.dsirOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def term(ct: Long, cr: Long) =
+      math.log(((ct + 1).toDouble * (4 + 2)) / ((cr + 1).toDouble * (2 + 2)))
+    def rd(x: Double) = math.rint(x * 1e4) / 1e4
+    assert(got(1L)._1 == 2L && got(2L)._1 == 2L)
+    assert(got(1L)._2 == rd(2 * term(2, 2)) && got(1L)._2 > 0)
+    assert(got(2L)._2 == rd(2 * term(0, 2)) && got(2L)._2 < 0)
+  }
+
+  test("mix_dsir at sf0.001: target slice scores higher on average " +
+    "than the rest") {
+    val d = graft.Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("lang"))
+    val scored = Sampling.mixDsir(spark, sfDir)
+      .join(d, "doc_id").collect()
+    assert(scored.nonEmpty)
+    val (t, r) = scored.partition(
+      _.getAs[String]("lang") == Sampling.DsirTargetLang)
+    def mean(a: Array[org.apache.spark.sql.Row]) =
+      a.map(_.getAs[Double]("dsir_logratio")).sum / a.length
+    assert(t.nonEmpty && r.nonEmpty)
+    assert(mean(t) > mean(r),
+      s"target mean ${mean(t)} !> raw mean ${mean(r)}")
+  }
 }
