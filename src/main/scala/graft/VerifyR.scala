@@ -9,8 +9,8 @@ import org.apache.spark.sql.functions._
 import graft.functions.{HashFunctions => H, VectorFunctions}
 import graft.operators.{Cluster, Dedup, Graph, Relational, Similarity}
 
-/** Machine-auditable verdicts for the 9 `[R]` registry entries — the
-  * sketch/LSH/FP-iteration queries the DuckDB oracle cannot hash-gate
+/** Machine-auditable verdicts for the 11 `[R]` registry entries — the
+  * sketch/LSH/FP-iteration/BPE queries the DuckDB oracle cannot hash-gate
   * (SURVEY §5). Each gets the SAME property contracts its ScalaTest
   * spec enforces (ApproxSpec / DedupSpec / SimilaritySpec /
   * ClusterSpec / StreamsSpec), evaluated against the given sf dir and
@@ -304,10 +304,71 @@ object VerifyR {
           if (equal) 1.0 else 0.0, "== 1 (map equality)", equal))
     }
 
+    // ---- bpe_train: ranks consecutive, merge counts non-increasing
+    // (a BPE invariant: no pair's count ever grows, and a new pair
+    // (ab, c)'s count is bounded by pre-merge (b, c) ≤ the chosen
+    // best), every vocab word reconstructs, weighted piece mass
+    // strictly compresses vs chars and is monotone in the merge
+    // prefix.
+    {
+      import graft.functions.{BpeQueries => B}
+      val merges = B.bpeTrain(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3)))
+      val ranksOk = merges.map(_._1).toSeq == (1L to merges.length).toSeq
+      val nonInc = merges.map(_._4).sliding(2).forall {
+        case Array(a, b) => b <= a; case _ => true }
+      val vocab = B.vocabHead(spark, sfDir).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val table = merges.map(m => (m._2, m._3)).toSeq
+      val recon = vocab.forall { case (w, _) =>
+        B.encode(w, table).mkString == w + B.EndMark }
+      def mass(k: Int) = vocab.map { case (w, c) =>
+        B.encode(w, table.take(k)).length.toLong * c }.sum
+      val (m0, mHalf, mAll) =
+        (mass(0), mass(table.length / 2), mass(table.length))
+      results("bpe_train") = Seq(
+        Prop("ranks_consecutive", if (ranksOk) 1.0 else 0.0, "== 1",
+          ranksOk),
+        Prop("merge_counts_non_increasing", if (nonInc) 1.0 else 0.0,
+          "== 1", nonInc),
+        Prop("vocab_reconstructs", if (recon) 1.0 else 0.0, "== 1", recon),
+        Prop("compression_monotone",
+          if (mAll < m0 && mAll <= mHalf && mHalf <= m0) 1.0 else 0.0,
+          "== 1 (mass(K) < mass(0), monotone)",
+          mAll < m0 && mAll <= mHalf && mHalf <= m0))
+    }
+
+    // ---- bpe_apply: exact map-equality vs a driver-side re-encode
+    // of every distinct word, plus per-doc piece bounds
+    // (tokens ≤ pieces ≤ chars + tokens).
+    {
+      import graft.functions.{BpeQueries => B}
+      val table = B.trainedMerges(spark, sfDir).map(m => (m._1, m._2))
+      val docs = Tables(spark, sfDir).documents
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+      val expected = docs.map { case (id, text) =>
+        val ws = text.split("\\s+").toSeq
+        id -> (ws.length.toLong,
+          ws.map(w => B.encode(w, table).length.toLong).sum)
+      }.toMap
+      val got = B.bpeApply(spark, sfDir).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val equal = got == expected
+      val bounds = got.forall { case (_, (t, p)) => t <= p }
+      results("bpe_apply") = Seq(
+        Prop("equals_driver_reencode", if (equal) 1.0 else 0.0,
+          "== 1 (map equality)", equal),
+        Prop("pieces_at_least_tokens", if (bounds) 1.0 else 0.0,
+          "== 1", bounds))
+    }
+
     // ---- double-run determinism for every [R] entry
     val rNames = Seq("q23_approx_percentiles", "q12_approx_distinct",
       "dedup_minhash_lsh", "dedup_simhash", "stream_neardup", "ann_lsh",
-      "embed_cluster", "embed_pca", "graph_kcore")
+      "embed_cluster", "embed_pca", "graph_kcore", "bpe_train",
+      "bpe_apply")
     val doubleRun = rNames.map(n => n -> doubleRunEqual(spark, sfDir, n)).toMap
 
     def jn(d: Double): String =

@@ -70,6 +70,16 @@ class PlanContractSpec extends SparkSuite {
   //    crossJoin-broadcast into the two bucket projections.
   //  - sample_time_split: same 1-row shape — the quantile-cutoff row
   //    crossJoin-broadcast into the assignment projection.
+  //  - graph_assortativity: the five correlation sums collapse to a
+  //    1-row frame before the final Pearson assembly crossJoin.
+  //  - events_survival: the 1-row corpus-max censor time crossJoined
+  //    into the per-subject duration projection.
+  //  - cdc_merge: the 1-row integer-midpoint row crossJoined into the
+  //    snapshot-side filter.
+  //  - table_psi: the 1-row min/max stats frame crossJoined into the
+  //    binning pass and the static 20-row grid.
+  //  - mix_dsir: the 1-row model-totals frame crossJoined into the
+  //    token scoring join.
   private val boundedBroadcastOk =
     Set("ann_bruteforce", "q14_scalar_subquery", "text_tfidf",
       "text_typicality", "corpus_stats", "text_bm25", "stream_bm25",
@@ -77,7 +87,9 @@ class PlanContractSpec extends SparkSuite {
       "stream_rfm", "orders_pareto", "text_collocations",
       "stream_hitters", "table_entropy", "embed_mmr", "table_fds",
       "ann_recall_eval", "sample_negatives", "table_ks",
-      "decontaminate_semantic", "corpus_heaps", "sample_time_split")
+      "decontaminate_semantic", "corpus_heaps", "sample_time_split",
+      "graph_assortativity", "events_survival", "cdc_merge",
+      "table_psi", "mix_dsir")
 
   test("no query plans a cartesian or unbounded nested-loop join") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
