@@ -5378,6 +5378,9 @@ object Oracles {
     // fold emits exactly the lead() window's gap set — same SQL as
     // B's events_interarrival.
     "stream_interarrival" -> relational("events_interarrival"),
+    // G32 batch mode shares B's events_markov oracle: the stateful
+    // per-user pair fold scored by the same read stage.
+    "stream_markov" -> relational("events_markov"),
     // G31 online daily counters + lag autocorr: UTC 1-day windows ==
     // `ep div 86400`, the lag-OLS read stage is shared — same SQL.
     "stream_autocorr" -> relational("events_autocorr"),

@@ -1000,16 +1000,22 @@ object Lifecycle {
   def markovOf(e: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ep"), col("event_id"))
-    e.withColumn("to_type", lead(col("event_type"), 1).over(w))
+    markovAggOf(e
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
       .filter(col("to_type").isNotNull)
-      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .select(col("event_type").as("from_type"), col("to_type")))
+  }
+
+  /** Shared read stage over a (from_type, to_type) transition frame —
+    * also scored by the stream_markov twin's stateful pair stage. */
+  def markovAggOf(pairs: DataFrame): DataFrame =
+    pairs.groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n"))
       .withColumn("n_from",
         sum(col("n")).over(Window.partitionBy(col("from_type"))))
       .select(col("from_type"), col("to_type"), col("n"),
         round(col("n") / col("n_from"), 4).as("p_next"))
       .orderBy(col("from_type"), col("to_type"))
-  }
 
   /** B: Kaplan-Meier survival curve of signup→purchase conversion
     * time — the right-censored time-to-event estimate a plain

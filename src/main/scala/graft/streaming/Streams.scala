@@ -1866,6 +1866,68 @@ object Streams {
       .orderBy(col("event_type"))
   }
 
+  // ----- G32: online transition pairs (events_markov twin) ----------
+
+  final case class TrEv(user_id: Long, event_id: Long,
+      event_type: String, ep: Long)
+  /** One (ep, event_id, type) last-event triple per live user — the
+    * whole per-key state (public: streaming state encoder). */
+  final case class TrAcc(ep: Long, eventId: Long, eventType: String)
+  final case class TrOut(from_type: String, to_type: String)
+
+  /** Shared batch/stream fold: each arriving event closes one
+    * transition from the last-seen event and becomes the new state. */
+  def trFold(evs: Seq[TrEv], st: Option[TrAcc])
+      : (Vector[TrOut], Option[TrAcc]) = {
+    var last = st
+    val out = Vector.newBuilder[TrOut]
+    evs.foreach { e =>
+      last.foreach(l => out += TrOut(l.eventType, e.event_type))
+      last = Some(TrAcc(e.ep, e.event_id, e.event_type))
+    }
+    (out.result(), last)
+  }
+
+  /** G32 stateful stage: state is ONE last-event triple per live
+    * user; every arrival emits exactly one transition (or none for
+    * the user's first event). */
+  def trFn(key: Long, evs: Iterator[TrEv],
+      state: GroupState[TrAcc]): Iterator[TrOut] = {
+    val sorted = evs.toVector.sortBy(e => (e.ep, e.event_id))
+    if (sorted.isEmpty) return Iterator.empty
+    val (out, acc) = trFold(sorted, state.getOption)
+    acc.foreach(state.update)
+    out.iterator
+  }
+
+  /** G32 streaming stage (spec-driven). */
+  def trStateful(evs: Dataset[TrEv]): DataFrame = {
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(trFn)
+      .toDF()
+  }
+
+  /** G32 batch entry: the stateful pair fold scored by the SAME
+    * read stage as B's events_markov — identical output, same SQL
+    * oracle. The matrix aggregate runs on read over the transition
+    * log, never inside the stream. */
+  def streamMarkov(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        Tables.tsNsToSec("ts").as("ep"))
+      .as[TrEv]
+      .groupByKey(_.user_id)
+      .flatMapGroups { (_: Long, it: Iterator[TrEv]) =>
+        trFold(it.toVector.sortBy(e => (e.ep, e.event_id)), None)
+          ._1.iterator
+      }
+      .toDF()
+    graft.operators.Lifecycle.markovAggOf(pairs)
+  }
+
   // ----- G31: online daily counters + lag autocorr (events_autocorr
   // twin) ------------------------------------------------------------
 

@@ -1541,6 +1541,47 @@ class StreamsSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("batch stream_markov equals the lead-window events_markov") {
+    val got = Streams.streamMarkov(spark, sfDir).collect().toSeq
+    val batch = graft.operators.Lifecycle.eventsMarkov(spark, sfDir)
+      .collect().toSeq
+    assert(got.map(_.toString) === batch.map(_.toString),
+      "stateful pair fold (batch mode) must equal the window form")
+  }
+
+  test("streaming markov: transitions close across batches and equal " +
+      "the lead-window pair multiset") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    val evs = graft.Tables(spark, sfDir).events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        graft.Tables.tsNsToSec("ts").as("ep"))
+      .as[Streams.TrEv].collect()
+    val expected = evs.groupBy(_.user_id).toSeq
+      .flatMap { case (_, run) =>
+        val sorted = run.sortBy(e => (e.ep, e.event_id))
+        sorted.zip(sorted.tail).map { case (a, b) =>
+          (a.event_type, b.event_type) }
+      }.groupBy(identity).view.mapValues(_.size).toMap
+    val stream = MemoryStream[Streams.TrEv]
+    val query = Streams.trStateful(stream.toDS())
+      .writeStream.format("memory").queryName("transitions")
+      .outputMode("append").start()
+    try {
+      // ep-ordered replay in 4 batches: consecutive events straddle
+      // batch boundaries, so the last-event state must carry
+      evs.sortBy(e => (e.ep, e.event_id))
+        .grouped(math.max(1, evs.length / 4)).foreach { b =>
+          stream.addData(b.toSeq); query.processAllAvailable()
+        }
+      val got = s.table("transitions").as[Streams.TrOut].collect()
+        .map(t => (t.from_type, t.to_type))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(got === expected,
+        "streamed transition multiset must equal the lead-window pairs")
+    } finally query.stop()
+  }
+
   test("batch stream_autocorr equals events_autocorr") {
     val got = Streams.streamAutocorr(spark, sfDir).collect().toSeq
     val batch = graft.operators.Lifecycle.eventsAutocorr(spark, sfDir)
