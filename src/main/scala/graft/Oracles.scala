@@ -1996,6 +1996,37 @@ object Oracles {
         |  END AS assortativity
         |FROM s, n""".stripMargin,
 
+    // B k-hop reach (Graph.graphKhop): fixed depth ⇒ three unrolled
+    // distinct-join CTE stages (no recursion — the one-definition
+    // discipline); pure set-distinct integer algebra ⇒ full hash
+    // gate. SELECT DISTINCT ... FROM (UNION ALL) form per CLAUDE.md.
+    "graph_khop" -> {
+      val k = graft.operators.Graph.KhopSources
+      s"""WITH li AS (SELECT l_orderkey AS k, l_partkey AS p FROM lineitem),
+         |und AS MATERIALIZED (SELECT DISTINCT a.p AS src, b.p AS dst
+         |        FROM li a JOIN li b ON a.k = b.k AND a.p < b.p),
+         |adj AS MATERIALIZED (
+         |  SELECT src, dst FROM und
+         |  UNION ALL SELECT dst, src FROM und),
+         |srcs AS (SELECT DISTINCT src AS s FROM adj ORDER BY s LIMIT $k),
+         |r0 AS (SELECT s, s AS v FROM srcs),
+         |r1 AS MATERIALIZED (SELECT DISTINCT s, v FROM (
+         |  SELECT r.s, a.dst AS v FROM r0 r JOIN adj a ON r.v = a.src
+         |  UNION ALL SELECT s, v FROM r0)),
+         |r2 AS MATERIALIZED (SELECT DISTINCT s, v FROM (
+         |  SELECT r.s, a.dst AS v FROM r1 r JOIN adj a ON r.v = a.src
+         |  UNION ALL SELECT s, v FROM r1)),
+         |r3 AS MATERIALIZED (SELECT DISTINCT s, v FROM (
+         |  SELECT r.s, a.dst AS v FROM r2 r JOIN adj a ON r.v = a.src
+         |  UNION ALL SELECT s, v FROM r2)),
+         |c1 AS (SELECT s, count(*)::bigint - 1 AS n_1hop FROM r1 GROUP BY s),
+         |c2 AS (SELECT s, count(*)::bigint - 1 AS n_2hop FROM r2 GROUP BY s),
+         |c3 AS (SELECT s, count(*)::bigint - 1 AS n_3hop FROM r3 GROUP BY s)
+         |SELECT s AS source, n_1hop, n_2hop, n_3hop
+         |FROM c1 JOIN c2 USING (s) JOIN c3 USING (s)
+         |ORDER BY source""".stripMargin
+    },
+
     // Link prediction: wedges fan out from capped-degree centers
     // only (constants single-sourced from Graph.Link*/RaScale); the
     // RA score is an order-free integer sum (// = integral div), the

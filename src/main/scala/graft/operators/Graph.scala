@@ -643,4 +643,65 @@ object Graph {
         when(vu > 0.0 && vv > 0.0,
           round(covn / (sqrt(vu) * sqrt(vv)), 6)).as("assortativity"))
   }
+
+  /** Number of pinned BFS sources for [[graphKhop]] (single-sourced
+    * into the oracle). */
+  val KhopSources = 10
+
+  /** B: k-hop neighborhood expansion (k = 1..3) from the
+    * [[KhopSources]] smallest part ids of the co-purchase graph —
+    * per source the CUMULATIVE reach at each depth, the
+    * influence/blast-radius read ("how much of the catalog is within
+    * 3 recommendation hops") and the expansion-rate profile that
+    * sizes any message-passing operator's frontier. Exactly the
+    * neighborhood-growth numbers a closeness estimate samples.
+    *
+    * Scale shape: depth is FIXED (k = 3), so the whole query is
+    * three unrolled distinct-equi-join rounds — no recursion, no
+    * driver loop, and the DuckDB oracle is the same three CTE stages
+    * (the graph_pagerank one-definition discipline, minus the
+    * fixed-point algebra: everything here is set-distinct integer).
+    * Frontier frames are persisted (each feeds the next round AND
+    * its own count — Catalyst no-subtree-dedup); every round is
+    * shuffle-on-natural-key; reach is bounded by 10·|V| rows. The
+    * pinned-source set is an orderBy-limit on the node frame
+    * (TakeOrderedAndProject, no global sort). */
+  def graphKhop(spark: SparkSession, dir: String): DataFrame =
+    khopOf(Tables(spark, dir).lineitem
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("p")))
+
+  /** Core over any (k, p) membership frame. */
+  def khopOf(li: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val a = li.select(col("k"), col("p").as("src"))
+    val b = li.select(col("k"), col("p").as("dst"))
+    val und = a.join(b, "k").filter(col("src") < col("dst"))
+      .select("src", "dst").distinct()
+    val adj = und.unionAll(
+        und.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sources = adj.select(col("src").as("s")).distinct()
+      .orderBy(col("s")).limit(KhopSources)
+      .select(col("s"))
+    // reach frames INCLUDE the source itself (depth-0 seed keeps the
+    // expansion uniform); counts subtract the self row.
+    def expand(r: DataFrame): DataFrame = r
+      .join(adj, r("v") === adj("src"))
+      .select(col("s"), col("dst").as("v"))
+      .unionAll(r)
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val r0 = sources.select(col("s"), col("s").as("v"))
+    val r1 = expand(r0)
+    val r2 = expand(r1)
+    val r3 = expand(r2)
+    def cnt(r: DataFrame, name: String): DataFrame =
+      r.groupBy(col("s")).agg((count(lit(1)) - 1L).as(name))
+    cnt(r1, "n_1hop")
+      .join(cnt(r2, "n_2hop"), Seq("s"))
+      .join(cnt(r3, "n_3hop"), Seq("s"))
+      .select(col("s").as("source"), col("n_1hop"), col("n_2hop"),
+        col("n_3hop"))
+      .orderBy(col("source"))
+  }
 }

@@ -198,4 +198,31 @@ class GraphSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(r1.toSeq == r2.toSeq, "kcore must be deterministic")
   }
+
+  test("khop reach on a path graph counts exact BFS balls " +
+    "(hand fixture)") {
+    val s = spark; import s.implicits._
+    // path 1-2-3-4-5 via pairwise memberships
+    val li = Seq((10L, 1L), (10L, 2L), (20L, 2L), (20L, 3L),
+      (30L, 3L), (30L, 4L), (40L, 4L), (40L, 5L)).toDF("k", "p")
+    val got = Graph.khopOf(li).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(got(1L) == ((1L, 2L, 3L)))  // 2 | +3 | +4
+    assert(got(2L) == ((2L, 3L, 4L)))  // 1,3 | +4 | +5
+    assert(got(3L) == ((2L, 4L, 4L)))  // 2,4 | +1,5 | saturated
+    assert(got(5L) == ((1L, 2L, 3L)))
+  }
+
+  test("khop at sf0.001: reach is monotone in depth and bounded " +
+    "by the node count") {
+    val rows = Graph.graphKhop(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == Graph.KhopSources ||
+      (rows.length < Graph.KhopSources && rows.nonEmpty))
+    rows.foreach { case (src, n1, n2, n3) =>
+      assert(n1 >= 1, s"source $src has an edge by construction")
+      assert(n1 <= n2 && n2 <= n3, s"reach not monotone at $src")
+    }
+  }
 }
