@@ -1535,6 +1535,22 @@ object Oracles {
          |ORDER BY col_x, col_y""".stripMargin
     },
 
+    // H candidate keys (Profile.tableKeys): one distinct-count
+    // branch per candidate set, pure integer algebra ⇒ full hash.
+    "table_keys" -> {
+      val blocks = graft.operators.Profile.KeyCandidates.map { cols =>
+        val cl = cols.mkString(", ")
+        s"""SELECT '${cols.mkString(",")}' AS candidate,
+           |  count(*)::bigint AS n_rows,
+           |  count(DISTINCT ($cl))::bigint AS n_distinct,
+           |  count(*)::bigint - count(DISTINCT ($cl))::bigint
+           |    AS n_dup_rows,
+           |  count(*) = count(DISTINCT ($cl)) AS is_key
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"$blocks\nORDER BY candidate"
+    },
+
     // H PSI drift (Profile.tablePsi): pure integer fixed-width
     // binning off global min/max, Laplace shares = one IEEE division
     // each, RUNNING ordered psi sum (sequential fold both engines);

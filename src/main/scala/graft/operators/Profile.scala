@@ -960,6 +960,41 @@ object Profile {
       .orderBy(col("col_x"), col("col_y"))
   }
 
+  /** Candidate key column sets probed by [[tableKeys]]
+    * (single-sourced into the oracle). */
+  val KeyCandidates: Seq[Seq[String]] = Seq(
+    Seq("l_orderkey"),
+    Seq("l_partkey"),
+    Seq("l_orderkey", "l_linenumber"),
+    Seq("l_orderkey", "l_partkey", "l_suppkey"))
+
+  /** H: candidate-key discovery — for each probed column set of
+    * lineitem: rows, distinct combinations, duplicate rows and the
+    * is-key verdict. The uniqueness direction table_fds' determinism
+    * scan doesn't answer ("can this column set BE the primary key"),
+    * run before choosing a merge/upsert key (cdc_merge) or a
+    * bucketing column. Finds the real composite key
+    * (orderkey, linenumber) and rejects the near-keys.
+    *
+    * Shape: one column-pruned scan + two-phase distinct-count
+    * aggregate PER candidate (the table_profile
+    * branch-per-candidate discipline — never one wide Expand-plan
+    * agg), unioned; pure integer algebra ⇒ full hash gate. */
+  def tableKeys(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    KeyCandidates.map { cols =>
+      t.lineitem.select(cols.map(col).toIndexedSeq: _*)
+        .agg(count(lit(1)).as("n_rows"),
+          count_distinct(struct(cols.map(col).toIndexedSeq: _*))
+            .as("n_distinct"))
+        .select(lit(cols.mkString(",")).as("candidate"),
+          col("n_rows"), col("n_distinct"),
+          (col("n_rows") - col("n_distinct")).as("n_dup_rows"),
+          (col("n_rows") === col("n_distinct")).as("is_key"))
+    }.reduce(_ unionAll _)
+      .orderBy(col("candidate"))
+  }
+
   /** One mutual-information row for columns (a, b) of `src`. */
   def mutualInfoOf(src: DataFrame, a: String, b: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -491,6 +491,24 @@ class ProfileSpec extends SparkSuite {
     assert(gotInd.getDouble(5) == 0.0)
   }
 
+  test("table_keys: verdicts and dup counts per candidate at sf0.001; " +
+    "superset candidates never lose distinctness") {
+    val got = Profile.tableKeys(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toMap
+    assert(got.size == Profile.KeyCandidates.length)
+    got.values.foreach { case (n, d, dup, isKey) =>
+      assert(dup == n - d)
+      assert(isKey == (dup == 0L))
+    }
+    // l_orderkey ⊂ (l_orderkey, l_linenumber): distinctness monotone
+    assert(got("l_orderkey")._2 <= got("l_orderkey,l_linenumber")._2)
+    // driver recompute of the single-column candidate
+    val exact = graft.Tables(spark, sfDir).lineitem
+      .select(col("l_orderkey")).distinct().count()
+    assert(got("l_orderkey")._2 == exact)
+  }
+
   test("table_mutual_info at sf0.001: MI ≥ 0, NMI ∈ [0,1]") {
     val rows = Profile.tableMutualInfo(spark, sfDir).collect()
     assert(rows.length == Profile.CramersPairs.length)
