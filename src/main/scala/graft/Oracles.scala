@@ -1212,6 +1212,36 @@ object Oracles {
         |  max_gap_s
         |FROM a ORDER BY event_type""".stripMargin,
 
+    // B burstiness (Lifecycle.eventsBurstiness): order-free integer
+    // sums; μ/σ/B assembled in mirrored double expressions with one
+    // cast per operand side (events_trend discipline), sqrt
+    // IEEE-exact ⇒ full hash gate.
+    "events_burstiness" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch(date_trunc('second', ts))::bigint AS ep
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type,
+        |    lead(ep) OVER (PARTITION BY user_id, event_type
+        |                   ORDER BY ep, event_id) - ep AS gap
+        |  FROM ev),
+        |a AS (
+        |  SELECT event_type, count(*)::bigint AS n,
+        |    sum(gap)::bigint AS sg, sum(gap * gap)::bigint AS sgg
+        |  FROM g WHERE gap IS NOT NULL GROUP BY event_type),
+        |f AS (SELECT * FROM a WHERE n >= 2)
+        |SELECT event_type, n AS n_gaps,
+        |  round(sg::double / n::double, 4) AS mean_gap_s,
+        |  round(sqrt((n::double * sgg::double - sg::double * sg::double)
+        |    / (n::double * n::double)), 4) AS sd_gap_s,
+        |  round((sqrt((n::double * sgg::double - sg::double * sg::double)
+        |      / (n::double * n::double)) - sg::double / n::double) /
+        |    (sqrt((n::double * sgg::double - sg::double * sg::double)
+        |      / (n::double * n::double)) + sg::double / n::double), 6)
+        |    AS burstiness
+        |FROM f ORDER BY event_type""".stripMargin,
+
     // B first-order Markov transition matrix (Lifecycle
     // .eventsMarkov): adjacency from one per-user lead over the
     // unique (ep, event_id) total order; bigint counts; ONE

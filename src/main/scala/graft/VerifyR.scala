@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{HashFunctions => H, VectorFunctions}
 import graft.operators.{Cluster, Dedup, Graph, Relational, Similarity}
 
-/** Machine-auditable verdicts for the 11 `[R]` registry entries — the
+/** Machine-auditable verdicts for the 12 `[R]` registry entries — the
   * sketch/LSH/FP-iteration/BPE queries the DuckDB oracle cannot hash-gate
   * (SURVEY §5). Each gets the SAME property contracts its ScalaTest
   * spec enforces (ApproxSpec / DedupSpec / SimilaritySpec /
@@ -364,11 +364,59 @@ object VerifyR {
           "== 1", bounds))
     }
 
+    // ---- pack_bestfit: exact equality vs a driver BFD recompute,
+    // capacity, the fit property (≤ 1 half-empty bin per shard), and
+    // the token-mass lower bound on bin counts.
+    {
+      import graft.operators.{Sampling => S}
+      val got = S.packBestfit(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      val assigns = got.map(x => x._1 -> (x._2, x._3, x._4, x._5)).toMap
+      // independent driver recompute from raw text: tokens, shard
+      // dial, per-(source, shard) BFD
+      val raw = Tables(spark, sfDir).documents
+        .select(col("doc_id"), col("source"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          "\\S+".r.findAllMatchIn(r.getString(2)).length.toLong))
+        .filter(_._3 <= S.PackBudget)
+      val nShards = math.max(1L, raw.length.toLong / S.PackShardTarget)
+      val expected = raw.groupBy(d => (d._2, d._1 % nShards)).flatMap {
+        case ((src, sh), docs) =>
+          S.bestFitDecreasing(docs.map(d => (d._1, d._3)).toSeq,
+            S.PackBudget).map { case (id, bin) =>
+            id -> (src, sh, bin, docs.find(_._1 == id).get._3) }
+      }
+      val equal = assigns == expected
+      val binFills = got.groupBy(x => (x._2, x._3, x._4))
+        .map { case (k, docs) => k -> docs.map(_._5).sum }
+      val capOk = binFills.values.forall(_ <= S.PackBudget)
+      val fitOk = binFills.toSeq.groupBy { case ((s, sh, _), _) => (s, sh) }
+        .forall { case (_, bins) =>
+          bins.count(_._2 < S.PackBudget / 2) <= 1 }
+      val lowerOk = got.groupBy(x => (x._2, x._3)).forall {
+        case (k, docs) =>
+          val bins = docs.map(_._4).distinct.length.toLong
+          val minBins = (docs.map(_._5).sum + S.PackBudget - 1) /
+            S.PackBudget
+          bins >= minBins
+      }
+      results("pack_bestfit") = Seq(
+        Prop("equals_driver_bfd", if (equal) 1.0 else 0.0,
+          "== 1 (map equality)", equal),
+        Prop("bins_within_budget", if (capOk) 1.0 else 0.0, "== 1",
+          capOk),
+        Prop("at_most_one_half_empty_bin_per_shard",
+          if (fitOk) 1.0 else 0.0, "== 1", fitOk),
+        Prop("bin_count_meets_token_mass_bound",
+          if (lowerOk) 1.0 else 0.0, "== 1", lowerOk))
+    }
+
     // ---- double-run determinism for every [R] entry
     val rNames = Seq("q23_approx_percentiles", "q12_approx_distinct",
       "dedup_minhash_lsh", "dedup_simhash", "stream_neardup", "ann_lsh",
       "embed_cluster", "embed_pca", "graph_kcore", "bpe_train",
-      "bpe_apply")
+      "bpe_apply", "pack_bestfit")
     val doubleRun = rNames.map(n => n -> doubleRunEqual(spark, sfDir, n)).toMap
 
     def jn(d: Double): String =

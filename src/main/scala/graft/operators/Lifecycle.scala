@@ -975,6 +975,49 @@ object Lifecycle {
       .orderBy(col("event_type"))
   }
 
+  /** B: burstiness of per-user inter-arrival gaps per event type —
+    * Goh & Barabási's B = (σ−μ)/(σ+μ) ∈ (−1, 1): B → 1 bursty
+    * (heavy-tailed gaps — retry storms, scraper bursts), B ≈ 0
+    * Poisson, B → −1 periodic (cron-like). The one-number shape
+    * read over the SAME gap set events_interarrival summarizes by
+    * quantiles — together they decide whether a sessionize timeout
+    * can be a constant or needs a per-type dial.
+    *
+    * Exactness: n, Σgap, Σgap² are order-free integer aggregates
+    * (gap ≤ corpus span ~10⁷ s ⇒ Σgap² < 10¹⁴·n, bigint-safe to
+    * extreme scales); μ, σ², σ and B are single mirrored double
+    * expressions with one cast per operand side (the events_trend
+    * rational-assembly discipline), sqrt IEEE-exact ⇒ full hash
+    * gate. Zero-variance types (σ = 0 ⇒ B = −1 exactly) and n < 2
+    * types filter identically in both engines. */
+  def eventsBurstiness(spark: SparkSession, dir: String): DataFrame =
+    burstinessOf(Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        Tables.tsNsToSec("ts").as("ep")))
+
+  /** Core over any (user_id, event_id, event_type, ep) frame. */
+  def burstinessOf(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ep"), col("event_id"))
+    val s = e.withColumn("gap", lead(col("ep"), 1).over(w) - col("ep"))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("gap")).as("sg"),
+        sum(col("gap") * col("gap")).as("sgg"))
+      .filter(col("n") >= 2)
+    val nd = col("n").cast("double")
+    val mu = col("sg").cast("double") / nd
+    // population variance: (n·Σx² − (Σx)²) / n²
+    val varp = (nd * col("sgg").cast("double") -
+      col("sg").cast("double") * col("sg").cast("double")) / (nd * nd)
+    val sd = sqrt(varp)
+    s.select(col("event_type"), col("n").as("n_gaps"),
+        round(mu, 4).as("mean_gap_s"),
+        round(sd, 4).as("sd_gap_s"),
+        round((sd - mu) / (sd + mu), 6).as("burstiness"))
+      .orderBy(col("event_type"))
+  }
+
   /** B: first-order Markov transition matrix over per-user event
     * streams — P(next event type | current type) with transition
     * counts. (Reference surface: JobX users chain a map step keying

@@ -728,6 +728,87 @@ object Sampling {
     * distribution (single-sourced into the oracle). */
   val DsirTargetLang = "en"
 
+  /** Docs per packing shard for [[packBestfit]] — bins never cross a
+    * shard, so per-shard state is bounded at any corpus size. */
+  val PackShardTarget = 2048L
+
+  /** One packed document row (public: Dataset encoder). */
+  final case class PackedDoc(doc_id: Long, source: String, shard: Long,
+      bin_id: Long, n_tokens: Long)
+
+  /** Best-fit-decreasing bin packing of (doc_id, n_tokens) items into
+    * capacity-`budget` bins — deterministic: items descend by
+    * (n_tokens, doc_id asc), each goes to the TIGHTEST bin that fits
+    * (tie → lowest bin id), else opens a new bin. Shared by the
+    * distributed shard pack and VerifyR's driver recompute. */
+  def bestFitDecreasing(items: Seq[(Long, Long)], budget: Long)
+      : Seq[(Long, Long)] = {
+    val sorted = items.sortBy { case (id, n) => (-n, id) }
+    val remaining = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val out = Seq.newBuilder[(Long, Long)]
+    sorted.foreach { case (id, n) =>
+      var best = -1
+      var bestRem = Long.MaxValue
+      var i = 0
+      while (i < remaining.length) {
+        val r = remaining(i)
+        if (r >= n && r < bestRem) { best = i; bestRem = r }
+        i += 1
+      }
+      if (best < 0) { remaining += (budget - n); best = remaining.length - 1 }
+      else remaining(best) -= n
+      out += ((id, best.toLong))
+    }
+    out.result()
+  }
+
+  /** J: best-fit-decreasing sequence packing — documents placed WHOLE
+    * into fixed-budget bins (the BERT-style "packing without
+    * splitting" of Krell et al. '21; [[packSequences]] is the
+    * GPT-style contiguous-split half). Emits each doc's
+    * (source, shard, bin) assignment; bins are the training
+    * sequences, padding = budget − bin fill.
+    *
+    * Scale shape: packing state is bounded by SHARDING, not by the
+    * corpus — docs land in n div [[PackShardTarget]] deterministic
+    * shards (pmod of doc_id; the scaled in-query dial, CLAUDE.md
+    * bucket-count lesson) and bins never cross a shard, so each
+    * group fold holds ~2048 docs regardless of corpus size; the
+    * waste vs unsharded packing is at most one under-filled bin per
+    * shard. Oversize docs (> budget) are excluded — they belong to
+    * the splitting form. BFD itself is genuine per-shard imperative
+    * logic (mapGroups, the sanctioned tier); not SQL-expressible ⇒
+    * rows-only [R] gate: CORRECTNESS_R pins exact map-equality vs a
+    * driver BFD recompute, capacity, the ≤-one-half-empty-bin-per-
+    * shard fit property and the token-mass lower bound, plus
+    * double-run hash. */
+  def packBestfit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = graft.functions.TextFunctions.wsTokenCount(col("text"))
+    val d = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"), n.cast("long").as("n_tokens"))
+      .filter(col("n_tokens") <= PackBudget)
+    val nSh = d.agg(greatest(lit(1L),
+      expr(s"count(1) div $PackShardTarget")).as("n_shards"))
+    d.crossJoin(broadcast(nSh))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        pmod(col("doc_id"), col("n_shards")).as("shard"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey { case (_, source, _, shard) => (source, shard) }
+      .flatMapGroups { (key: (String, Long),
+          it: Iterator[(Long, String, Long, Long)]) =>
+        val (source, shard) = key
+        val docs = it.toVector
+        val toks = docs.map { case (id, _, n0, _) => id -> n0 }.toMap
+        bestFitDecreasing(docs.map { case (id, _, n0, _) => (id, n0) },
+          PackBudget).iterator.map { case (id, bin) =>
+          PackedDoc(id, source, shard, bin, toks(id))
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
   /** J: DSIR importance weights (Xie et al. '23, Data Selection with
     * Importance Resampling) — score every document by how much more
     * likely its unigrams are under the TARGET distribution (the 'en'

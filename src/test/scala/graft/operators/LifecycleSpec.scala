@@ -554,6 +554,31 @@ class LifecycleSpec extends SparkSuite {
     assert(r.getLong(6) == 20L)
   }
 
+  test("burstiness: periodic = -1 exactly, heavy-tail positive, " +
+    "n<2 filtered (hand fixture)") {
+    val s = spark; import s.implicits._
+    // type P: gaps 10,10,10 (periodic); type H: gaps 1,1,1,1,96
+    // (bursty: sd > mean); type X: one event, no gap
+    val ev = (Seq(0L, 10L, 20L, 30L).zipWithIndex.map { case (t, i) =>
+      (1L, i.toLong, "P", t) } ++
+      Seq(0L, 1L, 2L, 3L, 4L, 100L).zipWithIndex.map { case (t, i) =>
+        (2L, 10L + i.toLong, "H", t) } ++
+      Seq((3L, 99L, "X", 5L)))
+      .toDF("user_id", "event_id", "event_type", "ep")
+    val got = Lifecycle.burstinessOf(ev).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(4))).toMap
+    assert(got.size == 2 && !got.contains("X"))
+    assert(got("P") == ((3L, 10.0, -1.0)))
+    val (n, mu, b) = got("H")
+    assert(n == 5L && mu == 20.0 && b > 0.0, s"H: $n $mu $b")
+    // driver recompute of H's burstiness
+    val gaps = Seq(1.0, 1.0, 1.0, 1.0, 96.0)
+    val m = gaps.sum / gaps.length
+    val sd = math.sqrt(gaps.map(g => (g - m) * (g - m)).sum / gaps.length)
+    assert(math.abs(b - (sd - m) / (sd + m)) < 1e-6)
+  }
+
   test("markov transition matrix: counts, row-normalized probabilities " +
     "(hand fixture)") {
     val s = spark; import s.implicits._

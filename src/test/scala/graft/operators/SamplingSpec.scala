@@ -561,6 +561,36 @@ class SamplingSpec extends SparkSuite {
       assert(e > maxTrain && e < minTest) }
   }
 
+  test("best-fit-decreasing: tightest-bin placement, deterministic " +
+    "ties, exact fills (hand fixture)") {
+    // budget 1000: 1000 | 600+400 | 500+500 — three exactly-full bins
+    val got = Sampling.bestFitDecreasing(
+      Seq((1L, 1000L), (2L, 600L), (3L, 500L), (4L, 400L), (5L, 500L)),
+      1000L).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 5L -> 2L, 4L -> 1L))
+    // equal sizes tie to the lowest bin id
+    val ties = Sampling.bestFitDecreasing(
+      Seq((10L, 300L), (11L, 300L), (12L, 300L)), 600L).toMap
+    assert(ties == Map(10L -> 0L, 11L -> 0L, 12L -> 1L))
+  }
+
+  test("pack_bestfit at sf0.001: bins within budget, at most one " +
+    "half-empty bin per shard, docs partitioned") {
+    val rows = Sampling.packBestfit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).distinct.length == rows.length)
+    val fills = rows.groupBy(x => (x._2, x._3, x._4))
+      .map { case (k, ds) => k -> ds.map(_._5).sum }
+    assert(fills.values.forall(_ <= Sampling.PackBudget))
+    fills.toSeq.groupBy { case ((s, sh, _), _) => (s, sh) }
+      .foreach { case (shard, bins) =>
+        assert(bins.count(_._2 < Sampling.PackBudget / 2) <= 1,
+          s"shard $shard has >1 half-empty bin")
+      }
+  }
+
   test("mix_dsir: target-only vocabulary scores positive, raw-only " +
     "negative; exact add-1 recompute (hand fixture)") {
     val s = spark; import s.implicits._
