@@ -5458,6 +5458,9 @@ object Oracles {
     // G32 batch mode shares B's events_markov oracle: the stateful
     // per-user pair fold scored by the same read stage.
     "stream_markov" -> relational("events_markov"),
+    // G33 shares B's events_burstiness oracle: the G30 gap state
+    // machine scored by the shared burstiness read stage.
+    "stream_burstiness" -> relational("events_burstiness"),
     // G31 online daily counters + lag autocorr: UTC 1-day windows ==
     // `ep div 86400`, the lag-OLS read stage is shared — same SQL.
     "stream_autocorr" -> relational("events_autocorr"),

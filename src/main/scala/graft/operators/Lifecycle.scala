@@ -999,8 +999,16 @@ object Lifecycle {
   def burstinessOf(e: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("ep"), col("event_id"))
-    val s = e.withColumn("gap", lead(col("ep"), 1).over(w) - col("ep"))
+    burstinessAggOf(e
+      .withColumn("gap", lead(col("ep"), 1).over(w) - col("ep"))
       .filter(col("gap").isNotNull)
+      .select(col("event_type"), col("gap")))
+  }
+
+  /** Shared read stage over an (event_type, gap) frame — also scored
+    * by the stream_burstiness twin's stateful gap stage. */
+  def burstinessAggOf(gaps: DataFrame): DataFrame = {
+    val s = gaps
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("gap")).as("sg"),
         sum(col("gap") * col("gap")).as("sgg"))

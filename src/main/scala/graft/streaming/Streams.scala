@@ -1866,6 +1866,28 @@ object Streams {
       .orderBy(col("event_type"))
   }
 
+  // ----- G33: online burstiness off the SAME gap state as G30 -------
+
+  /** G33 batch entry: the G30 stateful gap fold scored by the SAME
+    * read stage as B's events_burstiness — identical output, same
+    * SQL oracle. One state machine serves both monitors (the gap
+    * STREAM is the product; quantile and burstiness summaries are
+    * read-side views of it). */
+  def streamBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gaps = Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        Tables.tsNsToSec("ts").as("ep"))
+      .as[GapEv]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroups { (_: (Long, String), it: Iterator[GapEv]) =>
+        gapFold(it.toVector.sortBy(e => (e.ep, e.event_id)), None)
+          ._1.iterator
+      }
+      .toDF()
+    graft.operators.Lifecycle.burstinessAggOf(gaps)
+  }
+
   // ----- G32: online transition pairs (events_markov twin) ----------
 
   final case class TrEv(user_id: Long, event_id: Long,

@@ -1541,6 +1541,14 @@ class StreamsSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("batch stream_burstiness equals events_burstiness (shared gap " +
+      "state machine, shared read stage)") {
+    val got = Streams.streamBurstiness(spark, sfDir).collect().toSeq
+    val batch = graft.operators.Lifecycle.eventsBurstiness(spark, sfDir)
+      .collect().toSeq
+    assert(got.map(_.toString) === batch.map(_.toString))
+  }
+
   test("batch stream_markov equals the lead-window events_markov") {
     val got = Streams.streamMarkov(spark, sfDir).collect().toSeq
     val batch = graft.operators.Lifecycle.eventsMarkov(spark, sfDir)
