@@ -1581,6 +1581,27 @@ object Oracles {
       s"$blocks\nORDER BY candidate"
     },
 
+    // H table/column fingerprints (Profile.tableChecksum): XOR of a
+    // 60-bit md5 prefix per non-null value — commutative, so one
+    // canonical value regardless of row order; DuckDB 0x-cast ==
+    // Spark conv(,16,10) (the sample_negatives hashing contract).
+    // Pure integer ⇒ full hash gate.
+    "table_checksum" -> {
+      val blocks = graft.operators.Profile.ChecksumCols.flatMap {
+        case (tbl, cols) => cols.map { c =>
+          s"""SELECT '$tbl' AS tbl, '$c' AS col_name,
+             |  count(*)::bigint AS n_rows,
+             |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::bigint
+             |    AS n_null,
+             |  bit_xor(CASE WHEN $c IS NULL THEN 0
+             |    ELSE ('0x' || substr(md5($c::varchar), 1, 15))::bigint
+             |    END) AS xor_sig
+             |FROM $tbl""".stripMargin
+        }
+      }.mkString("\nUNION ALL\n")
+      s"$blocks\nORDER BY tbl, col_name"
+    },
+
     // H PSI drift (Profile.tablePsi): pure integer fixed-width
     // binning off global min/max, Laplace shares = one IEEE division
     // each, RUNNING ordered psi sum (sequential fold both engines);
@@ -2281,7 +2302,20 @@ object Oracles {
         |  CAST(round(o_totalprice * 100) AS bigint) AS cents
         |FROM orders
         |WHERE o_orderkey < 200
-        |ORDER BY k""".stripMargin
+        |ORDER BY k""".stripMargin,
+
+    // A6 distributed grep (MrQueries.mrGrep): non-overlapping greedy
+    // count == replace-shrinkage count — one definition both engines;
+    // pure integer ⇒ full hash gate.
+    "mr_grep" -> {
+      val p = graft.mr.MrQueries.GrepPattern
+      s"""SELECT doc_id, source,
+         |  ((len(text) - len(replace(text, '$p', ''))) // ${p.length})
+         |    ::bigint AS n_matches
+         |FROM documents
+         |WHERE len(replace(text, '$p', '')) < len(text)
+         |ORDER BY doc_id""".stripMargin
+    }
   )
 
   /** SURVEY §2E — text analysis. Expression trees mirror

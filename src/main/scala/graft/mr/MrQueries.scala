@@ -130,4 +130,41 @@ object MrQueries {
       .toDF("k", "cents")
       .orderBy(col("k"))
   }
+
+  /** Literal scanned for by [[mrGrep]] (single-sourced into the
+    * oracle). */
+  val GrepPattern = "data"
+
+  /** A6: distributed grep — THE canonical map-only MapReduce job: emit
+    * each matching document with its non-overlapping match count;
+    * non-matching docs produce nothing, so the shuffle-FREE pipeline's
+    * output IS the match set (selection happens in the mapper, the
+    * 100 TB shape: bytes stream through one narrow stage and only
+    * hits survive). The pattern rides the session KV
+    * ([[Ctx.sessionGet]] — the reference's request-scoped handler
+    * arguments), not a closure capture, so one compiled workflow
+    * serves any pattern. Counting is left-to-right greedy
+    * non-overlapping (split-on-quoted-literal), exactly DuckDB's
+    * replace-shrinkage count — one definition on both engines. */
+  def mrGrep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+    val grep = MapStep[(Long, String, String), Long, (String, Long)]("grep",
+      (ctx, rec) => {
+        val pat = ctx.sessionGet("pattern").getOrElse("")
+        val (id, src, text) = rec
+        val n: Long =
+          text.split(java.util.regex.Pattern.quote(pat), -1).length - 1L
+        if (n > 0L) Iterator((id, (src, n))) else Iterator.empty
+      })
+    Workflow.start[(Long, String, String)]("grep",
+        session = Map("pattern" -> GrepPattern))
+      .andThenMap(grep)
+      .run(docs)
+      .map { case (id, (src, n)) => (id, src, n) }
+      .toDF("doc_id", "source", "n_matches")
+      .orderBy(col("doc_id"))
+  }
 }

@@ -1021,4 +1021,74 @@ object Profile {
         round(mi / log(least(col("r"), col("c")).cast("double")), 6))
         .as("nmi"))
   }
+
+  /** Tables and columns fingerprinted by [[tableChecksum]] —
+    * integer/varchar columns only (exact cross-engine string forms,
+    * the LineitemCols contract; single-sourced into the oracle). */
+  val ChecksumCols: Seq[(String, Seq[String])] = Seq(
+    "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"),
+    "orders"   -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_orderpriority"),
+    "part"     -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size"),
+    "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey"))
+
+  /** H: order-independent table/column fingerprints — per profiled
+    * column: row count, null count, and a 60-bit XOR checksum of the
+    * md5 of each non-null value's canonical string form. The
+    * cross-snapshot integrity read ("did replication/backfill change
+    * ANY value in this column") that a content diff like
+    * snapshot_diff is too expensive for at fleet cadence: two
+    * snapshots agree iff every (tbl, col) row agrees, and a mismatch
+    * localizes drift to the column before anyone scans row-level.
+    * XOR is the deliberate combiner: commutative/associative (one
+    * canonical value regardless of row order or partitioning — the
+    * property a distributed fingerprint NEEDS), with the documented
+    * blind spot that values flipping in pairs cancel; n_rows/n_null
+    * beside it catch the cardinality half of that.
+    *
+    * Scale shape: ONE column-pruned scan per table computing every
+    * column's (n_null, xor_sig) in a single partial-aggregate row —
+    * never a branch per column (the profile family's N-branch shape
+    * is for count(distinct); XOR and null counts compose in one
+    * two-phase agg with no Expand) — then K output rows from ONE
+    * explode-of-struct-array projection (CLAUDE.md: K references to
+    * a 1-row frame recompute upstream K times). All integer ⇒ full
+    * hash gate; md5 prefix→long is the shared 0x-cast/conv contract
+    * (sample_negatives' hashing class). */
+  def tableChecksum(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val byName = Map[String, DataFrame](
+      "customer" -> t.customer, "orders" -> t.orders,
+      "part" -> t.part, "supplier" -> t.supplier)
+    ChecksumCols.map { case (tbl, cols) => checksumOf(byName(tbl), tbl, cols) }
+      .reduce(_ unionAll _)
+      .orderBy(col("tbl"), col("col_name"))
+  }
+
+  /** One fingerprint frame — (tbl, col_name, n_rows, n_null, xor_sig)
+    * per column — over any source frame. */
+  def checksumOf(srcDf: DataFrame, tbl: String,
+      cols: Seq[String]): DataFrame = {
+    val src = srcDf.select(cols.map(col).toIndexedSeq: _*)
+    def sig(c: String) =
+      conv(substring(md5(col(c).cast("string").cast("binary")), 1, 15),
+        16, 10).cast("long")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nnull"),
+        expr(s"bit_xor(sig_$c)").as(s"${c}__xor"))
+    }
+    val one = src
+      .select(cols.map(col).toIndexedSeq ++
+        cols.map(c => when(col(c).isNull, 0L).otherwise(sig(c))
+          .as(s"sig_$c")): _*)
+      .agg(count(lit(1)).as("n_rows"), aggs.toIndexedSeq: _*)
+    val entries = array(cols.map { c =>
+      struct(lit(c).as("col_name"), col(s"${c}__nnull").as("n_null"),
+        col(s"${c}__xor").as("xor_sig"))
+    }: _*)
+    one.select(lit(tbl).as("tbl"), col("n_rows"), explode(entries).as("e"))
+      .select(col("tbl"), col("e.col_name").as("col_name"), col("n_rows"),
+        col("e.n_null").as("n_null"), col("e.xor_sig").as("xor_sig"))
+  }
 }

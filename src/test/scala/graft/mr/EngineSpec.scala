@@ -1,5 +1,6 @@
 package graft.mr
 
+import org.apache.spark.sql.functions.col
 import org.scalacheck.Prop.forAll
 
 import graft.SparkSuite
@@ -108,6 +109,22 @@ class EngineSpec extends SparkSuite {
     val exchanges = "Exchange".r.findAllIn(plan).size
     assert(exchanges === 1, s"expected exactly 1 shuffle:\n$plan")
     assert(out.collect().toMap === Map(1L -> 100L, 2L -> 17L))
+  }
+
+  test("mr_grep is shuffle-free and matches a driver regex recompute") {
+    val out = MrQueries.mrGrep(sc, "/root/testdata/sf0.001")
+    // map-only job: no Exchange anywhere except the final orderBy's
+    // range partitioning (presentation sort, not the pipeline)
+    val core = out.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(core).size <= 1, core)
+    val got = out.collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val pat = java.util.regex.Pattern.quote(MrQueries.GrepPattern)
+    val exact = graft.Tables(sc, "/root/testdata/sf0.001").documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1).split(pat, -1).length - 1L))
+      .filter(_._2 > 0L).toMap
+    assert(got === exact)
   }
 
   test("property: gather(scatter(x)) == x for any non-negative cents") {

@@ -518,4 +518,31 @@ class ProfileSpec extends SparkSuite {
         assert(r.getDouble(6) >= -1e-9 && r.getDouble(6) <= 1.0)
     }
   }
+
+  test("table_checksum: permutation-invariant, flips one value ⇒ new " +
+    "sig, null accounting") {
+    import spark.implicits._
+    val base = Seq((1L, Option("a")), (2L, Option("b")), (3L, None))
+      .toDF("k", "s")
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      Profile.checksumOf(df, "t", Seq("k", "s")).collect()
+        .map(r => r.getString(1) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val got = sigs(base)
+    assert(got("k") == (got("k")._1, 0L, got("k")._3))
+    assert(got("s")._2 == 1L)          // one null accounted
+    // row order / partitioning never changes the fingerprint
+    val shuffled = sigs(base.orderBy(col("s").desc).repartition(3))
+    assert(shuffled == got)
+    // flipping a single value flips exactly that column's sig
+    val flipped = sigs(Seq((1L, Option("a")), (2L, Option("c")), (3L, None))
+      .toDF("k", "s"))
+    assert(flipped("k")._3 == got("k")._3)
+    assert(flipped("s")._3 != got("s")._3)
+    // sf0.001 registry shape: one row per profiled column, no nulls
+    // in the synthetic dims
+    val reg = Profile.tableChecksum(spark, sfDir).collect()
+    assert(reg.length == Profile.ChecksumCols.map(_._2.size).sum)
+    assert(reg.forall(_.getLong(3) == 0L))
+  }
 }
