@@ -1889,6 +1889,31 @@ object Oracles {
         blocks.mkString("", "\nUNION ALL\n", "\nORDER BY col_x, col_y")
     },
 
+    // B per-user behavioral entropy (Funnel.eventsEntropy): exact
+    // integer counts, H via a STRICT type-sorted sequential fold
+    // (list_reduce == Spark aggregate seeded 0.0 — IEEE 0+x is
+    // exact); log2 ulp class under round(4).
+    "events_entropy" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*)::bigint AS c
+        |  FROM events GROUP BY 1, 2),
+        |u AS (
+        |  SELECT user_id, sum(c)::bigint AS n_events,
+        |    count(*)::bigint AS n_types,
+        |    list_reduce(
+        |      list_transform(list(c ORDER BY event_type),
+        |                     v -> v::double * log2(v::double)),
+        |      (x, y) -> x + y) AS s
+        |  FROM c GROUP BY 1)
+        |SELECT user_id, n_events, n_types::int AS n_types,
+        |  round(log2(n_events::double) - s / n_events, 4) AS entropy_bits,
+        |  CASE WHEN n_types > 1
+        |       THEN round((log2(n_events::double) - s / n_events)
+        |                  / log2(n_types::double), 4)
+        |  END AS evenness
+        |FROM u
+        |ORDER BY user_id""".stripMargin,
+
     // B EWMA forecast: α = 1/2 halvings over the day-sorted count
     // prefix (strict sequential fold — DuckDB's seedless list_reduce
     // == Spark's aggregate seeded with the first element), e_{d-1}
@@ -2778,6 +2803,38 @@ object Oracles {
     // round(4) erases last-ulp libm log2 noise. Degenerate-variance
     // eps guards (k=1: den=0 ⇒ 0/0) mirror heapsOf's — both engines
     // agree on NULL instead of diverging on NaN semantics.
+    // E31 vocabulary coverage curve (TextQueries.corpusCoverage):
+    // integer prefix sums over the (c DESC, w) head, one division ⇒
+    // full hash gate; per-k ORDER-BY-LIMIT subqueries == Spark's
+    // sorted-head array slices (same total tiebreak).
+    "corpus_coverage" -> {
+      val ks = graft.functions.TextQueries.CoverageKs
+      val blocks = ks.map { k =>
+        s"""SELECT $k AS k,
+           |  (SELECT count(*)
+           |   FROM (SELECT w FROM v ORDER BY c DESC, w LIMIT $k))::int
+           |    AS n_types_used,
+           |  (SELECT coalesce(sum(c), 0)
+           |   FROM (SELECT c FROM v ORDER BY c DESC, w LIMIT $k))::bigint
+           |    AS covered_tokens""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      raw"""WITH t AS (
+         |  SELECT unnest(list_filter(
+         |    string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+         |    w -> w <> '')) AS w
+         |  FROM documents),
+         |v AS (SELECT w, count(*)::bigint AS c FROM t GROUP BY w),
+         |tot AS (SELECT sum(c)::bigint AS total_tokens,
+         |    count(*)::bigint AS n_vocab FROM v),
+         |cov AS (
+         |$blocks)
+         |SELECT k, n_types_used, covered_tokens, total_tokens, n_vocab,
+         |  round(covered_tokens::double / total_tokens::double, 4)
+         |    AS coverage
+         |FROM cov CROSS JOIN tot
+         |ORDER BY k""".stripMargin
+    },
+
     "corpus_zipf" -> {
       val k = graft.functions.TextQueries.ZipfTopK
       raw"""WITH t AS (

@@ -1285,6 +1285,62 @@ object TextQueries {
         round(num * num / (den * deny), 4) + lit(0.0)).as("r2"))
   }
 
+  /** Coverage checkpoints for [[corpusCoverage]] — small fixed ks
+    * sized to this corpus's saturating synthetic vocabulary (a
+    * natural corpus would read (100, 1k, 10k); the CURVE is the
+    * deliverable either way). Single-sourced into the oracle. */
+  val CoverageKs: Seq[Int] = Seq(1, 5, 25, 100)
+
+  /** E31 (round 13): vocabulary coverage curve — for each k in
+    * [[CoverageKs]], what fraction of ALL corpus tokens the top-k
+    * most frequent types cover. THE tokenizer/vocab-budget read
+    * (how big must a vocabulary be before OOV mass is negligible)
+    * and the third corpus-law diagnostic beside corpus_zipf (head
+    * shape) and corpus_heaps (growth): coverage saturating by tiny k
+    * is the same synthetic-vocab signature heaps' β→0 shows.
+    *
+    * Shape: one token explode → map-side-combined groupBy(w) (the
+    * vocab frame, persisted — it feeds the totals aggregate AND the
+    * head cut; Catalyst no-subtree-dedup), top-max(k) via
+    * orderBy+limit (TakeOrderedAndProject — distributed partial
+    * top-k, never a global sort), then ALL k rows from ONE
+    * explode-of-ks projection over the single collected head row.
+    * Covered counts are integer prefix sums over the (count desc,
+    * token asc)-sorted head array (slice truncates identically to
+    * DuckDB's list slicing); coverage is one bigint/bigint division
+    * ⇒ full hash gate. */
+  def corpusCoverage(spark: SparkSession, dir: String): DataFrame =
+    coverageOf(Tables(spark, dir).documents)
+
+  /** Core coverage curve over any (text) frame. */
+  def coverageOf(d: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val counts = d.select(explode(split(col("text"), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val top = counts.orderBy(col("c").desc, col("w")).limit(CoverageKs.max)
+    // (−c, w) sort key: ascending sort_array == (count desc, token asc)
+    val head = top.agg(sort_array(collect_list(
+      struct((-col("c")).as("negc"), col("w")))).as("arr"))
+    val tot = counts.agg(sum(col("c")).as("total_tokens"),
+      count(lit(1)).as("n_vocab"))
+    val ks = array(CoverageKs.map(k => lit(k)): _*)
+    head.crossJoin(tot)
+      .select(explode(ks).as("k"), col("arr"),
+        col("total_tokens"), col("n_vocab"))
+      .select(col("k"),
+        least(col("k"), size(col("arr"))).as("n_types_used"),
+        aggregate(slice(col("arr"), lit(1), col("k")), lit(0L),
+          (acc, s) => acc - s.getField("negc")).as("covered_tokens"),
+        col("total_tokens"), col("n_vocab"))
+      .select(col("k"), col("n_types_used"), col("covered_tokens"),
+        col("total_tokens"), col("n_vocab"),
+        round(col("covered_tokens").cast("double") /
+          col("total_tokens").cast("double"), 4).as("coverage"))
+      .orderBy(col("k"))
+  }
+
   /** E26: per-rule ablation of the Gopher quality gate — for each of
     * the five rules, how many docs it kills (n_fail) and how many it
     * ALONE kills (n_unique_fail: the rule's marginal yield — drop it

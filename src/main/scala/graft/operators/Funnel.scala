@@ -352,6 +352,47 @@ object Funnel {
       .orderBy(col("day"))
   }
 
+  /** B (round 13): per-user behavioral entropy — Shannon entropy
+    * (bits) of each user's event-type mix plus the log2(n_types)-
+    * normalized evenness ∈ [0,1]: the behavioral-diversity read
+    * (bots/scrapers sit near 0 — one repeated action; engaged users
+    * spread mass) that segments beside events_rfm's value axes and
+    * feeds bot filtering before any engagement metric.
+    *
+    * Exactness (the table_entropy/mutual-info discipline): counts are
+    * exact integers off ONE two-phase (user, type) groupBy; H =
+    * log2(n) − Σ c·log2(c) / n where the Σ is a STRICT sequential
+    * fold over the type-sorted per-user terms (sort_array∘aggregate
+    * here, list_reduce over list(... ORDER BY ...) there), so the
+    * only cross-engine bits are log2 ulps: round(4). Arrays are
+    * bounded by the GLOBAL type vocabulary (a handful) — never a
+    * per-user row explosion; single-type users read exactly 0.0 (the
+    * two log2(n) terms cancel identically). Per-user output rows,
+    * shuffle-on-natural-key. */
+  def eventsEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val cnt = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val one = cnt.groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        sort_array(collect_list(struct(col("event_type"), col("c"))))
+          .as("terms"))
+    val sTerm = aggregate(
+      transform(col("terms"), s =>
+        s.getField("c").cast("double") *
+          log2(s.getField("c").cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+    val h = log2(col("n_events").cast("double")) -
+      sTerm / col("n_events").cast("double")
+    one.select(col("user_id"), col("n_events"),
+        col("n_types").cast("int").as("n_types"),
+        round(h, 4).as("entropy_bits"),
+        when(col("n_types") > 1,
+          round(h / log2(col("n_types").cast("double")), 4)).as("evenness"))
+      .orderBy(col("user_id"))
+  }
+
   /** B: RFM customer segmentation — the classic recency / frequency /
     * monetary scoring over purchase events, ending in named segments
     * (champions / loyal / big_spender / at_risk / churned / casual).
