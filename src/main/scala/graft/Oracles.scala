@@ -2050,6 +2050,52 @@ object Oracles {
         |FROM deg LEFT JOIN cnt ON cnt.n = deg.n
         |ORDER BY node""".stripMargin,
 
+    // B edge embeddedness (Graph.graphEdgeJaccard): same oriented
+    // triangle enumeration as graph_triangles, each triangle
+    // contributing its 3 canonical id-ordered edges; integer support
+    // + one NULL-guarded division, total-order cut ⇒ full hash gate.
+    "graph_edge_jaccard" -> {
+      val k = graft.operators.Graph.EdgeJacTopK
+      s"""WITH li AS (SELECT l_orderkey AS k, l_partkey AS p FROM lineitem),
+        |und AS MATERIALIZED (SELECT DISTINCT a.p AS src, b.p AS dst
+        |        FROM li a JOIN li b ON a.k = b.k AND a.p < b.p),
+        |deg AS MATERIALIZED (SELECT n, count(*)::bigint AS deg FROM (
+        |          SELECT src AS n FROM und UNION ALL SELECT dst AS n FROM und)
+        |        GROUP BY n),
+        |o AS MATERIALIZED (SELECT
+        |    CASE WHEN (da.deg, und.src) < (db.deg, und.dst)
+        |         THEN und.src ELSE und.dst END AS a,
+        |    CASE WHEN (da.deg, und.src) < (db.deg, und.dst)
+        |         THEN und.dst ELSE und.src END AS b
+        |  FROM und
+        |  JOIN deg da ON da.n = und.src
+        |  JOIN deg db ON db.n = und.dst),
+        |tri AS MATERIALIZED (SELECT o1.a AS x, o1.b AS y, o2.b AS z
+        |        FROM o o1 JOIN o o2 ON o2.a = o1.b
+        |        JOIN o o3 ON o3.a = o1.a AND o3.b = o2.b),
+        |etri AS (
+        |  SELECT least(x, y) AS u, greatest(x, y) AS v FROM tri
+        |  UNION ALL SELECT least(x, z), greatest(x, z) FROM tri
+        |  UNION ALL SELECT least(y, z), greatest(y, z) FROM tri),
+        |sup AS (SELECT u, v, count(*)::bigint AS sup
+        |        FROM etri GROUP BY u, v),
+        |j AS (
+        |  SELECT und.src, und.dst, da.deg AS deg_src, db.deg AS deg_dst,
+        |    coalesce(sup.sup, 0)::bigint AS support
+        |  FROM und
+        |  JOIN deg da ON da.n = und.src
+        |  JOIN deg db ON db.n = und.dst
+        |  LEFT JOIN sup ON sup.u = und.src AND sup.v = und.dst)
+        |SELECT src, dst, deg_src, deg_dst, support,
+        |  CASE WHEN deg_src + deg_dst - 2 - support > 0
+        |       THEN round(support::double /
+        |                  (deg_src + deg_dst - 2 - support)::double, 4)
+        |  END AS jaccard
+        |FROM j
+        |ORDER BY support DESC, src, dst
+        |LIMIT $k""".stripMargin
+    },
+
     // Degree assortativity (Newman 2002): six EXACT integer sums
     // over the symmetric degree-joined edge list (order-free), then
     // the Pearson assembly casts each sum to double ONCE and
@@ -3554,6 +3600,33 @@ object Oracles {
          |  ON c.rep_doc = s.rep_doc
          |ORDER BY doc_id""".stripMargin,
 
+    // C15 dedup yield report (Dedup.dedupStats): size histogram over
+    // the same recursive components, singleton row = corpus total −
+    // clustered; pure integer + one division ⇒ full hash gate.
+    "dedup_stats" ->
+      s"""WITH RECURSIVE ${ngramPairCtes("documents")},
+         |$componentCtes,
+         |sz AS (
+         |  SELECT rep_doc, count(*)::bigint AS n_members
+         |  FROM comp GROUP BY rep_doc),
+         |tot AS (SELECT count(*)::bigint AS n_total FROM documents),
+         |hist AS (
+         |  SELECT n_members, count(*)::bigint AS n_clusters
+         |  FROM sz GROUP BY n_members
+         |  UNION ALL
+         |  SELECT 1::bigint AS n_members,
+         |    (SELECT n_total FROM tot) -
+         |      (SELECT coalesce(sum(n_members), 0)::bigint FROM sz)
+         |    AS n_clusters)
+         |SELECT n_members, n_clusters,
+         |  (n_members * n_clusters)::bigint AS n_docs,
+         |  ((n_members - 1) * n_clusters)::bigint AS n_removable,
+         |  round((n_members * n_clusters)::double /
+         |        (SELECT n_total FROM tot)::double, 4) AS pct_of_corpus
+         |FROM hist
+         |WHERE n_clusters > 0
+         |ORDER BY n_members""".stripMargin,
+
     // C11: components × the shared quality CTE (single-sourced with
     // text_quality / curate — the election and the quality report
     // cannot drift). Ranking compares UNROUNDED quality, ties break
@@ -4573,6 +4646,37 @@ object Oracles {
         |FROM (SELECT DISTINCT q_id FROM exact) q
         |LEFT JOIN hits h ON h.q_id = q.q_id
         |ORDER BY q.q_id""".stripMargin,
+
+    // D14 per-cell assignment quality (Similarity.embedSilhouette):
+    // the shared fixed-cell quantizer chain; margin = d(rn1) − d(rn2)
+    // (value-sorted multiset order == Spark's array_sort), fixed-
+    // point BEFORE the per-cell sum (order-free integers), two
+    // mirrored IEEE divisions out ⇒ full hash gate.
+    "embed_silhouette" -> {
+      val sc = graft.operators.Similarity.SilMarginScale
+      val amb = graft.operators.Similarity.SilAmbiguousFp
+      ivfAssignCtes(16) + s""",
+        |ranked AS (
+        |  SELECT vec_id, c_idx, d,
+        |    row_number() OVER (PARTITION BY vec_id
+        |                       ORDER BY d DESC, c_idx) AS rn
+        |  FROM dots),
+        |m AS (
+        |  SELECT a.vec_id, a.c_idx AS list_id,
+        |    floor((a.d - b.d) * $sc)::bigint AS margin_fp
+        |  FROM ranked a JOIN ranked b
+        |    ON a.vec_id = b.vec_id AND b.rn = 2
+        |  WHERE a.rn = 1)
+        |SELECT list_id, count(*)::bigint AS n_members,
+        |  round(sum(margin_fp)::double /
+        |        (count(*)::double * ${sc}.0), 6) AS mean_margin,
+        |  round(min(margin_fp)::double / ${sc}.0, 6) AS min_margin,
+        |  sum(CASE WHEN margin_fp < $amb THEN 1 ELSE 0 END)::bigint
+        |    AS n_ambiguous
+        |FROM m
+        |GROUP BY list_id
+        |ORDER BY list_id""".stripMargin
+    },
 
     // D10 IVF-bounded kNN graph (Similarity.knnGraphIvf): ann_ivf's
     // oracle with EVERY vector as a query (no vec_id < 10 cut) — the

@@ -330,6 +330,50 @@ object Dedup {
     out
   }
 
+  /** C15 (round 13): dedup yield report — the cluster-SIZE
+    * distribution of the C6 near-dup graph plus the corpus-shrink
+    * numbers a curation owner reads before running the drop: per
+    * cluster size s — how many clusters, how many docs they hold,
+    * how many docs dedup would REMOVE ((s−1) per cluster under
+    * keep-one-rep), and the corpus share; the size-1 row counts the
+    * unclustered remainder. The "what does dedup buy us / is one
+    * mega-cluster eating the corpus" audit that decides whether the
+    * pair threshold is tuned right — the same read SemDeDup-style
+    * pipelines publish as their dedup table.
+    *
+    * Scale shape: the C2 pair graph + C6 star contraction produce
+    * labels for CLUSTERED docs only; everything after is aggregates
+    * over the label frame (cluster-count-sized, then size-histogram-
+    * sized — tiny), one corpus count, and a broadcast of the 1-row
+    * total. No new shuffle shape beyond the audited C6 substrate. */
+  def dedupStats(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+      .persist()
+    val labels = componentLabels(pairs)
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
+      .persist() // feeds the histogram AND the clustered total
+    val nTotal = Tables(spark, dir).documents.agg(count(lit(1)).as("n_total"))
+    val nClustered = sizes.agg(
+      coalesce(sum(col("n_members")), lit(0L)).as("n_clustered"))
+    val hist = sizes.groupBy(col("n_members"))
+      .agg(count(lit(1)).as("n_clusters"))
+    val singleton = nTotal.crossJoin(nClustered)
+      .select(lit(1L).as("n_members"),
+        (col("n_total") - col("n_clustered")).as("n_clusters"))
+    val out = hist.unionAll(singleton)
+      .filter(col("n_clusters") > 0)
+      .crossJoin(broadcast(nTotal))
+      .select(col("n_members"), col("n_clusters"),
+        (col("n_members") * col("n_clusters")).as("n_docs"),
+        ((col("n_members") - lit(1L)) * col("n_clusters")).as("n_removable"),
+        round((col("n_members") * col("n_clusters")).cast("double") /
+          col("n_total").cast("double"), 4).as("pct_of_corpus"))
+      .orderBy(col("n_members"))
+    pairs.unpersist()
+    out
+  }
+
   /** C11 (round 10): quality-aware cluster representative selection —
     * for each C6 near-dup component, elect the HIGHEST-quality member
     * (total order: quality DESC, doc_id ASC) as the cluster's

@@ -67,6 +67,22 @@ object Graph {
     * nodes are linked iff they share a k (the [[pagerankOf]] graph,
     * kept undirected src<dst here). */
   def trianglesOf(li: DataFrame): DataFrame = {
+    val (_, deg, tri) = orientedTriangles(li)
+    val cnt = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("n_tri"))
+    deg.join(cnt, Seq("n"), "left")
+      .select(col("n").as("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .orderBy(col("node"))
+  }
+
+  /** Shared triangle substrate: the distinct undirected edge frame
+    * (src < dst), the degree frame, and the enumerated triangle frame
+    * (x, y, z — orientation order, NOT id order). und/deg are
+    * persisted (multi-referenced by every caller). */
+  private def orientedTriangles(li: DataFrame):
+      (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel
     val a = li.select(col("k"), col("p").as("src"))
     val b = li.select(col("k"), col("p").as("dst"))
@@ -104,13 +120,63 @@ object Graph {
       .join(adj.select(col("a").as("b"), col("nbrs").as("nb")), Seq("b"))
       .select(col("a").as("x"), col("b").as("y"),
         explode(array_intersect(col("na"), col("nb"))).as("z"))
-    val cnt = tri
-      .select(explode(array(col("x"), col("y"), col("z"))).as("n"))
-      .groupBy("n").agg(count(lit(1)).as("n_tri"))
-    deg.join(cnt, Seq("n"), "left")
-      .select(col("n").as("node"), col("deg"),
-        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
-      .orderBy(col("node"))
+    (und, deg, tri)
+  }
+
+  /** Reported top-k strongest edges for [[graphEdgeJaccard]]. */
+  val EdgeJacTopK = 100
+
+  /** B (round 13): edge embeddedness — per EXISTING co-purchase edge,
+    * its triangle support |N(a)∩N(b)| and neighborhood Jaccard
+    * (endpoints excluded), top-[[EdgeJacTopK]] by (support desc, src,
+    * dst). The adjacent-pair twin of graph_link_predict's
+    * non-adjacent scoring: high-embeddedness edges are Simmelian
+    * ties (redundant, safe to sparsify; the k-truss building block),
+    * zero-support edges are bridges — the read that picks which
+    * co-purchase links are structural vs incidental.
+    *
+    * Scale shape: the shared compact-forward triangle substrate
+    * (orientation-bounded intersection — no wedge shuffle), each
+    * triangle exploded to its 3 canonical id-ordered edges in ONE
+    * projection, per-edge support via map-side-combined groupBy,
+    * LEFT join back onto the full edge frame (zero-support edges
+    * kept), cut = TakeOrderedAndProject under a total order. Support
+    * and degrees are exact integers; Jaccard is one division with
+    * the 0-denominator (isolated edge) NULL CASE mirrored ⇒ full
+    * hash gate. */
+  def graphEdgeJaccard(spark: SparkSession, dir: String): DataFrame =
+    edgeJaccardOf(Tables(spark, dir).lineitem
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("p")))
+
+  /** Top embedded edges over any (k, p) membership frame. */
+  def edgeJaccardOf(li: DataFrame): DataFrame = {
+    val (und, deg, tri) = orientedTriangles(li)
+    val etri = tri.select(explode(array(
+        struct(least(col("x"), col("y")).as("u"),
+          greatest(col("x"), col("y")).as("v")),
+        struct(least(col("x"), col("z")).as("u"),
+          greatest(col("x"), col("z")).as("v")),
+        struct(least(col("y"), col("z")).as("u"),
+          greatest(col("y"), col("z")).as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    val sup = etri.groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("sup"))
+    val j = und
+      .join(deg.select(col("n").as("src"), col("deg").as("deg_src")),
+        Seq("src"))
+      .join(deg.select(col("n").as("dst"), col("deg").as("deg_dst")),
+        Seq("dst"))
+      .join(sup, col("src") === col("u") && col("dst") === col("v"), "left")
+      .select(col("src"), col("dst"), col("deg_src"), col("deg_dst"),
+        coalesce(col("sup"), lit(0L)).as("support"))
+    val denom = col("deg_src") + col("deg_dst") - lit(2L) - col("support")
+    j.select(col("src"), col("dst"), col("deg_src"), col("deg_dst"),
+        col("support"),
+        when(denom > 0L,
+          round(col("support").cast("double") / denom.cast("double"), 4))
+          .as("jaccard"))
+      .orderBy(col("support").desc, col("src"), col("dst"))
+      .limit(EdgeJacTopK)
   }
 
   // Shadows functions.round: DuckDB-exact binary rounding (OracleMath).

@@ -277,6 +277,57 @@ object Similarity {
     topK(spark, pairs, k = 5)
   }
 
+  /** Fixed-point grain for [[embedSilhouette]]'s margins (1.0 ≡ 1e6)
+    * and the ambiguity cut (margin < 0.05) — single-sourced into the
+    * oracle. */
+  val SilMarginScale = 1000000L
+  val SilAmbiguousFp = 50000L
+
+  /** D (round 13): per-cell assignment quality — for every IVF cell,
+    * how decisively its members chose it: the assignment MARGIN
+    * cos(own centroid) − cos(best other centroid) per vector
+    * (the simplified-silhouette separation read on the similarity
+    * axis), aggregated per cell as mean/min margin and the count of
+    * ambiguous members (margin < 0.05). THE index-health report for
+    * the whole IVF family (ann_ivf / ann_ivfpq / dedup_semantic /
+    * knn_graph_ivf share this quantizer): a cell full of
+    * near-zero margins is where multi-probe recall loss and
+    * dedup_semantic's cross-cell misses concentrate — read it before
+    * tuning nProbe.
+    *
+    * Scale shape: ONE pass over the vectors (n × nLists codegen'd
+    * strict-fold dots — the annIvf assignment work, nLists FIXED so
+    * the pass is corpus-linear; no candidate join exists here for a
+    * scaled dial to tame) → map-side-combined groupBy(list_id) over
+    * nLists rows. Margins enter fixed-point ([[SilMarginScale]])
+    * BEFORE the sum — order-free integer aggregation (the pagerank
+    * determinism discipline); the two output divisions are IEEE on
+    * exact operands, mirrored ⇒ full hash gate. */
+  def embedSilhouette(spark: SparkSession, dir: String): DataFrame = {
+    val (e, dots) = ivfBase(spark, dir, 16)
+    val w = e.withColumn("dots", dots)
+      .withColumn("list_id",
+        expr("array_position(dots, array_max(dots))"))
+      .withColumn("srt", reverse(array_sort(col("dots"))))
+      .withColumn("margin_fp",
+        floor((element_at(col("srt"), 1) - element_at(col("srt"), 2)) *
+          lit(SilMarginScale.toDouble)).cast("long"))
+    w.groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("margin_fp")).as("sum_fp"),
+        min(col("margin_fp")).as("min_fp"),
+        sum(when(col("margin_fp") < SilAmbiguousFp, 1L).otherwise(0L))
+          .as("n_ambiguous"))
+      .select(col("list_id"), col("n_members"),
+        round(col("sum_fp").cast("double") /
+          (col("n_members").cast("double") * SilMarginScale.toDouble), 6)
+          .as("mean_margin"),
+        round(col("min_fp").cast("double") / SilMarginScale.toDouble, 6)
+          .as("min_margin"),
+        col("n_ambiguous"))
+      .orderBy(col("list_id"))
+  }
+
   /** D3: product-quantization (PQ) top-5 — the classic
     * memory-compressed ANN family (IVF is the partition-pruning
     * family, LSH the hashing family; PQ is the code-book family every
