@@ -5677,6 +5677,56 @@ object Oracles {
     // prefix scored on read — same SQL as the batch stabbing form.
     "stream_backlog" -> relational("orders_backlog"),
 
+    // G34 online PSI drift: frozen first-half reference window +
+    // edge-clamped integer binning (the greatest/least clamp also
+    // erases Spark-div vs DuckDB-floor on negative offsets),
+    // Laplace shares over the full static grid, per-day STRICT
+    // bin-sorted fold; ln ulp class under round(6).
+    "stream_psi" -> {
+      val b = graft.operators.Profile.PsiBins
+      s"""WITH ev AS (
+         |  SELECT (epoch(date_trunc('second', ts))::bigint // 86400)
+         |      AS day,
+         |    floor(value * 100)::bigint AS cents
+         |  FROM events),
+         |st AS (SELECT min(day) AS dmin, max(day) AS dmax FROM ev),
+         |rs AS (SELECT min(cents) AS cmin, max(cents) AS cmax
+         |       FROM ev CROSS JOIN st WHERE day <= (dmin + dmax) // 2),
+         |binned AS (
+         |  SELECT day,
+         |    least($b - 1, greatest(0,
+         |      ((cents - cmin) * $b) // (cmax - cmin + 1))) AS bin,
+         |    count(*)::bigint AS c
+         |  FROM ev CROSS JOIN rs GROUP BY 1, 2),
+         |ref AS (SELECT bin, sum(c)::bigint AS rc
+         |        FROM binned CROSS JOIN st
+         |        WHERE day <= (dmin + dmax) // 2 GROUP BY 1),
+         |nref AS (SELECT coalesce(sum(rc), 0)::bigint AS n_ref FROM ref),
+         |grid AS (SELECT day, unnest(range(0, $b)) AS bin
+         |         FROM (SELECT DISTINCT day FROM binned)),
+         |f AS (
+         |  SELECT g.day, g.bin, coalesce(bn.c, 0)::bigint AS c,
+         |    coalesce(r.rc, 0)::bigint AS rc
+         |  FROM grid g
+         |  LEFT JOIN binned bn ON bn.day = g.day AND bn.bin = g.bin
+         |  LEFT JOIN ref r ON r.bin = g.bin),
+         |nd AS (SELECT day, sum(c)::bigint AS n_d FROM f GROUP BY 1),
+         |terms AS (
+         |  SELECT f.day, f.bin, n.n_d,
+         |    ((f.c + 1) / (n.n_d + $b)::double
+         |      - (f.rc + 1) / (x.n_ref + $b)::double) *
+         |    ln(((f.c + 1) / (n.n_d + $b)::double)
+         |       / ((f.rc + 1) / (x.n_ref + $b)::double)) AS term
+         |  FROM f JOIN nd n USING (day) CROSS JOIN nref x),
+         |s AS (SELECT day, n_d,
+         |        list_reduce(list(term ORDER BY bin), (a, b) -> a + b)
+         |          AS sm
+         |      FROM terms GROUP BY day, n_d)
+         |SELECT day, n_d AS n_events, round(sm, 6) AS psi
+         |FROM s
+         |ORDER BY day""".stripMargin
+    },
+
     // G17 composed ingest gate: replayed feed (re-crawls under a
     // 3·5·7-aligned id offset draw the same PII gates, different PII
     // values) → E11 scrub (shared aug/red CTEs) → E2 quality floor

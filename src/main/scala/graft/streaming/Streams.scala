@@ -1483,6 +1483,124 @@ object Streams {
     graft.operators.Lifecycle.changepointScore(cpStateful(evs))
   }
 
+  // ----- G34: online PSI drift monitor (table_psi twin) ------------
+
+  /** One pre-binned event for the PSI stream. */
+  final case class PsiEv(day: Long, bin: Long)
+  /** Per-day bin counters (public for the state encoder). */
+  final case class PsiAcc(bins: Map[Long, Long])
+
+  /** G34 core: the per-day value-histogram maintained online.
+    * Addition commutes — replay-order free; each active batch emits
+    * ONLY the (day, bin, c) entries it touched (counts monotone ⇒ a
+    * max-on-read consumer reconstructs the snapshot — the cpFn
+    * emission discipline). Bin EDGES are training-time constants
+    * ([[psiRefStats]] off the static table — an online monitor
+    * cannot re-derive edges from data it hasn't seen; that is the
+    * production PSI contract, reference window frozen at deploy).
+    * State per day is ≤ PsiBins longs. */
+  def psiFn(day: Long, evs: Iterator[PsiEv],
+      state: GroupState[PsiAcc]): Iterator[(Long, Long, Long)] = {
+    var m = state.getOption.map(_.bins).getOrElse(Map.empty[Long, Long])
+    var touched = Set.empty[Long]
+    evs.foreach { e =>
+      touched += e.bin; m = m.updated(e.bin, m.getOrElse(e.bin, 0L) + 1L)
+    }
+    if (touched.isEmpty) return Iterator.empty
+    state.update(PsiAcc(m))
+    touched.iterator.map(b => (day, b, m(b)))
+  }
+
+  /** Shared stateful histogram stage (batch or streaming). */
+  def psiStateful(evs: Dataset[PsiEv]): DataFrame = {
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.day)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        psiFn)
+      .toDF("day", "bin", "c")
+  }
+
+  /** The frozen reference stats 1-row frame (dmin, dmax, cmin, cmax):
+    * value-cents range over the FIRST-HALF reference window of the
+    * static table. */
+  def psiRefStats(ev: DataFrame): DataFrame = {
+    val st = ev.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+    ev.crossJoin(broadcast(st))
+      .filter(col("day") <= expr("(dmin + dmax) div 2"))
+      .agg(min(col("cents")).as("cmin"), max(col("cents")).as("cmax"))
+  }
+
+  /** The shared binning projection: raw (day, cents) → [[PsiEv]]
+    * against a broadcast stats row; out-of-reference-range values
+    * CLAMP to the edge bins (greatest/least — which also erases the
+    * Spark-div-vs-DuckDB-floor negative-operand difference: any
+    * negative offset clamps to bin 0 on both engines). */
+  def psiBinnedOf(ev: DataFrame, refStats: DataFrame): DataFrame = {
+    val b = graft.operators.Profile.PsiBins
+    ev.crossJoin(broadcast(refStats))
+      .select(col("day"),
+        least(lit(b - 1L), greatest(lit(0L),
+          expr(s"((cents - cmin) * $b) div (cmax - cmin + 1)"))).as("bin"))
+  }
+
+  /** Read-side PSI scorer over any (day, bin, c) histogram snapshot:
+    * reference histogram = the first-half days of the snapshot
+    * itself; Laplace-smoothed shares over the full static bin grid
+    * (empty bins contribute — the tablePsi definition); per-day PSI
+    * is a STRICT bin-sorted sequential fold (sort_array∘aggregate ↔
+    * list_reduce ORDER BY). ln ulp class under round(6). */
+  def psiScore(binnedIn: DataFrame): DataFrame = {
+    val b = graft.operators.Profile.PsiBins
+    val spark = binnedIn.sparkSession
+    // referenced by ref/grid/full — persist, or the stateful pass
+    // runs three times (no-subtree-dedup)
+    val bn = binnedIn
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val st = bn.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+    val ref = bn.crossJoin(broadcast(st))
+      .filter(col("day") <= expr("(dmin + dmax) div 2"))
+      .groupBy(col("bin")).agg(sum(col("c")).as("rc"))
+    val nRef = ref.agg(coalesce(sum(col("rc")), lit(0L)).as("n_ref"))
+    val grid = bn.select(col("day")).distinct()
+      .crossJoin(spark.range(b).select(col("id").as("bin")))
+    val full = grid.join(bn, Seq("day", "bin"), "left")
+      .join(ref, Seq("bin"), "left")
+      .select(col("day"), col("bin"),
+        coalesce(col("c"), lit(0L)).as("c"),
+        coalesce(col("rc"), lit(0L)).as("rc"))
+    val nd = full.groupBy(col("day")).agg(sum(col("c")).as("n_d"))
+    val terms = full.join(nd, Seq("day")).crossJoin(broadcast(nRef))
+      .withColumn("p_cur",
+        (col("c") + lit(1L)) / (col("n_d") + lit(b.toLong)))
+      .withColumn("p_ref",
+        (col("rc") + lit(1L)) / (col("n_ref") + lit(b.toLong)))
+      .withColumn("term",
+        (col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")))
+    terms.groupBy(col("day"), col("n_d"))
+      .agg(sort_array(collect_list(struct(col("bin"), col("term"))))
+        .as("ts"))
+      .select(col("day"), col("n_d").as("n_events"),
+        round(aggregate(transform(col("ts"), s => s.getField("term")),
+          lit(0.0), (acc, x) => acc + x), 6).as("psi"))
+      .orderBy(col("day"))
+  }
+
+  /** G34 batch entry: each day's full histogram in one call ⇒ the
+    * final snapshot, scored — the per-day drift series vs the frozen
+    * first-half reference (near-zero inside the reference window,
+    * the mixture-shift read outside it). The events projection is
+    * persisted: it feeds the edge-stats pass AND the binning pass
+    * (no-subtree-dedup). */
+  def streamPsi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir).events
+      .select(expr("(ts div 1000000000L) div 86400L").as("day"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val binned = psiBinnedOf(ev, psiRefStats(ev)).as[PsiEv]
+    psiScore(psiStateful(binned))
+  }
+
   // ----- G27: online order backlog (orders_backlog twin) -----------
 
   /** One order-lifecycle event: kind 0 = the order placed on `day`,

@@ -1305,6 +1305,48 @@ class StreamsSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("streaming psi: per-day histograms across batches score to the batch drift series") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    // binning goes through the SHARED psiBinnedOf/psiRefStats stages
+    // (frozen reference edges off the static table — the production
+    // deploy contract), so the fixture cannot drift from the batch
+    // query's bin definition.
+    val ev = graft.Tables(spark, sfDir).events
+      .select(expr("(ts div 1000000000L) div 86400L").as("day"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .persist()
+    val evs = Streams.psiBinnedOf(ev, Streams.psiRefStats(ev))
+      .as[Streams.PsiEv].collect()
+    val expected = Streams.streamPsi(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val stream = MemoryStream[Streams.PsiEv]
+    val query = Streams.psiStateful(stream.toDS())
+      .writeStream.format("memory").queryName("psi")
+      .outputMode("append").start()
+    try {
+      evs.grouped(math.max(1, evs.length / 4)).foreach { b =>
+        stream.addData(b.toSeq); query.processAllAvailable()
+      }
+      // final snapshot per (day, bin) = max c (counts are monotone)
+      val fin = s.table("psi").collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+        .groupBy(_._1).map { case (k, rs) => (k, rs.map(_._2).max) }.toSeq
+      val snap = fin.map { case ((d, b), c) => (d, b, c) }
+        .toDF("day", "bin", "c")
+      val got = Streams.psiScore(snap)
+        .collect().map(_.toString).toSeq
+      assert(got == expected,
+        "online snapshot scored != batch PSI drift series")
+      val emissions = s.table("psi").collect()
+        .groupBy(r => (r.getLong(0), r.getLong(1)))
+        .values.map(_.length)
+      assert(emissions.exists(_ > 1),
+        "fixture must exercise multi-batch accumulation")
+      ev.unpersist()
+    } finally query.stop()
+  }
+
   test("streaming backlog: per-order lifecycle across batches scores to the batch series") {
     val s = spark; import s.implicits._
     implicit val sq = s.sqlContext
