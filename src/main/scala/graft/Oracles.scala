@@ -1889,6 +1889,37 @@ object Oracles {
         blocks.mkString("", "\nUNION ALL\n", "\nORDER BY col_x, col_y")
     },
 
+    // B robust daily anomaly (Funnel.eventsAnomalyMad): exact counts,
+    // quantile_cont == Spark percentile interpolation (events_rfm
+    // precedent), one mirrored IEEE z expression, MAD=0 ⇒ NULL CASE.
+    "events_anomaly_mad" -> {
+      val c = graft.operators.Funnel.MadZConst
+      val cut = graft.operators.Funnel.MadOutlierCut
+      s"""WITH daily AS (
+         |  SELECT event_type,
+         |    (epoch(date_trunc('second', ts))::bigint // 86400) AS day,
+         |    count(*)::bigint AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |med AS (SELECT event_type, quantile_cont(cnt, 0.5) AS med
+         |        FROM daily GROUP BY 1),
+         |dev AS (
+         |  SELECT d.event_type, d.day, d.cnt, m.med,
+         |    abs(d.cnt::double - m.med) AS adev
+         |  FROM daily d JOIN med m USING (event_type)),
+         |mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+         |        FROM dev GROUP BY 1)
+         |SELECT d.event_type, d.day, d.cnt AS n_events,
+         |  round(d.med, 4) AS med, round(a.mad, 4) AS mad,
+         |  CASE WHEN a.mad > 0
+         |       THEN round($c * (d.cnt::double - d.med) / a.mad, 4)
+         |  END AS robust_z,
+         |  CASE WHEN a.mad > 0
+         |       THEN abs($c * (d.cnt::double - d.med) / a.mad) > $cut
+         |  END AS is_outlier
+         |FROM dev d JOIN mad a USING (event_type)
+         |ORDER BY d.event_type, d.day""".stripMargin
+    },
+
     // B per-user behavioral entropy (Funnel.eventsEntropy): exact
     // integer counts, H via a STRICT type-sorted sequential fold
     // (list_reduce == Spark aggregate seeded 0.0 — IEEE 0+x is
@@ -2049,6 +2080,39 @@ object Oracles {
         |  coalesce(cnt.n_tri, 0)::bigint AS n_tri
         |FROM deg LEFT JOIN cnt ON cnt.n = deg.n
         |ORDER BY node""".stripMargin,
+
+    // B brand-partition modularity (Graph.graphModularity): exact
+    // integer e_c/d_c/m over the labeled edge frame, one mirrored
+    // IEEE term per community ⇒ full hash gate.
+    "graph_modularity" ->
+      """WITH li AS (SELECT l_orderkey AS k, l_partkey AS p FROM lineitem),
+        |und AS MATERIALIZED (SELECT DISTINCT a.p AS src, b.p AS dst
+        |        FROM li a JOIN li b ON a.k = b.k AND a.p < b.p),
+        |pb AS (SELECT p_partkey AS p, p_brand AS brand FROM part),
+        |e AS MATERIALIZED (
+        |  SELECT und.src, und.dst, ps.brand AS b_src, pd.brand AS b_dst
+        |  FROM und JOIN pb ps ON ps.p = und.src
+        |  JOIN pb pd ON pd.p = und.dst),
+        |m AS (SELECT count(*)::bigint AS m FROM e),
+        |ec AS (SELECT b_src AS brand, count(*)::bigint AS e_in
+        |       FROM e WHERE b_src = b_dst GROUP BY 1),
+        |dc AS (SELECT brand, count(*)::bigint AS d_tot FROM (
+        |         SELECT b_src AS brand FROM e
+        |         UNION ALL SELECT b_dst FROM e) GROUP BY 1),
+        |nodes AS (
+        |  SELECT pb.brand, count(*)::bigint AS n_nodes FROM (
+        |    SELECT src AS p FROM und UNION SELECT dst FROM und) n
+        |  JOIN pb ON pb.p = n.p GROUP BY 1)
+        |SELECT nodes.brand, n_nodes,
+        |  coalesce(ec.e_in, 0)::bigint AS e_in, dc.d_tot,
+        |  round(coalesce(ec.e_in, 0)::double / m.m::double
+        |    - (dc.d_tot::double / (2 * m.m)::double)
+        |      * (dc.d_tot::double / (2 * m.m)::double), 6) AS q_term
+        |FROM nodes
+        |JOIN dc ON dc.brand = nodes.brand
+        |LEFT JOIN ec ON ec.brand = nodes.brand
+        |CROSS JOIN m
+        |ORDER BY nodes.brand""".stripMargin,
 
     // B edge embeddedness (Graph.graphEdgeJaccard): same oriented
     // triangle enumeration as graph_triangles, each triangle
@@ -3933,6 +3997,31 @@ object Oracles {
     // batch count (DuckDB 0x-cast vs Spark conv(,16,10)); the
     // per-anchor cut orders by a second fixed-width-hex draw —
     // lexical compare = numeric compare, all integers.
+    // J17 Poisson bootstrap (Sampling.sampleBootstrap): salted-md5
+    // inverse-CDF draws (0x-cast == conv contract), indicator-sum k,
+    // exact integer sums + one mean division ⇒ full hash gate.
+    "sample_bootstrap" -> {
+      val S = graft.operators.Sampling
+      val cases = S.BootCdf.map(t =>
+        s"CASE WHEN u >= $t THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH x AS (
+         |  SELECT r.rep, d.doc_id, d.n_chars,
+         |    ('0x' || substr(md5('${S.BootSeed}' || r.rep::varchar || ':'
+         |        || d.doc_id::varchar), 1, 8))::bigint::double
+         |      / 4294967296.0 AS u
+         |  FROM documents d
+         |  CROSS JOIN (SELECT unnest(range(0, ${S.BootReps})) AS rep) r),
+         |k AS (
+         |  SELECT rep, doc_id, n_chars, ($cases)::bigint AS k FROM x)
+         |SELECT rep, sum(k)::bigint AS n_drawn,
+         |  sum(CASE WHEN k > 0 THEN 1 ELSE 0 END)::bigint AS n_unique,
+         |  round(sum(k * n_chars)::double / sum(k)::double, 4)
+         |    AS mean_chars
+         |FROM k
+         |GROUP BY rep
+         |ORDER BY rep""".stripMargin
+    },
+
     "sample_negatives" -> {
       val S = graft.operators.Sampling
       raw"""WITH e AS (SELECT vec_id, label FROM embeddings),
@@ -5441,6 +5530,39 @@ object Oracles {
         |  min_gray, max_gray
         |FROM agg ORDER BY doc_id""".stripMargin),
 
+    // F11 gray-luminance histogram (Multimodal.mmHistogram): the
+    // shared pixel plane in hex space, quarter-binned gray mass —
+    // pure integer ⇒ full hash gate.
+    "mm_histogram" ->
+      ("WITH " + imgPixCtes + ",\n" +
+      """pv AS (
+        |  SELECT p.doc_id, p.w, p.h,
+        |    ('0x' || substr(p.px,
+        |      ((y.g * p.rowbytes + x.g * 3) * 2 + 1)::int, 2))::bigint
+        |      AS c0,
+        |    ('0x' || substr(p.px,
+        |      ((y.g * p.rowbytes + x.g * 3) * 2 + 3)::int, 2))::bigint
+        |      AS c1,
+        |    ('0x' || substr(p.px,
+        |      ((y.g * p.rowbytes + x.g * 3) * 2 + 5)::int, 2))::bigint
+        |      AS c2
+        |  FROM pix p
+        |  CROSS JOIN range(0, 32) y(g)
+        |  CROSS JOIN range(0, 40) x(g)
+        |  WHERE y.g < p.h AND x.g < p.w)
+        |SELECT doc_id, max(w)::int AS width, max(h)::int AS height,
+        |  count(*)::bigint AS n_px,
+        |  sum(CASE WHEN least(3, (c0 + c1 + c2) * 4 // 768) = 0
+        |      THEN 1 ELSE 0 END)::bigint AS b0,
+        |  sum(CASE WHEN least(3, (c0 + c1 + c2) * 4 // 768) = 1
+        |      THEN 1 ELSE 0 END)::bigint AS b1,
+        |  sum(CASE WHEN least(3, (c0 + c1 + c2) * 4 // 768) = 2
+        |      THEN 1 ELSE 0 END)::bigint AS b2,
+        |  sum(CASE WHEN least(3, (c0 + c1 + c2) * 4 // 768) = 3
+        |      THEN 1 ELSE 0 END)::bigint AS b3
+        |FROM pv GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin),
+
     // F9 gradient-hash dedup: the shared pixel CTEs through the 9×8
     // difference-hash chain (bit = horizontal gradient sign), then
     // mm_phash's exact-group window verbatim.
@@ -5676,6 +5798,23 @@ object Oracles {
     // G27 online backlog: per-order lifecycle state, the dense-day
     // prefix scored on read — same SQL as the batch stabbing form.
     "stream_backlog" -> relational("orders_backlog"),
+
+    // G35 online feed fingerprint: the table_checksum XOR contract
+    // over the documents feed — commutative, so the replayed stream
+    // and the one-batch oracle agree by construction.
+    "stream_checksum" -> {
+      val blocks = graft.streaming.Streams.ChecksumDocCols.map { c =>
+        s"""SELECT 'documents' AS tbl, '$c' AS col_name,
+           |  count(*)::bigint AS n_rows,
+           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::bigint
+           |    AS n_null,
+           |  bit_xor(CASE WHEN $c IS NULL THEN 0
+           |    ELSE ('0x' || substr(md5($c::varchar), 1, 15))::bigint
+           |    END) AS xor_sig
+           |FROM documents""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"$blocks\nORDER BY col_name"
+    },
 
     // G34 online PSI drift: frozen first-half reference window +
     // edge-clamped integer binning (the greatest/least clamp also

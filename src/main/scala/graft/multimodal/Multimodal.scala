@@ -861,6 +861,71 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  final case class GrayHist(doc_id: Long, width: Int, height: Int,
+    n_px: Long, b0: Long, b1: Long, b2: Long, b3: Long)
+
+  /** Per-image 4-bin gray histogram — the same decode eligibility and
+    * pixel walk as [[colorStatsOf]], binning g = c0+c1+c2 ∈ [0,765]
+    * into quarters (g·4 div 768, clamped — non-negative operands, so
+    * truncating and flooring division agree cross-engine). */
+  private[multimodal] def grayHistOf(b: MmBlob): Option[GrayHist] = {
+    val d = decodeHeader(b)
+    val out = for {
+      w <- d.width; h0 <- d.height
+      h = math.abs(h0)
+      if d.ok && w > 0 && h > 0
+    } yield {
+      val a = b.content
+      val stride = (w.toLong * 3 + 3) / 4 * 4
+      val pixOff = if (a.length >= 34) leS32(a, 10) else -1
+      val isNN = d.format == "bmp" && d.bit_depth.contains(24) &&
+        a.length >= 54 && leS32(a, 30) == 0 && pixOff >= 54 &&
+        pixOff + stride * h <= a.length
+      val pngPx: Option[Array[Byte]] =
+        if (d.format == "png") pngPixels(a).map(_._3) else None
+      if (isNN || pngPx.isDefined) {
+        val (px, off, rowBytes) = pngPx match {
+          case Some(p) => (p, 0, w * 3)
+          case None    => (a, pixOff, stride.toInt)
+        }
+        val bins = new Array[Long](4)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          val base = off + y * rowBytes
+          while (x < w) {
+            val g = (px(base + 3 * x) & 0xFF) +
+              (px(base + 3 * x + 1) & 0xFF) + (px(base + 3 * x + 2) & 0xFF)
+            bins(math.min(3, g * 4 / 768)) += 1L
+            x += 1
+          }
+          y += 1
+        }
+        Some(GrayHist(b.doc_id, w, h, w.toLong * h,
+          bins(0), bins(1), bins(2), bins(3)))
+      } else None
+    }
+    out.flatten
+  }
+
+  /** F11 (round 13): per-image gray-luminance histogram — the
+    * exposure-profile read beside mm_colorstats' means: a mass spike
+    * in b0/b3 flags under/over-exposed captures that a mean alone
+    * averages away (a half-black half-white frame has a perfectly
+    * centered mean and an empty middle). Same zero-shuffle
+    * per-partition codec-batch shape as mm_decode — the per-doc row
+    * is final at decode time; the only exchange is the output sort.
+    * Pure integer binning ⇒ full hash gate (the DuckDB twin
+    * re-derives every pixel byte in hex space, the mm_colorstats
+    * precedent). */
+  def mmHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    synthImageBlobs(spark, dir)
+      .mapPartitions(it => it.flatMap(grayHistOf))
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
   /** Hamming radius for [[mmNeardup]] — with 4 bands of 16 bits, the
     * pigeonhole guarantees every pair at distance ≤ 3 shares a band,
     * so the banded join is COMPLETE for this τ (not LSH-approximate).

@@ -216,6 +216,58 @@ object Funnel {
       .orderBy(col("event_type"), col("hour_ep"))
   }
 
+  /** Iglewicz–Hoaglin constant and cut for [[eventsAnomalyMad]]
+    * (single-sourced into the oracle). */
+  val MadZConst = 0.6745
+  val MadOutlierCut = 3.5
+
+  /** B (round 13): robust daily anomaly flags — the
+    * median/MAD twin of events_anomaly's rolling mean/σ z-score:
+    * per event type, each day's count scored as the modified
+    * z-score 0.6745·(x − median)/MAD (Iglewicz–Hoaglin, |z| > 3.5
+    * flags). The robust detector a pipeline runs when the series
+    * itself contains the spikes it hunts — one burst day inflates a
+    * mean/σ baseline (masking), but moves a median/MAD baseline by
+    * at most one rank. Complements, not replaces, B9: B9 is the
+    * trailing-window ONLINE shape, this is the full-series batch
+    * sweep.
+    *
+    * Exactness: counts are exact integers; median and MAD are
+    * percentile(0.5) interpolations (bit-equal to DuckDB's
+    * quantile_cont — the events_rfm precedent), the z assembly is
+    * one mirrored IEEE expression, MAD = 0 (constant series) ⇒ NULL
+    * z via the same CASE both engines ⇒ full hash gate. Scale:
+    * daily counts are one map-side-combined groupBy; both
+    * percentile aggregates run per TYPE over day-count rows
+    * (series-length-sized, not event-sized); daily and deviation
+    * frames are persisted (each feeds two consumers —
+    * no-subtree-dedup). */
+  def eventsAnomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val daily = Tables(spark, dir).events
+      .select(col("event_type"), Tables.tsNsToSec("ts").as("ep"))
+      .withColumn("day", expr("ep div 86400L"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val med = daily.groupBy(col("event_type"))
+      .agg(percentile(col("cnt"), lit(0.5)).as("med"))
+    val dev = daily.join(med, Seq("event_type"))
+      .withColumn("adev", abs(col("cnt").cast("double") - col("med")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val mad = dev.groupBy(col("event_type"))
+      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+    val z = lit(MadZConst) * (col("cnt").cast("double") - col("med")) /
+      col("mad")
+    dev.join(mad, Seq("event_type"))
+      .select(col("event_type"), col("day"), col("cnt").as("n_events"),
+        round(col("med"), 4).as("med"),
+        round(col("mad"), 4).as("mad"),
+        when(col("mad") > 0.0, round(z, 4)).as("robust_z"),
+        when(col("mad") > 0.0, abs(z) > MadOutlierCut).as("is_outlier"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** B35: first/last-touch attribution — for every purchase, the
     * earliest and the most recent strictly-preceding touch event
     * (view/click) by the same user, plus the touch count. The other

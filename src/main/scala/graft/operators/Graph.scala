@@ -710,6 +710,71 @@ object Graph {
           round(covn / (sqrt(vu) * sqrt(vv)), 6)).as("assortativity"))
   }
 
+  /** B (round 13): modularity of the BRAND partition over the
+    * co-purchase graph — per community c: within-community edges
+    * e_c, total degree d_c, and the Newman–Girvan modularity term
+    * q_c = e_c/m − (d_c/2m)²; Σ q_c is the partition's modularity.
+    * The "do catalog brands form real co-purchase communities"
+    * read — an ATTRIBUTE partition scored against graph structure
+    * (the evaluation half of community detection, the same Q any
+    * Louvain implementation maximizes; here the candidate partition
+    * comes from metadata, which is how curation pipelines sanity-
+    * check a taxonomy against behavior).
+    *
+    * Scale shape: one distinct-edge build (the shared co-purchase
+    * graph, persisted), brand attachment via two shuffle
+    * equi-joins on the part dim (NO broadcast hint — part GROWS
+    * with the corpus; AQE broadcasts from runtime stats when it
+    * actually fits, the pagerank rule), then three
+    * map-side-combined aggregates over the labeled edge frame
+    * (persisted — 3 references) and one node-grain groupBy. All
+    * counts exact integers; each q_term is IEEE on exact operands,
+    * mirrored ⇒ full hash gate. */
+  def graphModularity(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    modularityOf(
+      t.lineitem.select(col("l_orderkey").as("k"), col("l_partkey").as("p")),
+      t.part.select(col("p_partkey").as("p"), col("p_brand").as("brand")))
+  }
+
+  /** Core over any (k, p) membership frame and (p, brand) label
+    * frame. */
+  def modularityOf(li: DataFrame, part: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val a = li.select(col("k"), col("p").as("src"))
+    val b = li.select(col("k"), col("p").as("dst"))
+    val und = a.join(b, "k").filter(col("src") < col("dst"))
+      .select("src", "dst").distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e = und
+      .join(part.select(col("p").as("src"), col("brand").as("b_src")),
+        Seq("src"))
+      .join(part.select(col("p").as("dst"), col("brand").as("b_dst")),
+        Seq("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val m = e.agg(count(lit(1)).as("m"))
+    val ec = e.filter(col("b_src") === col("b_dst"))
+      .groupBy(col("b_src").as("brand")).agg(count(lit(1)).as("e_in"))
+    val dc = e.select(col("b_src").as("brand"))
+      .unionAll(e.select(col("b_dst").as("brand")))
+      .groupBy("brand").agg(count(lit(1)).as("d_tot"))
+    val nodes = und.select(col("src").as("p"))
+      .unionAll(und.select(col("dst").as("p"))).distinct()
+      .join(part, Seq("p"))
+      .groupBy("brand").agg(count(lit(1)).as("n_nodes"))
+    val dShare = col("d_tot").cast("double") /
+      (lit(2L) * col("m")).cast("double")
+    nodes
+      .join(dc, Seq("brand"))
+      .join(ec, Seq("brand"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("brand"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_tot"),
+        round(coalesce(col("e_in"), lit(0L)).cast("double") /
+          col("m").cast("double") - dShare * dShare, 6).as("q_term"))
+      .orderBy(col("brand"))
+  }
+
   /** Number of pinned BFS sources for [[graphKhop]] (single-sourced
     * into the oracle). */
   val KhopSources = 10

@@ -671,6 +671,56 @@ object Sampling {
       .orderBy(col("anchor"), col("rn"))
   }
 
+  /** Replicate count, draw salt and the cumulative Poisson(1) CDF
+    * thresholds for [[sampleBootstrap]] — u ≥ k thresholds ⇒ draw
+    * count k (capped at 6; P(k>6) ≈ 8e-5 folds into the cap).
+    * Literal doubles round-trip IEEE-exactly through both engines'
+    * parsers, so the threshold compares cannot drift. */
+  val BootReps = 10
+  val BootSeed = "graft-boot-19:"
+  val BootCdf: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
+
+  /** J17 (round 13): deterministic Poisson bootstrap — the standard
+    * distributed bootstrap (per-element draw count ~ Poisson(1),
+    * Chamandy et al./Google's "Estimating Uncertainty for Massive
+    * Data Streams" construction: no global resample pass, each row
+    * decides its own multiplicity independently per replicate).
+    * [[BootReps]] replicates of the documents corpus, each reporting
+    * resample size, unique-doc count and mean doc length — the
+    * uncertainty read ("how stable is my corpus statistic under
+    * resampling") behind every error bar a curation report prints.
+    * Draws are salted-md5 inverse-CDF, so the replicate set is
+    * deterministic, re-runnable, and independent of every other J
+    * draw (the sample_importance hash contract).
+    *
+    * Scale: ONE pass — replicates explode from a literal array
+    * ([[BootReps]]× amplification of the PROJECTED (id, n_chars)
+    * frame, not raw text), map-side-combined groupBy(rep); k is a
+    * chained-indicator sum (u ≥ t_i), all downstream sums exact
+    * integers, one mean division ⇒ full hash gate. */
+  def sampleBootstrap(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents.select(col("doc_id"), col("n_chars"))
+    val reps = array((0 until BootReps).map(r => lit(r)): _*)
+    val u = conv(substring(md5(concat(lit(BootSeed),
+        col("rep").cast("string"), lit(":"),
+        col("doc_id").cast("string")).cast("binary")), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+    val k = BootCdf.map(t => when(u >= t, 1L).otherwise(0L))
+      .reduce(_ + _)
+    d.select(col("doc_id"), col("n_chars"), explode(reps).as("rep"))
+      .select(col("rep"), k.as("k"), col("n_chars"))
+      .groupBy(col("rep"))
+      .agg(sum(col("k")).as("n_drawn"),
+        sum(when(col("k") > 0L, 1L).otherwise(0L)).as("n_unique"),
+        sum(col("k") * col("n_chars")).as("sum_chars"))
+      .select(col("rep"), col("n_drawn"), col("n_unique"),
+        round(col("sum_chars").cast("double") /
+          col("n_drawn").cast("double"), 4).as("mean_chars"))
+      .orderBy(col("rep"))
+  }
+
   /** [[mixSoftDedup]] over any (doc_id, lang, text) frame — split out
     * so the weighting is fixture-testable (the shipped corpus has no
     * exact dups below sf0.1; SamplingSpec plants some). */

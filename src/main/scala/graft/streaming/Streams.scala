@@ -1483,6 +1483,53 @@ object Streams {
     graft.operators.Lifecycle.changepointScore(cpStateful(evs))
   }
 
+  // ----- G35: online feed fingerprint (table_checksum twin) --------
+
+  /** Document columns fingerprinted by [[streamChecksum]]
+    * (single-sourced into the oracle). */
+  val ChecksumDocCols: Seq[String] = Seq("doc_id", "lang", "source", "text")
+
+  /** The shared per-row fingerprint projection: each document row
+    * explodes to one (col_name, is_null, sig) entry per fingerprinted
+    * column in ONE projection — sig is the table_checksum 60-bit md5
+    * prefix (0 for NULLs; XOR-identity, nulls counted separately). */
+  def ckPrep(docs: DataFrame): DataFrame = {
+    val entries = array(ChecksumDocCols.map { c =>
+      struct(lit(c).as("col_name"),
+        when(col(c).isNull, 1L).otherwise(0L).as("is_null"),
+        when(col(c).isNull, 0L).otherwise(
+          conv(substring(md5(col(c).cast("string").cast("binary")), 1, 15),
+            16, 10).cast("long")).as("sig"))
+    }: _*)
+    docs.select(explode(entries).as("e"))
+      .select(col("e.col_name").as("col_name"),
+        col("e.is_null").as("is_null"), col("e.sig").as("sig"))
+  }
+
+  /** G35 core: the running fingerprint as a plain streaming
+    * AGGREGATION (the built-in stateful-agg path, not a custom state
+    * fn): count/sum/bit_xor are all commutative-merge declarative
+    * aggs, so the micro-batch partials combine map-side BEFORE the
+    * K-key exchange (K = #columns — without the partial, every raw
+    * row would shuffle to K hot keys; with it, each batch ships one
+    * partial row per (partition, column), the mr_wordcount combiner
+    * argument) and replay order cannot change the result. */
+  def ckStateful(rows: DataFrame): DataFrame =
+    rows.groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("is_null")).as("n_null"),
+        expr("bit_xor(sig)").as("xor_sig"))
+
+  /** G35 batch entry: the whole feed in one batch ⇒ the final
+    * fingerprint — the "did the re-crawl deliver byte-identical
+    * content" read beside stream_curate's re-ingest gate, same
+    * column contract as H's table_checksum. */
+  def streamChecksum(spark: SparkSession, dir: String): DataFrame =
+    ckStateful(ckPrep(Tables(spark, dir).documents))
+      .select(lit("documents").as("tbl"), col("col_name"),
+        col("n_rows"), col("n_null"), col("xor_sig"))
+      .orderBy(col("col_name"))
+
   // ----- G34: online PSI drift monitor (table_psi twin) ------------
 
   /** One pre-binned event for the PSI stream. */

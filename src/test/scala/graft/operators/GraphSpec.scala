@@ -225,4 +225,28 @@ class GraphSpec extends SparkSuite {
       assert(n1 <= n2 && n2 <= n3, s"reach not monotone at $src")
     }
   }
+
+  test("modularity: two disjoint same-brand triangles score Q = 1/2 " +
+    "exactly; corpus run reconciles") {
+    val s = spark; import s.implicits._
+    // two triangles {1,2,3} (brand A) and {4,5,6} (brand B):
+    // m = 6, e_c = 3, d_c = 6 ⇒ q_c = 3/6 − (6/12)² = 1/4 each
+    val li = Seq((10L, 1L), (10L, 2L), (10L, 3L),
+      (20L, 4L), (20L, 5L), (20L, 6L)).toDF("k", "p")
+    val brands = Seq((1L, "A"), (2L, "A"), (3L, "A"),
+      (4L, "B"), (5L, "B"), (6L, "B")).toDF("p", "brand")
+    val fx = Graph.modularityOf(li, brands).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(fx.keySet == Set("A", "B"))
+    fx.values.foreach { case (n, e, d, q) =>
+      assert(n == 3L && e == 3L && d == 6L && q == 0.25)
+    }
+    val rows = Graph.graphModularity(spark, sfDir).collect()
+    val m2 = rows.map(_.getLong(3)).sum // Σ d_tot = 2m
+    assert(m2 % 2 == 0)
+    assert(rows.map(_.getLong(2)).sum <= m2 / 2, "Σ e_in ≤ m")
+    val qTot = rows.map(_.getDouble(4)).sum
+    assert(qTot > -1.0 && qTot <= 1.0, s"Q out of range: $qTot")
+  }
 }

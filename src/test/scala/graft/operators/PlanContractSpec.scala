@@ -80,6 +80,18 @@ class PlanContractSpec extends SparkSuite {
   //    binning pass and the static 20-row grid.
   //  - mix_dsir: the 1-row model-totals frame crossJoined into the
   //    token scoring join.
+  //  - pack_bestfit: the 1-row corpus-count frame (the scaled
+  //    bin-count dial) crossJoined into the shard projection.
+  //  - corpus_coverage: the 1-row totals frame crossJoined onto the
+  //    1-row collected head before the ks explode.
+  //  - dedup_stats: the 1-row corpus-count frame crossJoined into
+  //    the histogram projection (and the 1-row clustered total into
+  //    the singleton row).
+  //  - stream_psi: three 1-row shapes — day-range stats into the
+  //    reference filter, ref stats into the binning pass, and the
+  //    n_ref total into the term projection.
+  //  - graph_modularity: the 1-row edge-count m crossJoined into the
+  //    per-community q_term projection.
   private val boundedBroadcastOk =
     Set("ann_bruteforce", "q14_scalar_subquery", "text_tfidf",
       "text_typicality", "corpus_stats", "text_bm25", "stream_bm25",
@@ -89,7 +101,8 @@ class PlanContractSpec extends SparkSuite {
       "ann_recall_eval", "sample_negatives", "table_ks",
       "decontaminate_semantic", "corpus_heaps", "sample_time_split",
       "graph_assortativity", "events_survival", "cdc_merge",
-      "table_psi", "mix_dsir")
+      "table_psi", "mix_dsir", "pack_bestfit", "corpus_coverage",
+      "dedup_stats", "stream_psi", "graph_modularity")
 
   test("no query plans a cartesian or unbounded nested-loop join") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -624,4 +624,33 @@ class SamplingSpec extends SparkSuite {
     assert(mean(t) > mean(r),
       s"target mean ${mean(t)} !> raw mean ${mean(r)}")
   }
+
+  test("sample_bootstrap: Poisson(1) mass, replicate independence, " +
+    "driver recompute of replicate 0") {
+    val rows = Sampling.sampleBootstrap(spark, sfDir).collect()
+    assert(rows.length == Sampling.BootReps)
+    val nDocs = graft.Tables(spark, sfDir).documents.count()
+    rows.foreach { r =>
+      val drawn = r.getLong(1)
+      // E[n_drawn] = n, Var = n: a 5σ band never flakes
+      assert(math.abs(drawn - nDocs) < 5 * math.sqrt(nDocs.toDouble) + 10,
+        s"replicate ${r.getInt(0)} drew $drawn of $nDocs")
+      assert(r.getLong(2) <= math.min(nDocs, drawn))
+    }
+    assert(rows.map(_.getLong(1)).distinct.length > 1,
+      "independent replicates must not all draw identically")
+    val docs = graft.Tables(spark, sfDir).documents
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    def kOf(rep: Int, id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s"${Sampling.BootSeed}$rep:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val u = java.lang.Long.parseLong(h.substring(0, 8), 16).toDouble /
+        4294967296.0
+      Sampling.BootCdf.count(u >= _).toLong
+    }
+    val exp = docs.map(kOf(0, _)).sum
+    assert(rows.find(_.getInt(0) == 0).get.getLong(1) == exp,
+      "replicate 0 draw total != driver md5 inverse-CDF recompute")
+  }
 }

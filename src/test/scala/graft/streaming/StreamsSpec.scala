@@ -1305,6 +1305,35 @@ class StreamsSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("streaming checksum: running fingerprint across batches equals the batch table") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    val docs = graft.Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .as[(Long, String, String, String)].collect()
+    val expected = Streams.streamChecksum(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val stream = MemoryStream[(Long, String, String, String)]
+    // the built-in stateful-agg path: commutative merges, so the
+    // 4-batch replay must land on the one-batch fingerprint exactly
+    val query = Streams.ckStateful(Streams.ckPrep(
+        stream.toDS().toDF("doc_id", "text", "lang", "source")))
+      .writeStream.format("memory").queryName("ck")
+      .outputMode("complete").start()
+    try {
+      docs.grouped(math.max(1, docs.length / 4)).foreach { b =>
+        stream.addData(b.toSeq); query.processAllAvailable()
+      }
+      val got = s.table("ck")
+        .select(lit("documents").as("tbl"), col("col_name"),
+          col("n_rows"), col("n_null"), col("xor_sig"))
+        .orderBy(col("col_name"))
+        .collect().map(_.toString).toSeq
+      assert(got == expected,
+        "replayed running fingerprint != one-batch table_checksum form")
+    } finally query.stop()
+  }
+
   test("streaming psi: per-day histograms across batches score to the batch drift series") {
     val s = spark; import s.implicits._
     implicit val sq = s.sqlContext
