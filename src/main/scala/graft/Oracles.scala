@@ -1581,6 +1581,56 @@ object Oracles {
       s"$blocks\nORDER BY candidate"
     },
 
+    // H declarative DQ rule report (Profile.tableDqRules): one
+    // sum-of-indicator block per rule, FK = anti-join count,
+    // uniqueness = distinct count; pure integer ⇒ full hash gate.
+    "table_dq_rules" ->
+      """WITH blocks AS (
+        |  SELECT 'orders' AS tbl, 'totalprice_positive' AS rule,
+        |    count(*)::bigint AS n_rows,
+        |    sum(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+        |        THEN 1 ELSE 0 END)::bigint AS n_violations
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders', 'status_in_domain', count(*)::bigint,
+        |    sum(CASE WHEN o_orderstatus IS NULL
+        |             OR o_orderstatus NOT IN ('F', 'O', 'P')
+        |        THEN 1 ELSE 0 END)::bigint
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders', 'orderdate_not_null', count(*)::bigint,
+        |    sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::bigint
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem', 'quantity_in_range', count(*)::bigint,
+        |    sum(CASE WHEN NOT (l_quantity >= 1 AND l_quantity <= 50)
+        |        THEN 1 ELSE 0 END)::bigint
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem', 'discount_in_range', count(*)::bigint,
+        |    sum(CASE WHEN NOT (l_discount >= 0 AND l_discount <= 0.1)
+        |        THEN 1 ELSE 0 END)::bigint
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'customer', 'name_not_blank', count(*)::bigint,
+        |    sum(CASE WHEN c_name IS NULL OR length(c_name) = 0
+        |        THEN 1 ELSE 0 END)::bigint
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'lineitem', 'fk_orderkey_exists',
+        |    (SELECT count(*) FROM lineitem)::bigint,
+        |    (SELECT count(*) FROM lineitem l
+        |     LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |     WHERE o.o_orderkey IS NULL)::bigint
+        |  UNION ALL
+        |  SELECT 'orders', 'orderkey_unique', count(*)::bigint,
+        |    (count(*) - count(DISTINCT o_orderkey))::bigint
+        |  FROM orders)
+        |SELECT tbl, rule, n_rows, n_violations,
+        |  n_violations = 0 AS pass
+        |FROM blocks
+        |ORDER BY tbl, rule""".stripMargin,
+
     // H table/column fingerprints (Profile.tableChecksum): XOR of a
     // 60-bit md5 prefix per non-null value — commutative, so one
     // canonical value regardless of row order; DuckDB 0x-cast ==
@@ -1887,6 +1937,52 @@ object Oracles {
       }
       head + "\n" +
         blocks.mkString("", "\nUNION ALL\n", "\nORDER BY col_x, col_y")
+    },
+
+    // B linear attribution (Funnel.eventsAttributionLinear): credit
+    // fractions enter fixed-point BEFORE the sum (order-free
+    // integers), one mirrored output division; (ep, event_id) total
+    // window order both engines.
+    "events_attribution_linear" -> {
+      val sc = graft.operators.Funnel.AttrScale
+      s"""WITH ev AS (
+         |  SELECT user_id,
+         |    epoch(date_trunc('second', ts))::bigint AS ep,
+         |    event_id, event_type
+         |  FROM events),
+         |p AS (
+         |  SELECT event_type,
+         |    count(CASE WHEN event_type = 'view' THEN 1 END) OVER w
+         |      AS nv,
+         |    count(CASE WHEN event_type = 'click' THEN 1 END) OVER w
+         |      AS nc
+         |  FROM ev
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING
+         |               AND 1 PRECEDING)),
+         |cr AS (SELECT nv, nc FROM p
+         |       WHERE event_type = 'purchase' AND nv + nc > 0),
+         |fp AS (
+         |  SELECT sum((nv * $sc) // (nv + nc))::bigint AS view_fp,
+         |    sum((nc * $sc) // (nv + nc))::bigint AS click_fp,
+         |    count(*)::bigint AS n_purch
+         |  FROM cr),
+         |tt AS (
+         |  SELECT
+         |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::bigint
+         |      AS n_views,
+         |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::bigint
+         |      AS n_clicks
+         |  FROM ev)
+         |SELECT 'click' AS touch_type, n_clicks AS n_touches,
+         |  n_purch AS n_purchases_credited,
+         |  round(click_fp::double / ${sc}.0, 6) AS credit
+         |FROM fp CROSS JOIN tt
+         |UNION ALL
+         |SELECT 'view', n_views, n_purch,
+         |  round(view_fp::double / ${sc}.0, 6)
+         |FROM fp CROSS JOIN tt
+         |ORDER BY touch_type""".stripMargin
     },
 
     // B robust daily anomaly (Funnel.eventsAnomalyMad): exact counts,
@@ -5042,6 +5138,33 @@ object Oracles {
         |  FROM pairs)
         |WHERE rk <= 5
         |ORDER BY q_id, rk""".stripMargin,
+
+    // D15 range search (Similarity.annRange): the ann_bruteforce
+    // cosine chain with a τ filter instead of a top-k cut —
+    // strict-fold cosines make the τ boundary bit-identical.
+    "ann_range" -> {
+      val tau = graft.operators.Similarity.RangeTau
+      s"""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::double) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v,
+        |    sqrt(list_reduce(
+        |      list_transform(list_zip(v, v), s -> s[1] * s[2]),
+        |      (x, y) -> x + y)) AS nrm
+        |  FROM e),
+        |q AS (SELECT * FROM n WHERE vec_id < 10),
+        |pairs AS (
+        |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |    list_reduce(
+        |      list_transform(list_zip(q.v, n.v), s -> s[1] * s[2]),
+        |      (x, y) -> x + y) / (q.nrm * n.nrm) AS cos
+        |  FROM q JOIN n ON q.vec_id <> n.vec_id)
+        |SELECT q_id, n_id, round(cos, 4) AS cos
+        |FROM pairs
+        |WHERE cos >= $tau
+        |ORDER BY q_id, cos DESC, n_id""".stripMargin
+    },
 
     // D8 k-NN graph: ordered-pair re-derivation of the Spark side's
     // mirrored unordered pairs — per-element products commute

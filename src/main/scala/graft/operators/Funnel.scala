@@ -404,6 +404,69 @@ object Funnel {
       .orderBy(col("day"))
   }
 
+  /** Fixed-point scale for [[eventsAttributionLinear]]'s credit
+    * fractions (1.0 ≡ 1e12; single-sourced into the oracle). */
+  val AttrScale = 1000000000000L
+
+  /** B (round 13): LINEAR (multi-touch) attribution — every purchase
+    * splits one unit of credit EQUALLY across all its strictly-
+    * preceding view/click touches; per touch type the total credit,
+    * touch volume, and purchases credited. The position-free model
+    * between B35's first/last extremes — the three together are the
+    * standard attribution panel, and the gap between last-touch and
+    * linear credit is the classic over/under-crediting read.
+    *
+    * Exactness: per-purchase credit enters FIXED-POINT before the
+    * sum — (nv·1e12) div (nv+nc) is an order-free integer (a double
+    * Σ of fractions would drift with partition merge order — the
+    * pagerank discipline); the one output division is mirrored.
+    * Scale: ONE hash exchange on user_id, two conditional running
+    * counts over a single ROWS window (same spec ⇒ one Window
+    * node — the B35 shape), a global 1-row aggregate, and the 2
+    * output rows EXPLODE from one projection. The totals aggregate
+    * reuses the persisted projection (no-subtree-dedup). */
+  def eventsAttributionLinear(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), Tables.tsNsToSec("ts").as("ep"),
+        col("event_id"), col("event_type"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ep"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val n = col("nv") + col("nc")
+    val credited = ev
+      .withColumn("nv",
+        count(when(col("event_type") === "view", 1)).over(w))
+      .withColumn("nc",
+        count(when(col("event_type") === "click", 1)).over(w))
+      .filter(col("event_type") === "purchase" && n > 0L)
+    val fp = credited.agg(
+      sum(expr(s"(nv * $AttrScale) div (nv + nc)")).as("view_fp"),
+      sum(expr(s"(nc * $AttrScale) div (nv + nc)")).as("click_fp"),
+      count(lit(1)).as("n_purch"))
+    val tot = ev.agg(
+      sum(when(col("event_type") === "view", 1L).otherwise(0L))
+        .as("n_views"),
+      sum(when(col("event_type") === "click", 1L).otherwise(0L))
+        .as("n_clicks"))
+    fp.crossJoin(tot)
+      .select(explode(array(
+        struct(lit("click").as("touch_type"), col("n_clicks").as("n_touches"),
+          col("n_purch").as("n_purchases_credited"),
+          col("click_fp").as("fp")),
+        struct(lit("view").as("touch_type"), col("n_views").as("n_touches"),
+          col("n_purch").as("n_purchases_credited"),
+          col("view_fp").as("fp")))).as("e"))
+      .select(col("e.touch_type").as("touch_type"),
+        col("e.n_touches").as("n_touches"),
+        col("e.n_purchases_credited").as("n_purchases_credited"),
+        round(col("e.fp").cast("double") / lit(AttrScale.toDouble), 6)
+          .as("credit"))
+      .orderBy(col("touch_type"))
+  }
+
   /** B (round 13): per-user behavioral entropy — Shannon entropy
     * (bits) of each user's event-type mix plus the log2(n_types)-
     * normalized evenness ∈ [0,1]: the behavioral-diversity read

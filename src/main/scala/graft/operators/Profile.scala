@@ -1065,6 +1065,69 @@ object Profile {
       .orderBy(col("tbl"), col("col_name"))
   }
 
+  /** H (round 13): declarative data-quality rule report — the
+    * Deequ/dbt-tests pass a pipeline runs on every snapshot before
+    * trusting it: per rule (not-null, domain, range, FK, uniqueness)
+    * the row count, violation count and pass verdict. Violations are
+    * COUNTED, not thrown — the report is the contract between the
+    * data owner and the consumer, and a red row localizes the break
+    * to one rule on one table.
+    *
+    * Scale shape: per-row rules evaluate in ONE column-pruned
+    * aggregate pass per table (every rule a sum-of-indicator in the
+    * same two-phase agg — no per-rule branch, no Expand), K rows out
+    * of ONE explode-of-structs projection; the FK rule is a LEFT
+    * ANTI equi-join count (shuffle-on-natural-key, the table_fk_check
+    * shape) and uniqueness one two-phase distinct count. Pure
+    * integers ⇒ full hash gate. */
+  def tableDqRules(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def perRow(tbl: String, src: DataFrame,
+        rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+      val aggs = rules.map { case (n, viol) =>
+        sum(when(viol, 1L).otherwise(0L)).as(s"v_$n") }
+      val one = src.agg(count(lit(1)).as("n_rows"), aggs.toIndexedSeq: _*)
+      val entries = array(rules.map { case (n, _) =>
+        struct(lit(n).as("rule"), col(s"v_$n").as("n_violations"))
+      }: _*)
+      one.select(lit(tbl).as("tbl"), col("n_rows"), explode(entries).as("e"))
+        .select(col("tbl"), col("e.rule").as("rule"), col("n_rows"),
+          col("e.n_violations").as("n_violations"))
+    }
+    val o = perRow("orders", t.orders, Seq(
+      "totalprice_positive" ->
+        (col("o_totalprice").isNull || col("o_totalprice") <= 0.0),
+      "status_in_domain" ->
+        (col("o_orderstatus").isNull ||
+          !col("o_orderstatus").isin("F", "O", "P")),
+      "orderdate_not_null" -> col("o_orderdate").isNull))
+    val l = perRow("lineitem", t.lineitem, Seq(
+      "quantity_in_range" ->
+        !(col("l_quantity") >= 1.0 && col("l_quantity") <= 50.0),
+      "discount_in_range" ->
+        !(col("l_discount") >= 0.0 && col("l_discount") <= 0.1)))
+    val c = perRow("customer", t.customer, Seq(
+      "name_not_blank" ->
+        (col("c_name").isNull || length(col("c_name")) === 0)))
+    val fk = t.lineitem.agg(count(lit(1)).as("n_rows"))
+      .crossJoin(t.lineitem.select(col("l_orderkey"))
+        .join(t.orders.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations")))
+      .select(lit("lineitem").as("tbl"),
+        lit("fk_orderkey_exists").as("rule"),
+        col("n_rows"), col("n_violations"))
+    val uq = t.orders.agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count_distinct(col("o_orderkey")))
+          .as("n_violations"))
+      .select(lit("orders").as("tbl"), lit("orderkey_unique").as("rule"),
+        col("n_rows"), col("n_violations"))
+    o.unionAll(l).unionAll(c).unionAll(fk).unionAll(uq)
+      .select(col("tbl"), col("rule"), col("n_rows"), col("n_violations"),
+        (col("n_violations") === 0L).as("pass"))
+      .orderBy(col("tbl"), col("rule"))
+  }
+
   /** One fingerprint frame — (tbl, col_name, n_rows, n_null, xor_sig)
     * per column — over any source frame. */
   def checksumOf(srcDf: DataFrame, tbl: String,

@@ -195,6 +195,41 @@ object Similarity {
     topK(spark, pairs, k = 5)
   }
 
+  /** Cosine radius for [[annRange]] (single-sourced into the
+    * oracle). */
+  val RangeTau = 0.35
+
+  /** D (round 13): RANGE search — every neighbor within cosine ≥ τ
+    * for the query set, the other half of the similarity-search API
+    * surface (FAISS's range_search beside its knn search): top-k
+    * answers "the best k whatever their quality", range answers
+    * "everything at least this similar" — the right call when
+    * downstream needs a QUALITY floor (dedup candidates, recall
+    * sets) rather than a fixed fan-out, and the result cardinality
+    * becomes the signal (a query with 0 in-radius neighbors is an
+    * outlier; the embed_outliers read per query).
+    *
+    * Scale shape: identical to ann_bruteforce — bounded query set
+    * broadcast, scores map-side over one scan, and because the τ
+    * filter is per-row there is NO top-k state at all: the operator
+    * is a pure scan-filter (cheaper than top-k at scale; the IVF
+    * probe path composes the same way when the corpus side needs
+    * pruning). Strict-fold cosines ⇒ bit-identical τ boundary ⇒
+    * full hash gate; output ordered (q_id, cos desc, n_id). */
+  def annRange(spark: SparkSession, dir: String): DataFrame = {
+    val e = vectors(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        V.cosineWithNorms(V.dot(col("qv"), col("v")),
+          col("qnrm"), col("nrm")).as("cos"))
+      .filter(col("cos") >= RangeTau)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("q_id"), col("cos").desc, col("n_id"))
+  }
+
   /** Quantizer-seed hash: Knuth multiplicative, h = (vec_id ·
     * 2654435761) mod 2³² — pure integer algebra any engine computes
     * identically (it replaced xxhash64, which only Spark has, to make
