@@ -4093,6 +4093,24 @@ object Oracles {
     // batch count (DuckDB 0x-cast vs Spark conv(,16,10)); the
     // per-anchor cut orders by a second fixed-width-hex draw —
     // lexical compare = numeric compare, all integers.
+    // J18 k-fold assignment (Sampling.sampleKfold): salted-md5 fold
+    // (0x-cast == conv), integer counts + one share division.
+    "sample_kfold" -> {
+      val S = graft.operators.Sampling
+      s"""WITH f AS (
+         |  SELECT ('0x' || substr(md5('${S.KfoldSeed}'
+         |      || doc_id::varchar), 1, 8))::bigint % ${S.KfoldK} AS fold
+         |  FROM documents),
+         |t AS (SELECT count(*)::bigint AS n_total FROM f)
+         |SELECT fold, count(*)::bigint AS n_test,
+         |  (SELECT n_total FROM t) - count(*)::bigint AS n_train,
+         |  round(count(*)::double / (SELECT n_total FROM t)::double, 4)
+         |    AS share
+         |FROM f
+         |GROUP BY fold
+         |ORDER BY fold""".stripMargin
+    },
+
     // J17 Poisson bootstrap (Sampling.sampleBootstrap): salted-md5
     // inverse-CDF draws (0x-cast == conv contract), indicator-sum k,
     // exact integer sums + one mean division ⇒ full hash gate.

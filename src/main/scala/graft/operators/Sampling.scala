@@ -671,6 +671,38 @@ object Sampling {
       .orderBy(col("anchor"), col("rn"))
   }
 
+  /** Fold count and assignment salt for [[sampleKfold]]
+    * (single-sourced into the oracle). */
+  val KfoldK = 5
+  val KfoldSeed = "graft-kfold-23:"
+
+  /** J18 (round 13): k-fold cross-validation assignment — every doc
+    * lands in exactly one of [[KfoldK]] salted-md5 folds; per fold
+    * the test size, train size (= corpus − fold) and share. The
+    * fourth member of the split family (random / temporal /
+    * leakage-aware / k-fold): CV is how a quality-classifier or
+    * reward-model trainer actually consumes a curated corpus, and
+    * hash-based assignment keeps folds STABLE under corpus growth —
+    * a doc never migrates folds when new data arrives (the property
+    * a random split cannot give). One pass, map-side-combined
+    * groupBy(fold) to K rows; integer algebra + one share division
+    * ⇒ full hash gate. */
+  def sampleKfold(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents.select(col("doc_id"))
+    val fold = conv(substring(md5(concat(lit(KfoldSeed),
+        col("doc_id").cast("string")).cast("binary")), 1, 8), 16, 10)
+      .cast("long") % KfoldK
+    val tot = d.agg(count(lit(1)).as("n_total"))
+    d.select(fold.as("fold"))
+      .groupBy(col("fold")).agg(count(lit(1)).as("n_test"))
+      .crossJoin(broadcast(tot))
+      .select(col("fold"), col("n_test"),
+        (col("n_total") - col("n_test")).as("n_train"),
+        round(col("n_test").cast("double") /
+          col("n_total").cast("double"), 4).as("share"))
+      .orderBy(col("fold"))
+  }
+
   /** Replicate count, draw salt and the cumulative Poisson(1) CDF
     * thresholds for [[sampleBootstrap]] — u ≥ k thresholds ⇒ draw
     * count k (capped at 6; P(k>6) ≈ 8e-5 folds into the cap).
