@@ -92,6 +92,14 @@ class PlanContractSpec extends SparkSuite {
   //    n_ref total into the term projection.
   //  - graph_modularity: the 1-row edge-count m crossJoined into the
   //    per-community q_term projection.
+  //  - ann_range: the broadcast side is the FIXED 10-query set on a
+  //    non-equi (=!=) condition — the ann_bruteforce bounded class.
+  //  - events_attribution_linear: the 1-row credit-fp frame
+  //    crossJoined with the 1-row touch-totals frame.
+  //  - sample_kfold: the 1-row corpus-total frame crossJoined into
+  //    the per-fold share projection.
+  //  - table_dq_rules: the 1-row lineitem-count frame crossJoined
+  //    with the 1-row anti-join violation count (FK rule assembly).
   private val boundedBroadcastOk =
     Set("ann_bruteforce", "q14_scalar_subquery", "text_tfidf",
       "text_typicality", "corpus_stats", "text_bm25", "stream_bm25",
@@ -102,7 +110,8 @@ class PlanContractSpec extends SparkSuite {
       "decontaminate_semantic", "corpus_heaps", "sample_time_split",
       "graph_assortativity", "events_survival", "cdc_merge",
       "table_psi", "mix_dsir", "pack_bestfit", "corpus_coverage",
-      "dedup_stats", "stream_psi", "graph_modularity")
+      "dedup_stats", "stream_psi", "graph_modularity", "ann_range",
+      "events_attribution_linear", "sample_kfold", "table_dq_rules")
 
   test("no query plans a cartesian or unbounded nested-loop join") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
