@@ -4093,6 +4093,35 @@ object Oracles {
     // batch count (DuckDB 0x-cast vs Spark conv(,16,10)); the
     // per-anchor cut orders by a second fixed-width-hex draw —
     // lexical compare = numeric compare, all integers.
+    // J19 token-budget allocation (Sampling.mixTokensBudget): pure
+    // integer largest-remainder apportionment off an IEEE-exact
+    // sqrt weight — no FP share ever materializes.
+    "mix_tokens_budget" -> {
+      val b = graft.operators.Sampling.TokBudget
+      raw"""WITH tk AS (
+         |  SELECT source, count(*)::bigint AS n_docs,
+         |    sum(len(list_filter(
+         |      string_split_regex(text, '[ 	
+
+]+'),
+         |      x -> x <> '')))::bigint AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |w AS (SELECT *,
+         |    floor(sqrt(n_tokens::double * 1000000.0))::bigint AS w
+         |  FROM tk),
+         |s AS (SELECT *, sum(w) OVER () AS wsum FROM w),
+         |q AS (SELECT *, ($b * w) // wsum AS quota0,
+         |    ($b * w) % wsum AS rem FROM s),
+         |d AS (SELECT *, $b - sum(quota0) OVER () AS deficit,
+         |    row_number() OVER (ORDER BY rem DESC, source) AS rk
+         |  FROM q)
+         |SELECT source, n_docs, n_tokens, w,
+         |  (quota0 + CASE WHEN rk <= deficit THEN 1 ELSE 0 END)::bigint
+         |    AS quota
+         |FROM d
+         |ORDER BY source""".stripMargin
+    },
+
     // J18 k-fold assignment (Sampling.sampleKfold): salted-md5 fold
     // (0x-cast == conv), integer counts + one share division.
     "sample_kfold" -> {
@@ -5939,6 +5968,11 @@ object Oracles {
     // G27 online backlog: per-order lifecycle state, the dense-day
     // prefix scored on read — same SQL as the batch stabbing form.
     "stream_backlog" -> relational("orders_backlog"),
+
+    // G36 online behavioral entropy: per-user type counters scored
+    // on read by the shared entropyScore stage — same SQL as the
+    // batch sweep.
+    "stream_entropy" -> relational("events_entropy"),
 
     // G35 online feed fingerprint: the table_checksum XOR contract
     // over the documents feed — commutative, so the replayed stream

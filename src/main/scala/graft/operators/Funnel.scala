@@ -488,6 +488,13 @@ object Funnel {
     val ev = Tables(spark, dir).events
     val cnt = ev.groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("c"))
+    entropyScore(cnt)
+  }
+
+  /** The read-side scorer over any (user_id, event_type, c) count
+    * frame — shared by the batch entry and the streaming twin's
+    * snapshot read (one definition, one oracle). */
+  def entropyScore(cnt: DataFrame): DataFrame = {
     val one = cnt.groupBy(col("user_id"))
       .agg(sum(col("c")).as("n_events"),
         count(lit(1)).as("n_types"),

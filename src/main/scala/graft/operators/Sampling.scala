@@ -671,6 +671,54 @@ object Sampling {
       .orderBy(col("anchor"), col("rn"))
   }
 
+  /** Token budget for [[mixTokensBudget]] (single-sourced into the
+    * oracle). */
+  val TokBudget = 1000000L
+
+  /** J19 (round 13): token-budget allocation — given a total token
+    * budget for a training run, how many tokens each source gets
+    * under a τ = 0.5 temperature (√-proportional — upweights tail
+    * sources, the mix_temperature dial as a PLANNING table instead
+    * of a sample), with EXACT largest-remainder apportionment:
+    * Σ quota == budget to the token, deterministically. This is the
+    * run-manifest number a mixture owner signs off on before
+    * mix_sources/mix_epochs executes it.
+    *
+    * Exactness: pure integer end-to-end — w = ⌊√(tokens·10⁶)⌋ (IEEE
+    * sqrt is correctly rounded ⇒ identical cross-engine, the
+    * knn_graph_ivf dial precedent), quota = (B·w) div Σw, remainder
+    * = (B·w) mod Σw, and the B − Σ quota deficit goes to the top
+    * remainders under a (rem desc, source) total order. No FP share
+    * ever materializes ⇒ full hash gate. Scale: one
+    * map-side-combined groupBy(source) off the codegen'd token
+    * count; everything after runs on the k-source rows (the
+    * tempRatesOf window class). Headroom: B·w < 2⁶³ up to ~10¹³
+    * corpus tokens. */
+  def mixTokensBudget(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.{TextFunctions => T}
+    val everyRow = Window.partitionBy()
+    val b = TokBudget
+    Tables(spark, dir).documents
+      .select(col("source"),
+        T.wsTokenCount(col("text")).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .withColumn("w",
+        floor(sqrt(col("n_tokens").cast("double") * lit(1000000.0)))
+          .cast("long"))
+      .withColumn("wsum", sum(col("w")).over(everyRow))
+      .withColumn("quota0", expr(s"($b * w) div wsum"))
+      .withColumn("rem", expr(s"($b * w) % wsum"))
+      .withColumn("deficit", lit(b) - sum(col("quota0")).over(everyRow))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("w"),
+        (col("quota0") +
+          when(col("rk") <= col("deficit"), 1L).otherwise(0L)).as("quota"))
+      .orderBy(col("source"))
+  }
+
   /** Fold count and assignment salt for [[sampleKfold]]
     * (single-sourced into the oracle). */
   val KfoldK = 5

@@ -1483,6 +1483,56 @@ object Streams {
     graft.operators.Lifecycle.changepointScore(cpStateful(evs))
   }
 
+  // ----- G36: online behavioral entropy (events_entropy twin) ------
+
+  /** One event for the entropy stream. */
+  final case class EntEv(user_id: Long, event_type: String)
+  /** Per-user event-type counters (public for the state encoder). */
+  final case class EntAcc(types: Map[String, Long])
+
+  /** G36 core: per-user type counters maintained online — addition
+    * commutes (replay-order free), each active batch emits ONLY the
+    * (user, type, c) entries it touched (monotone counts, the cpFn
+    * emission discipline). Entropy/evenness run on READ via the
+    * shared [[graft.operators.Funnel.entropyScore]] stage (the
+    * log-fold needs the full per-user type vector — the abtest
+    * read-side rule). State per user is ≤ |type vocabulary| longs
+    * (a handful). */
+  def entFn(user: Long, evs: Iterator[EntEv],
+      state: GroupState[EntAcc]): Iterator[(Long, String, Long)] = {
+    var m = state.getOption.map(_.types).getOrElse(Map.empty[String, Long])
+    var touched = Set.empty[String]
+    evs.foreach { e =>
+      touched += e.event_type
+      m = m.updated(e.event_type, m.getOrElse(e.event_type, 0L) + 1L)
+    }
+    if (touched.isEmpty) return Iterator.empty
+    state.update(EntAcc(m))
+    touched.iterator.map(t => (user, t, m(t)))
+  }
+
+  /** Shared stateful counter stage (batch or streaming). */
+  def entStateful(evs: Dataset[EntEv]): DataFrame = {
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        entFn)
+      .toDF("user_id", "event_type", "c")
+  }
+
+  /** G36 batch entry: each user's history in one call ⇒ the final
+    * counters, scored — output identical to B's events_entropy,
+    * same SQL oracle. The bot-filter read at ingest time: a user
+    * whose evenness stays ≈ 0 across batches is flagged before any
+    * engagement metric consumes them. */
+  def streamEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evs = Tables(spark, dir).events
+      .select(col("user_id"), col("event_type"))
+      .as[EntEv]
+    graft.operators.Funnel.entropyScore(entStateful(evs))
+  }
+
   // ----- G35: online feed fingerprint (table_checksum twin) --------
 
   /** Document columns fingerprinted by [[streamChecksum]]

@@ -1305,6 +1305,40 @@ class StreamsSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("streaming entropy: per-user type counters across batches score to the batch sweep") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    val evs = graft.Tables(spark, sfDir).events
+      .select(col("user_id"), col("event_type"))
+      .as[Streams.EntEv].collect()
+    val expected = graft.operators.Funnel.eventsEntropy(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val stream = MemoryStream[Streams.EntEv]
+    val query = Streams.entStateful(stream.toDS())
+      .writeStream.format("memory").queryName("ent")
+      .outputMode("append").start()
+    try {
+      evs.grouped(math.max(1, evs.length / 4)).foreach { b =>
+        stream.addData(b.toSeq); query.processAllAvailable()
+      }
+      // final snapshot per (user, type) = max c (counts are monotone)
+      val fin = s.table("ent").collect()
+        .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2)))
+        .groupBy(_._1).map { case (k, rs) => (k, rs.map(_._2).max) }.toSeq
+      val snap = fin.map { case ((u, t), c) => (u, t, c) }
+        .toDF("user_id", "event_type", "c")
+      val got = graft.operators.Funnel.entropyScore(snap)
+        .collect().map(_.toString).toSeq
+      assert(got == expected,
+        "online snapshot scored != batch behavioral-entropy sweep")
+      val emissions = s.table("ent").collect()
+        .groupBy(r => (r.getLong(0), r.getString(1)))
+        .values.map(_.length)
+      assert(emissions.exists(_ > 1),
+        "fixture must exercise multi-batch accumulation")
+    } finally query.stop()
+  }
+
   test("streaming checksum: running fingerprint across batches equals the batch table") {
     val s = spark; import s.implicits._
     implicit val sq = s.sqlContext
