@@ -4567,6 +4567,38 @@ object Oracles {
           |FROM kept
           |ORDER BY doc_id""".stripMargin),
 
+    // §2I row-level provenance: the SAME trainKept CTE chain, read as
+    // a per-doc first-dropping-stage CASE in pipeline order — Σ drops
+    // reconciles with curate_report by construction.
+    "curate_provenance" -> {
+      val evalSrc = graft.operators.Decontaminate.EvalSource
+      val minQ = graft.operators.Curate.MinQuality
+      val seed = graft.operators.Sampling.Seed
+      val sampleCases = graft.operators.Sampling.LangThresholds
+        .map { case (lang, thr, _) => s"WHEN '$lang' THEN '$thr'" }
+        .mkString(" ")
+      (trainKeptCtes + "\n" +
+        s"""SELECT s.doc_id, d.lang, d.source,
+           |  round(s.quality, 4) AS quality,
+           |  CASE
+           |    WHEN s.quality < $minQ THEN 'quality'
+           |    WHEN s.doc_id NOT IN (SELECT doc_id FROM ex)
+           |      THEN 'exact_dup'
+           |    WHEN s.doc_id IN
+           |        (SELECT node FROM comp WHERE node <> rep_doc)
+           |      THEN 'near_dup'
+           |    WHEN d.source = '$evalSrc' THEN 'eval_slice'
+           |    WHEN s.doc_id IN (SELECT train_doc FROM contam_d)
+           |      THEN 'contaminated'
+           |    WHEN NOT (substr(md5('$seed' || s.doc_id::varchar), 1, 4)
+           |              < CASE d.lang $sampleCases ELSE '0000' END)
+           |      THEN 'rebalance'
+           |    ELSE 'kept'
+           |  END AS dropped_at
+           |FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+           |ORDER BY s.doc_id""".stripMargin)
+    },
+
     // §2I observability: per-stage survivor counts over the SAME CTE
     // chain the capstones run — the funnel report cannot drift from
     // the pipeline.

@@ -142,6 +142,65 @@ object Curate {
     Sampling.packOf(trainKept(spark, dir)
       .select(col("doc_id"), col("source"), col("n_tokens")))
 
+  /** §2I (round 13): per-document PROVENANCE — for EVERY input doc,
+    * the first pipeline stage that dropped it (quality / exact_dup /
+    * near_dup / eval_slice / contaminated / rebalance) or `kept`.
+    * The "why was my document dropped" audit that curate_report's
+    * funnel counts cannot answer (counts say WHICH stage ate the
+    * corpus; provenance says which stage ate THIS doc) — the
+    * row-level lineage a data card / takedown request / debugging
+    * session actually needs. Every stage predicate is the SAME
+    * single-sourced expression the capstone pipeline runs (E2
+    * quality tree, md5 window, C2+C6 components, decontaminate's
+    * hit set, the rebalance hash threshold), evaluated in pipeline
+    * order — so provenance and the pipeline cannot disagree, and
+    * Σ per-stage drops reconciles with curate_report by
+    * construction.
+    *
+    * Scale shape: the component/decontaminate substrates are the
+    * audited C2/C6/E-family shapes; the flag assembly is three LEFT
+    * joins of small id sets onto the scored scan + one CASE
+    * projection. Verdict strings + rounded quality ⇒ full hash
+    * gate. */
+  def curateProvenance(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = T.wsTokenCount(col("text"))
+    val stopRatio = T.tokenCountIn(col("text"), T.EnStopwords) / nTok
+    val punctRatio = T.punctCount(col("text")) / length(col("text"))
+    val scoredAll = Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        T.qualityScore(nTok, stopRatio, punctRatio).as("quality"))
+      .persist()
+    val exKept = exactDedup(
+      scoredAll.filter(col("quality") >= MinQuality)
+        .select(col("doc_id"), col("text"), col("quality")))
+    val pairs = Dedup.ngramPairsOf(exKept.select(col("doc_id"), col("text")))
+      .select(col("doc_a"), col("doc_b"))
+      .persist()
+    val dupIds = Dedup.componentLabels(pairs)
+      .filter(col("node") =!= col("lbl"))
+      .select(col("node").as("doc_id"), lit(1).as("is_dup"))
+    val contaminated = Decontaminate.decontaminate(spark, dir)
+      .select(col("train_doc").as("doc_id")).distinct()
+      .withColumn("is_cont", lit(1))
+    val out = scoredAll
+      .join(exKept.select(col("doc_id"), lit(1).as("in_ex")),
+        Seq("doc_id"), "left")
+      .join(dupIds, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"),
+        round(col("quality"), 4).as("quality"),
+        when(col("quality") < MinQuality, "quality")
+          .when(col("in_ex").isNull, "exact_dup")
+          .when(col("is_dup").isNotNull, "near_dup")
+          .when(col("source") === Decontaminate.EvalSource, "eval_slice")
+          .when(col("is_cont").isNotNull, "contaminated")
+          .when(!Sampling.keepFilter, "rebalance")
+          .otherwise("kept").as("dropped_at"))
+      .orderBy(col("doc_id"))
+    pairs.unpersist()
+    out
+  }
+
   /** §2I: the curation FUNNEL report — docs surviving each pipeline
     * stage (input → quality floor → exact dedup → near-dup drop →
     * eval-slice + decontamination drop → rebalance sample), the

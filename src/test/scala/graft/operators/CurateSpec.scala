@@ -111,4 +111,30 @@ class CurateSpec extends SparkSuite {
       assert(fromTokens(id) == n, s"doc $id token count")
     }
   }
+
+  test("curate_provenance reconciles with the curate_report funnel " +
+    "stage by stage") {
+    val prov = Curate.curateProvenance(spark, sfDir).collect()
+      .map(r => r.getString(4))
+    val byStage = prov.groupBy(identity).view.mapValues(_.length).toMap
+    val report = Curate.curateReport(spark, sfDir).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    val n = prov.length
+    assert(n == report("input"))
+    // each funnel count = input minus every drop reason at or before
+    // that stage (provenance is first-dropping-stage, so the sums
+    // telescope exactly)
+    def drops(ks: String*) = ks.map(byStage.getOrElse(_, 0)).sum
+    assert(report("quality") == n - drops("quality"))
+    assert(report("exact") == n - drops("quality", "exact_dup"))
+    assert(report("neardup") ==
+      n - drops("quality", "exact_dup", "near_dup"))
+    assert(report("decontam") == n - drops("quality", "exact_dup",
+      "near_dup", "eval_slice", "contaminated"))
+    assert(report("sampled") == n - drops("quality", "exact_dup",
+      "near_dup", "eval_slice", "contaminated", "rebalance"))
+    assert(byStage.getOrElse("kept", 0).toLong == report("sampled"))
+    // the fixture must exercise more than the trivial verdicts
+    assert(byStage.keySet.size >= 4, s"degenerate fixture: $byStage")
+  }
 }
