@@ -6001,6 +6001,11 @@ object Oracles {
     // prefix scored on read — same SQL as the batch stabbing form.
     "stream_backlog" -> relational("orders_backlog"),
 
+    // G37 online robust anomaly: the G26 daily-counter state scored
+    // on read by the shared median/MAD stage — same SQL as the
+    // batch sweep.
+    "stream_anomaly_mad" -> relational("events_anomaly_mad"),
+
     // G36 online behavioral entropy: per-user type counters scored
     // on read by the shared entropyScore stage — same SQL as the
     // batch sweep.

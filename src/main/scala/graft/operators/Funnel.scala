@@ -242,14 +242,19 @@ object Funnel {
     * (series-length-sized, not event-sized); daily and deviation
     * frames are persisted (each feeds two consumers —
     * no-subtree-dedup). */
-  def eventsAnomalyMad(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    val daily = Tables(spark, dir).events
+  def eventsAnomalyMad(spark: SparkSession, dir: String): DataFrame =
+    madScore(Tables(spark, dir).events
       .select(col("event_type"), Tables.tsNsToSec("ts").as("ep"))
       .withColumn("day", expr("ep div 86400L"))
       .groupBy(col("event_type"), col("day"))
-      .agg(count(lit(1)).as("cnt"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .agg(count(lit(1)).as("cnt")))
+
+  /** The read-side scorer over any (event_type, day, cnt) daily
+    * count frame — shared by the batch sweep and the streaming
+    * twin's snapshot read (one definition, one oracle). */
+  def madScore(dailyIn: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val daily = dailyIn.persist(StorageLevel.MEMORY_AND_DISK)
     val med = daily.groupBy(col("event_type"))
       .agg(percentile(col("cnt"), lit(0.5)).as("med"))
     val dev = daily.join(med, Seq("event_type"))

@@ -1483,6 +1483,26 @@ object Streams {
     graft.operators.Lifecycle.changepointScore(cpStateful(evs))
   }
 
+  // ----- G37: online robust anomaly (events_anomaly_mad twin) ------
+
+  /** G37 batch entry: the SAME per-type daily-counter state machine
+    * as G26 (stream_changepoint) — one state family serves both
+    * monitors, exactly the G30/G33 shared-gap-state precedent —
+    * scored on read by the shared [[graft.operators.Funnel.madScore]]
+    * median/MAD stage (percentiles need the full series — the
+    * abtest read-side rule). The robust online detector for series
+    * that contain the spikes they hunt; output identical to B's
+    * events_anomaly_mad, same SQL oracle. */
+  def streamAnomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val evs = Tables(spark, dir).events
+      .select(col("event_type"), Tables.tsNsToSec("ts").as("ep"))
+      .selectExpr("event_type", "ep div 86400 AS day")
+      .as[CpEv]
+    graft.operators.Funnel.madScore(
+      cpStateful(evs).withColumnRenamed("c", "cnt"))
+  }
+
   // ----- G36: online behavioral entropy (events_entropy twin) ------
 
   /** One event for the entropy stream. */

@@ -1305,6 +1305,37 @@ class StreamsSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("streaming robust anomaly: the replayed G26 counter snapshot scores to the batch MAD sweep") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    // same state machine as changepoint — replay it, then score the
+    // max-on-read snapshot through the shared madScore stage
+    val evs = graft.Tables(spark, sfDir).events
+      .select(col("event_type"), graft.Tables.tsNsToSec("ts").as("ep"))
+      .selectExpr("event_type", "ep div 86400 AS day")
+      .as[Streams.CpEv].collect()
+    val expected = graft.operators.Funnel.eventsAnomalyMad(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val stream = MemoryStream[Streams.CpEv]
+    val query = Streams.cpStateful(stream.toDS())
+      .writeStream.format("memory").queryName("mad")
+      .outputMode("append").start()
+    try {
+      evs.grouped(math.max(1, evs.length / 4)).foreach { b =>
+        stream.addData(b.toSeq); query.processAllAvailable()
+      }
+      val fin = s.table("mad").collect()
+        .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+        .groupBy(_._1).map { case (k, rs) => (k, rs.map(_._2).max) }.toSeq
+      val snap = fin.map { case ((t, d), c) => (t, d, c) }
+        .toDF("event_type", "day", "cnt")
+      val got = graft.operators.Funnel.madScore(snap)
+        .collect().map(_.toString).toSeq
+      assert(got == expected,
+        "online snapshot scored != batch MAD anomaly sweep")
+    } finally query.stop()
+  }
+
   test("streaming entropy: per-user type counters across batches score to the batch sweep") {
     val s = spark; import s.implicits._
     implicit val sq = s.sqlContext
