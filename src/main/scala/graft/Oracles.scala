@@ -3760,6 +3760,21 @@ object Oracles {
          |  ON c.rep_doc = s.rep_doc
          |ORDER BY doc_id""".stripMargin,
 
+    // C16 shingle novelty (Dedup.corpusNovelty): the shared shingle
+    // definition (no df cut — no self-join to square), min-per-
+    // shingle first doc, integer counts + one division.
+    "corpus_novelty" ->
+      ("WITH " + shingleDistinctCtes("documents") + ",\n" +
+      """first AS (SELECT s, min(doc_id) AS fd FROM sh0 GROUP BY s)
+        |SELECT d.doc_id, count(*)::bigint AS n_shingles,
+        |  sum(CASE WHEN f.fd = d.doc_id THEN 1 ELSE 0 END)::bigint
+        |    AS n_novel,
+        |  round(sum(CASE WHEN f.fd = d.doc_id THEN 1 ELSE 0 END)::double
+        |        / count(*)::double, 4) AS novelty
+        |FROM sh0 d JOIN first f ON f.s = d.s
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
+
     // C15 dedup yield report (Dedup.dedupStats): size histogram over
     // the same recursive components, singleton row = corpus total −
     // clustered; pure integer + one division ⇒ full hash gate.

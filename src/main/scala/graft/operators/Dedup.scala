@@ -99,6 +99,44 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jac"))
   }
 
+  /** C16 (round 13): per-document shingle NOVELTY — for every doc
+    * (in doc_id ingestion order), what fraction of its distinct
+    * 3-gram shingles appears for the FIRST time in the corpus. The
+    * marginal-content read between exact dedup and pair detection:
+    * a crawl whose per-doc novelty curve collapses toward 0 has
+    * stopped contributing new text (diminishing-returns signal for
+    * crawl scheduling), and a single low-novelty doc is a
+    * near-dup-lite flag without any pair join. The doc-grain twin of
+    * corpus_heaps' aggregate vocabulary-growth curve, on shingles
+    * instead of tokens.
+    *
+    * Scale shape: shingle explode (the fused native
+    * [[graft.functions.ShingleHashes]] codegen — no df cut here:
+    * there is no self-join for a hot shingle to square; the
+    * first-doc groupBy is linear) → one min-per-shingle aggregate →
+    * one equi-join back + per-doc counts, all
+    * shuffle-on-natural-key. Counts are exact integers on both
+    * engines as long as xxhash64 is collision-free on the corpus
+    * (the C2-chain assumption, shared); one division ⇒ full hash
+    * gate. */
+  def corpusNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        explode(H.shingleHashes(col("text"), 3)).as("s"))
+      .persist() // feeds the first-doc aggregate AND the join side
+    val first = sh.groupBy(col("s")).agg(min(col("doc_id")).as("fd"))
+    val out = sh.join(first, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double") /
+          col("n_shingles").cast("double"), 4).as("novelty"))
+      .orderBy(col("doc_id"))
+    out
+  }
+
   /** C2: 3-gram shingle Jaccard >= 0.5 pair detection (see
     * [[ngramPairs]] for the index structure and df cut). */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
