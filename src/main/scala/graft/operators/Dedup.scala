@@ -368,7 +368,7 @@ object Dedup {
     out
   }
 
-  /** C15 (round 13): dedup yield report — the cluster-SIZE
+  /** C17 (round 13): dedup yield report — the cluster-SIZE
     * distribution of the C6 near-dup graph plus the corpus-shrink
     * numbers a curation owner reads before running the drop: per
     * cluster size s — how many clusters, how many docs they hold,
