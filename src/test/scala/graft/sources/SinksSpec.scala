@@ -168,6 +168,37 @@ class SinksSpec extends SparkSuite {
     }
   }
 
+  test("schema evolution: mergeSchema unifies widened snapshots, " +
+    "absent columns read NULL, pruning still reaches the scan") {
+    val s = spark; import s.implicits._
+    val dir = s"$tmp/evolve"
+    // v1 snapshot: (k, a); v2 adds column b — the additive evolution
+    // a long-lived ingest dataset accretes (new features land as new
+    // columns; old files stay untouched)
+    Seq((1L, "x"), (2L, "y")).toDF("k", "a")
+      .write.parquet(s"$dir/snap=1")
+    Seq((3L, "z", 30L), (4L, "w", 40L)).toDF("k", "a", "b")
+      .write.parquet(s"$dir/snap=2")
+    val df = s.read.option("mergeSchema", "true").parquet(dir)
+    assert(df.columns.sorted.toSeq == Seq("a", "b", "k", "snap"))
+    val rows = df.collect().map(r =>
+      r.getLong(r.fieldIndex("k")) ->
+        (if (r.isNullAt(r.fieldIndex("b"))) None
+         else Some(r.getLong(r.fieldIndex("b"))))).toMap
+    assert(rows == Map(1L -> None, 2L -> None,
+      3L -> Some(30L), 4L -> Some(40L)),
+      "pre-evolution files must surface the new column as NULL")
+    // column pruning survives the merged schema: a projection on the
+    // ORIGINAL columns reads only those from both file generations
+    val plan = df.select("k", "a").queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<k:bigint,a:string>"), plan)
+    // partition pruning on the snapshot axis still reaches the scan
+    val pruned = df.filter(col("snap") === 2)
+    assert(pruned.count() == 2)
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("snap#"), "snapshot partition column must be usable")
+  }
+
   test("compact merges small files losslessly and plans no shuffle") {
     val base = java.nio.file.Files
       .createTempDirectory("graft-compact").toString
