@@ -6016,6 +6016,11 @@ object Oracles {
     // prefix scored on read — same SQL as the batch stabbing form.
     "stream_backlog" -> relational("orders_backlog"),
 
+    // G38 online shingle novelty: the per-shingle min-doc index
+    // scored on read by the shared noveltyScore stage — same SQL as
+    // the batch sweep.
+    "stream_novelty" -> dedup("corpus_novelty"),
+
     // G37 online robust anomaly: the G26 daily-counter state scored
     // on read by the shared median/MAD stage — same SQL as the
     // batch sweep.

@@ -120,12 +120,22 @@ object Dedup {
     * (the C2-chain assumption, shared); one division ⇒ full hash
     * gate. */
   def corpusNovelty(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables(spark, dir).documents
-      .select(col("doc_id"),
-        explode(H.shingleHashes(col("text"), 3)).as("s"))
+    val sh = noveltyShingles(Tables(spark, dir).documents)
       .persist() // feeds the first-doc aggregate AND the join side
-    val first = sh.groupBy(col("s")).agg(min(col("doc_id")).as("fd"))
-    val out = sh.join(first, Seq("s"))
+    noveltyScore(sh, sh.groupBy(col("s")).agg(min(col("doc_id")).as("fd")))
+  }
+
+  /** The exploded (doc_id, s) distinct-shingle frame — shared by the
+    * batch entry and the streaming twin (one shingle definition). */
+  private[graft] def noveltyShingles(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), explode(H.shingleHashes(col("text"), 3)).as("s"))
+
+  /** The read-side scorer over the shingle frame and any
+    * (s, fd) first-doc index — shared by the batch entry and the
+    * streaming twin's snapshot read (one definition, one oracle). */
+  private[graft] def noveltyScore(sh: DataFrame,
+      first: DataFrame): DataFrame =
+    sh.join(first, Seq("s"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L))
@@ -134,8 +144,6 @@ object Dedup {
         round(col("n_novel").cast("double") /
           col("n_shingles").cast("double"), 4).as("novelty"))
       .orderBy(col("doc_id"))
-    out
-  }
 
   /** C2: 3-gram shingle Jaccard >= 0.5 pair detection (see
     * [[ngramPairs]] for the index structure and df cut). */

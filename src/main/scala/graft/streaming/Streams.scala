@@ -1483,6 +1483,55 @@ object Streams {
     graft.operators.Lifecycle.changepointScore(cpStateful(evs))
   }
 
+  // ----- G38: online shingle novelty (corpus_novelty twin) ---------
+
+  /** One shingle arrival for the novelty stream. */
+  final case class NovEv(doc_id: Long, s: Long)
+  /** Per-shingle first-doc state (public for the state encoder). */
+  final case class NovAcc(fd: Long)
+
+  /** G38 core: the first-occurrence shingle index maintained online —
+    * state per shingle is ONE long (the running min doc_id; min
+    * commutes ⇒ replay-order free), the stream_dedup state-cardinality
+    * class (keys = the shingle vocabulary; RocksDB is the 100×
+    * answer, SURVEY §4). Each active batch emits the shingle's
+    * current min — a min-on-read consumer reconstructs the index
+    * (the cpFn monotone-emission discipline, with min in place of
+    * max). Per-doc novelty runs on READ via the shared
+    * [[Dedup.noveltyScore]] stage. */
+  def novFn(s: Long, evs: Iterator[NovEv],
+      state: GroupState[NovAcc]): Iterator[(Long, Long)] = {
+    var fd = state.getOption.map(_.fd).getOrElse(Long.MaxValue)
+    var n = 0
+    evs.foreach { e => n += 1; if (e.doc_id < fd) fd = e.doc_id }
+    if (n == 0) return Iterator.empty
+    state.update(NovAcc(fd))
+    Iterator((s, fd))
+  }
+
+  /** Shared stateful first-doc index stage (batch or streaming). */
+  def novStateful(evs: Dataset[NovEv]): DataFrame = {
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.s)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        novFn)
+      .toDF("s", "fd")
+  }
+
+  /** G38 batch entry: each shingle's full history in one call ⇒ the
+    * final first-doc index, scored — output identical to C16's
+    * corpus_novelty, same SQL oracle. The crawl-scheduling read AT
+    * INGEST TIME (where it matters: stop crawling a source whose
+    * arriving docs' novelty has collapsed), without waiting for a
+    * batch sweep. */
+  def streamNovelty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = graft.operators.Dedup.noveltyShingles(
+        Tables(spark, dir).documents)
+      .persist() // feeds the stateful index AND the score join
+    graft.operators.Dedup.noveltyScore(sh, novStateful(sh.as[NovEv]))
+  }
+
   // ----- G37: online robust anomaly (events_anomaly_mad twin) ------
 
   /** G37 batch entry: the SAME per-type daily-counter state machine

@@ -1305,6 +1305,36 @@ class StreamsSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("streaming novelty: the replayed first-doc index scores to the batch sweep") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    val sh = graft.operators.Dedup.noveltyShingles(
+        graft.Tables(spark, sfDir).documents)
+      .persist()
+    val evs = sh.as[Streams.NovEv].collect()
+    val expected = graft.operators.Dedup.corpusNovelty(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    val stream = MemoryStream[Streams.NovEv]
+    val query = Streams.novStateful(stream.toDS())
+      .writeStream.format("memory").queryName("nov")
+      .outputMode("append").start()
+    try {
+      // deliberately replay in REVERSE doc order: min commutes, so
+      // the index must converge to the same first-doc snapshot
+      evs.sortBy(-_.doc_id).grouped(math.max(1, evs.length / 4))
+        .foreach { b => stream.addData(b.toSeq); query.processAllAvailable() }
+      val fin = s.table("nov").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (k, rs) => (k, rs.map(_._2).min) }.toSeq
+      val first = fin.toDF("s", "fd")
+      val got = graft.operators.Dedup.noveltyScore(sh, first)
+        .collect().map(_.toString).toSeq
+      assert(got == expected,
+        "reverse-replayed first-doc index scored != batch novelty sweep")
+      sh.unpersist()
+    } finally query.stop()
+  }
+
   test("streaming robust anomaly: the replayed G26 counter snapshot scores to the batch MAD sweep") {
     val s = spark; import s.implicits._
     implicit val sq = s.sqlContext
