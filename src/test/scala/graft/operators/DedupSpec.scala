@@ -478,4 +478,33 @@ class DedupSpec extends SparkSuite {
       }
     }
   }
+
+  test("corpus_novelty: the first doc is fully novel, Σ n_novel == " +
+    "distinct shingles, exact duplicates read novelty 0") {
+    val s = spark; import s.implicits._
+    val rows = Dedup.corpusNovelty(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val first = rows.minBy(_._1)._2
+    assert(first._1 == first._2 && first._3 == 1.0,
+      "the lowest doc_id owns every one of its shingles")
+    val sh = Dedup.noveltyShingles(
+      graft.Tables(spark, sfDir).documents)
+    assert(rows.map(_._2._2).sum == sh.select("s").distinct().count(),
+      "every distinct shingle is novel in exactly one doc")
+    rows.foreach { case (id, (n, nov, ratio)) =>
+      assert(nov <= n && ratio >= 0.0 && ratio <= 1.0, s"doc $id")
+    }
+    // a planted byte-identical copy of an earlier doc reads 0.0
+    val fx = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val shFx = Dedup.noveltyShingles(fx).persist()
+    val firstFx = shFx.groupBy(col("s"))
+      .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("fd"))
+    val got = Dedup.noveltyScore(shFx, firstFx).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got == Map(1L -> 1.0, 2L -> 0.0, 3L -> 1.0), got.toString)
+  }
 }

@@ -226,6 +226,35 @@ class GraphSpec extends SparkSuite {
     }
   }
 
+  test("edge jaccard: triangle edges read support 1 / jaccard 1; a " +
+    "bridge reads support 0 / NULL; corpus run is support-bounded") {
+    val s = spark; import s.implicits._
+    // triangle {1,2,3} plus a pendant bridge 3–4 (deg: 1,2 → 2;
+    // 3 → 3; 4 → 1). Edge (1,2): support 1, union\endpoints = {3}
+    // ⇒ 1/1; edges touching 3: support 1 but 3's extra neighbor 4
+    // pads the union ⇒ 1/2; the bridge: support 0 over union {1,2}
+    // ⇒ 0.0.
+    val li = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 3L), (20L, 4L))
+      .toDF("k", "p")
+    val got = Graph.edgeJaccardOf(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(4), if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+      .toMap
+    assert(got.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)))
+    assert(got((1L, 2L)) == (1L, Some(1.0)))
+    assert(got((1L, 3L)) == (1L, Some(0.5)))
+    assert(got((2L, 3L)) == (1L, Some(0.5)))
+    assert(got((3L, 4L)) == (0L, Some(0.0)))
+    // corpus: support can never exceed min endpoint degree − 1
+    val rows = Graph.graphEdgeJaccard(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= Graph.EdgeJacTopK)
+    rows.foreach { r =>
+      val (ds, dt, sup) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(sup <= math.min(ds, dt) - 1,
+        s"support exceeds shared-neighbor bound: $r")
+    }
+  }
+
   test("modularity: two disjoint same-brand triangles score Q = 1/2 " +
     "exactly; corpus run reconciles") {
     val s = spark; import s.implicits._

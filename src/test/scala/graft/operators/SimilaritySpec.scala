@@ -459,4 +459,53 @@ class SimilaritySpec extends SparkSuite {
     assert(diverged,
       "MMR equals plain top-k on every query — the diversity term is dead")
   }
+
+  test("embed_silhouette: cells partition the corpus, margins are " +
+    "non-negative, ambiguity accounting is consistent") {
+    val rows = Similarity.embedSilhouette(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))
+    val n = graft.Tables(spark, sfDir).embeddings.count()
+    assert(rows.map(_._2).sum == n,
+      "every vector must land in exactly one cell")
+    rows.foreach { case (cell, members, mean, minM, amb) =>
+      // margins are top1 − top2 of a sorted array: ≥ 0 by
+      // construction (fixed-point floor can bite one grain below)
+      assert(minM >= -1e-6, s"cell $cell negative min margin")
+      assert(mean >= minM - 1e-9, s"cell $cell mean < min")
+      assert(amb >= 0 && amb <= members, s"cell $cell ambiguity count")
+    }
+    // ambiguous members are exactly those under the cut: a cell whose
+    // min margin clears the cut must report zero ambiguous members
+    val cut = Similarity.SilAmbiguousFp.toDouble /
+      Similarity.SilMarginScale.toDouble
+    rows.filter(_._4 >= cut).foreach { case (cell, _, _, _, amb) =>
+      assert(amb == 0L, s"cell $cell: min margin clears the cut " +
+        "but ambiguous members reported")
+    }
+  }
+
+  test("corpus_coverage: coverage is monotone in k and bounded by 1") {
+    val rows = graft.functions.TextQueries.corpusCoverage(spark, sfDir)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq ==
+      graft.functions.TextQueries.CoverageKs.sorted)
+    rows.toList.sliding(2).foreach {
+      case List(a, b) =>
+        assert(a._3 <= b._3 && a._6 <= b._6,
+          s"coverage must be monotone in k: $a vs $b")
+      case _ => ()
+    }
+    rows.foreach { case (k, used, cov, tot, vocab, share) =>
+      assert(used <= k && used <= vocab)
+      assert(cov <= tot && share <= 1.0)
+    }
+    // the saturating synthetic vocabulary: the largest k covers it
+    // fully (the corpus-law signature corpus_heaps' β→0 shows)
+    val last = rows.last
+    assert(last._2 == math.min(rows.last._1, last._5))
+  }
 }
