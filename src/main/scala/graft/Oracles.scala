@@ -1264,10 +1264,13 @@ object Oracles {
         |FROM m ORDER BY from_type, to_type""".stripMargin,
 
     // B Kaplan-Meier signup→purchase survival (Lifecycle
-    // .eventsSurvival): n_risk is exact integer algebra; the
-    // product limit is exp∘Σln over the SAME (day-ordered) running
-    // frame in both engines — sequential fold, so only libm ulps
-    // differ: the table_entropy tolerance class under round(4).
+    // .eventsSurvival): n_risk is exact integer algebra; the product
+    // limit is a STRICT ordered product of (1 − d/n_risk) — list()
+    // OVER the day frame + seedless list_reduce multiply, matching
+    // Spark's collect_list + seeded fold (1.0·f₁ = f₁ exactly).
+    // Division and multiplication are correctly rounded IEEE ops, so
+    // the value is bit-identical across engines/libm — the r13
+    // exp∘Σln form flaked a round(4) half boundary on the driver box.
     "events_survival" ->
       """WITH ev AS (
         |  SELECT user_id, event_type,
@@ -1299,10 +1302,8 @@ object Oracles {
         |        0) AS n_risk
         |  FROM byday)
         |SELECT day, n_risk, d AS n_deaths,
-        |  round(CASE WHEN max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
-        |      OVER w = 1 THEN 0.0
-        |    ELSE exp(sum(ln(CASE WHEN d = n_risk THEN 1.0
-        |      ELSE 1 - d / n_risk END)) OVER w) END, 4) AS survival
+        |  round(list_reduce(list(1 - d / n_risk) OVER w,
+        |    (u, v) -> u * v), 4) AS survival
         |FROM r WHERE d > 0
         |WINDOW w AS (ORDER BY day
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -1603,12 +1604,14 @@ object Oracles {
         |  FROM orders
         |  UNION ALL
         |  SELECT 'lineitem', 'quantity_in_range', count(*)::bigint,
-        |    sum(CASE WHEN NOT (l_quantity >= 1 AND l_quantity <= 50)
+        |    sum(CASE WHEN l_quantity IS NULL
+        |             OR NOT (l_quantity >= 1 AND l_quantity <= 50)
         |        THEN 1 ELSE 0 END)::bigint
         |  FROM lineitem
         |  UNION ALL
         |  SELECT 'lineitem', 'discount_in_range', count(*)::bigint,
-        |    sum(CASE WHEN NOT (l_discount >= 0 AND l_discount <= 0.1)
+        |    sum(CASE WHEN l_discount IS NULL
+        |             OR NOT (l_discount >= 0 AND l_discount <= 0.1)
         |        THEN 1 ELSE 0 END)::bigint
         |  FROM lineitem
         |  UNION ALL
@@ -2604,9 +2607,7 @@ object Oracles {
          |      AS t
          |  FROM (SELECT doc_id,
          |          list_filter(string_split_regex(text,
-         |            '[ 	
-
-]+'), x -> x <> '') AS w
+         |            '[ \t\n\x0B\f\r]+'), x -> x <> '') AS w
          |        FROM documents)),
          |toks AS (
          |  SELECT doc_id, t.pos AS pos, t.w AS w,
@@ -2650,9 +2651,7 @@ object Oracles {
         (acc, k) => s"$acc || ' ' || w[i+$k]" }
       raw"""WITH toks AS (
         |  SELECT doc_id,
-        |    list_filter(string_split_regex(text, '[ 	
-
-]+'),
+        |    list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
         |                x -> x <> '') AS w
         |  FROM documents),
         |g AS (
@@ -4116,9 +4115,7 @@ object Oracles {
       raw"""WITH tk AS (
          |  SELECT source, count(*)::bigint AS n_docs,
          |    sum(len(list_filter(
-         |      string_split_regex(text, '[ 	
-
-]+'),
+         |      string_split_regex(text, '[ \t\n\x0B\f\r]+'),
          |      x -> x <> '')))::bigint AS n_tokens
          |  FROM documents GROUP BY 1),
          |w AS (SELECT *,

@@ -66,23 +66,64 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class HttpApi private (spark: SparkSession, dataDir: String,
     sinkRoot: String, jobs: Map[String, (SparkSession, String) => DataFrame],
-    server: HttpServer) {
+    server: HttpServer, store: RequestStore) {
 
   /** Request-id → handle; unlike [[Jobs]]' own registry this keeps
     * completed handles pollable until [[reap]]. */
   private val requests = new ConcurrentHashMap[String, Jobs.JobHandle]()
+
+  // Restart adoption sweep (reference: a rebooted front-end reads its
+  // requests back from etcd): any record still `running` belonged to
+  // a JVM that died with the job — nothing can ever complete it (jobs
+  // are process-local), so it is retired as `interrupted` rather than
+  // reported running forever. One front-end per store by contract.
+  store.load().filter(_.status == RequestRecord.Running).foreach { r =>
+    store.put(r.copy(status = RequestRecord.Interrupted,
+      completedAtMs = Some(System.currentTimeMillis())))
+  }
+
+  /** Submit + persist: the `running` record lands BEFORE the 202 (a
+    * crash right after the response still leaves the id resolvable),
+    * the outcome record on completion. */
+  private def submitTracked(name: String,
+      q: (SparkSession, String) => DataFrame): Jobs.JobHandle = {
+    val handle = Jobs.submitJob(spark, name, q(spark, dataDir),
+      Jobs.SinkWriter(sinkRoot))
+    val rec = RequestRecord(handle.groupId, name, s"$sinkRoot/$name",
+      System.currentTimeMillis(), RequestRecord.Running, None)
+    store.put(rec)
+    requests.put(handle.groupId, handle)
+    handle.onComplete { outcome =>
+      store.put(rec.copy(
+        status =
+          if (outcome.isSuccess) RequestRecord.Succeeded
+          else RequestRecord.Failed,
+        completedAtMs = Some(System.currentTimeMillis())))
+    }
+    handle
+  }
 
   /** Bound port (useful with `port = 0` = ephemeral). */
   def port: Int = server.getAddress.getPort
 
   def stop(): Unit = server.stop(0)
 
-  /** Drop completed request state; returns live count
-    * (reference: mr/request_cleanup.py:18). */
+  /** Drop completed request state — live handles AND their durable
+    * records (the reference's request_cleanup prunes the persisted
+    * request models too, mr/request_cleanup.py:18); recovered records
+    * from a previous incarnation fall to the same sweep. Returns the
+    * live count. */
   def reap(): Int = {
     requests.forEach { (id, h) =>
-      if (h.isCompleted) requests.remove(id)
+      if (h.isCompleted) {
+        requests.remove(id)
+        store.delete(id)
+        ()
+      }
     }
+    store.load().filterNot(r => requests.containsKey(r.requestId))
+      .filter(_.status != RequestRecord.Running)
+      .foreach(r => store.delete(r.requestId))
     requests.size()
   }
 
@@ -204,6 +245,25 @@ final class HttpApi private (spark: SparkSession, dataDir: String,
       refreshSec = if (p.completed) None else Some(2))
   }
 
+  /** What a restarted front-end can truthfully serve for a request
+    * whose JVM is gone: persisted lifecycle state, no live counters.
+    * Shares field names with [[progressJson]] where the meaning
+    * matches (`name`, `completed`, `succeeded`) and adds the durable
+    * extras (`status`, `sink`, timestamps); `"recovered":true` marks
+    * the source so a poller can tell the two shapes apart. */
+  private def recordJson(r: RequestRecord): String = {
+    val succeeded = r.status match {
+      case RequestRecord.Succeeded => "true"
+      case RequestRecord.Running => "null"
+      case _ => "false"
+    }
+    s"""{"name":"${r.job}","completed":${r.status != RequestRecord.Running}""" +
+      s""","succeeded":$succeeded,"status":"${r.status}"""" +
+      s""","sink":"${r.sinkPath}","submitted_at_ms":${r.submittedAtMs}""" +
+      s""","completed_at_ms":${r.completedAtMs.map(_.toString).getOrElse("null")}""" +
+      s""","recovered":true}"""
+  }
+
   private def progressJson(h: Jobs.JobHandle): String = {
     val p = h.progress
     // completed-but-outcome-pending is a real window (future callbacks
@@ -230,27 +290,39 @@ final class HttpApi private (spark: SparkSession, dataDir: String,
         json(ex, 200, jobs.keys.toSeq.sorted
           .map("\"" + _ + "\"").mkString("[", ",", "]"))
       case ("GET", "requests" :: Nil) =>
-        // snapshot under the map's weak consistency: each entry is
-        // rendered from its live handle, ordered for determinism
+        // snapshot under the map's weak consistency: live entries
+        // render from their handles; store records whose JVM is gone
+        // (a restarted front-end) render from their persisted state,
+        // ordered for determinism
         val items = {
           import scala.jdk.CollectionConverters._
-          requests.asScala.toSeq.sortBy(_._1).map { case (id, h) =>
+          val live = requests.asScala.toSeq.sortBy(_._1).map { case (id, h) =>
             s"""{"request_id":"$id",""" + progressJson(h).tail
           }
+          val recovered = store.load()
+            .filterNot(r => requests.containsKey(r.requestId))
+            .map(r => s"""{"request_id":"${r.requestId}",""" +
+              recordJson(r).tail)
+          live ++ recovered
         }
         json(ex, 200, items.mkString("[", ",", "]"))
       case ("POST", "job" :: name :: Nil) =>
         jobs.get(name) match {
           case None => notFound(ex, "job")
           case Some(q) =>
-            val handle = Jobs.submitJob(spark, name, q(spark, dataDir),
-              Jobs.SinkWriter(sinkRoot))
-            requests.put(handle.groupId, handle)
+            val handle = submitTracked(name, q)
             json(ex, 202, s"""{"request_id":"${handle.groupId}"}""")
         }
       case ("GET", "request" :: id :: Nil) =>
         Option(requests.get(id)) match {
-          case None => notFound(ex, "request")
+          case None =>
+            // driver-bounce recovery: the live handle is gone but the
+            // durable record still resolves the id (reference:
+            // mr/views/request.py over the persisted request model)
+            store.get(id) match {
+              case None => notFound(ex, "request")
+              case Some(r) => json(ex, 200, recordJson(r))
+            }
           case Some(h) => json(ex, 200, progressJson(h))
         }
       case ("GET", "request" :: id :: "trace" :: Nil) =>
@@ -284,9 +356,7 @@ final class HttpApi private (spark: SparkSession, dataDir: String,
         jobs.get(name) match {
           case None => notFound(ex, "job")
           case Some(q) =>
-            val handle = Jobs.submitJob(spark, name, q(spark, dataDir),
-              Jobs.SinkWriter(sinkRoot))
-            requests.put(handle.groupId, handle)
+            val handle = submitTracked(name, q)
             seeOther(ex, s"/ui/request/${handle.groupId}")
         }
       case ("GET", "ui" :: "request" :: id :: Nil) =>
@@ -305,14 +375,23 @@ object HttpApi {
     * [[graft.SparkEntry.queries]]); `dataDir` is the parquet root the
     * queries read; results land under `sinkRoot/<jobName>`. Handlers
     * run on a cached daemon pool — submission itself never blocks (a
-    * POST returns as soon as the action thread is launched). */
+    * POST returns as soon as the action thread is launched).
+    *
+    * `store` is the durable request-record seam (reference:
+    * mr/models/kv/request.py — requests survive a front-end bounce):
+    * pass a [[FileRequestStore]] (or a shared backend) and a
+    * RESTARTED server with the same store still resolves
+    * `GET /request/{id}` and lists completed requests under
+    * `GET /requests`. The in-memory default keeps single-process use
+    * dependency-free. One front-end per store at a time. */
   def start(spark: SparkSession, dataDir: String, sinkRoot: String,
       jobs: Map[String, (SparkSession, String) => DataFrame],
-      port: Int = 0): HttpApi = {
+      port: Int = 0,
+      store: RequestStore = new InMemoryRequestStore): HttpApi = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.setExecutor(Executors.newCachedThreadPool(
       Jobs.namedDaemonFactory("graft-http")))
-    val api = new HttpApi(spark, dataDir, sinkRoot, jobs, server)
+    val api = new HttpApi(spark, dataDir, sinkRoot, jobs, server, store)
     server.createContext("/", (ex: HttpExchange) =>
       try api.route(ex)
       catch {

@@ -568,11 +568,20 @@ object Jobs {
               val path = s"$sinkRoot/${sha256Hex(key).take(16)}"
               val hd = submitAsync(spark, handler) {
                 Sinks.write(Handlers.run(handler, input), path, format)
+                // the cache entry lands INSIDE the job body, after the
+                // sink write and before the future completes: await()
+                // returning success therefore happens-after the put,
+                // so an immediate identical resubmit always hits. An
+                // onComplete callback is unordered vs await and was
+                // measured to lose that race (JobsSpec invalidation
+                // stress). A throw above skips the put — failed or
+                // cancelled jobs still leave no entry.
+                cache.put(key, path)
               }
-              hd.onComplete { r =>
-                // put-then-remove: the landed entry must be visible
-                // before the inflight entry disappears
-                if (r.isSuccess) cache.put(key, path)
+              hd.onComplete { _ =>
+                // remove-after-complete only; the put already happened
+                // in-body (so put-before-remove still holds for the
+                // re-check above).
                 inflight.remove(key)
                 ()
               }

@@ -168,3 +168,107 @@ final class FileHandlerStore(root: Path) extends HandlerStore {
     finally s.close()
   }
 }
+
+// ----- durable request records (reference: mr/models/kv/request.py,
+// job.py — every request/job/invocation persists in etcd so a
+// restarted front-end still serves GET /request/{id} and the cleanup
+// sweep) -------------------------------------------------------------
+
+/** One durable request record: what a restarted front-end can still
+  * truthfully say about a request — identity, job name, sink path,
+  * lifecycle status and timestamps. Live scheduler counters are
+  * process-local by nature and are NOT persisted (the reference
+  * likewise persists request/job/step state, not executor metrics). */
+final case class RequestRecord(requestId: String, job: String,
+    sinkPath: String, submittedAtMs: Long, status: String,
+    completedAtMs: Option[Long])
+
+object RequestRecord {
+  val Running = "running"
+  val Succeeded = "succeeded"
+  val Failed = "failed"
+  /** A record still `running` when a NEW front-end adopts the store:
+    * the previous JVM died with the job — nothing will ever complete
+    * it (jobs are process-local), so the restart sweep retires it. */
+  val Interrupted = "interrupted"
+}
+
+/** Pluggable durability backend for request records — the same seam
+  * shape as [[HandlerStore]]/[[Jobs.ResultCache]]: file default here,
+  * a shared KV in a multi-process deployment. */
+trait RequestStore {
+  /** Upsert by requestId (submit writes `running`, completion
+    * overwrites with the outcome — last write wins; there is exactly
+    * one writer per request, the front-end that launched it). */
+  def put(r: RequestRecord): Unit
+  def get(id: String): Option[RequestRecord]
+  /** Every stored record, requestId-sorted. */
+  def load(): Seq[RequestRecord]
+  def delete(id: String): Boolean
+}
+
+/** Process-local default — keeps [[HttpApi]] dependency-free when no
+  * durability is asked for. */
+final class InMemoryRequestStore extends RequestStore {
+  private val m =
+    new java.util.concurrent.ConcurrentHashMap[String, RequestRecord]()
+  override def put(r: RequestRecord): Unit = { m.put(r.requestId, r); () }
+  override def get(id: String): Option[RequestRecord] = Option(m.get(id))
+  override def load(): Seq[RequestRecord] =
+    m.values().asScala.toSeq.sortBy(_.requestId)
+  override def delete(id: String): Boolean = m.remove(id) != null
+}
+
+/** File-backed store: one `.properties` file per request, written
+  * temp-then-atomic-rename (the [[FileHandlerStore]] discipline — a
+  * crash mid-put never leaves a torn record). */
+final class FileRequestStore(root: Path) extends RequestStore {
+  Files.createDirectories(root)
+  private val lock = new Object
+
+  private def fileOf(id: String): Path =
+    root.resolve(java.net.URLEncoder.encode(id, "UTF-8") + ".properties")
+
+  override def put(r: RequestRecord): Unit = lock.synchronized {
+    val p = new Properties()
+    p.setProperty("requestId", r.requestId)
+    p.setProperty("job", r.job)
+    p.setProperty("sinkPath", r.sinkPath)
+    p.setProperty("submittedAtMs", r.submittedAtMs.toString)
+    p.setProperty("status", r.status)
+    r.completedAtMs.foreach(t => p.setProperty("completedAtMs", t.toString))
+    val tmp = Files.createTempFile(root, ".req-", ".tmp")
+    val out = Files.newOutputStream(tmp)
+    try p.store(out, null) finally out.close()
+    Files.move(tmp, fileOf(r.requestId), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  private def read(f: Path): RequestRecord = {
+    val p = new Properties()
+    val in = Files.newInputStream(f)
+    try p.load(in) finally in.close()
+    RequestRecord(p.getProperty("requestId"), p.getProperty("job"),
+      p.getProperty("sinkPath"), p.getProperty("submittedAtMs").toLong,
+      p.getProperty("status"),
+      Option(p.getProperty("completedAtMs")).map(_.toLong))
+  }
+
+  override def get(id: String): Option[RequestRecord] = lock.synchronized {
+    val f = fileOf(id)
+    if (Files.exists(f)) Some(read(f)) else None
+  }
+
+  override def load(): Seq[RequestRecord] = lock.synchronized {
+    val s = Files.list(root)
+    try s.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".properties"))
+      .map(read).toSeq.sortBy(_.requestId)
+    finally s.close()
+  }
+
+  override def delete(id: String): Boolean = lock.synchronized {
+    Files.deleteIfExists(fileOf(id))
+  }
+}

@@ -410,8 +410,16 @@ object Funnel {
   }
 
   /** Fixed-point scale for [[eventsAttributionLinear]]'s credit
-    * fractions (1.0 ≡ 1e12; single-sourced into the oracle). */
-  val AttrScale = 1000000000000L
+    * fractions (1.0 ≡ 1e9; single-sourced into the oracle). Headroom:
+    * nv·scale must stay in long range, so a single user may carry up
+    * to ~9.2e9 preceding touches before overflow (Spark would wrap
+    * silently where DuckDB errors — the mix_tokens_budget headroom
+    * discipline); at 1e12 that bound was ~9.2e6, reachable by one
+    * pathological bot user. 1e9 still quantizes each purchase's
+    * fraction 1000× finer than the round(6) output grain, and the
+    * fixed-point value is the SAME integer in both engines, so the
+    * gate is unaffected. */
+  val AttrScale = 1000000000L
 
   /** B (round 13): LINEAR (multi-touch) attribution — every purchase
     * splits one unit of credit EQUALLY across all its strictly-
@@ -422,7 +430,7 @@ object Funnel {
     * linear credit is the classic over/under-crediting read.
     *
     * Exactness: per-purchase credit enters FIXED-POINT before the
-    * sum — (nv·1e12) div (nv+nc) is an order-free integer (a double
+    * sum — (nv·[[AttrScale]]) div (nv+nc) is an order-free integer (a double
     * Σ of fractions would drift with partition merge order — the
     * pagerank discipline); the one output division is mirrored.
     * Scale: ONE hash exchange on user_id, two conditional running

@@ -785,6 +785,14 @@ object Lifecycle {
       .orderBy(col("s_suppkey"))
   }
 
+  /** Revenue-bucket width (cents) for [[ordersPareto]]'s two-level
+    * cumulative scan. The bucket key is PER-CUSTOMER revenue — a
+    * domain-fixed quantity (order sizes don't grow with the customer
+    * count), so a fixed width keeps the per-bucket summary
+    * metadata-sized at any SF (the SkylineBucketCents class of dial,
+    * not the √n LSH/IVF class). */
+  val ParetoBucketCents = 1000000L
+
   def ordersPareto(spark: SparkSession, dir: String): DataFrame = {
     val perCust = Tables(spark, dir).orders
       .select(col("o_custkey").as("cust_key"),
@@ -792,10 +800,26 @@ object Lifecycle {
       .groupBy("cust_key")
       .agg(sum(col("cents")).as("rev_cents"))
     val total = perCust.agg(sum(col("rev_cents")).as("total_cents"))
-    val w = Window.orderBy(col("rev_cents").desc, col("cust_key"))
+    // Two-level cumulative revenue (the partSkyline bucketed-prefix
+    // pattern — a global-order running window over ALL customers is a
+    // single-partition sort, dead at 100 TB): global desc traversal
+    // order = desc bucket order, so cum = (sum of all strictly-higher
+    // buckets, a prefix over the tiny per-bucket summary) + the
+    // in-bucket running sum (shards sort in parallel). Pure long
+    // sums — bit-identical to the one-window form the oracle runs.
+    val b = perCust
+      .withColumn("b", floor(col("rev_cents") / ParetoBucketCents))
+    val perB = b.groupBy(col("b")).agg(sum(col("rev_cents")).as("bsum"))
+    val wPre = Window.orderBy(col("b").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = perB.select(col("b"),
+      coalesce(sum(col("bsum")).over(wPre), lit(0L)).as("pcum"))
+    val wIn = Window.partitionBy(col("b"))
+      .orderBy(col("rev_cents").desc, col("cust_key"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perCust
-      .withColumn("cum_cents", sum(col("rev_cents")).over(w))
+    b.join(broadcast(prefix), Seq("b"))
+      .withColumn("cum_cents",
+        col("pcum") + sum(col("rev_cents")).over(wIn))
       .crossJoin(broadcast(total))
       .select(
         col("cust_key"),
@@ -1081,11 +1105,14 @@ object Lifecycle {
     * broadcast, then day-grain windows on the collapsed duration
     * frame — bounded by the calendar span, not the row count, at any
     * SF (the events_trend discipline). n_risk is exact integer
-    * algebra; the product limit rides exp∘Σln over the SAME ordered
-    * frame in both engines (sequential running sum — CLAUDE.md FP
-    * fold discipline), so the only cross-engine bits are libm ln/exp
-    * ulps: the documented table_entropy tolerance class under
-    * round(4). */
+    * algebra; the product limit S(t) = Π(1 − dᵢ/nᵢ) is a STRICT
+    * ordered double product (collect_list over the day-ordered frame
+    * + a sequential fold; DuckDB: list() OVER the same frame +
+    * seedless list_reduce multiply). IEEE division and multiplication
+    * are correctly rounded, so the value is bit-identical across
+    * engines AND across libm implementations — the r13 driver-box
+    * hash flake was exp∘Σln ulp drift flipping a round(4) half
+    * boundary; no transcendental touches the hash-gated value now. */
   def eventsSurvival(spark: SparkSession, dir: String): DataFrame =
     survivalOf(Tables(spark, dir).events
       .select(col("user_id"), col("event_type"),
@@ -1119,16 +1146,18 @@ object Lifecycle {
       .withColumn("n_risk", col("n_total") -
         coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
       .filter(col("d") > 0)
-      // d == n_risk (every remaining subject converts) makes the KM
-      // factor exactly 0: guard the log's argument to 1 and zero the
-      // product via a cumulative flag — DuckDB's ln(0) is a hard
-      // error, Spark's a silent NULL; both dodge it identically.
+      // Strict ordered product of the KM factors: d/n_risk is one
+      // correctly-rounded IEEE division of exact integers, 1−x one
+      // exact-input subtraction, and the fold multiplies in frame
+      // order — every step correctly rounded, so bit-identical to the
+      // oracle's seedless list_reduce (1.0·f₁ = f₁ exactly). The day
+      // frame is calendar-bounded, so the O(days) per-row relist is a
+      // constant at any SF. d == n_risk yields factor exactly 0.0 and
+      // the product stays 0 from there — no log, no guard needed.
       .withColumn("survival",
-        when(max((col("d") === col("n_risk")).cast("int")).over(wCum) === 1,
-          lit(0.0))
-          .otherwise(exp(sum(log(
-            when(col("d") === col("n_risk"), lit(1.0))
-              .otherwise(lit(1.0) - col("d") / col("n_risk")))).over(wCum))))
+        aggregate(
+          collect_list(lit(1.0) - col("d") / col("n_risk")).over(wCum),
+          lit(1.0), (acc, x) => acc * x))
       .select(col("day"), col("n_risk"), col("d").as("n_deaths"),
         round(col("survival"), 4).as("survival"))
       .orderBy(col("day"))

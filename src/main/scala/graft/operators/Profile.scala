@@ -555,11 +555,16 @@ object Profile {
     * frame recompute upstream K times).
     *
     * Shape: one fact scan → per-(value) conditional-count groupBy
-    * (persisted: cum + totals both read it), ONE global-order
-    * cumulative window over the distinct-value frame — the honest
-    * exact-CDF cost (distinct values of the metric, not rows; the
-    * 100 TB dashboard route is a fixed histogram grid). Totals ride
-    * a 1-row crossJoin (allowlisted broadcast-scalar shape). */
+    * (persisted: cum + totals both read it), then the TWO-LEVEL
+    * cumulative CDF (partSkyline bucketed-prefix pattern — the
+    * distinct-value frame grows with the data, so one global-order
+    * window over it is a single-partition sort, dead at 100 TB):
+    * unit-width value buckets cumulate in parallel, the global stage
+    * orders only the per-bucket count summary (bounded by the VALUE
+    * DOMAIN, not the row count), and cum = bucket prefix + in-bucket
+    * running count — pure long sums, bit-identical to the one-window
+    * form the oracle runs. Totals ride a 1-row crossJoin
+    * (allowlisted broadcast-scalar shape). */
   def tableKs(spark: SparkSession, dir: String): DataFrame =
     ksOf(Tables(spark, dir).events.select(col("event_type"), col("value")),
       KsTypes)
@@ -573,10 +578,23 @@ object Profile {
     val counts = e.groupBy(col("value"))
       .agg(cCol(KsTypes.head), KsTypes.tail.map(cCol): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val w = Window.orderBy(col("value"))
+    // unit-width value buckets: floor is monotone, so bucket order ==
+    // value order and the two-level sum equals the global cumsum
+    val bts = counts.withColumn("b", floor(col("value")))
+    val perB = bts.groupBy(col("b"))
+      .agg(sum(col(s"c_${KsTypes.head}")).as(s"b_${KsTypes.head}"),
+        KsTypes.tail.map(t => sum(col(s"c_$t")).as(s"b_$t")): _*)
+    val wPre = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = perB.select(col("b") +:
+      KsTypes.map(t =>
+        coalesce(sum(col(s"b_$t")).over(wPre), lit(0L)).as(s"p_$t")): _*)
+    val wIn = Window.partitionBy(col("b")).orderBy(col("value"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = counts.select(col("value") +:
-      KsTypes.map(t => sum(col(s"c_$t")).over(w).as(s"cum_$t")): _*)
+    val cum = bts.join(broadcast(prefix), Seq("b"))
+      .select(col("value") +:
+        KsTypes.map(t =>
+          (col(s"p_$t") + sum(col(s"c_$t")).over(wIn)).as(s"cum_$t")): _*)
     val totals = counts.agg(
       sum(col(s"c_${KsTypes.head}")).as(s"n_${KsTypes.head}"),
       KsTypes.tail.map(t => sum(col(s"c_$t")).as(s"n_$t")): _*)
@@ -1101,11 +1119,16 @@ object Profile {
         (col("o_orderstatus").isNull ||
           !col("o_orderstatus").isin("F", "O", "P")),
       "orderdate_not_null" -> col("o_orderdate").isNull))
+    // NULL in a range-checked column is an EXPLICIT violation (Deequ
+    // convention) — bare NOT(range) is NULL for NULL input, which the
+    // indicator sum would silently count as passing on both engines.
     val l = perRow("lineitem", t.lineitem, Seq(
       "quantity_in_range" ->
-        !(col("l_quantity") >= 1.0 && col("l_quantity") <= 50.0),
+        (col("l_quantity").isNull ||
+          !(col("l_quantity") >= 1.0 && col("l_quantity") <= 50.0)),
       "discount_in_range" ->
-        !(col("l_discount") >= 0.0 && col("l_discount") <= 0.1)))
+        (col("l_discount").isNull ||
+          !(col("l_discount") >= 0.0 && col("l_discount") <= 0.1))))
     val c = perRow("customer", t.customer, Seq(
       "name_not_blank" ->
         (col("c_name").isNull || length(col("c_name")) === 0)))

@@ -463,27 +463,60 @@ object Relational {
     * in both engines; one round(4) erases representation noise.
     * ntile over a total order is positionally determined.
     *
-    * Shape: one groupBy(cust) with map-side partial agg, then
-    * GLOBAL-ordered windows — safe by construction because the
-    * window frame is the per-customer AGGREGATE (one row per
-    * customer, not the order fact table); at warehouse scale the
-    * same ranking runs as a two-phase distributed sort or the
-    * percentile form switches to approx sketches (q23's scale
-    * path). */
+    * Shape: one groupBy(cust) with map-side partial agg, then the
+    * two-phase distributed ranking (the partSkyline bucketed-prefix
+    * pattern — the per-customer frame GROWS with the data, so a
+    * global-order window over it is a single-partition sort, dead at
+    * 100 TB): revenue buckets rank in parallel; the global stage
+    * orders only the per-bucket (count, last-value) summary — a
+    * domain-fixed handful of rows at any SF. The global row number
+    * is prefix-count + in-bucket row_number; under the total order,
+    * rank == row_number, so percent_rank ((rk−1)/(n−1)), cume_dist
+    * (rk/n) and ntile (positional integer algebra on rk, n) rebuild
+    * from it EXACTLY, and lag patches bucket boundaries with the
+    * previous bucket's last value — bit-identical to the one-window
+    * form the oracle runs. */
   def q27WindowFuncs(spark: SparkSession, dir: String): DataFrame = {
     val perCust = Tables(spark, dir).orders
       .select(col("o_custkey").as("cust_key"),
         floor(col("o_totalprice") * 100).cast("long").as("cents"))
       .groupBy(col("cust_key"))
       .agg(sum(col("cents")).as("rev_cents"))
-    val w = Window.orderBy(col("rev_cents").desc, col("cust_key"))
-    perCust
+    val b = perCust.withColumn("b",
+      floor(col("rev_cents") / graft.operators.Lifecycle.ParetoBucketCents))
+    val wIn = Window.partitionBy(col("b"))
+      .orderBy(col("rev_cents").desc, col("cust_key"))
+    val perB = b.groupBy(col("b")).agg(
+      count(lit(1)).as("bn"), min(col("rev_cents")).as("blast"))
+    val wB = Window.orderBy(col("b").desc)
+    val summary = perB.select(col("b"),
+      coalesce(sum(col("bn"))
+        .over(wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+        .as("pcnt"),
+      // the row BEFORE a bucket's first row (global desc order) is
+      // the previous bucket's LAST row; lag only needs its rev_cents,
+      // and ties share the value, so min(rev_cents) suffices
+      lag(col("blast"), 1).over(wB).as("plast"),
+      sum(col("bn")).over(Window.partitionBy()).as("n"))
+    b.join(broadcast(summary), Seq("b"))
+      .withColumn("rk", col("pcnt") + row_number().over(wIn))
+      .withColumn("lag_rev",
+        coalesce(lag(col("rev_cents"), 1).over(wIn), col("plast")))
+      // ntile(10) over a total order is positionally determined:
+      // q = n div 10 and r = n % 10; the first r tiles take q+1 rows
+      .withColumn("qn", expr("n div 10"))
+      .withColumn("rn", expr("n % 10"))
       .select(col("cust_key"),
         round(col("rev_cents") / 100.0, 2).as("revenue"),
-        ntile(10).over(w).as("decile"),
-        round(percent_rank().over(w), 4).as("pct_rank"),
-        round(cume_dist().over(w), 4).as("cume"),
-        round((lag(col("rev_cents"), 1).over(w) - col("rev_cents")) / 100.0, 2)
+        when(col("rk") <= (col("qn") + 1) * col("rn"),
+            expr("(rk - 1) div (qn + 1) + 1"))
+          .otherwise(expr("rn + (rk - 1 - (qn + 1) * rn) div qn + 1"))
+          .cast("int").as("decile"),
+        round(when(col("n") > 1,
+            (col("rk") - 1).cast("double") / (col("n") - 1))
+          .otherwise(lit(0.0)), 4).as("pct_rank"),
+        round(col("rk").cast("double") / col("n"), 4).as("cume"),
+        round((col("lag_rev") - col("rev_cents")) / 100.0, 2)
           .as("gap_above"))
       .orderBy(col("revenue").desc, col("cust_key"))
   }

@@ -1760,8 +1760,9 @@ object Streams {
   def streamPsi(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables(spark, dir).events
-      .select(expr("(ts div 1000000000L) div 86400L").as("day"),
+      .select(Tables.tsNsToSec("ts").as("ep"),
         floor(col("value") * 100).cast("long").as("cents"))
+      .select(expr("ep div 86400L").as("day"), col("cents"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val binned = psiBinnedOf(ev, psiRefStats(ev)).as[PsiEv]
     psiScore(psiStateful(binned))
@@ -2042,8 +2043,8 @@ object Streams {
   def streamEwma(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val raw = Tables(spark, dir).events
-      .select(col("event_type"),
-        expr("(ts div 1000000000L) div 86400L").as("day"))
+      .select(col("event_type"), Tables.tsNsToSec("ts").as("ep"))
+      .select(col("event_type"), expr("ep div 86400L").as("day"))
       .as[DayEv]
       .groupByKey(_.event_type)
       .flatMapGroups { (tpe: String, it: Iterator[DayEv]) =>

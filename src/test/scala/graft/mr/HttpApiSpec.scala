@@ -215,4 +215,58 @@ class HttpApiSpec extends SparkSuite {
       assert(send("GET", s"$base/request/$id")._1 === 404)
     }
   }
+
+  test("restart recovery: a new server over the same FileRequestStore " +
+      "still serves completed requests; stale running records retire") {
+    val sinkRoot = Files.createTempDirectory("graft-http-restart").toString
+    val store = new FileRequestStore(
+      Files.createTempDirectory("graft-reqstore"))
+    val jobsMap = Map("wordcount" -> (MrQueries.mrWordcount _))
+    val api1 = HttpApi.start(spark, sfDir, sinkRoot, jobsMap, store = store)
+    val (code, body) =
+      send("POST", s"http://127.0.0.1:${api1.port}/job/wordcount")
+    assert(code === 202, body)
+    val id = field(body, "request_id")
+    // wait for the DURABLE outcome record (the completion record lands
+    // asynchronously after the job finishes; a bounce inside that
+    // window truthfully retires the request as interrupted)
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (!store.get(id).exists(_.status == RequestRecord.Succeeded) &&
+        System.nanoTime() < deadline) Thread.sleep(100)
+    assert(store.get(id).exists(_.status == RequestRecord.Succeeded))
+    api1.stop() // driver bounce
+
+    val api2 = HttpApi.start(spark, sfDir, sinkRoot, jobsMap, store = store)
+    try {
+      val base2 = s"http://127.0.0.1:${api2.port}"
+      val (c, b) = send("GET", s"$base2/request/$id")
+      assert(c === 200, b)
+      assert(field(b, "name") === "wordcount", b)
+      assert(field(b, "status") === "succeeded", b)
+      assert(field(b, "succeeded") === "true", b)
+      assert(field(b, "recovered") === "true", b)
+      assert(field(b, "sink") === s"$sinkRoot/wordcount", b)
+      val (lc, lb) = send("GET", s"$base2/requests")
+      assert(lc === 200 && lb.contains(id), lb)
+
+      // a record still `running` at adoption time belonged to the dead
+      // JVM: the restart sweep retires it as interrupted
+      store.put(RequestRecord("req-dead", "wordcount",
+        s"$sinkRoot/wordcount", 1L, RequestRecord.Running, None))
+      val api3 = HttpApi.start(spark, sfDir, sinkRoot, jobsMap, store = store)
+      try {
+        val (c3, b3) =
+          send("GET", s"http://127.0.0.1:${api3.port}/request/req-dead")
+        assert(c3 === 200 && field(b3, "status") === "interrupted", b3)
+        assert(field(b3, "succeeded") === "false", b3)
+        assert(field(b3, "completed") === "true", b3)
+      } finally api3.stop()
+
+      // reap prunes the durable records too (request_cleanup semantics)
+      val (rc, rb) = send("POST", s"$base2/reap")
+      assert(rc === 200, rb)
+      assert(send("GET", s"$base2/request/$id")._1 === 404)
+      assert(store.load().isEmpty, "reap must sweep the store")
+    } finally api2.stop()
+  }
 }

@@ -354,6 +354,29 @@ class JobsSpec extends SparkSuite {
     } finally { Handlers.delete("cached_inv"); () }
   }
 
+  test("submitCached: await-success happens-after cache visibility (x50 stress)") {
+    // Pins the commit-ordering contract: the cache entry lands inside
+    // the job body (after the sink write, before the future completes),
+    // so a resubmit issued the instant await() returns MUST hit. The
+    // old onComplete-side put was an unordered callback on the same
+    // future await blocks on and lost this race under repetition.
+    val root = Files.createTempDirectory("graft-cache-stress").toString
+    val cache = new InMemoryResultCache
+    Handlers.register(Handlers.HandlerDef("cached_stress", 1L, "id", df => df))
+    try {
+      val input = spark.range(8).toDF("n")
+      (1 to 50).foreach { i =>
+        val first = Jobs.submitCached(spark, "cached_stress", input,
+          inputVersion = s"snap-$i", sinkRoot = root, cache = cache)
+        assert(Jobs.await(first.handle, 120.seconds).isSuccess)
+        val again = Jobs.submitCached(spark, "cached_stress", input,
+          inputVersion = s"snap-$i", sinkRoot = root, cache = cache)
+        assert(again.hit, s"iteration $i: resubmit after await missed the cache")
+        assert(again.path === first.path)
+      }
+    } finally { Handlers.delete("cached_stress"); () }
+  }
+
   test("submitCached: failed jobs leave no cache entry; unregistered handlers throw") {
     val root = Files.createTempDirectory("graft-cache-fail").toString
     val cache = new InMemoryResultCache

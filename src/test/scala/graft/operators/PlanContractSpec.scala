@@ -129,6 +129,106 @@ class PlanContractSpec extends SparkSuite {
       s"scale-hostile join shapes found:\n${offenders.mkString("\n")}")
   }
 
+  // A WindowExec with an EMPTY partition spec moves its whole input
+  // frame to one partition — fatal at 100 TB unless that frame is
+  // bounded by construction (a per-bucket/per-day/per-type summary,
+  // not the data). Swept over the full registry (round 14); every
+  // entry names its bounded frame. The three growing-frame offenders
+  // (orders_pareto, q27_window_funcs, table_ks) were de-globalized
+  // onto the bucketed-prefix pattern that round — their remaining
+  // global windows run over the per-bucket SUMMARY only:
+  //  - corpus_heaps: the 10-row checkpoint axis (HeapsPoints).
+  //  - embed_outliers / graph_pagerank: row_number over the
+  //    post-limit top-k frame (OutlierK=50 / PrTopK rows).
+  //  - events_survival: the day-grain KM frame — calendar-bounded.
+  //  - mix_epochs / mix_sources / mix_temperature / stream_mix /
+  //    mix_tokens_budget: per-source count frames — the source
+  //    alphabet is fixed, a handful of rows at any corpus size.
+  //  - orders_backlog / stream_backlog: day-grain open/close frame —
+  //    calendar-bounded.
+  //  - orders_pareto / q27_window_funcs / part_skyline /
+  //    table_seq_gaps / table_ks: the bucketed-prefix pattern's
+  //    global stage — a prefix over the per-bucket summary
+  //    (domain/width or n/4096 rows, metadata-sized at any SF).
+  //  - table_benford: the 9-digit frame.
+  //  - table_cramers_v / table_mutual_info: the joint cube of two
+  //    pinned low-cardinality columns (≤2.1k cells).
+  //  - table_psi: the 20-bin grid (PsiBins).
+  private val boundedGlobalWindowOk: Set[String] =
+    Set("corpus_heaps", "embed_outliers", "events_survival",
+      "graph_pagerank", "mix_epochs", "mix_sources", "mix_temperature",
+      "mix_tokens_budget", "orders_backlog", "orders_pareto",
+      "part_skyline", "q27_window_funcs", "stream_backlog",
+      "stream_mix", "table_benford", "table_cramers_v", "table_ks",
+      "table_mutual_info", "table_psi", "table_seq_gaps")
+
+  test("no global-order window runs over a frame that grows with the data") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def globalWindows(p: SparkPlan): Seq[String] = {
+      val own = p match {
+        case a: AdaptiveSparkPlanExec => globalWindows(a.executedPlan)
+        case q: QueryStageExec => globalWindows(q.plan)
+        // descend into cached lineages too: a global window hiding
+        // inside a persisted frame is just as single-partition
+        case m: InMemoryTableScanExec =>
+          globalWindows(m.relation.cachedPlan)
+        case w: WindowExec if w.partitionSpec.isEmpty =>
+          Seq(w.windowExpression.map(_.sql).mkString(", ").take(80)) ++
+            w.children.flatMap(globalWindows)
+        case other => other.children.flatMap(globalWindows)
+      }
+      own ++ p.subqueries.flatMap(globalWindows)
+    }
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, q) if !boundedGlobalWindowOk(name) =>
+        val gw = globalWindows(q(spark, sfDir).queryExecution.executedPlan)
+        gw.map(w => s"$name: $w")
+      case _ => Seq.empty
+    }
+    assert(offenders.isEmpty,
+      s"global-order windows found (bucket the key or allowlist with a " +
+        s"bounded-frame reason):\n${offenders.mkString("\n")}")
+  }
+
+  test("de-globalized windows (r14) keep their global stage on the bucket summary") {
+    // The allowlist above exempts whole queries, so this pins the
+    // three r14 rewrites specifically: every empty-partition window
+    // in their plans must aggregate a per-bucket summary column
+    // (bsum / bn / b_<type>), never the data-sized frame's own
+    // columns (rev_cents / c_<type>) — a revert to the one-window
+    // global form fails here by name.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def globalWindowSql(p: SparkPlan): Seq[String] = {
+      val own = p match {
+        case a: AdaptiveSparkPlanExec => globalWindowSql(a.executedPlan)
+        case q: QueryStageExec => globalWindowSql(q.plan)
+        case m: InMemoryTableScanExec => globalWindowSql(m.relation.cachedPlan)
+        case w: WindowExec if w.partitionSpec.isEmpty =>
+          w.windowExpression.map(_.sql) ++ w.children.flatMap(globalWindowSql)
+        case other => other.children.flatMap(globalWindowSql)
+      }
+      own ++ p.subqueries.flatMap(globalWindowSql)
+    }
+    for (name <- Seq("orders_pareto", "q27_window_funcs", "table_ks")) {
+      val ws = globalWindowSql(
+        graft.SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.executedPlan)
+      assert(ws.nonEmpty, s"$name lost its bucketed-prefix global stage")
+      // windows computing over data-sized columns are the revert smell
+      val badData = ws.filter(w =>
+        w.contains("rev_cents") || w.contains("c_click") ||
+          w.contains("ORDER BY value") || w.contains("cust_key"))
+      assert(badData.isEmpty,
+        s"$name: global window over a data-sized frame:\n${badData.mkString("\n")}")
+    }
+  }
+
   test("star-join dims are broadcast, not shuffled (q3, q5)") {
     for (name <- Seq("q3_join_agg", "q5_multijoin")) {
       val plan = graft.SparkEntry.queries(name)(spark, sfDir)

@@ -1437,8 +1437,9 @@ class StreamsSpec extends SparkSuite {
     // deploy contract), so the fixture cannot drift from the batch
     // query's bin definition.
     val ev = graft.Tables(spark, sfDir).events
-      .select(expr("(ts div 1000000000L) div 86400L").as("day"),
+      .select(graft.Tables.tsNsToSec("ts").as("ep"),
         floor(col("value") * 100).cast("long").as("cents"))
+      .select(expr("ep div 86400L").as("day"), col("cents"))
       .persist()
     val evs = Streams.psiBinnedOf(ev, Streams.psiRefStats(ev))
       .as[Streams.PsiEv].collect()
