@@ -2577,6 +2577,65 @@ object Oracles {
         |FROM q_base
         |ORDER BY doc_id""".stripMargin),
 
+    // E33 quality ensemble (TextQueries.qualityEnsemble): the four
+    // certified component chains composed — q_base (E2 score), per
+    // (E24 rule flags), the E12 bigram-LM typicality (LEFT join, 0
+    // for no-bigram docs), E25 Flesch (normalized, clamped) — into
+    // one left-associated ::double-forced linear pool; keep compares
+    // the UNROUNDED ensemble (bit-identical: exact algebra + double
+    // literals, no transcendental anywhere).
+    "quality_ensemble" -> {
+      val Q = graft.functions.TextQueries
+      ("WITH " + qualityBaseCte("documents") + ",\n" + gopherCtes +
+        ",\n" + bigramLmCtes + ",\n" +
+      s"""lm AS (
+         |  SELECT occ.doc_id,
+         |    round(sum(cnt2)::bigint / sum(cnt1)::bigint, 6) AS typ
+         |  FROM occ JOIN big USING (bigram)
+         |  JOIN uni ON uni.tok = occ.w1
+         |  GROUP BY occ.doc_id),
+         |syl AS (
+         |  SELECT doc_id,
+         |    len(regexp_extract_all(text, '[aeiou]+')) AS n_syl
+         |  FROM documents),
+         |qq AS (
+         |  SELECT doc_id, n_tok, ($qualityExpr) AS q
+         |  FROM q_base WHERE n_tok > 0),
+         |gp AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN ($gopherRuleLen) THEN 1 ELSE 0 END
+         |     + CASE WHEN ($gopherRuleWlen) THEN 1 ELSE 0 END
+         |     + CASE WHEN ($gopherRuleDiv) THEN 1 ELSE 0 END
+         |     + CASE WHEN ($gopherRuleRep) THEN 1 ELSE 0 END
+         |     + CASE WHEN ($gopherRuleStop) THEN 1 ELSE 0 END) AS npass
+         |  FROM per),
+         |fl AS (
+         |  SELECT qq.doc_id,
+         |    greatest(0.0::double, least(1.0::double,
+         |      ((206.835::double - 1.015::double * n_tok
+         |        - 84.6::double * (n_syl / n_tok))
+         |       + ${Q.EnsFleschShift}::double)
+         |      / ${Q.EnsFleschSpan}::double)) AS fln
+         |  FROM qq JOIN syl USING (doc_id)),
+         |f AS (
+         |  SELECT qq.doc_id, qq.q, gp.npass, fl.fln,
+         |    coalesce(lm.typ, 0.0::double) AS typ
+         |  FROM qq JOIN gp USING (doc_id) JOIN fl USING (doc_id)
+         |  LEFT JOIN lm USING (doc_id)),
+         |e AS (
+         |  SELECT doc_id, q, npass, typ, fln,
+         |    ${Q.EnsWQuality}::double * q
+         |      + ${Q.EnsWGopher}::double * (npass / 5.0::double)
+         |      + ${Q.EnsWTypicality}::double * typ
+         |      + ${Q.EnsWFlesch}::double * fln AS ens
+         |  FROM f)
+         |SELECT doc_id, round(q, 4) AS quality,
+         |  npass::int AS n_rules_passed, typ AS cond_typicality,
+         |  round(fln, 4) AS flesch_norm, round(ens, 6) AS ensemble,
+         |  ens >= ${Q.EnsKeepMin}::double AS keep
+         |FROM e ORDER BY doc_id""".stripMargin)
+    },
+
     "text_langid" -> langidSql,
 
     // The G29 stream entry is the same stateless per-row classifier
@@ -4132,6 +4191,52 @@ object Oracles {
          |    AS quota
          |FROM d
          |ORDER BY source""".stripMargin
+    },
+
+    // J21 weighted (PPS) systematic sampling (Sampling.sampleWeighted):
+    // k equally-spaced pointers over the cumulative-weight axis of the
+    // salted-md5 traversal order; the pointer-count comparison is pure
+    // long algebra ((2j+1)·W < 2k·C — no pointer ever materializes as
+    // FP), the bucketed two-level cumsum equals the global one
+    // bit-for-bit, all div operands non-negative (// == Spark div).
+    "sample_weighted" -> {
+      val S = graft.operators.Sampling
+      val k = S.WSampleK
+      val hw = S.WSampleHexWidth
+      raw"""WITH d AS (
+         |  SELECT doc_id,
+         |    greatest(len(list_filter(
+         |      string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+         |      x -> x <> ''))::bigint, 1) AS w,
+         |    md5('${S.WSampleSeed}' || doc_id::varchar) AS h
+         |  FROM documents),
+         |b AS (SELECT *, substr(h, 1, $hw) AS bk FROM d),
+         |pb AS (SELECT bk, sum(w)::bigint AS bw FROM b GROUP BY 1),
+         |pre AS (SELECT bk,
+         |    coalesce(sum(bw) OVER (ORDER BY bk
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0)::bigint AS p,
+         |    sum(bw) OVER ()::bigint AS tot
+         |  FROM pb),
+         |cum AS (
+         |  SELECT x.doc_id, x.w, pre.tot,
+         |    pre.p + sum(x.w) OVER (PARTITION BY x.bk
+         |      ORDER BY x.h, x.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_hi
+         |  FROM b x JOIN pre USING (bk)),
+         |n AS (
+         |  SELECT doc_id, w,
+         |    (CASE WHEN ${2 * k} * c_hi <= tot THEN 0
+         |          ELSE least($k, (${2 * k} * c_hi + tot - 1) // (2 * tot))
+         |     END)
+         |    - (CASE WHEN ${2 * k} * (c_hi - w) <= tot THEN 0
+         |            ELSE least($k,
+         |              (${2 * k} * (c_hi - w) + tot - 1) // (2 * tot))
+         |       END) AS n_hits
+         |  FROM cum)
+         |SELECT doc_id, w AS weight, n_hits::int AS n_hits
+         |FROM n WHERE n_hits >= 1
+         |ORDER BY doc_id""".stripMargin
     },
 
     // J18 k-fold assignment (Sampling.sampleKfold): salted-md5 fold

@@ -1385,4 +1385,88 @@ object TextQueries {
         col("n_docs"), col("n_pass"))
       .orderBy(col("rule"))
   }
+
+  /** Ensemble weights for [[qualityEnsemble]] — fixed doubles,
+    * single-sourced into the oracle (::double-forced there, the
+    * text_readability literal discipline). */
+  val EnsWQuality = 0.35
+  val EnsWGopher = 0.30
+  val EnsWTypicality = 0.25
+  val EnsWFlesch = 0.10
+  /** Flesch normalization window: fln = clamp((flesch+100)/250, 0, 1)
+    * — covers the formula's realistic range on this corpus. */
+  val EnsFleschShift = 100.0
+  val EnsFleschSpan = 250.0
+  /** Keep threshold, compared against the UNROUNDED ensemble. */
+  val EnsKeepMin = 0.55
+
+  /** E33 (round 14): doc-level quality ENSEMBLE — the one score per
+    * document users actually filter on, combining the four signals
+    * the registry already certifies separately: the E2 composite
+    * quality score, the E24 Gopher rule pass count, the E12 bigram-LM
+    * conditional typicality (the no-ln perplexity stand-in), and the
+    * E25 Flesch readability (normalized). ensemble =
+    * [[EnsWQuality]]·q + [[EnsWGopher]]·(pass/5) +
+    * [[EnsWTypicality]]·typ + [[EnsWFlesch]]·fln, keep ⇔ ensemble ≥
+    * [[EnsKeepMin]] — a linear opinion pool over per-signal scores,
+    * the standard ensemble shape of production quality filters.
+    *
+    * Exactness: every component is exact algebra the registry already
+    * gates — q and flesch are mirrored double-literal expressions
+    * (::double-forced in the oracle), pass count is integer, typ is
+    * the ROUNDED (bit-exact) E12 ratio, and the ensemble is one
+    * left-associated mirrored expression of them — correctly-rounded
+    * IEEE ops on identical bits, no transcendental anywhere, so both
+    * the rounded score AND the unrounded keep comparison hash-gate.
+    *
+    * Scale shape: three of four signals are per-row codegen loops
+    * (ONE GopherStats pass + two regexp counts — zero shuffle); the
+    * LM signal reuses [[bigramLmOf]]'s word-count-shaped passes, left
+    * join on doc_id (docs with no bigram carry typ = 0, mirrored). */
+  def qualityEnsemble(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val lm = bigramLmOf(d.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("cond_typicality"))
+    val st = graft.functions.GopherStats(col("text"))
+    val nTok = T.wsTokenCount(col("text"))
+    val stopRatio = T.tokenCountIn(col("text"), T.EnStopwords) / nTok
+    val punctRatio = T.punctCount(col("text")) / length(col("text"))
+    val nSyl = regexp_count(col("text"), lit("[aeiou]+"))
+    val base = d.select(col("doc_id"), st.as("st"), nTok.as("n_tok"),
+        stopRatio.as("stop_ratio"), punctRatio.as("punct_ratio"),
+        nSyl.as("n_syl"))
+      .filter(col("n_tok") > 0)
+    val meanW = element_at(col("st"), 4) / element_at(col("st"), 1)
+    val divR = element_at(col("st"), 2) / element_at(col("st"), 1)
+    val topR = element_at(col("st"), 3) / element_at(col("st"), 1)
+    val nPass =
+      ((element_at(col("st"), 1) >= GopherTokMin &&
+        element_at(col("st"), 1) <= GopherTokMax).cast("long") +
+       (meanW >= GopherWlenMin && meanW <= GopherWlenMax).cast("long") +
+       (divR >= GopherDivMin).cast("long") +
+       (topR <= GopherRepMax).cast("long") +
+       (element_at(col("st"), 5) >= GopherStopMin).cast("long"))
+    val flesch = lit(206.835) - lit(1.015) * col("n_tok") -
+      lit(84.6) * (col("n_syl") / col("n_tok"))
+    val scored = base.select(col("doc_id"),
+        T.qualityScore(col("n_tok"), col("stop_ratio"),
+          col("punct_ratio")).as("q"),
+        nPass.as("npass"),
+        greatest(lit(0.0), least(lit(1.0),
+          (flesch + lit(EnsFleschShift)) / lit(EnsFleschSpan))).as("fln"))
+      .join(lm, Seq("doc_id"), "left")
+      .withColumn("typ", coalesce(col("cond_typicality"), lit(0.0)))
+    val ens = lit(EnsWQuality) * col("q") +
+      lit(EnsWGopher) * (col("npass") / lit(5.0)) +
+      lit(EnsWTypicality) * col("typ") +
+      lit(EnsWFlesch) * col("fln")
+    scored.select(col("doc_id"),
+        round(col("q"), 4).as("quality"),
+        col("npass").cast("int").as("n_rules_passed"),
+        col("typ").as("cond_typicality"),
+        round(col("fln"), 4).as("flesch_norm"),
+        round(ens, 6).as("ensemble"),
+        (ens >= lit(EnsKeepMin)).as("keep"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -990,4 +990,85 @@ object Sampling {
           lit(0.0), (acc, x) => acc + x), 4).as("dsir_logratio"))
       .orderBy(col("doc_id"))
   }
+
+  /** Pointer count for [[sampleWeighted]] (single-sourced into the
+    * oracle). */
+  val WSampleK = 100L
+
+  /** Salt for [[sampleWeighted]]'s traversal order — independent of
+    * every other draw (the [[ShuffleSeed]] isolation rule). */
+  val WSampleSeed = "graft-wsample-14:"
+
+  /** Hex-prefix width of the cumulative-weight bucket (256 buckets).
+    * The bucket is a PREFIX of the (h, doc_id) traversal order, so
+    * the two-level prefix sum equals the global one bit-for-bit. */
+  val WSampleHexWidth = 2
+
+  /** J21 (round 14): weighted (PPS) sampling without replacement —
+    * [[WSampleK]] picks with inclusion probability k·wᵢ/W (wᵢ = the
+    * doc's token count), via SYSTEMATIC selection over a salted-hash
+    * traversal order (Madow '49; the GA literature's "stochastic
+    * universal sampling"): k equally-spaced pointers pⱼ =
+    * (2j+1)·W/(2k) walk the cumulative-weight axis of the
+    * hash-shuffled corpus; doc i is picked n_hits = #pointers inside
+    * its weight span [C_{i−1}, C_i) times (a doc heavier than the
+    * stride W/k can be hit more than once — reported, as PPS theory
+    * requires, not silently capped).
+    *
+    * Chosen over the A-ES exponential-key reservoir deliberately:
+    * the ES key u^(1/w) (equivalently ln(u)/w) is a TRANSCENDENTAL of
+    * the uniform — a cross-libm ulp can flip the rank-k boundary,
+    * exactly the failure class events_survival exhibited in r13 —
+    * while systematic PPS delivers the same first-order inclusion
+    * probabilities in pure integer algebra: pointer-vs-boundary
+    * comparisons are (2j+1)·W < 2k·C on longs, so the selected set
+    * carries a FULL hash gate. Headroom: 2k·W must stay in long
+    * range — safe to ~4·10¹⁶ corpus tokens at k = 100 (the
+    * mix_tokens_budget headroom discipline).
+    *
+    * Scale shape: one pruned (doc_id, text) scan for the weights, the
+    * partSkyline bucketed-prefix pattern for the cumulative axis
+    * (in-bucket running sums sort in parallel; the global stage
+    * orders only the 256-row per-bucket summary), and the pointer
+    * count is a closed-form per-row expression — no per-pointer join,
+    * no global sort of the corpus, no driver state. */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame =
+    weightedOf(Tables(spark, dir).documents.select(
+      col("doc_id"),
+      greatest(graft.functions.TextFunctions.wsTokenCount(col("text"))
+        .cast("long"), lit(1L)).as("w")))
+
+  /** Core systematic-PPS selection over any (doc_id, w > 0) frame. */
+  def weightedOf(d0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = WSampleK
+    val d = d0.select(col("doc_id"), col("w"),
+        md5(concat(lit(WSampleSeed), col("doc_id").cast("string"))
+          .cast("binary")).as("h"))
+      .withColumn("bk", substring(col("h"), 1, WSampleHexWidth))
+    val perB = d.groupBy(col("bk")).agg(sum(col("w")).as("bw"))
+    val wPre = Window.orderBy(col("bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pre = perB.select(col("bk"),
+      coalesce(sum(col("bw")).over(wPre), lit(0L)).as("p"),
+      sum(col("bw")).over(Window.partitionBy()).as("tot"))
+    val wIn = Window.partitionBy(col("bk")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // #pointers strictly below C: 0 if 2kC ≤ W, else
+    // min(k, ceil((2kC − W) / 2W)) = min(k, (2kC + W − 1) div 2W) —
+    // exact long algebra, all operands non-negative in the taken
+    // branch (where Spark's truncating div == DuckDB's flooring //)
+    def nPtr(c: String): Column =
+      when(lit(2L * k) * col(c) <= col("tot"), lit(0L))
+        .otherwise(least(lit(k),
+          expr(s"(${2L * k} * $c + tot - 1) div (2 * tot)")))
+    d.join(broadcast(pre), Seq("bk"))
+      .withColumn("c_hi", col("p") + sum(col("w")).over(wIn))
+      .withColumn("c_lo", col("c_hi") - col("w"))
+      .withColumn("n_hits", nPtr("c_hi") - nPtr("c_lo"))
+      .filter(col("n_hits") >= 1)
+      .select(col("doc_id"), col("w").as("weight"),
+        col("n_hits").cast("int").as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
 }

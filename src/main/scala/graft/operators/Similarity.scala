@@ -775,12 +775,22 @@ object Similarity {
 
   /** Probe width — fixed, so total work stays Θ(n^1.5·nProbe). On
     * UNCLUSTERED vectors (this synthetic corpus — IVF's worst case)
-    * round-0 recall tracks probed candidate mass ≈ nProbe/√n
-    * (measured 4→0.30, 6→0.39, 8→0.47 at sf0.1); real embedding
-    * corpora cluster, concentrating true neighbors in the top probed
-    * cells. The NN-descent refinement round in [[knnGraphIvf]] lifts
-    * the worst case to 0.686 on top of the 8-probe cut. */
-  val KnnGraphProbe = 8
+    * round-0 recall tracks probed candidate mass ≈ nProbe/√n; real
+    * embedding corpora cluster, concentrating true neighbors in the
+    * top probed cells. Chosen from the round-14 dial sweep
+    * (RecallSweep, BASELINE.md table): at sf0.1 with one NN-descent
+    * round, probe 8 → recall 0.686 @ 2.40 s, 12 → 0.811 @ 3.01 s,
+    * 16 → 0.883 @ 3.19 s, 24 → 0.952 @ 5.12 s; 16 clears the ≥0.8
+    * production SemDeDup bar with margin at 1.33× the old cost
+    * (inside the ~1.5× budget), 24 blows it. A SECOND refinement
+    * round was measured-and-rejected at every width (+0.009..0.034
+    * recall for 1.5–2.1× cost — the knee is one round). */
+  val KnnGraphProbe = 16
+
+  /** NN-descent refinement rounds in [[knnGraphIvf]] — fixed, so the
+    * operator stays a static plan (single-sourced into the oracle's
+    * unrolled CTE chain; changing it means re-unrolling there). */
+  val KnnGraphRefineRounds = 1
 
   /** The scaled cell count for a corpus of `n` vectors. */
   def knnGraphNLists(n: Long): Int =
@@ -826,7 +836,8 @@ object Similarity {
     * the same folds. Recall vs the exact graph is property-tested in
     * SimilaritySpec. */
   def knnGraphIvf(spark: SparkSession, dir: String,
-      nProbe: Int = KnnGraphProbe): DataFrame = {
+      nProbe: Int = KnnGraphProbe,
+      refineRounds: Int = KnnGraphRefineRounds): DataFrame = {
     val nLists = knnGraphNLists(
       Tables(spark, dir).embeddings.count())
     val (e, dots) = ivfBase(spark, dir, nLists)
@@ -853,29 +864,24 @@ object Similarity {
     // TopKByScore partial agg, ids only (ranks compare the UNROUNDED
     // strict-fold cosines, so the cut is bit-identical cross-engine)
     import spark.implicits._
-    val r0 = pairs.as[Scored]
+    def idCut(scored: DataFrame): DataFrame = scored.as[Scored]
       .groupByKey(_.q_id)
       .agg(new TopKByScore(KnnK).toColumn.name("topk"))
       .flatMap { case (qId, hits) => hits.map { case (_, nId) => (qId, nId) } }
       .toDF("q_id", "n_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // ONE NN-descent refinement round (Dong et al., WWW'11): a true
+    // NN-descent refinement rounds (Dong et al., WWW'11): a true
     // neighbor the probed cells missed is usually a neighbor of a
-    // found neighbor. Candidates = r0 ∪ neighbors-of-neighbors ∪
-    // reversed edges (≤ k² + 2k per vector — bounded, corpus-linear
-    // work, plain equi-joins), exact-rescored and re-cut by the same
-    // tie rule. Measured at sf0.1: recall 0.47 → 0.686 for ~30 extra
-    // scorings/vector; a second round buys only +0.025 for the same
-    // work again — one round is the knee, and a FIXED round count
-    // keeps the operator a static plan (no data-dependent iteration).
-    val nn2 = r0.as("a").join(r0.as("b"), col("a.n_id") === col("b.q_id"))
-      .filter(col("b.n_id") =!= col("a.q_id"))
-      .select(col("a.q_id").as("q_id"), col("b.n_id").as("n_id"))
-    val rev = r0.select(col("n_id").as("q_id"), col("q_id").as("n_id"))
-    val cand = r0.union(nn2).union(rev).distinct()
+    // found neighbor. Per round, candidates = ids ∪ neighbors-of-
+    // neighbors ∪ reversed edges (≤ k² + 2k per vector — bounded,
+    // corpus-linear work, plain equi-joins), exact-rescored and
+    // re-cut by the same tie rule. A FIXED round count keeps the
+    // operator a static plan (no data-dependent iteration); the
+    // default comes from the measured dial sweep in BASELINE.md
+    // (round 14) — recall vs cost per (nProbe, rounds) point.
     val vecs = base.select(col("vec_id"), col("v"), col("nrm"))
-    val rescored = cand
+    def rescore(cand: DataFrame): DataFrame = cand
       .join(vecs.select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qnrm")), Seq("q_id"))
       .join(vecs.select(col("vec_id").as("n_id"), col("v"),
@@ -883,7 +889,19 @@ object Similarity {
       .select(col("q_id"), col("n_id"),
         V.cosineWithNorms(V.dot(col("qv"), col("v")),
           col("qnrm"), col("nrm")).as("cos"))
-    topK(spark, rescored, k = KnnK)
+    var ids = idCut(pairs)
+    var out: DataFrame = null
+    for (r <- 1 to refineRounds) {
+      val nn2 = ids.as("a").join(ids.as("b"), col("a.n_id") === col("b.q_id"))
+        .filter(col("b.n_id") =!= col("a.q_id"))
+        .select(col("a.q_id").as("q_id"), col("b.n_id").as("n_id"))
+      val rev = ids.select(col("n_id").as("q_id"), col("q_id").as("n_id"))
+      val cand = ids.union(nn2).union(rev).distinct()
+      val rescored = rescore(cand)
+      if (r < refineRounds) ids = idCut(rescored)
+      else out = topK(spark, rescored, k = KnnK)
+    }
+    out
   }
 
   /** D11 (round 12): semantic clusters — connected components over
@@ -953,10 +971,10 @@ object Similarity {
     * REGISTRY number — [[knnGraphIvf]] measured against
     * [[embedKnnGraph]] (the exact O(n²) reference) over EVERY
     * vector, not the 10-query ann sample [[annRecallEval]] covers.
-    * The r12 verdict's 0.686 worst-case figure lived in a doc
-    * comment and a toy-scale spec; this makes recall regressions as
-    * visible round-over-round as latency ones (BASELINE.md records
-    * the sf0.1 value). Both arms are the registry operators verbatim
+    * The tracked sf0.1 value is 0.883 after the round-14 dial sweep
+    * raised the probe width to 16 (was 0.686 at probe 8); this makes
+    * recall regressions as visible round-over-round as latency ones
+    * (BASELINE.md records the sweep and the ±0.02 regression rule). Both arms are the registry operators verbatim
     * (single-sourced — the eval can never measure a different graph
     * than the one served); the exact arm is the expensive one by
     * design — corpus-wide recall IS an n² measurement, run it when

@@ -147,9 +147,10 @@ class PlanContractSpec extends SparkSuite {
   //  - orders_backlog / stream_backlog: day-grain open/close frame —
   //    calendar-bounded.
   //  - orders_pareto / q27_window_funcs / part_skyline /
-  //    table_seq_gaps / table_ks: the bucketed-prefix pattern's
-  //    global stage — a prefix over the per-bucket summary
-  //    (domain/width or n/4096 rows, metadata-sized at any SF).
+  //    table_seq_gaps / table_ks / sample_weighted: the
+  //    bucketed-prefix pattern's global stage — a prefix over the
+  //    per-bucket summary (domain/width, n/4096, or 256 hash-prefix
+  //    rows, metadata-sized at any SF).
   //  - table_benford: the 9-digit frame.
   //  - table_cramers_v / table_mutual_info: the joint cube of two
   //    pinned low-cardinality columns (≤2.1k cells).
@@ -158,7 +159,8 @@ class PlanContractSpec extends SparkSuite {
     Set("corpus_heaps", "embed_outliers", "events_survival",
       "graph_pagerank", "mix_epochs", "mix_sources", "mix_temperature",
       "mix_tokens_budget", "orders_backlog", "orders_pareto",
-      "part_skyline", "q27_window_funcs", "stream_backlog",
+      "part_skyline", "q27_window_funcs", "sample_weighted",
+      "stream_backlog",
       "stream_mix", "table_benford", "table_cramers_v", "table_ks",
       "table_mutual_info", "table_psi", "table_seq_gaps")
 

@@ -653,4 +653,83 @@ class SamplingSpec extends SparkSuite {
     assert(rows.find(_.getInt(0) == 0).get.getLong(1) == exp,
       "replicate 0 draw total != driver md5 inverse-CDF recompute")
   }
+
+  test("sample_weighted: exactly k pointer hits; every doc heavier " +
+      "than the stride is selected; two-level cumsum == flat PPS") {
+    import org.apache.spark.sql.functions._
+    val rows = Sampling.sampleWeighted(spark, sfDir).collect()
+    val k = Sampling.WSampleK
+    assert(rows.map(_.getInt(2).toLong).sum == k,
+      s"pointer hits must total exactly k=$k")
+    // ground truth: flat (unbucketed) systematic PPS over the same
+    // salted order, recomputed driver-side — proves the bucketed
+    // two-level cumulative sum changed nothing
+    val d = graft.Tables(spark, sfDir).documents
+      .select(col("doc_id"),
+        greatest(graft.functions.TextFunctions.wsTokenCount(col("text"))
+          .cast("long"), lit(1L)).as("w"),
+        md5(concat(lit(Sampling.WSampleSeed), col("doc_id").cast("string"))
+          .cast("binary")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(t => (t._3, t._1))
+    val tot = d.map(_._2).sum
+    def nPtr(c: Long): Long =
+      if (2 * k * c <= tot) 0L
+      else math.min(k, (2 * k * c + tot - 1) / (2 * tot))
+    var c = 0L
+    val expected = d.flatMap { case (id, w, _) =>
+      val hits = nPtr(c + w) - nPtr(c)
+      c += w
+      if (hits >= 1) Some((id, w, hits)) else None
+    }.sortBy(_._1)
+    assert(rows.length == expected.length, "selected-set size")
+    rows.sortBy(_.getLong(0)).zip(expected).foreach { case (r, (id, w, h)) =>
+      assert(r.getLong(0) == id && r.getLong(1) == w &&
+        r.getInt(2).toLong == h, s"row mismatch at doc $id")
+    }
+    // PPS guarantee: a span at least one stride (W/k) wide always
+    // contains a pointer
+    val selected = rows.map(_.getLong(0)).toSet
+    d.filter(t => t._2 * k >= tot).foreach { case (id, _, _) =>
+      assert(selected.contains(id), s"doc $id heavier than stride missed")
+    }
+  }
+
+  test("quality_ensemble: score recombines from its component columns; " +
+      "keep threshold consistent; rule count matches the E24 flags") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.functions.TextQueries.qualityEnsemble(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getInt(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getBoolean(6))).toMap
+    assert(rows.nonEmpty)
+    val Q = graft.functions.TextQueries
+    rows.foreach { case (id, (q, np, typ, fln, ens, keep)) =>
+      assert(np >= 0 && np <= 5, s"doc $id rule count")
+      assert(typ >= 0.0 && typ <= 1.0, s"doc $id typicality range")
+      assert(fln >= 0.0 && fln <= 1.0, s"doc $id flesch_norm range")
+      // rounded components recombine to the rounded score within the
+      // rounding grain of the four addends
+      val recomb = Q.EnsWQuality * q + Q.EnsWGopher * (np / 5.0) +
+        Q.EnsWTypicality * typ + Q.EnsWFlesch * fln
+      assert(math.abs(recomb - ens) < 2e-4,
+        s"doc $id ensemble $ens vs recombined $recomb")
+      // keep compares the unrounded score: away from the boundary the
+      // rounded score must agree with the flag
+      if (math.abs(ens - Q.EnsKeepMin) > 1e-3)
+        assert(keep == (ens >= Q.EnsKeepMin), s"doc $id keep flag")
+    }
+    // rule count column == the certified E24 per-row flags
+    val flags = graft.functions.TextQueries.gopherRulesRowOf(
+        graft.Tables(spark, sfDir).documents)
+      .select(col("doc_id"), (col("r_len").cast("int") +
+        col("r_wlen").cast("int") + col("r_div").cast("int") +
+        col("r_rep").cast("int") + col("r_stop").cast("int")).as("np"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    flags.foreach { case (id, np) =>
+      rows.get(id).foreach { t =>
+        assert(t._2 == np, s"doc $id n_rules_passed vs E24 flags")
+      }
+    }
+  }
 }
