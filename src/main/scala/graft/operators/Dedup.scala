@@ -764,8 +764,7 @@ object Dedup {
       dir: String, probe: Int): DataFrame = {
     val nLists = Similarity.knnGraphNLists(
       Tables(spark, dir).embeddings.count())
-    val (e, dots) = Similarity.ivfBase(spark, dir, nLists)
-    e.withColumn("dots", dots)
+    Similarity.ivfDots(spark, dir, nLists)
       .withColumn("list_id", expr("array_position(dots, array_max(dots))"))
       .withColumn("probes", slice(reverse(array_sort(
         zip_with(col("dots"),

@@ -163,7 +163,8 @@ object Similarity {
       .select(col("vec_id"), V.toDouble(col("embedding")).as("v"))
       .withColumn("nrm", V.norm(col("v")))
 
-  private def topK(spark: SparkSession, pairs: DataFrame, k: Int): DataFrame = {
+  private[operators] def topK(spark: SparkSession, pairs: DataFrame,
+      k: Int): DataFrame = {
     import spark.implicits._
     pairs.as[Scored]
       .groupByKey(_.q_id)
@@ -257,43 +258,82 @@ object Similarity {
     * ORDER BY d DESC, c_idx), and the probe tie rule is the
     * array_sort-then-reverse struct order (d DESC, c_idx DESC).
     * Recall vs brute force stays property-tested in SimilaritySpec. */
-  /** The deterministic IVF quantizer pieces, shared by [[annIvf]] and
-    * [[Dedup.dedupSemantic]]: the projected+normed vectors frame and
-    * the per-row centroid-dot array (centroids = the `nLists` vectors
-    * with the smallest [[IvfHashMul]]-hash of vec_id; the k-row
-    * collect is the "train the quantizer" step, not data-plane
-    * work). */
-  private[operators] def ivfBase(spark: SparkSession, dir: String,
-      nLists: Int): (DataFrame, org.apache.spark.sql.Column) = {
+  /** Cell-count threshold above which [[ivfDots]] switches from the
+    * constant-folded literal centroid array to a broadcast centroid
+    * table (VERDICT r13 #6). The literal form codegens nLists
+    * strict-fold dots in ONE projection — fastest at toy scale and
+    * shuffle-free — but at 10⁴+ cells (nLists = ⌊√n⌋ at 10⁸+
+    * vectors) it folds 10⁴ literal vectors into one generated
+    * method: Janino method-size ceiling and driver-side plan bloat.
+    * Above the threshold the SAME dots assemble from a broadcast
+    * k-row centroid frame — one strict-fold dot per (vector,
+    * centroid) pair inside the vector's own task, map-side-combined
+    * back into the c_idx-ordered array — so every element is
+    * BIT-identical to the literal form (IvfFormsSpec pins both-form
+    * equality and forced-threshold query-output equality) and every
+    * downstream tie rule and oracle is unaffected. */
+  val IvfBroadcastCentroidsFrom = 1024
+
+  /** The deterministic IVF quantizer stage, shared by [[annIvf]],
+    * [[knnGraphIvf]], [[embedSilhouette]] and [[Dedup.dedupSemantic]]:
+    * the projected+normed vectors frame WITH its per-row centroid-dot
+    * array `dots` (centroids = the `nLists` vectors with the smallest
+    * [[IvfHashMul]]-hash of vec_id; the k-row collect is the "train
+    * the quantizer" step, not data-plane work). Literal or broadcast
+    * form per [[IvfBroadcastCentroidsFrom]]; `broadcastFrom` is the
+    * test seam. */
+  private[operators] def ivfDots(spark: SparkSession, dir: String,
+      nLists: Int,
+      broadcastFrom: Int = IvfBroadcastCentroidsFrom): DataFrame = {
     val e = vectors(spark, dir)
     val centroids: Array[Seq[Double]] = e
       .withColumn("h", expr(s"(vec_id * $IvfHashMul) % $IvfHashMod"))
       .orderBy(col("h"), col("vec_id")).limit(nLists)
       .select(col("v")).collect().map(_.getSeq[Double](0))
-    def centCol(c: Seq[Double]) = array(c.map(lit): _*)
-    (e, array(centroids.map(c => V.dot(col("v"), centCol(c))): _*))
+    if (nLists < broadcastFrom) {
+      def centCol(c: Seq[Double]) = array(c.map(lit): _*)
+      e.withColumn("dots",
+        array(centroids.map(c => V.dot(col("v"), centCol(c))): _*))
+    } else {
+      import spark.implicits._
+      val cdf = centroids.toSeq.zipWithIndex
+        .map { case (c, i) => ((i + 1).toLong, c) }.toDF("c_idx", "cv")
+      // one dot per (vector, centroid) pair, computed inside the
+      // vector's own task (broadcast side is the k-row centroid
+      // frame); all k rows of a vector share its partition, so the
+      // partial agg collapses each vector to ONE row before the
+      // exchange — shuffle volume ≈ the assigned frame itself.
+      // array_sort on (c_idx, d) structs restores literal-array order
+      // (c_idx is unique); first(v/nrm) is deterministic per vec_id.
+      e.crossJoin(broadcast(cdf))
+        .select(col("vec_id"), col("v"), col("nrm"), col("c_idx"),
+          V.dot(col("v"), col("cv")).as("d"))
+        .groupBy(col("vec_id"))
+        .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+          transform(
+            array_sort(collect_list(struct(col("c_idx"), col("d")))),
+            s => s.getField("d")).as("dots"))
+        .select(col("vec_id"), col("v"), col("nrm"), col("dots"))
+    }
   }
 
   /** Every vector with its best-cosine list assignment
     * (first-max-index tie rule): `(vec_id, v, nrm, list_id)`. */
   private[operators] def ivfAssigned(spark: SparkSession, dir: String,
-      nLists: Int): DataFrame = {
-    val (e, dots) = ivfBase(spark, dir, nLists)
-    e.withColumn("dots", dots)
+      nLists: Int): DataFrame =
+    ivfDots(spark, dir, nLists)
       .withColumn("list_id", expr("array_position(dots, array_max(dots))"))
       .select(col("vec_id"), col("v"), col("nrm"), col("list_id"))
-  }
 
   def annIvf(spark: SparkSession, dir: String,
       nLists: Int = 16, nProbe: Int = 4): DataFrame = {
-    val (e, dots) = ivfBase(spark, dir, nLists)
-    val assigned = e.withColumn("dots", dots)
+    val e = ivfDots(spark, dir, nLists)
+    val assigned = e
       .withColumn("list_id", expr("array_position(dots, array_max(dots))"))
       .select(col("vec_id"), col("v"), col("nrm"), col("list_id"))
 
     // queries probe their nProbe best lists
     val qLists = e.filter(col("vec_id") < 10)
-      .withColumn("dots", dots)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qnrm"),
         explode(slice(reverse(array_sort(
@@ -339,8 +379,7 @@ object Similarity {
     * determinism discipline); the two output divisions are IEEE on
     * exact operands, mirrored ⇒ full hash gate. */
   def embedSilhouette(spark: SparkSession, dir: String): DataFrame = {
-    val (e, dots) = ivfBase(spark, dir, 16)
-    val w = e.withColumn("dots", dots)
+    val w = ivfDots(spark, dir, 16)
       .withColumn("list_id",
         expr("array_position(dots, array_max(dots))"))
       .withColumn("srt", reverse(array_sort(col("dots"))))
@@ -810,10 +849,10 @@ object Similarity {
     * max(16, ⌊√n⌋) IN the query (the one-count "size the index" step
     * every IVF build runs), so cells stay ≈√n-sized and total work is
     * Θ(n^1.5·nProbe) — measured 102 → ~11 s at sf1 when the dial went
-    * from fixed-16 to √n. At true cluster scale the literal-centroid
-    * dot becomes a broadcast join against the k-row centroid frame
-    * (same list structure); the literal form is [[annIvf]]'s
-    * documented driver-trained-quantizer shape.
+    * from fixed-16 to √n. Above [[IvfBroadcastCentroidsFrom]] cells
+    * the centroid dot switches from the literal array to the
+    * broadcast centroid table automatically ([[ivfDots]] — the r13
+    * watch item closed in r14); both forms are bit-identical.
     *
     * Scale shape: the assigned+probed frame is computed in ONE scan +
     * ONE centroid-dot pass, persisted, and feeds BOTH join sides from
@@ -840,8 +879,7 @@ object Similarity {
       refineRounds: Int = KnnGraphRefineRounds): DataFrame = {
     val nLists = knnGraphNLists(
       Tables(spark, dir).embeddings.count())
-    val (e, dots) = ivfBase(spark, dir, nLists)
-    val base = e.withColumn("dots", dots)
+    val base = ivfDots(spark, dir, nLists)
       .withColumn("list_id", expr("array_position(dots, array_max(dots))"))
       .withColumn("probes", slice(reverse(array_sort(
         zip_with(col("dots"),
