@@ -2892,25 +2892,12 @@ object Oracles {
     // E25 Flesch readability: every literal forced ::double (DuckDB
     // otherwise evaluates the literal terms in DECIMAL — measured
     // 279/500 bit-mismatches); bands compare the unrounded double.
-    "text_readability" ->
-      raw"""WITH g AS (
-         |  SELECT doc_id,
-         |    len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
-         |                    w -> w <> '')) AS n_tok,
-         |    len(regexp_extract_all(text, '[aeiou]+')) AS n_syl
-         |  FROM documents),
-         |f AS (
-         |  SELECT doc_id, n_tok, n_syl,
-         |    206.835::double - 1.015::double * n_tok
-         |      - 84.6::double * (n_syl / n_tok) AS flesch
-         |  FROM g WHERE n_tok > 0)
-         |SELECT doc_id, n_tok::int AS n_tok, n_syl::int AS n_syllable_runs,
-         |  round(n_syl / n_tok, 4) AS syl_per_word,
-         |  round(flesch, 4) AS flesch,
-         |  CASE WHEN flesch >= 60.0::double THEN 'easy'
-         |       WHEN flesch >= 30.0::double THEN 'medium'
-         |       ELSE 'hard' END AS band
-         |FROM f ORDER BY doc_id""".stripMargin,
+    "text_readability" -> readabilitySql,
+
+    // G39: the stateless streaming twin shares E25's oracle verbatim
+    // (the stream_langid/stream_pii precedent — per-row scan, no
+    // state, bit-identical under any micro-batching).
+    "stream_readability" -> readabilitySql,
 
     // E24 Gopher-style ruleset: every rule input is an integer
     // aggregate of the (doc_id, w) term-frequency table; each ratio
@@ -3495,6 +3482,29 @@ object Oracles {
       |          w -> w IN ('le','les','et'))) AS s_fr
       |    FROM documents))
       |ORDER BY doc_id""".stripMargin
+
+  /** E25/G39 Flesch readability SQL — shared verbatim by
+    * `text_readability` and its stateless streaming twin
+    * `stream_readability` (the langidSql precedent). */
+  private def readabilitySql: String =
+    raw"""WITH g AS (
+       |  SELECT doc_id,
+       |    len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
+       |                    w -> w <> '')) AS n_tok,
+       |    len(regexp_extract_all(text, '[aeiou]+')) AS n_syl
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, n_tok, n_syl,
+       |    206.835::double - 1.015::double * n_tok
+       |      - 84.6::double * (n_syl / n_tok) AS flesch
+       |  FROM g WHERE n_tok > 0)
+       |SELECT doc_id, n_tok::int AS n_tok, n_syl::int AS n_syllable_runs,
+       |  round(n_syl / n_tok, 4) AS syl_per_word,
+       |  round(flesch, 4) AS flesch,
+       |  CASE WHEN flesch >= 60.0::double THEN 'easy'
+       |       WHEN flesch >= 30.0::double THEN 'medium'
+       |       ELSE 'hard' END AS band
+       |FROM f ORDER BY doc_id""".stripMargin
 
   private def gopherCtes: String =
     raw"""tf AS (

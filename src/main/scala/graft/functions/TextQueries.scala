@@ -573,7 +573,15 @@ object TextQueries {
     readabilityOf(Tables(spark, dir).documents)
 
   /** Core readability projection over any (doc_id, text) frame. */
-  def readabilityOf(d: DataFrame): DataFrame = {
+  def readabilityOf(d: DataFrame): DataFrame =
+    readabilityScanOf(d).orderBy(col("doc_id"))
+
+  /** The per-row readability projection — a pure scan → project
+    * (codegen'd regexp counts, no shuffle, no state), so it doubles
+    * as the STREAMING classify-at-ingest transform
+    * (stream_readability): bit-identical under any micro-batching or
+    * arrival order (the langidScanOf pattern). */
+  def readabilityScanOf(d: DataFrame): DataFrame = {
     val nTok = T.wsTokenCount(col("text"))
     val nSyl = regexp_count(col("text"), lit("[aeiou]+"))
     val flesch = lit(206.835) - lit(1.015) * nTok -
@@ -586,7 +594,6 @@ object TextQueries {
         round(flesch, 4).as("flesch"),
         when(flesch >= 60.0, "easy").when(flesch >= 30.0, "medium")
           .otherwise("hard").as("band"))
-      .orderBy(col("doc_id"))
   }
 
   /** The same five rule inputs computed PER ROW — no explode, no

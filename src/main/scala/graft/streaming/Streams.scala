@@ -872,6 +872,16 @@ object Streams {
   def streamLangid(spark: SparkSession, dir: String): DataFrame =
     graft.functions.TextQueries.textLangid(spark, dir)
 
+  /** G39 (round 14): ingest-time readability scoring — the stateless
+    * streaming twin of E25 text_readability (the langid/pii twin
+    * class): a difficulty/band label the moment a doc arrives, per-row
+    * codegen'd regexp counts, zero state, bit-identical under any
+    * micro-batching (StreamsSpec drives readabilityScanOf through a
+    * real MemoryStream and asserts no state operator). Shares E25's
+    * oracle verbatim. */
+  def streamReadability(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.TextQueries.textReadability(spark, dir)
+
   /** The stream-or-batch gate: kept docs with their rule inputs. */
   def qualityGateTransform(docs: DataFrame): DataFrame =
     graft.functions.TextQueries.gopherRulesRowOf(docs)
