@@ -1271,6 +1271,11 @@ object Oracles {
     // Division and multiplication are correctly rounded IEEE ops, so
     // the value is bit-identical across engines/libm — the r13
     // exp∘Σln form flaked a round(4) half boundary on the driver box.
+    // n_risk is ::bigint-forced: an un-cast integer sum() OVER ()
+    // is HUGEINT, whose Python materialization differs across DuckDB
+    // versions (float64 vs object int) and flips the value hash with
+    // zero numeric drift — the r14 driver-box failure. OracleTypeSpec
+    // pins the portable-type contract for every oracle output column.
     "events_survival" ->
       """WITH ev AS (
         |  SELECT user_id, event_type,
@@ -1296,10 +1301,10 @@ object Oracles {
         |  FROM subj GROUP BY 1),
         |r AS (
         |  SELECT day, d,
-        |    sum(d + c) OVER () -
+        |    (sum(d + c) OVER () -
         |      coalesce(sum(d + c) OVER (ORDER BY day
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        |        0) AS n_risk
+        |        0))::bigint AS n_risk
         |  FROM byday)
         |SELECT day, n_risk, d AS n_deaths,
         |  round(list_reduce(list(1 - d / n_risk) OVER w,
@@ -1864,7 +1869,7 @@ object Oracles {
       raw"""WITH counts AS MATERIALIZED (
          |  SELECT value,
          |    $condCols
-         |  FROM events GROUP BY value),
+         |  FROM events WHERE value IS NOT NULL GROUP BY value),
          |cum AS (
          |  SELECT value,
          |    $cumCols
@@ -2596,7 +2601,9 @@ object Oracles {
          |  GROUP BY occ.doc_id),
          |syl AS (
          |  SELECT doc_id,
-         |    len(regexp_extract_all(text, '[aeiou]+')) AS n_syl
+         |    len(regexp_extract_all(text, '[aeiou]+')) AS n_syl,
+         |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+         |      AS n_sent
          |  FROM documents),
          |qq AS (
          |  SELECT doc_id, n_tok, ($qualityExpr) AS q
@@ -2612,7 +2619,7 @@ object Oracles {
          |fl AS (
          |  SELECT qq.doc_id,
          |    greatest(0.0::double, least(1.0::double,
-         |      ((206.835::double - 1.015::double * n_tok
+         |      ((206.835::double - 1.015::double * (n_tok / n_sent)
          |        - 84.6::double * (n_syl / n_tok))
          |       + ${Q.EnsFleschShift}::double)
          |      / ${Q.EnsFleschSpan}::double)) AS fln
@@ -3406,6 +3413,28 @@ object Oracles {
     // count list sorted by character — accumulation order pinned, so
     // the double hash-gates exactly (ASCII corpus: regexp char
     // extraction ≡ Spark's split-by-empty).
+    // E35 sentence segmentation (TextQueries.textSentences): the
+    // terminator-chunk regex, space-trim and empty-drop mirror
+    // TextFunctions.sentences; positions come from the kept list, so
+    // unnest + generate_subscripts == Spark's posexplode exactly.
+    "text_sentences" ->
+      raw"""WITH s AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(
+        |      regexp_extract_all(text, '[^.!?]+[.!?]+|[^.!?]+$$'),
+        |      x -> trim(x)), x -> x <> '') AS sents
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id, unnest(sents) AS sent,
+        |    generate_subscripts(sents, 1) - 1 AS sent_id
+        |  FROM s WHERE len(sents) > 0)
+        |SELECT doc_id, sent_id::int AS sent_id,
+        |  len(list_filter(string_split_regex(sent, '[ \t\n\x0B\f\r]+'),
+        |      w -> w <> ''))::int AS n_tok,
+        |  md5(sent) AS sent_md5
+        |FROM u
+        |ORDER BY doc_id, sent_id""".stripMargin,
+
     "text_entropy" ->
       raw"""WITH ch AS (
         |  SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS c
@@ -3491,14 +3520,16 @@ object Oracles {
        |  SELECT doc_id,
        |    len(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
        |                    w -> w <> '')) AS n_tok,
+       |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sent,
        |    len(regexp_extract_all(text, '[aeiou]+')) AS n_syl
        |  FROM documents),
        |f AS (
-       |  SELECT doc_id, n_tok, n_syl,
-       |    206.835::double - 1.015::double * n_tok
+       |  SELECT doc_id, n_tok, n_sent, n_syl,
+       |    206.835::double - 1.015::double * (n_tok / n_sent)
        |      - 84.6::double * (n_syl / n_tok) AS flesch
        |  FROM g WHERE n_tok > 0)
-       |SELECT doc_id, n_tok::int AS n_tok, n_syl::int AS n_syllable_runs,
+       |SELECT doc_id, n_tok::int AS n_tok, n_sent::int AS n_sent,
+       |  n_syl::int AS n_syllable_runs,
        |  round(n_syl / n_tok, 4) AS syl_per_word,
        |  round(flesch, 4) AS flesch,
        |  CASE WHEN flesch >= 60.0::double THEN 'easy'
@@ -3700,6 +3731,62 @@ object Oracles {
         |FROM documents
         |GROUP BY 1
         |ORDER BY text_hash""".stripMargin,
+
+    // C20 canonicalized-URL dedup (Dedup.dedupUrl): the messy-URL
+    // synthesis and the canonicalizer are mirrored op-for-op; every
+    // regexp is anchored (≤1 match), so DuckDB's replace-first ==
+    // Spark's replace-all on every input.
+    "dedup_url" ->
+      raw"""WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END)
+        |    || '://'
+        |    || (CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN upper(source)
+        |             ELSE source END)
+        |    || (CASE WHEN doc_id % 3 = 1 THEN '.EXAMPLE.COM'
+        |             ELSE '.example.com' END)
+        |    || '/docs/' || (doc_id % 40)
+        |    || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 4 = 0
+        |               THEN '?utm_source=feed&utm_campaign=c'
+        |                    || (doc_id % 3)
+        |             WHEN doc_id % 4 = 1 THEN '?fbclid=x' || doc_id
+        |             ELSE '' END)
+        |    || (CASE WHEN doc_id % 6 = 0 THEN '#sec' || (doc_id % 5)
+        |             ELSE '' END) AS url
+        |  FROM documents),
+        |p1 AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(url, '#.*$$', ''),
+        |                   '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS a
+        |  FROM u),
+        |p2 AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(regexp_extract(a, '^[^/?]+')),
+        |                   '^www\.', '') AS host,
+        |    regexp_replace(a, '^[^/?]+', '') AS rest
+        |  FROM p1),
+        |p3 AS (
+        |  SELECT doc_id, host,
+        |    regexp_replace(regexp_replace(rest, '\?.*$$', ''),
+        |                   '/+$$', '') AS path,
+        |    regexp_extract(rest, '\?(.*)$$', 1) AS query
+        |  FROM p2),
+        |p4 AS (
+        |  SELECT doc_id, host, path,
+        |    array_to_string(list_sort(list_filter(
+        |      string_split(query, '&'),
+        |      p -> p <> '' AND NOT regexp_matches(p,
+        |        '^(utm_[a-z]+|fbclid|gclid)='))), '&') AS kept
+        |  FROM p3)
+        |SELECT host || path
+        |    || (CASE WHEN kept <> '' THEN '?' || kept ELSE '' END)
+        |    AS canon_url,
+        |  min(doc_id) AS rep_doc, count(*) AS n_dups
+        |FROM p4
+        |GROUP BY 1
+        |ORDER BY canon_url""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH ${ngramPairCtes("documents")}

@@ -69,6 +69,28 @@ object TextFunctions {
   def punctCount(text: Column): Column =
     regexp_count(text, lit("[^a-z0-9\\s]"))
 
+  /** Sentence count: terminator runs ('.', '!', '?'), floored at 1 so
+    * a terminator-free document is one sentence — the segmentation
+    * primitive readability, the quality ensemble and text_sentences
+    * share (one seam, mirrored in every oracle as
+    * `greatest(len(regexp_extract_all(text, '[.!?]+')), 1)`). Exact
+    * integer, codegen'd regexp_count — fully hash-gatable. */
+  def sentenceCount(text: Column): Column =
+    greatest(regexp_count(text, lit("[.!?]+")), lit(1))
+
+  /** Sentence segmentation: maximal terminator-terminated chunks plus
+    * the un-terminated tail, space-trimmed, empties dropped — the
+    * materializing twin of [[sentenceCount]] (the tokens/wsTokenCount
+    * pairing). HOF transform+filter passes are interpreted, but the
+    * per-row element count is the sentence count — orders of
+    * magnitude below the token count that rule governs. */
+  def sentences(text: Column): Column =
+    filter(
+      transform(
+        regexp_extract_all(text, lit("[^.!?]+[.!?]+|[^.!?]+$"), lit(0)),
+        s => trim(s)),
+      s => length(s) > 0)
+
   /** Composite quality score in [0,1]: favors long docs with low
     * stopword and punctuation mass. Mirrors the oracle expression
     * order exactly — do not reassociate. */

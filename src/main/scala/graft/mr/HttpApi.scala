@@ -117,6 +117,16 @@ final class HttpApi private (spark: SparkSession, dataDir: String,
     requests.forEach { (id, h) =>
       if (h.isCompleted) {
         requests.remove(id)
+        // The terminal record write rides the completion callback,
+        // which can lag isCompleted (ADVICE r14): deleting before it
+        // runs lets the late put resurrect an orphan record. Wait
+        // (bounded) for the terminal status so the delete always
+        // happens-after the final write; if the callback is somehow
+        // stuck past the bound, the next reap's stale-record sweep
+        // below retires the orphan.
+        val deadline = System.nanoTime() + 2_000_000_000L
+        while (store.get(id).exists(_.status == RequestRecord.Running) &&
+            System.nanoTime() < deadline) Thread.sleep(1)
         store.delete(id)
         ()
       }
@@ -251,15 +261,28 @@ final class HttpApi private (spark: SparkSession, dataDir: String,
     * matches (`name`, `completed`, `succeeded`) and adds the durable
     * extras (`status`, `sink`, timestamps); `"recovered":true` marks
     * the source so a poller can tell the two shapes apart. */
+  /** JSON string escape for the builder-free endpoints: job names and
+    * sinkPath are user-controlled — a quote/backslash/control char
+    * would otherwise emit invalid JSON (ADVICE r14). */
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   private def recordJson(r: RequestRecord): String = {
     val succeeded = r.status match {
       case RequestRecord.Succeeded => "true"
       case RequestRecord.Running => "null"
       case _ => "false"
     }
-    s"""{"name":"${r.job}","completed":${r.status != RequestRecord.Running}""" +
-      s""","succeeded":$succeeded,"status":"${r.status}"""" +
-      s""","sink":"${r.sinkPath}","submitted_at_ms":${r.submittedAtMs}""" +
+    s"""{"name":${jstr(r.job)},"completed":${r.status != RequestRecord.Running}""" +
+      s""","succeeded":$succeeded,"status":${jstr(r.status)}""" +
+      s""","sink":${jstr(r.sinkPath)},"submitted_at_ms":${r.submittedAtMs}""" +
       s""","completed_at_ms":${r.completedAtMs.map(_.toString).getOrElse("null")}""" +
       s""","recovered":true}"""
   }
@@ -273,7 +296,7 @@ final class HttpApi private (spark: SparkSession, dataDir: String,
       case Some(scala.util.Failure(_)) => "false"
       case None => "null"
     }
-    s"""{"name":"${h.name}","jobs_started":${p.jobsStarted}""" +
+    s"""{"name":${jstr(h.name)},"jobs_started":${p.jobsStarted}""" +
       s""","jobs_ended":${p.jobsEnded},"tasks_total":${p.tasksTotal}""" +
       s""","tasks_done":${p.tasksDone},"fraction":${p.fraction}""" +
       s""","completed":${p.completed},"succeeded":$succeeded}"""

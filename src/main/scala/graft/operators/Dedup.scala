@@ -37,6 +37,67 @@ object Dedup {
       .orderBy(col("text_hash"))
   }
 
+  /** Canonical form of a URL for exact-key dedup: drop the fragment,
+    * drop the scheme, lowercase the host and strip a leading "www.",
+    * strip trailing slashes off the path, drop tracking params
+    * (utm_*, fbclid, gclid) and keep any survivors sorted. Pure
+    * codegen string algebra (anchored regexps — at most one match
+    * each, so DuckDB's replace-first and Spark's replace-all agree —
+    * plus small per-row list ops over the param array), mirrored
+    * op-for-op in the oracle. */
+  def canonicalUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val afterScheme =
+      regexp_replace(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    val host = regexp_replace(
+      lower(regexp_extract(afterScheme, "^[^/?]+", 0)), "^www\\.", "")
+    val rest = regexp_replace(afterScheme, "^[^/?]+", "")
+    val path = regexp_replace(regexp_replace(rest, "\\?.*$", ""), "/+$", "")
+    val query = regexp_extract(rest, "\\?(.*)$", 1)
+    val kept = array_join(
+      array_sort(filter(split(query, "&"),
+        p => length(p) > 0 &&
+          !p.rlike("^(utm_[a-z]+|fbclid|gclid)="))), "&")
+    concat(host, path,
+      when(length(kept) > 0, concat(lit("?"), kept)).otherwise(lit("")))
+  }
+
+  /** C20 (round 15): canonicalized-URL exact dedup — the first pass
+    * every web-corpus pipeline runs. documents carries no URL column,
+    * so a deterministic messy URL is synthesized per doc from
+    * (source, doc_id) — scheme/host case noise, www., trailing
+    * slash, utm_ and fbclid tracking params, fragments; the oracle
+    * mirrors the synthesis expression — and the OPERATOR under test
+    * is [[canonicalUrl]]: group by the canonical key, min-doc_id
+    * representative (the dedup_exact shape — ONE shuffle on the
+    * canonical key, linear at any corpus size). */
+  def dedupUrl(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val url = concat(
+      when(col("doc_id") % 2 === 0, "https").otherwise("HTTP"),
+      lit("://"),
+      when(col("doc_id") % 5 === 0, "www.").otherwise(""),
+      when(col("doc_id") % 3 === 0, upper(col("source")))
+        .otherwise(col("source")),
+      when(col("doc_id") % 3 === 1, ".EXAMPLE.COM")
+        .otherwise(".example.com"),
+      lit("/docs/"), (col("doc_id") % 40).cast("string"),
+      when(col("doc_id") % 7 === 0, "/").otherwise(""),
+      when(col("doc_id") % 4 === 0,
+        concat(lit("?utm_source=feed&utm_campaign=c"),
+          (col("doc_id") % 3).cast("string")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("?fbclid=x"), col("doc_id").cast("string")))
+        .otherwise(""),
+      when(col("doc_id") % 6 === 0,
+        concat(lit("#sec"), (col("doc_id") % 5).cast("string")))
+        .otherwise(""))
+    d.select(col("doc_id"), canonicalUrl(url).as("canon_url"))
+      .groupBy(col("canon_url"))
+      .agg(min(col("doc_id")).as("rep_doc"), count(lit(1)).as("n_dups"))
+      .orderBy(col("canon_url"))
+  }
+
   /** Document-frequency cut for the shingle inverted index: shingles
     * present in more than this many docs are dropped from the index
     * (and from the Jaccard universe — the oracle applies the same

@@ -1100,11 +1100,12 @@ object Lifecycle {
     * is a death day: subjects still at risk, conversions that day,
     * and the KM product-limit survival S(t).
     *
-    * Shape: two per-user aggregates (first signup; first purchase at
-    * or after it) joined on user_id, censor time from a 1-row max
-    * broadcast, then day-grain windows on the collapsed duration
-    * frame — bounded by the calendar span, not the row count, at any
-    * SF (the events_trend discipline). n_risk is exact integer
+    * Shape: ONE events scan — a user_id window tags first signup,
+    * one per-user conditional aggregate takes first-purchase-at-or-
+    * after and the user max, censor time from a 1-row max broadcast
+    * over the per-user frame, then day-grain windows on the collapsed
+    * duration frame — bounded by the calendar span, not the row
+    * count, at any SF (the events_trend discipline). n_risk is exact integer
     * algebra; the product limit S(t) = Π(1 − dᵢ/nᵢ) is a STRICT
     * ordered double product (collect_list over the day-ordered frame
     * + a sequential fold; DuckDB: list() OVER the same frame +
@@ -1118,17 +1119,29 @@ object Lifecycle {
       .select(col("user_id"), col("event_type"),
         Tables.tsNsToSec("ts").as("ep")))
 
-  /** Core over any (user_id, event_type, ep) frame. */
+  /** Core over any (user_id, event_type, ep) frame.
+    *
+    * ONE events scan (the events_funnel no-subtree-dedup discipline;
+    * the r14 form scanned it three times — signup agg, purchase agg,
+    * corpus max): a user_id window tags every row with the user's
+    * first signup, then one groupBy(user_id) — riding the window's
+    * hash partitioning, no second exchange — takes the conditional
+    * first-purchase-at-or-after and the per-user max. The corpus max
+    * (censor time) folds off the tiny persisted per-user frame, not
+    * the fact table. SurvivalScanSpec asserts scans == 1. */
   def survivalOf(e: DataFrame): DataFrame = {
-    val su = e.filter(col("event_type") === "signup")
-      .groupBy(col("user_id")).agg(min(col("ep")).as("t0"))
-    val pu = su.join(
-        e.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("ep")), Seq("user_id"))
-      .filter(col("ep") >= col("t0"))
-      .groupBy(col("user_id")).agg(min(col("ep")).as("tp"))
-    val tmax = e.agg(max(col("ep")).as("tmax"))
-    val subj = su.join(pu, Seq("user_id"), "left")
+    val wu = Window.partitionBy(col("user_id"))
+    val per = e
+      .withColumn("t0",
+        min(when(col("event_type") === "signup", col("ep"))).over(wu))
+      .groupBy(col("user_id"))
+      .agg(first(col("t0")).as("t0"),
+        min(when(col("event_type") === "purchase" &&
+          col("ep") >= col("t0"), col("ep"))).as("tp"),
+        max(col("ep")).as("umax"))
+      .persist()
+    val tmax = per.agg(max(col("umax")).as("tmax"))
+    val subj = per.filter(col("t0").isNotNull)
       .crossJoin(broadcast(tmax))
       .select(
         when(col("tp").isNotNull, expr("(tp - t0) div 86400L"))

@@ -575,7 +575,12 @@ object Profile {
     import org.apache.spark.storage.StorageLevel
     def cCol(t: String) =
       sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"c_$t")
-    val counts = e.groupBy(col("value"))
+    // NULL values are outside every CDF by definition — drop them
+    // explicitly (mirrored in the oracle): floor(NULL) is a null
+    // bucket key the prefix equi-join would silently discard while
+    // totals still counted the rows, so the CDF would never reach 1
+    // (ADVICE r14; gen_sf data is null-free, so hashes are unchanged)
+    val counts = e.filter(col("value").isNotNull).groupBy(col("value"))
       .agg(cCol(KsTypes.head), KsTypes.tail.map(cCol): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // unit-width value buckets: floor is monotone, so bucket order ==

@@ -877,6 +877,13 @@ object Similarity {
   def knnGraphIvf(spark: SparkSession, dir: String,
       nProbe: Int = KnnGraphProbe,
       refineRounds: Int = KnnGraphRefineRounds): DataFrame = {
+    // rounds = 0 would fall through the refinement loop with a null
+    // result (ADVICE r14) — and RecallSweep forwards arbitrary env
+    // round counts, so fail loud here rather than NPE downstream
+    require(refineRounds >= 1,
+      s"knnGraphIvf needs refineRounds >= 1 (round 0 recall is the " +
+        s"unrefined cut; measure it with refineRounds = 1 and skip " +
+        s"the rescore comparison), got $refineRounds")
     val nLists = knnGraphNLists(
       Tables(spark, dir).embeddings.count())
     val base = ivfDots(spark, dir, nLists)

@@ -346,6 +346,18 @@ class ProfileSpec extends SparkSuite {
     assert(rows(("a", "c")).getDouble(4) === 0.0)
     assert(rows(("b", "c")).getDouble(4) === 0.666667)
 
+    // NULL values sit outside the CDF entirely (ADVICE r14): with
+    // nulls injected, totals and D must match the null-free fixture —
+    // the old form counted them in n_a while the bucketed CDF
+    // silently dropped them, so cum/n never reached 1
+    val withNulls = e.union(Seq(("a", Option.empty[Double]),
+      ("b", Option.empty[Double])).toDF("event_type", "value"))
+    val nn = Profile.ksOf(withNulls, Seq("a", "b", "c")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val nab = nn(("a", "b"))
+    assert(nab.getLong(2) === 3L && nab.getLong(3) === 3L)
+    assert(nab.getDouble(4) === 0.666667)
+
     // corpus: 10 pairs, D in [0,1], crit consistent with n
     val corpus = Profile.tableKs(spark, sfDir).collect()
     assert(corpus.length === 10)

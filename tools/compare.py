@@ -2,25 +2,58 @@
 """Local stand-in for the driver's correctness gate.
 
 Usage: python3 tools/compare.py /tmp/verify_r2 /root/testdata/sf0.01
+         [--skip=q1,q2] [--dump-diff[=N]]
 
 Reads <outDir>/<name>/ parquet (Spark result) and <outDir>/oracle_sql.json,
 runs each oracle in DuckDB against the sf tables, and compares rowcount,
 schema (column names, sorted) and a value hash (columns sorted by name,
 rows sorted, floats rounded via repr).
+
+--dump-diff: on a hash mismatch, print the first N (default 5)
+differing cells after canonical sort as
+(row, column, spark_repr, oracle_repr, spark_dtype, oracle_dtype) —
+names the offending column in one run instead of a round of cross-box
+forensics (the r14 events_survival HUGEINT hunt).
 """
 import sys, json, glob, hashlib
 import duckdb
 import pandas as pd
 
-def canon(df: pd.DataFrame) -> str:
+def canon_rows(df: pd.DataFrame):
     df = df[sorted(df.columns)]
-    rows = sorted(
+    return sorted(
         tuple("NULL" if pd.isna(v) else (f"{v:.6g}" if isinstance(v, float) else str(v))
               for v in row)
         for row in df.itertuples(index=False, name=None))
-    return hashlib.md5(repr(rows).encode()).hexdigest()
 
-def main(out_dir, sf_dir, skip=()):
+def canon(df: pd.DataFrame) -> str:
+    return hashlib.md5(repr(canon_rows(df)).encode()).hexdigest()
+
+def dump_diff(spark_df, ora_df, limit):
+    cols = sorted(spark_df.columns)
+    dt_s = {c: str(spark_df[c].dtype) for c in cols}
+    dt_o = {c: str(ora_df[c].dtype) for c in cols}
+    a, b = canon_rows(spark_df), canon_rows(ora_df)
+    shown = 0
+    for i in range(max(len(a), len(b))):
+        ra = a[i] if i < len(a) else None
+        rb = b[i] if i < len(b) else None
+        if ra == rb:
+            continue
+        for j, c in enumerate(cols):
+            va = ra[j] if ra is not None else "<missing row>"
+            vb = rb[j] if rb is not None else "<missing row>"
+            if va != vb:
+                print(f"  diff row {i} col {c}: spark={va!r} "
+                      f"oracle={vb!r} dtype={dt_s[c]}/{dt_o[c]}")
+                shown += 1
+                if shown >= limit:
+                    return
+    if shown == 0:
+        print("  (no cell-level diff after canonical sort — "
+              "row-count mismatch only)")
+
+def main(out_dir, sf_dir, skip=(), diff_limit=0):
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     con = duckdb.connect()
     for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
@@ -60,6 +93,8 @@ def main(out_dir, sf_dir, skip=()):
                 if not schema_ok:
                     print(f"  spark cols: {sorted(spark_df.columns)}")
                     print(f"  oracle cols: {sorted(ora_df.columns)}")
+                elif not hash_ok and diff_limit:
+                    dump_diff(spark_df, ora_df, diff_limit)
             else:
                 print(f"{name}: OK ({len(spark_df)} rows)")
         except Exception as e:
@@ -69,8 +104,12 @@ def main(out_dir, sf_dir, skip=()):
     return 1 if fails else 0
 
 if __name__ == "__main__":
-    # optional 3rd arg: --skip=name1,name2
-    skip = ()
-    if len(sys.argv) > 3 and sys.argv[3].startswith("--skip="):
-        skip = tuple(sys.argv[3][len("--skip="):].split(","))
-    sys.exit(main(sys.argv[1], sys.argv[2], skip))
+    skip, diff_limit = (), 0
+    for arg in sys.argv[3:]:
+        if arg.startswith("--skip="):
+            skip = tuple(arg[len("--skip="):].split(","))
+        elif arg == "--dump-diff":
+            diff_limit = 5
+        elif arg.startswith("--dump-diff="):
+            diff_limit = int(arg[len("--dump-diff="):])
+    sys.exit(main(sys.argv[1], sys.argv[2], skip, diff_limit))
