@@ -817,14 +817,22 @@ object Similarity {
     * round-0 recall tracks probed candidate mass ≈ nProbe/√n; real
     * embedding corpora cluster, concentrating true neighbors in the
     * top probed cells. Chosen from the round-14 dial sweep
-    * (RecallSweep, BASELINE.md table): at sf0.1 with one NN-descent
-    * round, probe 8 → recall 0.686 @ 2.40 s, 12 → 0.811 @ 3.01 s,
-    * 16 → 0.883 @ 3.19 s, 24 → 0.952 @ 5.12 s; 16 clears the ≥0.8
-    * production SemDeDup bar with margin at 1.33× the old cost
-    * (inside the ~1.5× budget), 24 blows it. A SECOND refinement
-    * round was measured-and-rejected at every width (+0.009..0.034
-    * recall for 1.5–2.1× cost — the knee is one round). */
-  val KnnGraphProbe = 16
+    * (RecallSweep, BASELINE.md round-14 sf0.1 + round-15 sf1 tables):
+    * the ≥0.8 recall bar must hold at the DECADE-UP scale, not just
+    * the bench SF — at sf1 (20k vectors, nLists = 141) probe 16 reads
+    * 0.699, probe 24 grazes the bar with no headroom (0.802), probe
+    * 32 clears it with margin (0.863 @ 2.7× the probe-16 wall, the
+    * stated round-15 budget ≤3×). At sf0.1 probe 32 probes 32/44
+    * cells → recall 0.97+ (measured via knn_graph_recall). Extra
+    * NN-descent rounds were measured-and-rejected at BOTH scales
+    * (sf1: +0.004..0.012 recall for 1.0–1.8× cost; sf0.1 r14 table) —
+    * the corpus-linear refinement lever is weak on unclustered
+    * vectors; probe width is the lever. A fixed probe keeps total
+    * pair work Θ(n^1.5) (probe ∝ √n would be Θ(n²), rejected r14);
+    * the recall of ANY fixed dial decays as probe/nLists shrinks —
+    * past ~sf10 the honest scale path is algorithmic (graph ANN),
+    * not a wider probe. */
+  val KnnGraphProbe = 32
 
   /** NN-descent refinement rounds in [[knnGraphIvf]] — fixed, so the
     * operator stays a static plan (single-sourced into the oracle's

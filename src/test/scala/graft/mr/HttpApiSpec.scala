@@ -269,4 +269,25 @@ class HttpApiSpec extends SparkSuite {
       assert(store.load().isEmpty, "reap must sweep the store")
     } finally api2.stop()
   }
+
+  test("recovered-record JSON escapes quotes/backslashes/control chars " +
+      "in user-controlled fields (ADVICE r14)") {
+    val store = new FileRequestStore(
+      Files.createTempDirectory("graft-reqstore-esc"))
+    store.put(RequestRecord("req-esc", "wo\"rd\\count",
+      "/tmp/si\"nk\npath", 1L, RequestRecord.Succeeded, Some(2L)))
+    val api = HttpApi.start(spark, sfDir,
+      Files.createTempDirectory("graft-http-esc").toString,
+      Map("wordcount" -> (MrQueries.mrWordcount _)), store = store)
+    try {
+      val (c, b) =
+        send("GET", s"http://127.0.0.1:${api.port}/request/req-esc")
+      assert(c === 200, b)
+      // must be machine-parseable JSON with the original strings back
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(b)
+      assert(node.get("name").asText === "wo\"rd\\count")
+      assert(node.get("sink").asText === "/tmp/si\"nk\npath")
+      assert(node.get("status").asText === "succeeded")
+    } finally api.stop()
+  }
 }

@@ -109,12 +109,12 @@ class SimilaritySpec extends SparkSuite {
     val df = Similarity.knnGraphIvf(spark, sfDir)
     val approx = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    // 16-probe over max(16,⌊√n⌋) cells + one NN-descent refinement
+    // 32-probe over max(16,⌊√n⌋) cells + one NN-descent refinement
     // round, on unclustered synthetic vectors (IVF's worst case —
-    // round-0 recall tracks probed candidate mass). The round-14
-    // dial sweep measured 0.883 at sf0.1 (BASELINE.md table); the
-    // floor sits the ±0.02 regression band plus slack below the
-    // sf0.1 operating point and guards a broken cell cut or
+    // round-0 recall tracks probed candidate mass). The round-15
+    // probe-32 adoption holds the ≥0.8 bar at sf1 (0.863, BASELINE.md
+    // sf1 sweep table); at sf0.001 (64 vectors, 16 cells) probe 32
+    // covers every cell, so this floor guards a broken cell cut or
     // refinement, not a quality bar for pathological data.
     assert(recall >= 0.80, s"knn_graph_ivf recall too low: $recall")
 
