@@ -1340,6 +1340,40 @@ object Oracles {
         |FROM s ORDER BY event_type""".stripMargin
     },
 
+    // B daily forecast grid (Lifecycle.eventsForecast): the SAME
+    // trend sufficient statistics, line evaluated at every horizon
+    // day — numerator in exact bigint algebra, one ::double cast per
+    // side of the division (the events_trend discipline).
+    "events_forecast" -> {
+      val h = graft.operators.Lifecycle.TrendHorizonDays
+      s"""WITH e AS (
+        |  SELECT event_type,
+        |    epoch(date_trunc('second', ts))::bigint // 86400 AS day
+        |  FROM events),
+        |daily AS (SELECT event_type, day, count(*)::bigint AS c
+        |          FROM e GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, count(*)::bigint AS n,
+        |    sum(day)::bigint AS sx, sum(c)::bigint AS sy,
+        |    sum(day * c)::bigint AS sxy,
+        |    sum(day * day)::bigint AS sxx,
+        |    max(day)::bigint AS d1
+        |  FROM daily GROUP BY 1),
+        |f AS (
+        |  SELECT event_type,
+        |    (n * sxy - sx * sy)::bigint AS s_num,
+        |    (sy * sxx - sx * sxy)::bigint AS i_num,
+        |    (n * sxx - sx * sx)::bigint AS den, d1
+        |  FROM s WHERE n >= 2),
+        |g AS (
+        |  SELECT event_type, s_num, i_num, den,
+        |    unnest(range(d1 + 1, d1 + $h + 1)) AS day
+        |  FROM f)
+        |SELECT event_type, day::bigint AS day,
+        |  round((i_num + s_num * day)::double / den::double, 4) AS yhat
+        |FROM g ORDER BY event_type, day""".stripMargin
+    },
+
     // B daily-grid LOCF resample: per-day last sample via named-struct
     // max (DuckDB row order == Spark struct order), dense grid via
     // range unnest, carry via IGNORE NULLS last_value. All integer.
@@ -3417,23 +3451,12 @@ object Oracles {
     // terminator-chunk regex, space-trim and empty-drop mirror
     // TextFunctions.sentences; positions come from the kept list, so
     // unnest + generate_subscripts == Spark's posexplode exactly.
-    "text_sentences" ->
-      raw"""WITH s AS (
-        |  SELECT doc_id,
-        |    list_filter(list_transform(
-        |      regexp_extract_all(text, '[^.!?]+[.!?]+|[^.!?]+$$'),
-        |      x -> trim(x)), x -> x <> '') AS sents
-        |  FROM documents),
-        |u AS (
-        |  SELECT doc_id, unnest(sents) AS sent,
-        |    generate_subscripts(sents, 1) - 1 AS sent_id
-        |  FROM s WHERE len(sents) > 0)
-        |SELECT doc_id, sent_id::int AS sent_id,
-        |  len(list_filter(string_split_regex(sent, '[ \t\n\x0B\f\r]+'),
-        |      w -> w <> ''))::int AS n_tok,
-        |  md5(sent) AS sent_md5
-        |FROM u
-        |ORDER BY doc_id, sent_id""".stripMargin,
+    "text_sentences" -> sentencesSql,
+
+    // The G40 stream entry is the same stateless per-row segmentation
+    // (bit-identical under any micro-batching) — shares E35's oracle
+    // verbatim, the stream_readability precedent.
+    "stream_sentences" -> sentencesSql,
 
     "text_entropy" ->
       raw"""WITH ch AS (
@@ -3511,6 +3534,27 @@ object Oracles {
       |          w -> w IN ('le','les','et'))) AS s_fr
       |    FROM documents))
       |ORDER BY doc_id""".stripMargin
+
+  /** E35/G40 sentence segmentation SQL — shared verbatim by
+    * `text_sentences` and its stateless streaming twin
+    * `stream_sentences` (the readabilitySql precedent). */
+  private def sentencesSql: String =
+    raw"""WITH s AS (
+       |  SELECT doc_id,
+       |    list_filter(list_transform(
+       |      regexp_extract_all(text, '[^.!?]+[.!?]+|[^.!?]+$$'),
+       |      x -> trim(x)), x -> x <> '') AS sents
+       |  FROM documents),
+       |u AS (
+       |  SELECT doc_id, unnest(sents) AS sent,
+       |    generate_subscripts(sents, 1) - 1 AS sent_id
+       |  FROM s WHERE len(sents) > 0)
+       |SELECT doc_id, sent_id::int AS sent_id,
+       |  len(list_filter(string_split_regex(sent, '[ \t\n\x0B\f\r]+'),
+       |      w -> w <> ''))::int AS n_tok,
+       |  md5(sent) AS sent_md5
+       |FROM u
+       |ORDER BY doc_id, sent_id""".stripMargin
 
   /** E25/G39 Flesch readability SQL — shared verbatim by
     * `text_readability` and its stateless streaming twin
@@ -5424,6 +5468,36 @@ object Oracles {
         |      list_transform(list_zip(q.v, n.v), s -> s[1] * s[2]),
         |      (x, y) -> x + y) / (q.nrm * n.nrm) AS cos
         |  FROM q JOIN n ON q.vec_id <> n.vec_id)
+        |SELECT q_id, n_id, rk::int AS rk, round(cos, 4) AS cos FROM (
+        |  SELECT q_id, n_id, cos,
+        |    row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY cos DESC, n_id) AS rk
+        |  FROM pairs)
+        |WHERE rk <= 5
+        |ORDER BY q_id, rk""".stripMargin,
+
+    // D16 filtered kNN (Similarity.annFiltered): the ann_bruteforce
+    // chain with the label equi-predicate PRE-filtering the corpus
+    // side (metadata-filtered vector search) — same strict folds,
+    // same (cos DESC, n_id) tiebreak.
+    "ann_filtered" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> x::double) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, label, v,
+        |    sqrt(list_reduce(
+        |      list_transform(list_zip(v, v), s -> s[1] * s[2]),
+        |      (x, y) -> x + y)) AS nrm
+        |  FROM e),
+        |q AS (SELECT * FROM n WHERE vec_id < 10),
+        |pairs AS (
+        |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |    list_reduce(
+        |      list_transform(list_zip(q.v, n.v), s -> s[1] * s[2]),
+        |      (x, y) -> x + y) / (q.nrm * n.nrm) AS cos
+        |  FROM q JOIN n ON q.label = n.label AND q.vec_id <> n.vec_id)
         |SELECT q_id, n_id, rk::int AS rk, round(cos, 4) AS cos FROM (
         |  SELECT q_id, n_id, cos,
         |    row_number() OVER (PARTITION BY q_id

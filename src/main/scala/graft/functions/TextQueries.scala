@@ -981,15 +981,21 @@ object TextQueries {
     * segmentation regex, space-trim and empty-drop are mirrored
     * op-for-op in the oracle (list_transform/list_filter +
     * unnest/generate_subscripts); every output is integer/string. */
-  def textSentences(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables(spark, dir).documents
+  def textSentences(spark: SparkSession, dir: String): DataFrame =
+    sentencesScanOf(Tables(spark, dir).documents)
+      .orderBy(col("doc_id"), col("sent_id"))
+
+  /** The per-row segmentation projection — a pure scan → posexplode
+    * (no shuffle, no state), so it doubles as the STREAMING
+    * split-at-ingest transform (stream_sentences): bit-identical
+    * under any micro-batching or arrival order (the
+    * readabilityScanOf pattern). */
+  def sentencesScanOf(d: DataFrame): DataFrame =
     d.select(col("doc_id"),
         posexplode(T.sentences(col("text"))).as(Seq("sent_id", "sent")))
       .select(col("doc_id"), col("sent_id"),
         T.wsTokenCount(col("sent")).as("n_tok"),
         md5(col("sent")).as("sent_md5"))
-      .orderBy(col("doc_id"), col("sent_id"))
-  }
 
   /** E: vocabulary profile per source — token count, vocabulary size,
     * hapax legomena (tokens seen exactly once), type-token ratio and

@@ -928,19 +928,26 @@ object Lifecycle {
       .orderBy(col("lag"))
   }
 
-  def eventsTrend(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared per-type OLS sufficient statistics over daily counts —
+    * (n, Σx, Σy, Σxy, Σx², last day), all exact integers; the fit
+    * both [[eventsTrend]] and [[eventsForecast]] divide out. */
+  private def trendStatsOf(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables(spark, dir).events
       .select(col("event_type"), Tables.tsNsToSec("ts").as("ep"))
       .selectExpr("event_type", "ep div 86400 AS day")
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("c"))
-    val s = daily.groupBy(col("event_type")).agg(
+    daily.groupBy(col("event_type")).agg(
       count(lit(1)).as("n"),
       sum(col("day")).as("sx"),
       sum(col("c")).as("sy"),
       sum(col("day") * col("c")).as("sxy"),
       sum(col("day") * col("day")).as("sxx"),
       max(col("day")).as("d1"))
+  }
+
+  def eventsTrend(spark: SparkSession, dir: String): DataFrame = {
+    val s = trendStatsOf(spark, dir)
     val den = col("n") * col("sxx") - col("sx") * col("sx")
     val slopeNum = col("n") * col("sxy") - col("sx") * col("sy")
     val xf = col("d1") + lit(TrendHorizonDays)
@@ -958,6 +965,35 @@ object Lifecycle {
           round(fcNum.cast("double") / den.cast("double"), 4))
           .as(s"fc_d${TrendHorizonDays}"))
       .orderBy(col("event_type"))
+  }
+
+  /** B (round 15): the DAILY forecast grid — events_trend's exact
+    * rational OLS line evaluated at every day of the next
+    * [[TrendHorizonDays]]-day horizon, one row per (event_type,
+    * day): ŷ(x) = ((Σy·Σx² − Σx·Σxy) + (n·Σxy − Σx·Σy)·x) / D — the
+    * series a capacity dashboard plots where events_trend's single
+    * point answers "where does it land". Same four integer sums
+    * (shared [[trendStatsOf]] — the fit can never drift from the
+    * trend query's), numerator assembled in exact long algebra, ONE
+    * long→double cast each side of the division ⇒ full hash gate.
+    * Degenerate one-day types (D = 0) are dropped, mirrored
+    * (n >= 2 both sides; D > 0 follows from distinct days). Shape:
+    * one (type, day) exchange + a types-sized explode — metadata
+    * scale at any SF. */
+  def eventsForecast(spark: SparkSession, dir: String): DataFrame = {
+    val s = trendStatsOf(spark, dir)
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    val slopeNum = col("n") * col("sxy") - col("sx") * col("sy")
+    val icNum = col("sy") * col("sxx") - col("sx") * col("sxy")
+    s.filter(col("n") >= 2)
+      .select(col("event_type"), den.as("den"), slopeNum.as("s_num"),
+        icNum.as("i_num"),
+        explode(sequence(col("d1") + 1,
+          col("d1") + lit(TrendHorizonDays))).as("day"))
+      .select(col("event_type"), col("day"),
+        round((col("i_num") + col("s_num") * col("day")).cast("double") /
+          col("den").cast("double"), 4).as("yhat"))
+      .orderBy(col("event_type"), col("day"))
   }
 
   /** B: inter-arrival time distribution per event type — the gap

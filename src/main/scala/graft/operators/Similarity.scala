@@ -196,6 +196,34 @@ object Similarity {
     topK(spark, pairs, k = 5)
   }
 
+  /** D (round 15): FILTERED kNN — top-k cosine neighbors among the
+    * vectors sharing the query's label (metadata-filtered vector
+    * search: "nearest neighbors in the same language/source/tenant",
+    * the shape every production vector store serves beside plain
+    * top-k). PRE-filter, not post-filter: the label predicate rides
+    * the broadcast equi-join, so only same-label rows are ever
+    * scored — a post-filtered plain top-k silently returns < k (or
+    * wrong) rows whenever the filter is selective. Scale shape:
+    * identical to ann_bruteforce (bounded query set broadcast,
+    * map-side scores over ONE scan, k-row partial-agg exchange);
+    * with a label-partitioned store the same join prunes partitions.
+    * Strict-fold cosines ⇒ full hash gate; ties (cos desc, n_id). */
+  def annFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+      .select(col("vec_id"), V.toDouble(col("embedding")).as("v"),
+        col("label"))
+      .withColumn("nrm", V.norm(col("v")))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("label"))
+    val pairs = e.join(broadcast(q), Seq("label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        V.cosineWithNorms(V.dot(col("qv"), col("v")),
+          col("qnrm"), col("nrm")).as("cos"))
+    topK(spark, pairs, k = 5)
+  }
+
   /** Cosine radius for [[annRange]] (single-sourced into the
     * oracle). */
   val RangeTau = 0.35

@@ -882,6 +882,17 @@ object Streams {
   def streamReadability(spark: SparkSession, dir: String): DataFrame =
     graft.functions.TextQueries.textReadability(spark, dir)
 
+  /** G40 (round 15): ingest-time sentence segmentation — the
+    * stateless streaming twin of E35 text_sentences (the
+    * langid/pii/readability twin class): split each arriving doc
+    * into per-sentence rows at the edge (the chunk-before-land shape
+    * ingest tokenizers want), a pure scan → posexplode, zero state,
+    * bit-identical under any micro-batching (StreamsSpec drives
+    * sentencesScanOf through a real MemoryStream and asserts no
+    * state operator). Shares E35's oracle verbatim. */
+  def streamSentences(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.TextQueries.textSentences(spark, dir)
+
   /** The stream-or-batch gate: kept docs with their rule inputs. */
   def qualityGateTransform(docs: DataFrame): DataFrame =
     graft.functions.TextQueries.gopherRulesRowOf(docs)

@@ -650,4 +650,30 @@ class LifecycleSpec extends SparkSuite {
     // purchases-before-signup never count: every duration ≥ 0
     assert(rows.map(_.getLong(0)).forall(_ >= 0L))
   }
+
+  test("events_forecast: 7-day contiguous grid per type, linear in " +
+    "day, and the horizon point equals events_trend's fc_d7") {
+    val trend = Lifecycle.eventsTrend(spark, sfDir).collect()
+      .filter(!_.isNullAt(3)) // n >= 2 types only
+      .map(r => r.getString(0) -> (r.getLong(2), r.getDouble(4))).toMap
+    val fc = Lifecycle.eventsForecast(spark, sfDir).collect()
+      .groupBy(_.getString(0))
+    assert(fc.keySet === trend.keySet, "same fitted types as the trend")
+    fc.foreach { case (t, rows) =>
+      val (d1, fcD7) = trend(t)
+      val days = rows.map(_.getLong(1)).sorted.toSeq
+      assert(days === (d1 + 1 to d1 + Lifecycle.TrendHorizonDays).toSeq,
+        s"$t grid")
+      // same rational line, same rounding: the grid's horizon point
+      // IS the trend query's single-point forecast
+      val last = rows.maxBy(_.getLong(1)).getDouble(2)
+      assert(last === fcD7, s"$t horizon point $last vs trend $fcD7")
+      // a line: second differences vanish up to round(4) noise
+      val ys = rows.sortBy(_.getLong(1)).map(_.getDouble(2)).toSeq
+      ys.sliding(3).foreach { w =>
+        assert(math.abs((w(2) - w(1)) - (w(1) - w(0))) < 3e-4,
+          s"$t not linear: $ys")
+      }
+    }
+  }
 }

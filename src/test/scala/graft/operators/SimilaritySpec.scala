@@ -35,6 +35,37 @@ class SimilaritySpec extends SparkSuite {
     assert(got === expected)
   }
 
+  test("ann_filtered: pre-filtered top-k equals a label-restricted " +
+    "naive recompute") {
+    val emb = graft.Tables(spark, sfDir).embeddings.collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    val byId = emb.map(e => e._1 -> e).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      (0 until a.length).foreach { i =>
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = (for (q <- emb.map(_._1) if q < 10) yield {
+      val (_, qv, ql) = byId(q)
+      val hits = emb.filter(e => e._3 == ql && e._1 != q)
+        .map(e => (e._1, cos(qv, e._2)))
+        .sortBy { case (n, c) => (-c, n) }.take(5).map(_._1).toSeq
+      q -> hits
+    }).toMap
+    val rows = Similarity.annFiltered(spark, sfDir).collect()
+    val got = rows.groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq }
+    assert(got === expected)
+    // every neighbor shares its query's label (the filter contract)
+    rows.foreach { r =>
+      assert(byId(r.getLong(0))._3 === byId(r.getLong(1))._3,
+        s"cross-label neighbor: $r")
+    }
+  }
+
   test("LSH recall@5 vs brute force is high on real embeddings") {
     val bf = Similarity.annBruteforce(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

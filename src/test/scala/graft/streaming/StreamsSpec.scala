@@ -639,6 +639,35 @@ class StreamsSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("stateless sentence segmentation through a real stream equals " +
+    "the batch splitter") {
+    val s = spark; import s.implicits._
+    implicit val sq = s.sqlContext
+    import graft.functions.TextQueries
+    val expected = Streams.streamSentences(spark, sfDir).collect().toSeq
+    val rows = graft.Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val stream = MemoryStream[(Long, String)]
+    val streamed = TextQueries.sentencesScanOf(
+      stream.toDF().toDF("doc_id", "text"))
+    val query = streamed.writeStream.format("memory")
+      .queryName("sentences").outputMode("append").start()
+    try {
+      val shuffled = new scala.util.Random(47).shuffle(rows.toSeq)
+      shuffled.grouped(math.max(1, shuffled.length / 5)).foreach { b =>
+        stream.addData(b)
+        query.processAllAvailable()
+      }
+      val got = s.table("sentences").orderBy("doc_id", "sent_id")
+        .collect().toSeq
+      assert(got === expected)
+      val p = query.lastProgress
+      assert(p == null || p.stateOperators.isEmpty,
+        "ingest segmentation must hold no streaming state")
+    } finally query.stop()
+  }
+
   test("stateless PII scrub through a real stream equals the batch scrub") {
     val s = spark; import s.implicits._
     implicit val sq = s.sqlContext
