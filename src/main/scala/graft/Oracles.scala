@@ -995,6 +995,24 @@ object Oracles {
         |  round(n_above::double / n_orders, 4) AS share_above
         |FROM a ORDER BY cust_key""".stripMargin,
 
+    // B year-over-year growth (Lifecycle.ordersYoy): cents-exact
+    // monthly revenue, growth = exact bigint numerator over ONE
+    // double division per side; months without a prior-year
+    // counterpart are NULL via the left join.
+    "orders_yoy" ->
+      """WITH m AS (
+        |  SELECT year(o_orderdate)::int AS yr,
+        |    month(o_orderdate)::int AS mo,
+        |    sum(floor(o_totalprice * 100)::bigint) AS rev_cents,
+        |    count(*)::bigint AS n_orders
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT a.yr, a.mo,
+        |  round(a.rev_cents / 100.0, 2) AS revenue, a.n_orders,
+        |  round(((a.rev_cents - b.rev_cents) * 100)::double
+        |        / b.rev_cents::double, 4) AS yoy_pct
+        |FROM m a LEFT JOIN m b ON a.yr = b.yr + 1 AND a.mo = b.mo
+        |ORDER BY a.yr, a.mo""".stripMargin,
+
     // B gaps-and-islands: mk − row_number is constant within a run of
     // consecutive active months; all integer.
     "orders_streaks" ->
@@ -1848,6 +1866,29 @@ object Oracles {
         |  nk - k - 1 AS gap_len
         |FROM g WHERE nk - k > 1
         |ORDER BY gap_start""".stripMargin,
+
+    // H freshness panel (Profile.tableFreshness): epoch-second
+    // integer algebra per event_type; the corpus watermark comes off
+    // the aggregated frame; one mirrored double division for the
+    // daily rate, NULL on zero span.
+    "table_freshness" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    epoch(date_trunc('second', ts))::bigint AS ep
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type, count(*)::bigint AS n_events,
+        |    min(ep) AS first_sec, max(ep) AS last_sec
+        |  FROM e GROUP BY 1),
+        |t AS (SELECT max(last_sec) AS tmax FROM p)
+        |SELECT event_type, n_events, last_sec,
+        |  (tmax - last_sec)::bigint AS lag_sec,
+        |  (last_sec - first_sec)::bigint AS span_sec,
+        |  CASE WHEN last_sec > first_sec THEN
+        |    round((n_events * 86400)::double
+        |          / (last_sec - first_sec)::double, 4)
+        |  END AS per_day
+        |FROM p, t ORDER BY event_type""".stripMargin,
 
     // H Gini: every sum an order-free integer (cents, row_number
     // ranks over the (total, custkey) total order), one final

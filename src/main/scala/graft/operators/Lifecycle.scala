@@ -282,6 +282,48 @@ object Lifecycle {
       .orderBy(col("cust_key"))
   }
 
+  /** B (round 15): year-over-year revenue growth per calendar month —
+    * the first chart every revenue dashboard draws (seasonality-free
+    * growth: each month against the SAME month one year earlier, so
+    * December compares to December, not November). Months with no
+    * prior-year counterpart report NULL growth, never 0 — "no
+    * baseline" and "flat" are different answers.
+    *
+    * Exactness: revenue aggregates in integer cents (the
+    * [[ordersPareto]] discipline — a double Σprice is
+    * association-order-dependent); growth is
+    * ((rev − prev)·100)::double / prev::double — exact bigint
+    * numerator, ONE division each side of the mirror, round(4).
+    *
+    * Shape: ONE orders scan into a (yr, mo) two-phase hash agg,
+    * persisted (referenced as both join sides) — the month frame is
+    * CALENDAR-sized (rows = span in months, ~80 here) at any data
+    * scale, so the prior-year self-join is a metadata-sized exchange
+    * AQE broadcasts on its own (no authored hint — the GraphIterSpec
+    * discipline). */
+  def ordersYoy(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: referenced as both the current and the shifted
+    // prior-year side (Catalyst does not dedup repeated subtrees —
+    // unpersisted, orders would be scanned twice)
+    val m = Tables(spark, dir).orders
+      .select(year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("yr"), col("mo"))
+      .agg(sum(col("cents")).as("rev_cents"),
+        count(lit(1)).as("n_orders"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prev = m.select((col("yr") + 1).as("yr"), col("mo"),
+      col("rev_cents").as("prev_cents"))
+    m.join(prev, Seq("yr", "mo"), "left")
+      .select(col("yr"), col("mo"),
+        round(col("rev_cents") / 100.0, 2).as("revenue"),
+        col("n_orders"),
+        round(((col("rev_cents") - col("prev_cents")) * 100).cast("double") /
+          col("prev_cents").cast("double"), 4).as("yoy_pct"))
+      .orderBy(col("yr"), col("mo"))
+  }
+
   /** B: gaps-and-islands — per customer, runs of CONSECUTIVE months
     * with at least one order (the "streak" datasheet: engagement
     * continuity, churn risk). The classic island key `mk − rank` is

@@ -1156,6 +1156,46 @@ object Profile {
       .orderBy(col("tbl"), col("rule"))
   }
 
+  /** H (round 15): per-stream freshness / liveness panel — for each
+    * event_type: row count, last-seen epoch second, staleness lag
+    * behind the corpus watermark, observed span, and the average
+    * daily rate — the "is this feed still alive, and how far behind
+    * is it" check an ingest SLA monitor runs before anything
+    * downstream trusts the partition (table_seq_gaps' temporal
+    * companion: that one finds holes in the key space, this one
+    * finds stalls in time).
+    *
+    * Exactness: everything is epoch-second integer algebra off the
+    * nanos contract; the one double is the per-day rate
+    * (n·86400)::double / span::double — exact bigint numerator, ONE
+    * division per side, round(4); single-instant types (span 0)
+    * report NULL rate, mirrored.
+    *
+    * Shape: ONE events scan into a per-type two-phase hash agg
+    * (alphabet-sized output); the corpus watermark folds off the
+    * tiny aggregated frame — never a second pass over the fact
+    * table — and joins back as a broadcast 1-row cross (the
+    * events_survival censor-time pattern). */
+  def tableFreshness(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables(spark, dir).events
+      .select(col("event_type"), Tables.tsNsToSec("ts").as("ep"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ep")).as("first_sec"),
+        max(col("ep")).as("last_sec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tmax = per.agg(max(col("last_sec")).as("tmax"))
+    per.crossJoin(broadcast(tmax))
+      .select(col("event_type"), col("n_events"), col("last_sec"),
+        (col("tmax") - col("last_sec")).as("lag_sec"),
+        (col("last_sec") - col("first_sec")).as("span_sec"),
+        when(col("last_sec") > col("first_sec"),
+          round((col("n_events") * 86400L).cast("double") /
+            (col("last_sec") - col("first_sec")).cast("double"), 4))
+          .as("per_day"))
+      .orderBy(col("event_type"))
+  }
+
   /** One fingerprint frame — (tbl, col_name, n_rows, n_null, xor_sig)
     * per column — over any source frame. */
   def checksumOf(srcDf: DataFrame, tbl: String,

@@ -676,4 +676,33 @@ class LifecycleSpec extends SparkSuite {
       }
     }
   }
+
+  test("orders_yoy: cents-exact monthly revenue with prior-year " +
+    "growth, NULL where no baseline exists") {
+    import org.apache.spark.sql.functions.{col, floor, month, year}
+    val cents = graft.Tables(spark, sfDir).orders
+      .select(year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        floor(col("o_totalprice") * 100).cast("long").as("c"))
+      .collect()
+      .groupBy(r => (r.getInt(0), r.getInt(1)))
+      .map { case (k, rs) => k -> ((rs.map(_.getLong(2)).sum, rs.length)) }
+    val got = Lifecycle.ordersYoy(spark, sfDir).collect()
+    assert(got.map(r => (r.getInt(0), r.getInt(1))).toSet === cents.keySet)
+    got.foreach { r =>
+      val k = (r.getInt(0), r.getInt(1))
+      val (rev, n) = cents(k)
+      assert(math.abs(r.getDouble(2) - rev / 100.0) < 5e-3, s"$k revenue")
+      assert(r.getLong(3) === n.toLong, s"$k n_orders")
+      cents.get((k._1 - 1, k._2)) match {
+        case Some((prev, _)) =>
+          assert(math.abs(r.getDouble(4) -
+            (rev - prev) * 100.0 / prev) < 1e-3, s"$k yoy")
+        case None => assert(r.isNullAt(4), s"$k must have NULL yoy")
+      }
+    }
+    // the first calendar year can never have a baseline
+    val y0 = cents.keySet.map(_._1).min
+    assert(got.filter(_.getInt(0) == y0).forall(_.isNullAt(4)))
+  }
 }

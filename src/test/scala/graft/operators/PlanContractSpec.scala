@@ -100,6 +100,9 @@ class PlanContractSpec extends SparkSuite {
   //    the per-fold share projection.
   //  - table_dq_rules: the 1-row lineitem-count frame crossJoined
   //    with the 1-row anti-join violation count (FK rule assembly).
+  //  - table_freshness: the 1-row corpus-watermark max crossJoined
+  //    onto the alphabet-sized per-type panel (the events_survival
+  //    censor pattern).
   private val boundedBroadcastOk =
     Set("ann_bruteforce", "q14_scalar_subquery", "text_tfidf",
       "text_typicality", "corpus_stats", "text_bm25", "stream_bm25",
@@ -111,7 +114,8 @@ class PlanContractSpec extends SparkSuite {
       "graph_assortativity", "events_survival", "cdc_merge",
       "table_psi", "mix_dsir", "pack_bestfit", "corpus_coverage",
       "dedup_stats", "stream_psi", "graph_modularity", "ann_range",
-      "events_attribution_linear", "sample_kfold", "table_dq_rules")
+      "events_attribution_linear", "sample_kfold", "table_dq_rules",
+      "table_freshness")
 
   test("no query plans a cartesian or unbounded nested-loop join") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -557,4 +557,32 @@ class ProfileSpec extends SparkSuite {
     assert(reg.length == Profile.ChecksumCols.map(_._2.size).sum)
     assert(reg.forall(_.getLong(3) == 0L))
   }
+
+  test("table_freshness: per-type panel matches an independent " +
+    "recompute and the corpus watermark has zero lag") {
+    val per = graft.Tables(spark, sfDir).events
+      .select(col("event_type"),
+        graft.Tables.tsNsToSec("ts").as("ep"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min("ep").as("lo"), max("ep").as("hi"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val tmax = per.values.map(_._3).max
+    val got = Profile.tableFreshness(spark, sfDir).collect()
+    assert(got.map(_.getString(0)).toSet === per.keySet)
+    got.foreach { r =>
+      val (n, lo, hi) = per(r.getString(0))
+      assert(r.getLong(1) === n)
+      assert(r.getLong(2) === hi, "last_sec")
+      assert(r.getLong(3) === tmax - hi, "lag_sec")
+      assert(r.getLong(4) === hi - lo, "span_sec")
+      if (hi > lo)
+        assert(math.abs(r.getDouble(5) - n * 86400.0 / (hi - lo)) < 1e-3,
+          "per_day")
+      else assert(r.isNullAt(5), "zero span must report NULL rate")
+    }
+    // the type holding the corpus watermark is exactly the zero-lag row
+    assert(got.filter(_.getLong(3) == 0L).nonEmpty)
+  }
 }
