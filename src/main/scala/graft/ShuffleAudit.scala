@@ -76,12 +76,25 @@ object ShuffleAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val only = sys.env.get("SPARK_GRAFT_SHUFFLE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val entries = run(spark, sfDir, only)
+    Files.writeString(Paths.get(outPath),
+      entries.mkString("{", ",\n", "}\n"))
+    println(s"[shuffleAudit] ${entries.size} queries measured -> $outPath")
+    spark.stop()
+  }
 
+  /** One JSON object body line per selected query (the testable
+    * core — the spec drives it on the shared suite session, which
+    * `main` must not stop). */
+  def run(spark: SparkSession, sfDir: String,
+      only: Option[Set[String]] = None): Seq[String] = {
     val cacheIn = new AtomicLong
     val shufWrite = new AtomicLong
     val shufRead = new AtomicLong
     val spill = new AtomicLong
-    spark.sparkContext.addSparkListener(new SparkListener {
+    val listener = new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         val m = t.taskMetrics
         if (m != null) {
@@ -91,7 +104,8 @@ object ShuffleAudit {
           spill.addAndGet(m.diskBytesSpilled)
         }
       }
-    })
+    }
+    spark.sparkContext.addSparkListener(listener)
     def osRead(): Long =
       scala.io.Source.fromFile("/proc/self/io").getLines()
         .find(_.startsWith("rchar"))
@@ -99,7 +113,9 @@ object ShuffleAudit {
     def snap(): (Long, Long, Long, Long, Long) =
       (osRead(), cacheIn.get, shufWrite.get, shufRead.get, spill.get)
 
-    val entries = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    try selected.map { case (name, fn) =>
       ListenerBridge.drain(spark.sparkContext)
       val (f0, c0, w0, r0, s0) = snap()
       try {
@@ -122,10 +138,6 @@ object ShuffleAudit {
         spark.catalog.clearCache()
         s""""$name":{"error":"${e.getClass.getSimpleName}"}"""
       }
-    }
-    Files.writeString(Paths.get(outPath),
-      entries.mkString("{", ",\n", "}\n"))
-    println(s"[shuffleAudit] ${entries.size} queries measured -> $outPath")
-    spark.stop()
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 }
