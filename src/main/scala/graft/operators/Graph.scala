@@ -408,6 +408,54 @@ object Graph {
     * undirected shared-k graph as [[trianglesOf]]/[[pagerankOf]]. */
   def kcoreOf(li: DataFrame): DataFrame = kcoreWithRounds(li)._1
 
+  /** One h-index round over an adjacency frame: for every node, the
+    * h-index of its neighbors' current values `cc(c)`.
+    *
+    * Shape (r15 optimization — guide §2.3/§2.4): the row_number DESC
+    * window + max(least(rk, cn)) h-index, with two changes from the
+    * r14 form. (1) Only (node, cn) flows into the window — the old
+    * form carried the dead `nbr` column through the exchange and the
+    * partition sort. (2) [[kcoreWithRounds]] persists `adj`
+    * hash-partitioned by `node`, so when the value-frame join
+    * broadcasts (AQE, from the realized round frame's runtime size)
+    * the window and the groupBy both reuse the cache partitioning and
+    * the round runs with ZERO exchange of the O(|E|) adjacency; at
+    * cluster scale, where the O(|V|) value frame stops fitting a
+    * broadcast, the round's exchanges are V-sized, never E-sized.
+    * A counts-collapse variant (two-phase groupBy(node, cn) + a native
+    * h-from-counts expression) was measured-and-rejected: 0.86 s vs
+    * 0.59 s per materialized round at sf0.1 (KcoreAB probe) — the
+    * partition-local sort beats the ObjectHashAggregate collect once
+    * no exchange precedes it. */
+  private[graft] def kcoreHRound(adj: DataFrame, cc: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("node")).orderBy(col("cn").desc)
+    adj.join(cc.select(col("node").as("nbr"), col("c").as("cn")), "nbr")
+      .select(col("node"), col("cn"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .groupBy(col("node"))
+      .agg(max(least(col("rk"), col("cn"))).as("c"))
+  }
+
+  /** The per-round plan [[PlanDump]] captures for the optimization
+    * evidence: one [[kcoreHRound]] over the round-0 inputs, exactly
+    * the sub-plan the fixpoint loop executes every round (the final
+    * query frame truncates at checkpoints and can't show it). */
+  private[graft] def kcoreHRoundForPlan(
+      spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+    val a = li.select(col("k"), col("p").as("src"))
+    val b = li.select(col("k"), col("p").as("dst"))
+    val und = a.join(b, "k").filter(col("src") < col("dst"))
+      .select("src", "dst").distinct()
+    val adj = und.unionAll(und.select(col("dst"), col("src")))
+      .toDF("node", "nbr")
+      .repartition(col("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    kcoreHRound(adj, adj.groupBy(col("node")).agg(count(lit(1)).as("c")))
+  }
+
   /** [[kcoreOf]] plus the h-index round count it converged in.
     * `tailMaxNodes`/`tailMaxEdges` override the driver-tail caps
     * (test seam — GraphSpec's over-cap fixture pins the distributed
@@ -416,17 +464,29 @@ object Graph {
       li: DataFrame,
       tailMaxNodes: Long = KcoreTailMaxNodes,
       tailMaxEdges: Long = KcoreTailMaxEdges): (DataFrame, Int) = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel
     val spark = li.sparkSession
     val a = li.select(col("k"), col("p").as("src"))
     val b = li.select(col("k"), col("p").as("dst"))
     val und = a.join(b, "k").filter(col("src") < col("dst"))
       .select("src", "dst").distinct()
+    // Hash-partitioned by node ONCE at build (r15): every h-round
+    // aggregate, the delta rounds' affected/changed joins and deg0
+    // then reuse this partitioning instead of re-exchanging the
+    // O(|E|) frame per round (guide §2.4 — operations keyed the same
+    // way share one exchange).
     val adj = und.unionAll(und.select(col("dst"), col("src")))
       .toDF("node", "nbr")
+      .repartition(col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    val trace = sys.env.contains("GRAFT_KCORE_TRACE")
+    var tPhase = System.nanoTime()
+    def mark(label: String): Unit = if (trace) {
+      val now = System.nanoTime()
+      println(f"[kcore-t] $label ${(now - tPhase) / 1e9}%.2f s")
+      tPhase = now
+    }
     // every live round checkpoint is tracked; retireAllBut frees the
     // replaced ones (deg0 is always kept — the output reads it)
     val live = scala.collection.mutable.ListBuffer.empty[DataFrame]
@@ -455,6 +515,7 @@ object Graph {
         }
       }
     val deg0 = snap(adj.groupBy(col("node")).agg(count(lit(1)).as("c")))
+    mark("adj+deg0")
     def retireAllBut(keep: DataFrame*): Unit = {
       val keepSet = keep.toSet + deg0
       live.filterNot(keepSet.contains).foreach(freeRdd)
@@ -472,40 +533,44 @@ object Graph {
     // affordable at scale. Convergence = empty frontier (the count
     // is a full action on the checkpointed frontier frame).
     // BULK phase: the first rounds touch nearly every node anyway
-    // (measured frontier 19.5k→1.3k over 10 rounds at sf0.1), so
-    // per-round materialization there is pure overhead — unroll
-    // [[KcoreBulkRounds]] full h-updates LAZILY as one chained query
-    // (the pagerank lazy-unroll pattern: one execution, one
-    // checkpoint) and let the probe-driven delta loop below finish.
-    // Correctness is unroll-count independent: the loop still exits
-    // only on an empty frontier.
-    def hRound(cc: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("node")).orderBy(col("cn").desc)
-      adj.join(cc.select(col("node").as("nbr"), col("c").as("cn")), "nbr")
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .groupBy(col("node"))
-        .agg(max(least(col("rk"), col("cn"))).as("c"))
+    // (measured frontier 19.5k→1.3k over 10 rounds at sf0.1), so the
+    // affected-set delta machinery below is pure overhead there —
+    // run [[KcoreBulkRounds]] FULL h-rounds first. r15: each bulk
+    // round is MATERIALIZED (one checkpoint + one frontier count per
+    // round) instead of the old 8-round lazy chain: inside one lazy
+    // chain there are no exchange boundaries, so the value-frame
+    // join is planned statically as sort-merge (an agg subtree has
+    // no usable size estimate) and every round re-exchanged the
+    // O(|E|) adjacency; a materialized round lets AQE broadcast the
+    // realized O(|V|) value frame, and the node-partitioned adj
+    // cache then makes the round exchange-free (KcoreAB probe:
+    // 0.59 s vs ~1.4 s per round at sf0.1, bulk 11.5 s → ~5 s).
+    // The per-round count doubles as an EARLY EXIT — small corpora
+    // converge before KcoreBulkRounds and now stop there (the old
+    // chain always paid all 8) — and correctness stays unroll-count
+    // independent: the loop below still exits only on an empty
+    // frontier.
+    var c: DataFrame = deg0
+    var changed: DataFrame = deg0.select(col("node"))
+    var nChanged = -1L
+    var iter = 0
+    while (iter < KcoreBulkRounds && nChanged != 0L) {
+      val prev = c
+      val next = snap(kcoreHRound(adj, prev)
+        .join(prev.select(col("node"), col("c").as("cPrev")), Seq("node"))
+        .select(col("node"),
+          least(col("c"), col("cPrev")).as("c"), col("cPrev")))
+      changed = next.filter(col("c") =!= col("cPrev")).select(col("node"))
+      nChanged = changed.count()
+      c = next.select(col("node"), col("c"))
+      retireAllBut(next)
+      iter += 1
+      mark(s"bulk round=${iter - 1} frontier=$nChanged")
     }
-    // cPre feeds BOTH the final h-round and the change-detection
-    // join — persist it or the 7-stage prefix executes twice
-    // (no-subtree-dedup, CLAUDE.md)
-    val cPre = (1 until KcoreBulkRounds).foldLeft(deg0: DataFrame) {
-      (cc, _) => hRound(cc) }
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val bulk = snap(hRound(cPre)
-      .join(cPre.select(col("node"), col("c").as("cPrev")), Seq("node"))
-      .select(col("node"),
-        least(col("c"), col("cPrev")).as("c"), col("cPrev")))
-    cPre.unpersist(blocking = false)
-    var c: DataFrame = bulk.select(col("node"), col("c"))
-    var changed: DataFrame =
-      bulk.filter(col("c") =!= col("cPrev")).select(col("node"))
-    var nChanged = changed.count()
     val nNodes = deg0.count()
     // driver-tail trigger scales with the graph so small corpora
     // still exercise the distributed rounds (|V|/10 floor)
     val tailTrigger = math.min(KcoreTailFrontier, nNodes / 10)
-    var iter = KcoreBulkRounds
     while (nChanged > 0L && iter < KcoreMaxIters) {
       // DRIVER TAIL FINISH: once the frontier is small, the cascade
       // is the slow erosion regime (one chain hop per round — the
@@ -523,9 +588,11 @@ object Graph {
       if (nChanged <= tailTrigger) {
         val b = changed.join(c, Seq("node"))
           .agg(max(col("c"))).head().getLong(0)
+        mark(s"tail.b round=$iter")
         val s = c.filter(col("c") <= b)
           .persist(StorageLevel.MEMORY_AND_DISK)
         val sCount = s.count()
+        mark(s"tail.sCount round=$iter")
         if (sCount <= tailMaxNodes) {
           // Edge cap is checked with a FULL action BEFORE collecting:
           // coreness ≤ B does NOT bound degree (a star center has
@@ -541,54 +608,131 @@ object Graph {
             .select(col("node"), col("nbr"))
             .persist(StorageLevel.MEMORY_AND_DISK)
           val nSEdges = sEdgesDf.count()
+          mark(s"tail.edgeCount round=$iter")
           if (nSEdges <= tailMaxEdges) {
+            // r15: the cascade runs on primitive CSR arrays instead
+            // of boxed Scala Maps/Queues (the old Map[Long,_] lookups
+            // and sEdges.groupBy were ~2.5 s of driver time at sf0.1;
+            // this is the same monotone async cascade, same result,
+            // on int indexes — measured ~0.3 s).
             val sEdges = sEdgesDf.collect()
-              .map(r => (r.getLong(0), r.getLong(1)))
-            val cur = scala.collection.mutable.Map(
-              s.collect().map(r => r.getLong(0) -> r.getLong(1)): _*)
-            val inDeg = scala.collection.mutable.Map
-              .empty[Long, Int].withDefaultValue(0)
-            sEdges.foreach { case (u, _) => inDeg(u) += 1 }
+            mark(s"tail.collect round=$iter")
+            val sNodes = s.collect()
+            val nS = sNodes.length
+            val ids = new Array[Long](nS)
+            val curA = new Array[Long](nS)
+            val c0A = new Array[Long](nS)
+            val idx = new java.util.HashMap[java.lang.Long, Integer](nS * 2)
+            var i = 0
+            while (i < nS) {
+              val r = sNodes(i)
+              ids(i) = r.getLong(0); curA(i) = r.getLong(1)
+              c0A(i) = curA(i)
+              idx.put(ids(i), i)
+              i += 1
+            }
             // out-of-S neighbor count = full degree − in-S degree;
             // every such neighbor has value > B, which for any h ≤ B
             // is equivalent to value == B (the clamp's exactness)
-            val degMap = deg0.join(s.select(col("node")), Seq("node"))
-              .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-            val nbrs = sEdges.groupBy(_._1).map { case (k, v) =>
-              k -> v.map(_._2) }
-            val queue = scala.collection.mutable.Queue(cur.keys.toSeq: _*)
-            val queued = scala.collection.mutable.Set(cur.keys.toSeq: _*)
-            val changedS = scala.collection.mutable.Set.empty[Long]
-            while (queue.nonEmpty) {
-              val v = queue.dequeue(); queued -= v
-              val outN = (degMap(v) - inDeg(v)).toInt
-              val vals = nbrs.getOrElse(v, Array.empty[Long])
-                .map(u => math.min(cur(u), b)) ++
-                Array.fill(outN)(b)
+            val degA = new Array[Long](nS)
+            deg0.join(s.select(col("node")), Seq("node")).collect()
+              .foreach { r => degA(idx.get(r.getLong(0))) = r.getLong(1) }
+            // CSR adjacency over the in-S symmetric edge rows
+            val mE = sEdges.length
+            val srcI = new Array[Int](mE)
+            val dstI = new Array[Int](mE)
+            val start = new Array[Int](nS + 1)
+            i = 0
+            while (i < mE) {
+              val r = sEdges(i)
+              val u = idx.get(r.getLong(0)).intValue()
+              srcI(i) = u
+              dstI(i) = idx.get(r.getLong(1)).intValue()
+              start(u + 1) += 1
+              i += 1
+            }
+            i = 0
+            while (i < nS) { start(i + 1) += start(i); i += 1 }
+            val fillPos = java.util.Arrays.copyOf(start, nS)
+            val nbrA = new Array[Int](mE)
+            i = 0
+            while (i < mE) {
+              val u = srcI(i); nbrA(fillPos(u)) = dstI(i); fillPos(u) += 1
+              i += 1
+            }
+            mark(s"tail.maps round=$iter")
+            // primitive FIFO worklist (order is free for CORRECTNESS —
+            // monotone h-updates converge to the same fixpoint in any
+            // order — but not for WORK: LIFO re-processes nodes before
+            // their neighborhoods settle, measured 5.0 s vs 1.6 s at
+            // sf0.1; breadth order matches the old Queue behavior)
+            var qArr = new Array[Int](nS * 2)
+            var qHead = 0
+            var qTail = 0
+            val queued = new Array[Boolean](nS)
+            i = 0
+            while (i < nS) { qArr(i) = i; queued(i) = true; i += 1 }
+            qTail = nS
+            var nChangedS = 0
+            while (qHead < qTail) {
+              val v = qArr(qHead); qHead += 1; queued(v) = false
+              val s0 = start(v); val s1 = start(v + 1)
+              val inN = s1 - s0
+              val outN = (degA(v) - inN).toInt
+              val vals = new Array[Long](inN + outN)
+              var k = 0
+              while (k < inN) {
+                val cu = curA(nbrA(s0 + k))
+                vals(k) = if (cu < b) cu else b
+                k += 1
+              }
+              while (k < inN + outN) { vals(k) = b; k += 1 }
               java.util.Arrays.sort(vals)
               var h = 0L
-              var i = vals.length - 1
-              while (i >= 0) {
-                val rank = vals.length - i
-                val m = math.min(rank.toLong, vals(i))
+              var j = vals.length - 1
+              while (j >= 0) {
+                val rank = vals.length - j
+                val m = math.min(rank.toLong, vals(j))
                 if (m > h) h = m
-                i -= 1
+                j -= 1
               }
-              if (h < cur(v)) {
-                cur(v) = h; changedS += v
-                nbrs.getOrElse(v, Array.empty[Long]).foreach { u =>
-                  if (!queued.contains(u)) { queue.enqueue(u); queued += u }
+              if (h < curA(v)) {
+                if (curA(v) == c0A(v)) nChangedS += 1
+                curA(v) = h
+                k = s0
+                while (k < s1) {
+                  val u = nbrA(k)
+                  if (!queued(u)) {
+                    if (qTail == qArr.length) {
+                      // compact the consumed prefix or grow
+                      if (qHead > qArr.length / 2) {
+                        System.arraycopy(qArr, qHead, qArr, 0, qTail - qHead)
+                        qTail -= qHead; qHead = 0
+                      } else {
+                        qArr = java.util.Arrays.copyOf(qArr, qArr.length * 2)
+                      }
+                    }
+                    qArr(qTail) = u; qTail += 1; queued(u) = true
+                  }
+                  k += 1
                 }
               }
             }
+            val changedS = new scala.collection.mutable.ArrayBuffer[
+              (Long, Long)](nChangedS)
+            i = 0
+            while (i < nS) {
+              if (curA(i) != c0A(i)) changedS += ((ids(i), curA(i)))
+              i += 1
+            }
+            mark(s"tail.cascade round=$iter")
             if (changedS.nonEmpty) {
               // merge driver results; the pending frontier STAYS
               // pending (its out-of-S neighbors still need the
               // distributed recheck below) and the driver-changed
               // nodes join it
               val updates = spark.createDataFrame(
-                spark.sparkContext.parallelize(
-                  changedS.toSeq.map(n => (n, cur(n))), 4))
+                spark.sparkContext.parallelize(changedS.toSeq, 4))
                 .toDF("node", "cNew")
               val nextC = snap(c.join(updates, Seq("node"), "left")
                 .select(col("node"),
@@ -609,17 +753,14 @@ object Graph {
           sEdgesDf.unpersist(blocking = false)
         }
         s.unpersist(blocking = false)
+        mark(s"tail round=$iter")
       }
       {
         val affected = adj
           .join(changed.withColumnRenamed("node", "nbr"), "nbr")
           .select(col("node")).distinct()
-        val w = Window.partitionBy(col("node")).orderBy(col("cn").desc)
-        val hNew = adj.join(affected, Seq("node"))
-          .join(c.select(col("node").as("nbr"), col("c").as("cn")), "nbr")
-          .withColumn("rk", row_number().over(w).cast("long"))
-          .groupBy(col("node"))
-          .agg(max(least(col("rk"), col("cn"))).as("h"))
+        val hNew = kcoreHRound(adj.join(affected, Seq("node")), c)
+          .withColumnRenamed("c", "h")
         // ONE checkpoint per round; next values, the frontier and the
         // count probe are all cheap projections/scans OF that frame
         // (lineage stays depth-1 off the checkpoint) — three snaps
@@ -636,6 +777,7 @@ object Graph {
         c = merged.select(col("node"), col("c2").as("c"))
         changed = nextChanged
         iter += 1
+        mark(s"delta round=${iter - 1}")
       }
     }
     if (nChanged > 0L)
