@@ -144,6 +144,10 @@ object Dedup {
   }
 
   private[operators] def ngramPairsOf(d: DataFrame): DataFrame = {
+    // NOTE (r15, measured-and-rejected): persisting `sh` to dedup its
+    // three references (self-join sides + sizes) was tried and is NET
+    // SLOWER at sf0.1 (2.0 → 2.5 s warm) — the cache build + columnar
+    // write costs more than the two saved explode+window recomputes.
     val sh = shingleIndexOf(d)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
@@ -577,8 +581,79 @@ object Dedup {
     * session has a checkpoint dir (the cluster configuration —
     * survives executor loss); `localCheckpoint` otherwise. Old round
     * RDDs are freed explicitly on every exit, success or failure. */
+  /** Cap on the driver union-find fast path of
+    * [[componentLabelsWithRounds]] (pair ROWS collected): the kcore
+    * driver-tail class of bounded driver work — a near-dup pair graph
+    * is the corpus's DUPLICATE set, tiny relative to the corpus (256
+    * pairs at sf0.1, ~2.5k at sf1), yet the distributed star loop's
+    * per-round checkpoints + probes cost a fixed ~2.2 s of job floor
+    * at ANY size (measured, ComponentsProbe). Over-cap graphs fall
+    * back to the unchanged star rounds, so at adversarial scale the
+    * distributed path — the O(log d) algorithm with all its
+    * convergence discipline — is what runs. */
+  val ComponentsTailMaxEdges = 2000000L
+
   private[operators] def componentLabelsWithRounds(
-      pairs: DataFrame): (DataFrame, Int) = {
+      pairs: DataFrame): (DataFrame, Int) =
+    componentLabelsWithRounds(pairs, ComponentsTailMaxEdges)
+
+  /** `tailMaxEdges` override is the test seam (DedupSpec forces the
+    * distributed path with 0 to pin the O(log d) round bound and the
+    * two-path equality). */
+  private[operators] def componentLabelsWithRounds(
+      pairs: DataFrame, tailMaxEdges: Long): (DataFrame, Int) = {
+    // FAST PATH (r15): count first (a full action on the
+    // caller-persisted pairs frame — never collect-then-check), then
+    // run exact min-label union-find on the driver and emit the same
+    // (node, lbl) rows the star fixpoint converges to. Identical
+    // output by construction: union-by-min-root + path compression
+    // labels every node with the least id reachable from it — the
+    // definition the star rounds compute distributively.
+    val nPairs = pairs.count()
+    if (nPairs <= tailMaxEdges) {
+      val rows = pairs.collect()
+      val parent = new java.util.HashMap[java.lang.Long, java.lang.Long](
+        rows.length * 2)
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.get(x)
+        if (p == null) { parent.put(x, x); return x }
+        while (p.longValue() != x) { x = p.longValue(); p = parent.get(x) }
+        // path-compress the walked chain
+        var y = x0
+        while (y != x) {
+          val nxt = parent.get(y).longValue()
+          parent.put(y, x)
+          y = nxt
+        }
+        x
+      }
+      var i = 0
+      while (i < rows.length) {
+        val a = rows(i).getLong(0)
+        val b = rows(i).getLong(1)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+        i += 1
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
+        parent.size())
+      val it = parent.keySet().iterator()
+      while (it.hasNext) {
+        val n = it.next().longValue()
+        out += ((n, find(n)))
+      }
+      val spark = pairs.sparkSession
+      val nSlices = math.max(1, out.length / 500000)
+      val labels = spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toSeq, nSlices))
+        .toDF("node", "lbl")
+        .persist()
+      labels.count() // materialize before the caller unpersists pairs
+      return (labels, 0)
+    }
     val reliable =
       pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
     // Checkpointed round frames are tracked so ANY exit — success,

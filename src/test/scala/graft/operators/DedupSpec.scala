@@ -405,9 +405,11 @@ class DedupSpec extends SparkSuite {
     val n = 200
     val pairs = (0 until n).map(i => (i.toLong, i + 1L))
       .toDF("doc_a", "doc_b").persist()
-    val (labels, rounds) = Dedup.componentLabelsWithRounds(pairs)
+    // tailMaxEdges = 0 refuses the driver union-find fast path: this
+    // test pins the DISTRIBUTED algorithm's logarithmic round bound
+    val (labels, rounds) = Dedup.componentLabelsWithRounds(pairs, 0L)
     val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
-    labels.unpersist(); pairs.unpersist()
+    labels.unpersist()
     assert(got.length === n + 1)
     assert(got.forall(_._2 == 0L),
       s"every chain node must label to 0: ${got.filter(_._2 != 0L).take(5)}")
@@ -415,6 +417,15 @@ class DedupSpec extends SparkSuite {
     // large-star/small-star alternation must be logarithmic
     assert(rounds <= 12,
       s"$rounds star rounds for a $n-hop chain is not O(log d)")
+    // the default-cap fast path (driver union-find) must agree with
+    // the distributed star rounds row-for-row
+    val (labelsFast, roundsFast) = Dedup.componentLabelsWithRounds(pairs)
+    assert(roundsFast === 0, "chain fits the cap: fast path expected")
+    val gotFast = labelsFast.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    labelsFast.unpersist(); pairs.unpersist()
+    assert(gotFast.toSeq === got.sorted.toSeq,
+      "driver union-find and star rounds must emit identical labels")
   }
 
   test("componentLabels: random graph (dups, self-loops, any orientation)" +
@@ -434,7 +445,15 @@ class DedupSpec extends SparkSuite {
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
     val expected = parent.keys.map(d => d -> find(d)).toMap
-    val (labels, _) = Dedup.componentLabelsWithRounds(pairs)
+    // distributed star rounds (cap 0) and the driver fast path must
+    // BOTH match the reference union-find
+    val (labelsDist, _) = Dedup.componentLabelsWithRounds(pairs, 0L)
+    val gotDist = labelsDist.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    labelsDist.unpersist()
+    assert(gotDist === expected)
+    val (labels, rounds) = Dedup.componentLabelsWithRounds(pairs)
+    assert(rounds === 0, "random graph fits the cap: fast path expected")
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     labels.unpersist(); pairs.unpersist()
     assert(got === expected)
