@@ -218,11 +218,51 @@ object Profile {
       case "part"     => t.part
       case "region"   => t.region
     }
-    FkEdges.map { case (ct, ck, pt, pk) =>
-      fkCheckOf(tbl(ct).select(col(ck).as("k")),
-        tbl(pt).select(col(pk).as("pk")),
-        s"$ct.$ck -> $pt.$pk")
-    }.reduce(_.unionAll(_)).orderBy(col("edge"))
+    // r15 restructure (guide §2.3 + the table_fds one-scan explode
+    // discipline): the per-edge form scanned the FACT table once per
+    // fact edge (lineitem ×3) and shuffled raw child rows into the
+    // fact-fact join. Now every fact-side (lineitem) edge reads ONE
+    // scan — each row explodes to its 3 (edge, key) probes, a
+    // two-phase groupBy(edge, key) collapses them map-side to
+    // (edge, key, multiplicity) BEFORE anything is joined (the
+    // exchange carries distinct keys, not rows), and one left join
+    // against the union of edge-tagged parent key sets + one
+    // groupBy(edge) emits the same exact counts. Dim-child edges
+    // (orders/customer/supplier/nation — each a single cheap scan)
+    // keep the per-edge [[fkCheckOf]] shape. 14 scans → 9, and the
+    // fact table is read once instead of three times (the linear-
+    // factor term at 100 TB). Exact integers ⇒ hash gate unchanged.
+    val liEdges = FkEdges.filter(_._1 == "lineitem")
+    val liProbe = t.lineitem.select(explode(array(liEdges.map {
+      case (ct, ck, pt, pk) =>
+        struct(lit(s"$ct.$ck -> $pt.$pk").as("edge"), col(ck).as("k"))
+    }: _*)).as("e"))
+      .select(col("e.edge").as("edge"), col("e.k").as("k"))
+      .groupBy(col("edge"), col("k"))
+      .agg(count(lit(1)).as("cnt"))
+    val liParents = liEdges.map { case (ct, ck, pt, pk) =>
+      tbl(pt).select(lit(s"$ct.$ck -> $pt.$pk").as("edge"),
+        col(pk).as("pk")).distinct()
+    }.reduce(_.unionAll(_))
+    val liStats = liProbe
+      .join(liParents,
+        liProbe("edge") === liParents("edge") && col("k") === col("pk"),
+        "left_outer")
+      .groupBy(liProbe("edge"))
+      .agg(
+        sum(col("cnt")).as("n_child"),
+        sum(when(col("k").isNull, col("cnt")).otherwise(0L)).as("n_null"),
+        sum(when(col("k").isNotNull && col("pk").isNull, col("cnt"))
+          .otherwise(0L)).as("n_orphans"))
+      .select(col("edge"), col("n_child"), col("n_null"), col("n_orphans"),
+        round(col("n_orphans") / col("n_child"), 6).as("orphan_share"))
+    val dimStats = FkEdges.filterNot(_._1 == "lineitem")
+      .map { case (ct, ck, pt, pk) =>
+        fkCheckOf(tbl(ct).select(col(ck).as("k")),
+          tbl(pt).select(col(pk).as("pk")),
+          s"$ct.$ck -> $pt.$pk")
+      }.reduce(_.unionAll(_))
+    liStats.unionAll(dimStats).orderBy(col("edge"))
   }
 
   /** One FK-edge check over any child-key / parent-key frames: one
@@ -443,9 +483,10 @@ object Profile {
     *
     * Shape: ONE full-cardinality joint groupBy over the fact scan
     * (cells bounded by the pinned low-cardinality column set, NOT by
-    * rows — the classic OLAP cube trick), persisted; every pair's
-    * joint and both marginals then derive from those ≤2.1k cells by
-    * tiny re-aggregations — zero further fact scans. Entropies use
+    * rows — the classic OLAP cube trick); every pair marginal, single
+    * marginal and the global total then derive from those ≤2.1k cells
+    * in ONE grouping-sets pass + one conditional-aggregate pivot —
+    * zero further fact scans, ~4 shuffles total. Entropies use
     * the count form H = log2(n) − Σ c·log2(c)/n: integer counts
     * leave the aggregates and the FP expression per statistic is
     * mirrored op-for-op in the oracle — but this is the
@@ -458,28 +499,67 @@ object Profile {
     * 1-row crossJoins assemble each output row (broadcast by
     * construction). */
   def tableEntropy(spark: SparkSession, dir: String): DataFrame = {
+    // r15 restructure (stage-count-bound, guide §2.4 + the table_fds
+    // EXPLODE discipline): the old form ran 4 branch aggregates per
+    // pair × 6 pairs off the persisted joint cube — 24 metadata-sized
+    // branches, 48 shuffles, and a measured ~2.3 s stage-count floor
+    // with ≤ 2.1k rows in flight. Now ONE grouping-sets pass over the
+    // joint cube computes every pair marginal, every single-column
+    // marginal and the global total (Expand ×11 of ≤ 2.1k cells —
+    // nothing), one tiny groupBy(gid) reduces each set to its
+    // Σ c·log2(c) / cell-count / total, a single conditional-aggregate
+    // pivot lands all 17 statistics in ONE row, and the 6 output rows
+    // explode from one projection (K references to a 1-row frame
+    // would recompute the upstream K times — CLAUDE.md). Fact scan
+    // count unchanged (1); the joint persist is gone because the cube
+    // is now referenced exactly once. Values are the same sums over
+    // the same cell multisets (reassociation drift lives ~10⁹ ulps
+    // from the round(4) boundaries — MARGINS_r15), hash-gated at
+    // sf0.01/sf0.1.
     val li = Tables(spark, dir).lineitem
     val joint = li.groupBy(EntropyCols.map(col): _*)
       .agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs =
       EntropyCols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
-    pairs.map { case (a, b) =>
-      val pab = joint.groupBy(col(a), col(b)).agg(sum(col("c")).as("c"))
-      val sab = pab.agg(sum(col("c") * log2(col("c"))).as("s_xy"),
-        sum(col("c")).as("n"), count(lit(1)).as("n_xy"))
-      val sa = pab.groupBy(col(a)).agg(sum(col("c")).as("c"))
-        .agg(sum(col("c") * log2(col("c"))).as("s_x"))
-      val sb = pab.groupBy(col(b)).agg(sum(col("c")).as("c"))
-        .agg(sum(col("c") * log2(col("c"))).as("s_y"))
-      sab.crossJoin(sa).crossJoin(sb)
-        .select(lit(a).as("col_x"), lit(b).as("col_y"), col("n_xy"),
-          round(log2(col("n")) - col("s_x") / col("n"), 4).as("h_x"),
-          round(log2(col("n")) - col("s_y") / col("n"), 4).as("h_y"),
-          round(log2(col("n")) - col("s_xy") / col("n"), 4).as("h_xy"),
-          round(log2(col("n")) +
-            (col("s_xy") - col("s_x") - col("s_y")) / col("n"), 4).as("mi"))
-    }.reduce(_ unionAll _)
+    // grouping_id bit i (MSB-first over EntropyCols) = column i
+    // aggregated out of the grouping set
+    def gidOf(kept: Set[String]): Int =
+      EntropyCols.zipWithIndex.map { case (cName, i) =>
+        if (kept.contains(cName)) 0 else 1 << (EntropyCols.length - 1 - i)
+      }.sum
+    val sets: Seq[Seq[org.apache.spark.sql.Column]] =
+      pairs.map { case (a, b) => Seq(col(a), col(b)) } ++
+        EntropyCols.map(cn => Seq(col(cn))) :+
+        Seq.empty[org.apache.spark.sql.Column]
+    val cells = joint
+      .groupingSets(sets, EntropyCols.map(col): _*)
+      .agg(sum(col("c")).as("cc"), grouping_id().as("gid"))
+    val stats = cells.groupBy(col("gid"))
+      .agg(sum(col("cc") * log2(col("cc"))).as("s"),
+        count(lit(1)).as("k"),
+        sum(col("cc")).as("tot"))
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      (max(when(col("gid") === gidOf(Set.empty), col("tot"))).as("n") +:
+        pairs.flatMap { case (a, b) =>
+          val g = gidOf(Set(a, b))
+          Seq(max(when(col("gid") === g, col("s"))).as(s"s_${a}_$b"),
+            max(when(col("gid") === g, col("k"))).as(s"k_${a}_$b"))
+        }) ++
+        EntropyCols.map { a =>
+          max(when(col("gid") === gidOf(Set(a)), col("s"))).as(s"s_$a")
+        }
+    val one = stats.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_x"), lit(b).as("col_y"),
+        col(s"k_${a}_$b").as("n_xy"),
+        round(log2(col("n")) - col(s"s_$a") / col("n"), 4).as("h_x"),
+        round(log2(col("n")) - col(s"s_$b") / col("n"), 4).as("h_y"),
+        round(log2(col("n")) - col(s"s_${a}_$b") / col("n"), 4).as("h_xy"),
+        round(log2(col("n")) +
+          (col(s"s_${a}_$b") - col(s"s_$a") - col(s"s_$b")) / col("n"), 4)
+          .as("mi"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
       .orderBy(col("col_x"), col("col_y"))
   }
 
