@@ -287,16 +287,24 @@ object Graph {
     val edges = a.join(b, "k")
       .filter(col("src") =!= col("dst"))
       .select("src", "dst").distinct()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     // (src, dst, deg) once — re-read every round (one cache entry).
     // Hash-partitioned on src BEFORE the persist: every round's join
     // keys on src, so the cached edge side already sits on the join
     // partitioning and each round's only exchange is the |V|-row rank
     // frame (canChangeCachedPlanOutputPartitioning keeps the cached
-    // layout visible to the planner).
-    val edgesD = edges.join(deg, "src")
-      .repartition(col("src"))
+    // layout visible to the planner). r15: deg rides a count window
+    // over the same src partitioning instead of a separate
+    // groupBy+join — the old form referenced the `edges` subtree
+    // twice (no-subtree-dedup, CLAUDE.md), so the whole self-join +
+    // distinct pipeline ran TWICE per call (4 fact scans → 2); the
+    // window's exchange doubles as the repartition the persist wants.
+    val edgesD = edges
+      .withColumn("deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // V-sized (src, deg) projection OF the cache — not a second build
+    val deg = edgesD.select(col("src"), col("deg")).groupBy("src")
+      .agg(first(col("deg")).as("deg"))
     val n = edgesD.select(col("src")).distinct().count()
     val q0 = PrScale / n
     val base = (15L * q0) / 100L
