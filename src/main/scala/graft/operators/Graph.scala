@@ -29,6 +29,40 @@ import graft.Tables
   * never a global sort. */
 object Graph {
 
+  /** Distinct undirected (src < dst) co-membership edges over a
+    * (k, p) frame — the shared graph build of the whole family.
+    *
+    * r15: ONE scan — per-k distinct item sets + in-row pair
+    * expansion — instead of the 2-scan self-join on k (measured
+    * 2.40 → 1.70 s at sf0.1, bit-identical 1 196 000-edge set; the
+    * UndAB probe). The k-exchange carries one array row per key
+    * instead of every membership row twice, and the pair fan-out
+    * happens AFTER the exchange (guide §3.3: explode after the
+    * shuffle, not before). Arrays are order-width-bounded (single
+    * digits here; bounded by basket width generally), so the
+    * interpreted HOF stays under CLAUDE.md's >50-element native-
+    * expression rule. */
+  private[graft] def undEdges(li: DataFrame): DataFrame =
+    li.groupBy(col("k")).agg(collect_set(col("p")).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> " +
+          "struct(least(x, y) as src, greatest(x, y) as dst))))")).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct()
+
+  /** Both-directions variant of [[undEdges]] (src ≠ dst, each edge in
+    * both orientations) in ONE subtree — `und ∪ und.flip` would
+    * reference (and recompute) the unpersisted build twice. */
+  private[graft] def symEdges(li: DataFrame): DataFrame =
+    li.groupBy(col("k")).agg(collect_set(col("p")).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, x -> " +
+          "transform(ps, y -> struct(x as src, y as dst))))")).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
   /** Fixed-point scale: rank 1.0 ≡ 1e12 (headroom: 85·Σ < 2⁶³). */
   val PrScale = 1000000000000L
 
@@ -84,10 +118,7 @@ object Graph {
   private def orientedTriangles(li: DataFrame):
       (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel
-    val a = li.select(col("k"), col("p").as("src"))
-    val b = li.select(col("k"), col("p").as("dst"))
-    val und = a.join(b, "k").filter(col("src") < col("dst"))
-      .select("src", "dst").distinct()
+    val und = undEdges(li)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = und.select(col("src").as("n"))
       .unionAll(und.select(col("dst").as("n")))
@@ -224,13 +255,10 @@ object Graph {
   /** Top predicted links over any (k, p) membership frame. */
   def linkPredictOf(li: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val a = li.select(col("k"), col("p").as("src"))
-    val b = li.select(col("k"), col("p").as("dst"))
     // und referenced twice (wedge source + adjacency anti-join) and
     // deg three times — persist both or Catalyst recomputes the
     // whole edge derivation per reference (no-subtree-dedup).
-    val und = a.join(b, "k").filter(col("src") < col("dst"))
-      .select("src", "dst").distinct()
+    val und = undEdges(li)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = und.select(col("src").as("n"))
       .unionAll(und.select(col("dst").as("n")))
@@ -282,11 +310,7 @@ object Graph {
   /** Full fixed-point ranks (node, deg, q) over any (k, p)
     * membership frame — nodes are linked iff they share a k. */
   def pagerankOf(li: DataFrame): DataFrame = {
-    val a = li.select(col("k"), col("p").as("src"))
-    val b = li.select(col("k"), col("p").as("dst"))
-    val edges = a.join(b, "k")
-      .filter(col("src") =!= col("dst"))
-      .select("src", "dst").distinct()
+    val edges = symEdges(li)
     // (src, dst, deg) once — re-read every round (one cache entry).
     // Hash-partitioned on src BEFORE the persist: every round's join
     // keys on src, so the cached edge side already sits on the join
@@ -453,11 +477,7 @@ object Graph {
       spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir).lineitem
       .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
-    val a = li.select(col("k"), col("p").as("src"))
-    val b = li.select(col("k"), col("p").as("dst"))
-    val und = a.join(b, "k").filter(col("src") < col("dst"))
-      .select("src", "dst").distinct()
-    val adj = und.unionAll(und.select(col("dst"), col("src")))
+    val adj = symEdges(li)
       .toDF("node", "nbr")
       .repartition(col("node"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -474,16 +494,12 @@ object Graph {
       tailMaxEdges: Long = KcoreTailMaxEdges): (DataFrame, Int) = {
     import org.apache.spark.storage.StorageLevel
     val spark = li.sparkSession
-    val a = li.select(col("k"), col("p").as("src"))
-    val b = li.select(col("k"), col("p").as("dst"))
-    val und = a.join(b, "k").filter(col("src") < col("dst"))
-      .select("src", "dst").distinct()
     // Hash-partitioned by node ONCE at build (r15): every h-round
     // aggregate, the delta rounds' affected/changed joins and deg0
     // then reuse this partitioning instead of re-exchanging the
     // O(|E|) frame per round (guide §2.4 — operations keyed the same
     // way share one exchange).
-    val adj = und.unionAll(und.select(col("dst"), col("src")))
+    val adj = symEdges(li)
       .toDF("node", "nbr")
       .repartition(col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -828,10 +844,7 @@ object Graph {
     * membership frame. */
   def assortativityOf(li: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val a = li.select(col("k"), col("p").as("src"))
-    val b = li.select(col("k"), col("p").as("dst"))
-    val und = a.join(b, "k").filter(col("src") < col("dst"))
-      .select("src", "dst").distinct()
+    val und = undEdges(li)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val adj = und.unionAll(und.select(col("dst"), col("src")))
       .toDF("u", "v")
@@ -891,10 +904,7 @@ object Graph {
     * frame. */
   def modularityOf(li: DataFrame, part: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val a = li.select(col("k"), col("p").as("src"))
-    val b = li.select(col("k"), col("p").as("dst"))
-    val und = a.join(b, "k").filter(col("src") < col("dst"))
-      .select("src", "dst").distinct()
+    val und = undEdges(li)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val e = und
       .join(part.select(col("p").as("src"), col("brand").as("b_src")),
@@ -954,12 +964,7 @@ object Graph {
   /** Core over any (k, p) membership frame. */
   def khopOf(li: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val a = li.select(col("k"), col("p").as("src"))
-    val b = li.select(col("k"), col("p").as("dst"))
-    val und = a.join(b, "k").filter(col("src") < col("dst"))
-      .select("src", "dst").distinct()
-    val adj = und.unionAll(
-        und.select(col("dst").as("src"), col("src").as("dst")))
+    val adj = symEdges(li)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sources = adj.select(col("src").as("s")).distinct()
       .orderBy(col("s")).limit(KhopSources)

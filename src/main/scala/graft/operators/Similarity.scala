@@ -824,6 +824,13 @@ object Similarity {
           col("a.nrm"), col("b.nrm")))
       .select(col("a.vec_id").as("u"), col("b.vec_id").as("w"),
         col("cos"))
+    // NOTE (r15, measured-and-rejected): emitting both directions via
+    // ONE explode(array(struct...)) projection instead of this union
+    // was 1.8× SLOWER (3.3 → 5.8 s at sf0.1) — the per-pair
+    // array-of-struct allocation on ~200M pair rows costs more than
+    // the union's second branch, whose exchanges the physical planner
+    // REUSES (exchange reuse mitigates logical no-subtree-dedup when
+    // the duplicated subtree ends in an exchange).
     val directed = und.select(col("u").as("q_id"), col("w").as("n_id"), col("cos"))
       .union(und.select(col("w").as("q_id"), col("u").as("n_id"), col("cos")))
     topK(spark, directed, k = KnnK)
@@ -1036,7 +1043,10 @@ object Similarity {
     * both arms are hash-certified chains, the intersection count is
     * integer algebra, and the recall ratio rounds via roundDuck. */
   def annRecallEval(spark: SparkSession, dir: String): DataFrame = {
+    // r15: persisted — referenced twice (hit join + query spine);
+    // Q·k id rows, saves a second full brute-force arm.
     val exact = annBruteforce(spark, dir).select(col("q_id"), col("n_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val approx = annIvf(spark, dir).select(col("q_id"), col("n_id"))
     val hits = exact.join(approx, Seq("q_id", "n_id"))
       .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
@@ -1065,7 +1075,11 @@ object Similarity {
     * rounded via roundDuck — trivially hash-gated. */
   def knnGraphRecall(spark: SparkSession, dir: String): DataFrame = {
     val k = KnnK
+    // r15: persisted — referenced twice below (hit join + per-query
+    // id spine); unpersisted, the ENTIRE O(n²) exact arm recomputed
+    // for the second reference (no-subtree-dedup). n·k id rows only.
     val exact = embedKnnGraph(spark, dir).select(col("q_id"), col("n_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val approx = knnGraphIvf(spark, dir).select(col("q_id"), col("n_id"))
     val hits = exact.join(approx, Seq("q_id", "n_id"))
       .groupBy(col("q_id")).agg(count(lit(1)).as("h"))
