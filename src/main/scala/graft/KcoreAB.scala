@@ -4,9 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** TEMPORARY (r15 optimization round): A/B probe for the kcore
-  * h-round formulations over the same cached adjacency. Deleted at
-  * the end of the round. Args: <sfDir> <reps>. */
+/** A/B probe for the kcore h-round formulations over the same
+  * cached adjacency (r15 optimization evidence: window vs
+  * counts-collapse, repartitioned vs not, chained vs single).
+  * Args: <sfDir> <reps>. */
 object KcoreAB {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
@@ -41,8 +42,6 @@ object KcoreAB {
         .groupBy(col("node"))
         .agg(max(least(col("rk"), col("cn"))).as("c"))
     }
-    def newRound(adj: DataFrame, cc: DataFrame): DataFrame =
-      graft.operators.Graph.kcoreHRound(adj, cc)
     def time(label: String, df: => DataFrame): Unit = {
       val ts = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -57,13 +56,15 @@ object KcoreAB {
       adj.count() // materialize cache outside the timed region
       val deg0 = adj.groupBy(col("node")).agg(count(lit(1)).as("c"))
         .localCheckpoint()
-      // one chained bulk of 4 rounds, both forms
-      time(s"repart=$repart window x4",
+      // one lazily-chained bulk of 4 rounds (the pre-r15 shape: no
+      // exchange boundary, so the value-frame join plans statically
+      // as SMJ) vs one materialized round (AQE can broadcast the
+      // realized value frame)
+      time(s"repart=$repart chained x4",
         (1 to 4).foldLeft(deg0: DataFrame)((cc, _) => windowRound(adj, cc)))
-      time(s"repart=$repart counts x4",
-        (1 to 4).foldLeft(deg0: DataFrame)((cc, _) => newRound(adj, cc)))
-      time(s"repart=$repart window x1", windowRound(adj, deg0))
-      time(s"repart=$repart counts x1", newRound(adj, deg0))
+      time(s"repart=$repart single x1", windowRound(adj, deg0))
+      time(s"repart=$repart shipped x1",
+        graft.operators.Graph.kcoreHRound(adj, deg0))
       adj.unpersist(blocking = true)
     }
     spark.stop()

@@ -3,9 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** TEMPORARY (r15 optimization round): A/B the undirected co-purchase
-  * edge build — 2-scan self-join vs 1-scan groupBy+pair-explode.
-  * Deleted at the end of the round. */
+/** A/B probe for the undirected co-purchase edge build — 2-scan
+  * self-join vs 1-scan groupBy+pair-explode (r15 optimization
+  * evidence behind Graph.undEdges; asserts both forms emit the same
+  * edge set). Args: <sfDir> [reps]. */
 object UndAB {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

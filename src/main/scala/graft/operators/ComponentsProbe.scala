@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 
-/** TEMPORARY (r15 optimization round): timing probe for the
-  * ngramPairsOf → componentLabels chain that ~11 registry queries
-  * pay per invocation. Deleted at the end of the round. */
+/** Timing probe for the ngramPairsOf → componentLabels chain that
+  * ~11 registry queries pay per invocation (r15 optimization
+  * evidence behind the componentLabels driver union-find fast
+  * path). Args: <sfDir>. */
 object ComponentsProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
