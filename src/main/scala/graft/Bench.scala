@@ -140,6 +140,25 @@ object Bench {
     // between this and process exit — the driver tails stdout. The
     // short summary line goes last (see above).
     println(compact)
+    // r16 (VERDICT r15 item 2): the driver's per-query comparison was
+    // blinded because the compact line (~7k chars at 266 queries)
+    // exceeds the driver's stdout tail capture. Re-emit the per-query
+    // medians as multiple SELF-CONTAINED json lines, each under 1800
+    // chars, between the compact line and the final summary line (the
+    // official total stays LAST). Each part parses standalone:
+    // {"metric":"queries_part","part":i,"parts":n,"queries":{...}}.
+    val entries = results.map { case (k, v, ok) =>
+      "\"" + k + "\":" + (if (ok) fmt(median(v)) else "-1.0") }
+    val partBudget = 1600 // payload budget; wrapper adds ~70 chars
+    val parts = entries.foldLeft(Vector(Vector.empty[String])) { (acc, e) =>
+      if (acc.last.isEmpty ||
+          acc.last.map(_.length + 1).sum + e.length <= partBudget)
+        acc.init :+ (acc.last :+ e)
+      else acc :+ Vector(e)
+    }
+    parts.zipWithIndex.foreach { case (p, i) =>
+      println(s"""{"metric":"queries_part","part":${i + 1},"parts":${parts.size},"queries":${p.mkString("{", ",", "}")}}""")
+    }
     println(summary)
   }
 }

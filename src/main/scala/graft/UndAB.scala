@@ -51,11 +51,57 @@ object UndAB {
     time("groupHof") {
       pairsHof.write.format("noop").mode("overwrite").save()
     }
-    // sanity: same edge set
-    val n1 = a.join(b, "k").filter(col("src") < col("dst"))
-      .select("src", "dst").distinct().count()
+    // r16 skew probe (VERDICT r15 item 4): collect_set(k) concentrates
+    // a hot k's whole membership in one task and the pair expansion is
+    // an interpreted HOF — measure (a) the ps array width distribution
+    // on the k-exchange and (b) max/median task duration across the
+    // stages of one groupHof execution. A max/median task ratio < ~4
+    // at sf1 clears the guide §2.5 bar.
+    val widths = grouped.agg(
+      max(size(col("ps"))).as("max_w"),
+      expr("percentile(size(ps), 0.5)").as("p50_w"),
+      expr("percentile(size(ps), 0.999)").as("p999_w"),
+      count(lit(1)).as("n_keys")).head()
+    println(s"[undab] ps widths: max=${widths.get(0)} " +
+      s"p50=${widths.get(1)} p999=${widths.get(2)} keys=${widths.get(3)}")
+    val taskDurs = new java.util.concurrent.ConcurrentHashMap[
+      Int, scala.collection.mutable.ArrayBuffer[Long]]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        taskDurs.computeIfAbsent(te.stageId,
+          _ => scala.collection.mutable.ArrayBuffer.empty[Long])
+          .synchronized {
+            taskDurs.get(te.stageId) += te.taskInfo.duration
+          }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    pairsHof.write.format("noop").mode("overwrite").save()
+    Thread.sleep(2000) // listener events are posted asynchronously
+    spark.sparkContext.removeSparkListener(listener)
+    val it2 = taskDurs.entrySet().iterator()
+    while (it2.hasNext) {
+      val e = it2.next()
+      val ds = e.getValue.sorted
+      if (ds.nonEmpty) {
+        val med = math.max(1L, ds(ds.length / 2))
+        println(f"[undab] stage=${e.getKey} tasks=${ds.length} " +
+          f"median=${med}ms max=${ds.last}ms ratio=${ds.last.toDouble / med}%.2f")
+      }
+    }
+    // sanity: same edge SET, not just the same count (ADVICE r15 —
+    // a restructure that drops one edge and adds another must fail
+    // this): both except() directions must be empty.
+    val sj = a.join(b, "k").filter(col("src") < col("dst"))
+      .select("src", "dst").distinct()
+    val n1 = sj.count()
     val n2 = pairsHof.count()
-    println(s"[undab] edges selfjoin=$n1 groupHof=$n2 equal=${n1 == n2}")
+    val onlySj = sj.except(pairsHof).count()
+    val onlyHof = pairsHof.except(sj).count()
+    println(s"[undab] edges selfjoin=$n1 groupHof=$n2 " +
+      s"onlySelfjoin=$onlySj onlyGroupHof=$onlyHof " +
+      s"equal=${n1 == n2 && onlySj == 0 && onlyHof == 0}")
     spark.stop()
   }
 }

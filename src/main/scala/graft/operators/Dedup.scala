@@ -590,8 +590,23 @@ object Dedup {
     * at ANY size (measured, ComponentsProbe). Over-cap graphs fall
     * back to the unchanged star rounds, so at adversarial scale the
     * distributed path — the O(log d) algorithm with all its
-    * convergence discipline — is what runs. */
-  val ComponentsTailMaxEdges = 2000000L
+    * convergence discipline — is what runs.
+    *
+    * r16 (VERDICT r15 item 9): sized off the DRIVER HEAP instead of a
+    * fixed 2M constant — see [[componentsTailCapForHeap]]. */
+  def ComponentsTailMaxEdges: Long =
+    componentsTailCapForHeap(Runtime.getRuntime.maxMemory())
+
+  /** Heap-derived fast-path cap: budget ~5% of the driver's max heap
+    * at a conservative 96 bytes per collected pair (a specialized
+    * Tuple2[Long,Long] is ~32 bytes; the union-find's boxed
+    * HashMap entries cost ~64 bytes per distinct node, and nodes ≤
+    * 2·pairs). Floor 100k (any heap that can run Spark affords it),
+    * cap 16M (past that the distributed star rounds' fixed job floor
+    * is amortized anyway). 8 GiB heap → ~4.5M pairs; the old fixed
+    * 2M corresponds to ~3.6 GiB. */
+  private[operators] def componentsTailCapForHeap(maxHeap: Long): Long =
+    math.max(100000L, math.min(16000000L, maxHeap / 20 / 96))
 
   private[operators] def componentLabelsWithRounds(
       pairs: DataFrame): (DataFrame, Int) =
@@ -611,7 +626,15 @@ object Dedup {
     // definition the star rounds compute distributively.
     val nPairs = pairs.count()
     if (nPairs <= tailMaxEdges) {
-      val rows = pairs.collect()
+      // collect as specialized (Long, Long) tuples, not generic Rows —
+      // ~32 bytes per pair instead of ~100+ of boxed Row machinery
+      // (ADVICE r15); the heap budget behind the cap is documented at
+      // [[componentsTailCapForHeap]].
+      import pairs.sparkSession.implicits._
+      val rows = pairs
+        .select(col(pairs.columns(0)).cast("long"),
+          col(pairs.columns(1)).cast("long"))
+        .as[(Long, Long)].collect()
       val parent = new java.util.HashMap[java.lang.Long, java.lang.Long](
         rows.length * 2)
       def find(x0: Long): Long = {
@@ -630,8 +653,8 @@ object Dedup {
       }
       var i = 0
       while (i < rows.length) {
-        val a = rows(i).getLong(0)
-        val b = rows(i).getLong(1)
+        val a = rows(i)._1
+        val b = rows(i)._2
         val ra = find(a); val rb = find(b)
         if (ra != rb) {
           if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)

@@ -576,6 +576,12 @@ object Graph {
     // frontier.
     var c: DataFrame = deg0
     var changed: DataFrame = deg0.select(col("node"))
+    // the delta loop's entry condition (nChanged > 0) relies on at
+    // least one bulk round having produced a real frontier count —
+    // a 0 constant would return deg0 unconverged (ADVICE r15)
+    require(KcoreBulkRounds >= 1,
+      s"KcoreBulkRounds must be >= 1 (the -1 seed below is only " +
+        s"replaced by a bulk-round probe), got $KcoreBulkRounds")
     var nChanged = -1L
     var iter = 0
     while (iter < KcoreBulkRounds && nChanged != 0L) {

@@ -229,7 +229,7 @@ object Profile {
     // against the union of edge-tagged parent key sets + one
     // groupBy(edge) emits the same exact counts. Dim-child edges
     // (orders/customer/supplier/nation — each a single cheap scan)
-    // keep the per-edge [[fkCheckOf]] shape. 14 scans → 9, and the
+    // keep the per-edge [[fkCheckOf]] shape. 14 scans → 12, and the
     // fact table is read once instead of three times (the linear-
     // factor term at 100 TB). Exact integers ⇒ hash gate unchanged.
     val liEdges = FkEdges.filter(_._1 == "lineitem")
@@ -244,7 +244,7 @@ object Profile {
       tbl(pt).select(lit(s"$ct.$ck -> $pt.$pk").as("edge"),
         col(pk).as("pk")).distinct()
     }.reduce(_.unionAll(_))
-    val liStats = liProbe
+    val liAgg = liProbe
       .join(liParents,
         liProbe("edge") === liParents("edge") && col("k") === col("pk"),
         "left_outer")
@@ -254,8 +254,23 @@ object Profile {
         sum(when(col("k").isNull, col("cnt")).otherwise(0L)).as("n_null"),
         sum(when(col("k").isNotNull && col("pk").isNull, col("cnt"))
           .otherwise(0L)).as("n_orphans"))
-      .select(col("edge"), col("n_child"), col("n_null"), col("n_orphans"),
-        round(col("n_orphans") / col("n_child"), 6).as("orphan_share"))
+    // left-join the expected edge literals so an EMPTY fact table
+    // still emits one row per edge — (edge, 0, null, null, null),
+    // exactly what the per-edge fkCheckOf form produced on an empty
+    // child (ADVICE r15: the groupBy over zero probe rows silently
+    // dropped the edges). On non-empty data every edge matches, so
+    // the output is byte-identical.
+    val liEdgeNames = liEdges.map { case (ct, ck, pt, pk) =>
+      s"$ct.$ck -> $pt.$pk" }
+    val liStats = liEdgeNames
+      .map(e => spark.range(1).select(lit(e).as("edge")))
+      .reduce(_.unionAll(_))
+      .join(liAgg, Seq("edge"), "left_outer")
+      .select(col("edge"),
+        coalesce(col("n_child"), lit(0L)).as("n_child"),
+        col("n_null"), col("n_orphans"),
+        round(col("n_orphans") / coalesce(col("n_child"), lit(0L)), 6)
+          .as("orphan_share"))
     val dimStats = FkEdges.filterNot(_._1 == "lineitem")
       .map { case (ct, ck, pt, pk) =>
         fkCheckOf(tbl(ct).select(col(ck).as("k")),

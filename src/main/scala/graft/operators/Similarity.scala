@@ -165,16 +165,23 @@ object Similarity {
 
   private[operators] def topK(spark: SparkSession, pairs: DataFrame,
       k: Int): DataFrame = {
-    import spark.implicits._
-    pairs.as[Scored]
-      .groupByKey(_.q_id)
-      .agg(new TopKByScore(k).toColumn.name("topk"))
-      .flatMap { case (qId, hits) =>
-        hits.zipWithIndex.map { case ((cos, nId), i) =>
-          (qId, nId, i + 1, cos)
-        }
-      }
-      .toDF("q_id", "n_id", "rk", "cos")
+    // r16: the typed TopKByScore Aggregator paid an Encoder round-trip
+    // plus a sorted-Vector rebuild PER INPUT ROW (millions of rows in
+    // the knn paths); the heap operator (graft.plans.TopK — partial
+    // heap → one exchange → final heap, InternalRow throughout) is the
+    // same two-phase ≤k-rows-per-partition shape with no per-row
+    // object churn. Selection and tiebreak are the identical total
+    // order (cos desc, n_id asc), so rows, ranks and hashes are
+    // unchanged. The rank window reads the heap's hash(q_id)
+    // partitioning — no extra exchange, k-row partition-local sorts.
+    import org.apache.spark.sql.expressions.Window
+    val cut = graft.plans.TopK.perKey(pairs,
+      keys = Seq(col("q_id")),
+      order = Seq(col("cos").desc, col("n_id").asc),
+      k = k)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    cut.withColumn("rk", row_number().over(w))
       .select(col("q_id"), col("n_id"), col("rk"),
         round(col("cos"), 4).as("cos"))
       .orderBy(col("q_id"), col("rk"))
@@ -185,16 +192,32 @@ object Similarity {
     * over the full scan; the only shuffle is the k-row partial-agg
     * exchange. Deterministic tiebreak: (cos desc, n_id asc), with cos
     * bit-identical to the DuckDB oracle (sequential folds). */
-  def annBruteforce(spark: SparkSession, dir: String): DataFrame = {
+  def annBruteforce(spark: SparkSession, dir: String): DataFrame =
+    topK(spark, annBruteforcePairs(spark, dir), k = 5)
+
+  /** The scored candidate stream behind [[annBruteforce]] — shared so
+    * [[annRecallEval]]'s exact arm can take the UNSORTED id cut
+    * (r16: the eval only joins on ids; the old arm paid the oracle
+    * shape's rounding + global sort for nothing). */
+  private def annBruteforcePairs(spark: SparkSession,
+      dir: String): DataFrame = {
     val e = vectors(spark, dir)
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
-    val pairs = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         V.cosineWithNorms(V.dot(col("qv"), col("v")),
           col("qnrm"), col("nrm")).as("cos"))
-    topK(spark, pairs, k = 5)
   }
+
+  /** Unsorted, unrounded (q_id, n_id) top-k cut — the SAME selection
+    * (cos desc, n_id) as [[topK]], minus the presentation shape. */
+  private[operators] def idsCut(pairs: DataFrame, k: Int): DataFrame =
+    graft.plans.TopK.perKey(pairs,
+      keys = Seq(col("q_id")),
+      order = Seq(col("cos").desc, col("n_id").asc),
+      k = k)
+      .select(col("q_id"), col("n_id"))
 
   /** D (round 15): FILTERED kNN — top-k cosine neighbors among the
     * vectors sharing the query's label (metadata-filtered vector
@@ -354,7 +377,8 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("nrm"), col("list_id"))
 
   def annIvf(spark: SparkSession, dir: String,
-      nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+      nLists: Int = 16, nProbe: Int = 4,
+      idsOnly: Boolean = false): DataFrame = {
     val e = ivfDots(spark, dir, nLists)
     val assigned = e
       .withColumn("list_id", expr("array_position(dots, array_max(dots))"))
@@ -377,7 +401,7 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("n_id"),
         V.cosineWithNorms(V.dot(col("qv"), col("v")),
           col("qnrm"), col("nrm")).as("cos"))
-    topK(spark, pairs, k = 5)
+    if (idsOnly) idsCut(pairs, 5) else topK(spark, pairs, k = 5)
   }
 
   /** Fixed-point grain for [[embedSilhouette]]'s margins (1.0 ≡ 1e6)
@@ -805,7 +829,18 @@ object Similarity {
     *
     * Cosine is a strict sequential fold (VectorFunctions), so ranks
     * and the hash gate are bit-stable cross-engine. */
-  def embedKnnGraph(spark: SparkSession, dir: String): DataFrame = {
+  def embedKnnGraph(spark: SparkSession, dir: String): DataFrame =
+    topK(spark, embedKnnPairs(spark, dir), k = KnnK)
+
+  /** Unsorted (q_id, n_id) cut of the exact graph — [[knnGraphRecall]]'s
+    * reference arm (r16: skips the oracle shape's round + global sort;
+    * the eval joins on ids only). */
+  private[operators] def embedKnnGraphIds(spark: SparkSession,
+      dir: String): DataFrame =
+    idsCut(embedKnnPairs(spark, dir), KnnK)
+
+  /** The directed scored pair stream behind [[embedKnnGraph]]. */
+  private def embedKnnPairs(spark: SparkSession, dir: String): DataFrame = {
     val e = vectors(spark, dir)
       .withColumn("blk", pmod(col("vec_id"), lit(KnnBlocks.toLong)))
     val blocks = (0 until KnnBlocks).map(b => lit(b.toLong))
@@ -831,9 +866,8 @@ object Similarity {
     // the union's second branch, whose exchanges the physical planner
     // REUSES (exchange reuse mitigates logical no-subtree-dedup when
     // the duplicated subtree ends in an exchange).
-    val directed = und.select(col("u").as("q_id"), col("w").as("n_id"), col("cos"))
+    und.select(col("u").as("q_id"), col("w").as("n_id"), col("cos"))
       .union(und.select(col("w").as("q_id"), col("u").as("n_id"), col("cos")))
-    topK(spark, directed, k = KnnK)
   }
 
   /** Floor on [[knnGraphIvf]]'s cell count and its probe width
@@ -919,7 +953,22 @@ object Similarity {
     * SimilaritySpec. */
   def knnGraphIvf(spark: SparkSession, dir: String,
       nProbe: Int = KnnGraphProbe,
-      refineRounds: Int = KnnGraphRefineRounds): DataFrame = {
+      refineRounds: Int = KnnGraphRefineRounds): DataFrame =
+    topK(spark, knnGraphIvfScored(spark, dir, nProbe, refineRounds),
+      k = KnnK)
+
+  /** Unsorted (q_id, n_id) cut of the approximate graph —
+    * [[knnGraphRecall]]'s measured arm (r16: same selection, no
+    * round/sort; the eval joins on ids only). */
+  private[operators] def knnGraphIvfIds(spark: SparkSession,
+      dir: String): DataFrame =
+    idsCut(knnGraphIvfScored(spark, dir, KnnGraphProbe,
+      KnnGraphRefineRounds), KnnK)
+
+  /** The final-round rescored candidate stream behind [[knnGraphIvf]]:
+    * assignment, probe join and the NN-descent refinement rounds. */
+  private def knnGraphIvfScored(spark: SparkSession, dir: String,
+      nProbe: Int, refineRounds: Int): DataFrame = {
     // rounds = 0 would fall through the refinement loop with a null
     // result (ADVICE r14) — and RecallSweep forwards arbitrary env
     // round counts, so fail loud here rather than NPE downstream
@@ -949,14 +998,16 @@ object Similarity {
           col("qnrm"), col("nrm")).as("cos"))
 
     // round-0 id graph: the IVF candidate cut through the same
-    // TopKByScore partial agg, ids only (ranks compare the UNROUNDED
-    // strict-fold cosines, so the cut is bit-identical cross-engine)
-    import spark.implicits._
-    def idCut(scored: DataFrame): DataFrame = scored.as[Scored]
-      .groupByKey(_.q_id)
-      .agg(new TopKByScore(KnnK).toColumn.name("topk"))
-      .flatMap { case (qId, hits) => hits.map { case (_, nId) => (qId, nId) } }
-      .toDF("q_id", "n_id")
+    // two-phase heap top-k (r16: graft.plans.TopK replaces the typed
+    // TopKByScore agg — same (cos desc, n_id) total order, ids only;
+    // ranks compare the UNROUNDED strict-fold cosines, so the cut is
+    // bit-identical cross-engine)
+    def idCut(scored: DataFrame): DataFrame = graft.plans.TopK.perKey(
+        scored,
+        keys = Seq(col("q_id")),
+        order = Seq(col("cos").desc, col("n_id").asc),
+        k = KnnK)
+      .select(col("q_id"), col("n_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // NN-descent refinement rounds (Dong et al., WWW'11): a true
@@ -987,7 +1038,7 @@ object Similarity {
       val cand = ids.union(nn2).union(rev).distinct()
       val rescored = rescore(cand)
       if (r < refineRounds) ids = idCut(rescored)
-      else out = topK(spark, rescored, k = KnnK)
+      else out = rescored
     }
     out
   }
@@ -1044,10 +1095,13 @@ object Similarity {
     * integer algebra, and the recall ratio rounds via roundDuck. */
   def annRecallEval(spark: SparkSession, dir: String): DataFrame = {
     // r15: persisted — referenced twice (hit join + query spine);
-    // Q·k id rows, saves a second full brute-force arm.
-    val exact = annBruteforce(spark, dir).select(col("q_id"), col("n_id"))
+    // Q·k id rows, saves a second full brute-force arm. r16: both
+    // arms read the UNSORTED id cores (identical selection; the
+    // rounding + global sorts of the oracle-shaped entries bought
+    // the eval nothing).
+    val exact = idsCut(annBruteforcePairs(spark, dir), 5)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val approx = annIvf(spark, dir).select(col("q_id"), col("n_id"))
+    val approx = annIvf(spark, dir, idsOnly = true)
     val hits = exact.join(approx, Seq("q_id", "n_id"))
       .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
     exact.select(col("q_id")).distinct()
@@ -1078,9 +1132,12 @@ object Similarity {
     // r15: persisted — referenced twice below (hit join + per-query
     // id spine); unpersisted, the ENTIRE O(n²) exact arm recomputed
     // for the second reference (no-subtree-dedup). n·k id rows only.
-    val exact = embedKnnGraph(spark, dir).select(col("q_id"), col("n_id"))
+    // r16: both arms read the UNSORTED id cores — identical (cos
+    // desc, n_id) selection, minus the rounding + global sorts the
+    // oracle-shaped entries carry (the eval joins on ids only).
+    val exact = embedKnnGraphIds(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val approx = knnGraphIvf(spark, dir).select(col("q_id"), col("n_id"))
+    val approx = knnGraphIvfIds(spark, dir)
     val hits = exact.join(approx, Seq("q_id", "n_id"))
       .groupBy(col("q_id")).agg(count(lit(1)).as("h"))
     val perQ = exact.select(col("q_id")).distinct()
@@ -1137,12 +1194,14 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("n_id"),
         V.cosineWithNorms(V.dot(col("qv"), col("v")),
           col("qnrm"), col("nrm")).as("cos"))
-    val cand = rel.as[Scored]
-      .groupByKey(_.q_id)
-      .agg(new TopKByScore(MmrR).toColumn.name("topk"))
-      .flatMap { case (qId, hits) =>
-        hits.map { case (cos, nId) => (qId, nId, cos) } }
-      .toDF("q_id", "n_id", "rel")
+    // r16: two-phase heap cut (graft.plans.TopK) replaces the typed
+    // TopKByScore agg — same (cos desc, n_id) selection, no Encoder
+    // round-trip per candidate row.
+    val cand = graft.plans.TopK.perKey(rel,
+        keys = Seq(col("q_id")),
+        order = Seq(col("cos").desc, col("n_id").asc),
+        k = MmrR)
+      .select(col("q_id"), col("n_id"), col("cos").as("rel"))
       .join(e.select(col("vec_id").as("n_id"), col("v"), col("nrm")),
         Seq("n_id"))
     cand.as[MmrCand].groupByKey(_.q_id)

@@ -459,6 +459,25 @@ class DedupSpec extends SparkSuite {
     assert(got === expected)
   }
 
+  test("componentsTailCapForHeap: floor, linear region, ceiling, and " +
+      "the live cap derives from the actual driver heap") {
+    // floor: a tiny heap still affords 100k pairs
+    assert(Dedup.componentsTailCapForHeap(64L << 20) === 100000L)
+    // linear region: 5% of heap at 96 bytes/pair
+    val eightGiB = 8L << 30
+    assert(Dedup.componentsTailCapForHeap(eightGiB) ===
+      eightGiB / 20 / 96)
+    assert(Dedup.componentsTailCapForHeap(eightGiB) > 4000000L)
+    // ceiling: an enormous heap is capped at 16M pairs
+    assert(Dedup.componentsTailCapForHeap(1L << 50) === 16000000L)
+    // the live cap is the derivation applied to the real max heap —
+    // both sides of the derived cap are reachable via the
+    // tailMaxEdges seam (the two tests above force the distributed
+    // path with 0 and take the fast path under the default)
+    assert(Dedup.ComponentsTailMaxEdges ===
+      Dedup.componentsTailCapForHeap(Runtime.getRuntime.maxMemory()))
+  }
+
   test("dedup queries run against testdata; planted dups found") {
     val ngram = Dedup.dedupNgramJaccard(spark, sfDir)
     assert(ngram.count() > 0, "sf0.001 should contain planted near-dups")
